@@ -1,0 +1,112 @@
+package graft.catalog
+
+import java.io.{FileInputStream, InputStream}
+import java.{util => ju}
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+/** One declarative ingestion unit from the YAML catalog.
+  *
+  * Mirrors the reference's pydantic `Source` model
+  * (metadata_ingestion/src/ingestion_framework/metadata.py:5-13) including its
+  * defaulting behavior: `enabled=true`, `rawPartitions=["ingest_date"]`,
+  * `hubPrimaryKeys=Nil`.
+  */
+final case class Source(
+    id: String,
+    enabled: Boolean = true,
+    `type`: String = "",
+    domain: String = "",
+    entity: String = "",
+    options: Map[String, String] = Map.empty,
+    rawPartitions: Seq[String] = Seq("ingest_date"),
+    hubPrimaryKeys: Seq[String] = Nil
+)
+
+/** The whole catalog: version + defaults + sources
+  * (reference metadata.py:15-18; defaults carry raw_base/hub_base/
+  * checkpoint_base/domain, sources.yaml:2-6).
+  */
+final case class SourceSystem(
+    version: Int,
+    defaults: Map[String, String],
+    sources: Seq[Source]
+)
+
+/** Loads and validates the YAML catalog (reference metadata.py:20-23:
+  * `yaml.safe_load` + pydantic validation). Implemented on snakeyaml
+  * (vendored in /opt/spark/jars) with explicit field mapping so defaulting
+  * matches the reference exactly.
+  */
+object YamlCatalog {
+
+  def load(path: String): SourceSystem = {
+    val in = new FileInputStream(path)
+    try load(in)
+    finally in.close()
+  }
+
+  def load(in: InputStream): SourceSystem = {
+    val root = new Yaml().load[ju.Map[String, AnyRef]](in)
+    if (root == null) throw new IllegalArgumentException("empty catalog YAML")
+    fromJava(root.asScala.toMap)
+  }
+
+  def loadString(yaml: String): SourceSystem = {
+    val root = new Yaml().load[ju.Map[String, AnyRef]](yaml)
+    if (root == null) throw new IllegalArgumentException("empty catalog YAML")
+    fromJava(root.asScala.toMap)
+  }
+
+  private def fromJava(root: Map[String, AnyRef]): SourceSystem = {
+    val version = root.get("version").map(_.toString.toInt).getOrElse(1)
+    val defaults = toStringMap(root.getOrElse("defaults", null))
+    val sources = root.getOrElse("sources", null) match {
+      case l: ju.List[_] => l.asScala.toSeq.map(s => parseSource(asMap(s)))
+      case null          => Nil
+      case other =>
+        throw new IllegalArgumentException(s"sources must be a list, got $other")
+    }
+    SourceSystem(version, defaults, sources)
+  }
+
+  private def parseSource(m: Map[String, AnyRef]): Source = {
+    def str(k: String, dflt: String = ""): String =
+      m.get(k).filter(_ != null).map(_.toString).getOrElse(dflt)
+    val id = m.get("id").filter(_ != null).map(_.toString).getOrElse {
+      throw new IllegalArgumentException(s"source missing required field 'id': $m")
+    }
+    Source(
+      id = id,
+      enabled = m.get("enabled").filter(_ != null).forall(_.toString.toBoolean),
+      `type` = str("type"),
+      domain = str("domain"),
+      entity = str("entity"),
+      options = toStringMap(m.getOrElse("options", null)),
+      rawPartitions = toStringSeq(m.get("raw_partitions"), Seq("ingest_date")),
+      hubPrimaryKeys = toStringSeq(m.get("hub_primary_keys"), Nil)
+    )
+  }
+
+  private def asMap(o: Any): Map[String, AnyRef] = o match {
+    case m: ju.Map[_, _] =>
+      m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[AnyRef] }.toMap
+    case other => throw new IllegalArgumentException(s"expected mapping, got $other")
+  }
+
+  private def toStringMap(o: AnyRef): Map[String, String] = o match {
+    case null => Map.empty
+    case m: ju.Map[_, _] =>
+      m.asScala.collect { case (k, v) if v != null => k.toString -> v.toString }.toMap
+    case other => throw new IllegalArgumentException(s"expected mapping, got $other")
+  }
+
+  private def toStringSeq(o: Option[AnyRef], dflt: Seq[String]): Seq[String] =
+    o match {
+      case None | Some(null) => dflt
+      case Some(l: ju.List[_]) => l.asScala.toSeq.map(_.toString)
+      case Some(other) =>
+        throw new IllegalArgumentException(s"expected list, got $other")
+    }
+}

@@ -1,0 +1,104 @@
+package graft.readers
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pluggable reader registry.
+  *
+  * Reproduces the reference's reader surface
+  * (metadata_ingestion/src/ingestion_framework/readers/base_reader.py:4-55):
+  * csv / json / parquet / jdbc / olap-with-CSV-fallback, dispatched by the
+  * catalog `type` string; unknown types raise with the same message shape.
+  *
+  * Each reader is `(SparkSession, options) => DataFrame`; `path` (or the
+  * jdbc/olap-specific keys) are consumed from the options map and the rest is
+  * passed verbatim to Spark's DataFrameReader — same contract as the
+  * reference, minus its accidental caller-visible mutation of the dict.
+  */
+object Readers {
+
+  type Reader = (SparkSession, Map[String, String]) => DataFrame
+
+  /** base_reader.py:4-6 */
+  val csv: Reader = (spark, opts) => {
+    val (path, rest) = popPath(opts)
+    spark.read.options(rest).csv(path)
+  }
+
+  /** base_reader.py:8-10 (JSON Lines; `multiline` comes through options) */
+  val json: Reader = (spark, opts) => {
+    val (path, rest) = popPath(opts)
+    spark.read.options(rest).json(path)
+  }
+
+  /** base_reader.py:12-14 */
+  val parquet: Reader = (spark, opts) => {
+    val (path, rest) = popPath(opts)
+    spark.read.options(rest).parquet(path)
+  }
+
+  /** base_reader.py:16-29 — url + dbtable required; driver/user/password only
+    * set when non-empty (the reference guards with `if truthy`).
+    */
+  val jdbc: Reader = (spark, opts) => {
+    val url = required(opts, "url", "jdbc")
+    val dbtable = required(opts, "dbtable", "jdbc")
+    var r = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for (k <- Seq("driver", "user", "password"); v <- opts.get(k) if v.nonEmpty)
+      r = r.option(k, v)
+    r.load()
+  }
+
+  /** base_reader.py:31-42 — the XMLA/MDX branch is permanently unavailable in
+    * the reference (it unconditionally raises before any network call) and the
+    * operative behavior is the CSV fallback read with `header=true` only, so
+    * all columns land as strings. We keep that exact contract.
+    */
+  val olap: Reader = (spark, opts) => {
+    val attempt = Try {
+      if (opts.contains("xmla_endpoint"))
+        throw new UnsupportedOperationException(
+          "XMLA/MDX connectivity is not available in this environment"
+        )
+      throw new UnsupportedOperationException("no xmla_endpoint configured")
+    }
+    attempt match {
+      case Success(df: DataFrame) => df
+      case Failure(_) =>
+        val fallback = opts.getOrElse(
+          "fallback_csv_path",
+          throw new IllegalArgumentException(
+            "olap reader requires fallback_csv_path when XMLA is unavailable"
+          )
+        )
+        spark.read.option("header", "true").csv(fallback)
+    }
+  }
+
+  /** base_reader.py:44-55 — dispatch registry; unknown type message matches
+    * the reference's `ValueError("Unsupported source type: …")`.
+    */
+  val registry: Map[String, Reader] = Map(
+    "csv" -> csv,
+    "json" -> json,
+    "parquet" -> parquet,
+    "jdbc" -> jdbc,
+    "olap" -> olap
+  )
+
+  def get(tpe: String): Reader =
+    registry.getOrElse(
+      tpe,
+      throw new IllegalArgumentException(s"Unsupported source type: $tpe")
+    )
+
+  private def popPath(opts: Map[String, String]): (String, Map[String, String]) =
+    (required(opts, "path", "file"), opts - "path")
+
+  private def required(opts: Map[String, String], k: String, who: String): String =
+    opts.getOrElse(
+      k,
+      throw new IllegalArgumentException(s"$who reader requires option '$k'")
+    )
+}

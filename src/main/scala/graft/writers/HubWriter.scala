@@ -1,0 +1,181 @@
+package graft.writers
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** HUB-zone sink: keyed merge-upsert with schema evolution, on plain Spark.
+  *
+  * Reproduces the observable semantics of the reference's `write_hub`
+  * (metadata_ingestion/src/ingestion_framework/writer.py:18-36), which uses
+  * Delta MERGE + `schema.autoMerge`. No Delta jars are vendored here, so the
+  * merge is re-expressed with built-in DataFrame ops:
+  *
+  *   - matched target rows (equi-join on hub primary keys) are fully replaced
+  *     by the source row (`whenMatchedUpdateAll`, writer.py:27);
+  *   - unmatched source rows are inserted (`whenNotMatchedInsertAll`,
+  *     writer.py:28);
+  *   - a row with any NULL key never matches (`=` not `<=>` in the reference's
+  *     join condition, writer.py:24) and therefore always inserts;
+  *   - no configured keys degrades the condition to `false` → every source row
+  *     inserts (append) — same as the reference;
+  *   - schema evolution: new/missing columns are reconciled by name with type
+  *     widening (`unionByName(allowMissingColumns)` + numeric/string widening),
+  *     covering Delta `schema.autoMerge` (writer.py:20) plus the CSV
+  *     inferSchema drift case (int→double across runs);
+  *   - initial load keeps the reference's mode quirk: overwrite iff keyless
+  *     (writer.py:32-35).
+  *
+  * Execution shape (scale): one shuffle of target∪source on the key columns
+  * (window dedup), then a full rewrite of the table. That matches Delta MERGE's
+  * worst case (it also joins and rewrites matched files); Delta's file-level
+  * pruning optimization would come back if the hub were partitioned by a key
+  * prefix. Atomicity without a transaction log is provided by write-to-tmp +
+  * directory swap — single-writer safe, not concurrent-writer safe (documented
+  * limitation vs Delta ACID).
+  */
+object HubWriter {
+
+  def write(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      keys: Seq[String]
+  ): Unit = {
+    if (!tableExists(spark, path)) {
+      // Initial load (writer.py:32-35): "overwrite" iff keyless, else "append"
+      // — indistinguishable on a fresh path, kept for parity of intent.
+      val mode = if (keys.isEmpty) SaveMode.Overwrite else SaveMode.Append
+      df.write.mode(mode).parquet(path)
+    } else if (keys.isEmpty) {
+      // Degenerate merge condition "false" (writer.py:24): all rows insert.
+      val target = spark.read.parquet(path)
+      val (t, s) = reconcileSchemas(target, df)
+      atomicReplace(spark, t.unionByName(s), path)
+    } else {
+      val target = spark.read.parquet(path)
+      val (t, s) = reconcileSchemas(target, df)
+      atomicReplace(spark, merge(t, s, keys), path)
+    }
+  }
+
+  /** Last-writer-wins merge of source into target on `keys`.
+    *
+    * Rows with any NULL key bypass the window dedup entirely (they can never
+    * match under `=` semantics, so target null-key rows survive and source
+    * null-key rows insert — both are kept verbatim).
+    *
+    * Within a single source batch containing duplicate keys, the row with the
+    * latest `_ingest_ts_utc` wins (Delta MERGE would instead error on
+    * duplicate matches; last-writer-wins is the strictly-more-useful contract
+    * and is what repeated runs produce anyway).
+    */
+  private[writers] def merge(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String]
+  ): DataFrame = {
+    val tagged = target
+      .withColumn("_is_new", lit(0))
+      .unionByName(source.withColumn("_is_new", lit(1)))
+    val anyNullKey = keys.map(k => col(k).isNull).reduce(_ || _)
+    val orderCols =
+      if (tagged.columns.contains("_ingest_ts_utc"))
+        Seq(desc("_is_new"), desc("_ingest_ts_utc"))
+      else Seq(desc("_is_new"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    tagged
+      .withColumn(
+        "_rn",
+        when(anyNullKey, lit(1)).otherwise(row_number().over(w))
+      )
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_is_new")
+  }
+
+  /** Align two frames to a merged schema with type widening, so
+    * `unionByName(allowMissingColumns = true)` never hits a type conflict.
+    * Widening ladder: identical → keep; both numeric → wider numeric;
+    * date/timestamp → timestamp; anything vs string → string.
+    */
+  private[writers] def reconcileSchemas(
+      a: DataFrame,
+      b: DataFrame
+  ): (DataFrame, DataFrame) = {
+    val bTypes = b.schema.map(f => f.name -> f.dataType).toMap
+    val aTypes = a.schema.map(f => f.name -> f.dataType).toMap
+    def castTo(df: DataFrame, other: Map[String, DataType]): DataFrame =
+      df.schema.foldLeft(df) { (acc, f) =>
+        other.get(f.name) match {
+          case Some(o) if o != f.dataType =>
+            val target = widen(f.dataType, o)
+            if (target != f.dataType) acc.withColumn(f.name, col(f.name).cast(target))
+            else acc
+          case _ => acc
+        }
+      }
+    val a2 = castTo(a, bTypes)
+    val b2 = castTo(b, aTypes)
+    val allCols = (a2.columns ++ b2.columns.filterNot(a2.columns.contains)).toSeq
+    def padded(df: DataFrame, schemaOf: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      val missing = allCols.filterNot(have)
+      missing.foldLeft(df) { (acc, c) =>
+        val dt = schemaOf.schema.find(_.name == c).map(_.dataType).getOrElse(StringType)
+        acc.withColumn(c, lit(null).cast(dt))
+      }.select(allCols.map(col): _*)
+    }
+    (padded(a2, b2), padded(b2, a2))
+  }
+
+  private[writers] def widen(x: DataType, y: DataType): DataType = (x, y) match {
+    case (a, b) if a == b => a
+    case (a: NumericType, b: NumericType) =>
+      val ladder: Seq[DataType] =
+        Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+      (ladder.indexOf(a), ladder.indexOf(b)) match {
+        case (i, j) if i >= 0 && j >= 0 => ladder(math.max(i, j))
+        case _                          => DoubleType // decimals etc: be safe
+      }
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case _ => StringType
+  }
+
+  /** Materialize `df` at `path` atomically for single-writer use:
+    * write to a sibling tmp dir, then swap directories. The source plan reads
+    * the current table, so it must be fully materialized (to tmp) before the
+    * old directory is removed — the tmp write provides exactly that barrier.
+    */
+  private def atomicReplace(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(hconf)
+    val tmp = new Path(dest.getParent, s".${dest.getName}__tmp_${UUID.randomUUID()}")
+    val old = new Path(dest.getParent, s".${dest.getName}__old_${UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(dest, old))
+      throw new IllegalStateException(s"hub swap failed: could not move $dest aside")
+    if (!fs.rename(tmp, dest)) {
+      fs.rename(old, dest) // roll back
+      throw new IllegalStateException(s"hub swap failed: could not move $tmp into place")
+    }
+    fs.delete(old, true)
+  }
+
+  /** "Does the hub table exist" — stands in for the reference's
+    * `DeltaTable.isDeltaTable` probe (writer.py:22), which is a filesystem
+    * check for `_delta_log`; here: path exists and contains any parquet part.
+    */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory || n.endsWith(".parquet")
+    }
+  }
+}

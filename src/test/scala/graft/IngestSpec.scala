@@ -1,0 +1,96 @@
+package graft
+
+import graft.catalog.YamlCatalog
+import graft.engine.Ingest
+
+class IngestSpec extends SparkTestBase {
+
+  def catalogYaml(lake: String): String =
+    s"""version: 1
+       |defaults:
+       |  raw_base: $lake/raw
+       |  hub_base: $lake/hub
+       |  checkpoint_base: $lake/_checkpoints
+       |  domain: sales
+       |sources:
+       |  - id: customers_csv
+       |    type: csv
+       |    domain: sales
+       |    entity: customers
+       |    options:
+       |      path: ${resource("/samples/customers.csv")}
+       |      header: true
+       |      inferSchema: true
+       |      mode: PERMISSIVE
+       |    hub_primary_keys: ["customer_id"]
+       |  - id: orders_json
+       |    type: json
+       |    domain: sales
+       |    entity: orders
+       |    options:
+       |      path: ${resource("/samples/orders.json")}
+       |      multiline: false
+       |    hub_primary_keys: ["order_id"]
+       |  - id: products_jdbc
+       |    enabled: false
+       |    type: jdbc
+       |    domain: sales
+       |    entity: products
+       |    options: {url: "jdbc:sqlite:none", dbtable: products}
+       |  - id: cube_sales_olap
+       |    type: olap
+       |    domain: sales
+       |    entity: cube_sales
+       |    options:
+       |      xmla_endpoint: "powerbi://api.powerbi.com/v1.0/myorg/X"
+       |      mdx: "SELECT ..."
+       |      fallback_csv_path: ${resource("/samples/cube_sales_fallback.csv")}
+       |    hub_primary_keys: ["category", "calendar_year"]
+       |""".stripMargin
+
+  test("full pipeline: run twice — RAW doubles, HUB stays fixed (idempotent upsert)") {
+    val lake = tmpDir("lake")
+    val sys = YamlCatalog.loadString(catalogYaml(lake))
+    val r1 = Ingest.runCatalog(spark, sys)
+    assert(r1.map(_.id) == Seq("customers_csv", "orders_json", "cube_sales_olap"))
+
+    def counts(zone: String): Map[String, Long] =
+      Seq("customers", "orders", "cube_sales").map { e =>
+        e -> spark.read.parquet(s"$lake/$zone/sales/$e").count()
+      }.toMap
+    val raw1 = counts("raw"); val hub1 = counts("hub")
+    assert(raw1 == Map("customers" -> 3L, "orders" -> 3L, "cube_sales" -> 4L))
+    assert(hub1 == raw1)
+
+    Ingest.runCatalog(spark, sys)
+    assert(counts("raw") == raw1.view.mapValues(_ * 2).toMap, "RAW is append-only")
+    assert(counts("hub") == hub1, "HUB is idempotent for keyed sources")
+  }
+
+  test("audit columns stamped with one ingest_date per run; RAW partitioned by it") {
+    val lake = tmpDir("lake")
+    Ingest.runCatalog(spark, YamlCatalog.loadString(catalogYaml(lake)))
+    val df = spark.read.parquet(s"$lake/raw/sales/customers")
+    assert(Set("_source_id", "_ingest_ts_utc", "ingest_date")
+      .subsetOf(df.columns.toSet))
+    // note: read-back type is DateType — Spark's partition-column type
+    // inference parses the ISO string partition value (same as the reference)
+    val dates = df.select(org.apache.spark.sql.functions.col("ingest_date")
+      .cast("string")).distinct().collect().map(_.getString(0))
+    assert(dates.length == 1 && dates.head.matches("\\d{4}-\\d{2}-\\d{2}"))
+    assert(df.select("_source_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("customers_csv"))
+    // physical layout: hive-style partition dir exists
+    val part = new java.io.File(s"$lake/raw/sales/customers")
+      .listFiles().map(_.getName).filter(_.startsWith("ingest_date="))
+    assert(part.nonEmpty)
+  }
+
+  test("parallel source execution produces the same lake") {
+    val lake = tmpDir("lake")
+    Ingest.runCatalog(spark, YamlCatalog.loadString(catalogYaml(lake)), parallelism = 3)
+    assert(spark.read.parquet(s"$lake/hub/sales/customers").count() == 3)
+    assert(spark.read.parquet(s"$lake/hub/sales/orders").count() == 3)
+    assert(spark.read.parquet(s"$lake/hub/sales/cube_sales").count() == 4)
+  }
+}
