@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard (inverted index — exact), MinHash+LSH (approximate candidate
+  * generation + exact verify), SimHash (bitwise near-dup).
+  *
+  * Scale design (the point of each algorithm):
+  *   - exact: one hash-shuffle on the fingerprint — embarrassingly parallel;
+  *   - ngram Jaccard: explode to (shingle, doc) postings and self-join on
+  *     shingle — work ∝ Σ df(shingle)², so callers should drop ultra-common
+  *     shingles (df cap) at web scale; any pair with J ≥ t > 0 shares a
+  *     shingle, so candidate generation is lossless;
+  *   - MinHash LSH: constant-size signature per doc (k=16 mins), banded
+  *     (4×4) bucket join — work ∝ collisions, not pairs. The s-curve
+  *     1-(1-j⁴)⁴ makes J≥0.8 pairs collide w.p. ≥0.88 per band set;
+  *     candidates are then verified with EXACT Jaccard;
+  *   - SimHash: 32-bit weighted-bit signature; near-dups = small Hamming
+  *     distance; candidate blocking on 8-bit chunks (pigeonhole: distance ≤ 3
+  *     ⇒ some chunk equal).
+  *
+  * All arithmetic is integer/exact (md5-derived 60-bit hashes, 31-bit modular
+  * permutations) so the DuckDB oracles reproduce results bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-content fingerprint.
+    * One shuffle on the md5 key.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** (a, b) pairs from the shared deterministic MinHash permutation table:
+    * 16 permutations h → (a·h31 + b) mod (2³¹−1), constants from a fixed
+    * LCG seed so the SQL oracle can embed the same numbers.
+    */
+  val minhashParams: Seq[(Long, Long)] = {
+    // LCG: x' = (1103515245 x + 12345) mod 2^31; seed 42; a must be non-zero
+    var x = 42L
+    def next(): Long = { x = (1103515245L * x + 12345L) % 2147483648L; x }
+    (0 until 16).map { _ =>
+      val a = next() % 2147483646L + 1
+      val b = next() % 2147483647L
+      (a, b)
+    }
+  }
+  val MinhashPrime = 2147483647L // 2^31 - 1
+
+  /** doc → exploded distinct shingle hashes (h31), the input to both the
+    * signature aggregation and exact-Jaccard verification.
+    */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(
+        transform(Shingles.wordShingles(TextAnalysis.tokens(col(textCol)), n),
+          Shingles.hash31(_)))).as("h"))
+
+  /** MinHash signature: 16 `min((aᵢ·h+bᵢ) mod p)` aggregates in ONE pass
+    * over the postings (map-side partial min — no extra shuffle beyond the
+    * groupBy on the doc id).
+    */
+  def minhashSignature(postings: DataFrame, idCol: String): DataFrame = {
+    val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * lit(a) + lit(b)) % lit(MinhashPrime)).as(s"mh$i")
+    }
+    postings.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: 4 bands × 4 rows; band key = "mh₀_mh₁_mh₂_mh₃". Returns
+    * (band, key, id) postings for the bucket join.
+    */
+  def lshBands(sig: DataFrame, idCol: String): DataFrame = {
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("bkey"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Candidate pairs = docs sharing any band bucket (distinct). */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val l = bands.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val r = bands.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given pairs via the postings inverted index:
+    * |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def jaccardOfPairs(pairs: DataFrame, postings: DataFrame, idCol: String): DataFrame = {
+    val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = postings.select(col(idCol).as("id_a"), col("h"))
+      .join(postings.select(col(idCol).as("id_b"), col("h")), Seq("h"))
+      .join(pairs, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
+    * exact-Jaccard verify ≥ threshold.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val postings = shingleHashes(df, textCol, idCol)
+    val cands = lshCandidates(lshBands(minhashSignature(postings, idCol), idCol), idCol)
+    jaccardOfPairs(cands, postings, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** EXACT n-gram Jaccard near-dup pairs: inverted-index join (no LSH).
+    * Lossless for threshold > 0; preferred when Σdf² stays tractable.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val postings = shingleHashes(df, textCol, idCol, n)
+    val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = postings.select(col(idCol).as("id_a"), col("h"))
+      .join(postings.select(col(idCol).as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over term-frequency-weighted token hashes: bit i is set
+    * iff Σ_tokens (2·bitᵢ(h) − 1) ≥ 0. Single groupBy pass with 32 partial
+    * sums.
+    */
+  def simhash32(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", Shingles.hash60(col("tok")) % lit(4294967296L))
+    val sums = (0 until 32).map { i =>
+      sum(shiftright(col("h"), i) % 2 * 2 - 1).as(s"s$i")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val value = (0 until 32).map { i =>
+      when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), value.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on the four 8-bit chunks (pigeonhole for
+    * Hamming ≤ 3), verify with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int): DataFrame = {
+    val sig = simhash32(df, textCol, idCol)
+    val chunks = sig.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          (shiftright(col("simhash"), c * 8) % 256).as("ckey"))): _*)).as("cc"))
+      .select(col(idCol), col("simhash"),
+        col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+    val l = chunks.select(col("chunk"), col("ckey"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val r = chunks.select(col("chunk"), col("ckey"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one scan of the corpus, per-query window top-k. Exact; work ∝ |Q|·|C|.
+  *
+  * Scale path: IVF (inverted-file) partitioning — assign every vector to its
+  * nearest centroid once (write-time, amortized), then probe only the
+  * `nprobe` closest cells per query: work ∝ |Q|·(C + nprobe·|cell|). On a
+  * real deployment centroids come from k-means sampling; here they are
+  * chosen deterministically (lowest-id vectors) so results are reproducible
+  * and oracle-checkable. The same shape extends to LSH bucketing (random
+  * hyperplanes) — SimHash over embedding sign bits.
+  *
+  * All scoring uses double LTR accumulation (VectorFunctions) so DuckDB
+  * reproduces every score bit-for-bit.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k for each query vector.
+    * `queries`/`corpus`: (id, vec). Broadcast the query side.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineHof(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥ threshold.
+    * Exact all-pairs — for corpora where |C|² is affordable; at scale feed
+    * LSH/IVF candidates into the same scoring.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("id").as("id_a"), col("vec").as("va"))
+    val b = corpus.select(col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosineHof(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Deterministic IVF index: centroids = the `nCells` lowest-id vectors;
+    * each vector assigned to its max-cosine centroid (tie → lowest centroid
+    * id). Returns corpus + `cell` column. At 100 TB the assignment is a
+    * write-time partitioning (repartition by cell → cell-pruned reads).
+    */
+  def ivfAssign(corpus: DataFrame, nCells: Int): DataFrame = {
+    val centroids = corpus.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cell"), col("vec").as("centroid"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("cell"))
+    corpus.join(broadcast(centroids), lit(true))
+      .withColumn("sim", VectorFunctions.cosineHof(col("vec"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("cell"))
+  }
+
+  /** IVF probe: per query, rank cells by centroid cosine, search the top
+    * `nprobe` cells exactly, return top-k. Recall < 1 by construction; the
+    * companion spec measures it against bruteForceTopK.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, nCells: Int,
+      nprobe: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, nCells)
+    val centroids = corpus.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cell"), col("vec").as("centroid"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = q.join(broadcast(centroids), lit(true))
+      .withColumn("csim", VectorFunctions.cosineHof(col("qvec"), col("centroid")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probed.join(assigned.select(col("id").as("neighbor_id"),
+        col("vec").as("cvec"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineHof(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization
+  * counts, quality scoring, language-ID heuristic, document fingerprints.
+  *
+  * All are single-pass narrow projections (no shuffle) built from codegen'd
+  * built-in functions — at 100 TB they run at scan speed and pipeline into
+  * whatever aggregation follows. Every function has an exact SQL equivalent
+  * used by the DuckDB oracles (graft.queries.PipelineQueries): deterministic
+  * per-row double arithmetic with a fixed evaluation order.
+  *
+  * North-star extension (SURVEY.md §7.3 step 5); the reference has no text
+  * operators.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (trimmed first — leading whitespace would otherwise
+    * yield a phantom empty token; DuckDB's string_split_regex agrees).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary count: runs of letters, runs of digits, or a
+    * single non-alphanumeric symbol — the word/number/punct split every
+    * byte-pair tokenizer starts from.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+
+  /** English stopword list shared with the oracle SQL (keep sorted + in sync
+    * with PipelineQueries.StopEn).
+    */
+  val stopwordsEn: Seq[String] =
+    Seq("a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "in",
+      "is", "it", "of", "on", "or", "that", "the", "to", "with")
+
+  def stopwordCount(text: Column, words: Seq[String] = stopwordsEn): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Ratio of punctuation/symbol chars to total length. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double") /
+      length(text).cast("double")
+
+  /** Mean token length (exact for single-space text: chars minus separators
+    * over token count; trimmed to match tokenization).
+    */
+  def avgTokenLen(text: Column): Column =
+    (length(trim(text)) - tokenCount(text) + lit(1)).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: length saturation + stopword mass +
+    * word-shape. Fixed literal weights; evaluation order identical to the
+    * oracle's expression.
+    */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+      stopwordRatio(text) * lit(0.3) +
+      least(avgTokenLen(text) / lit(8.0), lit(1.0)) * lit(0.3)
+
+  /** Per-language marker lists for the n-gram/stopword language heuristic
+    * (shared with the oracle SQL).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "por", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
+  )
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Heuristic language-ID: CJK codepoints ⇒ zh; else argmax of marker-word
+    * hits in fixed priority order (en, es, fr, de); no hits ⇒ "und".
+    * Deterministic — ties resolve by list order.
+    */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (l, ws) => l -> markerHits(text, ws) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val cjk = regexp_count(text, lit("[\\x{4E00}-\\x{9FFF}]")) > 0
+    // first language (in list order) whose hit count equals the max wins
+    val firstWins = hits.reverse.foldLeft(lit("und"): Column) {
+      case (elze, (l, h)) => when(h === best && best > 0, lit(l)).otherwise(elze)
+    }
+    when(cjk, lit("zh")).otherwise(firstWins)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(normalize(text))
+
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Rolling-shingle fingerprint: min 60-bit hash over word 3-shingles
+    * (winnowing-style min-sampling; equals the first MinHash row with the
+    * identity permutation).
+    */
+  def shingleFingerprint(text: Column): Column =
+    array_min(transform(Shingles.wordShingles(tokens(text), 3), Shingles.hash60(_)))
+
+  /** Attach the full analysis column set. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpeish", bpeishTokenCount(t))
+      .withColumn("stop_ratio", stopwordRatio(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("avg_token_len", avgTokenLen(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fp_md5", fingerprint(t))
+  }
+}
+
+/** Shared shingle + hash machinery for dedup/fingerprint operators; the
+  * DuckDB oracles replicate these expressions exactly.
+  */
+object Shingles {
+
+  /** Word n-shingles as space-joined strings; distinct set semantics.
+    * `try_element_at` (null past the end, like DuckDB's `l[i]`) +
+    * null-skipping concat_ws keeps short-doc behavior oracle-identical.
+    */
+  def wordShingles(tokens: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
+        i => concat_ws(" ", (0 until n).map(k => try_element_at(tokens, i + lit(k))): _*)))
+
+  /** 60-bit positive hash from the md5 hex prefix — identical in DuckDB via
+    * CAST(('0x' || substring(md5(s),1,15)) AS BIGINT).
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Fold to 31 bits for overflow-safe (a·h+b) mod p permutations. */
+  def hash31(s: Column): Column = hash60(s) % lit(2147483647L)
+}

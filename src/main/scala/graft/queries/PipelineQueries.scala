@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries (dedup, similarity search, text
+  * analysis, multimodal plumbing) with DuckDB oracles.
+  *
+  * The oracle SQL is GENERATED from the same constants as the Spark
+  * implementations (minhash permutation table, stopword lists, thresholds) —
+  * one source of truth, bit-identical results: all text hashing is
+  * md5-derived integer arithmetic, and all vector scoring is left-to-right
+  * double accumulation on both engines.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------- shared SQL fragments (DuckDB dialect) ----------
+
+  /** whitespace tokens (trimmed — mirrors TextAnalysis.tokens) */
+  private val WS = "string_split_regex(trim(text), '\\s+')"
+
+  private val NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def hits(words: Seq[String]): String =
+    s"len(list_filter($WS, x -> x IN ${inList(words)}))"
+
+  /** 60-bit md5-prefix hash — mirrors Shingles.hash60 */
+  private def h60(s: String): String =
+    s"CAST(('0x' || substring(md5($s), 1, 15)) AS BIGINT)"
+
+  /** doc → distinct word-3-shingle 31-bit hash postings; mirrors
+    * Dedup.shingleHashes (distinct at the hash level).
+    */
+  private val PostingsCte =
+    s"""t AS (SELECT doc_id, $WS ws FROM documents),
+       |sh AS (SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
+       |       FROM t, UNNEST(range(1, greatest(len(ws)-2, 1)+1)) AS u(i)),
+       |post AS (SELECT DISTINCT doc_id, ${h60("s")} % 2147483647 AS h FROM sh)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  // thresholds shared by impl + oracle
+  val NgramJaccardThreshold = 0.5
+  val LshJaccardThreshold = 0.7
+  val SimhashMaxHamming = 2
+  val CosineNearDupThreshold = 0.4
+  val TopK = 5
+  val NQueryVectors = 20
+  val IvfCells = 16
+  val IvfProbe = 4
+
+  // ---------- text analysis ----------
+
+  val qTextStats: Q = (spark, dir) => {
+    val t = col("text")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(t).as("n_tokens_bpeish"),
+        TextAnalysis.stopwordRatio(t).as("stop_ratio"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"),
+        TextAnalysis.avgTokenLen(t).as("avg_token_len"),
+        TextAnalysis.qualityScore(t).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textStatsOracle: String = {
+    val n = s"len($WS)"
+    val stopHits = hits(TextAnalysis.stopwordsEn)
+    val punct = s"len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+    val stopRatio = s"(CAST($stopHits AS DOUBLE) / CAST($n AS DOUBLE))"
+    val avgLen = s"(CAST(length(trim(text)) - $n + 1 AS DOUBLE) / CAST($n AS DOUBLE))"
+    s"""SELECT doc_id,
+       |  $n AS n_tokens,
+       |  len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens_bpeish,
+       |  $stopRatio AS stop_ratio,
+       |  (CAST($punct AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS punct_ratio,
+       |  $avgLen AS avg_token_len,
+       |  least(CAST($n AS DOUBLE) / 100.0, 1.0) * 0.4 + $stopRatio * 0.3 +
+       |    least($avgLen / 8.0, 1.0) * 0.3 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val qLangId: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  private val langIdOracle: String = {
+    val hs = TextAnalysis.langMarkers.map { case (l, ws) => l -> hits(ws) }
+    val best = s"greatest(${hs.map(_._2).mkString(", ")})"
+    val whens = hs.map { case (l, h) =>
+      s"WHEN $h = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT lang, lang_pred, count(*) AS n_docs FROM (
+       |  SELECT lang,
+       |    CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+       |         $whens ELSE 'und' END AS lang_pred
+       |  FROM documents) t
+       |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  val qFingerprints: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_md5"),
+        TextAnalysis.shingleFingerprint(col("text")).as("fp_shingle"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintsOracle: String =
+    s"""WITH t AS (SELECT doc_id, text, $WS ws FROM documents),
+       |sh AS (SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
+       |       FROM t, UNNEST(range(1, greatest(len(ws)-2, 1)+1)) AS u(i))
+       |SELECT t.doc_id, md5($NORM) AS fp_md5, mn.fp_shingle
+       |FROM t JOIN (SELECT doc_id, min(${h60("s")}) AS fp_shingle
+       |             FROM (SELECT DISTINCT doc_id, s FROM sh) GROUP BY doc_id) mn
+       |  ON t.doc_id = mn.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ---------- dedup ----------
+
+  val qExactDedup: Q = (spark, dir) =>
+    Dedup.exact(Tables(spark, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val exactDedupOracle: String =
+    s"""SELECT doc_id, lang, source, n_chars FROM (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    row_number() OVER (PARTITION BY md5($NORM) ORDER BY doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val qNgramJaccardPairs: Q = (spark, dir) =>
+    Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), "text", "doc_id",
+      NgramJaccardThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val jaccardSelect =
+    """szs AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jacc AS (
+      |  SELECT id_a, id_b,
+      |    CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard
+      |  FROM common JOIN szs x ON id_a = x.doc_id JOIN szs y ON id_b = y.doc_id)""".stripMargin
+
+  private val ngramJaccardOracle: String =
+    s"""WITH $PostingsCte,
+       |$jaccardSelect
+       |SELECT id_a, id_b, jaccard FROM jacc
+       |WHERE jaccard >= $NgramJaccardThreshold ORDER BY id_a, id_b""".stripMargin
+
+  val qMinhashSignatures: Q = (spark, dir) =>
+    Dedup.minhashSignature(
+      Dedup.shingleHashes(Tables(spark, dir, "documents"), "text", "doc_id"),
+      "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val sigCols: String = Dedup.minhashParams.zipWithIndex.map {
+    case ((a, b), i) => s"min((h * $a + $b) % ${Dedup.MinhashPrime}) AS mh$i"
+  }.mkString(",\n    ")
+
+  private val minhashSignaturesOracle: String =
+    s"""WITH $PostingsCte
+       |SELECT doc_id,
+       |    $sigCols
+       |FROM post GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val qMinhashLshPairs: Q = (spark, dir) =>
+    Dedup.minhashLshPairs(Tables(spark, dir, "documents"), "text", "doc_id",
+      LshJaccardThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val minhashLshOracle: String = {
+    val bandRows = (0 until 4).map { b =>
+      val keys = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $keys) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $PostingsCte,
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM post GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$jaccardSelect
+       |SELECT j.id_a, j.id_b, j.jaccard
+       |FROM jacc j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+       |WHERE j.jaccard >= $LshJaccardThreshold ORDER BY j.id_a, j.id_b""".stripMargin
+  }
+
+  val qSimhash: Q = (spark, dir) =>
+    Dedup.simhash32(Tables(spark, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val simhashCte: String = {
+    val sums = (0 until 32).map(i => s"sum(((h >> $i) % 2) * 2 - 1) AS s$i")
+      .mkString(", ")
+    val value = (0 until 32).map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest($WS) AS tok FROM documents),
+       |th AS (SELECT doc_id, ${h60("tok")} % 4294967296 AS h FROM tok),
+       |ss AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $value AS simhash FROM ss)""".stripMargin
+  }
+
+  private val simhashOracle: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin
+
+  val qSimhashPairs: Q = (spark, dir) =>
+    Dedup.simhashPairs(Tables(spark, dir, "documents"), "text", "doc_id",
+      SimhashMaxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Chunk blocking is lossless for hamming ≤ 3 (pigeonhole over four 8-bit
+    * chunks), so the oracle can filter ALL pairs directly.
+    */
+  private val simhashPairsOracle: String =
+    s"""WITH $simhashCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------- embedding similarity ----------
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  val qCosineTopK: Q = (spark, dir) => {
+    val c = corpus(spark, dir)
+    Similarity.bruteForceTopK(c.filter(col("id") < NQueryVectors), c, TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val cosineTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |q AS (SELECT id AS query_id, vec AS qv FROM e WHERE id < $NQueryVectors),
+       |scored AS (
+       |  SELECT query_id, b.id AS neighbor_id, ${cosSql("qv", "b.vec")} AS cosine
+       |  FROM q, e b WHERE b.id <> query_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  val qEmbeddingNearDup: Q = (spark, dir) =>
+    Similarity.cosineNearDupPairs(corpus(spark, dir), CosineNearDupThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val embeddingNearDupOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)
+       |SELECT a.id AS id_a, b.id AS id_b, ${cosSql("a.vec", "b.vec")} AS cosine
+       |FROM e a JOIN e b ON a.id < b.id
+       |WHERE ${cosSql("a.vec", "b.vec")} >= $CosineNearDupThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val qAnnIvf: Q = (spark, dir) => {
+    val c = corpus(spark, dir)
+    Similarity.ivfTopK(c.filter(col("id") < NQueryVectors), c,
+      IvfCells, IvfProbe, TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |cents AS (SELECT id AS cell, vec AS centroid FROM e ORDER BY id LIMIT $IvfCells),
+       |asg AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT e.id, e.vec, c.cell, row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${cosSql("e.vec", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e, cents c) t WHERE rn = 1),
+       |q AS (SELECT id AS query_id, vec AS qv FROM e WHERE id < $NQueryVectors),
+       |probe AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cell, row_number() OVER (
+       |      PARTITION BY q.query_id
+       |      ORDER BY ${cosSql("q.qv", "c.centroid")} DESC, c.cell) AS crn
+       |    FROM q, cents c) t WHERE crn <= $IvfProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.id AS neighbor_id, ${cosSql("p.qv", "a.vec")} AS cosine
+       |  FROM probe p JOIN asg a ON p.cell = a.cell
+       |  WHERE a.id <> p.query_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // ---------- multimodal ----------
+
+  val qMultimodalFeatures: Q = (spark, dir) =>
+    Multimodal.extractFeatures(
+      Multimodal.fromText(Tables(spark, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  private val multimodalOracle: String = {
+    val n = "length(text)" // ASCII corpus: chars == bytes
+    val sumOrds =
+      s"list_sum(list_transform(range(1, $n+1), i -> ord(substring(text, i, 1))))"
+    s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CAST($n AS BIGINT) AS byte_len,
+       |  md5(text) AS checksum,
+       |  CAST(((greatest($n, 1) - 1) // 1000) + 1 AS INT) AS n_frames,
+       |  [CAST($n AS DOUBLE),
+       |   CAST($sumOrds AS DOUBLE) / CAST($n AS DOUBLE),
+       |   CAST(ord(substring(text, 1, 1)) AS DOUBLE),
+       |   CAST(ord(substring(text, $n, 1)) AS DOUBLE),
+       |   CAST($sumOrds % 256 AS DOUBLE),
+       |   CAST($n % 97 AS DOUBLE),
+       |   CAST(least($n, 4096) AS DOUBLE),
+       |   1.0] AS features
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
+  // ---------- registry ----------
+
+  val all: Map[String, Q] = Map(
+    "q_text_stats" -> qTextStats,
+    "q_lang_id" -> qLangId,
+    "q_fingerprints" -> qFingerprints,
+    "q_exact_dedup" -> qExactDedup,
+    "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
+    "q_minhash_signatures" -> qMinhashSignatures,
+    "q_minhash_lsh_pairs" -> qMinhashLshPairs,
+    "q_simhash" -> qSimhash,
+    "q_simhash_pairs" -> qSimhashPairs,
+    "q_cosine_topk" -> qCosineTopK,
+    "q_embedding_near_dup" -> qEmbeddingNearDup,
+    "q_ann_ivf" -> qAnnIvf,
+    "q_multimodal_features" -> qMultimodalFeatures
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> textStatsOracle,
+    "q_lang_id" -> langIdOracle,
+    "q_fingerprints" -> fingerprintsOracle,
+    "q_exact_dedup" -> exactDedupOracle,
+    "q_ngram_jaccard_pairs" -> ngramJaccardOracle,
+    "q_minhash_signatures" -> minhashSignaturesOracle,
+    "q_minhash_lsh_pairs" -> minhashLshOracle,
+    "q_simhash" -> simhashOracle,
+    "q_simhash_pairs" -> simhashPairsOracle,
+    "q_cosine_topk" -> cosineTopKOracle,
+    "q_embedding_near_dup" -> embeddingNearDupOracle,
+    "q_ann_ivf" -> annIvfOracle,
+    "q_multimodal_features" -> multimodalOracle
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // planted corpus: 0/1 near-dups (one word changed), 2 exact dup of 0
+  // (whitespace differs), 3 unrelated
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (2L, "  the quick   brown fox jumps over the lazy dog again and again today "),
+    (3L, "completely different words about spark shuffle partitions and codegen")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized content") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 1L, 3L), "doc 2 is a whitespace-variant of 0")
+  }
+
+  test("ngram jaccard finds the planted near-dup pair and only it") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "exact dup shares all shingles")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH surfaces high-jaccard pairs with exact verification") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)), "identical content must collide in every band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature of identical content is identical") {
+    val sig = Dedup.minhashSignature(
+      Dedup.shingleHashes(docs, "text", "doc_id"), "doc_id")
+    val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(0L) == rows(2L))
+    assert(rows(0L) != rows(3L))
+  }
+
+  test("simhash: identical content -> distance 0; unrelated -> far") {
+    val sig = Dedup.simhash32(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(3L)) > 5)
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("sf0.001 documents contain planted near-dups found by both paths") {
+    val d = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(d, "text", "doc_id", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test corpus has planted near-dups")
+    assert(lsh.subsetOf(exact), "LSH candidates are a subset; verify is exact")
+    assert(lsh.size >= exact.size / 2, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+}

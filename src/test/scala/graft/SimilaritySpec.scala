@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("custom DotProduct expression is bit-identical to the HOF path") {
+    val both = corpus.limit(100)
+      .select(
+        VectorFunctions.dotHof(col("vec"), col("vec")).as("hof"),
+        VectorFunctions.dot(col("vec"), col("vec")).as("expr"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (h, e) =>
+      assert(java.lang.Double.doubleToLongBits(h) ==
+        java.lang.Double.doubleToLongBits(e))
+    }
+  }
+
+  test("brute-force top-k: a planted duplicate vector is its own nearest neighbor") {
+    val dup = corpus.filter($"id" === 0).select(lit(99999L).as("id"), $"vec")
+    val c = corpus.union(dup)
+    val top = Similarity.bruteForceTopK(c.filter($"id" === 99999L), c, 1)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect()
+    assert(top.head._1 == 0L)
+    assert(math.abs(top.head._2 - 1.0) < 1e-12)
+  }
+
+  test("IVF top-k recall vs brute force is reasonable at nprobe=4/16") {
+    val queries = corpus.filter($"id" < 20)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, corpus, 16, 4, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall vs brute force")
+    assert(approx.size == exact.size, "same k per query")
+  }
+
+  test("near-dup pairs are symmetric-free (a<b) and thresholded") {
+    val pairs = Similarity.cosineNearDupPairs(corpus, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.forall(_._3 >= 0.3))
+  }
+}
