@@ -23,14 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-row precomputed L2 norm — computed ONCE per vector instead of once
+    * per pair. sqrt(dot(v,v)) is the same double either way, so pair scores
+    * stay bit-identical to the naive per-pair formula (and the oracle).
+    */
+  private def withNorm(df: DataFrame, vecCol: String, normName: String): DataFrame =
+    df.withColumn(normName,
+      sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))))
+
   /** Exact brute-force cosine top-k for each query vector.
-    * `queries`/`corpus`: (id, vec). Broadcast the query side.
+    * `queries`/`corpus`: (id, vec). Broadcast the query side; one codegen'd
+    * dot product per pair (norms amortized per vector).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val q = withNorm(queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qvec")), "qvec", "qnorm")
+    val c = withNorm(corpus.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("cvec")), "cvec", "cnorm")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosineHof(col("qvec"), col("cvec")))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("qvec"), col("cvec")) /
+          (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -43,10 +56,13 @@ object Similarity {
     * LSH/IVF candidates into the same scoring.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("id").as("id_a"), col("vec").as("va"))
-    val b = corpus.select(col("id").as("id_b"), col("vec").as("vb"))
+    val a = withNorm(corpus.select(col("id").as("id_a"),
+      col("vec").cast("array<double>").as("va")), "va", "na")
+    val b = withNorm(corpus.select(col("id").as("id_b"),
+      col("vec").cast("array<double>").as("vb")), "vb", "nb")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosineHof(col("va"), col("vb")))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -62,7 +78,7 @@ object Similarity {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("sim").desc, col("cell"))
     corpus.join(broadcast(centroids), lit(true))
-      .withColumn("sim", VectorFunctions.cosineHof(col("vec"), col("centroid")))
+      .withColumn("sim", VectorFunctions.cosine(col("vec"), col("centroid")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id"), col("vec"), col("cell"))
@@ -81,7 +97,7 @@ object Similarity {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))
     val probed = q.join(broadcast(centroids), lit(true))
-      .withColumn("csim", VectorFunctions.cosineHof(col("qvec"), col("centroid")))
+      .withColumn("csim", VectorFunctions.cosine(col("qvec"), col("centroid")))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
@@ -90,7 +106,7 @@ object Similarity {
     probed.join(assigned.select(col("id").as("neighbor_id"),
         col("vec").as("cvec"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosineHof(col("qvec"), col("cvec")))
+      .withColumn("cosine", VectorFunctions.cosine(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))

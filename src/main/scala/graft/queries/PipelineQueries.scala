@@ -112,12 +112,17 @@ object PipelineQueries {
        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
   }
 
-  val qFingerprints: Q = (spark, dir) =>
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp_md5"),
-        TextAnalysis.shingleFingerprint(col("text")).as("fp_shingle"))
+  val qFingerprints: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    // min over shingle hashes is duplicate-insensitive → no distinct pass;
+    // explode path keeps it codegen'd (see Dedup.shingleHashes scaladoc)
+    val shingleFp = Dedup.shingleStrings(docs, "text", "doc_id", 3)
+      .groupBy(col("doc_id"))
+      .agg(min(graft.operators.Shingles.hash60(col("shingle"))).as("fp_shingle"))
+    docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp_md5"))
+      .join(shingleFp, Seq("doc_id"))
       .orderBy(col("doc_id"))
+  }
 
   private val fingerprintsOracle: String =
     s"""WITH t AS (SELECT doc_id, text, $WS ws FROM documents),

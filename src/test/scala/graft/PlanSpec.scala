@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries.{PipelineQueries, RelationalQueries}
+
+/** Physical-plan quality gates: these are the properties that decide whether
+  * the plan survives a 100×/1000× scale-up, asserted on the actual optimized
+  * plans so regressions fail loudly.
+  */
+class PlanSpec extends SparkTestBase {
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(name: String): String = {
+    val q = (RelationalQueries.all ++ PipelineQueries.all)(name)
+    val df = q(spark, dir)
+    df.collect() // finalize AQE so the executed plan shows real operators
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("selective filter is pushed down to the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThan(l_discount"), p)
+  }
+
+  test("narrow projection prunes the scan schema") {
+    val p = plan("q_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"),
+      s"scan must not read unused columns: $readSchema")
+  }
+
+  test("small dimensions join via broadcast, not shuffle") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("partial aggregation (map-side combine) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair: two HashAggregates around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // codegen'd stages print as "*(n) Operator" in the executed plan
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("*(1) Filter") || p.contains("*(1) ColumnarToRow"), p)
+    assert(p.contains("HashAggregate") && p.contains("*("), p)
+  }
+
+  test("semi join planned as a join, not an exists-subquery blowup") {
+    val p = plan("q_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("brute-force top-k broadcasts the query side") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("LSH candidate generation is an equi-join (hash-partitionable), not a cartesian") {
+    val p = plan("q_minhash_lsh_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"LSH must bucket-join, never cross-join:\n$p")
+  }
+
+  test("exact dedup is a single hash-shuffle window, no join") {
+    val p = plan("q_exact_dedup")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+}
