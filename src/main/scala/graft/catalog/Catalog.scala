@@ -21,7 +21,12 @@ final case class Source(
     entity: String = "",
     options: Map[String, String] = Map.empty,
     rawPartitions: Seq[String] = Seq("ingest_date"),
-    hubPrimaryKeys: Seq[String] = Nil
+    hubPrimaryKeys: Seq[String] = Nil,
+    /** Engine extension (not in the reference's model): when set and keys
+      * exist, the HUB table is laid out in `hub_buckets` hash buckets so
+      * merges rewrite only touched buckets (HubWriter.writeBucketed).
+      */
+    hubBuckets: Option[Int] = None
 )
 
 /** The whole catalog: version + defaults + sources
@@ -85,7 +90,8 @@ object YamlCatalog {
       entity = str("entity"),
       options = toStringMap(m.getOrElse("options", null)),
       rawPartitions = toStringSeq(m.get("raw_partitions"), Seq("ingest_date")),
-      hubPrimaryKeys = toStringSeq(m.get("hub_primary_keys"), Nil)
+      hubPrimaryKeys = toStringSeq(m.get("hub_primary_keys"), Nil),
+      hubBuckets = m.get("hub_buckets").filter(_ != null).map(_.toString.toInt)
     )
   }
 

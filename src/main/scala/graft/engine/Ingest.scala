@@ -72,7 +72,12 @@ object Ingest {
     val hubDf = Transform.toHub(stamped, s)
     val hubPath = s"${cfg.hubBase}/${s.domain}/${s.entity}"
     log.info(s"[${s.id}] writing HUB → $hubPath (keys=${s.hubPrimaryKeys.mkString(",")})")
-    HubWriter.write(spark, hubDf, hubPath, s.hubPrimaryKeys)
+    s.hubBuckets match {
+      case Some(b) if s.hubPrimaryKeys.nonEmpty =>
+        HubWriter.writeBucketed(spark, hubDf, hubPath, s.hubPrimaryKeys, b)
+      case _ =>
+        HubWriter.write(spark, hubDf, hubPath, s.hubPrimaryKeys)
+    }
     SourceResult(s.id, rawPath, hubPath)
   }
 

@@ -57,13 +57,10 @@ object Dedup {
   /** doc → exploded distinct shingle hashes (h31), the input to both the
     * signature aggregation and exact-Jaccard verification.
     *
-    * Implemented with posexplode + lead() windows rather than higher-order
-    * functions: HOF lambdas are interpreted (they break whole-stage codegen),
-    * which made shingling the bench bottleneck; the explode/window plan is
-    * fully codegen'd and shuffles on the doc id it needs anyway. Produces the
-    * exact same (id, h) set as the HOF formulation in
-    * [[Shingles.wordShingles]] (partial trailing shingles skipped for docs
-    * with ≥ n tokens, single partial shingle kept for shorter docs).
+    * Shingling runs as the custom codegen'd [[graft.functions.WordShingles]]
+    * expression (HOF lambdas are interpreted and were the bench bottleneck;
+    * a posexplode+lead-window rewrite costs an extra shuffle). One narrow
+    * pass: scan → shingle array → explode → hash → distinct.
     */
   def shingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     shingleStrings(df, textCol, idCol, n)
@@ -71,18 +68,10 @@ object Dedup {
       .distinct()
 
   /** (id, shingle) rows (duplicates kept — dedupe downstream if needed). */
-  def shingleStrings(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val toks = df.select(col(idCol),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val leads = (1 until n).foldLeft(toks) { (acc, k) =>
-      acc.withColumn(s"tok$k", lead(col("tok"), k).over(w))
-    }
-    val shingle = concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"tok$k")): _*)
-    leads
-      .filter(col(s"tok${n - 1}").isNotNull || col("pos") === 0)
-      .select(col(idCol), shingle.as("shingle"))
-  }
+  def shingleStrings(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.WordShingles.wordShingles(col(textCol), n))
+        .as("shingle"))
 
   /** MinHash signature: 16 `min((aᵢ·h+bᵢ) mod p)` aggregates in ONE pass
     * over the postings (map-side partial min — no extra shuffle beyond the

@@ -40,6 +40,74 @@ import org.apache.spark.sql.types._
   */
 object HubWriter {
 
+  val BucketCol = "_bucket"
+
+  /** Bucketed layout: hub partitioned by `_bucket = pmod(xxhash64(keys), B)`.
+    * A merge then (a) computes the source's bucket set (≤ B values),
+    * (b) reads ONLY those hub partitions (directory pruning), (c) rewrites
+    * ONLY those partitions via per-directory swap. Cost per merge becomes
+    * ∝ touched data, not table size — the plain-Spark analogue of Delta's
+    * file-level pruning, and the difference between O(batch) and O(100 TB)
+    * per incremental load.
+    */
+  def writeBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      keys: Seq[String],
+      nBuckets: Int
+  ): Unit = {
+    require(keys.nonEmpty, "bucketed hub requires primary keys")
+    val stamped = df.withColumn(BucketCol,
+      pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
+    if (!tableExists(spark, path)) {
+      stamped.write.partitionBy(BucketCol).parquet(path)
+    } else {
+      val srcBuckets = stamped.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ nBuckets values: driver-safe
+      // mergeSchema: after a partial-bucket schema evolution, untouched
+      // buckets still carry the old footer schema
+      val target = spark.read.option("mergeSchema", "true").parquet(path)
+        .filter(col(BucketCol).isin(srcBuckets.map(Integer.valueOf): _*))
+      val (t, s) = reconcileSchemas(target, stamped)
+      val merged = merge(t, s, keys)
+      replaceBuckets(spark, merged, path, srcBuckets)
+    }
+  }
+
+  /** Materialize `merged` (which reads the live table) into a tmp dir
+    * partitioned by bucket, then swap ONLY the touched bucket directories.
+    */
+  private def replaceBuckets(
+      spark: SparkSession,
+      merged: DataFrame,
+      path: String,
+      buckets: Seq[Int]
+  ): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(hconf)
+    val tmp = new Path(dest.getParent, s".${dest.getName}__tmp_${UUID.randomUUID()}")
+    merged.write.partitionBy(BucketCol).parquet(tmp.toString)
+    try {
+      buckets.foreach { b =>
+        val part = s"$BucketCol=$b"
+        val from = new Path(tmp, part)
+        val to = new Path(dest, part)
+        if (fs.exists(to) && !fs.delete(to, true))
+          throw new IllegalStateException(s"bucket swap failed: cannot remove $to")
+        if (fs.exists(from) && !fs.rename(from, to))
+          throw new IllegalStateException(s"bucket swap failed: cannot move $from")
+      }
+    } finally fs.delete(tmp, true)
+  }
+
+  /** Read a hub table, hiding the physical bucket column if present;
+    * mergeSchema covers buckets not yet rewritten since a schema evolution.
+    */
+  def readHub(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path).drop(BucketCol)
+
   def write(
       spark: SparkSession,
       df: DataFrame,

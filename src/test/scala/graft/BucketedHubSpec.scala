@@ -1,0 +1,66 @@
+package graft
+
+import java.io.File
+
+import graft.writers.HubWriter
+
+class BucketedHubSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def bucketFiles(path: String): Map[String, Set[(String, Long)]] =
+    new File(path).listFiles().filter(_.getName.startsWith("_bucket="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet
+      }.toMap
+
+  test("bucketed merge rewrites only the touched buckets") {
+    val path = tmpDir("bhub") + "/t"
+    val v1 = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    HubWriter.writeBucketed(spark, v1, path, Seq("id"), 8)
+    val before = bucketFiles(path)
+    assert(before.size > 1, "rows spread across buckets")
+
+    // update exactly one key → exactly one bucket may change
+    val v2 = Seq((42L, "UPDATED")).toDF("id", "v")
+    HubWriter.writeBucketed(spark, v2, path, Seq("id"), 8)
+    val after = bucketFiles(path)
+
+    val changed = before.keySet.filter(k => before(k) != after.getOrElse(k, Set()))
+    assert(changed.size == 1, s"exactly one bucket rewritten, got $changed")
+
+    val out = HubWriter.readHub(spark, path).as[(Long, String)].collect().toMap
+    assert(out.size == 200)
+    assert(out(42L) == "UPDATED" && out(43L) == "v43")
+  }
+
+  test("bucketed merge inserts new keys and stays idempotent") {
+    val path = tmpDir("bhub") + "/t"
+    val v1 = (1L to 50L).map(i => (i, i * 10)).toDF("id", "x")
+    HubWriter.writeBucketed(spark, v1, path, Seq("id"), 4)
+    val v2 = (45L to 60L).map(i => (i, i * 100)).toDF("id", "x")
+    HubWriter.writeBucketed(spark, v2, path, Seq("id"), 4)
+    HubWriter.writeBucketed(spark, v2, path, Seq("id"), 4) // idempotent
+    val out = HubWriter.readHub(spark, path).as[(Long, Long)].collect().toMap
+    assert(out.size == 60)
+    assert(out(44L) == 440L, "untouched key keeps v1 value")
+    assert(out(45L) == 4500L && out(60L) == 6000L, "overlap + inserts take v2")
+  }
+
+  test("bucketed merge handles schema evolution like the flat writer") {
+    val path = tmpDir("bhub") + "/t"
+    // 20 keys spread over all buckets, then evolve schema via ONE key —
+    // most buckets keep the old footer schema and must still read correctly
+    val v1 = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    HubWriter.writeBucketed(spark, v1, path, Seq("id"), 4)
+    HubWriter.writeBucketed(spark,
+      Seq((21L, "b", 1.5)).toDF("id", "v", "score"), path, Seq("id"), 4)
+    val out = HubWriter.readHub(spark, path)
+    assert(out.columns.toSet == Set("id", "v", "score"))
+    assert(out.count() == 21)
+    val r21 = out.filter(out("id") === 21L).collect().head
+    assert(r21.getAs[Double]("score") == 1.5)
+    assert(out.filter(out("id") === 1L).collect().head
+      .isNullAt(out.columns.indexOf("score")))
+  }
+}
