@@ -313,6 +313,39 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  // ---------- sessionization ----------
+
+  val SessionGapSeconds = 1800L
+
+  val qSessionize: Q = (spark, dir) =>
+    graft.operators.Sessionize.sessions(
+      Tables(spark, dir, "events"), "user_id", "ts", SessionGapSeconds)
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** events.ts carries exact microseconds (sub-µs is zero in the data), so
+    * epoch_ns // 1000 == unix_micros and the gap comparisons agree exactly.
+    */
+  private val sessionizeOracle: String =
+    s"""WITH m AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |         OR (epoch_ns(ts) - epoch_ns(lag(ts) OVER w)) // 1000
+       |            > ${SessionGapSeconds * 1000000L}
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (
+       |  SELECT user_id, ts,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM m)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |  (epoch_ns(min(ts)) // 1000) // 1000000 AS session_start_s,
+       |  ((epoch_ns(max(ts)) // 1000) - (epoch_ns(min(ts)) // 1000)) // 1000000
+       |    AS session_len_s
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   // ---------- multimodal ----------
 
   val qMultimodalFeatures: Q = (spark, dir) =>
@@ -355,7 +388,8 @@ object PipelineQueries {
     "q_cosine_topk" -> qCosineTopK,
     "q_embedding_near_dup" -> qEmbeddingNearDup,
     "q_ann_ivf" -> qAnnIvf,
-    "q_multimodal_features" -> qMultimodalFeatures
+    "q_multimodal_features" -> qMultimodalFeatures,
+    "q_sessionize" -> qSessionize
   )
 
   val oracles: Map[String, String] = Map(
@@ -371,6 +405,7 @@ object PipelineQueries {
     "q_cosine_topk" -> cosineTopKOracle,
     "q_embedding_near_dup" -> embeddingNearDupOracle,
     "q_ann_ivf" -> annIvfOracle,
-    "q_multimodal_features" -> multimodalOracle
+    "q_multimodal_features" -> multimodalOracle,
+    "q_sessionize" -> sessionizeOracle
   )
 }

@@ -256,7 +256,44 @@ object RelationalQueries {
       .orderBy(col("r_name"))
   }
 
+  /** ROLLUP variant of the cube (year ⊃ priority hierarchy). */
+  val qRollup: Q = (spark, dir) =>
+    Tables(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .rollup(col("order_year"), col("o_orderpriority"))
+      .agg(d(sum(dec(col("o_totalprice")))).as("sales"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("order_year").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** UNION ALL of two tagged aggregates (bag semantics, no dedup shuffle). */
+  val qUnionAll: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    ord.groupBy(col("o_orderstatus").as("k"))
+      .agg(count(lit(1)).as("n")).withColumn("src", lit("orders"))
+      .unionAll(
+        li.groupBy(col("l_returnflag").as("k"))
+          .agg(count(lit(1)).as("n")).withColumn("src", lit("lineitem")))
+      .orderBy(col("src"), col("k"))
+  }
+
+  /** HLL sketch distinct (approx_count_distinct) next to the exact count —
+    * the mergeable-sketch path for 100 TB distincts. No DuckDB oracle (its
+    * HLL differs); the driver records a rows-only check and
+    * RelationalSpec bounds the error vs exact.
+    */
+  val qApproxDistinct: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, Q] = Map(
+    "q_rollup" -> qRollup,
+    "q_union_all" -> qUnionAll,
+    "q_approx_distinct" -> qApproxDistinct,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -280,6 +317,21 @@ object RelationalQueries {
     * aggregation + total ordering + matching aliases).
     */
   val oracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT year(o_orderdate) AS order_year, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+        |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_union_all" ->
+      """SELECT * FROM (
+        |  SELECT o_orderstatus AS k, count(*) AS n, 'orders' AS src
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT l_returnflag AS k, count(*) AS n, 'lineitem' AS src
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY src, k""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

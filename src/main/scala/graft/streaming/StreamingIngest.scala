@@ -64,4 +64,45 @@ object StreamingIngest {
   def parquetStream(spark: SparkSession, dir: String,
       schemaOf: DataFrame): DataFrame =
     spark.readStream.schema(schemaOf.schema).parquet(dir)
+
+  // ---- stateful sessionization (streaming twin of operators.Sessionize) ----
+
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+
+  /** sid == 0 ⇔ no open session yet. */
+  final case class SessionAgg(sid: Long, start: Long, last: Long, count: Long)
+
+  final case class SessionOut(user_id: Long, session_id: Long,
+      n_events: Long, session_start_s: Long)
+
+  /** Gap-based sessionization with explicit per-user state
+    * (`flatMapGroupsWithState`): closed sessions are emitted as soon as the
+    * gap that closes them arrives; the open session rides in the state store
+    * across micro-batches. State size = O(1) per active user.
+    */
+  def sessionizeStream(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSeconds: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapSeconds * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionAgg]) =>
+          val ts = it.map(_.ts_us).toArray.sorted
+          var st = state.getOption.getOrElse(SessionAgg(0L, 0L, 0L, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          ts.foreach { t =>
+            if (st.sid == 0L) st = SessionAgg(1L, t, t, 1L)
+            else if (t - st.last > gapUs) {
+              closed += SessionOut(user, st.sid, st.count, st.start / 1000000L)
+              st = SessionAgg(st.sid + 1L, t, t, 1L)
+            } else st = st.copy(last = t, count = st.count + 1L)
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Sessionize, SkewJoin}
+import graft.queries.Tables
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.SessionEvent
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("batch sessionize: gaps split sessions, ids are 1-based per user") {
+    val t0 = 1700000000000000L // µs
+    val ev = Seq(
+      (1L, t0), (1L, t0 + 60_000000L), (1L, t0 + 4000_000000L), // gap > 30min
+      (2L, t0)
+    ).toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros($"ts_us"))
+    val s = Sessionize.sessions(ev, "user_id", "ts", 1800)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(s == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("streaming sessionize closes the same sessions the batch op finds") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val batch = Sessionize.sessions(events, "user_id", "ts", 1800)
+      .select($"user_id", $"session_id", $"n_events", $"session_start_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // run the stateful op in a single batch over the same data (batch mode
+    // execution of flatMapGroupsWithState keeps identical semantics)
+    val ds = events.select($"user_id", unix_micros($"ts").as("ts_us"))
+      .as[SessionEvent]
+    val streamed = StreamingIngest.sessionizeStream(ds, 1800)
+      .collect().map(s => (s.user_id, s.session_id, s.n_events, s.session_start_s))
+      .toSet
+    // streaming emits only CLOSED sessions; the per-user open tail stays in
+    // state — so streamed must equal batch minus each user's last session
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    assert(streamed == batch -- lastPerUser)
+    assert(streamed.nonEmpty)
+  }
+
+  test("salted join returns exactly the plain join's result") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val ord = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(ord, Seq("l_orderkey")).count()
+    val salted = SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), 8).count()
+    assert(salted == plain)
+    val sum1 = li.join(ord, Seq("l_orderkey"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)"))).collect().head.getDecimal(0)
+    val sum2 = SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), 8)
+      .agg(sum($"o_totalprice".cast("decimal(18,2)"))).collect().head.getDecimal(0)
+    assert(sum1 == sum2)
+  }
+
+  test("approx distinct stays within 10% of exact") {
+    val r = graft.queries.RelationalQueries.qApproxDistinct(
+      spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect()
+    r.foreach { case (_, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.10,
+        s"approx $approx vs exact $exact")
+    }
+  }
+}
