@@ -84,6 +84,47 @@ object Similarity {
       .select(col("id"), col("vec"), col("cell"))
   }
 
+  /** Random-hyperplane LSH bucketing (the sign-bit / SimHash-for-vectors
+    * family): bucket(v) = the `nPlanes` sign bits of v·hᵢ packed into a long.
+    * Hyperplanes are deterministic here (the lowest-id corpus vectors, like
+    * the IVF centroids) so results are reproducible. Candidates = same
+    * bucket; exact cosine rank inside. At scale the bucket column is a
+    * write-time partition key, giving bucket-pruned reads like the IVF cells.
+    */
+  def lshBucket(df: DataFrame, vecCol: String, planes: Seq[Seq[Double]]): DataFrame = {
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val arr = array(p.map(lit): _*)
+      when(VectorFunctions.dot(col(vecCol), arr) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  def lshPlanes(corpus: DataFrame, nPlanes: Int): Seq[Seq[Double]] =
+    corpus.orderBy(col("id")).limit(nPlanes).select(col("vec").cast("array<double>"))
+      .collect().toSeq.map(_.getSeq[Double](0))
+
+  /** LSH-bucketed ANN top-k: candidates share the query's bucket; falls back
+    * to fewer than k results when the bucket is small (recall/latency
+    * trade-off measured in SimilaritySpec).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, nPlanes: Int, k: Int): DataFrame = {
+    val planes = lshPlanes(corpus, nPlanes)
+    val q = lshBucket(withNorm(queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qvec")), "qvec", "qnorm"), "qvec", planes)
+    val c = lshBucket(withNorm(corpus.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("cvec")), "cvec", "cnorm"), "cvec", planes)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("qvec"), col("cvec")) /
+          (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF probe: per query, rank cells by centroid cosine, search the top
     * `nprobe` cells exactly, return top-k. Recall < 1 by construction; the
     * companion spec measures it against bruteForceTopK.

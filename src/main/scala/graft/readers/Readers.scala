@@ -77,15 +77,25 @@ object Readers {
   }
 
   /** base_reader.py:44-55 — dispatch registry; unknown type message matches
-    * the reference's `ValueError("Unsupported source type: …")`.
+    * the reference's `ValueError("Unsupported source type: …")`. The README
+    * of the reference names this as THE extension point (README.md:142), so
+    * the registry accepts runtime registration of custom readers.
     */
-  val registry: Map[String, Reader] = Map(
+  private val builtins: Map[String, Reader] = Map(
     "csv" -> csv,
     "json" -> json,
     "parquet" -> parquet,
     "jdbc" -> jdbc,
     "olap" -> olap
   )
+
+  @volatile private var extra: Map[String, Reader] = Map.empty
+
+  /** Register (or override) a reader for a catalog `type`. */
+  def register(tpe: String, reader: Reader): Unit =
+    synchronized { extra = extra + (tpe -> reader) }
+
+  def registry: Map[String, Reader] = builtins ++ extra
 
   def get(tpe: String): Reader =
     registry.getOrElse(

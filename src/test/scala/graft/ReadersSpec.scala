@@ -46,6 +46,16 @@ class ReadersSpec extends SparkTestBase {
   }
 
   test("registry covers all five reference reader types") {
-    assert(Readers.registry.keySet == Set("csv", "json", "parquet", "jdbc", "olap"))
+    assert(Set("csv", "json", "parquet", "jdbc", "olap")
+      .subsetOf(Readers.registry.keySet))
+  }
+
+  test("registry is the extension point: custom readers can be registered") {
+    Readers.register("constant", (s, opts) => {
+      import s.implicits._
+      Seq(opts.getOrElse("value", "?")).toDF("v")
+    })
+    val df = Readers.get("constant")(spark, Map("value" -> "hi"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("hi"))
   }
 }

@@ -43,6 +43,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(approx.size == exact.size, "same k per query")
   }
 
+  test("LSH-bucketed top-k finds same-bucket neighbors with nonzero recall") {
+    val queries = corpus.filter($"id" < 20)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, corpus, 4, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall > 0.05, s"single-table LSH recall $recall")
+    assert(lsh.forall { case (q, n) => q != n })
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(corpus, 0.3)
       .as[(Long, Long, Double)].collect()
