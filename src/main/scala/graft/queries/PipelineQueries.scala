@@ -346,6 +346,57 @@ object PipelineQueries {
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------- data-quality validation ----------
+
+  /** Mixed pass/fail rule suite over orders (one scan) + two referential
+    * checks (one anti-join each). in_range is deliberately tighter than the
+    * data so violations > 0 exercises the counting path.
+    */
+  val qQualityChecks: Q = (spark, dir) => {
+    import graft.operators.QualityChecks._
+    val orders = Tables(spark, dir, "orders")
+    val single = run(orders, Seq(
+      NotNull("o_orderkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0.0, 300000.0),
+      InSet("o_orderstatus", Seq("F", "O", "P")),
+      Matches("o_orderpriority", "^[1-5]-[A-Z ]+$")))
+    val refs = referential(Tables(spark, dir, "lineitem"), "l_orderkey",
+        orders, "o_orderkey")
+      .unionAll(referential(orders, "o_custkey",
+        Tables(spark, dir, "customer"), "c_custkey"))
+    single.unionAll(refs).orderBy(col("rule"))
+  }
+
+  private val qualityChecksOracle: String =
+    """SELECT rule, violations, n_rows, (violations = 0) AS pass FROM (
+      |  SELECT 'not_null:o_orderkey' AS rule,
+      |    count(*) FILTER (o_orderkey IS NULL) AS violations,
+      |    count(*) AS n_rows FROM orders
+      |  UNION ALL SELECT 'unique:o_orderkey',
+      |    count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
+      |  UNION ALL SELECT 'in_range:o_totalprice',
+      |    count(*) FILTER (o_totalprice < 0 OR o_totalprice > 300000),
+      |    count(*) FROM orders
+      |  UNION ALL SELECT 'in_set:o_orderstatus',
+      |    count(*) FILTER (o_orderstatus IS NOT NULL
+      |      AND o_orderstatus NOT IN ('F', 'O', 'P')), count(*) FROM orders
+      |  UNION ALL SELECT 'matches:o_orderpriority',
+      |    count(*) FILTER (o_orderpriority IS NOT NULL AND NOT
+      |      regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')),
+      |    count(*) FROM orders
+      |  UNION ALL SELECT 'ref:l_orderkey->o_orderkey',
+      |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+      |       AND NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey)),
+      |    (SELECT count(*) FROM lineitem)
+      |  UNION ALL SELECT 'ref:o_custkey->c_custkey',
+      |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+      |       AND NOT EXISTS (SELECT 1 FROM customer c
+      |                       WHERE c.c_custkey = o_custkey)),
+      |    (SELECT count(*) FROM orders)
+      |) t ORDER BY rule""".stripMargin
+
   // ---------- multimodal ----------
 
   val qMultimodalFeatures: Q = (spark, dir) =>
@@ -389,7 +440,8 @@ object PipelineQueries {
     "q_embedding_near_dup" -> qEmbeddingNearDup,
     "q_ann_ivf" -> qAnnIvf,
     "q_multimodal_features" -> qMultimodalFeatures,
-    "q_sessionize" -> qSessionize
+    "q_sessionize" -> qSessionize,
+    "q_quality_checks" -> qQualityChecks
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,6 +458,7 @@ object PipelineQueries {
     "q_embedding_near_dup" -> embeddingNearDupOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_multimodal_features" -> multimodalOracle,
-    "q_sessionize" -> sessionizeOracle
+    "q_sessionize" -> sessionizeOracle,
+    "q_quality_checks" -> qualityChecksOracle
   )
 }

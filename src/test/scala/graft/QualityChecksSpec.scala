@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{QualityChecks => QC}
+import graft.operators.QualityChecks.{InRange, InSet, Matches, NotNull, Unique}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class QualityChecksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("v", StringType),
+    StructField("x", DoubleType)))
+
+  lazy val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+    Row(1, "ok", 5.0),
+    Row(1, "ok", 50.0),   // duplicate id, x out of range
+    Row(null, "bad!", 7.0), // null id, regex violation
+    Row(3, null, 2.0)     // null v: not a Matches violation
+  )), schema)
+
+  test("each rule counts its violations in one pass") {
+    val out = QC.run(df, Seq(
+      NotNull("id"), Unique(Seq("id")), InRange("x", 0, 10),
+      Matches("v", "^[a-z]+$"), InSet("v", Seq("ok"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("not_null:id") == 1)
+    assert(out("unique:id") == 1)
+    assert(out("in_range:x") == 1)
+    assert(out("matches:v") == 1, "null v must not count")
+    assert(out("in_set:v") == 1)
+  }
+
+  test("summary carries n_rows and pass flag") {
+    val rows = QC.run(df, Seq(NotNull("x"))).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_rows") == 4)
+    assert(r.getAs[Boolean]("pass"))
+  }
+
+  test("referential integrity counts orphans") {
+    val parent = Seq(1, 2).toDF("pk")
+    val child = Seq(1, 1, 2, 9).toDF("fk")
+    val r = QC.referential(child, "fk", parent, "pk").collect().head
+    assert(r.getAs[Long]("violations") == 1)
+    assert(!r.getAs[Boolean]("pass"))
+  }
+}
