@@ -81,8 +81,8 @@ object PipelineQueries {
     val stopRatio = s"(CAST($stopHits AS DOUBLE) / CAST($n AS DOUBLE))"
     val avgLen = s"(CAST(length(trim(text)) - $n + 1 AS DOUBLE) / CAST($n AS DOUBLE))"
     s"""SELECT doc_id,
-       |  $n AS n_tokens,
-       |  len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens_bpeish,
+       |  CAST($n AS INT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_tokens_bpeish,
        |  $stopRatio AS stop_ratio,
        |  (CAST($punct AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS punct_ratio,
        |  $avgLen AS avg_token_len,
@@ -241,7 +241,7 @@ object PipelineQueries {
   private val simhashPairsOracle: String =
     s"""WITH $simhashCte
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
@@ -267,7 +267,7 @@ object PipelineQueries {
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   val qEmbeddingNearDup: Q = (spark, dir) =>
@@ -310,7 +310,7 @@ object PipelineQueries {
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   // ---------- sessionization ----------
@@ -336,8 +336,8 @@ object PipelineQueries {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
        |s AS (
        |  SELECT user_id, ts,
-       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-       |      ROWS UNBOUNDED PRECEDING) AS session_id
+       |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
        |  FROM m)
        |SELECT user_id, session_id, count(*) AS n_events,
        |  (epoch_ns(min(ts)) // 1000) // 1000000 AS session_start_s,

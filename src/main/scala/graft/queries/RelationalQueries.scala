@@ -290,7 +290,45 @@ object RelationalQueries {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Scalar string-function surface in one projection (concat, substring,
+    * case, pad, trim, replace, split, length, reverse, position).
+    */
+  val qStringFuncs: Q = (spark, dir) =>
+    Tables(spark, dir, "part")
+      .select(col("p_partkey"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name_pref"),
+        length(col("p_name")).as("name_len"),
+        lpad(col("p_brand"), 12, "_").as("brand_pad"),
+        regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"),
+        reverse(col("p_brand")).as("brand_rev"),
+        instr(col("p_type"), "BRUSHED").as("brushed_pos"),
+        size(split(col("p_type"), " ")).as("type_words"))
+      .orderBy(col("p_partkey"))
+
+  /** Scalar date/time-function surface (year/quarter/month/day, dow, trunc,
+    * diff, add, last_day, epoch).
+    */
+  val qDateFuncs: Q = (spark, dir) =>
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2002"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("month_end"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
   val all: Map[String, Q] = Map(
+    "q_string_funcs" -> qStringFuncs,
+    "q_date_funcs" -> qDateFuncs,
     "q_rollup" -> qRollup,
     "q_union_all" -> qUnionAll,
     "q_approx_distinct" -> qApproxDistinct,
@@ -317,8 +355,34 @@ object RelationalQueries {
     * aggregation + total ordering + matching aliases).
     */
   val oracles: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  upper(p_name) AS name_upper,
+        |  substring(p_name, 1, 5) AS name_pref,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  lpad(p_brand, 12, '_') AS brand_pad,
+        |  regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+        |  reverse(p_brand) AS brand_rev,
+        |  CAST(strpos(p_type, 'BRUSHED') AS INT) AS brushed_pos,
+        |  CAST(len(string_split(p_type, ' ')) AS INT) AS type_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS INT) AS d,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+        |    AS days_to_2002,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_rollup" ->
-      """SELECT year(o_orderdate) AS order_year, o_orderpriority,
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales,
         |  count(*) AS n_orders
         |FROM orders
@@ -373,7 +437,7 @@ object RelationalQueries {
         |WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_discount > 0.05
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_window_top_per_customer" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -403,14 +467,14 @@ object RelationalQueries {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
     "q_cube_category_year" ->
-      """SELECT year(o_orderdate) AS order_year, o_orderpriority,
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales,
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY CUBE (year(o_orderdate), o_orderpriority)
         |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_pivot_status" ->
-      """SELECT year(o_orderdate) AS order_year,
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS F,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS O,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P
@@ -430,14 +494,14 @@ object RelationalQueries {
         |  GROUP BY c_custkey) t
         |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
     "q_events_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |FROM events GROUP BY 1, event_type
         |ORDER BY hour, event_type""".stripMargin,
     "q_events_json" ->
       """SELECT event_type,
-        |  sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS max_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
