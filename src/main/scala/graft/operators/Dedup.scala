@@ -142,9 +142,17 @@ object Dedup {
       threshold: Double, n: Int = 3): DataFrame = {
     val postings = shingleHashes(df, textCol, idCol, n)
     val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val common = postings.select(col(idCol).as("id_a"), col("h"))
-      .join(postings.select(col(idCol).as("id_b"), col("h")), Seq("h"))
-      .filter(col("id_a") < col("id_b"))
+    // length-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+    // whose set sizes differ by more than the threshold ratio can't qualify.
+    // Slack of 1 keeps the bound safely conservative under float rounding —
+    // a pure pruning condition, results (and the oracle) are unchanged.
+    // no broadcast hint: sizes ∝ corpus; AQE broadcasts when it fits
+    val withSz = postings.join(sizes, Seq(idCol))
+    val common = withSz.select(col(idCol).as("id_a"), col("h"), col("sz").as("sz_a"))
+      .join(withSz.select(col(idCol).as("id_b"), col("h"), col("sz").as("sz_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          greatest(col("sz_a"), col("sz_b")) * threshold - 1)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     common
