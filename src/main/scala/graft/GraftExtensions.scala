@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, WordShingles}
+import graft.functions.{DotProduct, KmvDistinct, WordShingles}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,6 +38,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"word_shingles n must be a literal, got $other")
         }
         WordShingles(args(0), n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_distinct(col, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other =>
+            throw new IllegalArgumentException(
+              s"kmv_distinct k must be a literal, got $other")
+        }
+        KmvDistinct(args(0), k).toAggregateExpression()
       }))
   }
 }

@@ -287,6 +287,8 @@ object RelationalQueries {
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        graft.functions.KmvDistinct.kmvDistinct(col("l_partkey"), 256)
+          .as("kmv_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 

@@ -40,4 +40,11 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.getSeq[String](0)
     assert(partial == Seq("a b"))
   }
+
+  test("kmv_distinct is callable from SQL as an aggregate") {
+    val est = spark.sql(
+      "SELECT kmv_distinct(x, 64) FROM (SELECT explode(sequence(1, 40)) AS x)")
+      .collect().head.getLong(0)
+    assert(est == 40, "exact under capacity")
+  }
 }

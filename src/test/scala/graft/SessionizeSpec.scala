@@ -58,13 +58,15 @@ class SessionizeSpec extends SparkTestBase {
     assert(sum1 == sum2)
   }
 
-  test("approx distinct stays within 10% of exact") {
+  test("approx distinct (HLL + KMV) stays within 10% of exact") {
     val r = graft.queries.RelationalQueries.qApproxDistinct(
       spark, "/root/testdata/sf0.001")
-      .as[(String, Long, Long)].collect()
-    r.foreach { case (_, approx, exact) =>
+      .as[(String, Long, Long, Long)].collect()
+    r.foreach { case (_, approx, kmv, exact) =>
       assert(math.abs(approx - exact).toDouble / exact < 0.10,
-        s"approx $approx vs exact $exact")
+        s"HLL $approx vs exact $exact")
+      assert(math.abs(kmv - exact).toDouble / exact < 0.10,
+        s"KMV $kmv vs exact $exact")
     }
   }
 }
