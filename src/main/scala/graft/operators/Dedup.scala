@@ -165,6 +165,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation (the dataframe formulation of large-star/small-star CC):
+    * each node repeatedly adopts the smallest label among itself and its
+    * neighbors until fixpoint. Iterations ≤ graph diameter ≤ O(log n) for
+    * near-dup clusters (which are small and dense in practice); each
+    * iteration is one join + one aggregate — fully distributed, the only
+    * driver-side work is the convergence check.
+    *
+    * Returns (id, root) for every node that appears in `pairs`, where root =
+    * the minimum id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the (small) edge list ONCE — every iteration would
+    // otherwise recompute the full upstream pair pipeline
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("root", col("id"))
+      .localCheckpoint()
+    // neighbor-min + pointer jumping per round (diameter halves each round →
+    // O(log d) rounds); localCheckpoint after each round truncates lineage so
+    // the plan stays constant-size (a lazy formulation doubles the plan per
+    // round via the self-join) and each round's job touches only the tiny
+    // materialized label/edge tables.
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .select(col("src").as("id"), col("root"))
+      val m = labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("root")).as("root"))
+      val next = m
+        .join(m.select(col("id").as("r2"), col("root").as("rootRoot")),
+          col("root") === col("r2"))
+        .select(col("id"), col("rootRoot").as("root"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("root", "old"), Seq("id"))
+        .filter(col("root") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup dedup: compute pairs (exact n-gram Jaccard), cluster
+    * them, keep each component's minimum id plus every unpaired doc.
+    */
+  def dedupNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, threshold, n)
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("root"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash over term-frequency-weighted token hashes: bit i is set
     * iff Σ_tokens (2·bitᵢ(h) − 1) ≥ 0. Single groupBy pass with 32 partial
     * sums.

@@ -313,6 +313,34 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** End-to-end near-dup dedup: survivors after clustering exact-Jaccard
+    * pairs (component root = min doc_id survives; unpaired docs survive).
+    */
+  val qDedupSurvivors: Q = (spark, dir) =>
+    Dedup.dedupNearDuplicates(Tables(spark, dir, "documents"), "text",
+      "doc_id", NgramJaccardThreshold)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Transitive closure via recursive CTE (tiny pair sets at oracle scale). */
+  private val dedupSurvivorsOracle: String =
+    s"""WITH RECURSIVE $PostingsCte,
+       |$jaccardSelect,
+       |qpairs AS (SELECT id_a, id_b FROM jacc
+       |           WHERE jaccard >= $NgramJaccardThreshold),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM qpairs
+       |          UNION SELECT id_b, id_a FROM qpairs),
+       |reach(src, node) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+       |losers AS (
+       |  SELECT src AS doc_id FROM reach GROUP BY src
+       |  HAVING src > min(node))
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------- sessionization ----------
 
   val SessionGapSeconds = 1800L
@@ -441,7 +469,8 @@ object PipelineQueries {
     "q_ann_ivf" -> qAnnIvf,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_sessionize" -> qSessionize,
-    "q_quality_checks" -> qQualityChecks
+    "q_quality_checks" -> qQualityChecks,
+    "q_dedup_survivors" -> qDedupSurvivors
   )
 
   val oracles: Map[String, String] = Map(
@@ -459,6 +488,7 @@ object PipelineQueries {
     "q_ann_ivf" -> annIvfOracle,
     "q_multimodal_features" -> multimodalOracle,
     "q_sessionize" -> sessionizeOracle,
-    "q_quality_checks" -> qualityChecksOracle
+    "q_quality_checks" -> qualityChecksOracle,
+    "q_dedup_survivors" -> dedupSurvivorsOracle
   )
 }

@@ -54,6 +54,20 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("connected components cluster chains transitively") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("end-to-end dedup keeps component roots and unpaired docs") {
+    val out = Dedup.dedupNearDuplicates(docs, "text", "doc_id", 0.4)
+      .select("doc_id").as[Long].collect().sorted
+    // docs 0,1,2 form one near-dup component (root 0); doc 3 unpaired
+    assert(out.toSeq == Seq(0L, 3L))
+  }
+
   test("sf0.001 documents contain planted near-dups found by both paths") {
     val d = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id", 0.7)
