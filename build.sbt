@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe forked-process output straight through instead of routing it via the
+// sbt logger: graft.Bench's one-line JSON contract must land on stdout bare,
+// not wrapped as "[info] {...}" (which breaks line-oriented JSON parsers).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -209,6 +209,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // Unconverged labels are silently WRONG (a near-dup doc could survive
+    // dedup with no signal) — fail loudly instead. Pointer jumping halves the
+    // diameter each round, so 25 rounds covers components of diameter ~2^25.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations; " +
+          "raise maxIter (diameter handled grows as 2^maxIter)")
     labels
   }
 
@@ -247,6 +254,11 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int): DataFrame = {
+    // Pigeonhole over four 8-bit chunks is only lossless for distance ≤ 3;
+    // a larger budget needs more/finer chunks — reject rather than silently
+    // drop qualifying pairs.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs chunk blocking is lossless only for maxHamming <= 3 (got $maxHamming)")
     val sig = simhash32(df, textCol, idCol)
     val chunks = sig.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(c =>

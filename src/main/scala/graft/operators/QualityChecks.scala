@@ -60,6 +60,10 @@ object QualityChecks {
   /** One aggregation pass → one summary row per rule. */
   def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules given")
+    // Duplicate names (e.g. two InRange on one column) would collide in the
+    // melt map (runtime failure under mapKeyDedupPolicy=EXCEPTION).
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_.name).diff(rules.map(_.name).distinct).distinct.mkString(", ")}")
     val aggs = rules.map(r => violationCount(r).as(r.name)) :+
       count(lit(1)).as("_n_rows")
     val row = df.agg(aggs.head, aggs.tail: _*)

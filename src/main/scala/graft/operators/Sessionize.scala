@@ -44,12 +44,24 @@ object Sessionize {
 /** Skew-aware equi-join: replicate the build side `factor`× with a salt
   * column and scatter the probe side across the salts, so one hot key spreads
   * over `factor` reducers instead of melting a single task at 100 TB.
-  * Result-identical to the plain join (salting only re-partitions work).
+  *
+  * Result-identical to the plain join for probe-preserving join types only
+  * (inner / left_outer / left_semi / left_anti): each probe row carries ONE
+  * salt and meets exactly one replica of each matching build row. Join types
+  * that preserve unmatched BUILD rows (right/full outer) would emit each
+  * unmatched build row once per salt replica — rejected at the door.
   */
 object SkewJoin {
 
+  private val ProbePreserving =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "semi", "left_anti", "leftanti", "anti")
+
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       factor: Int, joinType: String = "inner"): DataFrame = {
+    require(ProbePreserving.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports probe-preserving join types ${ProbePreserving.mkString("{", ", ", "}")}; " +
+        s"'$joinType' would duplicate unmatched build rows ×$factor")
     val salted = probe.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
     val replicated = build.withColumn("_salt",

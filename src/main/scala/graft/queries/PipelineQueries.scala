@@ -427,11 +427,18 @@ object PipelineQueries {
 
   // ---------- multimodal ----------
 
-  val qMultimodalFeatures: Q = (spark, dir) =>
-    Multimodal.extractFeatures(
+  /** Feature vector flattened to scalar columns f0..f7 — the driver's
+    * pandas-based compare cannot hash/sort array cells.
+    */
+  val qMultimodalFeatures: Q = (spark, dir) => {
+    val flat = Multimodal.extractFeatures(
       Multimodal.fromText(Tables(spark, dir, "documents"), "doc_id", "text"))
       .toDF()
+    val fCols = (0 until 8).map(i => col("features")(i).as(s"f$i"))
+    flat.select(Seq(col("media_id"), col("byte_len"), col("checksum"),
+        col("n_frames")) ++ fCols: _*)
       .orderBy(col("media_id"))
+  }
 
   private val multimodalOracle: String = {
     val n = "length(text)" // ASCII corpus: chars == bytes
@@ -441,14 +448,14 @@ object PipelineQueries {
        |  CAST($n AS BIGINT) AS byte_len,
        |  md5(text) AS checksum,
        |  CAST(((greatest($n, 1) - 1) // 1000) + 1 AS INT) AS n_frames,
-       |  [CAST($n AS DOUBLE),
-       |   CAST($sumOrds AS DOUBLE) / CAST($n AS DOUBLE),
-       |   CAST(ord(substring(text, 1, 1)) AS DOUBLE),
-       |   CAST(ord(substring(text, $n, 1)) AS DOUBLE),
-       |   CAST($sumOrds % 256 AS DOUBLE),
-       |   CAST($n % 97 AS DOUBLE),
-       |   CAST(least($n, 4096) AS DOUBLE),
-       |   1.0] AS features
+       |  CAST($n AS DOUBLE) AS f0,
+       |  CAST($sumOrds AS DOUBLE) / CAST($n AS DOUBLE) AS f1,
+       |  CAST(ord(substring(text, 1, 1)) AS DOUBLE) AS f2,
+       |  CAST(ord(substring(text, $n, 1)) AS DOUBLE) AS f3,
+       |  CAST($sumOrds % 256 AS DOUBLE) AS f4,
+       |  CAST($n % 97 AS DOUBLE) AS f5,
+       |  CAST(least($n, 4096) AS DOUBLE) AS f6,
+       |  1.0 AS f7
        |FROM documents ORDER BY media_id""".stripMargin
   }
 

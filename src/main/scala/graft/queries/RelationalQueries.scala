@@ -278,18 +278,33 @@ object RelationalQueries {
       .orderBy(col("src"), col("k"))
   }
 
-  /** HLL sketch distinct (approx_count_distinct) next to the exact count —
-    * the mergeable-sketch path for 100 TB distincts. No DuckDB oracle (its
-    * HLL differs); the driver records a rows-only check and
-    * RelationalSpec bounds the error vs exact.
+  /** Error bounds for the sketch-vs-exact oracle check. HLL default rsd is
+    * 5% (≈2σ at 10%); KMV with k=256 has σ ≈ 1/√256 = 6.25% (≈2.4σ at 15%).
+    * Both sketches are deterministic (fixed hash functions), so a local pass
+    * at a given SF is exactly reproducible in the driver gate.
+    */
+  val HllTolerance = 0.10
+  val KmvTolerance = 0.15
+
+  /** HLL sketch distinct (approx_count_distinct) + KMV sketch next to the
+    * exact count — the mergeable-sketch path for 100 TB distincts. DuckDB's
+    * HLL differs bit-wise, so the oracle checks the CONTRACT instead: the
+    * output carries booleans "sketch within tolerance of exact", which the
+    * oracle reproduces as literal TRUE alongside the exact counts — a
+    * hash-exact comparison iff both sketches honor their error bounds.
     */
   val qApproxDistinct: Q = (spark, dir) =>
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey")).as("hll_parts"),
         graft.functions.KmvDistinct.kmvDistinct(col("l_partkey"), 256)
           .as("kmv_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("hll_parts") - col("exact_parts")) <=
+          col("exact_parts") * HllTolerance).as("hll_ok"),
+        (abs(col("kmv_parts") - col("exact_parts")) <=
+          col("exact_parts") * KmvTolerance).as("kmv_ok"))
       .orderBy(col("l_returnflag"))
 
   /** Scalar string-function surface in one projection (concat, substring,
@@ -507,6 +522,12 @@ object RelationalQueries {
         |  max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS max_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS hll_ok,
+        |  true AS kmv_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_region_rollup" ->
       """SELECT r_name,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -58,11 +58,26 @@ object HubWriter {
       nBuckets: Int
   ): Unit = {
     require(keys.nonEmpty, "bucketed hub requires primary keys")
+    // Hash a CANONICAL representation (string-cast keys): if a key column's
+    // inferred type drifts across runs (CSV int→double — the exact drift
+    // reconcileSchemas supports), the raw xxhash64 of the new type would route
+    // the same logical key to a different bucket, the merge would read only
+    // the new bucket, and the stale row would survive in the old one.
     val stamped = df.withColumn(BucketCol,
-      pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
+      pmod(xxhash64(keys.map(k => col(k).cast("string")): _*), lit(nBuckets))
+        .cast("int"))
     if (!tableExists(spark, path)) {
       stamped.write.partitionBy(BucketCol).parquet(path)
+      writeBucketMeta(spark, path, nBuckets)
     } else {
+      // A different nBuckets re-routes every key: reject rather than corrupt.
+      readBucketMeta(spark, path) match {
+        case Some(existing) =>
+          require(existing == nBuckets,
+            s"hub at $path is bucketed with nBuckets=$existing; " +
+              s"got nBuckets=$nBuckets — bucket count is immutable once written")
+        case None => writeBucketMeta(spark, path, nBuckets) // pre-meta table
+      }
       val srcBuckets = stamped.select(col(BucketCol)).distinct()
         .collect().map(_.getInt(0)).sorted // ≤ nBuckets values: driver-safe
       // mergeSchema: after a partial-bucket schema evolution, untouched
@@ -72,6 +87,32 @@ object HubWriter {
       val (t, s) = reconcileSchemas(target, stamped)
       val merged = merge(t, s, keys)
       replaceBuckets(spark, merged, path, srcBuckets)
+    }
+  }
+
+  /** Bucket-count sidecar (`_graft_buckets`): underscore-prefixed so Spark's
+    * parquet reader ignores it; read back to validate layout immutability.
+    */
+  private def bucketMetaPath(path: String) = new Path(path, "_graft_buckets")
+
+  private def writeBucketMeta(spark: SparkSession, path: String, n: Int): Unit = {
+    val p = bucketMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readBucketMeta(spark: SparkSession, path: String): Option[Int] = {
+    val p = bucketMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toInt)
+      } finally in.close()
     }
   }
 

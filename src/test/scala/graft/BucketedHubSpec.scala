@@ -47,6 +47,31 @@ class BucketedHubSpec extends SparkTestBase {
     assert(out(45L) == 4500L && out(60L) == 6000L, "overlap + inserts take v2")
   }
 
+  test("bucket routing survives key type drift (canonical string hash)") {
+    val path = tmpDir("bhub") + "/t"
+    val v1 = (1L to 100L).map(i => (i.toInt, s"v$i")).toDF("id", "v")
+    HubWriter.writeBucketed(spark, v1, path, Seq("id"), 8)
+    // same logical keys arrive as LONG (CSV inferSchema drift int→long):
+    // the canonical hash must route them to the SAME buckets, so the merge
+    // replaces rather than duplicates
+    val v2 = (1L to 100L).map(i => (i, "DRIFTED")).toDF("id", "v")
+    HubWriter.writeBucketed(spark, v2, path, Seq("id"), 8)
+    val out = HubWriter.readHub(spark, path)
+    assert(out.count() == 100, "no duplicate keys after type drift")
+    assert(out.filter(out("v") === "DRIFTED").count() == 100)
+  }
+
+  test("changing nBuckets on an existing hub is rejected") {
+    val path = tmpDir("bhub") + "/t"
+    val v1 = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    HubWriter.writeBucketed(spark, v1, path, Seq("id"), 8)
+    assert(HubWriter.readBucketMeta(spark, path).contains(8))
+    val e = intercept[IllegalArgumentException] {
+      HubWriter.writeBucketed(spark, v1, path, Seq("id"), 16)
+    }
+    assert(e.getMessage.contains("immutable"))
+  }
+
   test("bucketed merge handles schema evolution like the flat writer") {
     val path = tmpDir("bhub") + "/t"
     // 20 keys spread over all buckets, then evolve schema via ONE key —

@@ -54,6 +54,23 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("simhashPairs rejects a hamming budget the blocking cannot honor") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "text", "doc_id", 4)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+  }
+
+  test("connected components throws instead of returning unconverged labels") {
+    // path graph 1-2-3-4-5: diameter 4 needs ~2 pointer-jump rounds; maxIter=1
+    // cannot converge and must fail loudly
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("connected components cluster chains transitively") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs)

@@ -9,12 +9,11 @@ class EntryContractSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracleSql keys are a subset of queries; only sketch query is rows-only") {
+  test("every query has an oracle (hash-checked by the driver)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    assert((q -- o) == Set("q_approx_distinct"),
-      s"unexpected oracle-less queries: ${q -- o}")
+    assert((q -- o).isEmpty, s"oracle-less queries: ${q -- o}")
   }
 
   test("every query runs and returns rows at sf0.001") {

@@ -39,6 +39,13 @@ class QualityChecksSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("pass"))
   }
 
+  test("duplicate rule names are rejected up front") {
+    val e = intercept[IllegalArgumentException] {
+      QC.run(df, Seq(InRange("x", 0, 10), InRange("x", 5, 20)))
+    }
+    assert(e.getMessage.contains("in_range:x"))
+  }
+
   test("referential integrity counts orphans") {
     val parent = Seq(1, 2).toDF("pk")
     val child = Seq(1, 1, 2, 9).toDF("fk")

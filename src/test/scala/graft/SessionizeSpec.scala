@@ -58,15 +58,25 @@ class SessionizeSpec extends SparkTestBase {
     assert(sum1 == sum2)
   }
 
-  test("approx distinct (HLL + KMV) stays within 10% of exact") {
+  test("salted join rejects build-preserving join types") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, df, Seq("k"), 4, "full_outer")
+    }
+    assert(e.getMessage.contains("probe-preserving"))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, df, Seq("k"), 4, "right_outer")
+    }
+  }
+
+  test("approx distinct (HLL + KMV) stays within tolerance of exact") {
     val r = graft.queries.RelationalQueries.qApproxDistinct(
       spark, "/root/testdata/sf0.001")
-      .as[(String, Long, Long, Long)].collect()
-    r.foreach { case (_, approx, kmv, exact) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.10,
-        s"HLL $approx vs exact $exact")
-      assert(math.abs(kmv - exact).toDouble / exact < 0.10,
-        s"KMV $kmv vs exact $exact")
+      .as[(String, Long, Boolean, Boolean)].collect()
+    r.foreach { case (flag, exact, hllOk, kmvOk) =>
+      assert(exact > 0)
+      assert(hllOk, s"HLL out of tolerance for $flag")
+      assert(kmvOk, s"KMV out of tolerance for $flag")
     }
   }
 }
