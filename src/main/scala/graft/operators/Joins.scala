@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-ordered join operators the built-in API lacks as single verbs,
+  * composed from shuffle-friendly primitives (SURVEY.md §7.4 preference
+  * order: compose existing ops before custom plans).
+  */
+object AsofJoin {
+
+  /** As-of join: for each left row, attach the latest right row of the same
+    * key with `right.ts <= left.ts` (inclusive, DuckDB `ASOF JOIN` / kdb `aj`
+    * semantics). Unmatched left rows keep null right columns (left join).
+    *
+    * Execution shape — the 100 TB-safe formulation: instead of a range join
+    * (which Spark would plan as a per-key cartesian + filter), tag and UNION
+    * the two sides, then one window pass per key ordered by (ts, side):
+    * `last(right_value, ignoreNulls)` over the unbounded-preceding frame
+    * carries the most recent right payload forward into each left row. Cost:
+    * ONE shuffle on the key (the window sort), zero row blowup, no skew
+    * amplification beyond the key's own row count.
+    *
+    * `rightCols` are the right-side payload columns to carry (key and ts
+    * excluded). Right rows tie-sorting at the same ts sort BEFORE left rows
+    * (inclusive as-of); among right duplicates at one ts the LAST after a
+    * (ts, rightCols) sort wins — deterministic for oracle comparison.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val leftCols = left.columns.filterNot(_ == key).toSeq
+    val rvType = StructType(rightCols.map(c => right.schema(c)))
+    val l = left.select(
+      Seq(col(key), col(leftTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(rvType).as("_rv")) ++ leftCols.map(col): _*)
+    val r = right.select(
+      Seq(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
+        struct(rightCols.map(col): _*).as("_rv")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side"), col("_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_rlast", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(Seq(col(key)) ++ leftCols.map(col) ++
+        rightCols.map(c => col(s"_rlast.$c").as(c)): _*)
+  }
+}
+
+/** Interval/range join via bucketing: the equi-join-able formulation of
+  * `point BETWEEN lo AND hi`.
+  */
+object RangeJoin {
+
+  /** Join `points` (with a numeric `valueCol`) to `intervals` rows whose
+    * `[loCol, hiCol)` contains the value.
+    *
+    * Spark plans a raw non-equi join as BroadcastNestedLoop (dies at scale
+    * unless one side is tiny). This bucketed rewrite turns it into an
+    * EQUI-join: each interval explodes into the `bucketSize`-wide buckets it
+    * overlaps, points map to exactly one bucket, join on the bucket key, then
+    * re-check exact containment. Work ∝ points + Σ interval_width/bucketSize
+    * — hash-partitionable, AQE-skew-splittable, no nested loop.
+    */
+  def bucketedRangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      valueCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketSize: Double): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val pb = points.withColumn("_bucket",
+      floor(col(valueCol) / bucketSize).cast("long"))
+    val ib = intervals.withColumn("_bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketSize).cast("long"),
+        floor(col(hiCol) / bucketSize).cast("long"))))
+    pb.join(ib, Seq("_bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("_bucket")
+  }
+}

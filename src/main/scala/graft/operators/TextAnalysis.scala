@@ -109,6 +109,55 @@ object TextAnalysis {
   def shingleFingerprint(text: Column): Column =
     array_min(transform(Shingles.wordShingles(tokens(text), 3), Shingles.hash60(_)))
 
+  /** PII patterns shared with the oracle SQL. Kept to constructs with
+    * identical semantics in Java regex and DuckDB (RE2): character classes,
+    * +, {m,}, alternation — no backreferences or lookaround.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+
+  /** Redact emails/URLs/phone-like digit runs to fixed placeholder tags.
+    * Order matters (URLs can contain @; emails can contain digits): URL →
+    * EMAIL → PHONE, identical on both engines. A pure narrow projection —
+    * scrubbing 100 TB is a map-only scan.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val noUrl = regexp_replace(text, UrlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailRe, "<EMAIL>")
+    (regexp_count(text, lit(UrlRe)),
+      regexp_count(noUrl, lit(EmailRe)),
+      regexp_count(noEmail, lit(PhoneRe)))
+  }
+
+  /** Fixed-size token-window chunking (the LLM-training "context packing"
+    * primitive): one row per (doc, chunk) where chunk i covers tokens
+    * [i·stride, i·stride + chunkSize). With stride < chunkSize consecutive
+    * chunks overlap by chunkSize − stride tokens. Narrow explode — no
+    * shuffle; chunk count per doc = 1 + ⌊(n_tokens−1)/stride⌋.
+    */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize (got chunkSize=$chunkSize, stride=$stride)")
+    val toks = tokens(col(textCol))
+    df.withColumn("_toks", toks)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), floor((size(col("_toks")) - 1) / stride).cast("int"))))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("_toks"), col("chunk_id") * stride + lit(1), lit(chunkSize))))
+      .select(col(idCol), col("chunk_id"),
+        size(split(col("chunk_text"), " ")).as("chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+  }
+
   /** Attach the full analysis column set. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.operators.{AsofJoin, RangeJoin, Sampling, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 operator extensions: time-ordered joins (as-of, range),
+  * deterministic sampling, token chunking, PII scrubbing, heavy hitters,
+  * exact percentiles. Same determinism contract as the other suites
+  * (md5-derived hashing, decimal money sums, total ordering, shared
+  * constants between impl and generated oracle SQL).
+  */
+object ExtendedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** md5-prefix 60-bit hash of an expression, DuckDB side (mirrors
+    * graft.operators.Shingles.hash60).
+    */
+  private def h60(s: String): String =
+    s"CAST(('0x' || substring(md5($s), 1, 15)) AS BIGINT)"
+
+  // ---------- as-of join ----------
+
+  /** For each purchase event: the user's most recent click at or before the
+    * purchase (inclusive as-of), with the purchase-click gap. Clicks are
+    * pre-deduped to one row per (user, ts) so exact-tie resolution is
+    * well-defined on both engines.
+    */
+  val qAsofJoin: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("value")).as("click_value"))
+      .select(col("user_id"), col("click_ts"), col("click_value"))
+    AsofJoin.asofJoin(purchases, clicks, "user_id", "ts", "click_ts",
+      Seq("click_ts", "click_value"))
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("purchase_s"),
+        expr("unix_micros(click_ts) div 1000000").as("click_s"),
+        expr("(unix_micros(ts) - unix_micros(click_ts)) div 1000000").as("gap_s"),
+        col("click_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val asofJoinOracle: String =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS click_ts, max(value) AS click_value
+      |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT p.user_id, p.event_id,
+      |  (epoch_ns(p.ts) // 1000) // 1000000 AS purchase_s,
+      |  (epoch_ns(c.click_ts) // 1000) // 1000000 AS click_s,
+      |  ((epoch_ns(p.ts) // 1000) - (epoch_ns(c.click_ts) // 1000)) // 1000000
+      |    AS gap_s,
+      |  c.click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
+  // ---------- range join ----------
+
+  val RangeBandWidth = 50.0
+  val RangeNBands = 10
+  val RangeBucketSize = 25.0
+
+  /** Events bucketed into static value bands [band*50, (band+1)*50) via the
+    * equi-join range-join rewrite, then aggregated per band.
+    */
+  val qRangeJoin: Q = (spark, dir) => {
+    val bands = spark.range(RangeNBands.toLong).toDF("band")
+      .select(col("band").cast("int").as("band"),
+        (col("band") * RangeBandWidth).as("lo"),
+        ((col("band") + 1) * RangeBandWidth).as("hi"))
+    RangeJoin.bucketedRangeJoin(
+      Tables(spark, dir, "events"), bands, "value", "lo", "hi", RangeBucketSize)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("band"))
+  }
+
+  private val rangeJoinOracle: String =
+    s"""WITH bands AS (
+       |  SELECT CAST(band AS INT) AS band,
+       |    band * $RangeBandWidth AS lo, (band + 1) * $RangeBandWidth AS hi
+       |  FROM range(0, $RangeNBands) t(band))
+       |SELECT band, count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events JOIN bands ON value >= lo AND value < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+
+  // ---------- PII scrubbing ----------
+
+  /** Redaction over synthesized PII (the test corpus carries none): each
+    * customer row becomes "<name> <user{key}@example.com> visit
+    * https://ex.io/u/{key} call +1 555 {key%10000:04d}", then emails, URLs
+    * and phone runs are scrubbed. Both engines build and scrub the identical
+    * string, so the output hash-matches iff the scrubbing semantics do.
+    */
+  val qPiiScrub: Q = (spark, dir) => {
+    val key = col("c_custkey")
+    val text = concat(col("c_name"),
+      lit(" <user"), key, lit("@example.com> visit https://ex.io/u/"), key,
+      lit(" call +1 555 "), lpad(pmod(key, lit(10000)).cast("string"), 4, "0"))
+    val (urls, emails, phones) = TextAnalysis.piiCounts(text)
+    Tables(spark, dir, "customer")
+      .select(key.as("c_custkey"),
+        TextAnalysis.scrubPii(text).as("scrubbed"),
+        urls.as("n_urls"), emails.as("n_emails"), phones.as("n_phones"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val piiScrubOracle: String = {
+    val text = "c_name || ' <user' || c_custkey || '@example.com> visit " +
+      "https://ex.io/u/' || c_custkey || ' call +1 555 ' || " +
+      "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    // the shared patterns contain no single quotes; backslashes pass through
+    // DuckDB single-quoted literals verbatim
+    val url = TextAnalysis.UrlRe
+    val email = TextAnalysis.EmailRe
+    val phone = TextAnalysis.PhoneRe
+    s"""WITH t AS (SELECT c_custkey, $text AS txt FROM customer),
+       |s1 AS (SELECT c_custkey, txt,
+       |         regexp_replace(txt, '$url', '<URL>', 'g') AS nu FROM t),
+       |s2 AS (SELECT c_custkey, txt, nu,
+       |         regexp_replace(nu, '$email', '<EMAIL>', 'g') AS ne FROM s1)
+       |SELECT c_custkey,
+       |  regexp_replace(ne, '$phone', '<PHONE>', 'g') AS scrubbed,
+       |  CAST(len(regexp_extract_all(txt, '$url')) AS INT) AS n_urls,
+       |  CAST(len(regexp_extract_all(nu, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(ne, '$phone')) AS INT) AS n_phones
+       |FROM s2 ORDER BY c_custkey""".stripMargin
+  }
+
+  // ---------- token-window chunking ----------
+
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  val qDocChunks: Q = (spark, dir) =>
+    TextAnalysis.chunk(Tables(spark, dir, "documents"), "text", "doc_id",
+      ChunkSize, ChunkStride)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val docChunksOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws
+       |           FROM documents),
+       |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       |        array_to_string(ws[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize], ' ') AS ct
+       |      FROM t, UNNEST(range(0, ((len(ws)-1)//$ChunkStride)+1)) u(i))
+       |SELECT doc_id, chunk_id,
+       |  CAST(len(string_split(ct, ' ')) AS INT) AS chunk_tokens,
+       |  md5(ct) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------- heavy hitters ----------
+
+  val HeavyHittersK = 5
+
+  val qHeavyHitters: Q = (spark, dir) =>
+    Sampling.heavyHitters(Tables(spark, dir, "documents"), "text", "lang",
+      HeavyHittersK)
+      .select(col("lang"), col("token"), col("n"), col("rank"))
+      .orderBy(col("lang"), col("rank"))
+
+  private val heavyHittersOracle: String =
+    s"""SELECT lang, token, n, CAST(rank AS INT) AS rank FROM (
+       |  SELECT lang, token, count(*) AS n,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY count(*) DESC, token) AS rank
+       |  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |        FROM documents) t
+       |  GROUP BY lang, token) r
+       |WHERE rank <= $HeavyHittersK ORDER BY lang, rank""".stripMargin
+
+  // ---------- exact percentiles ----------
+
+  /** Exact continuous percentiles (p25/p50/p75) of order totalprice per
+    * status. Spark `percentile` and DuckDB `quantile_cont` share the
+    * pos = p·(n−1) linear-interpolation definition; results are rounded to
+    * 4 decimals on both sides to absorb last-ulp double differences.
+    */
+  val qPercentiles: Q = (spark, dir) =>
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+      .orderBy(col("o_orderstatus"))
+
+  private val percentilesOracle: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------- stratified deterministic sampling ----------
+
+  /** Per-status sampling permille: downsample the common 'F'/'O' strata,
+    * keep half of the rare 'P' stratum — the class-rebalancing shape of a
+    * training-mix build.
+    */
+  val SampleRates: Map[String, Int] = Map("F" -> 50, "O" -> 100, "P" -> 500)
+
+  val qStratifiedSample: Q = (spark, dir) =>
+    Sampling.stratifiedHashSample(Tables(spark, dir, "orders"),
+      col("o_orderkey"), col("o_orderstatus"), SampleRates)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_totalprice"))
+      .orderBy(col("o_orderstatus"))
+
+  private val stratifiedSampleOracle: String = {
+    val rate = SampleRates.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"WHEN o_orderstatus = '$k' THEN $v"
+    }.mkString(" ")
+    s"""SELECT o_orderstatus, count(*) AS n_sampled,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+       |FROM orders
+       |WHERE ${h60("CAST(o_orderkey AS VARCHAR)")} % 1000 <
+       |  (CASE $rate ELSE 0 END)
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
+  // ---------- registry ----------
+
+  val all: Map[String, Q] = Map(
+    "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
+    "q_pii_scrub" -> qPiiScrub,
+    "q_doc_chunks" -> qDocChunks,
+    "q_heavy_hitters" -> qHeavyHitters,
+    "q_percentiles" -> qPercentiles,
+    "q_stratified_sample" -> qStratifiedSample
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" -> asofJoinOracle,
+    "q_range_join" -> rangeJoinOracle,
+    "q_pii_scrub" -> piiScrubOracle,
+    "q_doc_chunks" -> docChunksOracle,
+    "q_heavy_hitters" -> heavyHittersOracle,
+    "q_percentiles" -> percentilesOracle,
+    "q_stratified_sample" -> stratifiedSampleOracle
+  )
+}
