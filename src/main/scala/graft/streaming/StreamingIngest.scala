@@ -58,6 +58,29 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup (the streaming twin of `Dedup.exact`): keep ONE
+    * row per content fingerprint — the first-arriving micro-batch wins;
+    * within a batch the surviving row is arbitrary (unlike the batch
+    * operator's lowest-id rule). Dedup state is bounded by the watermark
+    * horizon — Spark drops a key's state once the watermark passes it, so at
+    * 100 TB/day the state store holds only the horizon's keys instead of
+    * growing forever.
+    *
+    * `tsCol` must be a TimestampType event-time column; rows later than
+    * `watermark` behind the max seen event time may re-admit a duplicate
+    * (the documented watermark trade-off).
+    */
+  def dedupStream(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("_fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** File-source stream over a directory of parquet (schema required by
     * Structured Streaming file sources).
     */

@@ -47,6 +47,31 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected.collect().toSeq)
   }
 
+  test("streaming dedup keeps first arrival per fingerprint across batches") {
+    val lake = tmpDir("slake3")
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    Seq((1L, "hello world", ts(0)), (2L, "  hello   world ", ts(1)),
+      (3L, "unique doc", ts(2)), (4L, "hello world", ts(3)))
+      .toDF("id", "text", "ts")
+      .write.mode("append").parquet(src)
+    val stream = StreamingIngest.parquetStream(spark, src,
+      Seq((0L, "x", t0)).toDF("id", "text", "ts"))
+    val q = StreamingIngest.dedupStream(stream, "text", "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.sql("SELECT id FROM dedup_out").as[Long].collect().toSet
+    // 1/2/4 share a fingerprint (whitespace variants): exactly one survives
+    // (arbitrary within a micro-batch); the unique doc 3 always survives
+    assert(ids.contains(3L) && ids.size == 2 &&
+      (ids - 3L).subsetOf(Set(1L, 2L, 4L)), s"got $ids")
+  }
+
   test("true streaming execution: memory sink receives windowed aggregates") {
     val lake = tmpDir("slake2")
     val src = s"$lake/in"
