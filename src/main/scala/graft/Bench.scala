@@ -33,6 +33,13 @@ object Bench {
       try execute(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
+    // prime the target-SF file index (directory listing + schema inference
+    // is per-session infrastructure, shared by all queries — don't bill it
+    // to whichever query alphabetically touches a table first)
+    graft.queries.Tables.names.foreach { t =>
+      try graft.queries.Tables(spark, sfDir, t).schema
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -158,6 +158,30 @@ object TextAnalysis {
         md5(col("chunk_text")).as("chunk_md5"))
   }
 
+  /** Sequence packing (the "fill each training context window" primitive):
+    * assign documents to fixed-token-budget packs by running-sum boundary,
+    * sharded by `shardCol` (one window partition per shard — at 100 TB you
+    * pack per shard in parallel; a global greedy pack would serialize on one
+    * reducer). A document straddling a boundary belongs to the pack where it
+    * starts, so packs can overflow by at most one document — the standard
+    * streaming-packing contract.
+    *
+    * Deterministic: docs are packed in `idCol` order; pack_id =
+    * tokens_before / maxTokens (integer division).
+    */
+  def packDocuments(df: DataFrame, textCol: String, idCol: String,
+      shardCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("_cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"_cum_before div $maxTokens"))
+      .drop("_cum_before")
+  }
+
   /** Attach the full analysis column set. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -228,6 +228,86 @@ object ExtendedQueries {
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   }
 
+  // ---------- sequence packing ----------
+
+  val PackMaxTokens = 200
+
+  /** Documents packed into 200-token context windows per language shard;
+    * summarized per (lang, pack).
+    */
+  val qDocPacking: Q = (spark, dir) =>
+    TextAnalysis.packDocuments(Tables(spark, dir, "documents"),
+      "text", "doc_id", "lang", PackMaxTokens)
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"))
+      .orderBy(col("lang"), col("pack_id"))
+
+  private val docPackingOracle: String =
+    s"""WITH t AS (SELECT lang, doc_id, len(${PipelineQueries.WS}) AS n
+       |           FROM documents),
+       |p AS (SELECT lang, doc_id, n,
+       |        COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          // $PackMaxTokens AS pack_id
+       |      FROM t)
+       |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS pack_tokens
+       |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+
+  // ---------- flagship composite: training-mix build ----------
+
+  val MixQualityThreshold = 0.35
+  val MixRates: Map[String, Int] =
+    Map("en" -> 250, "es" -> 600, "fr" -> 600, "de" -> 600, "zh" -> 900)
+
+  /** End-to-end training-data curation in one plan: exact dedup → quality
+    * gate → per-language stratified downsampling (rebalance the en-heavy
+    * corpus) → per-language summary. Every stage is a narrow projection or
+    * a single hash shuffle; the whole pipeline is 2 shuffles (dedup window,
+    * final groupBy) regardless of corpus size.
+    */
+  val qTrainingMix: Q = (spark, dir) => {
+    val deduped = graft.operators.Dedup.exact(
+      Tables(spark, dir, "documents"), "text", "doc_id")
+    val scored = deduped
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .filter(col("quality") >= MixQualityThreshold)
+    Sampling.stratifiedHashSample(scored, col("doc_id"), col("lang"), MixRates)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .orderBy(col("lang"))
+  }
+
+  private val trainingMixOracle: String = {
+    import PipelineQueries.{NORM, WS, hits}
+    val n = s"len($WS)"
+    val stopRatio = s"(CAST(${hits(TextAnalysis.stopwordsEn)} AS DOUBLE) / CAST($n AS DOUBLE))"
+    val avgLen = s"(CAST(length(trim(text)) - $n + 1 AS DOUBLE) / CAST($n AS DOUBLE))"
+    val quality = s"least(CAST($n AS DOUBLE) / 100.0, 1.0) * 0.4 + " +
+      s"$stopRatio * 0.3 + least($avgLen / 8.0, 1.0) * 0.3"
+    val rate = MixRates.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"WHEN lang = '$k' THEN $v"
+    }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      row_number() OVER (PARTITION BY md5($NORM) ORDER BY doc_id) AS rn
+       |    FROM documents) t
+       |  WHERE rn = 1),
+       |s AS (
+       |  SELECT lang, $quality AS quality, $n AS n_tokens FROM d
+       |  WHERE ($quality) >= $MixQualityThreshold
+       |    AND ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < (CASE $rate ELSE 0 END))
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  min(quality) AS min_quality, max(quality) AS max_quality
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, Q] = Map(
@@ -237,10 +317,14 @@ object ExtendedQueries {
     "q_doc_chunks" -> qDocChunks,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_percentiles" -> qPercentiles,
-    "q_stratified_sample" -> qStratifiedSample
+    "q_stratified_sample" -> qStratifiedSample,
+    "q_doc_packing" -> qDocPacking,
+    "q_training_mix" -> qTrainingMix
   )
 
   val oracles: Map[String, String] = Map(
+    "q_doc_packing" -> docPackingOracle,
+    "q_training_mix" -> trainingMixOracle,
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_pii_scrub" -> piiScrubOracle,

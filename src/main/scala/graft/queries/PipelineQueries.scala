@@ -20,18 +20,18 @@ object PipelineQueries {
   // ---------- shared SQL fragments (DuckDB dialect) ----------
 
   /** whitespace tokens (trimmed — mirrors TextAnalysis.tokens) */
-  private val WS = "string_split_regex(trim(text), '\\s+')"
+  private[queries] val WS = "string_split_regex(trim(text), '\\s+')"
 
-  private val NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private[queries] val NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
-  private def inList(words: Seq[String]): String =
+  private[queries] def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private def hits(words: Seq[String]): String =
+  private[queries] def hits(words: Seq[String]): String =
     s"len(list_filter($WS, x -> x IN ${inList(words)}))"
 
   /** 60-bit md5-prefix hash — mirrors Shingles.hash60 */
-  private def h60(s: String): String =
+  private[queries] def h60(s: String): String =
     s"CAST(('0x' || substring(md5($s), 1, 15)) AS BIGINT)"
 
   /** doc → distinct word-3-shingle 31-bit hash postings; mirrors

@@ -87,6 +87,20 @@ class JoinsSpec extends SparkTestBase {
     assert(c2.length == 1 && c2.head.getAs[Int]("chunk_tokens") == 3)
   }
 
+  test("packing fills token budgets in id order per shard") {
+    val df = Seq(
+      (1L, "a", (1 to 80).map(_ => "w").mkString(" ")),   // 80 tokens
+      (2L, "a", (1 to 80).map(_ => "w").mkString(" ")),   // cum_before 80
+      (3L, "a", (1 to 80).map(_ => "w").mkString(" ")),   // cum_before 160 -> pack 1
+      (4L, "b", (1 to 10).map(_ => "w").mkString(" ")))   // own shard
+      .toDF("id", "shard", "text")
+    val out = TextAnalysis.packDocuments(df, "text", "id", "shard", 100)
+      .select("id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L),
+      s"doc 2 straddles the boundary but starts in pack 0; got $out")
+  }
+
   test("pii scrub redacts emails, urls and phones with counts") {
     val df = Seq((1L,
       "mail bob.smith@corp.example.org or see https://ex.io/a?b=1 tel +1 555 0100 end"))
