@@ -111,6 +111,10 @@ object Dedup {
     */
   def jaccardOfPairs(pairs: DataFrame, postings: DataFrame, idCol: String): DataFrame = {
     val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // NOTE: unlike ngramJaccardPairs, sz is NOT carried through the h-join
+    // here — the semi-join on `pairs` prunes candidates before aggregation,
+    // so the post-group size joins touch a tiny table, while widening the
+    // full h-join rows measurably regresses (A/B'd at sf0.1).
     val common = postings.select(col(idCol).as("id_a"), col("h"))
       .join(postings.select(col(idCol).as("id_b"), col("h")), Seq("h"))
       .join(pairs, Seq("id_a", "id_b"), "left_semi")
@@ -148,16 +152,17 @@ object Dedup {
     // a pure pruning condition, results (and the oracle) are unchanged.
     // no broadcast hint: sizes ∝ corpus; AQE broadcasts when it fits
     val withSz = postings.join(sizes, Seq(idCol))
-    val common = withSz.select(col(idCol).as("id_a"), col("h"), col("sz").as("sz_a"))
+    // sz_a/sz_b are functionally dependent on id_a/id_b and already ride
+    // through the h-join for the prefilter — grouping by them too makes the
+    // union size available at aggregation time with NO re-join of `sizes`
+    // (saves two joins over the candidate-pair table)
+    withSz.select(col(idCol).as("id_a"), col("h"), col("sz").as("sz_a"))
       .join(withSz.select(col(idCol).as("id_b"), col("h"), col("sz").as("sz_b")), Seq("h"))
       .filter(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") >=
           greatest(col("sz_a"), col("sz_b")) * threshold - 1)
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
