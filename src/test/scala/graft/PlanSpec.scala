@@ -71,4 +71,38 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("as-of join is one window pass, no cartesian or range join") {
+    val q = graft.queries.ExtendedQueries.all("q_asof_join")
+    val df = q(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"as-of must not plan a non-equi join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("range join rewrites to an equi-join on the bucket key") {
+    val q = graft.queries.ExtendedQueries.all("q_range_join")
+    val df = q(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"range join must bucket-join:\n$p")
+  }
+
+  test("date-partitioned RAW reads prune to the selected partition") {
+    val lake = tmpDir("prune")
+    val df = spark.range(100).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN '2026-01-01' ELSE '2026-01-02' END AS ingest_date")
+    df.write.partitionBy("ingest_date").parquet(s"$lake/t")
+    val read = spark.read.parquet(s"$lake/t")
+      .filter(org.apache.spark.sql.functions.col("ingest_date") === "2026-01-01")
+    read.collect()
+    val p = read.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(p.contains("PartitionFilters: [isnotnull(ingest_date"),
+      s"partition filter must reach the scan (directory pruning):\n$scanLine")
+    assert(read.count() == 50)
+  }
 }
