@@ -85,6 +85,16 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq(0L, 3L))
   }
 
+  test("prefix-filter pairs == inverted-index pairs (lossless)") {
+    val d = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val prefix = Dedup.ngramJaccardPairsPrefix(d, "text", "doc_id", t)
+      val default = Dedup.ngramJaccardPairs(d, "text", "doc_id", t)
+      assert(prefix.exceptAll(default).isEmpty && default.exceptAll(prefix).isEmpty,
+        s"prefix filtering must be lossless and value-identical at t=$t")
+    }
+  }
+
   test("sf0.001 documents contain planted near-dups found by both paths") {
     val d = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id", 0.7)
