@@ -57,8 +57,13 @@ case class KmvDistinct(
   }
 
   private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-    buf.add(h)
-    if (buf.size > k) buf.remove(buf.last())
+    if (buf.size < k) { buf.add(h); () }
+    else if (java.lang.Long.compareUnsigned(h, buf.last()) < 0) {
+      // only pay the insert when h actually displaces the k-th minimum —
+      // once the buffer is full, almost every input hashes above it and
+      // takes this O(1) rejection path instead of insert+evict
+      if (buf.add(h)) buf.remove(buf.last())
+    }
   }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
