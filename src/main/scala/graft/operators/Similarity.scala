@@ -125,6 +125,71 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Multi-probe LSH top-k: probe the query's own bucket plus every bucket
+    * at Hamming distance 1 (one flipped hyperplane sign) — the standard
+    * recall repair for sign-bit LSH: near neighbors that straddle ONE
+    * hyperplane are recovered, at probe cost ×(nPlanes+1) on the (small)
+    * query side only. Corpus-side work stays ∝ matched buckets.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, nPlanes: Int,
+      k: Int): DataFrame = {
+    val planes = lshPlanes(corpus, nPlanes)
+    val q0 = lshBucket(withNorm(queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qvec")), "qvec", "qnorm"), "qvec", planes)
+    val probes = array(lit(0L) +: (0 until nPlanes).map(i => lit(1L << i)): _*)
+    val q = q0.withColumn("_flip", explode(probes))
+      .withColumn("bucket", col("_flip").bitwiseXOR(col("bucket")))
+      .drop("_flip")
+    val c = lshBucket(withNorm(corpus.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("cvec")), "cvec", "cnorm"), "cvec", planes)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"),
+        col("qnorm"), col("cnorm"))
+      .distinct() // a neighbor can match several probe buckets
+      .withColumn("cosine",
+        VectorFunctions.dot(col("qvec"), col("cvec")) /
+          (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Blocked near-dup pairs — the scale path for [[cosineNearDupPairs]]:
+    * candidates share an LSH bucket (optionally under any of the Hamming-1
+    * probe buckets of either side via `probeFlips`), then exact cosine
+    * verify. Work ∝ Σ bucket², not |C|²; recall < 1 by construction
+    * (pairs straddling > probeFlips hyperplanes are missed) — measured
+    * against the exact operator in SimilaritySpec.
+    */
+  def cosineNearDupPairsBlocked(corpus: DataFrame, threshold: Double,
+      nPlanes: Int, probeFlips: Int = 1): DataFrame = {
+    require(probeFlips >= 0 && probeFlips <= 1, "0 or 1 flips supported")
+    val planes = lshPlanes(corpus, nPlanes)
+    val base = lshBucket(withNorm(corpus.select(col("id"),
+      col("vec").cast("array<double>").as("v")), "v", "n"), "v", planes)
+    val probes =
+      if (probeFlips == 0) array(lit(0L))
+      else array(lit(0L) +: (0 until nPlanes).map(i => lit(1L << i)): _*)
+    // probe side explodes its bucket neighborhood; index side keeps one
+    // bucket per vector, so a pair straddling one plane still collides
+    val l = base.withColumn("_flip", explode(probes))
+      .withColumn("bucket", col("_flip").bitwiseXOR(col("bucket")))
+      .select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val r = base.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
+      .distinct()
+      .withColumn("cosine",
+        VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** IVF probe: per query, rank cells by centroid cosine, search the top
     * `nprobe` cells exactly, return top-k. Recall < 1 by construction; the
     * companion spec measures it against bruteForceTopK.

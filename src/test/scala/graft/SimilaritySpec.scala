@@ -60,4 +60,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.forall(p => p._1 < p._2))
     assert(pairs.forall(_._3 >= 0.3))
   }
+
+  test("multi-probe LSH recall >= single-probe recall") {
+    val queries = corpus.filter($"id" < 20)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.lshTopK(queries, corpus, 4, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshTopKMultiProbe(queries, corpus, 4, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rs = (exact intersect single).size.toDouble / exact.size
+    val rm = (exact intersect multi).size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm must be >= single-probe $rs")
+    assert(rm > 0.2, s"multi-probe recall too low: $rm")
+  }
+
+  test("blocked near-dup pairs are a thresholded subset of the exact pairs") {
+    val exact = Similarity.cosineNearDupPairs(corpus, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.cosineNearDupPairsBlocked(corpus, 0.3, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact), "blocking must not invent pairs")
+    assert(exact.isEmpty ||
+      blocked.size.toDouble / exact.size > 0.2,
+      s"blocked recall ${blocked.size}/${exact.size}")
+  }
 }
