@@ -199,6 +199,77 @@ object ExtendedQueries {
       |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------- grouping sets (SQL entry path) ----------
+
+  /** GROUPING SETS via the SQL front end (the DSL only exposes cube/rollup):
+    * per-(lang), per-(source), and grand-total document counts in ONE scan —
+    * Catalyst expands to a single Expand + aggregate, not three scans.
+    */
+  val qGroupingSets: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").createOrReplaceTempView("gs_documents")
+    spark.sql(
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM gs_documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsOracle: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang), (source), ())
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
+  // ---------- statistical moments (exact-decimal formulation) ----------
+
+  /** Pearson correlation + sample stddev per group WITHOUT the built-in
+    * corr/stddev (whose streaming co-moment accumulation is order-dependent
+    * in double): all Σx, Σy, Σxy, Σx², Σy² run in DECIMAL(18,2) — the
+    * data's own scale, so products are exact at scale 4 with IDENTICAL
+    * precision on both engines (wider scales rescale differently in Spark
+    * vs DuckDB and shift the last ulp), and the closed-form combination happens once per group in
+    * double — bit-reproducible on both engines at any parallelism. This is
+    * also the right 100 TB formulation: five decimal sums are one map-side-
+    * combinable aggregate pass.
+    */
+  val qStatsMoments: Q = (spark, dir) => {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+          (sqrt(col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) *
+            sqrt(col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / col("n"))))
+          .as("corr_qty_price"),
+        sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - 1)).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val statsMomentsOracle: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+      |    (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+      |      sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)))
+      |    AS corr_qty_price,
+      |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |    / (n - 1)) AS stddev_qty
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   // ---------- stratified deterministic sampling ----------
 
   /** Per-status sampling permille: downsample the common 'F'/'O' strata,
@@ -319,12 +390,16 @@ object ExtendedQueries {
     "q_percentiles" -> qPercentiles,
     "q_stratified_sample" -> qStratifiedSample,
     "q_doc_packing" -> qDocPacking,
-    "q_training_mix" -> qTrainingMix
+    "q_training_mix" -> qTrainingMix,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_stats_moments" -> qStatsMoments
   )
 
   val oracles: Map[String, String] = Map(
     "q_doc_packing" -> docPackingOracle,
     "q_training_mix" -> trainingMixOracle,
+    "q_grouping_sets" -> groupingSetsOracle,
+    "q_stats_moments" -> statsMomentsOracle,
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_pii_scrub" -> piiScrubOracle,
