@@ -38,6 +38,19 @@ object Dedup {
       .drop("_rn")
   }
 
+  /** Decontamination: drop every `train` row whose normalized-content
+    * fingerprint appears in `test` (benchmark/holdout leakage removal).
+    * One left-anti join on the md5 key — the test side is typically tiny
+    * relative to 100 TB of training data, so AQE broadcasts it and the
+    * operation costs one training-corpus scan.
+    */
+  def crossDedup(train: DataFrame, test: DataFrame, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    train.withColumn("_fp", fp)
+      .join(test.select(fp.as("_fp")).distinct(), Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   /** (a, b) pairs from the shared deterministic MinHash permutation table:
     * 16 permutations h → (a·h31 + b) mod (2³¹−1), constants from a fixed
     * LCG seed so the SQL oracle can embed the same numbers.

@@ -199,6 +199,34 @@ object ExtendedQueries {
       |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------- decontamination ----------
+
+  /** Benchmark-leakage removal: hold out every 10th doc (deterministic) as
+    * the "eval set", decontaminate the rest against it by content
+    * fingerprint, and summarize what survives per language. The planted
+    * near-identical docs in the corpus make the removal non-trivial.
+    */
+  val qDecontaminate: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val test = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    graft.operators.Dedup.crossDedup(train, test, "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val decontaminateOracle: String = {
+    val norm = PipelineQueries.NORM
+    s"""WITH f AS (SELECT doc_id, lang, n_chars, md5($norm) AS fp FROM documents),
+       |test AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 0)
+       |SELECT lang, count(*) AS n_train_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM f WHERE doc_id % 10 <> 0 AND fp NOT IN (SELECT fp FROM test)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---------- grouping sets (SQL entry path) ----------
 
   /** GROUPING SETS via the SQL front end (the DSL only exposes cube/rollup):
@@ -392,7 +420,8 @@ object ExtendedQueries {
     "q_doc_packing" -> qDocPacking,
     "q_training_mix" -> qTrainingMix,
     "q_grouping_sets" -> qGroupingSets,
-    "q_stats_moments" -> qStatsMoments
+    "q_stats_moments" -> qStatsMoments,
+    "q_decontaminate" -> qDecontaminate
   )
 
   val oracles: Map[String, String] = Map(
@@ -400,6 +429,7 @@ object ExtendedQueries {
     "q_training_mix" -> trainingMixOracle,
     "q_grouping_sets" -> groupingSetsOracle,
     "q_stats_moments" -> statsMomentsOracle,
+    "q_decontaminate" -> decontaminateOracle,
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_pii_scrub" -> piiScrubOracle,

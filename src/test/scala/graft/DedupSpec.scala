@@ -54,6 +54,15 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("cross-dedup drops train docs whose content appears in the test set") {
+    val train = Seq((1L, "keep me"), (2L, "the quick brown fox"),
+      (3L, "  the quick   brown fox ")).toDF("doc_id", "text")
+    val test = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val out = Dedup.crossDedup(train, test, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L), "both whitespace variants of the leaked doc go")
+  }
+
   test("simhashPairs rejects a hamming budget the blocking cannot honor") {
     val e = intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs, "text", "doc_id", 4)
