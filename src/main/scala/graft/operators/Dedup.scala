@@ -142,6 +142,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Sketch-only Jaccard ESTIMATE for candidate pairs: the fraction of equal
+    * minhash coordinates is an unbiased estimator of J (σ = √(J(1−J)/k)).
+    * Joins two 16-long signatures per pair instead of the full postings —
+    * the verify path when even the candidate-restricted postings join is too
+    * large, trading exactness for O(pairs·k) work. Pair with
+    * [[jaccardOfPairs]] when exact values are required.
+    */
+  def jaccardEstimateOfPairs(pairs: DataFrame, signatures: DataFrame,
+      idCol: String): DataFrame = {
+    val sigCols = (0 until 16).map(i => s"mh$i")
+    def side(as: String) = signatures.select(
+      col(idCol).as(as) +: sigCols.map(c => col(c).as(s"${c}_$as")): _*)
+    val matches = sigCols.map(c =>
+      when(col(s"${c}_id_a") === col(s"${c}_id_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(side("id_a"), Seq("id_a"))
+      .join(side("id_b"), Seq("id_b"))
+      .withColumn("jaccard_est", matches.cast("double") / 16.0)
+      .select(col("id_a"), col("id_b"), col("jaccard_est"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
     * exact-Jaccard verify ≥ threshold.
     */

@@ -94,6 +94,23 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq(0L, 3L))
   }
 
+  test("sketch-only jaccard estimate tracks the exact value") {
+    val d = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val postings = Dedup.shingleHashes(d, "text", "doc_id")
+    val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id", 0.5)
+      .select("id_a", "id_b", "jaccard")
+    val sigs = Dedup.minhashSignature(postings, "doc_id")
+    val est = Dedup.jaccardEstimateOfPairs(
+      exact.select("id_a", "id_b"), sigs, "doc_id")
+    val joined = exact.join(est, Seq("id_a", "id_b"))
+      .select("jaccard", "jaccard_est")
+      .as[(Double, Double)].collect()
+    assert(joined.nonEmpty)
+    // k=16 -> sigma <= 0.125; allow 3 sigma
+    val maxErr = joined.map { case (j, e) => math.abs(j - e) }.max
+    assert(maxErr <= 0.375, s"estimate error $maxErr too large for k=16")
+  }
+
   test("prefix-filter pairs == inverted-index pairs (lossless)") {
     val d = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
     for (t <- Seq(0.3, 0.5, 0.8)) {
