@@ -42,6 +42,26 @@ object StreamingIngest {
       }
       .start()
 
+  /** Bucketed variant: each micro-batch merge rewrites ONLY the hash buckets
+    * it touches (HubWriter.writeBucketed) — the streaming path that stays
+    * O(batch) per trigger instead of O(table), i.e. the one that survives a
+    * 100 TB hub with a high-frequency trigger.
+    */
+  def bucketedHubUpsertStream(
+      stream: DataFrame,
+      hubPath: String,
+      keys: Seq[String],
+      nBuckets: Int,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        HubWriter.writeBucketed(batch.sparkSession, batch, hubPath, keys, nBuckets)
+      }
+      .start()
+
   /** Watermarked sliding-window count/sum per event type.
     * `ts` must be a TimestampType column.
     */
@@ -102,30 +122,48 @@ object StreamingIngest {
     * (`flatMapGroupsWithState`): closed sessions are emitted as soon as the
     * gap that closes them arrives; the open session rides in the state store
     * across micro-batches. State size = O(1) per active user.
+    *
+    * State EVICTION (the part that keeps a 100 TB/day deployment alive):
+    * a processing-time timeout of `idleTimeoutSeconds` fires for users with
+    * no new events — the open session is emitted as closed and the state
+    * removed, so the store holds only recently-active users instead of every
+    * user ever seen. Late events for an evicted user start a fresh session
+    * id sequence (documented trade-off vs unbounded state).
     */
   def sessionizeStream(
       events: org.apache.spark.sql.Dataset[SessionEvent],
-      gapSeconds: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+      gapSeconds: Long,
+      idleTimeoutSeconds: Long = 3600L): org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapSeconds * 1000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAgg, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionAgg]) =>
-          val ts = it.map(_.ts_us).toArray.sorted
-          var st = state.getOption.getOrElse(SessionAgg(0L, 0L, 0L, 0L))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          ts.foreach { t =>
-            if (st.sid == 0L) st = SessionAgg(1L, t, t, 1L)
-            else if (t - st.last > gapUs) {
-              closed += SessionOut(user, st.sid, st.count, st.start / 1000000L)
-              st = SessionAgg(st.sid + 1L, t, t, 1L)
-            } else st = st.copy(last = t, count = st.count + 1L)
+          if (state.hasTimedOut) {
+            // idle user: flush the open session and evict the state
+            val st = state.get
+            state.remove()
+            if (st.sid != 0L)
+              Iterator.single(SessionOut(user, st.sid, st.count, st.start / 1000000L))
+            else Iterator.empty
+          } else {
+            val ts = it.map(_.ts_us).toArray.sorted
+            var st = state.getOption.getOrElse(SessionAgg(0L, 0L, 0L, 0L))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            ts.foreach { t =>
+              if (st.sid == 0L) st = SessionAgg(1L, t, t, 1L)
+              else if (t - st.last > gapUs) {
+                closed += SessionOut(user, st.sid, st.count, st.start / 1000000L)
+                st = SessionAgg(st.sid + 1L, t, t, 1L)
+              } else st = st.copy(last = t, count = st.count + 1L)
+            }
+            state.update(st)
+            state.setTimeoutDuration(idleTimeoutSeconds * 1000L)
+            closed.iterator
           }
-          state.update(st)
-          closed.iterator
       }
   }
 }

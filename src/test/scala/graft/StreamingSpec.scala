@@ -47,6 +47,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected.collect().toSeq)
   }
 
+  test("bucketed streaming upsert merges via partial-bucket rewrites") {
+    val lake = tmpDir("slake4")
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    val schema = Seq((0L, "x")).toDF("id", "v")
+    val q1 = StreamingIngest.bucketedHubUpsertStream(
+      StreamingIngest.parquetStream(spark, src, schema),
+      s"$lake/hub", Seq("id"), 8, s"$lake/ckpt")
+    q1.awaitTermination()
+    Seq((42L, "UPDATED"), (101L, "new")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    val q2 = StreamingIngest.bucketedHubUpsertStream(
+      StreamingIngest.parquetStream(spark, src, schema),
+      s"$lake/hub", Seq("id"), 8, s"$lake/ckpt")
+    q2.awaitTermination()
+    val out = graft.writers.HubWriter.readHub(spark, s"$lake/hub")
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 101)
+    assert(out(42L) == "UPDATED" && out(101L) == "new" && out(43L) == "v43")
+  }
+
   test("streaming dedup keeps first arrival per fingerprint across batches") {
     val lake = tmpDir("slake3")
     val src = s"$lake/in"
