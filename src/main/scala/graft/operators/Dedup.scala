@@ -151,7 +151,10 @@ object Dedup {
     */
   def jaccardEstimateOfPairs(pairs: DataFrame, signatures: DataFrame,
       idCol: String): DataFrame = {
-    val sigCols = (0 until 16).map(i => s"mh$i")
+    // k derives from the shared permutation table — the single source of
+    // truth for the mh* signature schema
+    val k = minhashParams.size
+    val sigCols = (0 until k).map(i => s"mh$i")
     def side(as: String) = signatures.select(
       col(idCol).as(as) +: sigCols.map(c => col(c).as(s"${c}_$as")): _*)
     val matches = sigCols.map(c =>
@@ -159,7 +162,7 @@ object Dedup {
       .reduce(_ + _)
     pairs.join(side("id_a"), Seq("id_a"))
       .join(side("id_b"), Seq("id_b"))
-      .withColumn("jaccard_est", matches.cast("double") / 16.0)
+      .withColumn("jaccard_est", matches.cast("double") / k.toDouble)
       .select(col("id_a"), col("id_b"), col("jaccard_est"))
   }
 
@@ -199,7 +202,9 @@ object Dedup {
     val docsets = postings.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .withColumn("sz", size(col("hs")))
-    val szs = postings.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // docsets already carries the per-doc size — reuse it instead of a
+    // second groupBy over the postings (a full redundant shuffle at scale)
+    val szs = docsets.select(col(idCol), col("sz"))
     val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("h"))
     val prefix = postings.join(dfreq, Seq("h"))

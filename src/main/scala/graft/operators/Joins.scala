@@ -35,6 +35,15 @@ object AsofJoin {
       rightTs: String,
       rightCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.StructType
+    val internal = Set("_ts", "_side", "_rv", "_rlast")
+    val clash = (left.columns ++ rightCols).filter(internal)
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${internal.mkString(", ")}; " +
+        s"rename input columns: ${clash.mkString(", ")}")
+    val dup = rightCols.filter(left.columns.contains)
+    require(dup.isEmpty,
+      s"rightCols collide with left columns (output would be ambiguous): " +
+        dup.mkString(", "))
     val leftCols = left.columns.filterNot(_ == key).toSeq
     val rvType = StructType(rightCols.map(c => right.schema(c)))
     val l = left.select(
@@ -80,10 +89,15 @@ object RangeJoin {
     require(bucketSize > 0, "bucketSize must be positive")
     val pb = points.withColumn("_bucket",
       floor(col(valueCol) / bucketSize).cast("long"))
-    val ib = intervals.withColumn("_bucket",
-      explode(sequence(
-        floor(col(loCol) / bucketSize).cast("long"),
-        floor(col(hiCol) / bucketSize).cast("long"))))
+    // empty/inverted intervals contribute no rows — and must be dropped
+    // BEFORE the explode: Spark's two-arg sequence(start, stop) steps -1
+    // when start > stop, so an inverted interval would fan out a huge
+    // descending bucket range instead of nothing
+    val ib = intervals.filter(col(loCol) <= col(hiCol))
+      .withColumn("_bucket",
+        explode(sequence(
+          floor(col(loCol) / bucketSize).cast("long"),
+          floor(col(hiCol) / bucketSize).cast("long"))))
     pb.join(ib, Seq("_bucket"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("_bucket")

@@ -14,11 +14,8 @@ object ExtendedQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** md5-prefix 60-bit hash of an expression, DuckDB side (mirrors
-    * graft.operators.Shingles.hash60).
-    */
-  private def h60(s: String): String =
-    s"CAST(('0x' || substring(md5($s), 1, 15)) AS BIGINT)"
+  /** md5-prefix 60-bit hash (DuckDB side) — the ONE shared definition. */
+  private def h60(s: String): String = PipelineQueries.h60(s)
 
   // ---------- as-of join ----------
 

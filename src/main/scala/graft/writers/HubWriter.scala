@@ -70,13 +70,20 @@ object HubWriter {
       stamped.write.partitionBy(BucketCol).parquet(path)
       writeBucketMeta(spark, path, nBuckets)
     } else {
-      // A different nBuckets re-routes every key: reject rather than corrupt.
+      // A different nBuckets (or a table from a different/unknown hash
+      // layout) re-routes keys: the merge would read only the new buckets
+      // and leave stale duplicates in the old ones. Reject rather than
+      // corrupt — a missing/mismatched sidecar means the table was not
+      // written by this layout version and must be rebuilt.
       readBucketMeta(spark, path) match {
         case Some(existing) =>
           require(existing == nBuckets,
             s"hub at $path is bucketed with nBuckets=$existing; " +
               s"got nBuckets=$nBuckets — bucket count is immutable once written")
-        case None => writeBucketMeta(spark, path, nBuckets) // pre-meta table
+        case None => throw new IllegalStateException(
+          s"hub at $path has no $BucketMetaName sidecar (layout v$LayoutVersion); " +
+            "it was written by an unknown/older bucket-hash layout — " +
+            "rebuild it (read via readHub, rewrite with writeBucketed)")
       }
       val srcBuckets = stamped.select(col(BucketCol)).distinct()
         .collect().map(_.getInt(0)).sorted // ≤ nBuckets values: driver-safe
@@ -90,18 +97,27 @@ object HubWriter {
     }
   }
 
-  /** Bucket-count sidecar (`_graft_buckets`): underscore-prefixed so Spark's
-    * parquet reader ignores it; read back to validate layout immutability.
+  /** Bucket-layout sidecar (`_graft_buckets`): underscore-prefixed so
+    * Spark's parquet reader ignores it. Contents are `v<version>:<nBuckets>`
+    * — the version pins the bucket-hash definition (v2 = xxhash64 over
+    * string-cast keys), so a future hash change cannot silently merge
+    * against a differently-routed table.
     */
-  private def bucketMetaPath(path: String) = new Path(path, "_graft_buckets")
+  val LayoutVersion = 2
+  val BucketMetaName = "_graft_buckets"
+
+  private def bucketMetaPath(path: String) = new Path(path, BucketMetaName)
 
   private def writeBucketMeta(spark: SparkSession, path: String, n: Int): Unit = {
     val p = bucketMetaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"v$LayoutVersion:$n".getBytes("UTF-8")) finally out.close()
   }
 
+  /** nBuckets of a hub written with the CURRENT layout version; None when
+    * the sidecar is absent or names a different hash layout.
+    */
   def readBucketMeta(spark: SparkSession, path: String): Option[Int] = {
     val p = bucketMetaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,7 +127,11 @@ object HubWriter {
       try {
         val bytes = new Array[Byte](64)
         val n = in.read(bytes)
-        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toInt)
+        new String(bytes, 0, math.max(n, 0), "UTF-8").trim match {
+          case s if s.startsWith(s"v$LayoutVersion:") =>
+            Some(s.drop(s"v$LayoutVersion:".length).toInt)
+          case _ => None
+        }
       } finally in.close()
     }
   }

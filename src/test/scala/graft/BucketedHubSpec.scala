@@ -72,6 +72,18 @@ class BucketedHubSpec extends SparkTestBase {
     assert(e.getMessage.contains("immutable"))
   }
 
+  test("merging into a hub without a layout sidecar is rejected") {
+    val path = tmpDir("bhub") + "/t"
+    val v1 = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    HubWriter.writeBucketed(spark, v1, path, Seq("id"), 8)
+    // simulate a table written by an older/unknown bucket-hash layout
+    new File(path, HubWriter.BucketMetaName).delete()
+    val e = intercept[IllegalStateException] {
+      HubWriter.writeBucketed(spark, v1, path, Seq("id"), 8)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("bucketed merge handles schema evolution like the flat writer") {
     val path = tmpDir("bhub") + "/t"
     // 20 keys spread over all buckets, then evolve schema via ONE key —
