@@ -26,7 +26,13 @@ final case class Source(
       * exist, the HUB table is laid out in `hub_buckets` hash buckets so
       * merges rewrite only touched buckets (HubWriter.writeBucketed).
       */
-    hubBuckets: Option[Int] = None
+    hubBuckets: Option[Int] = None,
+    /** The declarative form of the reference's commented-out `keep_cols`
+      * scaffold (transform.py:6-8: "drop RAW-only audit columns if
+      * desired"): when non-empty, the HUB table keeps ONLY these columns.
+      * Empty = identity (the reference's committed behavior).
+      */
+    hubKeepCols: Seq[String] = Nil
 )
 
 /** The whole catalog: version + defaults + sources
@@ -91,7 +97,8 @@ object YamlCatalog {
       options = toStringMap(m.getOrElse("options", null)),
       rawPartitions = toStringSeq(m.get("raw_partitions"), Seq("ingest_date")),
       hubPrimaryKeys = toStringSeq(m.get("hub_primary_keys"), Nil),
-      hubBuckets = m.get("hub_buckets").filter(_ != null).map(_.toString.toInt)
+      hubBuckets = m.get("hub_buckets").filter(_ != null).map(_.toString.toInt),
+      hubKeepCols = toStringSeq(m.get("hub_keep_cols"), Nil)
     )
   }
 

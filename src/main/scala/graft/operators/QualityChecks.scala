@@ -45,6 +45,20 @@ object QualityChecks {
     val name = s"unique:${columns.mkString("+")}"
   }
 
+  /** table must have at least `min` rows (empty-extract tripwire);
+    * violations = max(0, min − n_rows)
+    */
+  final case class MinRows(min: Long) extends Rule {
+    val name = s"min_rows:$min"
+  }
+
+  /** null fraction of the column must stay ≤ maxRatio; violations = the
+    * null count when the ratio is exceeded, else 0
+    */
+  final case class NullRatio(column: String, maxRatio: Double) extends Rule {
+    val name = s"null_ratio:$column"
+  }
+
   private def violationCount(r: Rule): Column = r match {
     case NotNull(c) => count(when(col(c).isNull, 1))
     case InRange(c, lo, hi) =>
@@ -55,6 +69,12 @@ object QualityChecks {
       count(when(col(c).isNotNull && !col(c).isInCollection(allowed), 1))
     case Unique(cols) =>
       count(lit(1)) - count_distinct(struct(cols.map(col): _*))
+    case MinRows(min) =>
+      greatest(lit(min) - count(lit(1)), lit(0L))
+    case NullRatio(c, maxRatio) =>
+      when(count(when(col(c).isNull, 1)).cast("double") >
+        count(lit(1)) * maxRatio, count(when(col(c).isNull, 1)))
+        .otherwise(lit(0L))
   }
 
   /** One aggregation pass → one summary row per rule. */

@@ -22,6 +22,24 @@ object Transform {
   def register(sourceId: String, t: HubTransform): Unit =
     synchronized { overrides = overrides + (sourceId -> t) }
 
+  /** Declarative column selection — the reference's commented-out
+    * `keep_cols` scaffold (transform.py:6-8) as a catalog field. Validates
+    * that the kept set exists and still contains the hub primary keys (a
+    * keep-list that drops a merge key would corrupt the upsert).
+    */
+  val keepColsTransform: HubTransform = (df, s) => {
+    if (s.hubKeepCols.isEmpty) df
+    else {
+      val missing = s.hubKeepCols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"[${s.id}] hub_keep_cols not in source schema: ${missing.mkString(", ")}")
+      val droppedKeys = s.hubPrimaryKeys.filterNot(s.hubKeepCols.contains)
+      require(droppedKeys.isEmpty,
+        s"[${s.id}] hub_keep_cols drops hub primary keys: ${droppedKeys.mkString(", ")}")
+      df.select(s.hubKeepCols.map(df.col): _*)
+    }
+  }
+
   def toHub(df: DataFrame, source: Source): DataFrame =
-    overrides.getOrElse(source.id, identityTransform)(df, source)
+    overrides.getOrElse(source.id, keepColsTransform)(df, source)
 }

@@ -39,6 +39,18 @@ class QualityChecksSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("pass"))
   }
 
+  test("min_rows and null_ratio rules count violations") {
+    import graft.operators.QualityChecks.{MinRows, NullRatio}
+    val out = QC.run(df, Seq(MinRows(10), NullRatio("id", 0.1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("min_rows:10") == 6, "4 rows, need 10 -> 6 missing")
+    assert(out("null_ratio:id") == 1, "1/4 nulls > 10% -> null count reported")
+    val ok = QC.run(df, Seq(MinRows(3), NullRatio("id", 0.5)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ok("min_rows:3") == 0)
+    assert(ok("null_ratio:id") == 0, "1/4 nulls <= 50% -> pass")
+  }
+
   test("duplicate rule names are rejected up front") {
     val e = intercept[IllegalArgumentException] {
       QC.run(df, Seq(InRange("x", 0, 10), InRange("x", 5, 20)))

@@ -20,4 +20,36 @@ class TransformSpec extends SparkTestBase {
     assert(Transform.toHub(df, src).columns.contains("extra"))
     assert(!Transform.toHub(df, src.copy(id = "other")).columns.contains("extra"))
   }
+
+  test("hub_keep_cols selects the declared hub projection (keep_cols scaffold)") {
+    val df = Seq((1, "a", "drop-me")).toDF("id", "v", "raw_only")
+    val s = src.copy(id = "kc", hubPrimaryKeys = Seq("id"),
+      hubKeepCols = Seq("id", "v"))
+    assert(Transform.toHub(df, s).columns.toSeq == Seq("id", "v"))
+  }
+
+  test("hub_keep_cols rejects unknown columns and dropped primary keys") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    val bad1 = src.copy(id = "kc2", hubKeepCols = Seq("nope"))
+    assert(intercept[IllegalArgumentException] {
+      Transform.toHub(df, bad1)
+    }.getMessage.contains("nope"))
+    val bad2 = src.copy(id = "kc3", hubPrimaryKeys = Seq("id"),
+      hubKeepCols = Seq("v"))
+    assert(intercept[IllegalArgumentException] {
+      Transform.toHub(df, bad2)
+    }.getMessage.contains("primary keys"))
+  }
+
+  test("catalog parses hub_keep_cols") {
+    val sys = graft.catalog.YamlCatalog.loadString(
+      """version: 1
+        |defaults: {}
+        |sources:
+        |  - id: s1
+        |    type: csv
+        |    hub_keep_cols: [a, b]
+        |""".stripMargin)
+    assert(sys.sources.head.hubKeepCols == Seq("a", "b"))
+  }
 }
