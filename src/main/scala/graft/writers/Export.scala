@@ -1,0 +1,40 @@
+package graft.writers
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export: the last stage of the curation pipeline
+  * (dedup → quality gate → pack → SHARDS).
+  *
+  * Layout contract for a 1000-node training job:
+  *   - one directory per `partitionCols` value (readers select their slice
+  *     by directory pruning, e.g. per-language);
+  *   - files bounded to `maxRecordsPerFile` rows (uniform work units — no
+  *     single giant file serializing a reader);
+  *   - rows sorted by `sortCols` WITHIN each file (packs stay contiguous, so
+  *     a sequential reader materializes one context window at a time).
+  *
+  * All of it is expressed through the writer (repartition → sortWithin →
+  * maxRecordsPerFile): no driver-side loops, and the shuffle on the
+  * partition columns is the only data movement.
+  */
+object Export {
+
+  def shards(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      maxRecordsPerFile: Long,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+}
