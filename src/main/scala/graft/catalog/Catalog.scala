@@ -79,6 +79,11 @@ object YamlCatalog {
       case other =>
         throw new IllegalArgumentException(s"sources must be a list, got $other")
     }
+    // duplicate ids would silently double-ingest into the same RAW/HUB paths
+    val dups = sources.groupBy(_.id).collect { case (id, ss) if ss.size > 1 => id }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate source ids in catalog: ${dups.mkString(", ")}")
     SourceSystem(version, defaults, sources)
   }
 

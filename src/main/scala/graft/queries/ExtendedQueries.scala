@@ -251,17 +251,21 @@ object ExtendedQueries {
 
   /** Pearson correlation + sample stddev per group WITHOUT the built-in
     * corr/stddev (whose streaming co-moment accumulation is order-dependent
-    * in double): all Σx, Σy, Σxy, Σx², Σy² run in DECIMAL(18,2) — the
-    * data's own scale, so products are exact at scale 4 with IDENTICAL
-    * precision on both engines (wider scales rescale differently in Spark
-    * vs DuckDB and shift the last ulp), and the closed-form combination happens once per group in
-    * double — bit-reproducible on both engines at any parallelism. This is
-    * also the right 100 TB formulation: five decimal sums are one map-side-
-    * combinable aggregate pass.
+    * in double): exact decimal sums combined once per group in double —
+    * bit-reproducible on both engines at any parallelism, and the right
+    * 100 TB formulation (five map-side-combinable sums in one pass).
+    *
+    * Determinism detail: the sums run over INTEGER-VALUED scale-0 decimals
+    * X = 100*quantity, Y = 100*price. corr is affine-invariant so
+    * corr(X,Y) = corr(x,y) exactly, and stddev just rescales by /100.
+    * Scale-0 matters: casting a scaled decimal to double divides the
+    * backing integer by 10^scale in DuckDB (a SECOND rounding once the
+    * integer exceeds 2^53) while Spark converts exactly — at scale 0 both
+    * engines round once, identically, at every SF.
     */
   val qStatsMoments: Q = (spark, dir) => {
-    val x = col("l_quantity").cast("decimal(18,2)")
-    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val x = round(col("l_quantity") * 100).cast("decimal(38,0)")
+    val y = round(col("l_extendedprice") * 100).cast("decimal(38,0)")
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -272,19 +276,19 @@ object ExtendedQueries {
           (sqrt(col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) *
             sqrt(col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / col("n"))))
           .as("corr_qty_price"),
-        sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) /
-          (col("n") - 1)).as("stddev_qty"))
+        (sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - 1)) / 100.0).as("stddev_qty"))
       .orderBy(col("l_returnflag"))
   }
 
   private val statsMomentsOracle: String =
     """WITH s AS (
       |  SELECT l_returnflag, count(*) AS n,
-      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
-      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      |    sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS sy,
+      |    sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0)) * CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS sxy,
+      |    sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0)) * CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS sxx,
+      |    sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) * CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS syy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
@@ -292,7 +296,7 @@ object ExtendedQueries {
       |      sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)))
       |    AS corr_qty_price,
       |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-      |    / (n - 1)) AS stddev_qty
+      |    / (n - 1)) / 100.0 AS stddev_qty
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   // ---------- stratified deterministic sampling ----------

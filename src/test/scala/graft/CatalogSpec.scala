@@ -60,6 +60,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(!YamlCatalog.loadString(yaml).sources(1).enabled)
   }
 
+  test("duplicate source ids are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.YamlCatalog.loadString(
+        """version: 1
+          |defaults: {}
+          |sources:
+          |  - id: a
+          |    type: csv
+          |  - id: a
+          |    type: json
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("duplicate source ids"))
+  }
+
   test("reference catalog itself parses") {
     val ref = YamlCatalog.load(
       "/root/reference/metadata_ingestion/metadata/sources.yaml")
