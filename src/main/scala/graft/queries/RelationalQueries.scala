@@ -343,7 +343,71 @@ object RelationalQueries {
         unix_timestamp(col("o_orderdate")).as("epoch_s"))
       .orderBy(col("o_orderkey"))
 
+  /** Analytic window-function surface beyond rank/sum: lag/lead with
+    * defaults, first/last over a running frame, ntile, percent_rank,
+    * cume_dist — one shuffle on the partition key.
+    */
+  val qWindowFuncs: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"),
+        first(col("o_orderkey")).over(wRun).as("first_key"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val windowFuncsOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1, -1.0) OVER w AS next_price,
+      |  first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Array-function surface over the embedding vectors, reduced to scalar
+    * outputs (the driver compare cannot hash array cells): size, element
+    * access, slice aggregation, extrema, containment — all codegen'd
+    * builtins, no UDFs.
+    */
+  val qArrayFuncs: Q = (spark, dir) => {
+    val v = col("embedding").cast("array<double>")
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        size(v).as("dim"),
+        v.getItem(0).as("first_elem"),
+        element_at(v, -1).as("last_elem"),
+        array_max(v).as("max_elem"),
+        array_min(v).as("min_elem"),
+        aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x).as("head4_sum"),
+        array_position(v, array_max(v)).as("argmax1"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val arrayFuncsOracle: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+      |  CAST(embedding[-1] AS DOUBLE) AS last_elem,
+      |  CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+      |  CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+      |  list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))) AS head4_sum,
+      |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax1
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_window_funcs" -> qWindowFuncs,
+    "q_array_funcs" -> qArrayFuncs,
     "q_string_funcs" -> qStringFuncs,
     "q_date_funcs" -> qDateFuncs,
     "q_rollup" -> qRollup,
@@ -372,6 +436,8 @@ object RelationalQueries {
     * aggregation + total ordering + matching aliases).
     */
   val oracles: Map[String, String] = Map(
+    "q_window_funcs" -> windowFuncsOracle,
+    "q_array_funcs" -> arrayFuncsOracle,
     "q_string_funcs" ->
       """SELECT p_partkey,
         |  concat_ws('|', p_brand, p_type) AS brand_type,
