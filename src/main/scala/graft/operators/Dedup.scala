@@ -356,21 +356,31 @@ object Dedup {
     agg.select(col(idCol), value.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on the four 8-bit chunks (pigeonhole for
-    * Hamming ≤ 3), verify with bit_count(xor) ≤ maxHamming.
+  /** SimHash near-dup pairs: block on `maxHamming + 1` bit chunks —
+    * pigeonhole guarantees a pair within the Hamming budget agrees on at
+    * least one full chunk, so the blocking is lossless for ANY budget < 32.
+    * Chunk count adapts to the budget: a small budget gets few, wide chunks
+    * (longer keys → fewer spurious collisions); verification is exact
+    * (`bit_count(xor) <= maxHamming`).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int): DataFrame = {
-    // Pigeonhole over four 8-bit chunks is only lossless for distance ≤ 3;
-    // a larger budget needs more/finer chunks — reject rather than silently
-    // drop qualifying pairs.
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"simhashPairs chunk blocking is lossless only for maxHamming <= 3 (got $maxHamming)")
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32) (got $maxHamming)")
+    val k = maxHamming + 1
+    // nearly-equal bit ranges covering all 32 bits: chunk c = bits
+    // [32c/k, 32(c+1)/k)
+    val ranges = (0 until k).map { c =>
+      val start = 32 * c / k
+      val width = 32 * (c + 1) / k - start
+      (c, start, width)
+    }
     val sig = simhash32(df, textCol, idCol)
     val chunks = sig.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(c =>
+      explode(array(ranges.map { case (c, start, width) =>
         struct(lit(c).as("chunk"),
-          (shiftright(col("simhash"), c * 8) % 256).as("ckey"))): _*)).as("cc"))
+          (shiftright(col("simhash"), start) % (1L << width)).as("ckey"))
+      }: _*)).as("cc"))
       .select(col(idCol), col("simhash"),
         col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
     val l = chunks.select(col("chunk"), col("ckey"),

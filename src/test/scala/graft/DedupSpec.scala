@@ -63,11 +63,22 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set(1L), "both whitespace variants of the leaked doc go")
   }
 
-  test("simhashPairs rejects a hamming budget the blocking cannot honor") {
-    val e = intercept[IllegalArgumentException] {
-      Dedup.simhashPairs(docs, "text", "doc_id", 4)
+  test("simhashPairs blocking is lossless at any hamming budget") {
+    // brute-force all-pairs reference on the 4-doc corpus
+    val sig = Dedup.simhash32(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (h <- Seq(0, 2, 4, 7)) {
+      val expected = (for {
+        a <- sig.keys; b <- sig.keys if a < b
+        if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= h
+      } yield (a, b)).toSet
+      val got = Dedup.simhashPairs(docs, "text", "doc_id", h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"maxHamming=$h")
     }
-    assert(e.getMessage.contains("maxHamming"))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "text", "doc_id", 32)
+    }
   }
 
   test("connected components throws instead of returning unconverged labels") {
