@@ -342,15 +342,30 @@ object Dedup {
     * iff Σ_tokens (2·bitᵢ(h) − 1) ≥ 0. Single groupBy pass with 32 partial
     * sums.
     */
-  def simhash32(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash32(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashN(df, textCol, idCol, 32)
+
+  /** 64-bit variant — halves the random-collision rate of each blocking
+    * chunk at double the aggregation width; prefer it for corpora beyond
+    * ~10⁸ documents where 32-bit signatures collide by birthday alone.
+    * Uses the full 60-bit md5-derived hash (no fold needed).
+    */
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashN(df, textCol, idCol, 60)
+
+  private def simhashN(df: DataFrame, textCol: String, idCol: String,
+      bits: Int): DataFrame = {
+    require(bits > 0 && bits <= 60, "md5-derived hash provides 60 bits")
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", Shingles.hash60(col("tok")) % lit(4294967296L))
-    val sums = (0 until 32).map { i =>
+      .withColumn("h",
+        if (bits < 60) Shingles.hash60(col("tok")) % lit(1L << bits)
+        else Shingles.hash60(col("tok")))
+    val sums = (0 until bits).map { i =>
       sum(shiftright(col("h"), i) % 2 * 2 - 1).as(s"s$i")
     }
     val agg = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-    val value = (0 until 32).map { i =>
+    val value = (0 until bits).map { i =>
       when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col(idCol), value.as("simhash"))

@@ -44,6 +44,27 @@ class JoinsSpec extends SparkTestBase {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("asof join matches the naive formulation on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val trades = (1 to 300).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "tid")
+    val quotes = (1 to 500).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toDouble))
+      .toDF("k", "qt", "px")
+      .groupBy($"k", $"qt").agg(max($"px").as("px")) // dedupe exact ties
+    val fast = AsofJoin.asofJoin(trades, quotes, "k", "t", "qt", Seq("qt", "px"))
+      .select($"tid", $"qt", $"px")
+    val matched = trades.join(quotes, Seq("k")).filter($"qt" <= $"t")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"tid")
+          .orderBy($"qt".desc)))
+      .filter($"rn" === 1).select($"tid", $"qt", $"px")
+    val naive = trades.select($"tid").join(matched, Seq("tid"), "left_outer")
+    assert(fast.count() == 300)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("bucketed range join equals the naive non-equi join") {
     val points = Seq(0.0, 24.9, 25.0, 49.9, 99.9, 100.0, 250.0)
       .toDF("value").withColumn("pid", monotonically_increasing_id())
