@@ -79,11 +79,21 @@ object YamlCatalog {
       case other =>
         throw new IllegalArgumentException(s"sources must be a list, got $other")
     }
-    // duplicate ids would silently double-ingest into the same RAW/HUB paths
-    val dups = sources.groupBy(_.id).collect { case (id, ss) if ss.size > 1 => id }
-    if (dups.nonEmpty)
+    // duplicate ids break per-source addressing (Transform.register,
+    // _source_id lineage)
+    val dupIds = sources.groupBy(_.id).collect { case (id, ss) if ss.size > 1 => id }
+    if (dupIds.nonEmpty)
       throw new IllegalArgumentException(
-        s"duplicate source ids in catalog: ${dups.mkString(", ")}")
+        s"duplicate source ids in catalog: ${dupIds.mkString(", ")}")
+    // RAW/HUB paths derive from (domain, entity) — two enabled sources
+    // sharing them would write the same directories (and HubWriter's swap
+    // is single-writer: concurrent ingest would corrupt the hub)
+    val dupPaths = sources.filter(_.enabled)
+      .groupBy(s => (s.domain, s.entity))
+      .collect { case (de, ss) if ss.size > 1 => s"$de ← ${ss.map(_.id).mkString("/")}" }
+    if (dupPaths.nonEmpty)
+      throw new IllegalArgumentException(
+        s"multiple enabled sources target the same (domain, entity) path: ${dupPaths.mkString("; ")}")
     SourceSystem(version, defaults, sources)
   }
 

@@ -345,12 +345,13 @@ object Dedup {
   def simhash32(df: DataFrame, textCol: String, idCol: String): DataFrame =
     simhashN(df, textCol, idCol, 32)
 
-  /** 64-bit variant — halves the random-collision rate of each blocking
-    * chunk at double the aggregation width; prefer it for corpora beyond
-    * ~10⁸ documents where 32-bit signatures collide by birthday alone.
-    * Uses the full 60-bit md5-derived hash (no fold needed).
+  /** 60-bit variant (the md5-derived hash's full width — bits above 59 are
+    * never set, so don't assign them to blocking chunks): nearly halves the
+    * per-chunk random-collision rate vs 32 bits; prefer it for corpora
+    * beyond ~10⁸ documents where 32-bit signatures collide by birthday
+    * alone.
     */
-  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def simhash60(df: DataFrame, textCol: String, idCol: String): DataFrame =
     simhashN(df, textCol, idCol, 60)
 
   private def simhashN(df: DataFrame, textCol: String, idCol: String,

@@ -377,8 +377,9 @@ object RelationalQueries {
 
   /** Array-function surface over the embedding vectors, reduced to scalar
     * outputs (the driver compare cannot hash array cells): size, element
-    * access, slice aggregation, extrema, containment — all codegen'd
-    * builtins, no UDFs.
+    * access, head-slice sum, extrema, containment. The head sum is an
+    * explicit left-to-right element chain — an `aggregate` HOF lambda would
+    * be interpreted, the one thing this repo keeps off hot paths.
     */
   val qArrayFuncs: Q = (spark, dir) => {
     val v = col("embedding").cast("array<double>")
@@ -389,7 +390,8 @@ object RelationalQueries {
         element_at(v, -1).as("last_elem"),
         array_max(v).as("max_elem"),
         array_min(v).as("min_elem"),
-        aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x).as("head4_sum"),
+        (((lit(0.0) + element_at(v, 1)) + element_at(v, 2)) +
+          element_at(v, 3) + element_at(v, 4)).as("head4_sum"),
         array_position(v, array_max(v)).as("argmax1"))
       .orderBy(col("vec_id"))
   }

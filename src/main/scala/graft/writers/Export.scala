@@ -29,7 +29,12 @@ object Export {
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
-    df.repartition(partitionCols.map(col): _*)
+    // RANGE-partition on (partitionCols ++ sortCols): hash-partitioning on
+    // the partition value alone would collapse each value (e.g. all of
+    // lang=en — possibly tens of TB) onto ONE task; range partitioning keeps
+    // directory unity AND spreads each value across many tasks, with the
+    // within-file sort preserved because range boundaries respect sort order
+    df.repartitionByRange((partitionCols ++ sortCols).map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write
       .mode(mode)

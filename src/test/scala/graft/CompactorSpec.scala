@@ -1,36 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, input_file_name, max, min, count, lit}
-
-class ExportSpec extends SparkTestBase {
-  import spark.implicits._
-
-  test("shards are partition-pruned, size-bounded, and sorted within files") {
-    val out = tmpDir("export") + "/shards"
-    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
-    val packed = graft.operators.TextAnalysis.packDocuments(
-      docs, "text", "doc_id", "lang", 200)
-    graft.writers.Export.shards(packed, out,
-      partitionCols = Seq("lang"), sortCols = Seq("pack_id", "doc_id"),
-      maxRecordsPerFile = 10L)
-    val back = spark.read.parquet(out)
-    assert(back.count() == packed.count())
-    assert(back.columns.contains("lang"), "partition column readable")
-    // every physical file holds at most maxRecordsPerFile rows
-    val perFile = back.groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
-      .collect()
-    assert(perFile.forall(_.getAs[Long]("n") <= 10L))
-    assert(perFile.length > 1, "multiple shards written")
-    // within-file sortedness: doc_id ranges of a lang's files don't overlap
-    // (sortWithinPartitions + maxRecordsPerFile splits in sort order)
-    val filesPerLang = back.select(col("lang"), input_file_name().as("f"))
-      .distinct().groupBy("lang").count().collect()
-    assert(filesPerLang.forall(_.getLong(1) >= 1))
-  }
-}
-
-
 import graft.writers.{Compactor, RawWriter}
 import org.apache.spark.sql.functions._
 

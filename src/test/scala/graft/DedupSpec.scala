@@ -63,8 +63,8 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set(1L), "both whitespace variants of the leaked doc go")
   }
 
-  test("simhash64: identical content -> same signature; more bits than 32-bit") {
-    val sig = Dedup.simhash64(docs, "text", "doc_id")
+  test("simhash60: identical content -> same signature; more bits than 32-bit") {
+    val sig = Dedup.simhash60(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sig(0L) == sig(2L), "whitespace variants agree")
     assert(sig.values.exists(_ > (1L << 32)), "uses bits above 32")

@@ -41,6 +41,46 @@ class TransformSpec extends SparkTestBase {
     }.getMessage.contains("primary keys"))
   }
 
+  test("hub_keep_cols retains the merge tiebreak column implicitly") {
+    val df = Seq((1, "a")).toDF("id", "v")
+      .withColumn("_ingest_ts_utc", current_timestamp())
+      .withColumn("_source_id", lit("s"))
+    val s = src.copy(id = "kc4", hubPrimaryKeys = Seq("id"),
+      hubKeepCols = Seq("id", "v"))
+    val out = Transform.toHub(df, s)
+    assert(out.columns.toSet == Set("id", "v", "_ingest_ts_utc"),
+      "keep-list applies but the last-writer-wins tiebreak survives")
+  }
+
+  test("a registered override composes with hub_keep_cols, not replaces it") {
+    Transform.register("kc5", (df, _) => df.withColumn("derived", lit(1)))
+    val df = Seq((1, "a", "x")).toDF("id", "v", "raw_only")
+    val s = src.copy(id = "kc5", hubPrimaryKeys = Seq("id"),
+      hubKeepCols = Seq("id", "v", "derived"))
+    val out = Transform.toHub(df, s)
+    assert(out.columns.toSeq == Seq("id", "v", "derived"),
+      "override computes the column; keep-list still projects and validates")
+  }
+
+  test("catalog rejects two enabled sources on one (domain, entity) path") {
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.YamlCatalog.loadString(
+        """version: 1
+          |defaults: {}
+          |sources:
+          |  - id: a
+          |    type: csv
+          |    domain: sales
+          |    entity: orders
+          |  - id: b
+          |    type: json
+          |    domain: sales
+          |    entity: orders
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("same (domain, entity)"))
+  }
+
   test("catalog parses hub_keep_cols") {
     val sys = graft.catalog.YamlCatalog.loadString(
       """version: 1
