@@ -86,11 +86,11 @@ object HubWriter {
             "rebuild it (read via readHub, rewrite with writeBucketed)")
       }
       val srcBuckets = stamped.select(col(BucketCol)).distinct()
-        .collect().map(_.getInt(0)).sorted // ≤ nBuckets values: driver-safe
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq // ≤ nBuckets values: driver-safe
       // mergeSchema: after a partial-bucket schema evolution, untouched
       // buckets still carry the old footer schema
       val target = spark.read.option("mergeSchema", "true").parquet(path)
-        .filter(col(BucketCol).isin(srcBuckets.map(Integer.valueOf): _*))
+        .filter(col(BucketCol).isInCollection(srcBuckets))
       val (t, s) = reconcileSchemas(target, stamped)
       val merged = merge(t, s, keys)
       replaceBuckets(spark, merged, path, srcBuckets)
