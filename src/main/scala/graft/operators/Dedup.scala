@@ -9,18 +9,21 @@ import org.apache.spark.sql.functions._
   * generation + exact verify), SimHash (bitwise near-dup).
   *
   * Scale design (the point of each algorithm):
-  *   - exact: one hash-shuffle on the fingerprint — embarrassingly parallel;
+  *   - exact / decontamination: one hash-shuffle (or anti-join) on the
+  *     fingerprint — embarrassingly parallel;
   *   - ngram Jaccard: explode to (shingle, doc) postings and self-join on
-  *     shingle — work ∝ Σ df(shingle)², so callers should drop ultra-common
-  *     shingles (df cap) at web scale; any pair with J ≥ t > 0 shares a
-  *     shingle, so candidate generation is lossless;
+  *     shingle — work ∝ Σ df(shingle)²; any pair with J ≥ t > 0 shares a
+  *     shingle, so candidate generation is lossless. For Zipfian corpora
+  *     (hot shingles) use [[ngramJaccardPairsPrefix]] — AllPairs prefix
+  *     filtering drops the quadratic term to Σ df·df_prefix, losslessly;
   *   - MinHash LSH: constant-size signature per doc (k=16 mins), banded
   *     (4×4) bucket join — work ∝ collisions, not pairs. The s-curve
   *     1-(1-j⁴)⁴ makes J≥0.8 pairs collide w.p. ≥0.88 per band set;
-  *     candidates are then verified with EXACT Jaccard;
-  *   - SimHash: 32-bit weighted-bit signature; near-dups = small Hamming
-  *     distance; candidate blocking on 8-bit chunks (pigeonhole: distance ≤ 3
-  *     ⇒ some chunk equal).
+  *     candidates are then verified with EXACT Jaccard (or estimated from
+  *     signatures alone via [[jaccardEstimateOfPairs]]);
+  *   - SimHash: 32/60-bit weighted-bit signature; near-dups = small Hamming
+  *     distance; candidate blocking on maxHamming+1 bit chunks (pigeonhole
+  *     ⇒ lossless at any budget below the signature width).
   *
   * All arithmetic is integer/exact (md5-derived 60-bit hashes, 31-bit modular
   * permutations) so the DuckDB oracles reproduce results bit-for-bit.
