@@ -248,8 +248,25 @@ object Dedup {
     * to [[ngramJaccardPairsPrefix]] when hot shingles dominate.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
-    val postings = shingleHashes(df, textCol, idCol, n)
+      threshold: Double, n: Int = 3): DataFrame =
+    jaccardPairsFromPostings(shingleHashes(df, textCol, idCol, n), idCol, threshold)
+
+  /** Character-shingle variant for unsegmented scripts (CJK, no word
+    * boundaries): same inverted-index pipeline over distinct char n-gram
+    * hashes of the normalized text. Use n ≈ 5 for the usual precision/recall
+    * balance (char 5-grams ≈ word bigrams on English).
+    */
+  def charNgramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, n: Int = 5): DataFrame = {
+    val postings = df.select(col(idCol),
+      explode(Shingles.charShingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol), Shingles.hash31(col("shingle")).as("h"))
+      .distinct()
+    jaccardPairsFromPostings(postings, idCol, threshold)
+  }
+
+  private def jaccardPairsFromPostings(postings: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // length-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
     // whose set sizes differ by more than the threshold ratio can't qualify.

@@ -210,6 +210,19 @@ object Shingles {
       transform(sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
         i => concat_ws(" ", (0 until n).map(k => try_element_at(tokens, i + lit(k))): _*)))
 
+  /** Character n-shingles over whitespace-normalized lowercase text —
+    * the tokenizer-free shingling for unsegmented scripts (CJK has no
+    * word boundaries for [[wordShingles]] to find). Distinct set semantics;
+    * a text shorter than n yields itself as the single shingle (both
+    * engines' substring clamps to the available length).
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = lower(trim(regexp_replace(text, "\\s+", " ")))
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n))))
+  }
+
   /** 60-bit positive hash from the md5 hex prefix — identical in DuckDB via
     * CAST(('0x' || substring(md5(s),1,15)) AS BIGINT).
     */

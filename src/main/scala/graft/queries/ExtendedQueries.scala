@@ -196,6 +196,32 @@ object ExtendedQueries {
       |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------- char-shingle near-dup (unsegmented scripts) ----------
+
+  val CharNgramN = 5
+  val CharJaccardThreshold = 0.7
+
+  /** Tokenizer-free near-dup pairs over char 5-grams — the dedup path for
+    * scripts with no word boundaries (the word-shingle pipeline sees a
+    * spaceless CJK document as ONE token).
+    */
+  val qCharJaccard: Q = (spark, dir) =>
+    graft.operators.Dedup.charNgramJaccardPairs(
+      Tables(spark, dir, "documents"), "text", "doc_id",
+      CharJaccardThreshold, CharNgramN)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val charJaccardOracle: String = {
+    val norm = PipelineQueries.NORM
+    s"""WITH t AS (SELECT doc_id, $norm AS nt FROM documents),
+       |sh AS (SELECT doc_id, substring(nt, i, $CharNgramN) AS s
+       |       FROM t, UNNEST(range(1, greatest(length(nt) - ${CharNgramN - 1}, 1) + 1)) u(i)),
+       |post AS (SELECT DISTINCT doc_id, ${h60("s")} % 2147483647 AS h FROM sh),
+       |${PipelineQueries.jaccardSelect}
+       |SELECT id_a, id_b, jaccard FROM jacc
+       |WHERE jaccard >= $CharJaccardThreshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------- decontamination ----------
 
   /** Benchmark-leakage removal: hold out every 10th doc (deterministic) as
@@ -422,7 +448,8 @@ object ExtendedQueries {
     "q_training_mix" -> qTrainingMix,
     "q_grouping_sets" -> qGroupingSets,
     "q_stats_moments" -> qStatsMoments,
-    "q_decontaminate" -> qDecontaminate
+    "q_decontaminate" -> qDecontaminate,
+    "q_char_jaccard" -> qCharJaccard
   )
 
   val oracles: Map[String, String] = Map(
@@ -431,6 +458,7 @@ object ExtendedQueries {
     "q_grouping_sets" -> groupingSetsOracle,
     "q_stats_moments" -> statsMomentsOracle,
     "q_decontaminate" -> decontaminateOracle,
+    "q_char_jaccard" -> charJaccardOracle,
     "q_asof_join" -> asofJoinOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_pii_scrub" -> piiScrubOracle,

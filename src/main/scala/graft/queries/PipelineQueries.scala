@@ -153,7 +153,7 @@ object PipelineQueries {
       NgramJaccardThreshold)
       .orderBy(col("id_a"), col("id_b"))
 
-  private val jaccardSelect =
+  private[queries] val jaccardSelect =
     """szs AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
       |common AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common

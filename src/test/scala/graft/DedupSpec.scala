@@ -54,6 +54,23 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("char-shingle jaccard finds near-dups in unsegmented text") {
+    // spaceless CJK-style strings: word shingling sees ONE token per doc and
+    // can never pair them; char 5-grams recover the overlap
+    val cjk = Seq(
+      (1L, "深度学习模型训练数据质量控制流程第一版"),
+      (2L, "深度学习模型训练数据质量控制流程第二版"),
+      (3L, "完全不同的内容关于分布式计算引擎优化")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.charNgramJaccardPairs(cjk, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    val wordPairs = Dedup.ngramJaccardPairs(cjk, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!wordPairs.contains((1L, 2L)),
+      "word shingling cannot pair spaceless near-dups — that's the gap charNgram fills")
+  }
+
   test("cross-dedup drops train docs whose content appears in the test set") {
     val train = Seq((1L, "keep me"), (2L, "the quick brown fox"),
       (3L, "  the quick   brown fox ")).toDF("doc_id", "text")
