@@ -44,6 +44,18 @@ object AsofJoin {
     require(dup.isEmpty,
       s"rightCols collide with left columns (output would be ambiguous): " +
         dup.mkString(", "))
+    // the dedup tie-break sorts the _rv payload struct, so every carried
+    // right column must have an orderable type — fail fast with a clear
+    // message instead of a late, opaque analysis error on the window sort
+    val unorderable = rightCols.filterNot(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType))
+    require(unorderable.isEmpty,
+      "asofJoin orders right duplicates at equal ts by the payload columns, " +
+        s"which must be orderable types; not orderable: " +
+        unorderable.map(c => s"$c: ${right.schema(c).dataType.simpleString}")
+          .mkString(", ") +
+        " — drop the column from rightCols or pre-dedup right on (key, ts)")
     val leftCols = left.columns.filterNot(_ == key).toSeq
     val rvType = StructType(rightCols.map(c => right.schema(c)))
     val l = left.select(
@@ -87,6 +99,16 @@ object RangeJoin {
       hiCol: String,
       bucketSize: Double): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
+    // mirror asofJoin's up-front validation: shared names would make the
+    // post-join containment filter's col(valueCol)/col(loCol) references
+    // ambiguous and throw a confusing AnalysisException deep in analysis
+    val shared = points.columns.filter(intervals.columns.contains)
+    require(shared.isEmpty,
+      "bucketedRangeJoin requires disjoint column names between points and " +
+        s"intervals (alias one side); shared: ${shared.mkString(", ")}")
+    val reserved = (points.columns ++ intervals.columns).filter(_ == "_bucket")
+    require(reserved.isEmpty,
+      "bucketedRangeJoin reserves the column name _bucket; rename the input column")
     val pb = points.withColumn("_bucket",
       floor(col(valueCol) / bucketSize).cast("long"))
     // empty/inverted intervals contribute no rows — and must be dropped

@@ -112,7 +112,10 @@ object StreamingIngest {
 
   final case class SessionEvent(user_id: Long, ts_us: Long)
 
-  /** sid == 0 ⇔ no open session yet. */
+  /** count == 0 ⇔ no open session; sid then holds the LAST EMITTED session
+    * id (0 if none yet), kept as a tombstone so a returning user continues
+    * the id sequence instead of restarting at 1.
+    */
   final case class SessionAgg(sid: Long, start: Long, last: Long, count: Long)
 
   final case class SessionOut(user_id: Long, session_id: Long,
@@ -126,44 +129,61 @@ object StreamingIngest {
     * State EVICTION (the part that keeps a 100 TB/day deployment alive):
     * a processing-time timeout of `idleTimeoutSeconds` fires for users with
     * no new events — the open session is emitted as closed and the state
-    * removed, so the store holds only recently-active users instead of every
-    * user ever seen. Late events for an evicted user start a fresh session
-    * id sequence (documented trade-off vs unbounded state).
+    * shrunk to a TOMBSTONE holding only the last emitted session id, so a
+    * returning user continues the id sequence and (user_id, session_id)
+    * stays unique downstream. The tombstone itself is removed after a
+    * second idle timeout with no activity; only a user returning after BOTH
+    * timeouts (≥ 2 × idleTimeoutSeconds idle) restarts at session_id 1 —
+    * the residual, documented trade-off vs unbounded state.
     */
+  /** The per-group state transition, extracted so the timeout/tombstone
+    * paths are unit-testable via `TestGroupState` (processing-time timeouts
+    * never fire in batch-mode execution, which the parity spec uses).
+    */
+  private[graft] def sessionStep(gapUs: Long, idleTimeoutMs: Long)(
+      user: Long,
+      it: Iterator[SessionEvent],
+      state: org.apache.spark.sql.streaming.GroupState[SessionAgg]
+  ): Iterator[SessionOut] =
+    if (state.hasTimedOut) {
+      val st = state.get
+      if (st.count == 0L) {
+        // tombstone idled through a second timeout: evict for good
+        state.remove()
+        Iterator.empty
+      } else {
+        // idle user: flush the open session, keep a tombstone with the
+        // emitted sid so a late return continues the sequence
+        state.update(SessionAgg(st.sid, 0L, 0L, 0L))
+        state.setTimeoutDuration(idleTimeoutMs)
+        Iterator.single(SessionOut(user, st.sid, st.count, st.start / 1000000L))
+      }
+    } else {
+      val ts = it.map(_.ts_us).toArray.sorted
+      var st = state.getOption.getOrElse(SessionAgg(0L, 0L, 0L, 0L))
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      ts.foreach { t =>
+        if (st.count == 0L) st = SessionAgg(st.sid + 1L, t, t, 1L)
+        else if (t - st.last > gapUs) {
+          closed += SessionOut(user, st.sid, st.count, st.start / 1000000L)
+          st = SessionAgg(st.sid + 1L, t, t, 1L)
+        } else st = st.copy(last = t, count = st.count + 1L)
+      }
+      state.update(st)
+      state.setTimeoutDuration(idleTimeoutMs)
+      closed.iterator
+    }
+
   def sessionizeStream(
       events: org.apache.spark.sql.Dataset[SessionEvent],
       gapSeconds: Long,
       idleTimeoutSeconds: Long = 3600L): org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapUs = gapSeconds * 1000000L
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAgg, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionAgg]) =>
-          if (state.hasTimedOut) {
-            // idle user: flush the open session and evict the state
-            val st = state.get
-            state.remove()
-            if (st.sid != 0L)
-              Iterator.single(SessionOut(user, st.sid, st.count, st.start / 1000000L))
-            else Iterator.empty
-          } else {
-            val ts = it.map(_.ts_us).toArray.sorted
-            var st = state.getOption.getOrElse(SessionAgg(0L, 0L, 0L, 0L))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            ts.foreach { t =>
-              if (st.sid == 0L) st = SessionAgg(1L, t, t, 1L)
-              else if (t - st.last > gapUs) {
-                closed += SessionOut(user, st.sid, st.count, st.start / 1000000L)
-                st = SessionAgg(st.sid + 1L, t, t, 1L)
-              } else st = st.copy(last = t, count = st.count + 1L)
-            }
-            state.update(st)
-            state.setTimeoutDuration(idleTimeoutSeconds * 1000L)
-            closed.iterator
-          }
-      }
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        sessionStep(gapSeconds * 1000000L, idleTimeoutSeconds * 1000L))
   }
 }

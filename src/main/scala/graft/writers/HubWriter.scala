@@ -3,7 +3,7 @@ package graft.writers
 import java.util.UUID
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -58,14 +58,16 @@ object HubWriter {
       nBuckets: Int
   ): Unit = {
     require(keys.nonEmpty, "bucketed hub requires primary keys")
-    // Hash a CANONICAL representation (string-cast keys): if a key column's
-    // inferred type drifts across runs (CSV int→double — the exact drift
+    // Hash a CANONICAL representation of each key: if a key column's inferred
+    // type drifts across runs (CSV int→long or int→double — the drifts
     // reconcileSchemas supports), the raw xxhash64 of the new type would route
     // the same logical key to a different bucket, the merge would read only
     // the new bucket, and the stale row would survive in the old one.
+    // canonicalKey renders 5 (int), 5L and 5.0D identically (see its doc), so
+    // both integral AND fractional widenings keep a key in its bucket.
     val stamped = df.withColumn(BucketCol,
-      pmod(xxhash64(keys.map(k => col(k).cast("string")): _*), lit(nBuckets))
-        .cast("int"))
+      pmod(xxhash64(keys.map(k => canonicalKey(col(k), df.schema(k).dataType)): _*),
+        lit(nBuckets)).cast("int"))
     if (!tableExists(spark, path)) {
       stamped.write.partitionBy(BucketCol).parquet(path)
       writeBucketMeta(spark, path, nBuckets)
@@ -97,13 +99,39 @@ object HubWriter {
     }
   }
 
+  /** Canonical string form of a key value for bucket hashing: the SAME
+    * logical value must render identically under every type the widening
+    * ladder (see [[widen]]) can assign it across runs.
+    *
+    *   - integral types: plain string cast (`"5"` for int and long alike);
+    *   - fractional/decimal types: integral-valued numbers render via a long
+    *     cast (`5.0D` → `"5"`, matching int `5`); non-integral values render
+    *     via a double cast (`DECIMAL 5.50` and `5.5D` both → `"5.5"`).
+    *     Exact for integral values with |v| ≤ 2^53 (lossless double
+    *     round-trip); beyond that a long↔double drift may re-bucket — the
+    *     ladder only reaches there via long→double widening of huge keys;
+    *   - date: cast via timestamp, so a `date` that later widens to
+    *     `timestamp` (midnight) keeps its bucket;
+    *   - everything else: string cast (strings are already canonical; a
+    *     non-numeric type never widens to numeric).
+    */
+  private[graft] def canonicalKey(c: Column, dt: DataType): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType => c.cast(StringType)
+    case _: NumericType =>
+      val d = c.cast(DoubleType)
+      when(d === d.cast(LongType).cast(DoubleType), d.cast(LongType).cast(StringType))
+        .otherwise(d.cast(StringType))
+    case DateType => c.cast(TimestampType).cast(StringType)
+    case _ => c.cast(StringType)
+  }
+
   /** Bucket-layout sidecar (`_graft_buckets`): underscore-prefixed so
     * Spark's parquet reader ignores it. Contents are `v<version>:<nBuckets>`
-    * — the version pins the bucket-hash definition (v2 = xxhash64 over
-    * string-cast keys), so a future hash change cannot silently merge
+    * — the version pins the bucket-hash definition (v3 = xxhash64 over
+    * [[canonicalKey]]-rendered keys), so a hash change cannot silently merge
     * against a differently-routed table.
     */
-  val LayoutVersion = 2
+  val LayoutVersion = 3
   val BucketMetaName = "_graft_buckets"
 
   private def bucketMetaPath(path: String) = new Path(path, BucketMetaName)
@@ -125,9 +153,14 @@ object HubWriter {
     else {
       val in = fs.open(p)
       try {
+        // read to EOF: a single read() may return short on HDFS/object-store
+        // streams, which would truncate the content and fail the version
+        // match with a misleading "rebuild" error on a healthy hub
+        val buf = new java.io.ByteArrayOutputStream(64)
         val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        new String(bytes, 0, math.max(n, 0), "UTF-8").trim match {
+        var n = in.read(bytes)
+        while (n >= 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+        buf.toString("UTF-8").trim match {
           case s if s.startsWith(s"v$LayoutVersion:") =>
             Some(s.drop(s"v$LayoutVersion:".length).toInt)
           case _ => None

@@ -61,6 +61,46 @@ class BucketedHubSpec extends SparkTestBase {
     assert(out.filter(out("v") === "DRIFTED").count() == 100)
   }
 
+  test("bucket routing survives FRACTIONAL key type drift (int→double)") {
+    val path = tmpDir("bhub") + "/t"
+    val v1 = (1L to 100L).map(i => (i.toInt, s"v$i")).toDF("id", "v")
+    HubWriter.writeBucketed(spark, v1, path, Seq("id"), 8)
+    // same logical keys arrive as DOUBLE (CSV inferSchema drift int→double,
+    // the case the widen ladder supports): CAST(5 AS STRING)='5' but
+    // CAST(5.0D AS STRING)='5.0', so a naive string hash would re-bucket
+    // every key and the merge would duplicate all 100 rows
+    val v2 = (1L to 100L).map(i => (i.toDouble, "DRIFTED")).toDF("id", "v")
+    HubWriter.writeBucketed(spark, v2, path, Seq("id"), 8)
+    val out = HubWriter.readHub(spark, path)
+    assert(out.count() == 100, "no duplicate keys after fractional type drift")
+    assert(out.filter(out("v") === "DRIFTED").count() == 100)
+  }
+
+  test("canonicalKey renders one string per logical value across the widen ladder") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    def render(value: Any, dt: DataType): String =
+      Seq(1).toDF("x")
+        .select(HubWriter.canonicalKey(lit(value).cast(dt), dt).as("c"))
+        .collect().head.getString(0)
+    // integral value 5 under every numeric type it can drift through
+    val five = Seq(IntegerType, LongType, FloatType, DoubleType,
+      DecimalType(10, 2)).map(dt => render(5, dt))
+    assert(five.distinct.size == 1, s"integral 5 canonicalizes uniformly: $five")
+    // non-integral 5.5 under fractional types (decimal scale padding differs)
+    val fiveHalf = Seq(FloatType, DoubleType, DecimalType(10, 2))
+      .map(dt => render(5.5, dt))
+    assert(fiveHalf.distinct.size == 1, s"5.5 canonicalizes uniformly: $fiveHalf")
+    // date widening to timestamp keeps the rendering
+    val d = java.sql.Date.valueOf("2024-03-01")
+    val asDate = Seq(d).toDF("x").select(
+      HubWriter.canonicalKey(col("x"), DateType).as("c")).collect().head.getString(0)
+    val asTs = Seq(d).toDF("x").select(
+      HubWriter.canonicalKey(col("x").cast(TimestampType), TimestampType).as("c"))
+      .collect().head.getString(0)
+    assert(asDate == asTs, s"date/timestamp canonicalize uniformly: $asDate vs $asTs")
+  }
+
   test("changing nBuckets on an existing hub is rejected") {
     val path = tmpDir("bhub") + "/t"
     val v1 = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")

@@ -78,6 +78,26 @@ class JoinsSpec extends SparkTestBase {
     assert(fast.count() == 7, "band 0 holds 4 points incl. both bucket halves; 100.0 and 250.0 land in band 2")
   }
 
+  test("bucketed range join rejects shared column names up front") {
+    val points = Seq(1.0).toDF("value").withColumn("name", lit("p"))
+    val bands = Seq((0.0, 2.0)).toDF("lo", "hi").withColumn("name", lit("b"))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.bucketedRangeJoin(points, bands, "value", "lo", "hi", 1.0)
+    }
+    assert(e.getMessage.contains("disjoint") && e.getMessage.contains("name"))
+  }
+
+  test("asof join rejects unorderable right payload types up front") {
+    import org.apache.spark.sql.functions.map
+    val left = Seq((1L, 10L)).toDF("k", "lts")
+    val right = Seq((1L, 5L, "a", "b")).toDF("k", "rts", "mk", "mv")
+      .withColumn("payload", map($"mk", $"mv")).drop("mk", "mv")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, "k", "lts", "rts", Seq("payload"))
+    }
+    assert(e.getMessage.contains("orderable") && e.getMessage.contains("payload"))
+  }
+
   test("hash sample is deterministic and roughly proportional") {
     val df = (1L to 4000L).toDF("id")
     val a = Sampling.hashSample(df, $"id", lit(100)).as[Long].collect().toSet

@@ -42,6 +42,38 @@ class SessionizeSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("idle eviction keeps a sid tombstone so a returning user continues the sequence") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamingIngest.{SessionAgg, SessionOut}
+    val step = StreamingIngest.sessionStep(1800L * 1000000L, 3600_000L) _
+    val t0 = 1700000000000000L
+    // user 7 has an open session (sid=2, 3 events) and goes idle → timeout
+    val s1 = TestGroupState.create[SessionAgg](
+      Optional.of(SessionAgg(2L, t0, t0 + 60_000000L, 3L)),
+      GroupStateTimeout.ProcessingTimeTimeout, 0L, Optional.empty[Long](),
+      hasTimedOut = true)
+    val out1 = step(7L, Iterator.empty, s1).toSeq
+    assert(out1 == Seq(SessionOut(7L, 2L, 3L, t0 / 1000000L)),
+      "timeout flushes the open session")
+    assert(s1.get == SessionAgg(2L, 0L, 0L, 0L), "state shrinks to a sid tombstone")
+    // the user returns: next session id must be 3, not 1
+    val s2 = TestGroupState.create[SessionAgg](
+      Optional.of(s1.get), GroupStateTimeout.ProcessingTimeTimeout, 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val out2 = step(7L, Iterator.single(SessionEvent(7L, t0 + 9000_000000L)), s2).toSeq
+    assert(out2.isEmpty, "new session is still open — nothing closed yet")
+    assert(s2.get.sid == 3L && s2.get.count == 1L,
+      s"sid sequence continues after eviction, got ${s2.get}")
+    // a tombstone that idles through a second timeout is removed for good
+    val s3 = TestGroupState.create[SessionAgg](
+      Optional.of(SessionAgg(2L, 0L, 0L, 0L)),
+      GroupStateTimeout.ProcessingTimeTimeout, 0L, Optional.empty[Long](),
+      hasTimedOut = true)
+    assert(step(7L, Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved, "expired tombstone is evicted")
+  }
+
   test("salted join returns exactly the plain join's result") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_extendedprice")
