@@ -85,8 +85,9 @@ object WordShingles {
 
   /** trim + split on whitespace runs, matching String.split("\\s+") on
     * trimmed input (and DuckDB string_split_regex(trim(x), '\s+')).
+    * Shared with [[TextHashing.simHash]]'s tokenization.
     */
-  private def tokenize(s: String): Array[String] =
+  private[functions] def tokenize(s: String): Array[String] =
     s.trim.split("\\s+")
 
   def wordShingles(c: Column, n: Int): Column =

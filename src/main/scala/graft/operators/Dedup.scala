@@ -54,34 +54,27 @@ object Dedup {
       .drop("_fp")
   }
 
-  /** (a, b) pairs from the shared deterministic MinHash permutation table:
-    * 16 permutations h → (a·h31 + b) mod (2³¹−1), constants from a fixed
-    * LCG seed so the SQL oracle can embed the same numbers.
+  /** (a, b) pairs from the shared deterministic MinHash permutation table
+    * ([[graft.functions.MinHashParams]]): 16 permutations
+    * h → (a·h31 + b) mod (2³¹−1), constants from a fixed LCG seed so the SQL
+    * oracle can embed the same numbers.
     */
-  val minhashParams: Seq[(Long, Long)] = {
-    // LCG: x' = (1103515245 x + 12345) mod 2^31; seed 42; a must be non-zero
-    var x = 42L
-    def next(): Long = { x = (1103515245L * x + 12345L) % 2147483648L; x }
-    (0 until 16).map { _ =>
-      val a = next() % 2147483646L + 1
-      val b = next() % 2147483647L
-      (a, b)
-    }
-  }
+  val minhashParams: Seq[(Long, Long)] = graft.functions.MinHashParams.pairs
   val MinhashPrime = 2147483647L // 2^31 - 1
 
   /** doc → exploded distinct shingle hashes (h31), the input to both the
     * signature aggregation and exact-Jaccard verification.
     *
-    * Shingling runs as the custom codegen'd [[graft.functions.WordShingles]]
-    * expression (HOF lambdas are interpreted and were the bench bottleneck;
-    * a posexplode+lead-window rewrite costs an extra shuffle). One narrow
-    * pass: scan → shingle array → explode → hash → distinct.
+    * The whole doc → distinct-h31-set step runs inside the codegen'd
+    * [[graft.functions.WordShingleHash31Set]] expression (shingle + md5 over
+    * raw bytes + in-memory dedup per document), so the postings build is ONE
+    * narrow pass — no per-shingle string rows, no md5-hex `conv` parse, and
+    * no (id, h) distinct shuffle.
     */
   def shingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    shingleStrings(df, textCol, idCol, n)
-      .select(col(idCol), Shingles.hash31(col("shingle")).as("h"))
-      .distinct()
+    df.select(col(idCol),
+      explode(graft.functions.TextHashExprs.wordShingleHash31Set(col(textCol), n))
+        .as("h"))
 
   /** (id, shingle) rows (duplicates kept — dedupe downstream if needed). */
   def shingleStrings(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
@@ -91,13 +84,28 @@ object Dedup {
 
   /** MinHash signature: 16 `min((aᵢ·h+bᵢ) mod p)` aggregates in ONE pass
     * over the postings (map-side partial min — no extra shuffle beyond the
-    * groupBy on the doc id).
+    * groupBy on the doc id). Prefer [[minhashSignatureFromText]] when the
+    * text column is at hand — it skips this shuffle entirely.
     */
   def minhashSignature(postings: DataFrame, idCol: String): DataFrame = {
     val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * lit(a) + lit(b)) % lit(MinhashPrime)).as(s"mh$i")
     }
     postings.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signature computed directly from the text as a narrow
+    * projection (codegen'd [[graft.functions.MinHashSignature]]): a per-doc
+    * signature is a pure function of one row, so there is nothing to
+    * shuffle — at 100 TB this runs at scan speed where the postings
+    * formulation pays explode + groupBy. Output schema matches
+    * [[minhashSignature]]: (idCol, mh0..mh15).
+    */
+  def minhashSignatureFromText(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val sig = graft.functions.TextHashExprs.minHashSignature(col(textCol), n)
+    df.select(col(idCol) +:
+      minhashParams.indices.map(i => sig.getItem(i).as(s"mh$i")): _*)
   }
 
   /** LSH banding: 4 bands × 4 rows; band key = "mh₀_mh₁_mh₂_mh₃". Returns
@@ -174,9 +182,10 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    val postings = shingleHashes(df, textCol, idCol)
-    val cands = lshCandidates(lshBands(minhashSignature(postings, idCol), idCol), idCol)
-    jaccardOfPairs(cands, postings, idCol).filter(col("jaccard") >= threshold)
+    val cands = lshCandidates(
+      lshBands(minhashSignatureFromText(df, textCol, idCol), idCol), idCol)
+    jaccardOfPairs(cands, shingleHashes(df, textCol, idCol), idCol)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** EXACT n-gram Jaccard near-dup pairs via PREFIX FILTERING (the AllPairs/
@@ -258,10 +267,11 @@ object Dedup {
     */
   def charNgramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, n: Int = 5): DataFrame = {
+    // normalization stays on composed codegen'd built-ins; the codegen'd
+    // set expression handles shingle + hash + per-doc dedup in one pass
     val postings = df.select(col(idCol),
-      explode(Shingles.charShingles(col(textCol), n)).as("shingle"))
-      .select(col(idCol), Shingles.hash31(col("shingle")).as("h"))
-      .distinct()
+      explode(graft.functions.TextHashExprs.charShingleHash31Set(
+        TextAnalysis.normalize(col(textCol)), n)).as("h"))
     jaccardPairsFromPostings(postings, idCol, threshold)
   }
 
@@ -375,22 +385,12 @@ object Dedup {
     simhashN(df, textCol, idCol, 60)
 
   private def simhashN(df: DataFrame, textCol: String, idCol: String,
-      bits: Int): DataFrame = {
-    require(bits > 0 && bits <= 60, "md5-derived hash provides 60 bits")
-    val toks = df.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h",
-        if (bits < 60) Shingles.hash60(col("tok")) % lit(1L << bits)
-        else Shingles.hash60(col("tok")))
-    val sums = (0 until bits).map { i =>
-      sum(shiftright(col("h"), i) % 2 * 2 - 1).as(s"s$i")
-    }
-    val agg = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-    val value = (0 until bits).map { i =>
-      when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col(idCol), value.as("simhash"))
-  }
+      bits: Int): DataFrame =
+    // pure per-row function of the text (codegen'd graft.functions.SimHash):
+    // a narrow projection at scan speed, where the explode + 32-sum groupBy
+    // formulation shuffled every (doc, token) row
+    df.select(col(idCol),
+      graft.functions.TextHashExprs.simHash(col(textCol), bits).as("simhash"))
 
   /** SimHash near-dup pairs: block on `maxHamming + 1` bit chunks —
     * pigeonhole guarantees a pair within the Hamming budget agrees on at

@@ -104,10 +104,12 @@ object TextAnalysis {
 
   /** Rolling-shingle fingerprint: min 60-bit hash over word 3-shingles
     * (winnowing-style min-sampling; equals the first MinHash row with the
-    * identity permutation).
+    * identity permutation). Runs as the codegen'd
+    * [[graft.functions.WordShingleMinHash60]] — one pass, no interpreted
+    * HOF lambda.
     */
   def shingleFingerprint(text: Column): Column =
-    array_min(transform(Shingles.wordShingles(tokens(text), 3), Shingles.hash60(_)))
+    graft.functions.TextHashExprs.wordShingleMinHash60(text, 3)
 
   /** PII patterns shared with the oracle SQL. Kept to constructs with
     * identical semantics in Java regex and DuckDB (RE2): character classes,
@@ -224,10 +226,11 @@ object Shingles {
   }
 
   /** 60-bit positive hash from the md5 hex prefix — identical in DuckDB via
-    * CAST(('0x' || substring(md5(s),1,15)) AS BIGINT).
+    * CAST(('0x' || substring(md5(s),1,15)) AS BIGINT). Runs as the codegen'd
+    * [[graft.functions.Md5Hash60]] (digest bytes → long directly, no hex
+    * string or conv parse).
     */
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  def hash60(s: Column): Column = graft.functions.TextHashExprs.md5Hash60(s)
 
   /** Fold to 31 bits for overflow-safe (a·h+b) mod p permutations. */
   def hash31(s: Column): Column = hash60(s) % lit(2147483647L)

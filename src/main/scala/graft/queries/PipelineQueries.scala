@@ -114,13 +114,12 @@ object PipelineQueries {
 
   val qFingerprints: Q = (spark, dir) => {
     val docs = Tables(spark, dir, "documents")
-    // min over shingle hashes is duplicate-insensitive → no distinct pass;
-    // explode path keeps it codegen'd (see Dedup.shingleHashes scaladoc)
-    val shingleFp = Dedup.shingleStrings(docs, "text", "doc_id", 3)
-      .groupBy(col("doc_id"))
-      .agg(min(graft.operators.Shingles.hash60(col("shingle"))).as("fp_shingle"))
-    docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp_md5"))
-      .join(shingleFp, Seq("doc_id"))
+    // both fingerprints are pure per-row functions → one narrow projection
+    // (the shingle-min runs in the codegen'd WordShingleMinHash60; the old
+    // explode + groupBy + join formulation shuffled every shingle row)
+    docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp_md5"),
+      TextAnalysis.shingleFingerprint(col("text")).as("fp_shingle"))
       .orderBy(col("doc_id"))
   }
 
@@ -171,9 +170,8 @@ object PipelineQueries {
        |WHERE jaccard >= $NgramJaccardThreshold ORDER BY id_a, id_b""".stripMargin
 
   val qMinhashSignatures: Q = (spark, dir) =>
-    Dedup.minhashSignature(
-      Dedup.shingleHashes(Tables(spark, dir, "documents"), "text", "doc_id"),
-      "doc_id")
+    Dedup.minhashSignatureFromText(Tables(spark, dir, "documents"),
+      "text", "doc_id")
       .orderBy(col("doc_id"))
 
   private val sigCols: String = Dedup.minhashParams.zipWithIndex.map {
