@@ -54,6 +54,38 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** Bloom-accelerated decontamination — EXACT results, sketch-speed scan.
+    *
+    * Two phases: (1) the holdout fingerprints aggregate into one bloom
+    * filter (distributed build, driver-held binary); the training corpus is
+    * filtered by `might_contain` at scan speed — a pure narrow projection,
+    * NO shuffle of the 100 TB side. (2) only the flagged rows (true leaks +
+    * the filter's ~fpp false positives, a vanishing fraction) pay the exact
+    * anti-join against the holdout set. Output ≡ [[crossDedup]] row-for-row;
+    * the plan replaces a full-corpus shuffle join with scan + tiny join.
+    *
+    * `expectedTestItems` sizes the filter (Spark's default fpp 3% at the
+    * given capacity; ~1.2 bytes/item): size it at or above the holdout's
+    * distinct-fingerprint count.
+    */
+  def bloomDecontaminate(train: DataFrame, test: DataFrame, textCol: String,
+      expectedTestItems: Long = 1000000L): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val bloomRow = test
+      .select(graft.functions.BloomFunctions.bloomAgg(fp, expectedTestItems)
+        .as("bf"))
+      .head()
+    if (bloomRow.isNullAt(0)) train // empty holdout: nothing to remove
+    else {
+      val bloom = bloomRow.getAs[Array[Byte]](0)
+      val might = graft.functions.BloomFunctions.mightContain(bloom, fp)
+      val clean = train.filter(!might)
+      val verified = train.filter(might)
+        .join(test.select(fp.as("_fp")).distinct(), fp === col("_fp"), "left_anti")
+      clean.unionByName(verified)
+    }
+  }
+
   /** (a, b) pairs from the shared deterministic MinHash permutation table
     * ([[graft.functions.MinHashParams]]): 16 permutations
     * h → (a·h31 + b) mod (2³¹−1), constants from a fixed LCG seed so the SQL
