@@ -38,6 +38,34 @@ object Readers {
     spark.read.options(rest).parquet(path)
   }
 
+  /** ORC — extension beyond the reference's reader set (same pluggable
+    * contract); columnar like parquet, so pushdown/pruning apply unchanged.
+    */
+  val orc: Reader = (spark, opts) => {
+    val (path, rest) = popPath(opts)
+    spark.read.options(rest).orc(path)
+  }
+
+  /** Line-oriented text: one string column `value` per line (`wholetext=true`
+    * in options flips to one row per file) — the raw-corpus on-ramp.
+    */
+  val text: Reader = (spark, opts) => {
+    val (path, rest) = popPath(opts)
+    spark.read.options(rest).text(path)
+  }
+
+  /** Opaque binary ingestion (`binaryFile` source): (path, modificationTime,
+    * length, content) per file — the multimodal on-ramp that feeds
+    * [[graft.operators.Multimodal]]'s typed-metadata schema. Supports
+    * `pathGlobFilter` (e.g. `*.png`) via options. Read-side only (Spark has
+    * no binaryFile writer); bytes land in a `binary` column and travel
+    * through parquet from there on.
+    */
+  val binaryFile: Reader = (spark, opts) => {
+    val (path, rest) = popPath(opts)
+    spark.read.options(rest).format("binaryFile").load(path)
+  }
+
   /** base_reader.py:16-29 — url + dbtable required; driver/user/password only
     * set when non-empty (the reference guards with `if truthy`).
     */
@@ -85,6 +113,9 @@ object Readers {
     "csv" -> csv,
     "json" -> json,
     "parquet" -> parquet,
+    "orc" -> orc,
+    "text" -> text,
+    "binaryfile" -> binaryFile,
     "jdbc" -> jdbc,
     "olap" -> olap
   )

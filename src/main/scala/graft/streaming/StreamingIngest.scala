@@ -78,6 +78,35 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked stream-stream INNER join on a key within a ± time band
+    * (the streaming enrich/correlate verb: impressions ⋈ clicks, request ⋈
+    * response). Both sides are watermarked and the join condition carries an
+    * explicit event-time band, which is what lets Spark BOUND the state
+    * store: each side buffers only rows inside (watermark + band) instead of
+    * the whole history — the difference between a join that runs forever at
+    * 100 TB/day and one that OOMs on day two.
+    *
+    * `leftTs`/`rightTs` must be TimestampType; `bandSeconds` is the maximum
+    * |leftTs − rightTs| for a match.
+    */
+  def bandedStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      bandSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r0 = right.withColumnRenamed(key, s"_r_$key")
+    val r = r0.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(key) === col(s"_r_$key") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bandSeconds SECONDS") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bandSeconds SECONDS"))
+      .drop(s"_r_$key")
+  }
+
   /** Streaming exact dedup (the streaming twin of `Dedup.exact`): keep ONE
     * row per content fingerprint — the first-arriving micro-batch wins;
     * within a batch the surviving row is arbitrary (unlike the batch

@@ -50,6 +50,39 @@ class ReadersSpec extends SparkTestBase {
       .subsetOf(Readers.registry.keySet))
   }
 
+  test("orc reader round-trips a written orc table") {
+    val dir = tmpDir("orc") + "/t"
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.orc(dir)
+    val df = Readers.orc(spark, Map("path" -> dir))
+    assert(df.count() == 5)
+    assert(df.columns.contains("r_name"))
+  }
+
+  test("text reader yields one string row per line") {
+    val dir = tmpDir("txt")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.txt"),
+      "line one\nline two\nline three\n".getBytes("UTF-8"))
+    val df = Readers.text(spark, Map("path" -> dir))
+    assert(df.columns.toSeq == Seq("value"))
+    assert(df.count() == 3)
+  }
+
+  test("binaryfile reader exposes (path, length, content) with glob filter") {
+    val dir = tmpDir("bin")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "img.png"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "skip.txt"), Array[Byte](9))
+    val df = Readers.binaryFile(
+      spark, Map("path" -> dir, "pathGlobFilter" -> "*.png"))
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("length") == 4L)
+    assert(rows.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
   test("registry is the extension point: custom readers can be registered") {
     Readers.register("constant", (s, opts) => {
       import s.implicits._

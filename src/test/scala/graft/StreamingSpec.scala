@@ -95,6 +95,33 @@ class StreamingSpec extends SparkTestBase {
       (ids - 3L).subsetOf(Set(1L, 2L, 4L)), s"got $ids")
   }
 
+  test("banded stream-stream join matches only within the time band") {
+    val lake = tmpDir("slake4")
+    val (lsrc, rsrc) = (s"$lake/l", s"$lake/r")
+    new java.io.File(lsrc).mkdirs(); new java.io.File(rsrc).mkdirs()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // left: impressions; right: clicks. user 1 clicks in-band (2 min),
+    // user 2 clicks out-of-band (30 min), user 3 never clicks.
+    Seq((1L, ts(0)), (2L, ts(0)), (3L, ts(0))).toDF("user_id", "imp_ts")
+      .write.mode("append").parquet(lsrc)
+    Seq((1L, ts(2)), (2L, ts(30))).toDF("user_id", "click_ts")
+      .write.mode("append").parquet(rsrc)
+    val l = StreamingIngest.parquetStream(spark, lsrc,
+      Seq((0L, t0)).toDF("user_id", "imp_ts"))
+    val r = StreamingIngest.parquetStream(spark, rsrc,
+      Seq((0L, t0)).toDF("user_id", "click_ts"))
+    val q = StreamingIngest.bandedStreamJoin(
+        l, r, "user_id", "imp_ts", "click_ts", bandSeconds = 600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val users = spark.sql("SELECT user_id FROM join_out").as[Long].collect().toSet
+    assert(users == Set(1L), s"only the in-band click joins, got $users")
+  }
+
   test("true streaming execution: memory sink receives windowed aggregates") {
     val lake = tmpDir("slake2")
     val src = s"$lake/in"
