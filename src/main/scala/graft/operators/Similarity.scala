@@ -84,6 +84,56 @@ object Similarity {
       .select(col("id"), col("vec"), col("cell"))
   }
 
+  /** Lloyd's k-means over the corpus's `vec` column: deterministic init
+    * (the k lowest-id vectors), then `iters` rounds of assign-to-nearest
+    * (squared L2) + centroid recompute. Returns (id, vec, cluster).
+    *
+    * Each round is: broadcast k centroids → narrow assignment pass →
+    * per-(cluster, dim) mean via posexplode + two-level aggregation — the
+    * fully distributed formulation (no driver collect of the corpus; only
+    * the k×dim centroid table returns to the driver per round, which is the
+    * standard k-means control loop at any scale).
+    *
+    * Note: centroid means sum doubles in partition order, so cross-run
+    * centroids can differ in final ulps (unlike the single assignment step
+    * in `q_kmeans_assign`, which is bit-deterministic). Structural
+    * properties (assignment completeness, WSS non-increase) are what specs
+    * assert.
+    */
+  def kmeansLloyd(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val base = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    var cents = base.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var assigned: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val centDf = base.sparkSession.createDataFrame(
+        cents.toSeq.map { case (cid, v) => (cid, v) }).toDF("cid", "cvec")
+      val dist = (VectorFunctions.dot(col("vec"), col("vec")) +
+        VectorFunctions.dot(col("cvec"), col("cvec"))) -
+        lit(2.0) * VectorFunctions.dot(col("vec"), col("cvec"))
+      val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
+      assigned = base.crossJoin(broadcast(centDf))
+        .withColumn("dist", dist)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("id"), col("vec"), col("cid").as("cluster"), col("dist"))
+      // distributed centroid recompute: mean per (cluster, dimension)
+      val dims = assigned
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cluster"),
+          expr("transform(dm, s -> s.m)").as("cvec"))
+      cents = dims.collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    }
+    assigned.select(col("id"), col("vec"), col("cluster"))
+  }
+
   /** Random-hyperplane LSH bucketing (the sign-bit / SimHash-for-vectors
     * family): bucket(v) = the `nPlanes` sign bits of v·hᵢ packed into a long.
     * Hyperplanes are deterministic here (the lowest-id corpus vectors, like

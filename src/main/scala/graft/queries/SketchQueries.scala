@@ -143,17 +143,104 @@ object SketchQueries {
        |FROM e ORDER BY vec_id""".stripMargin
   }
 
+  /** Mergeable quantile sketch (approx_percentile / KLL-family) next to the
+    * exact percentile, reduced to the contract "approx p50 lies between the
+    * exact 0.49 and 0.51 quantiles" — completing the sketch suite:
+    * distinct (HLL/KMV) + frequency (CMS) + membership (bloom) + QUANTILE.
+    * The sketch's rank-error bound is n/accuracy = n/1000 ≪ the ±0.01
+    * quantile band checked here; like the others it is deterministic, so
+    * the local pass reproduces exactly in the gate.
+    */
+  val qApproxQuantile: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.49)").as("_lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("_hi"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), col("n_items"), col("exact_p50"),
+        (col("approx_p50") >= col("_lo") && col("approx_p50") <= col("_hi"))
+          .as("p50_ok"))
+      .orderBy(col("l_returnflag"))
+
+  private val approxQuantileOracle: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+      |  TRUE AS p50_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // DuckDB twin of VectorFunctions.dot: left-to-right double accumulation
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  val KmeansK = 8
+
+  /** One deterministic k-means assignment step (the oracle-checkable core of
+    * Lloyd's — see `Similarity.kmeansLloyd` for the iterating operator):
+    * centroids = the k lowest-id vectors, every vector assigned to its
+    * nearest centroid by squared L2, computed as ‖a‖²+‖c‖²−2a·c with the
+    * shared left-to-right dot products so both engines see bit-identical
+    * doubles. Per-cluster count and distance extrema (min/max select
+    * EXISTING doubles — no order-dependent accumulation across rows).
+    *
+    * Scale shape: centroids broadcast (k rows), assignment is a narrow
+    * k-way fan-out per vector — no shuffle until the k-sized final groupBy.
+    */
+  val qKmeansAssign: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val cents = emb.orderBy(col("vec_id")).limit(KmeansK)
+      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    val dist = (VectorFunctions.dot(col("vec"), col("vec")) +
+      VectorFunctions.dot(col("cvec"), col("cvec"))) -
+      lit(2.0) * VectorFunctions.dot(col("vec"), col("cvec"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("dist")).as("min_dist"),
+        max(col("dist")).as("max_dist"))
+      .orderBy(col("cid"))
+  }
+
+  private val kmeansAssignOracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+       |           FROM embeddings ORDER BY vec_id LIMIT $KmeansK),
+       |d AS (SELECT e.vec_id, c.cid,
+       |        (${dotSql("e.embedding", "e.embedding")} +
+       |         ${dotSql("c.cvec", "c.cvec")}) -
+       |        2 * ${dotSql("e.embedding", "c.cvec")} AS dist
+       |      FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT * FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dist, cid) = 1)
+       |SELECT cid, count(*) AS n_vectors,
+       |  min(dist) AS min_dist, max(dist) AS max_dist
+       |FROM a GROUP BY cid ORDER BY cid""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_cms_freq" -> qCmsFreq,
     "q_bigram_counts" -> qBigramCounts,
-    "q_embedding_quantize" -> qEmbeddingQuantize
+    "q_embedding_quantize" -> qEmbeddingQuantize,
+    "q_approx_quantile" -> qApproxQuantile,
+    "q_kmeans_assign" -> qKmeansAssign
   )
 
   val oracles: Map[String, String] = Map(
     "q_bloom_decontaminate" -> bloomDecontaminateOracle,
     "q_cms_freq" -> cmsFreqOracle,
     "q_bigram_counts" -> bigramCountsOracle,
-    "q_embedding_quantize" -> embeddingQuantizeOracle
+    "q_embedding_quantize" -> embeddingQuantizeOracle,
+    "q_approx_quantile" -> approxQuantileOracle,
+    "q_kmeans_assign" -> kmeansAssignOracle
   )
 }

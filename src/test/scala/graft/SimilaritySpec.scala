@@ -75,6 +75,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(rm > 0.2, s"multi-probe recall too low: $rm")
   }
 
+  test("kmeansLloyd: every vector assigned, k clusters, WSS non-increasing") {
+    def wss(assigned: org.apache.spark.sql.DataFrame, k: Int): Double = {
+      // recompute WSS directly: distance of each vec to its cluster mean
+      val dims = assigned
+        .select($"cluster", posexplode($"vec").as(Seq("dim", "x")))
+        .groupBy($"cluster", $"dim").agg(avg($"x").as("m"))
+      assigned
+        .select($"cluster", $"id", posexplode($"vec").as(Seq("dim", "x")))
+        .join(dims, Seq("cluster", "dim"))
+        .select((($"x" - $"m") * ($"x" - $"m")).as("d2"))
+        .agg(sum($"d2")).head.getDouble(0)
+    }
+    val a1 = Similarity.kmeansLloyd(corpus, 8, 1)
+    val a3 = Similarity.kmeansLloyd(corpus, 8, 3)
+    assert(a1.count() == corpus.count(), "every vector gets a cluster")
+    assert(a1.select($"cluster").distinct().count() <= 8)
+    val (w1, w3) = (wss(a1, 8), wss(a3, 8))
+    assert(w3 <= w1 * 1.0001, s"WSS must not increase across rounds: $w1 -> $w3")
+  }
+
   test("blocked near-dup pairs are a thresholded subset of the exact pairs") {
     val exact = Similarity.cosineNearDupPairs(corpus, 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
