@@ -131,16 +131,16 @@ object SubqueryQueries {
   }
 
   /** FULL OUTER join of two sparse per-nation aggregates (deep-debit
-    * customers vs near-cap suppliers): nations present on only one side
+    * customers vs high-balance suppliers): nations present on only one side
     * surface the null-padding semantics. Both inputs are post-aggregate
     * (≤ |nation| rows) — broadcast-able; the fact scans do the real work.
     */
   val qFullOuterJoin: Q = (spark, dir) => {
     val custSide = Tables(spark, dir, "customer")
-      .filter(col("c_acctbal") < -900)
+      .filter(col("c_acctbal") < -500)
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_debit_cust"))
     val supSide = Tables(spark, dir, "supplier")
-      .filter(col("s_acctbal") > 9900)
+      .filter(col("s_acctbal") > 5000)
       .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_rich_supp"))
     custSide.join(supSide, col("c_nationkey") === col("s_nationkey"),
         "full_outer")
@@ -308,10 +308,10 @@ object SubqueryQueries {
       """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
         |  n_debit_cust, n_rich_supp
         |FROM (SELECT c_nationkey, count(*) AS n_debit_cust
-        |      FROM customer WHERE c_acctbal < -900 GROUP BY c_nationkey) c
+        |      FROM customer WHERE c_acctbal < -500 GROUP BY c_nationkey) c
         |FULL OUTER JOIN
         |     (SELECT s_nationkey, count(*) AS n_rich_supp
-        |      FROM supplier WHERE s_acctbal > 9900 GROUP BY s_nationkey) s
+        |      FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
         |ON c.c_nationkey = s.s_nationkey
         |ORDER BY nationkey""".stripMargin,
     "q_not_in_subquery" ->

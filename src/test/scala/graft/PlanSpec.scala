@@ -1,6 +1,5 @@
 package graft
 
-import graft.queries.{PipelineQueries, RelationalQueries}
 
 /** Physical-plan quality gates: these are the properties that decide whether
   * the plan survives a 100×/1000× scale-up, asserted on the actual optimized
@@ -11,7 +10,7 @@ class PlanSpec extends SparkTestBase {
   val dir = "/root/testdata/sf0.001"
 
   def plan(name: String): String = {
-    val q = (RelationalQueries.all ++ PipelineQueries.all)(name)
+    val q = SparkEntry.queries(name)
     val df = q(spark, dir)
     df.collect() // finalize AQE so the executed plan shows real operators
     df.queryExecution.executedPlan.toString
@@ -89,6 +88,47 @@ class PlanSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"range join must bucket-join:\n$p")
+  }
+
+  test("q6 pushes every scan-local predicate into the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"missing pushdown: $pushed")
+  }
+
+  test("decorrelated scalar subquery (q17) joins without a cartesian") {
+    val p = plan("q17_small_quantity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-part average must partial-aggregate:\n$p")
+  }
+
+  test("HAVING join-back (q18) broadcasts the tiny qualifying-keys side") {
+    val p = plan("q18_big_orders")
+    assert(p.contains("BroadcastHashJoin"),
+      s"qualifying order keys (post-HAVING) must broadcast under AQE:\n$p")
+  }
+
+  test("bloom decontamination probes at scan speed, joins only flagged rows") {
+    val p = plan("q_bloom_decontaminate")
+    assert(p.contains("might_contain"),
+      s"bloom probe must appear as a scan-stage filter:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("CMS frequency query is one aggregation pass, no join") {
+    val p = plan("q_cms_freq")
+    assert(!p.contains("Join"), p)
+    // sketch aggregate is a TypedImperativeAggregate → ObjectHashAggregate
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("k-means assignment broadcasts centroids (bounded k-way fan-out)") {
+    val p = plan("q_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("date-partitioned RAW reads prune to the selected partition") {
