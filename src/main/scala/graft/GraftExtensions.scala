@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, KmvDistinct, WordShingles}
+import graft.functions.{CmsEstimate, CmsSketch, DotProduct, KmvDistinct, Md5Hash60, MinHashSignature, SimHash, WordShingles}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -17,7 +17,50 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash(text, bits)")
+        SimHash(args(0), litInt(args(1), "simhash bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_signature(text, n)")
+        MinHashSignature(args(0), litInt(args(1), "minhash_signature n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_hash60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "md5_hash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "md5_hash60(text)")
+        Md5Hash60(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cms_sketch(col, depth, width)")
+        CmsSketch(args(0), litInt(args(1), "cms_sketch depth"),
+          litInt(args(2), "cms_sketch width")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cms_estimate(sketch, key)")
+        CmsEstimate(args(0), args(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

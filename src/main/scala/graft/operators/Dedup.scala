@@ -209,14 +209,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard_est"))
   }
 
+  /** Exact Jaccard for candidate pairs WITHOUT a postings self-join: each
+    * doc's distinct-shingle set is materialized once as a sorted array (a
+    * narrow codegen'd projection — no shuffle), candidates join their two
+    * arrays and intersect in-memory. Work ∝ |pairs| · |doc| instead of
+    * Σ df(h)² — the verify path of choice when candidates are already known
+    * (LSH output), leaving the postings join to candidate GENERATION only.
+    * Values are bit-identical to [[jaccardOfPairs]] (same integer counts).
+    */
+  def jaccardOfPairsByDocset(pairs: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val docsets = df.select(col(idCol),
+      sort_array(graft.functions.TextHashExprs.wordShingleHash31Set(
+        col(textCol), n)).as("hs"))
+      .withColumn("sz", size(col("hs")))
+    pairs
+      .join(docsets.select(col(idCol).as("id_a"), col("hs").as("hs_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(docsets.select(col(idCol).as("id_b"), col("hs").as("hs_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
-    * exact-Jaccard verify ≥ threshold.
+    * exact-Jaccard verify ≥ threshold (array-intersect verify — see
+    * [[jaccardOfPairsByDocset]]).
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
     val cands = lshCandidates(
       lshBands(minhashSignatureFromText(df, textCol, idCol), idCol), idCol)
-    jaccardOfPairs(cands, shingleHashes(df, textCol, idCol), idCol)
+    jaccardOfPairsByDocset(cands, df, textCol, idCol)
       .filter(col("jaccard") >= threshold)
   }
 

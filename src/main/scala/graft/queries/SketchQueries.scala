@@ -157,13 +157,15 @@ object SketchQueries {
       .agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_p50"),
-        expr("percentile(l_extendedprice, 0.49)").as("_lo"),
-        expr("percentile(l_extendedprice, 0.51)").as("_hi"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        // ONE exact-percentile aggregate for all three points — the sort
+        // buffer is built once instead of three times
+        expr("percentile(l_extendedprice, array(0.49D, 0.5D, 0.51D))")
+          .as("_p"),
         count(lit(1)).as("n_items"))
-      .select(col("l_returnflag"), col("n_items"), col("exact_p50"),
-        (col("approx_p50") >= col("_lo") && col("approx_p50") <= col("_hi"))
-          .as("p50_ok"))
+      .select(col("l_returnflag"), col("n_items"),
+        round(col("_p").getItem(1), 4).as("exact_p50"),
+        (col("approx_p50") >= col("_p").getItem(0) &&
+          col("approx_p50") <= col("_p").getItem(2)).as("p50_ok"))
       .orderBy(col("l_returnflag"))
 
   private val approxQuantileOracle: String =

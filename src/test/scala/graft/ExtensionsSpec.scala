@@ -47,4 +47,27 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(est == 40, "exact under capacity")
   }
+
+  test("simhash / minhash_signature / md5_hash60 callable from SQL") {
+    val row = spark.sql(
+      """SELECT simhash('hello world hello', 32) AS sh,
+        |       minhash_signature('a b c d e', 3) AS mh,
+        |       md5_hash60('x') AS h60""".stripMargin).collect().head
+    // values must match the Column-API formulations bit-for-bit
+    assert(row.getLong(0) ==
+      graft.functions.TextHashing.simHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world hello"), 32))
+    assert(row.getSeq[Long](1).length == 16)
+    assert(row.getLong(2) == graft.functions.TextHashing.md5Hash60("x"))
+  }
+
+  test("cms_sketch + cms_estimate compose in SQL") {
+    val est = spark.sql(
+      """SELECT cms_estimate(sk, CAST(5 AS BIGINT)) FROM (
+        |  SELECT cms_sketch(CAST(v % 10 AS BIGINT), 5, 256) AS sk
+        |  FROM (SELECT explode(sequence(1, 1000)) AS v))""".stripMargin)
+      .collect().head.getLong(0)
+    assert(est >= 100 && est <= 100 + (math.E * 1000 / 256).toLong,
+      s"estimate $est outside CMS bound")
+  }
 }
