@@ -20,6 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object Export {
 
+  /** Write `df` as a Spark BUCKETED table (hash-bucketed + sorted by
+    * `keys` into `nBuckets` files per partition, registered in the session
+    * catalog). Two tables bucketed the same way join WITHOUT a shuffle —
+    * each task reads matching bucket files from both sides (verified by
+    * the plan gate in PlanSpec: no Exchange under the join).
+    *
+    * This is the read-side complement of HubWriter's bucketed layout: hub
+    * buckets prune MERGE rewrites; catalog buckets eliminate JOIN
+    * shuffles. At 100 TB, pre-bucketing the fact tables on their join key
+    * turns every subsequent key-join into a map-side zip — the single
+    * biggest recurring-query saving a lakehouse layout can buy.
+    */
+  def bucketedTable(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      nBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(keys.nonEmpty, "bucketed table requires bucket keys")
+    require(nBuckets > 0, "nBuckets must be positive")
+    df.write
+      .mode(mode)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   def shards(
       df: DataFrame,
       path: String,

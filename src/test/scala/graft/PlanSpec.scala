@@ -1,5 +1,7 @@
 package graft
 
+import graft.queries.Tables
+
 
 /** Physical-plan quality gates: these are the properties that decide whether
   * the plan survives a 100×/1000× scale-up, asserted on the actual optimized
@@ -129,6 +131,42 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"centroids must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("co-bucketed tables join with NO shuffle exchange") {
+    val ss = spark
+    import ss.implicits._
+    // drop any leftover tables AND their managed locations (a previous
+    // aborted run can orphan the directory without a catalog entry)
+    Seq("bkt_orders", "bkt_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    graft.writers.Export.bucketedTable(
+      Tables(spark, dir, "orders"), "bkt_orders", Seq("o_custkey"), 8)
+    graft.writers.Export.bucketedTable(
+      Tables(spark, dir, "customer"), "bkt_customer", Seq("c_custkey"), 8)
+    // at test SF everything fits a broadcast — disable it so the plan shows
+    // what a 100 TB fact⋈fact join would do: bucketed SMJ with no exchange
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_orders")
+        .join(spark.table("bkt_customer"),
+          $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_mktsegment")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"expected a sort-merge join of bucketed scans:\n$p")
+      // a join-only plan over co-bucketed scans needs NO exchange anywhere
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan must be bucket-aware:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   test("date-partitioned RAW reads prune to the selected partition") {
