@@ -79,6 +79,49 @@ object Multimodal {
     }
   }
 
+  /** STUB resize ??? — a real implementation decodes, scales by `factor`,
+    * and re-encodes. The deterministic stand-in keeps every k-th byte, so
+    * the binary-in/binary-out plumbing (schema preserved, metadata scaled,
+    * per-partition batches) is exercised for real while the codec is fake.
+    */
+  def stubResize(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Batched media resize: binary → binary per-partition transform with the
+    * metadata (width/height) scaled alongside the payload — the
+    * image-pipeline stage between ingestion and feature extraction.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => r.copy(
+        payload = stubResize(r.payload, factor),
+        width = r.width / factor,
+        height = r.height / factor))
+    }
+  }
+
+  /** Bridge from the `binaryFile` reader: (path, content, length) rows become
+    * MediaRows with the format inferred from the file extension and ids from
+    * a hash of the path (stable across reruns; dimensions unknown until
+    * decode → 0).
+    */
+  def fromBinaryFiles(df: DataFrame): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(
+      xxhash64(col("path")).as("media_id"),
+      col("content").as("payload"),
+      lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("format"),
+      lit(0).as("width"),
+      lit(0).as("height"))
+      .as[MediaRow]
+  }
+
   /** Synthesize a media table from any text table (UTF-8 bytes as payload) —
     * lets the plumbing run against the driver test data with no binary
     * fixtures.

@@ -37,4 +37,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.toSeq != c.toSeq)
     assert(a(0) == 5.0)
   }
+
+  test("resize shrinks payload and metadata by the factor, binary-to-binary") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    val media = Multimodal.fromText(docs, "doc_id", "text")
+    val resized = Multimodal.resize(media, 4).collect()
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    resized.foreach { r =>
+      val o = orig(r.media_id)
+      assert(r.payload.length == (o.payload.length + 3) / 4)
+      assert(r.payload.headOption == o.payload.headOption)
+    }
+  }
+
+  test("binaryFile reader rows bridge into the media schema") {
+    val dir = tmpDir("media")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "clip.mp4"), Array[Byte](7, 8, 9))
+    val bin = graft.readers.Readers.binaryFile(spark, Map("path" -> dir))
+    val media = Multimodal.fromBinaryFiles(bin).collect()
+    assert(media.length == 1)
+    assert(media.head.format == "mp4")
+    assert(media.head.payload.toSeq == Seq[Byte](7, 8, 9))
+  }
 }
