@@ -224,7 +224,26 @@ object SubqueryQueries {
       |  greatest(o_totalprice, 100000.0) AS price_floor100k
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Salted skew join surfaced as an oracle-checked query: lineitem ⋈
+    * supplier through `SkewJoin.saltedJoin` (probe salted ×8, build
+    * replicated ×8 → the hot key's rows spread over 8 shuffle partitions),
+    * aggregated per nation. The oracle is the PLAIN join — hash equality
+    * proves salting is result-invisible.
+    */
+  val qSkewJoin: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val sup = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.SkewJoin.saltedJoin(li, sup, Seq("suppkey"), factor = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        d(sum(dec(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_skew_join" -> qSkewJoin,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q4_priority_exists" -> q4PriorityExists,
     "q17_small_quantity" -> q17SmallQuantity,
@@ -238,6 +257,11 @@ object SubqueryQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
