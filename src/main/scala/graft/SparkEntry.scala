@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtendedQueries, PipelineQueries, RelationalQueries, SketchQueries, SubqueryQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, ExtendedQueries, PipelineQueries, RelationalQueries, SketchQueries, SubqueryQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` is the union of every operator suite's entries; `oracleSql`
@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ PipelineQueries.all ++ ExtendedQueries.all ++
-      SubqueryQueries.all ++ SketchQueries.all
+      SubqueryQueries.all ++ SketchQueries.all ++ AnalyticsQueries.all ++
+      CorpusQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
       ExtendedQueries.oracles ++ SubqueryQueries.oracles ++
-      SketchQueries.oracles
+      SketchQueries.oracles ++ AnalyticsQueries.oracles ++
+      CorpusQueries.oracles
 }

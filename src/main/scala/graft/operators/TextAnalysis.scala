@@ -184,6 +184,79 @@ object TextAnalysis {
       .drop("_cum_before")
   }
 
+  /** Gopher-style repetition signals per document: duplicate-token mass,
+    * most-common-word fraction, top-bigram fraction. ONE codegen'd pass per
+    * row ([[graft.functions.RepetitionStats]]) — a narrow projection fused
+    * into the scan, vs the explode → groupBy → window formulation that
+    * shuffles every token of the corpus twice. Each ratio is a single IEEE
+    * division over exact integer counts (oracle-identical).
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val st = graft.functions.RepetitionStats.repetitionStats(col(textCol))
+    df.withColumn("_rs", st)
+      .select(col(idCol),
+        col("_rs.n_tokens").as("n_tokens"),
+        (col("_rs.n_distinct").cast("double") /
+          col("_rs.n_tokens").cast("double")).as("distinct_ratio"),
+        (col("_rs.top_word").cast("double") /
+          col("_rs.n_tokens").cast("double")).as("top_word_frac"),
+        (col("_rs.top_bigram").cast("double") /
+          col("_rs.n_bigrams").cast("double")).as("top_bigram_frac"))
+  }
+
+  /** Per-document top-k salient terms by a tf·(N/df) rational score — the
+    * idf-proxy N/df keeps the score an exact two-operation double (one
+    * integer product, one division), where a log-idf would inherit libm's
+    * last-bit variance across engines (NOTES.md determinism contract).
+    *
+    * Distributed shape: explode → per-(doc, term) partial-agg counts (the
+    * combiner runs map-side — token rows of a doc never leave their input
+    * partition before combining), document frequencies from the same frame,
+    * then a broadcast-size vocabulary joined back (AQE picks broadcast: the
+    * vocab table is bounded by |vocabulary|, not corpus size) and a per-doc
+    * top-k window. Ties break on the term string.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count() // corpus size: one job, a long — not a collect of rows
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"), col("score"))
+  }
+
+  /** Cross-source contamination matrix: for every pair of corpus sources,
+    * the number of distinct word-3-shingle hashes they share. The postings
+    * are collapsed to (source, hash) BEFORE the self-join — the join input
+    * is bounded by |sources| × |vocabulary-of-shingles|, never corpus rows —
+    * and the equi-join on the hash shuffles both sides by hash (co-
+    * partitioned, no broadcast needed; at 100 TB add a df-cap on hashes
+    * present in every source, which carry no pair information).
+    */
+  def sourceOverlap(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val posts = df.select(col(sourceCol).as("src"),
+        explode(graft.functions.TextHashExprs
+          .wordShingleHash31Set(col(textCol), 3)).as("h"))
+      .distinct()
+    val a = posts.select(col("src").as("src_a"), col("h"))
+    val b = posts.select(col("src").as("src_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
+
   /** Attach the full analysis column set. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 relational + scalar-surface widening: TPC-H Q7/Q10/Q19 shapes
+  * (nation-pair OR, returned-item top-k, disjunctive pushdown), double-EXISTS
+  * intersection, Q22-style scalar-average anti pattern, RANGE-frame windows,
+  * and the map / posexplode function surfaces.
+  *
+  * Determinism contract matches [[RelationalQueries]]: decimal aggregation
+  * for money (order-independent), decimal COMPARISON for the scalar-average
+  * threshold (an exact decimal product beats a double average whose rounding
+  * depends on accumulation order), total ORDER BY, aliases mirrored on both
+  * sides.
+  */
+object AnalyticsQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def d(c: Column): Column = c.cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    * year. Both nation dims are pre-filtered to the two relevant names
+    * BEFORE joining (the join then keeps only candidate rows; the OR pair
+    * predicate prunes the two same-nation combinations). nation is bounded —
+    * both sides broadcast; the fact-side joins shuffle on their equi-keys.
+    */
+  val q7NationVolume: Q = (spark, dir) => {
+    val names = Seq("NATION_1", "NATION_2")
+    val n1 = Tables(spark, dir, "nation")
+      .filter(col("n_name").isInCollection(names))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables(spark, dir, "nation")
+      .filter(col("n_name").isInCollection(names))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+        .as("volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  /** TPC-H Q10 shape: top-20 customers by revenue from returned items.
+    * The returnflag filter pushes to the lineitem scan; customer joins on
+    * the equi-key after the fact-side aggregate would be ideal, but the
+    * group keys include customer attributes — so filter first, join, one
+    * grouped aggregate, global top-k (AQE takes the final sort+limit).
+    */
+  val q10ReturnedItems: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val cust = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19 shape: disjunctive OR-of-ANDs across the join. The derived
+    * conjuncts implied by the OR (quantity ∈ [1,40], size ∈ [1,30], brand ∈
+    * {1,2}) are stated explicitly on each input so they PUSH to the scans —
+    * the raw OR references both tables and can only run post-join. The
+    * oracle keeps the pure OR form: hash equality proves the derived
+    * predicates are implied (a row the pushdown drops never satisfied the
+    * OR).
+    */
+  val q19Disjunctive: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 40)
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_brand").isInCollection(Seq("Brand#1", "Brand#2")) &&
+        col("p_size").between(1, 30))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 40))
+      .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Double-EXISTS intersection: customers active in BOTH 1996 and 1997,
+    * by segment. Each EXISTS decorrelates to a LEFT SEMI join against a
+    * year-filtered orders projection — two semi joins, no row explosion.
+    */
+  val qExistsBothYears: Q = (spark, dir) => {
+    val cust = Tables(spark, dir, "customer")
+    def active(y: Int) = Tables(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as(s"ck$y"))
+    cust.join(active(1996), col("c_custkey") === col("ck1996"), "left_semi")
+      .join(active(1997), col("c_custkey") === col("ck1997"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q22 shape: wealthy-but-dormant customers — balance above the
+    * positive-balance average (uncorrelated scalar subquery) with at most
+    * 3 orders (correlated COUNT), grouped by the last digit of the name
+    * (standing in for the reference query's phone prefix).
+    *
+    * The average threshold is compared in EXACT decimal arithmetic:
+    * `bal · n_pos > sum_pos` avoids materializing sum/n as a double, whose
+    * last bit depends on accumulation order and could flip boundary rows.
+    * The scalar aggregate is one row — broadcast by construction.
+    */
+  val q22DormantCustomers: Q = (spark, dir) => {
+    val cust = Tables(spark, dir, "customer")
+    val posAvg = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("sum_pos"),
+        count(lit(1)).as("n_pos"))
+    val nOrders = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+    cust.crossJoin(broadcast(posAvg))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+      .join(nOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .filter(coalesce(col("n_ord"), lit(0L)) <= 3)
+      .groupBy(substring(col("c_name"), -1, 1).as("tail_digit"))
+      .agg(count(lit(1)).as("n_customers"),
+        d(sum(dec(col("c_acctbal")))).as("total_bal"))
+      .orderBy(col("tail_digit"))
+  }
+
+  /** RANGE-frame window: each order with the count + sum of the same
+    * customer's orders in the trailing 90 days (inclusive). The frame is
+    * value-based on epoch seconds — peers at the same timestamp are all in
+    * frame on both engines. One shuffle on the partition key.
+    */
+  val qRangeWindow: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-7776000L, 0)
+    Tables(spark, dir, "orders")
+      .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_90d"),
+        d(sum(dec(col("o_totalprice"))).over(w)).as("sum_90d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Map-function surface: build a per-row map from columns, then extract —
+    * element_at by key, cardinality, insertion-ordered first key, map_concat
+    * growth — reduced to scalar outputs (driver compare cannot hash map
+    * cells). Both engines preserve map insertion order.
+    */
+  val qMapFuncs: Q = (spark, dir) => {
+    val m = map_from_arrays(
+      array(lit("qty"), lit("price"), lit("disc")),
+      array(col("l_quantity"), col("l_extendedprice"), col("l_discount")))
+    val m2 = map_concat(m, map_from_arrays(array(lit("tax")), array(col("l_tax"))))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(m, "qty").as("qty_val"),
+        element_at(m, "price").as("price_val"),
+        size(m).as("n_keys"),
+        element_at(map_keys(m), 1).as("first_key"),
+        element_at(map_values(m), -1).as("last_val"),
+        size(m2).as("n_keys2"),
+        element_at(m2, "tax").as("tax_val"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** UDTF surface: posexplode of the token array — one output row per
+    * (doc, position, token), 0-based position like the generator.
+    */
+  val qExplodeTokens: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(graft.operators.TextAnalysis.tokens(col("text"))))
+      .withColumnRenamed("col", "tok")
+      .select(col("doc_id"), col("pos"), col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val all: Map[String, Q] = Map(
+    "q7_nation_volume" -> q7NationVolume,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q19_disjunctive" -> q19Disjunctive,
+    "q_exists_both_years" -> qExistsBothYears,
+    "q22_dormant_customers" -> q22DormantCustomers,
+    "q_range_window" -> qRangeWindow,
+    "q_map_funcs" -> qMapFuncs,
+    "q_explode_tokens" -> qExplodeTokens
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity >= 10 AND l_quantity <= 40)""".stripMargin,
+    "q_exists_both_years" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND year(o_orderdate) = 1996)
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND year(o_orderdate) = 1997)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q22_dormant_customers" ->
+      """SELECT substring(c_name, -1, 1) AS tail_digit,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM customer WHERE c_acctbal > 0) >
+        |      (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+        |       WHERE c_acctbal > 0)
+        |  AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) <= 3
+        |GROUP BY 1 ORDER BY tail_digit""".stripMargin,
+    "q_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER w AS n_90d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_90d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  m['qty'][1] AS qty_val,
+        |  m['price'][1] AS price_val,
+        |  CAST(len(map_keys(m)) AS INT) AS n_keys,
+        |  map_keys(m)[1] AS first_key,
+        |  map_values(m)[-1] AS last_val,
+        |  CAST(len(map_keys(m2)) AS INT) AS n_keys2,
+        |  m2['tax'][1] AS tax_val
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        map(['qty', 'price', 'disc'],
+        |            [l_quantity, l_extendedprice, l_discount]) AS m,
+        |        map_concat(map(['qty', 'price', 'disc'],
+        |                       [l_quantity, l_extendedprice, l_discount]),
+        |                   map(['tax'], [l_tax])) AS m2
+        |      FROM lineitem WHERE l_orderkey < 100) t
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_explode_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+        |           FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS tok
+        |FROM t, UNNEST(range(1, len(ws)+1)) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}

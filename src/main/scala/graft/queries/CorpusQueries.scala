@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality queries for the training-data pipeline: Gopher-style
+  * repetition signals, tf·idf-proxy salient terms, and the cross-source
+  * contamination matrix. Oracles follow the PipelineQueries determinism
+  * contract: exact integer counts, single IEEE divisions, total ORDER BY,
+  * md5-derived shingle hashing shared with the Spark constants.
+  */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val TfidfTopK = 3
+
+  /** Repetition signals per doc — ONE codegen'd pass (zero shuffles), vs
+    * the oracle's explode/groupBy formulation: hash equality proves the
+    * fused expression matches the relational semantics.
+    */
+  val qRepetitionSignals: Q = (spark, dir) =>
+    TextAnalysis.repetitionSignals(Tables(spark, dir, "documents"),
+      "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val repetitionOracle: String = {
+    import PipelineQueries.WS
+    s"""WITH t AS (SELECT doc_id, $WS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS tok FROM t),
+       |wf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+       |wstats AS (SELECT doc_id, max(c) AS top_c, count(*) AS n_distinct,
+       |             sum(c) AS n FROM wf GROUP BY 1),
+       |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN concat_ws(' ', ws[1])
+       |                          ELSE concat_ws(' ', ws[i], ws[i+1]) END AS b
+       |       FROM t, UNNEST(range(1, greatest(len(ws)-1, 1)+1)) AS u(i)),
+       |bf AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bstats AS (SELECT doc_id, max(c) AS top_bc, sum(c) AS nb
+       |           FROM bf GROUP BY 1)
+       |SELECT w.doc_id, CAST(w.n AS INT) AS n_tokens,
+       |  CAST(w.n_distinct AS DOUBLE) / CAST(w.n AS DOUBLE) AS distinct_ratio,
+       |  CAST(w.top_c AS DOUBLE) / CAST(w.n AS DOUBLE) AS top_word_frac,
+       |  CAST(b.top_bc AS DOUBLE) / CAST(b.nb AS DOUBLE) AS top_bigram_frac
+       |FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+  }
+
+  /** Top-3 salient terms per doc by the tf·(N/df) rational score. */
+  val qTfidfTopTerms: Q = (spark, dir) =>
+    TextAnalysis.tfidfTopTerms(Tables(spark, dir, "documents"),
+      "text", "doc_id", TfidfTopK)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val tfidfOracle: String = {
+    import PipelineQueries.WS
+    s"""WITH t AS (SELECT doc_id, $WS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (SELECT doc_id, term,
+       |    CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM scored)
+       |SELECT doc_id, term, CAST(rank AS INT) AS rank, score FROM ranked
+       |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
+  }
+
+  /** Shared distinct shingle-hash counts per source pair (contamination
+    * matrix across corpus slices).
+    */
+  val qSourceOverlap: Q = (spark, dir) =>
+    TextAnalysis.sourceOverlap(Tables(spark, dir, "documents"),
+      "text", "source")
+      .orderBy(col("src_a"), col("src_b"))
+
+  private val sourceOverlapOracle: String = {
+    import PipelineQueries.WS
+    val h60 = PipelineQueries.h60("s")
+    s"""WITH t AS (SELECT source, $WS ws FROM documents),
+       |sh AS (SELECT source, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
+       |       FROM t, UNNEST(range(1, greatest(len(ws)-2, 1)+1)) AS u(i)),
+       |post AS (SELECT DISTINCT source AS src, $h60 % 2147483647 AS h FROM sh)
+       |SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_shingles
+       |FROM post a JOIN post b ON a.h = b.h AND a.src < b.src
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_repetition_signals" -> qRepetitionSignals,
+    "q_tfidf_top_terms" -> qTfidfTopTerms,
+    "q_source_overlap" -> qSourceOverlap
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_repetition_signals" -> repetitionOracle,
+    "q_tfidf_top_terms" -> tfidfOracle,
+    "q_source_overlap" -> sourceOverlapOracle
+  )
+}

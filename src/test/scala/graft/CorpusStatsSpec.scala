@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.RepetitionStats
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Repetition signals, tf·idf-proxy terms, and the source-overlap matrix. */
+class CorpusStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("repetition stats: hand-computed counts on a known doc") {
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text", "doc_id").collect().head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    // tokens {a:3, b:2, c:1}; bigrams: "a b","b a","a b","b a","a c" → top 2/5
+    assert(r.getAs[Double]("distinct_ratio") == 3.0 / 6.0)
+    assert(r.getAs[Double]("top_word_frac") == 3.0 / 6.0)
+    assert(r.getAs[Double]("top_bigram_frac") == 2.0 / 5.0)
+  }
+
+  test("repetition stats: single-token doc uses the partial-shingle rule") {
+    val df = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text", "doc_id").collect().head
+    assert(r.getAs[Int]("n_tokens") == 1)
+    assert(r.getAs[Double]("top_bigram_frac") == 1.0) // one partial bigram
+  }
+
+  test("repetition stats expression matches the explode/groupBy formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fused = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val wf = toks.groupBy("doc_id", "tok").count()
+    val relational = wf.groupBy("doc_id").agg(
+        max("count").as("top_c"), count(lit(1)).as("n_distinct"),
+        sum("count").as("n"))
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        (col("n_distinct").cast("double") / col("n").cast("double"))
+          .as("distinct_ratio"),
+        (col("top_c").cast("double") / col("n").cast("double"))
+          .as("top_word_frac"))
+    assert(fused.drop("top_bigram_frac").except(relational).isEmpty)
+    assert(relational.except(fused.drop("top_bigram_frac")).isEmpty)
+  }
+
+  test("repetition stats rejects non-string input") {
+    val err = intercept[Exception] {
+      Seq(1).toDF("x").select(RepetitionStats.repetitionStats(col("x"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("tfidf top terms: rarer term outranks more-frequent common term") {
+    val df = Seq(
+      (1L, "common common common rare"),
+      (2L, "common filler filler"),
+      (3L, "common other other")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", 2)
+    val doc1 = top.filter(col("doc_id") === 1).orderBy("rank")
+      .select("term").as[String].collect()
+    // rare: tf=1, df=1 → score 3; common: tf=3, df=3 → score 3 → tie broken
+    // on the term string ("common" < "rare")
+    assert(doc1.toSeq == Seq("common", "rare"))
+    // every doc gets at most k rows, ranks are 1..k
+    val byDoc = top.groupBy("doc_id").agg(max("rank").as("mr"), count(lit(1)).as("n"))
+    assert(byDoc.filter(col("mr") =!= col("n")).isEmpty)
+  }
+
+  test("tfidf top terms requires positive k") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tfidfTopTerms(Seq((1L, "a")).toDF("doc_id", "text"),
+        "text", "doc_id", 0)
+    }
+  }
+
+  test("source overlap counts shared distinct shingle hashes per pair") {
+    val df = Seq(
+      (1L, "x y z w", "s1"),   // shingles: "x y z", "y z w"
+      (2L, "x y z q", "s2"),   // shares "x y z" with s1
+      (3L, "p q r s", "s3")    // shares nothing
+    ).toDF("doc_id", "text", "source")
+    val m = TextAnalysis.sourceOverlap(df, "text", "source").collect()
+    assert(m.length == 1)
+    assert(m.head.getAs[String]("src_a") == "s1")
+    assert(m.head.getAs[String]("src_b") == "s2")
+    assert(m.head.getAs[Long]("shared_shingles") == 1L)
+  }
+
+  test("source overlap is symmetric-free (each pair reported once, a < b)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = TextAnalysis.sourceOverlap(docs, "text", "source")
+    assert(m.filter(col("src_a") >= col("src_b")).isEmpty)
+  }
+}

@@ -169,6 +169,32 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("q19's derived conjuncts push to both scans despite the OR predicate") {
+    val p = plan("q19_disjunctive")
+    // the OR references both tables → post-join filter only; the implied
+    // single-table bounds must still reach each parquet scan
+    assert(p.contains("PushedFilters: [") &&
+      (p.contains("In(p_brand") || p.contains("GreaterThanOrEqual(l_quantity")),
+      s"derived predicates must push to the scans:\n$p")
+  }
+
+  test("repetition signals run as a narrow projection — zero shuffles") {
+    val q = SparkEntry.queries("q_repetition_signals")
+    val df = q(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the single Exchange allowed is the final orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row stats must not shuffle tokens:\n$p")
+    assert(!p.contains("Generate"), s"no explode in the fused path:\n$p")
+  }
+
+  test("double-EXISTS plans as two semi joins, no row explosion") {
+    val p = plan("q_exists_both_years")
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("date-partitioned RAW reads prune to the selected partition") {
     val lake = tmpDir("prune")
     val df = spark.range(100).selectExpr("id",
