@@ -319,6 +319,35 @@ object Dedup {
       threshold: Double, n: Int = 3): DataFrame =
     jaccardPairsFromPostings(shingleHashes(df, textCol, idCol, n), idCol, threshold)
 
+  /** Exact shared-window detection — the "exact substring duplication"
+    * signal of Lee et al., Deduplicating Training Data Makes Language Models
+    * Better (ACL 2022), at window granularity: document pairs sharing at
+    * least `minShared` DISTINCT exact k-token windows. Unlike the Jaccard
+    * pipeline this reports absolute overlap mass (a 50-token boilerplate
+    * header shared by two otherwise-different docs scores 41 windows but a
+    * tiny Jaccard), which is the signal used to cut exact-duplicated spans.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]]: one codegen'd
+    * postings pass, equi-join on the window hash (hash-partitioned — never
+    * a cartesian), count per pair. Window identity is at the 31-bit hash
+    * level, like every postings op here (the oracle hashes identically).
+    * At 100 TB, windows with document frequency above a cap carry no pair
+    * information and should be dropped before the self-join.
+    */
+  def sharedWindowPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 10, minShared: Long = 1L): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val posts = shingleHashes(df, textCol, idCol, k)
+    val a = posts.select(col(idCol).as("id_a"), col("h"))
+    val b = posts.select(col(idCol).as("id_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minShared)
+  }
+
   /** Character-shingle variant for unsegmented scripts (CJK, no word
     * boundaries): same inverted-index pipeline over distinct char n-gram
     * hashes of the normalized text. Use n ≈ 5 for the usual precision/recall

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -88,15 +88,40 @@ object CorpusQueries {
        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
   }
 
+  val SharedWindowK = 10
+
+  /** Exact shared k-token windows per doc pair (Lee et al.-style substring
+    * duplication mass).
+    */
+  val qSharedWindows: Q = (spark, dir) =>
+    Dedup.sharedWindowPairs(Tables(spark, dir, "documents"),
+      "text", "doc_id", SharedWindowK)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val sharedWindowsOracle: String = {
+    import PipelineQueries.WS
+    val h60 = PipelineQueries.h60("s")
+    val parts = (0 until SharedWindowK).map(j => s"ws[i+$j]").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $WS ws FROM documents),
+       |sh AS (SELECT doc_id, concat_ws(' ', $parts) s
+       |       FROM t, UNNEST(range(1, greatest(len(ws)-${SharedWindowK - 1}, 1)+1)) AS u(i)),
+       |post AS (SELECT DISTINCT doc_id, $h60 % 2147483647 AS h FROM sh)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_windows
+       |FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q_repetition_signals" -> qRepetitionSignals,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
-    "q_source_overlap" -> qSourceOverlap
+    "q_source_overlap" -> qSourceOverlap,
+    "q_shared_windows" -> qSharedWindows
   )
 
   val oracles: Map[String, String] = Map(
     "q_repetition_signals" -> repetitionOracle,
     "q_tfidf_top_terms" -> tfidfOracle,
-    "q_source_overlap" -> sourceOverlapOracle
+    "q_source_overlap" -> sourceOverlapOracle,
+    "q_shared_windows" -> sharedWindowsOracle
   )
 }

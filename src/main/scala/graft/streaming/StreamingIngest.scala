@@ -203,6 +203,34 @@ object StreamingIngest {
       closed.iterator
     }
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * the (bounded) static dimension. The static side is hinted broadcast —
+    * per micro-batch Spark ships the dim to the executors once and the
+    * stream side never shuffles, which is the only shape that holds up when
+    * the stream runs at full ingest rate. Left join keeps unmatched stream
+    * rows (enrichment must not drop events).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "join keys must be non-empty")
+    require(!dim.isStreaming,
+      "enrichStream joins a stream to a STATIC dimension; " +
+        "for stream-stream use bandedStreamJoin")
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left_outer")
+  }
+
+  /** Streaming corpus-quality gate: stateless per-row filter on the
+    * composite quality score (graft.operators.TextAnalysis.qualityScore) —
+    * the streaming twin of the batch training-mix quality cut. Stateless ⇒
+    * no watermark, no state store; it fuses into the stream's scan stage.
+    */
+  def qualityFilterStream(stream: DataFrame, textCol: String,
+      minQuality: Double): DataFrame =
+    stream
+      .withColumn("quality",
+        graft.operators.TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+
   def sessionizeStream(
       events: org.apache.spark.sql.Dataset[SessionEvent],
       gapSeconds: Long,

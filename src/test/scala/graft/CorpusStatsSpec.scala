@@ -87,6 +87,31 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(m.head.getAs[Long]("shared_shingles") == 1L)
   }
 
+  test("shared-window pairs count exact k-token overlap") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ") // 12 tokens → 3 windows @ k=10
+    val df = Seq(
+      (1L, base),
+      (2L, base + " tail1 tail2"),         // shares all 3 of doc 1's windows
+      (3L, (20 to 40).map(i => s"v$i").mkString(" "))) // disjoint vocabulary
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.sharedWindowPairs(df, "text", "doc_id", 10)
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert((p.getAs[Long]("id_a"), p.getAs[Long]("id_b")) == (1L, 2L))
+    assert(p.getAs[Long]("shared_windows") == 3L)
+  }
+
+  test("shared-window pairs honors minShared and validates k") {
+    val df = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    // 2-token docs at k=10 → one partial window each, identical → 1 shared
+    assert(graft.operators.Dedup.sharedWindowPairs(df, "text", "doc_id", 10,
+      minShared = 2L).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.sharedWindowPairs(df, "text", "doc_id", 1)
+    }
+  }
+
   test("source overlap is symmetric-free (each pair reported once, a < b)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = TextAnalysis.sourceOverlap(docs, "text", "source")

@@ -122,6 +122,60 @@ class StreamingSpec extends SparkTestBase {
     assert(users == Set(1L), s"only the in-band click joins, got $users")
   }
 
+  test("stream-static enrichment keeps every event and broadcasts the dim") {
+    val lake = tmpDir("slake5")
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    Seq((1L, 10.0), (2L, 20.0), (99L, 5.0)).toDF("user_id", "value")
+      .write.mode("append").parquet(src)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = StreamingIngest.parquetStream(spark, src,
+      Seq((0L, 0.0)).toDF("user_id", "value"))
+    val q = StreamingIngest.enrichStream(stream, dim, Seq("user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT user_id, tier FROM enrich_out")
+      .as[(Long, Option[String])].collect().toMap
+    // left join: unmatched user 99 survives with a null tier
+    assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 99L -> None))
+  }
+
+  test("streaming quality gate filters rows statelessly") {
+    val lake = tmpDir("slake6")
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    val good = ("the quick brown fox is on the mat with a dog and a cat " * 8).trim
+    Seq((1L, good), (2L, "zzz")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val stream = StreamingIngest.parquetStream(spark, src,
+      Seq((0L, "x")).toDF("doc_id", "text"))
+    val q = StreamingIngest.qualityFilterStream(stream, "text", 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.sql("SELECT doc_id FROM quality_out").as[Long].collect().toSet
+    assert(ids == Set(1L), s"only the high-quality doc passes, got $ids")
+  }
+
+  test("enrichStream rejects a streaming dimension") {
+    val lake = tmpDir("slake7")
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    Seq((1L, 1.0)).toDF("user_id", "value").write.mode("append").parquet(src)
+    val s1 = StreamingIngest.parquetStream(spark, src,
+      Seq((0L, 0.0)).toDF("user_id", "value"))
+    val s2 = StreamingIngest.parquetStream(spark, src,
+      Seq((0L, 0.0)).toDF("user_id", "value"))
+    intercept[IllegalArgumentException] {
+      StreamingIngest.enrichStream(s1, s2, Seq("user_id"))
+    }
+  }
+
   test("true streaming execution: memory sink receives windowed aggregates") {
     val lake = tmpDir("slake2")
     val src = s"$lake/in"
