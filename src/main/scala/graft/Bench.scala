@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args = query-name filter (profiling aid); no args = full run
+    val only: Set[String] = args.toSet
+    def selected = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -29,7 +33,7 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     // warmup: smallest SF, every query once (codegen + parquet footer caches)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try execute(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
@@ -44,7 +48,7 @@ object Bench {
     // min over reps: single runs on a 32-thread box carry up to ±2× noise
     // (GC, codegen, neighbors); the min is the stable steady-state figure
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try execute(fn(spark, sfDir))

@@ -317,7 +317,21 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, n: Int = 3): DataFrame =
-    jaccardPairsFromPostings(shingleHashes(df, textCol, idCol, n), idCol, threshold)
+    jaccardPairsFromSizedPostings(sizedShingleHashes(df, textCol, idCol, n),
+      idCol, threshold)
+
+  /** (id, sz, h) postings with the set size computed INLINE from the
+    * codegen'd set expression (the array length is free once the set is in
+    * hand) — replaces the groupBy-count + join-back over the exploded rows,
+    * which re-evaluated the whole shingle+md5 pass once more per use.
+    */
+  private def sizedShingleHashes(df: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        graft.functions.TextHashExprs.wordShingleHash31Set(col(textCol), n)
+          .as("_hs"))
+      .select(col(idCol), size(col("_hs")).as("sz"),
+        explode(col("_hs")).as("h"))
 
   /** Exact shared-window detection — the "exact substring duplication"
     * signal of Lee et al., Deduplicating Training Data Makes Language Models
@@ -357,21 +371,24 @@ object Dedup {
       threshold: Double, n: Int = 5): DataFrame = {
     // normalization stays on composed codegen'd built-ins; the codegen'd
     // set expression handles shingle + hash + per-doc dedup in one pass
-    val postings = df.select(col(idCol),
-      explode(graft.functions.TextHashExprs.charShingleHash31Set(
-        TextAnalysis.normalize(col(textCol)), n)).as("h"))
-    jaccardPairsFromPostings(postings, idCol, threshold)
+    val withSz = df.select(col(idCol),
+        graft.functions.TextHashExprs.charShingleHash31Set(
+          TextAnalysis.normalize(col(textCol)), n).as("_hs"))
+      .select(col(idCol), size(col("_hs")).as("sz"),
+        explode(col("_hs")).as("h"))
+    jaccardPairsFromSizedPostings(withSz, idCol, threshold)
   }
 
-  private def jaccardPairsFromPostings(postings: DataFrame, idCol: String,
+  /** Core inverted-index pair pipeline over (id, sz, h) rows.
+    *
+    * The length-ratio prefilter — J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+    * pairs whose set sizes differ by more than the threshold ratio can't
+    * qualify — uses the inline sz columns; slack of 1 keeps the bound safely
+    * conservative under float rounding. A pure pruning condition: results
+    * (and the oracle) are unchanged.
+    */
+  private def jaccardPairsFromSizedPostings(withSz: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
-    val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // length-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
-    // whose set sizes differ by more than the threshold ratio can't qualify.
-    // Slack of 1 keeps the bound safely conservative under float rounding —
-    // a pure pruning condition, results (and the oracle) are unchanged.
-    // no broadcast hint: sizes ∝ corpus; AQE broadcasts when it fits
-    val withSz = postings.join(sizes, Seq(idCol))
     // sz_a/sz_b are functionally dependent on id_a/id_b and already ride
     // through the h-join for the prefilter — grouping by them too makes the
     // union size available at aggregation time with NO re-join of `sizes`
@@ -424,14 +441,17 @@ object Dedup {
         .select(col("src").as("id"), col("root"))
       val m = labels.unionByName(viaNeighbors)
         .groupBy(col("id")).agg(min(col("root")).as("root"))
+      // pointer jump + carry the previous label so the convergence check is
+      // a filter over the SAME checkpointed rows — one job per round instead
+      // of a second join pipeline just to compare labels
       val next = m
         .join(m.select(col("id").as("r2"), col("root").as("rootRoot")),
           col("root") === col("r2"))
         .select(col("id"), col("rootRoot").as("root"))
+        .join(labels.select(col("id"), col("root").as("_old")), Seq("id"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("root", "old"), Seq("id"))
-        .filter(col("root") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("root") =!= col("_old")).isEmpty
+      labels = next.select(col("id"), col("root"))
       i += 1
     }
     // Unconverged labels are silently WRONG (a near-dup doc could survive

@@ -28,7 +28,7 @@ object AnalyticsQueries {
     * both sides broadcast; the fact-side joins shuffle on their equi-keys.
     */
   val q7NationVolume: Q = (spark, dir) => {
-    val names = Seq("NATION_1", "NATION_2")
+    val names = Seq("NATION_18", "NATION_19")
     val n1 = Tables(spark, dir, "nation")
       .filter(col("n_name").isInCollection(names))
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
@@ -219,8 +219,8 @@ object AnalyticsQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
