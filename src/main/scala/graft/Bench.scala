@@ -15,6 +15,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     // optional args = query-name filter (profiling aid); no args = full run
     val only: Set[String] = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+        unknown.toSeq.sorted.mkString(", "))
     def selected = if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

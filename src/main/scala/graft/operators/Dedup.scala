@@ -317,19 +317,20 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, n: Int = 3): DataFrame =
-    jaccardPairsFromSizedPostings(sizedShingleHashes(df, textCol, idCol, n),
+    jaccardPairsFromSizedPostings(
+      sizedPostings(df, idCol,
+        graft.functions.TextHashExprs.wordShingleHash31Set(col(textCol), n)),
       idCol, threshold)
 
-  /** (id, sz, h) postings with the set size computed INLINE from the
-    * codegen'd set expression (the array length is free once the set is in
-    * hand) — replaces the groupBy-count + join-back over the exploded rows,
-    * which re-evaluated the whole shingle+md5 pass once more per use.
+  /** (id, sz, h) postings from a hash-SET column, with the set size computed
+    * INLINE (the array length is free once the set is in hand) — replaces
+    * the groupBy-count + join-back over the exploded rows, which
+    * re-evaluated the whole shingle+md5 pass once more per use. Shared by
+    * the word- and char-shingle pipelines.
     */
-  private def sizedShingleHashes(df: DataFrame, textCol: String,
-      idCol: String, n: Int): DataFrame =
-    df.select(col(idCol),
-        graft.functions.TextHashExprs.wordShingleHash31Set(col(textCol), n)
-          .as("_hs"))
+  private def sizedPostings(df: DataFrame, idCol: String,
+      hashSet: Column): DataFrame =
+    df.select(col(idCol), hashSet.as("_hs"))
       .select(col(idCol), size(col("_hs")).as("sz"),
         explode(col("_hs")).as("h"))
 
@@ -368,16 +369,14 @@ object Dedup {
     * balance (char 5-grams ≈ word bigrams on English).
     */
   def charNgramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, n: Int = 5): DataFrame = {
+      threshold: Double, n: Int = 5): DataFrame =
     // normalization stays on composed codegen'd built-ins; the codegen'd
     // set expression handles shingle + hash + per-doc dedup in one pass
-    val withSz = df.select(col(idCol),
+    jaccardPairsFromSizedPostings(
+      sizedPostings(df, idCol,
         graft.functions.TextHashExprs.charShingleHash31Set(
-          TextAnalysis.normalize(col(textCol)), n).as("_hs"))
-      .select(col(idCol), size(col("_hs")).as("sz"),
-        explode(col("_hs")).as("h"))
-    jaccardPairsFromSizedPostings(withSz, idCol, threshold)
-  }
+          TextAnalysis.normalize(col(textCol)), n)),
+      idCol, threshold)
 
   /** Core inverted-index pair pipeline over (id, sz, h) rows.
     *

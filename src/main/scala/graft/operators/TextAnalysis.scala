@@ -223,8 +223,10 @@ object TextAnalysis {
     val n = df.count() // corpus size: one job, a long — not a collect of rows
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf rows are already unique per (doc, term) — a plain count IS the
+    // document frequency; countDistinct would add a dedup pass for nothing
     val dfreq = tf.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+      .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")

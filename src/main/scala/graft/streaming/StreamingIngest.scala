@@ -223,13 +223,13 @@ object StreamingIngest {
     * composite quality score (graft.operators.TextAnalysis.qualityScore) —
     * the streaming twin of the batch training-mix quality cut. Stateless ⇒
     * no watermark, no state store; it fuses into the stream's scan stage.
+    * The schema passes through untouched (the score is computed inside the
+    * predicate, never materialized as a column).
     */
   def qualityFilterStream(stream: DataFrame, textCol: String,
       minQuality: Double): DataFrame =
-    stream
-      .withColumn("quality",
-        graft.operators.TextAnalysis.qualityScore(col(textCol)))
-      .filter(col("quality") >= minQuality)
+    stream.filter(
+      graft.operators.TextAnalysis.qualityScore(col(textCol)) >= minQuality)
 
   def sessionizeStream(
       events: org.apache.spark.sql.Dataset[SessionEvent],

@@ -172,10 +172,11 @@ class PlanSpec extends SparkTestBase {
   test("q19's derived conjuncts push to both scans despite the OR predicate") {
     val p = plan("q19_disjunctive")
     // the OR references both tables → post-join filter only; the implied
-    // single-table bounds must still reach each parquet scan
-    assert(p.contains("PushedFilters: [") &&
-      (p.contains("In(p_brand") || p.contains("GreaterThanOrEqual(l_quantity")),
-      s"derived predicates must push to the scans:\n$p")
+    // single-table bounds must still reach EACH parquet scan
+    assert(p.contains("In(p_brand"),
+      s"part-side derived predicate must push to the part scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity"),
+      s"lineitem-side derived predicate must push to the lineitem scan:\n$p")
   }
 
   test("repetition signals run as a narrow projection — zero shuffles") {
