@@ -334,6 +334,53 @@ object ExtendedQueries {
       |    / (n - 1)) / 100.0 AS stddev_qty
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** Per-type z-score outlier counts over the event stream — the
+    * data-quality "flag anomalous measurements" op. Mean and σ are derived
+    * from EXACT decimal sums (the qStatsMoments technique: X = round(100·v)
+    * at decimal scale 0), so the per-row |X−μ| > 2σ comparison uses doubles
+    * every engine computes identically — a boundary row can never flip on
+    * accumulation order.
+    *
+    * Scale shape: one grouped-aggregate pass for the moments (bounded by
+    * |event_type|, broadcast back), one scan pass for the flag counts.
+    */
+  val qOutliers: Q = (spark, dir) => {
+    val x = round(col("value") * 100).cast("decimal(38,0)")
+    val events = Tables(spark, dir, "events")
+    val stats = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx").cast("double") / col("n")).as("mean_x"),
+        sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - 1)).as("sd_x"))
+    events.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(x.cast("double") - col("mean_x")) >
+          lit(2.0) * col("sd_x"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val outliersOracle: String =
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(round(value * 100) AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(round(value * 100) AS DECIMAL(38,0)) *
+      |        CAST(round(value * 100) AS DECIMAL(38,0))) AS sxx
+      |  FROM events GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, n, CAST(sx AS DOUBLE) / n AS mean_x,
+      |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |      / (n - 1)) AS sd_x
+      |  FROM s)
+      |SELECT e.event_type, count(*) AS n_events,
+      |  sum(CASE WHEN abs(CAST(CAST(round(e.value * 100) AS DECIMAL(38,0)) AS DOUBLE)
+      |                    - m.mean_x) > 2.0 * m.sd_x
+      |           THEN 1 ELSE 0 END) AS n_outliers
+      |FROM events e JOIN m ON e.event_type = m.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   // ---------- stratified deterministic sampling ----------
 
   /** Per-status sampling permille: downsample the common 'F'/'O' strata,
@@ -458,10 +505,12 @@ object ExtendedQueries {
     "q_grouping_sets" -> qGroupingSets,
     "q_stats_moments" -> qStatsMoments,
     "q_decontaminate" -> qDecontaminate,
-    "q_char_jaccard" -> qCharJaccard
+    "q_char_jaccard" -> qCharJaccard,
+    "q_outliers" -> qOutliers
   )
 
   val oracles: Map[String, String] = Map(
+    "q_outliers" -> outliersOracle,
     "q_doc_packing" -> docPackingOracle,
     "q_training_mix" -> trainingMixOracle,
     "q_grouping_sets" -> groupingSetsOracle,

@@ -228,13 +228,51 @@ object SketchQueries {
        |  min(dist) AS min_dist, max(dist) AS max_dist
        |FROM a GROUP BY cid ORDER BY cid""".stripMargin
 
+  val PqBlocks = 4
+  val PqK = 16
+  val EmbeddingDim = 64
+
+  /** Product-quantization codes for every embedding (PQ encode — see
+    * Similarity.pqEncode): 4 sub-blocks × 16 deterministic sub-centroids,
+    * code columns code0..code3. Distance arithmetic is the shared
+    * ‖a‖²+‖c‖²−2a·c double formulation, bit-identical in DuckDB.
+    */
+  val qPqEncode: Q = (spark, dir) => {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    graft.operators.Similarity.pqEncode(emb, EmbeddingDim, PqBlocks, PqK)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  private val pqEncodeOracle: String = {
+    val d = EmbeddingDim / PqBlocks
+    def sub(l: String) = s"$l[j*$d+1 : j*$d+$d]"
+    val dist = s"(${dotSql(sub("e.embedding"), sub("e.embedding"))} + " +
+      s"${dotSql(sub("c.cvec"), sub("c.cvec"))}) - " +
+      s"2 * ${dotSql(sub("e.embedding"), sub("c.cvec"))}"
+    val codeCols = (0 until PqBlocks)
+      .map(j => s"max(CASE WHEN j = $j THEN cid END) AS code$j").mkString(", ")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+       |           FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |d AS (SELECT e.vec_id, u.j, c.cid, $dist AS dist
+       |      FROM embeddings e CROSS JOIN c,
+       |           UNNEST(range(0, $PqBlocks)) AS u(j)),
+       |a AS (SELECT vec_id, j, cid FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id, j
+       |                                 ORDER BY dist, cid) = 1)
+       |SELECT vec_id, $codeCols
+       |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_cms_freq" -> qCmsFreq,
     "q_bigram_counts" -> qBigramCounts,
     "q_embedding_quantize" -> qEmbeddingQuantize,
     "q_approx_quantile" -> qApproxQuantile,
-    "q_kmeans_assign" -> qKmeansAssign
+    "q_kmeans_assign" -> qKmeansAssign,
+    "q_pq_encode" -> qPqEncode
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,6 +281,7 @@ object SketchQueries {
     "q_bigram_counts" -> bigramCountsOracle,
     "q_embedding_quantize" -> embeddingQuantizeOracle,
     "q_approx_quantile" -> approxQuantileOracle,
-    "q_kmeans_assign" -> kmeansAssignOracle
+    "q_kmeans_assign" -> kmeansAssignOracle,
+    "q_pq_encode" -> pqEncodeOracle
   )
 }

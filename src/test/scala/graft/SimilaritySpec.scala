@@ -95,6 +95,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(w3 <= w1 * 1.0001, s"WSS must not increase across rounds: $w1 -> $w3")
   }
 
+  test("pqEncode: codebook vectors encode to themselves; codes are in range") {
+    val dcorpus = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val dim = dcorpus.select(size(col("vec"))).first().getInt(0)
+    val codes = Similarity.pqEncode(dcorpus, dim, m = 4, k = 16)
+    // the k codebook vectors are their own nearest sub-centroids in every block
+    val self = codes.filter(col("id") < 16)
+      .filter((0 until 4).map(j => col(s"code$j") === col("id")).reduce(_ && _))
+    assert(self.count() == 16, "codebook rows must self-encode")
+    // every vector gets m codes, each a valid centroid id
+    val bad = codes.filter((0 until 4).map(j =>
+      col(s"code$j").isNull || col(s"code$j") < 0 || col(s"code$j") >= 16)
+      .reduce(_ || _))
+    assert(bad.isEmpty)
+    assert(codes.count() == dcorpus.count())
+  }
+
+  test("pqEncode validates dim/m/k") {
+    val dcorpus = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(dcorpus, dim = 64, m = 5, k = 4) // 64 % 5 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(dcorpus, dim = 64, m = 4, k = 0)
+    }
+  }
+
   test("blocked near-dup pairs are a thresholded subset of the exact pairs") {
     val exact = Similarity.cosineNearDupPairs(corpus, 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
