@@ -286,30 +286,93 @@ object Similarity {
     * the only shuffle is the m-row-per-vector regroup at the end.
     */
   def pqEncode(corpus: DataFrame, dim: Int, m: Int, k: Int): DataFrame = {
+    val codes = pqAssign(corpus, dim, m, k)
+    val aggs = (0 until m).map(j =>
+      max(when(col("block") === j, col("cid"))).as(s"code$j"))
+    codes.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** dim/m/k validation + the contiguous sub-block splitter. */
+  private def pqBlocks(dim: Int, m: Int, k: Int): Column => Column = {
     require(m >= 1 && dim >= m && dim % m == 0,
       s"dim must be a positive multiple of m (got dim=$dim, m=$m)")
     require(k >= 1, s"k must be >= 1, got $k")
     val d = dim / m
-    def blocks(v: Column): Column =
-      array((0 until m).map(j => slice(v, j * d + 1, d)): _*)
-    // codebook: one row per (block, centroid id) — m·k rows, broadcast-able
-    val cents = corpus.orderBy(col("id")).limit(k)
-      .select(col("id").as("cid"), posexplode(blocks(col("vec"))))
+    v => array((0 until m).map(j => slice(v, j * d + 1, d)): _*)
+  }
+
+  /** Squared L2 in the shared exact-double formulation. */
+  private def sqDist(a: Column, b: Column): Column =
+    (VectorFunctions.dot(a, a) + VectorFunctions.dot(b, b)) -
+      lit(2.0) * VectorFunctions.dot(a, b)
+
+  /** PQ codebook: one row (block, cid, csub) per sub-centroid — m·k rows. */
+  private def pqCodebook(corpus: DataFrame, dim: Int, m: Int,
+      k: Int): DataFrame =
+    corpus.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), posexplode(pqBlocks(dim, m, k)(col("vec"))))
       .select(col("pos").as("block"), col("cid"), col("col").as("csub"))
-    val dist = (VectorFunctions.dot(col("sub"), col("sub")) +
-      VectorFunctions.dot(col("csub"), col("csub"))) -
-      lit(2.0) * VectorFunctions.dot(col("sub"), col("csub"))
+
+  /** Long-form PQ assignment: (id, block, cid) — one row per sub-block. */
+  private def pqAssign(corpus: DataFrame, dim: Int, m: Int,
+      k: Int): DataFrame = {
+    val cents = pqCodebook(corpus, dim, m, k)
     val w = Window.partitionBy(col("id"), col("block"))
       .orderBy(col("dist"), col("cid"))
-    val codes = corpus
-      .select(col("id"), posexplode(blocks(col("vec"))))
+    corpus
+      .select(col("id"), posexplode(pqBlocks(dim, m, k)(col("vec"))))
       .select(col("id"), col("pos").as("block"), col("col").as("sub"))
       .join(broadcast(cents), Seq("block"))
-      .withColumn("dist", dist)
+      .withColumn("dist", sqDist(col("sub"), col("csub")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-    val aggs = (0 until m).map(j =>
-      max(when(col("block") === j, col("cid"))).as(s"code$j"))
-    codes.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), col("block"), col("cid"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes — the query side of the
+    * PQ index: each query builds an m×k lookup table of exact sub-distances
+    * to the codebook, and every corpus vector's approximate distance is the
+    * SUM of m table lookups selected by its codes — the corpus is never
+    * touched beyond its m-byte codes (this is what makes a 100 TB embedding
+    * store scannable from memory).
+    *
+    * Determinism: the m lookups are summed in fixed block order
+    * (((d₀+d₁)+d₂)+…) via m broadcast joins — never an aggregate over
+    * unordered rows, whose accumulation order could flip ties. Ties break
+    * on neighbor id. Exact given the codes, so fully oracle-checkable.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, dim: Int, m: Int,
+      kCentroids: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val codes = pqEncode(corpus, dim, m, kCentroids)
+    val cents = pqCodebook(corpus, dim, m, kCentroids)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    // per-query LUT: m·kCentroids exact sub-distances
+    val lut = q.join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("block"), col("cid"),
+        sqDist(slice(col("qvec"), col("block") * lit(dim / m) + lit(1),
+          lit(dim / m)), col("csub")).as("d"))
+    // one broadcast join per block keeps the sum order fixed
+    val joined = (0 until m).foldLeft(
+      codes.crossJoin(broadcast(q.select(col("query_id"))))) {
+      case (acc, j) =>
+        acc.join(
+          broadcast(lut.filter(col("block") === j)
+            .select(col("query_id").as(s"_q$j"), col("cid").as(s"_c$j"),
+              col("d").as(s"_d$j"))),
+          col("query_id") === col(s"_q$j") && col(s"code$j") === col(s"_c$j"))
+    }
+    val adc = (1 until m).foldLeft(col("_d0")) { case (acc, j) =>
+      acc + col(s"_d$j")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    joined
+      .withColumn("adc_dist", adc)
+      .withColumnRenamed("id", "neighbor_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
 }

@@ -265,6 +265,61 @@ object SketchQueries {
        |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  val PqTopK = 5
+  val PqNQueries = 20
+
+  /** ADC top-k over the PQ codes (Similarity.pqTopK): each query's
+    * approximate neighbor ranking from m lookup-table reads per corpus
+    * vector — deterministic given the codes, so the oracle checks it
+    * EXACTLY (not just a recall bound).
+    */
+  val qPqTopK: Q = (spark, dir) => {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    graft.operators.Similarity.pqTopK(emb.filter(col("id") < PqNQueries),
+      emb, EmbeddingDim, PqBlocks, PqK, PqTopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val pqTopKOracle: String = {
+    val d = EmbeddingDim / PqBlocks
+    def sub(l: String) = s"$l[j*$d+1 : j*$d+$d]"
+    val dist = s"(${dotSql(sub("e.embedding"), sub("e.embedding"))} + " +
+      s"${dotSql(sub("c.cvec"), sub("c.cvec"))}) - " +
+      s"2 * ${dotSql(sub("e.embedding"), sub("c.cvec"))}"
+    val lutDist = s"(${dotSql(sub("q.qvec"), sub("q.qvec"))} + " +
+      s"${dotSql(sub("c.cvec"), sub("c.cvec"))}) - " +
+      s"2 * ${dotSql(sub("q.qvec"), sub("c.cvec"))}"
+    val codeCols = (0 until PqBlocks)
+      .map(j => s"max(CASE WHEN j = $j THEN cid END) AS code$j").mkString(", ")
+    val lutJoins = (0 until PqBlocks).map(j =>
+      s"JOIN lut l$j ON l$j.query_id = q.query_id AND l$j.j = $j " +
+        s"AND l$j.cid = codes.code$j").mkString("\n      ")
+    val adc = (0 until PqBlocks).map(j => s"l$j.d").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+       |           FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |dd AS (SELECT e.vec_id, u.j, c.cid, $dist AS dist
+       |       FROM embeddings e CROSS JOIN c,
+       |            UNNEST(range(0, $PqBlocks)) AS u(j)),
+       |a AS (SELECT vec_id, j, cid FROM dd
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id, j
+       |                                 ORDER BY dist, cid) = 1),
+       |codes AS (SELECT vec_id, $codeCols FROM a GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |      WHERE vec_id < $PqNQueries),
+       |lut AS (SELECT q.query_id, u.j, c.cid, $lutDist AS d
+       |        FROM q CROSS JOIN c, UNNEST(range(0, $PqBlocks)) AS u(j)),
+       |s AS (SELECT q.query_id, codes.vec_id AS neighbor_id, $adc AS adc_dist
+       |      FROM codes CROSS JOIN q
+       |      $lutJoins
+       |      WHERE codes.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_cms_freq" -> qCmsFreq,
@@ -272,7 +327,8 @@ object SketchQueries {
     "q_embedding_quantize" -> qEmbeddingQuantize,
     "q_approx_quantile" -> qApproxQuantile,
     "q_kmeans_assign" -> qKmeansAssign,
-    "q_pq_encode" -> qPqEncode
+    "q_pq_encode" -> qPqEncode,
+    "q_pq_topk" -> qPqTopK
   )
 
   val oracles: Map[String, String] = Map(
@@ -282,6 +338,7 @@ object SketchQueries {
     "q_embedding_quantize" -> embeddingQuantizeOracle,
     "q_approx_quantile" -> approxQuantileOracle,
     "q_kmeans_assign" -> kmeansAssignOracle,
-    "q_pq_encode" -> pqEncodeOracle
+    "q_pq_encode" -> pqEncodeOracle,
+    "q_pq_topk" -> pqTopKOracle
   )
 }

@@ -111,6 +111,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(codes.count() == dcorpus.count())
   }
 
+  test("pqTopK: k ranked neighbors per query, no self-matches, asc distance") {
+    val dcorpus = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val dim = dcorpus.select(size(col("vec"))).first().getInt(0)
+    val top = Similarity.pqTopK(dcorpus.filter(col("id") < 5), dcorpus,
+      dim, m = 4, kCentroids = 16, k = 3).cache()
+    assert(top.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    val perQuery = top.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mr"))
+    assert(perQuery.filter(col("n") =!= 3 || col("mr") =!= 3).isEmpty)
+    // rank order must agree with distance order within each query
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val bad = top.withColumn("prev_d", lag(col("adc_dist"), 1).over(w))
+      .filter(col("prev_d") > col("adc_dist"))
+    assert(bad.isEmpty, "adc_dist must be non-decreasing in rank")
+    top.unpersist()
+  }
+
   test("pqEncode validates dim/m/k") {
     val dcorpus = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
     intercept[IllegalArgumentException] {
