@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CmsEstimate, CmsSketch, DotProduct, KmvDistinct, Md5Hash60, MinHashSignature, SimHash, WordShingles}
+import graft.functions.{CmsEstimate, CmsSketch, DotProduct, KmvDistinct, Md5Hash60, MinHashSignature, RepetitionStats, SimHash, WordShingles}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -81,6 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"word_shingles n must be a literal, got $other")
         }
         WordShingles(args(0), n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "repetition_stats(text)")
+        RepetitionStats(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("kmv_distinct"),

@@ -183,6 +183,45 @@ object AnalyticsQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** TPC-H Q2 shape: min-per-group join-back — for every part, the
+    * cheapest-balance supplier that shipped it (lineitem is the part↔supplier
+    * bridge in this schema). The min is resolved as a row_number window over
+    * (acctbal, suppkey) so a balance tie picks the lowest key on both
+    * engines. One shuffle on the bridge key; supplier broadcasts.
+    */
+  val q2MinSupplier: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bridge = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val sup = Tables(spark, dir, "supplier")
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    bridge.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** TPC-H Q12 shape: two-class conditional counts per line status —
+    * critical-priority vs other orders among late-shipped items.
+    */
+  val q12PriorityClass: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val ord = Tables(spark, dir, "orders")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isInCollection(
+          Seq("1-URGENT", "2-HIGH")), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isInCollection(
+          Seq("1-URGENT", "2-HIGH")), 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
   /** UDTF surface: posexplode of the token array — one output row per
     * (doc, position, token), 0-based position like the generator.
     */
@@ -196,6 +235,8 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"), col("pos"))
 
   val all: Map[String, Q] = Map(
+    "q2_min_supplier" -> q2MinSupplier,
+    "q12_priority_class" -> q12PriorityClass,
     "q7_nation_volume" -> q7NationVolume,
     "q10_returned_items" -> q10ReturnedItems,
     "q19_disjunctive" -> q19Disjunctive,
@@ -207,6 +248,24 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q2_min_supplier" ->
+      """SELECT l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal
+        |FROM (SELECT b.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+        |        row_number() OVER (PARTITION BY b.l_partkey
+        |          ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+        |      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+        |      JOIN supplier s ON b.l_suppkey = s.s_suppkey) t
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS ship_year,

@@ -61,6 +61,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(2) == graft.functions.TextHashing.md5Hash60("x"))
   }
 
+  test("repetition_stats is callable from SQL") {
+    val row = spark.sql(
+      """SELECT s.n_tokens AS nt, s.n_distinct AS nd, s.top_word AS tw,
+        |       s.top_bigram AS tb
+        |FROM (SELECT repetition_stats('a b a b a c') AS s)""".stripMargin)
+      .collect().head
+    assert(row.getAs[Int]("nt") == 6)
+    assert(row.getAs[Int]("nd") == 3)
+    assert(row.getAs[Int]("tw") == 3)
+    assert(row.getAs[Int]("tb") == 2)
+  }
+
   test("cms_sketch + cms_estimate compose in SQL") {
     val est = spark.sql(
       """SELECT cms_estimate(sk, CAST(5 AS BIGINT)) FROM (
