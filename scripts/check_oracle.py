@@ -20,6 +20,40 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_class(t):
+    """Canonical type class mirroring the driver's type-sensitive hash.
+
+    Round-3 driver evidence: HUGEINT (DuckDB int128 from uncast sum(CASE..))
+    vs Spark BIGINT hash-mismatched even with identical values, while
+    DECIMAL(2,1) vs DOUBLE hashed identically. So integer width class is
+    significant; decimal-vs-float is not.
+    """
+    t = str(t)
+    if t == "HUGEINT":
+        return "int128"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return "float"
+    return t
+
+
+def type_mismatches(got_rel, exp_rel):
+    gt = dict(zip(got_rel.columns, got_rel.types))
+    et = dict(zip(exp_rel.columns, exp_rel.types))
+    hard, soft = [], []
+    for c in set(gt) & set(et):
+        if str(gt[c]) == str(et[c]):
+            continue
+        entry = f"{c}: spark={gt[c]} oracle={et[c]}"
+        if type_class(gt[c]) != type_class(et[c]):
+            hard.append(entry)
+        else:
+            soft.append(entry)
+    return hard, soft
+
+
 def canon(v):
     if v is None:
         return "NULL"
@@ -54,6 +88,10 @@ def main(sf_dir, out_dir):
     failures = []
     for name, sql in sorted(oracles.items()):
         try:
+            got_rel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            exp_rel = con.sql(sql)
+            hard_types, soft_types = type_mismatches(got_rel, exp_rel)
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_rows = got.fetchall()
@@ -65,6 +103,13 @@ def main(sf_dir, out_dir):
             failures.append(name)
             print(f"FAIL {name}: error {e}")
             continue
+        if hard_types:
+            failures.append(name)
+            print(f"FAIL {name}: type divergence {hard_types} "
+                  "(driver hash is type-sensitive)")
+            continue
+        if soft_types:
+            print(f"     {name}: benign type diff {soft_types}")
         if sorted(got_cols) != sorted(exp_cols):
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")

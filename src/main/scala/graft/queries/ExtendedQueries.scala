@@ -375,9 +375,9 @@ object ExtendedQueries {
       |      / (n - 1)) AS sd_x
       |  FROM s)
       |SELECT e.event_type, count(*) AS n_events,
-      |  sum(CASE WHEN abs(CAST(CAST(round(e.value * 100) AS DECIMAL(38,0)) AS DOUBLE)
+      |  CAST(sum(CASE WHEN abs(CAST(CAST(round(e.value * 100) AS DECIMAL(38,0)) AS DOUBLE)
       |                    - m.mean_x) > 2.0 * m.sd_x
-      |           THEN 1 ELSE 0 END) AS n_outliers
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM events e JOIN m ON e.event_type = m.event_type
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
