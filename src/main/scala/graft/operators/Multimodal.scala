@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -8,12 +12,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract is real and tested — schema, partition-parallel
   * batch processing (`mapPartitions`, the JVM analogue of `mapInPandas`
-  * batches), deterministic output shape. The codec itself is STUBBED: this
-  * container has no image/audio libraries, so `stubDecode` derives a
-  * deterministic fake feature vector from the bytes. Swapping in a real
-  * decoder changes only the marked function body — the distributed plumbing
-  * (per-partition batching, no driver collect, binary+metadata schema) is
-  * the part that has to survive 100 TB, and it is exercised end-to-end.
+  * batches), deterministic output shape. IMAGE payloads (png/jpeg/gif/bmp)
+  * are decoded for REAL via the JDK's `javax.imageio` — features come from
+  * decoded pixels, and the PNG encode→decode round-trip is verified by a
+  * SQL oracle (q_image_decode) that predicts the features arithmetically.
+  * Audio/video codecs remain STUBBED (`stubDecode` — no such libraries in
+  * this container): a deterministic fake feature vector from byte
+  * statistics, so the distributed plumbing (per-partition batching, no
+  * driver collect, binary+metadata schema) is still exercised end-to-end.
   */
 object Multimodal {
 
@@ -32,9 +38,90 @@ object Multimodal {
       n_frames: Int,
       features: Array[Double])
 
-  /** STUB decoder ??? — replace with a real codec (JPEG/PNG/ffmpeg) when the
-    * libraries exist. Deterministic fake: 8 features derived from byte
-    * statistics so tests and oracles are stable.
+  /** Formats [[extractFeatures]] decodes for real via `javax.imageio`
+    * (ships with the JDK — no extra jars). Everything else (audio/video/
+    * text payloads) falls back to [[stubDecode]].
+    */
+  val ImageFormats: Set[String] = Set("png", "jpg", "jpeg", "gif", "bmp")
+
+  /** Real image decode on the JDK's ImageIO. Returns None when no installed
+    * reader recognizes the bytes (corrupt payload or non-image format) —
+    * callers fall back to the stub path, so a bad row degrades instead of
+    * failing the partition.
+    */
+  def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** PNG encode (lossless — decode returns the exact synthesized pixels,
+    * which is what lets the DuckDB oracle predict decoded features
+    * arithmetically).
+    */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 8 deterministic features from DECODED pixels: dimensions, the two
+    * opposite corner pixels' R/B channels, and the exact R/B channel means.
+    * Integer sums divided once at the end — exact doubles, hash-stable
+    * across engines.
+    */
+  def imageFeatures(img: BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L
+    var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff
+        sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val c0 = img.getRGB(0, 0)
+    val c1 = img.getRGB(w - 1, h - 1)
+    val n = (w.toLong * h).toDouble
+    Array(
+      w.toDouble,
+      h.toDouble,
+      ((c0 >> 16) & 0xff).toDouble,
+      (c0 & 0xff).toDouble,
+      ((c1 >> 16) & 0xff).toDouble,
+      (c1 & 0xff).toDouble,
+      sr.toDouble / n,
+      sb.toDouble / n)
+  }
+
+  /** Nearest-neighbor downscale of a decoded image (pure pixel-index
+    * arithmetic — deterministic, unlike the platform-dependent smoothing
+    * scalers).
+    */
+  def resizeImage(img: BufferedImage, factor: Int): BufferedImage = {
+    val w = math.max(img.getWidth / factor, 1)
+    val h = math.max(img.getHeight / factor, 1)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * factor, y * factor))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** STUB decoder ??? — fallback for non-image formats (audio/video: no
+    * codec libraries in this container). Deterministic fake: 8 features
+    * derived from byte statistics so tests and oracles are stable. Image
+    * formats take the real [[decodeImage]] path in [[extractFeatures]].
     */
   def stubDecode(payload: Array[Byte]): Array[Double] = {
     val n = payload.length
@@ -60,7 +147,9 @@ object Multimodal {
     0L.until(math.max(byteLen, 1L)).by(math.max(stride, 1L))
 
   /** Batch feature extraction: per-partition loop (no driver involvement,
-    * no per-row task overhead) — the `mapInPandas` analogue.
+    * no per-row task overhead) — the `mapInPandas` analogue. Image formats
+    * are DECODED for real (ImageIO) and featurized from pixels with
+    * n_frames = 1; everything else keeps the stub byte-statistics path.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -69,14 +158,54 @@ object Multimodal {
       rows.map { r =>
         md.reset()
         val digest = md.digest(r.payload).map("%02x".format(_)).mkString
+        val decoded =
+          if (ImageFormats.contains(r.format)) decodeImage(r.payload) else None
         MediaFeatures(
           media_id = r.media_id,
           byte_len = r.payload.length.toLong,
           checksum = digest,
-          n_frames = frameOffsets(r.payload.length.toLong, 1000L).size,
-          features = stubDecode(r.payload))
+          n_frames = decoded.fold(
+            frameOffsets(r.payload.length.toLong, 1000L).size)(_ => 1),
+          features = decoded.fold(stubDecode(r.payload))(imageFeatures))
       }
     }
+  }
+
+  /** Deterministic two-tone synthetic image per input row: left half one
+    * RGB color, right half another, both derived from two integer columns
+    * via modular arithmetic. Because PNG is lossless, DECODED features are
+    * an arithmetic function of (a, b) — which is what lets a SQL oracle
+    * verify the real ImageIO encode→decode round-trip end-to-end: a wrong
+    * or stubbed decode cannot reproduce the predicted corner pixels and
+    * channel means.
+    *
+    * Width = 8 + (a % 5)*2 (even, so the halves are exactly equal), height
+    * = 6; left (r,g,b) = (a%256, (a*31+7)%256, b%256), right = ((a*7+13)%256,
+    * (a*11+3)%256, (b*3+5)%256).
+    */
+  def syntheticImages(df: DataFrame, idCol: String, auxCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(auxCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (a, b) =>
+          val w = (8 + (a % 5) * 2).toInt
+          val h = 6
+          val left = (((a % 256) << 16) | (((a * 31 + 7) % 256) << 8) | (b % 256)).toInt
+          val right = ((((a * 7 + 13) % 256) << 16) | (((a * 11 + 3) % 256) << 8) | ((b * 3 + 5) % 256)).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, if (x < w / 2) left else right)
+              x += 1
+            }
+            y += 1
+          }
+          MediaRow(a, encodePng(img), "png", w, h)
+        }
+      }
   }
 
   /** STUB resize ??? — a real implementation decodes, scales by `factor`,
@@ -93,16 +222,27 @@ object Multimodal {
 
   /** Batched media resize: binary → binary per-partition transform with the
     * metadata (width/height) scaled alongside the payload — the
-    * image-pipeline stage between ingestion and feature extraction.
+    * image-pipeline stage between ingestion and feature extraction. Image
+    * formats take the real path (decode → nearest-neighbor scale → PNG
+    * re-encode); other formats keep the stub byte-thinning.
     */
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map(r => r.copy(
-        payload = stubResize(r.payload, factor),
-        width = r.width / factor,
-        height = r.height / factor))
+      rows.map { r =>
+        val decoded =
+          if (ImageFormats.contains(r.format)) decodeImage(r.payload) else None
+        decoded match {
+          case Some(img) =>
+            val out = resizeImage(img, factor)
+            r.copy(payload = encodePng(out), format = "png",
+              width = out.getWidth, height = out.getHeight)
+          case None =>
+            r.copy(payload = stubResize(r.payload, factor),
+              width = r.width / factor, height = r.height / factor)
+        }
+      }
     }
   }
 

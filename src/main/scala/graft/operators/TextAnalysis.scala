@@ -220,7 +220,10 @@ object TextAnalysis {
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val n = df.count() // corpus size: one job, a long — not a collect of rows
+    // corpus size as a LAZY broadcast single-row aggregate: building the
+    // query plans no job (an eager df.count() here made plan dumps run the
+    // whole corpus scan) and the helper stays usable on streaming inputs
+    val corpusN = df.agg(count(lit(1)).as("_corpus_n"))
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     // tf rows are already unique per (doc, term) — a plain count IS the
@@ -230,8 +233,10 @@ object TextAnalysis {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
+      .crossJoin(broadcast(corpusN))
       .withColumn("score",
-        (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+        (col("tf") * col("_corpus_n")).cast("double") / col("df").cast("double"))
+      .drop("_corpus_n")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("rank"), col("score"))

@@ -457,6 +457,124 @@ object PipelineQueries {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** Real ImageIO round-trip under the oracle: synthesize a deterministic
+    * two-tone PNG per document (executor-side encode), DECODE it with
+    * `javax.imageio`, featurize from pixels. PNG is lossless, so every
+    * feature (dimensions, corner pixels, exact channel means) is an
+    * arithmetic function of (doc_id, n_chars) the oracle reproduces in SQL —
+    * a stubbed or wrong decode cannot hash-match.
+    */
+  val qImageDecode: Q = (spark, dir) => {
+    val flat = Multimodal.extractFeatures(
+      Multimodal.syntheticImages(
+        Tables(spark, dir, "documents"), "doc_id", "n_chars")).toDF()
+    val fCols = (0 until 8).map(i => col("features")(i).as(s"f$i"))
+    flat.select(Seq(col("media_id"), col("n_frames")) ++ fCols: _*)
+      .orderBy(col("media_id"))
+  }
+
+  private val imageDecodeOracle: String = {
+    // mirrors Multimodal.syntheticImages colors + imageFeatures layout
+    val rL = "CAST(doc_id % 256 AS DOUBLE)"
+    val bL = "CAST(n_chars % 256 AS DOUBLE)"
+    val rR = "CAST((doc_id * 7 + 13) % 256 AS DOUBLE)"
+    val bR = "CAST((n_chars * 3 + 5) % 256 AS DOUBLE)"
+    s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CAST(1 AS INT) AS n_frames,
+       |  CAST(8 + (doc_id % 5) * 2 AS DOUBLE) AS f0,
+       |  CAST(6 AS DOUBLE) AS f1,
+       |  $rL AS f2,
+       |  $bL AS f3,
+       |  $rR AS f4,
+       |  $bR AS f5,
+       |  ($rL + $rR) / 2.0 AS f6,
+       |  ($bL + $bR) / 2.0 AS f7
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
+  /** The prefix-filter (AllPairs) Jaccard path end-to-end under the SAME
+    * oracle as the inverted-index default — the two formulations are
+    * lossless over the same postings, so the result sets are bit-identical
+    * and one SQL covers both.
+    */
+  val qNgramJaccardPrefix: Q = (spark, dir) =>
+    Dedup.ngramJaccardPairsPrefix(Tables(spark, dir, "documents"), "text",
+      "doc_id", NgramJaccardThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------- ANN recall contracts ----------
+
+  /** Recall floors for the lossy ANN variants, verified against the exact
+    * operators INSIDE the query (same pattern as the HLL/KMV sketch
+    * contract): all inputs are deterministic (fixed planes from the first
+    * corpus vectors, fixed data per SF), so a local pass reproduces exactly
+    * in the driver gate.
+    *
+    * 4 planes: sign-LSH collision probability per plane is 1 − θ/π ≈ 0.63
+    * at the 0.4 cosine threshold, so 8 planes would collapse recall to
+    * 0.63⁸ ≈ 2% — 4 planes puts Hamming-≤1 probing at ≈50%, the measured
+    * working point. Measured recalls (sf0.001/0.01/0.1): single-bucket
+    * 0.10–0.19, multi-probe 0.48–0.52, blocked pairs 0.54–0.63; floors sit
+    * under the min with margin.
+    */
+  val LshPlanesN = 4
+  val LshTopKRecallFloor = 0.05
+  val MultiProbeRecallFloor = 0.35
+  val BlockedPairsRecallFloor = 0.40
+
+  val qLshRecall: Q = (spark, dir) => {
+    val c = corpus(spark, dir)
+    val queries = c.filter(col("id") < NQueryVectors)
+    val exactTk = Similarity.bruteForceTopK(queries, c, TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val singleTk = Similarity.lshTopK(queries, c, LshPlanesN, TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val multiTk = Similarity.lshTopKMultiProbe(queries, c, LshPlanesN, TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactPairs = Similarity.cosineNearDupPairs(c, CosineNearDupThreshold)
+      .select(col("id_a"), col("id_b"))
+    val blockedPairs = Similarity.cosineNearDupPairsBlocked(
+      c, CosineNearDupThreshold, LshPlanesN)
+      .select(col("id_a"), col("id_b"))
+    def one(df: DataFrame, as: String) =
+      df.agg(count(lit(1)).cast("long").as(as))
+    val joined = one(exactTk, "n_exact_topk")
+      .crossJoin(one(exactTk.join(singleTk,
+        Seq("query_id", "neighbor_id"), "left_semi"), "n_lsh_hits"))
+      .crossJoin(one(exactTk.join(multiTk,
+        Seq("query_id", "neighbor_id"), "left_semi"), "n_multi_hits"))
+      .crossJoin(one(exactPairs, "n_exact_pairs"))
+      .crossJoin(one(exactPairs.join(blockedPairs,
+        Seq("id_a", "id_b"), "left_semi"), "n_blocked_hits"))
+    joined.select(
+      col("n_exact_topk"), col("n_exact_pairs"),
+      (col("n_lsh_hits") >= col("n_exact_topk") * LshTopKRecallFloor)
+        .as("lsh_recall_ok"),
+      (col("n_multi_hits") >= col("n_exact_topk") * MultiProbeRecallFloor)
+        .as("multiprobe_recall_ok"),
+      (col("n_multi_hits") >= col("n_lsh_hits")).as("multiprobe_ge_single"),
+      (col("n_blocked_hits") >= col("n_exact_pairs") * BlockedPairsRecallFloor)
+        .as("blocked_recall_ok"))
+  }
+
+  /** The oracle reproduces the exact-side counts in SQL and pins every
+    * contract boolean to TRUE — hash-green iff each lossy variant honors
+    * its recall floor against the exact operator.
+    */
+  private val lshRecallOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |pairs AS (
+       |  SELECT a.id FROM e a JOIN e b ON a.id < b.id
+       |  WHERE ${cosSql("a.vec", "b.vec")} >= $CosineNearDupThreshold)
+       |SELECT
+       |  CAST($NQueryVectors AS BIGINT) *
+       |    least($TopK, (SELECT count(*) FROM e) - 1) AS n_exact_topk,
+       |  (SELECT count(*) FROM pairs) AS n_exact_pairs,
+       |  TRUE AS lsh_recall_ok,
+       |  TRUE AS multiprobe_recall_ok,
+       |  TRUE AS multiprobe_ge_single,
+       |  TRUE AS blocked_recall_ok""".stripMargin
+
   // ---------- registry ----------
 
   val all: Map[String, Q] = Map(
@@ -473,6 +591,9 @@ object PipelineQueries {
     "q_embedding_near_dup" -> qEmbeddingNearDup,
     "q_ann_ivf" -> qAnnIvf,
     "q_multimodal_features" -> qMultimodalFeatures,
+    "q_image_decode" -> qImageDecode,
+    "q_ngram_jaccard_prefix" -> qNgramJaccardPrefix,
+    "q_lsh_recall" -> qLshRecall,
     "q_sessionize" -> qSessionize,
     "q_quality_checks" -> qQualityChecks,
     "q_dedup_survivors" -> qDedupSurvivors
@@ -492,6 +613,9 @@ object PipelineQueries {
     "q_embedding_near_dup" -> embeddingNearDupOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_multimodal_features" -> multimodalOracle,
+    "q_image_decode" -> imageDecodeOracle,
+    "q_ngram_jaccard_prefix" -> ngramJaccardOracle,
+    "q_lsh_recall" -> lshRecallOracle,
     "q_sessionize" -> sessionizeOracle,
     "q_quality_checks" -> qualityChecksOracle,
     "q_dedup_survivors" -> dedupSurvivorsOracle

@@ -60,4 +60,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(media.head.format == "mp4")
     assert(media.head.payload.toSeq == Seq[Byte](7, 8, 9))
   }
+
+  test("real ImageIO decode: synthesized PNG features match the predicted arithmetic") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(25)
+    val media = Multimodal.syntheticImages(docs, "doc_id", "n_chars")
+    val feats = Multimodal.extractFeatures(media).collect()
+    val src = docs.select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val a = f.media_id
+      val b = src(a)
+      assert(f.n_frames == 1) // decoded path, not the stub
+      val fs = f.features
+      assert(fs(0) == (8 + (a % 5) * 2).toDouble)
+      assert(fs(1) == 6.0)
+      assert(fs(2) == (a % 256).toDouble)
+      assert(fs(3) == (b % 256).toDouble)
+      assert(fs(4) == ((a * 7 + 13) % 256).toDouble)
+      assert(fs(5) == ((b * 3 + 5) % 256).toDouble)
+      assert(fs(6) == (fs(2) + fs(4)) / 2.0)
+      assert(fs(7) == (fs(3) + fs(5)) / 2.0)
+    }
+  }
+
+  test("image resize decodes, nearest-neighbor scales, and re-encodes losslessly") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    val media = Multimodal.syntheticImages(docs, "doc_id", "n_chars")
+    val resized = Multimodal.resize(media, 2)
+    val feats = Multimodal.extractFeatures(resized).collect()
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    feats.foreach { f =>
+      val o = orig(f.media_id)
+      val fs = f.features
+      assert(fs(0) == (o.width / 2).toDouble)
+      assert(fs(1) == (o.height / 2).toDouble)
+      // nearest-neighbor keeps both tones: corner pixels survive the scale
+      assert(fs(2) == (f.media_id % 256).toDouble)
+      assert(fs(4) == ((f.media_id * 7 + 13) % 256).toDouble)
+    }
+  }
+
+  test("corrupt image payload degrades to the stub path instead of failing") {
+    val junk = Seq(Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "png", 0, 0))
+      .toDS()
+    val f = Multimodal.extractFeatures(junk).collect().head
+    assert(f.features.toSeq == Multimodal.stubDecode(Array[Byte](1, 2, 3)).toSeq)
+  }
 }
