@@ -86,11 +86,47 @@ object IngestQueries {
       |  'region_csv' AS _source_id, CAST(2 AS BIGINT) AS raw_copies
       |FROM region ORDER BY r_regionkey""".stripMargin
 
+  /** ACID-log time travel, driver-proven: commit region as hub version 1,
+    * upsert a mutated batch (keys < 3 renamed) as version 2, then read BOTH
+    * snapshots back through the manifest log. The oracle reconstructs each
+    * snapshot from the source table — hash-green iff version 1 is immutable
+    * under the version-2 commit and the upsert replaced exactly the mutated
+    * keys (graft.writers.VersionedHub; Delta-protocol analogue).
+    */
+  val qHubTimeTravel: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_vhub_tt").toFile.getAbsolutePath
+    val hub = s"$tmp/hub"
+    val region = Tables(spark, dir, "region")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+    graft.writers.VersionedHub.write(spark, region, hub, Seq("r_regionkey"))
+    val batch2 = region.filter(col("r_regionkey") < 3)
+      .withColumn("r_name", concat(col("r_name"), lit("_v2")))
+    graft.writers.VersionedHub.write(spark, batch2, hub, Seq("r_regionkey"))
+    val snap1 = graft.writers.VersionedHub.read(spark, hub, Some(1))
+      .withColumn("version", lit(1))
+    val snap2 = graft.writers.VersionedHub.read(spark, hub, Some(2))
+      .withColumn("version", lit(2))
+    snap1.unionByName(snap2)
+      .select(col("version"), col("r_regionkey"), col("r_name"))
+      .orderBy(col("version"), col("r_regionkey"))
+  }
+
+  private val hubTimeTravelOracle: String =
+    """SELECT 1 AS version, CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+      |FROM region
+      |UNION ALL
+      |SELECT 2, CAST(r_regionkey AS BIGINT),
+      |  CASE WHEN r_regionkey < 3 THEN r_name || '_v2' ELSE r_name END
+      |FROM region
+      |ORDER BY version, r_regionkey""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "q_ingest_hub_roundtrip" -> qIngestHubRoundtrip
+    "q_ingest_hub_roundtrip" -> qIngestHubRoundtrip,
+    "q_hub_time_travel" -> qHubTimeTravel
   )
 
   val oracles: Map[String, String] = Map(
-    "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle
+    "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
+    "q_hub_time_travel" -> hubTimeTravelOracle
   )
 }

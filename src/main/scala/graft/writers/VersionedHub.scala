@@ -1,0 +1,182 @@
+package graft.writers
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.yaml.snakeyaml.Yaml
+
+/** HUB variant with a transaction log: versioned snapshots, optimistic
+  * concurrent writers, and time-travel reads — the plain-Spark analogue of
+  * the Delta Lake commit protocol the reference leans on
+  * (metadata_ingestion/src/ingestion_framework/writer.py:18-36 delegates
+  * ACID + time travel to Delta; design per Armbrust et al., "Delta Lake:
+  * High-Performance ACID Table Storage over Cloud Object Stores",
+  * VLDB 2020).
+  *
+  * Layout:
+  * {{{
+  *   <path>/_log/00000001.json       // one manifest per committed version
+  *   <path>/data/<version>-<uuid>/   // that version's full snapshot
+  * }}}
+  *
+  * Commit protocol (optimistic concurrency, mirroring Delta's "mutual
+  * exclusion on log record creation"):
+  *
+  *   1. read the latest committed version V (scan `_log`);
+  *   2. merge-upsert the batch against snapshot V (same semantics as
+  *      [[HubWriter.write]] — reuses its merge + schema-widening);
+  *   3. write the merged snapshot to a fresh uniquely-named data dir;
+  *   4. COMMIT by creating `_log/{V+1}.json` with create-exclusive
+  *      (`FileSystem.create(overwrite = false)` — atomic on HDFS and on
+  *      the local FS): exactly ONE writer wins version V+1;
+  *   5. a loser deletes its orphan data dir and RETRIES from step 1, so its
+  *      batch re-merges against the winner's snapshot — no lost updates.
+  *
+  * Readers are never blocked and always see a complete snapshot: a manifest
+  * only appears after its data dir is fully written (snapshot isolation).
+  * Uncommitted/orphan data dirs are invisible (reads go through manifests
+  * only) and are swept by [[vacuum]].
+  *
+  * Scale: each version is a full snapshot (the HubWriter model — Delta
+  * MERGE's worst case too). At 100 TB the same log works over the bucketed
+  * layout (per-bucket data dirs in the manifest, only touched buckets
+  * rewritten); the commit point — one exclusive tiny file create per
+  * version — is size-independent.
+  */
+object VersionedHub {
+
+  private val LogDir = "_log"
+  private val MaxRetries = 20
+
+  final case class Version(version: Int, dataDir: String, ts: Long, rows: Long)
+
+  /** Merge-upsert `df` into the hub at `path` as a new committed version.
+    * Returns the committed version number. Safe to call from concurrent
+    * writers on the same table: losers of the commit race retry against the
+    * winner's snapshot.
+    */
+  def write(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      keys: Seq[String]
+  ): Int = {
+    val fs = fileSystem(spark, path)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      attempt += 1
+      val base = latest(spark, path)
+      val next = base.map(_.version).getOrElse(0) + 1
+      val merged = base match {
+        case None => df
+        case Some(v) =>
+          val target = spark.read.parquet(resolve(path, v.dataDir))
+          val (t, s) = HubWriter.reconcileSchemas(target, df)
+          HubWriter.merge(t, s, keys)
+      }
+      val dataDir = s"data/$next-${UUID.randomUUID().toString.take(8)}"
+      merged.write.parquet(resolve(path, dataDir))
+      val rows = spark.read.parquet(resolve(path, dataDir)).count()
+      if (commit(fs, path, Version(next, dataDir, System.currentTimeMillis(), rows)))
+        return next
+      // lost the race: drop the orphan snapshot, re-merge against the winner
+      fs.delete(new Path(resolve(path, dataDir)), true)
+    }
+    throw new IllegalStateException(
+      s"hub at $path: lost the commit race $MaxRetries times — giving up")
+  }
+
+  /** Snapshot read. `version = None` reads the latest committed version;
+    * `Some(v)` time-travels to exactly version v.
+    */
+  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    val v = version match {
+      case Some(n) => readManifest(spark, path, n).getOrElse(
+        throw new IllegalArgumentException(s"hub at $path has no version $n"))
+      case None => latest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $path"))
+    }
+    spark.read.parquet(resolve(path, v.dataDir))
+  }
+
+  /** All committed versions, ascending — the audit/time-travel index. */
+  def history(spark: SparkSession, path: String): Seq[Version] = {
+    val fs = fileSystem(spark, path)
+    val log = new Path(path, LogDir)
+    if (!fs.exists(log)) return Nil
+    fs.listStatus(log).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.endsWith(".json") => n.stripSuffix(".json").toInt }
+      .sorted
+      .flatMap(readManifest(spark, path, _))
+  }
+
+  /** Remove data dirs not referenced by any manifest (commit-race orphans)
+    * and, when `keepVersions` is set, manifests+snapshots older than the
+    * newest `keepVersions` — Delta VACUUM's shape. Never touches the
+    * latest version.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Option[Int] = None): Unit = {
+    val fs = fileSystem(spark, path)
+    val all = history(spark, path)
+    if (all.isEmpty) return
+    val keep = keepVersions match {
+      case Some(k) if k >= 1 => all.takeRight(k)
+      case _ => all
+    }
+    for (v <- all if !keep.exists(_.version == v.version)) {
+      fs.delete(new Path(resolve(path, v.dataDir)), true)
+      fs.delete(new Path(new Path(path, LogDir), f"${v.version}%08d.json"), false)
+    }
+    val referenced = keep.map(v => new Path(resolve(path, v.dataDir)).getName).toSet
+    val dataRoot = new Path(path, "data")
+    if (fs.exists(dataRoot))
+      for (st <- fs.listStatus(dataRoot) if !referenced.contains(st.getPath.getName))
+        fs.delete(st.getPath, true)
+  }
+
+  // ---------- log internals ----------
+
+  private def latest(spark: SparkSession, path: String): Option[Version] =
+    history(spark, path).lastOption
+
+  /** The commit point: create-exclusive on the manifest file. Returns false
+    * when another writer already committed this version number.
+    */
+  private def commit(fs: FileSystem, path: String, v: Version): Boolean = {
+    val log = new Path(path, LogDir)
+    fs.mkdirs(log)
+    val manifest = new Path(log, f"${v.version}%08d.json")
+    val out =
+      try fs.create(manifest, /* overwrite = */ false)
+      catch { case _: java.io.IOException => return false }
+    try out.write(
+      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    true
+  }
+
+  private def readManifest(spark: SparkSession, path: String, n: Int): Option[Version] = {
+    val fs = fileSystem(spark, path)
+    val manifest = new Path(new Path(path, LogDir), f"$n%08d.json")
+    if (!fs.exists(manifest)) return None
+    val in = fs.open(manifest)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val m = new Yaml().load[java.util.Map[String, AnyRef]](text).asScala
+    Some(Version(
+      m("version").toString.toInt,
+      m("dataDir").toString,
+      m("ts").toString.toLong,
+      m("rows").toString.toLong))
+  }
+
+  private def resolve(path: String, rel: String): String =
+    new Path(path, rel).toString
+
+  private def fileSystem(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+}
