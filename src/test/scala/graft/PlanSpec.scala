@@ -196,6 +196,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("prefix-filter Jaccard candidates equi-join on the shingle hash, no cartesian") {
+    val p = plan("q_ngram_jaccard_prefix")
+    assert(!p.contains("CartesianProduct"),
+      s"prefix path must stay an equi-join pipeline:\n$p")
+  }
+
+  test("image decode pipeline is partition-parallel with no join") {
+    val p = plan("q_image_decode")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p)
+  }
+
+  test("LSH recall contract joins stay equi/semi joins — no quadratic candidate plan") {
+    val p = plan("q_lsh_recall")
+    // the only allowed nested-loop is the intended broadcast of single-row
+    // aggregates / the bounded query side; never a full cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("date-partitioned RAW reads prune to the selected partition") {
     val lake = tmpDir("prune")
     val df = spark.range(100).selectExpr("id",
