@@ -140,6 +140,118 @@ object Multimodal {
       1.0)
   }
 
+  // ---------- audio (real codec: javax.sound.sampled, in the JDK) ----------
+
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Int,
+      max_amp: Int,
+      min_amp: Int,
+      mean_abs: Double,
+      n_sign_changes: Int)
+
+  /** 16-bit mono little-endian PCM → WAV container via the JDK's
+    * `AudioSystem` (a real RIFF/WAVE encoder, not a stub).
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode: `AudioSystem` parses the RIFF header and hands back
+    * the PCM stream. Returns None for anything that isn't 16-bit mono PCM
+    * (or isn't audio at all) — callers degrade instead of failing.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Float, Array[Short])] =
+    try {
+      import javax.sound.sampled.AudioSystem
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val data = ais.readAllBytes()
+        val out = new Array[Short](data.length / 2)
+        val big = fmt.isBigEndian
+        var i = 0
+        while (i < out.length) {
+          out(i) =
+            if (big) (((data(2 * i) & 0xff) << 8) | (data(2 * i + 1) & 0xff)).toShort
+            else (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort
+          i += 1
+        }
+        Some((fmt.getSampleRate, out))
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic square-wave WAV per row: amplitude, half-period, and
+    * length all derive from the id by modular arithmetic, and a square
+    * wave keeps every decoded feature INTEGER-exact (|sample| is the
+    * amplitude everywhere), so the SQL oracle predicts the decoded
+    * features without touching libm — the audio analogue of
+    * [[syntheticImages]].
+    *
+    * amplitude = 1000 + (id % 20)·500; half-period = 2 + (id % 4) samples;
+    * n = 800 + (id % 10)·80 samples @ 8 kHz.
+    */
+  def syntheticWavs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { a =>
+        val amp = (1000 + (a % 20) * 500).toShort
+        val half = (2 + (a % 4)).toInt
+        val n = (800 + (a % 10) * 80).toInt
+        val samples = Array.tabulate(n)(i =>
+          if ((i / half) % 2 == 0) amp else (-amp).toShort)
+        MediaRow(a, encodeWav(samples, 8000f), "wav", 0, 0)
+      }
+    }
+  }
+
+  /** Decoded-audio features, per-partition (same distributed shape as
+    * [[extractFeatures]]). Rows that fail to decode come back with
+    * sample_rate = -1 and zeroed stats instead of killing the partition.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeWav(r.payload) match {
+          case Some((rate, s)) if s.nonEmpty =>
+            var maxA = s(0).toInt
+            var minA = s(0).toInt
+            var sumAbs = 0L
+            var signChanges = 0
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toInt
+              if (v > maxA) maxA = v
+              if (v < minA) minA = v
+              sumAbs += math.abs(v)
+              if (i > 0 && (s(i - 1).toInt ^ v) < 0) signChanges += 1
+              i += 1
+            }
+            AudioFeatures(r.media_id, rate.toInt, s.length, maxA, minA,
+              sumAbs.toDouble / s.length, signChanges)
+          case _ =>
+            AudioFeatures(r.media_id, -1, 0, 0, 0, 0.0, 0)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: byte offsets every `stride` bytes — the shape of video
     * frame extraction (seek table), computed without decoding.
     */

@@ -120,13 +120,43 @@ object IngestQueries {
       |FROM region
       |ORDER BY version, r_regionkey""".stripMargin
 
+  /** CDC between committed versions (Delta `table_changes` analogue):
+    * version 2 updates keys < 3 and inserts a synthetic key 99; the feed
+    * must report EXACTLY those rows with the right `_change_type` — an
+    * unchanged row leaking in, or a missed update, breaks the hash.
+    */
+  val qHubChangeFeed: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_vhub_cdc").toFile.getAbsolutePath
+    val hub = s"$tmp/hub"
+    val region = Tables(spark, dir, "region")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+    graft.writers.VersionedHub.write(spark, region, hub, Seq("r_regionkey"))
+    val batch2 = region.filter(col("r_regionkey") < 3)
+      .withColumn("r_name", concat(col("r_name"), lit("_v2")))
+      .unionByName(spark.range(1).select(
+        lit(99L).as("r_regionkey"), lit("NEWREGION").as("r_name")))
+    graft.writers.VersionedHub.write(spark, batch2, hub, Seq("r_regionkey"))
+    graft.writers.VersionedHub.changes(spark, hub, Seq("r_regionkey"), 1, 2)
+      .orderBy(col("r_regionkey"))
+  }
+
+  private val hubChangeFeedOracle: String =
+    """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+      |  r_name || '_v2' AS r_name, 'update' AS _change_type
+      |FROM region WHERE r_regionkey < 3
+      |UNION ALL
+      |SELECT 99, 'NEWREGION', 'insert'
+      |ORDER BY r_regionkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_ingest_hub_roundtrip" -> qIngestHubRoundtrip,
-    "q_hub_time_travel" -> qHubTimeTravel
+    "q_hub_time_travel" -> qHubTimeTravel,
+    "q_hub_change_feed" -> qHubChangeFeed
   )
 
   val oracles: Map[String, String] = Map(
     "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
-    "q_hub_time_travel" -> hubTimeTravelOracle
+    "q_hub_time_travel" -> hubTimeTravelOracle,
+    "q_hub_change_feed" -> hubChangeFeedOracle
   )
 }

@@ -492,6 +492,32 @@ object PipelineQueries {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** Real audio-codec round-trip under the oracle: synthesize a
+    * deterministic square-wave WAV per document (JDK `AudioSystem` RIFF
+    * encode), DECODE it back through the same codec, featurize from PCM
+    * samples. Square waves keep every feature integer-exact, so the oracle
+    * predicts them from doc_id alone — the audio analogue of
+    * q_image_decode.
+    */
+  val qAudioDecode: Q = (spark, dir) =>
+    Multimodal.extractAudioFeatures(
+      Multimodal.syntheticWavs(Tables(spark, dir, "documents"), "doc_id"))
+      .toDF().orderBy(col("media_id"))
+
+  private val audioDecodeOracle: String = {
+    val amp = "(1000 + (doc_id % 20) * 500)"
+    val half = "(2 + doc_id % 4)"
+    val n = "(800 + (doc_id % 10) * 80)"
+    s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CAST(8000 AS INT) AS sample_rate,
+       |  CAST($n AS INT) AS n_samples,
+       |  CAST($amp AS INT) AS max_amp,
+       |  CAST(-$amp AS INT) AS min_amp,
+       |  CAST($amp AS DOUBLE) AS mean_abs,
+       |  CAST(($n - 1) // $half AS INT) AS n_sign_changes
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   /** The prefix-filter (AllPairs) Jaccard path end-to-end under the SAME
     * oracle as the inverted-index default — the two formulations are
     * lossless over the same postings, so the result sets are bit-identical
@@ -592,6 +618,7 @@ object PipelineQueries {
     "q_ann_ivf" -> qAnnIvf,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_image_decode" -> qImageDecode,
+    "q_audio_decode" -> qAudioDecode,
     "q_ngram_jaccard_prefix" -> qNgramJaccardPrefix,
     "q_lsh_recall" -> qLshRecall,
     "q_sessionize" -> qSessionize,
@@ -614,6 +641,7 @@ object PipelineQueries {
     "q_ann_ivf" -> annIvfOracle,
     "q_multimodal_features" -> multimodalOracle,
     "q_image_decode" -> imageDecodeOracle,
+    "q_audio_decode" -> audioDecodeOracle,
     "q_ngram_jaccard_prefix" -> ngramJaccardOracle,
     "q_lsh_recall" -> lshRecallOracle,
     "q_sessionize" -> sessionizeOracle,

@@ -138,6 +138,47 @@ object VersionedHub {
         fs.delete(st.getPath, true)
   }
 
+  /** Change-data feed between two committed versions (Delta
+    * `table_changes` analogue): one row per key whose state differs, with
+    * `_change_type` ∈ insert | update | delete. Computed as a full-outer
+    * equi-join of the two snapshots on the hub keys — one shuffle on the
+    * key columns, the same partitioning every hub merge already uses.
+    * Schema drift between the versions is reconciled with the writer's own
+    * widening ladder, so a column added in `toVersion` reads as NULL on the
+    * `fromVersion` side (and its appearance alone marks rows as updates
+    * only when values actually differ).
+    */
+  def changes(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      fromVersion: Int,
+      toVersion: Int
+  ): DataFrame = {
+    require(keys.nonEmpty, "change feed requires hub primary keys")
+    import org.apache.spark.sql.functions._
+    val (a, b) = HubWriter.reconcileSchemas(
+      read(spark, path, Some(fromVersion)),
+      read(spark, path, Some(toVersion)))
+    val cols = b.columns.toSeq
+    val nonKey = cols.filterNot(keys.contains)
+    val oldSide = a.select(
+      keys.map(col) :+ struct(cols.map(col): _*).as("_old"): _*)
+    val newSide = b.select(
+      keys.map(col) :+ struct(cols.map(col): _*).as("_new"): _*)
+    oldSide.join(newSide, keys, "full_outer")
+      .withColumn("_change_type",
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .when(nonKey.map(c => !(col(s"_new.$c") <=> col(s"_old.$c")))
+            .reduceOption(_ || _).getOrElse(lit(false)), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("_change_type") =!= "unchanged")
+      .select(keys.map(col) ++
+        nonKey.map(c => coalesce(col(s"_new.$c"), col(s"_old.$c")).as(c)) :+
+        col("_change_type"): _*)
+  }
+
   // ---------- log internals ----------
 
   private def latest(spark: SparkSession, path: String): Option[Version] =

@@ -101,6 +101,30 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("real WAV decode: square-wave features match the predicted arithmetic") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(25)
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.syntheticWavs(docs, "doc_id")).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val a = f.media_id
+      val amp = (1000 + (a % 20) * 500).toInt
+      val half = (2 + (a % 4)).toInt
+      val n = (800 + (a % 10) * 80).toInt
+      assert(f.sample_rate == 8000) // decoded from the RIFF header, not assumed
+      assert(f.n_samples == n)
+      assert(f.max_amp == amp && f.min_amp == -amp)
+      assert(f.mean_abs == amp.toDouble)
+      assert(f.n_sign_changes == (n - 1) / half)
+    }
+  }
+
+  test("non-audio payload degrades to the failure row instead of throwing") {
+    val junk = Seq(Multimodal.MediaRow(7L, Array[Byte](1, 2, 3), "wav", 0, 0)).toDS()
+    val f = Multimodal.extractAudioFeatures(junk).collect().head
+    assert(f.sample_rate == -1 && f.n_samples == 0)
+  }
+
   test("corrupt image payload degrades to the stub path instead of failing") {
     val junk = Seq(Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "png", 0, 0))
       .toDS()

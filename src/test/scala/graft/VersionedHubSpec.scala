@@ -61,6 +61,20 @@ class VersionedHubSpec extends SparkTestBase {
     assert(byK(1).isEmpty && byK(2).contains(9.5))
   }
 
+  test("change feed classifies inserts, updates, and (reversed) deletes") {
+    val path = tmpDir("vhub_cdc")
+    VersionedHub.write(spark, kv(1 -> "a", 2 -> "b"), path, Seq("k"))
+    VersionedHub.write(spark, kv(2 -> "B", 3 -> "c"), path, Seq("k"))
+    val fwd = VersionedHub.changes(spark, path, Seq("k"), 1, 2)
+      .select($"k", $"v", $"_change_type").as[(Int, String, String)]
+      .collect().sortBy(_._1)
+    assert(fwd.toSeq == Seq((2, "B", "update"), (3, "c", "insert")))
+    // reversed direction exposes the delete classification
+    val rev = VersionedHub.changes(spark, path, Seq("k"), 2, 1)
+      .select($"k", $"_change_type").as[(Int, String)].collect().sortBy(_._1)
+    assert(rev.toSeq == Seq((2, "update"), (3, "delete")))
+  }
+
   test("vacuum keeps the latest snapshot readable and drops old versions") {
     val path = tmpDir("vhub_vac")
     VersionedHub.write(spark, kv(1 -> "a"), path, Seq("k"))
