@@ -62,6 +62,31 @@ object StreamingIngest {
       }
       .start()
 
+  /** Versioned-hub streaming sink: each micro-batch commits as one hub
+    * version through [[graft.writers.VersionedHub]] with the batch id in
+    * the manifest — a replayed batch (foreachBatch is at-least-once after
+    * a crash between merge and checkpoint) short-circuits to its existing
+    * version instead of double-merging, giving an EXACTLY-ONCE table even
+    * though the sink callback is not. This is the Delta
+    * txnAppId/txnVersion idempotent-sink pattern; time travel and the
+    * change feed then work per micro-batch.
+    */
+  def versionedHubUpsertStream(
+      stream: DataFrame,
+      hubPath: String,
+      keys: Seq[String],
+      checkpointPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.writers.VersionedHub.write(
+          batch.sparkSession, batch, hubPath, keys, batchId = Some(id))
+        ()
+      }
+      .start()
+
   /** Watermarked sliding-window count/sum per event type.
     * `ts` must be a TimestampType column.
     */

@@ -51,24 +51,35 @@ object VersionedHub {
   private val LogDir = "_log"
   private val MaxRetries = 20
 
-  final case class Version(version: Int, dataDir: String, ts: Long, rows: Long)
+  final case class Version(
+      version: Int, dataDir: String, ts: Long, rows: Long,
+      batchId: Option[Long] = None)
 
   /** Merge-upsert `df` into the hub at `path` as a new committed version.
     * Returns the committed version number. Safe to call from concurrent
     * writers on the same table: losers of the commit race retry against the
     * winner's snapshot.
+    *
+    * `batchId` makes the commit IDEMPOTENT per id (Delta's
+    * txnAppId/txnVersion pattern): a replayed micro-batch whose id is
+    * already in the log returns the existing version without re-merging —
+    * exactly-once streaming sinks on top of at-least-once foreachBatch.
     */
   def write(
       spark: SparkSession,
       df: DataFrame,
       path: String,
-      keys: Seq[String]
+      keys: Seq[String],
+      batchId: Option[Long] = None
   ): Int = {
     val fs = fileSystem(spark, path)
     var attempt = 0
     while (attempt < MaxRetries) {
       attempt += 1
-      val base = latest(spark, path)
+      val committed = history(spark, path)
+      for (id <- batchId; v <- committed.find(_.batchId.contains(id)))
+        return v.version // replayed batch: already committed
+      val base = committed.lastOption
       val next = base.map(_.version).getOrElse(0) + 1
       val merged = base match {
         case None => df
@@ -79,8 +90,10 @@ object VersionedHub {
       }
       val dataDir = s"data/$next-${UUID.randomUUID().toString.take(8)}"
       merged.write.parquet(resolve(path, dataDir))
+      // footer-metadata count (no data scan) for the manifest audit field
       val rows = spark.read.parquet(resolve(path, dataDir)).count()
-      if (commit(fs, path, Version(next, dataDir, System.currentTimeMillis(), rows)))
+      if (commit(fs, path,
+          Version(next, dataDir, System.currentTimeMillis(), rows, batchId)))
         return next
       // lost the race: drop the orphan snapshot, re-merge against the winner
       fs.delete(new Path(resolve(path, dataDir)), true)
@@ -194,8 +207,9 @@ object VersionedHub {
     val out =
       try fs.create(manifest, /* overwrite = */ false)
       catch { case _: java.io.IOException => return false }
+    val batchField = v.batchId.map(id => s""", "batchId": $id""").getOrElse("")
     try out.write(
-      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}}"""
+      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField}"""
         .getBytes("UTF-8"))
     finally out.close()
     true
@@ -212,7 +226,8 @@ object VersionedHub {
       m("version").toString.toInt,
       m("dataDir").toString,
       m("ts").toString.toLong,
-      m("rows").toString.toLong))
+      m("rows").toString.toLong,
+      m.get("batchId").map(_.toString.toLong)))
   }
 
   private def resolve(path: String, rel: String): String =
