@@ -234,7 +234,149 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("pos"), col("tok"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** TPC-H Q8 shape: a nation's market share of a part type's trade within
+    * one region, by order year — the classic two-sum division. All dims
+    * (region→nation chain on the customer side, the supplier nation, the
+    * filtered part list) broadcast; the fact side shuffles only on its
+    * equi-keys. Both sums are exact decimal; the single division runs in
+    * double on two exact inputs — deterministic on both engines.
+    */
+  val q8MarketShare: Q = (spark, dir) => {
+    val asiaNations = Tables(spark, dir, "nation")
+      .join(broadcast(Tables(spark, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val promoParts = Tables(spark, dir, "part")
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val vol = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy(col("o_year"))
+      .agg(
+        (d(sum(when(col("supp_nation") === "NATION_18", vol)
+          .otherwise(lit(0)))) / d(sum(vol))).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape: profit by supplier nation and year. The data has no
+    * partsupp table, so supply cost is proxied as 0.8 × p_retailprice per
+    * unit (documented adaptation — the join/aggregate shape is Q9's).
+    * Revenue and unit-cost mass aggregate as exact decimals; the 0.8
+    * scaling and subtraction are two double ops on exact inputs.
+    */
+  val q9ProfitProxy: Q = (spark, dir) => {
+    val suppNation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .withColumn("o_year", year(col("l_shipdate")))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(
+        (d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+          - d(sum(dec(col("p_retailprice")) * dec(col("l_quantity")))) * 0.8)
+          .as("profit"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** TPC-H Q11 shape: parts carrying an outsized share of one nation's
+    * traded value — GROUP BY + HAVING against a scalar fraction of the
+    * global aggregate (the same frame re-aggregated, broadcast back as a
+    * single row; no second scan pattern needed since Spark reuses the
+    * shuffle via the exchange). No partsupp table: "value" is traded
+    * lineitem value by NATION_3 suppliers (documented adaptation).
+    */
+  val q11PartValueShare: Q = (spark, dir) => {
+    val n3supp = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val base = Tables(spark, dir, "lineitem")
+      .join(broadcast(n3supp), col("l_suppkey") === col("s_suppkey"))
+    val perPart = base.groupBy(col("l_partkey").as("p_partkey"))
+      .agg(d(sum(dec(col("l_extendedprice")))).as("part_value"))
+    val total = base.agg(d(sum(dec(col("l_extendedprice")))).as("_total"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("part_value") > col("_total") * 0.001)
+      .select(col("p_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16 shape: supplier variety per (brand, type, size) bucket with
+    * anti-predicates and a NOT-IN supplier exclusion (negative balance in
+    * place of the reference's complaints filter; no partsupp — the
+    * part↔supplier relation comes from lineitem). count(DISTINCT suppkey)
+    * after an anti-join; the excluded-supplier list is tiny → broadcast
+    * anti-join, never a shuffle.
+    */
+  val q16SupplierVariety: Q = (spark, dir) => {
+    val badSupp = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val parts = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" &&
+        !col("p_type").startsWith("PROMO") &&
+        col("p_size").isInCollection(Seq(1, 4, 9, 14, 19, 24, 29, 34)))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape: suppliers whose recent shipments of a part class
+    * dominate their history — a correlated-aggregate derived table
+    * semi-joined back to the supplier dim. The 1997-vs-all-time comparison
+    * `6·q97 > q_all` (an above-average 1997 share: > 1/6 of seven years)
+    * stays in EXACT decimal (no fractional double multiply), so the
+    * boundary row classifies identically on both engines.
+    */
+  val q20TopShippers: Q = (spark, dir) => {
+    val econParts = Tables(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val perSupp = Tables(spark, dir, "lineitem")
+      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1997, dec(col("l_quantity")))
+          .otherwise(lit(0))).as("q97"),
+        sum(dec(col("l_quantity"))).as("q_all"))
+      .filter(col("q97") * 6 > col("q_all"))
+      .select(col("l_suppkey"))
+    Tables(spark, dir, "supplier")
+      .join(perSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q8_market_share" -> q8MarketShare,
+    "q9_profit_proxy" -> q9ProfitProxy,
+    "q11_part_value_share" -> q11PartValueShare,
+    "q16_supplier_variety" -> q16SupplierVariety,
+    "q20_top_shippers" -> q20TopShippers,
     "q2_min_supplier" -> q2MinSupplier,
     "q12_priority_class" -> q12PriorityClass,
     "q7_nation_volume" -> q7NationVolume,
@@ -248,6 +390,68 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_18'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1 - l_discount AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit_proxy" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |  - CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.8
+        |  AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_part_value_share" ->
+      """WITH base AS (
+        |  SELECT l_partkey, l_extendedprice FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3')
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        |FROM base GROUP BY 1
+        |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+        |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM base) * 0.001
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_top_shippers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CASE WHEN year(l_shipdate) = 1997
+        |             THEN CAST(l_quantity AS DECIMAL(18,2))
+        |             ELSE CAST(0 AS DECIMAL(18,2)) END) * 6 >
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))))
+        |ORDER BY s_suppkey""".stripMargin,
     "q2_min_supplier" ->
       """SELECT l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal
         |FROM (SELECT b.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
