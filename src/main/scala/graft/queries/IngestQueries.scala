@@ -148,15 +148,49 @@ object IngestQueries {
       |SELECT 99, 'NEWREGION', 'insert'
       |ORDER BY r_regionkey""".stripMargin
 
+  /** Bucketed versioned commits under the oracle: v2 rewrites ONLY the
+    * buckets its 3 keys hash into (the O(batch) path), yet the merged
+    * snapshot must read back as if the whole table were rewritten — and
+    * the structural-sharing claim is asserted in-query: the result is
+    * non-empty ONLY IF v2's manifest reuses at least one v1 bucket dir.
+    */
+  val qHubBucketedRoundtrip: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_vhub_bkt").toFile.getAbsolutePath
+    val hub = s"$tmp/hub"
+    val region = Tables(spark, dir, "region")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+    graft.writers.VersionedHub.writeBucketed(spark, region, hub,
+      Seq("r_regionkey"), 4)
+    val batch2 = region.filter(col("r_regionkey") < 3)
+      .withColumn("r_name", concat(col("r_name"), lit("_v2")))
+    graft.writers.VersionedHub.writeBucketed(spark, batch2, hub,
+      Seq("r_regionkey"), 4)
+    val hist = graft.writers.VersionedHub.history(spark, hub)
+    val shared = hist.last.buckets.exists { case (b, d) =>
+      hist.head.buckets.get(b).contains(d)
+    }
+    require(shared, "bucketed v2 must share at least one untouched v1 bucket dir")
+    graft.writers.VersionedHub.read(spark, hub)
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  private val hubBucketedRoundtripOracle: String =
+    """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+      |  CASE WHEN r_regionkey < 3 THEN r_name || '_v2' ELSE r_name END AS r_name
+      |FROM region ORDER BY r_regionkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_ingest_hub_roundtrip" -> qIngestHubRoundtrip,
     "q_hub_time_travel" -> qHubTimeTravel,
-    "q_hub_change_feed" -> qHubChangeFeed
+    "q_hub_change_feed" -> qHubChangeFeed,
+    "q_hub_bucketed_roundtrip" -> qHubBucketedRoundtrip
   )
 
   val oracles: Map[String, String] = Map(
     "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
     "q_hub_time_travel" -> hubTimeTravelOracle,
-    "q_hub_change_feed" -> hubChangeFeedOracle
+    "q_hub_change_feed" -> hubChangeFeedOracle,
+    "q_hub_bucketed_roundtrip" -> hubBucketedRoundtripOracle
   )
 }

@@ -50,10 +50,13 @@ object VersionedHub {
 
   private val LogDir = "_log"
   private val MaxRetries = 20
+  private val BucketCol = HubWriter.BucketCol
 
   final case class Version(
       version: Int, dataDir: String, ts: Long, rows: Long,
-      batchId: Option[Long] = None)
+      batchId: Option[Long] = None,
+      nBuckets: Option[Int] = None,
+      buckets: Map[Int, String] = Map.empty)
 
   /** Merge-upsert `df` into the hub at `path` as a new committed version.
     * Returns the committed version number. Safe to call from concurrent
@@ -102,8 +105,82 @@ object VersionedHub {
       s"hub at $path: lost the commit race $MaxRetries times — giving up")
   }
 
+  /** BUCKETED versioned merge — the O(batch) commit path that survives a
+    * 100 TB hub: the manifest maps bucket → data dir, a merge rewrites ONLY
+    * the hash buckets the batch touches, and the new manifest references
+    * the untouched buckets' existing dirs (structural sharing across
+    * versions, like Delta's file-level add/remove). Commit/retry semantics
+    * and batchId idempotence are identical to [[write]]. Keys are hashed
+    * through [[HubWriter.canonicalKey]] so type-widened keys keep their
+    * bucket across runs.
+    */
+  def writeBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      keys: Seq[String],
+      nBuckets: Int,
+      batchId: Option[Long] = None
+  ): Int = {
+    require(keys.nonEmpty, "bucketed versioned hub requires primary keys")
+    val fs = fileSystem(spark, path)
+    def stamp(d: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions._
+      d.withColumn(BucketCol,
+        pmod(xxhash64(keys.map(k =>
+          HubWriter.canonicalKey(col(k), d.schema(k).dataType)): _*),
+          lit(nBuckets)).cast("int"))
+    }
+    val stamped = stamp(df)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      attempt += 1
+      val committed = history(spark, path)
+      for (id <- batchId; v <- committed.find(_.batchId.contains(id)))
+        return v.version
+      val base = committed.lastOption
+      for (v <- base; b <- v.nBuckets)
+        require(b == nBuckets,
+          s"hub at $path is bucketed with nBuckets=$b; got $nBuckets — " +
+            "bucket count is immutable once written")
+      require(base.forall(_.buckets.nonEmpty),
+        s"hub at $path has non-bucketed versions — cannot mix layouts")
+      val next = base.map(_.version).getOrElse(0) + 1
+      val touched = stamped.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq // ≤ nBuckets values
+      val merged = base match {
+        case None => stamped
+        case Some(v) =>
+          val dirs = touched.flatMap(v.buckets.get).map(resolve(path, _))
+          if (dirs.isEmpty) stamped
+          else {
+            val target = spark.read.option("mergeSchema", "true")
+              .parquet(dirs: _*)
+            val (t, s) = HubWriter.reconcileSchemas(
+              target, stamped.drop(BucketCol))
+            stamp(HubWriter.merge(t, s, keys))
+          }
+      }
+      val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
+      merged.write.partitionBy(BucketCol).parquet(resolve(path, root))
+      val newBuckets = base.map(_.buckets).getOrElse(Map.empty) ++
+        touched.map(b => b -> s"$root/$BucketCol=$b")
+      val rows = spark.read.option("mergeSchema", "true")
+        .parquet(newBuckets.values.map(resolve(path, _)).toSeq: _*)
+        .count() // parquet footer metadata, no data scan
+      if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
+          rows, batchId, Some(nBuckets), newBuckets)))
+        return next
+      fs.delete(new Path(resolve(path, root)), true)
+    }
+    throw new IllegalStateException(
+      s"hub at $path: lost the commit race $MaxRetries times — giving up")
+  }
+
   /** Snapshot read. `version = None` reads the latest committed version;
-    * `Some(v)` time-travels to exactly version v.
+    * `Some(v)` time-travels to exactly version v. Bucketed versions read
+    * the union of their manifest's bucket dirs (only dirs the manifest
+    * references — orphans and older bucket generations are invisible).
     */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version match {
@@ -112,7 +189,10 @@ object VersionedHub {
       case None => latest(spark, path).getOrElse(
         throw new IllegalArgumentException(s"no committed versions at $path"))
     }
-    spark.read.parquet(resolve(path, v.dataDir))
+    if (v.buckets.nonEmpty)
+      spark.read.option("mergeSchema", "true")
+        .parquet(v.buckets.values.map(resolve(path, _)).toSeq: _*)
+    else spark.read.parquet(resolve(path, v.dataDir))
   }
 
   /** All committed versions, ascending — the audit/time-travel index. */
@@ -127,10 +207,12 @@ object VersionedHub {
       .flatMap(readManifest(spark, path, _))
   }
 
-  /** Remove data dirs not referenced by any manifest (commit-race orphans)
-    * and, when `keepVersions` is set, manifests+snapshots older than the
-    * newest `keepVersions` — Delta VACUUM's shape. Never touches the
-    * latest version.
+  /** Remove data dirs not referenced by any kept manifest (commit-race
+    * orphans, expired snapshots) and, when `keepVersions` is set, manifests
+    * older than the newest `keepVersions` — Delta VACUUM's shape. Bucketed
+    * versions share bucket dirs structurally, so a version ROOT is only
+    * deleted once no kept manifest references any dir under it. Never
+    * touches the latest version.
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Option[Int] = None): Unit = {
     val fs = fileSystem(spark, path)
@@ -140,16 +222,24 @@ object VersionedHub {
       case Some(k) if k >= 1 => all.takeRight(k)
       case _ => all
     }
-    for (v <- all if !keep.exists(_.version == v.version)) {
-      fs.delete(new Path(resolve(path, v.dataDir)), true)
+    for (v <- all if !keep.exists(_.version == v.version))
       fs.delete(new Path(new Path(path, LogDir), f"${v.version}%08d.json"), false)
-    }
-    val referenced = keep.map(v => new Path(resolve(path, v.dataDir)).getName).toSet
+    // roots still referenced: a plain version references its dataDir; a
+    // bucketed version references (dirs under) the roots its buckets map to
+    val referencedRoots = keep.flatMap { v =>
+      if (v.buckets.isEmpty) Seq(rootName(v.dataDir))
+      else v.buckets.values.map(rootName).toSeq
+    }.toSet
     val dataRoot = new Path(path, "data")
     if (fs.exists(dataRoot))
-      for (st <- fs.listStatus(dataRoot) if !referenced.contains(st.getPath.getName))
+      for (st <- fs.listStatus(dataRoot)
+           if !referencedRoots.contains(st.getPath.getName))
         fs.delete(st.getPath, true)
   }
+
+  /** "data/<root>[/...]" → "<root>" */
+  private def rootName(rel: String): String =
+    rel.stripPrefix("data/").takeWhile(_ != '/')
 
   /** Change-data feed between two committed versions (Delta
     * `table_changes` analogue): one row per key whose state differs, with
@@ -208,8 +298,13 @@ object VersionedHub {
       try fs.create(manifest, /* overwrite = */ false)
       catch { case _: java.io.IOException => return false }
     val batchField = v.batchId.map(id => s""", "batchId": $id""").getOrElse("")
+    val bucketFields = v.nBuckets.map { n =>
+      val m = v.buckets.toSeq.sortBy(_._1)
+        .map { case (b, d) => s""""$b": "$d"""" }.mkString("{", ", ", "}")
+      s""", "nBuckets": $n, "buckets": $m"""
+    }.getOrElse("")
     try out.write(
-      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField}"""
+      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields}"""
         .getBytes("UTF-8"))
     finally out.close()
     true
@@ -222,12 +317,19 @@ object VersionedHub {
     val in = fs.open(manifest)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val m = new Yaml().load[java.util.Map[String, AnyRef]](text).asScala
+    val buckets = m.get("buckets") match {
+      case Some(bm: java.util.Map[_, _]) =>
+        bm.asScala.map { case (k, v) => k.toString.toInt -> v.toString }.toMap
+      case _ => Map.empty[Int, String]
+    }
     Some(Version(
       m("version").toString.toInt,
       m("dataDir").toString,
       m("ts").toString.toLong,
       m("rows").toString.toLong,
-      m.get("batchId").map(_.toString.toLong)))
+      m.get("batchId").map(_.toString.toLong),
+      m.get("nBuckets").map(_.toString.toInt),
+      buckets))
   }
 
   private def resolve(path: String, rel: String): String =

@@ -114,6 +114,58 @@ class VersionedHubSpec extends SparkTestBase {
     assert(VersionedHub.history(spark, hub).map(_.version) == Seq(1, 2))
   }
 
+  test("bucketed versions rewrite only touched buckets and share the rest") {
+    val path = tmpDir("vhub_bucketed")
+    val v1 = VersionedHub.writeBucketed(spark,
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "v"), path, Seq("k"), 8)
+    // second batch touches few keys → few buckets
+    val v2 = VersionedHub.writeBucketed(spark,
+      kv(1 -> "ONE", 2 -> "TWO"), path, Seq("k"), 8)
+    assert((v1, v2) == (1, 2))
+    val hist = VersionedHub.history(spark, path)
+    val m1 = hist.head
+    val m2 = hist.last
+    assert(m1.buckets.size == 8 && m2.buckets.size == 8)
+    val shared = m2.buckets.count { case (b, d) => m1.buckets.get(b).contains(d) }
+    val rewritten = 8 - shared
+    assert(rewritten >= 1 && rewritten <= 2,
+      s"2 keys must touch at most 2 buckets, rewrote $rewritten")
+    // correctness: upserted keys changed, everything else survives
+    val end = VersionedHub.read(spark, path)
+      .select($"k", $"v").as[(Int, String)].collect().toMap
+    assert(end.size == 100 && end(1) == "ONE" && end(2) == "TWO" && end(50) == "v50")
+    // time travel still sees v1
+    val old = VersionedHub.read(spark, path, Some(1))
+      .select($"k", $"v").as[(Int, String)].collect().toMap
+    assert(old(1) == "v1" && old.size == 100)
+    assert(hist.map(_.rows) == Seq(100L, 100L))
+  }
+
+  test("bucketed vacuum preserves shared roots the kept manifest references") {
+    val path = tmpDir("vhub_bucketed_vac")
+    VersionedHub.writeBucketed(spark,
+      (1 to 50).map(i => (i, s"v$i")).toDF("k", "v"), path, Seq("k"), 4)
+    VersionedHub.writeBucketed(spark, kv(1 -> "ONE"), path, Seq("k"), 4)
+    VersionedHub.vacuum(spark, path, keepVersions = Some(1))
+    assert(VersionedHub.history(spark, path).map(_.version) == Seq(2))
+    // v2's manifest points most buckets at v1's root — vacuum must keep it
+    val end = VersionedHub.read(spark, path)
+      .select($"k", $"v").as[(Int, String)].collect().toMap
+    assert(end.size == 50 && end(1) == "ONE" && end(30) == "v30")
+  }
+
+  test("bucketed writes are batchId-idempotent and reject nBuckets drift") {
+    val path = tmpDir("vhub_bucketed_id")
+    VersionedHub.writeBucketed(spark, kv(1 -> "a"), path, Seq("k"), 4,
+      batchId = Some(0L))
+    val replay = VersionedHub.writeBucketed(spark, kv(1 -> "a"), path,
+      Seq("k"), 4, batchId = Some(0L))
+    assert(replay == 1)
+    intercept[IllegalArgumentException] {
+      VersionedHub.writeBucketed(spark, kv(2 -> "b"), path, Seq("k"), 8)
+    }
+  }
+
   test("vacuum keeps the latest snapshot readable and drops old versions") {
     val path = tmpDir("vhub_vac")
     VersionedHub.write(spark, kv(1 -> "a"), path, Seq("k"))
