@@ -12,14 +12,20 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract is real and tested — schema, partition-parallel
   * batch processing (`mapPartitions`, the JVM analogue of `mapInPandas`
-  * batches), deterministic output shape. IMAGE payloads (png/jpeg/gif/bmp)
-  * are decoded for REAL via the JDK's `javax.imageio` — features come from
-  * decoded pixels, and the PNG encode→decode round-trip is verified by a
-  * SQL oracle (q_image_decode) that predicts the features arithmetically.
-  * Audio/video codecs remain STUBBED (`stubDecode` — no such libraries in
-  * this container): a deterministic fake feature vector from byte
-  * statistics, so the distributed plumbing (per-partition batching, no
-  * driver collect, binary+metadata schema) is still exercised end-to-end.
+  * batches), deterministic output shape. All three media classes decode
+  * through REAL JDK codecs, each verified by a SQL oracle that predicts
+  * the decoded features arithmetically:
+  *
+  *   - images (png/jpeg/gif/bmp): `javax.imageio` — q_image_decode;
+  *   - audio (WAV/PCM): `javax.sound.sampled` — q_audio_decode;
+  *   - multi-frame/video stand-in (animated GIF, the JDK's only
+  *     multi-frame container): ImageIO sequence reader/writer —
+  *     q_video_frames. Formats needing external codecs (mp4/h264) would
+  *     slot into the same `decodeGifFrames`-shaped seam.
+  *
+  * `stubDecode` remains only as the degraded fallback for payloads no
+  * installed codec recognizes (corrupt bytes, genuinely exotic formats),
+  * so a bad row degrades instead of failing the partition.
   */
 object Multimodal {
 
@@ -138,6 +144,114 @@ object Multimodal {
       (n % 97).toDouble,
       math.min(n, 4096).toDouble,
       1.0)
+  }
+
+  // ---------- video (real multi-frame codec: animated GIF via ImageIO) ----------
+
+  final case class VideoFeatures(
+      media_id: Long,
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      first_r: Double,
+      first_b: Double,
+      last_r: Double,
+      last_b: Double)
+
+  /** Animated-GIF encode through ImageIO's sequence writer — a real
+    * multi-frame container (the JDK's only one), standing in for video:
+    * frame extraction, frame counts, and per-frame decode all exercise the
+    * true codec path instead of a byte-offset stub.
+    */
+  def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    import javax.imageio.stream.MemoryCacheImageOutputStream
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Real multi-frame decode: ImageIO's GIF reader reports the true frame
+    * count (`getNumImages(true)` walks the stream) and decodes each frame.
+    */
+  def decodeGifFrames(payload: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+    try {
+      import javax.imageio.stream.MemoryCacheImageInputStream
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          Some((0 until n).map(r.read))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic "video" per row: 2 + (id % 3) solid-color
+    * frames whose colors derive from (id, frame index). Solid frames
+    * round-trip GIF's palettization exactly, so decoded per-frame features
+    * are SQL-predictable — the video analogue of [[syntheticImages]].
+    */
+  def syntheticVideos(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { a =>
+        val nFrames = (2 + (a % 3)).toInt
+        val w = 8
+        val h = 6
+        val frames = (0 until nFrames).map { i =>
+          val rgb = ((((a * 13 + i * 7) % 256) << 16) |
+            (((a * 5 + i * 11) % 256) << 8) |
+            ((a * 3 + i * 17) % 256)).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          img
+        }
+        MediaRow(a, encodeGif(frames), "gif", w, h)
+      }
+    }
+  }
+
+  /** Per-partition video featurization from DECODED frames: true frame
+    * count plus first/last-frame corner channels. Undecodable rows come
+    * back with n_frames = -1 instead of killing the partition.
+    */
+  def extractVideoFeatures(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeGifFrames(r.payload) match {
+          case Some(frames) if frames.nonEmpty =>
+            val first = frames.head.getRGB(0, 0)
+            val last = frames.last.getRGB(0, 0)
+            VideoFeatures(r.media_id, frames.length,
+              frames.head.getWidth, frames.head.getHeight,
+              ((first >> 16) & 0xff).toDouble, (first & 0xff).toDouble,
+              ((last >> 16) & 0xff).toDouble, (last & 0xff).toDouble)
+          case _ =>
+            VideoFeatures(r.media_id, -1, 0, 0, 0.0, 0.0, 0.0, 0.0)
+        }
+      }
+    }
   }
 
   // ---------- audio (real codec: javax.sound.sampled, in the JDK) ----------

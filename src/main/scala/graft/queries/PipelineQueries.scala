@@ -518,6 +518,29 @@ object PipelineQueries {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** Real multi-frame (video-stand-in) codec round-trip under the oracle:
+    * per-document animated GIFs (ImageIO sequence writer), decoded frame
+    * counts and per-frame colors predicted arithmetically — solid frames
+    * survive GIF palettization exactly.
+    */
+  val qVideoFrames: Q = (spark, dir) =>
+    Multimodal.extractVideoFeatures(
+      Multimodal.syntheticVideos(Tables(spark, dir, "documents"), "doc_id"))
+      .toDF().orderBy(col("media_id"))
+
+  private val videoFramesOracle: String = {
+    val n = "(2 + doc_id % 3)"
+    s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CAST($n AS INT) AS n_frames,
+       |  CAST(8 AS INT) AS width,
+       |  CAST(6 AS INT) AS height,
+       |  CAST((doc_id * 13) % 256 AS DOUBLE) AS first_r,
+       |  CAST((doc_id * 3) % 256 AS DOUBLE) AS first_b,
+       |  CAST((doc_id * 13 + ($n - 1) * 7) % 256 AS DOUBLE) AS last_r,
+       |  CAST((doc_id * 3 + ($n - 1) * 17) % 256 AS DOUBLE) AS last_b
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   /** The prefix-filter (AllPairs) Jaccard path end-to-end under the SAME
     * oracle as the inverted-index default — the two formulations are
     * lossless over the same postings, so the result sets are bit-identical
@@ -619,6 +642,7 @@ object PipelineQueries {
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_image_decode" -> qImageDecode,
     "q_audio_decode" -> qAudioDecode,
+    "q_video_frames" -> qVideoFrames,
     "q_ngram_jaccard_prefix" -> qNgramJaccardPrefix,
     "q_lsh_recall" -> qLshRecall,
     "q_sessionize" -> qSessionize,
@@ -642,6 +666,7 @@ object PipelineQueries {
     "q_multimodal_features" -> multimodalOracle,
     "q_image_decode" -> imageDecodeOracle,
     "q_audio_decode" -> audioDecodeOracle,
+    "q_video_frames" -> videoFramesOracle,
     "q_ngram_jaccard_prefix" -> ngramJaccardOracle,
     "q_lsh_recall" -> lshRecallOracle,
     "q_sessionize" -> sessionizeOracle,

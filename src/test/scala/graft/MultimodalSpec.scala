@@ -125,6 +125,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.sample_rate == -1 && f.n_samples == 0)
   }
 
+  test("real GIF multi-frame decode: frame count and per-frame colors round-trip") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(25)
+    val feats = Multimodal.extractVideoFeatures(
+      Multimodal.syntheticVideos(docs, "doc_id")).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val a = f.media_id
+      val n = (2 + (a % 3)).toInt
+      assert(f.n_frames == n) // true count from the codec, not metadata
+      assert(f.width == 8 && f.height == 6)
+      assert(f.first_r == ((a * 13) % 256).toDouble)
+      assert(f.first_b == ((a * 3) % 256).toDouble)
+      assert(f.last_r == ((a * 13 + (n - 1) * 7) % 256).toDouble)
+      assert(f.last_b == ((a * 3 + (n - 1) * 17) % 256).toDouble)
+    }
+  }
+
+  test("corrupt video payload degrades to the failure row instead of throwing") {
+    val junk = Seq(Multimodal.MediaRow(3L, Array[Byte](9, 9), "gif", 0, 0)).toDS()
+    val f = Multimodal.extractVideoFeatures(junk).collect().head
+    assert(f.n_frames == -1)
+  }
+
   test("corrupt image payload degrades to the stub path instead of failing") {
     val junk = Seq(Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "png", 0, 0))
       .toDS()
