@@ -74,7 +74,27 @@ object VersionedHub {
       path: String,
       keys: Seq[String],
       batchId: Option[Long] = None
-  ): Int = {
+  ): Int = commitLoop(spark, path, batchId) { base =>
+    base match {
+      case None => df
+      case Some(v) =>
+        val target = spark.read.parquet(resolve(path, v.dataDir))
+        val (t, s) = HubWriter.reconcileSchemas(target, df)
+        HubWriter.merge(t, s, keys)
+    }
+  }
+
+  /** The shared optimistic-commit loop: recompute the snapshot-to-commit
+    * from the CURRENT base on every attempt (a retry after losing the race
+    * must fold in the winner's rows — recompacting/remerging a stale base
+    * would silently drop the concurrent commit), write it to a fresh dir,
+    * and claim the next manifest exclusively.
+    */
+  private def commitLoop(
+      spark: SparkSession,
+      path: String,
+      batchId: Option[Long]
+  )(mkSnapshot: Option[Version] => DataFrame): Int = {
     val fs = fileSystem(spark, path)
     var attempt = 0
     while (attempt < MaxRetries) {
@@ -84,13 +104,7 @@ object VersionedHub {
         return v.version // replayed batch: already committed
       val base = committed.lastOption
       val next = base.map(_.version).getOrElse(0) + 1
-      val merged = base match {
-        case None => df
-        case Some(v) =>
-          val target = spark.read.parquet(resolve(path, v.dataDir))
-          val (t, s) = HubWriter.reconcileSchemas(target, df)
-          HubWriter.merge(t, s, keys)
-      }
+      val merged = mkSnapshot(base)
       val dataDir = s"data/$next-${UUID.randomUUID().toString.take(8)}"
       merged.write.parquet(resolve(path, dataDir))
       // footer-metadata count (no data scan) for the manifest audit field
@@ -98,7 +112,7 @@ object VersionedHub {
       if (commit(fs, path,
           Version(next, dataDir, System.currentTimeMillis(), rows, batchId)))
         return next
-      // lost the race: drop the orphan snapshot, re-merge against the winner
+      // lost the race: drop the orphan snapshot, recompute against the winner
       fs.delete(new Path(resolve(path, dataDir)), true)
     }
     throw new IllegalStateException(
@@ -280,6 +294,36 @@ object VersionedHub {
       .select(keys.map(col) ++
         nonKey.map(c => coalesce(col(s"_new.$c"), col(s"_old.$c")).as(c)) :+
         col("_change_type"): _*)
+  }
+
+  /** Compaction as a COMMITTED version (Delta OPTIMIZE's shape): rewrite
+    * the latest snapshot into ≈`targetFileRows`-row files and commit the
+    * result through the normal log, so readers never see a half-compacted
+    * table and time travel to pre-compaction versions still works. Runs
+    * through the same optimistic protocol — a concurrent upsert simply
+    * wins or loses the version race.
+    */
+  def optimize(
+      spark: SparkSession,
+      path: String,
+      targetFileRows: Long = 1024 * 1024
+  ): Int = commitLoop(spark, path, batchId = None) { base =>
+    val v = base.getOrElse(throw new IllegalArgumentException(
+      s"no committed versions at $path to optimize"))
+    val current = spark.read.parquet(resolve(path, v.dataDir))
+    val nFiles = math.max(1,
+      math.ceil(v.rows.toDouble / targetFileRows).toInt)
+    current.repartition(nFiles)
+  }
+
+  /** The audit log as a DataFrame (DESCRIBE HISTORY's shape). */
+  def historyDF(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    history(spark, path)
+      .map(v => (v.version, v.dataDir, v.ts, v.rows, v.batchId,
+        v.nBuckets, v.buckets.size))
+      .toDF("version", "data_dir", "ts", "rows", "batch_id",
+        "n_buckets", "n_bucket_dirs")
   }
 
   // ---------- log internals ----------

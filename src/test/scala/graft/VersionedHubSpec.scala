@@ -166,6 +166,27 @@ class VersionedHubSpec extends SparkTestBase {
     }
   }
 
+  test("optimize commits a compacted snapshot as a new version, content-identical") {
+    val path = tmpDir("vhub_opt")
+    VersionedHub.write(spark,
+      (1 to 200).map(i => (i, s"v$i")).toDF("k", "v").repartition(16),
+      path, Seq("k"))
+    val v = VersionedHub.optimize(spark, path, targetFileRows = 1000)
+    assert(v == 2)
+    val before = VersionedHub.read(spark, path, Some(1))
+      .select($"k", $"v").as[(Int, String)].collect().toSet
+    val after = VersionedHub.read(spark, path, Some(2))
+      .select($"k", $"v").as[(Int, String)].collect().toSet
+    assert(before == after)
+    val files = new java.io.File(path, "data").listFiles
+      .filter(_.getName.startsWith("2-")).head
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"200 rows at 1000/file must compact to 1 file, got $files")
+    val hist = VersionedHub.historyDF(spark, path)
+      .select($"version", $"rows").as[(Int, Long)].collect().toSeq.sorted
+    assert(hist == Seq((1, 200L), (2, 200L)))
+  }
+
   test("vacuum keeps the latest snapshot readable and drops old versions") {
     val path = tmpDir("vhub_vac")
     VersionedHub.write(spark, kv(1 -> "a"), path, Seq("k"))
