@@ -268,7 +268,11 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
-    val postings = shingleHashes(df, textCol, idCol, n)
+    // postings feed FOUR consumers (docsets, document frequencies, the
+    // prefix rank, the full probe) — materialize the shingle+hash pass once
+    // (at scale you'd persist this table anyway; recomputing the codegen'd
+    // explode per consumer triples the dominant scan cost)
+    val postings = shingleHashes(df, textCol, idCol, n).localCheckpoint()
     // per-doc sorted hash-set array + size (postings are already distinct)
     val docsets = postings.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
