@@ -337,6 +337,9 @@ object Dedup {
     df.select(col(idCol), hashSet.as("_hs"))
       .select(col(idCol), size(col("_hs")).as("sz"),
         explode(col("_hs")).as("h"))
+      // the pair pipeline self-joins these postings: materialize the
+      // shingle+hash pass once instead of recomputing it per join branch
+      .localCheckpoint()
 
   /** Exact shared-window detection — the "exact substring duplication"
     * signal of Lee et al., Deduplicating Training Data Makes Language Models
@@ -357,7 +360,8 @@ object Dedup {
       k: Int = 10, minShared: Long = 1L): DataFrame = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val posts = shingleHashes(df, textCol, idCol, k)
+    // self-joined below — materialize the window-hash pass once
+    val posts = shingleHashes(df, textCol, idCol, k).localCheckpoint()
     val a = posts.select(col(idCol).as("id_a"), col("h"))
     val b = posts.select(col(idCol).as("id_b"), col("h"))
     a.join(b, Seq("h"))
