@@ -293,19 +293,27 @@ object RelationalQueries {
     * oracle reproduces as literal TRUE alongside the exact counts — a
     * hash-exact comparison iff both sketches honor their error bounds.
     */
-  val qApproxDistinct: Q = (spark, dir) =>
-    Tables(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  val qApproxDistinct: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    // sketches in one expand-free agg (no DISTINCT aggregate in the frame);
+    // the exact count runs as dedup-then-count and joins back on the 3
+    // group keys — mixing countDistinct into the sketch agg forced an
+    // Expand ×3 of the whole fact input
+    val sketches = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("hll_parts"),
         graft.functions.KmvDistinct.kmvDistinct(col("l_partkey"), 256)
-          .as("kmv_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+          .as("kmv_parts"))
+    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("exact_parts"))
+    sketches.join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("hll_parts") - col("exact_parts")) <=
           col("exact_parts") * HllTolerance).as("hll_ok"),
         (abs(col("kmv_parts") - col("exact_parts")) <=
           col("exact_parts") * KmvTolerance).as("kmv_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Scalar string-function surface in one projection (concat, substring,
     * case, pad, trim, replace, split, length, reverse, position).
