@@ -272,10 +272,16 @@ object AnalyticsQueries {
   /** TPC-H Q9 shape: profit by supplier nation and year. The data has no
     * partsupp table, so supply cost is proxied as 0.8 × p_retailprice per
     * unit (documented adaptation — the join/aggregate shape is Q9's).
-    * Revenue and unit-cost mass aggregate as exact decimals; the 0.8
-    * scaling and subtraction are two double ops on exact inputs.
+    *
+    * Money runs in LONG integer cents (`round(v·100)` — the q_outliers
+    * pattern, proven engine-identical): per-row products ≤ 5e10 and group
+    * sums ≤ 3e16 stay exact in 64-bit, so the whole aggregate is primitive
+    * codegen'd long arithmetic instead of the precision-38 decimal slow
+    * path, with ONE double conversion of the exact integer at the end
+    * (identical IEEE rounding on both engines).
     */
   val q9ProfitProxy: Q = (spark, dir) => {
+    def cents(c: Column): Column = round(c * 100).cast("long")
     val suppNation = Tables(spark, dir, "nation")
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
     Tables(spark, dir, "lineitem")
@@ -288,8 +294,8 @@ object AnalyticsQueries {
       .withColumn("o_year", year(col("l_shipdate")))
       .groupBy(col("nation"), col("o_year"))
       .agg(
-        (d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
-          - d(sum(dec(col("p_retailprice")) * dec(col("l_quantity")))) * 0.8)
+        (d(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount")))) / 10000.0
+          - d(sum(cents(col("p_retailprice")) * cents(col("l_quantity")))) / 10000.0 * 0.8)
           .as("profit"))
       .orderBy(col("nation"), col("o_year"))
   }
@@ -408,10 +414,10 @@ object AnalyticsQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_profit_proxy" ->
       """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
-        |  - CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) *
-        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.8
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0
+        |  - CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT) *
+        |             CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 10000.0 * 0.8
         |  AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey

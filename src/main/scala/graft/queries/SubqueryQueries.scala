@@ -93,14 +93,18 @@ object SubqueryQueries {
   val q14PromoRevenue: Q = (spark, dir) => {
     val li = Tables(spark, dir, "lineitem")
     val part = Tables(spark, dir, "part")
-    val discPrice = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    // LONG integer cents (the q9 pattern): per-row products <= 1e9, group
+    // sums <= ~6e14 — exact 64-bit arithmetic on the codegen fast path,
+    // one double conversion of the exact integer at the end
+    def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+    val discCents = cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))
     li.join(part, col("l_partkey") === col("p_partkey"))
       .withColumn("ship_year", year(col("l_shipdate")))
       .groupBy(col("ship_year"))
       .agg(
-        d(coalesce(sum(when(col("p_type") === "PROMO", discPrice)), lit(0)))
-          .as("promo_revenue"),
-        d(sum(discPrice)).as("total_revenue"))
+        (d(coalesce(sum(when(col("p_type") === "PROMO", discCents)), lit(0L)))
+          / 10000.0).as("promo_revenue"),
+        (d(sum(discCents)) / 10000.0).as("total_revenue"))
       .withColumn("promo_pct",
         lit(100.0) * col("promo_revenue") / col("total_revenue"))
       .orderBy(col("ship_year"))
@@ -299,17 +303,17 @@ object SubqueryQueries {
     "q14_promo_revenue" ->
       """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
         |  CAST(coalesce(sum(CASE WHEN p_type = 'PROMO'
-        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |             CAST(1 - l_discount AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+        |        THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             CAST(round((1 - l_discount) * 100) AS BIGINT) END), 0) AS DOUBLE) / 10000.0
         |    AS promo_revenue,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0
         |    AS total_revenue,
-        |  100.0 * CAST(coalesce(sum(CASE WHEN p_type = 'PROMO'
-        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |             CAST(1 - l_discount AS DECIMAL(18,2)) END), 0) AS DOUBLE) /
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |             CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |  100.0 * (CAST(coalesce(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             CAST(round((1 - l_discount) * 100) AS BIGINT) END), 0) AS DOUBLE) / 10000.0) /
+        |    (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0)
         |    AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY year(l_shipdate)
