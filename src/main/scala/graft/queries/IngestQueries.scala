@@ -180,7 +180,49 @@ object IngestQueries {
       |  CASE WHEN r_regionkey < 3 THEN r_name || '_v2' ELSE r_name END AS r_name
       |FROM region ORDER BY r_regionkey""".stripMargin
 
+  /** Z-order layout contract under the driver gate: lay events out along
+    * the Morton curve of (user_id, event bucket) and measure zone-map
+    * quality — the AVERAGE fraction of each column's full span a file's
+    * [min,max] covers. A single-column sort leaves the other column's
+    * fraction at ≈1.0 (blind); the z-curve must keep BOTH averages ≤ 0.5,
+    * i.e. a point predicate on either column skips at least half the data
+    * on average. Oracle pins the contract booleans to TRUE.
+    */
+  val qZorderPrune: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_zorder").toFile.getAbsolutePath
+    val nFiles = 16
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id").cast("int").as("a"),
+        (col("event_id") % 1000).cast("int").as("b"))
+    graft.functions.ZOrder.zOrderByBinned(ev, "a", "b", nFiles)
+      .write.parquet(s"$tmp/z")
+    def ranges(c: String): Seq[(Long, Long)] =
+      new java.io.File(s"$tmp/z").listFiles.toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
+            .collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+    def avgFrac(rs: Seq[(Long, Long)]): Double = {
+      val lo = rs.map(_._1).min
+      val hi = rs.map(_._2).max
+      val span = math.max(hi - lo, 1L).toDouble
+      rs.map { case (l, h) => (h - l).toDouble / span }.sum / rs.size
+    }
+    val (ra, rb) = (ranges("a"), ranges("b"))
+    import spark.implicits._
+    Seq((ra.size.toLong, avgFrac(ra) <= 0.5, avgFrac(rb) <= 0.5))
+      .toDF("n_files", "prune_a_ok", "prune_b_ok")
+  }
+
+  private val zorderPruneOracle: String =
+    """SELECT CAST(16 AS BIGINT) AS n_files,
+      |  TRUE AS prune_a_ok, TRUE AS prune_b_ok""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_zorder_prune" -> qZorderPrune,
     "q_ingest_hub_roundtrip" -> qIngestHubRoundtrip,
     "q_hub_time_travel" -> qHubTimeTravel,
     "q_hub_change_feed" -> qHubChangeFeed,
@@ -188,6 +230,7 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_prune" -> zorderPruneOracle,
     "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
     "q_hub_time_travel" -> hubTimeTravelOracle,
     "q_hub_change_feed" -> hubChangeFeedOracle,

@@ -316,6 +316,27 @@ object VersionedHub {
     current.repartition(nFiles)
   }
 
+  /** Z-order compaction (Delta OPTIMIZE ZORDER BY analogue): rewrite the
+    * latest snapshot along the Morton curve of two columns so every file
+    * carries a narrow min/max range on BOTH — parquet zone-map pruning then
+    * works for predicates on either column. Committed through the normal
+    * log like [[optimize]].
+    */
+  def optimizeZOrder(
+      spark: SparkSession,
+      path: String,
+      colA: String,
+      colB: String,
+      targetFileRows: Long = 1024 * 1024
+  ): Int = commitLoop(spark, path, batchId = None) { base =>
+    val v = base.getOrElse(throw new IllegalArgumentException(
+      s"no committed versions at $path to optimize"))
+    val current = spark.read.parquet(resolve(path, v.dataDir))
+    val nFiles = math.max(1,
+      math.ceil(v.rows.toDouble / targetFileRows).toInt)
+    graft.functions.ZOrder.zOrderByBinned(current, colA, colB, nFiles)
+  }
+
   /** The audit log as a DataFrame (DESCRIBE HISTORY's shape). */
   def historyDF(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
