@@ -18,6 +18,9 @@ object AnalyticsQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def d(c: Column): Column = c.cast("double")
+  /** long-cents money path — see RelationalQueries.sumCents scaladoc */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def sumCents(prod: Column): Column = sum(prod.cast("decimal(38,0)"))
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -45,8 +48,8 @@ object AnalyticsQueries {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .withColumn("ship_year", year(col("l_shipdate")))
       .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
-      .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
-        .as("volume"),
+      .agg((d(sumCents(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))))
+        / 10000.0).as("volume"),
         count(lit(1)).as("n_items"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
   }
@@ -68,8 +71,8 @@ object AnalyticsQueries {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
-        .as("revenue"))
+      .agg((d(sumCents(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))))
+        / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -252,7 +255,7 @@ object AnalyticsQueries {
     val promoParts = Tables(spark, dir, "part")
       .filter(col("p_type") === "PROMO")
       .select(col("p_partkey"))
-    val vol = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    val vol = cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))
     Tables(spark, dir, "lineitem")
       .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
       .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -264,8 +267,8 @@ object AnalyticsQueries {
       .withColumn("o_year", year(col("o_orderdate")))
       .groupBy(col("o_year"))
       .agg(
-        (d(sum(when(col("supp_nation") === "NATION_18", vol)
-          .otherwise(lit(0)))) / d(sum(vol))).as("mkt_share"))
+        (d(sumCents(when(col("supp_nation") === "NATION_18", vol)
+          .otherwise(lit(0L)))) / d(sumCents(vol))).as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
@@ -294,8 +297,10 @@ object AnalyticsQueries {
       .withColumn("o_year", year(col("l_shipdate")))
       .groupBy(col("nation"), col("o_year"))
       .agg(
-        (d(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount")))) / 10000.0
-          - d(sum(cents(col("p_retailprice")) * cents(col("l_quantity")))) / 10000.0 * 0.8)
+        (d(sum((cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount")))
+            .cast("decimal(38,0)"))) / 10000.0
+          - d(sum((cents(col("p_retailprice")) * cents(col("l_quantity")))
+            .cast("decimal(38,0)"))) / 10000.0 * 0.8)
           .as("profit"))
       .orderBy(col("nation"), col("o_year"))
   }
@@ -399,10 +404,10 @@ object AnalyticsQueries {
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(sum(CASE WHEN n2.n_name = 'NATION_18'
-        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |         CAST(1 - l_discount AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
-        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |         CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS mkt_share
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) AS mkt_share
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
         |JOIN orders ON l_orderkey = o_orderkey
@@ -479,8 +484,8 @@ object AnalyticsQueries {
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS ship_year,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS volume,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -493,8 +498,8 @@ object AnalyticsQueries {
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -506,8 +511,8 @@ object AnalyticsQueries {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q19_disjunctive" ->
       """SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15

@@ -196,22 +196,25 @@ object IngestQueries {
         (col("event_id") % 1000).cast("int").as("b"))
     graft.functions.ZOrder.zOrderByBinned(ev, "a", "b", nFiles)
       .write.parquet(s"$tmp/z")
-    def ranges(c: String): Seq[(Long, Long)] =
-      new java.io.File(s"$tmp/z").listFiles.toSeq
-        .filter(_.getName.endsWith(".parquet"))
-        .map { f =>
-          val r = spark.read.parquet(f.getAbsolutePath)
-            .agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
-            .collect().head
-          (r.getLong(0), r.getLong(1))
-        }
+    // per-file zone maps in ONE scan: group by the file each row came from
+    // (a per-file loop of tiny jobs costs 2×nFiles scheduler round-trips)
+    val stats = spark.read.parquet(s"$tmp/z")
+      .groupBy(input_file_name().as("_f"))
+      .agg(min(col("a")).cast("long").as("a_lo"),
+        max(col("a")).cast("long").as("a_hi"),
+        min(col("b")).cast("long").as("b_lo"),
+        max(col("b")).cast("long").as("b_hi"))
+      .collect() // nFiles rows
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
     def avgFrac(rs: Seq[(Long, Long)]): Double = {
       val lo = rs.map(_._1).min
       val hi = rs.map(_._2).max
       val span = math.max(hi - lo, 1L).toDouble
       rs.map { case (l, h) => (h - l).toDouble / span }.sum / rs.size
     }
-    val (ra, rb) = (ranges("a"), ranges("b"))
+    val ra = stats.map(s => (s._1, s._2))
+    val rb = stats.map(s => (s._3, s._4))
     import spark.implicits._
     Seq((ra.size.toLong, avgFrac(ra) <= 0.5, avgFrac(rb) <= 0.5))
       .toDF("n_files", "prune_a_ok", "prune_b_ok")

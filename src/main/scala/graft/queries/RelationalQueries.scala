@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** money in LONG integer cents (per-row products are primitive 64-bit) */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** sum of cents products in DECIMAL(38,0): exact at ANY row count (no
+    * 2^63 overflow at extreme SF) while Spark's Decimal add stays on its
+    * compact-long fast path until a partial sum actually outgrows a long —
+    * the per-row cost drops from decimal multiply to long multiply. */
+  private def sumCents(prod: Column): Column = sum(prod.cast("decimal(38,0)"))
   private def d(c: Column): Column = c.cast("double")
 
   type Q = (SparkSession, String) => DataFrame
@@ -38,11 +45,11 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        d(sum(dec(col("l_quantity")))).as("sum_qty"),
-        d(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
-          .as("sum_disc_price"),
-        (d(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (d(sumCents(cents(col("l_quantity")))) / 100.0).as("sum_qty"),
+        (d(sumCents(cents(col("l_extendedprice")))) / 100.0).as("sum_base_price"),
+        (d(sumCents(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))))
+          / 10000.0).as("sum_disc_price"),
+        (d(sumCents(cents(col("l_quantity")))) / 100.0 / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -62,8 +69,8 @@ object RelationalQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
-        .as("revenue"))
+      .agg((d(sumCents(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))))
+        / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -88,8 +95,8 @@ object RelationalQueries {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
-        .as("revenue"))
+      .agg((d(sumCents(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))))
+        / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -491,17 +498,17 @@ object RelationalQueries {
         |ORDER BY src, k""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey, o_orderdate,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -512,7 +519,7 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier_volume" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
