@@ -189,16 +189,18 @@ object Multimodal {
     try {
       import javax.imageio.stream.MemoryCacheImageInputStream
       val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          val n = r.getNumImages(true)
-          Some((0 until n).map(r.read))
-        } finally r.dispose()
-      }
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            Some((0 until n).map(r.read))
+          } finally r.dispose()
+        }
+      } finally iis.close()
     } catch { case _: Exception => None }
 
   /** Deterministic synthetic "video" per row: 2 + (id % 3) solid-color

@@ -187,6 +187,36 @@ class VersionedHubSpec extends SparkTestBase {
     assert(hist == Seq((1, 200L), (2, 200L)))
   }
 
+  test("property: N random upserts == reference Map fold, at every intermediate version") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val path = tmpDir(s"vhub_prop$trial")
+      // keys unique WITHIN a batch: a batch with duplicate keys and no
+      // _ingest_ts_utc stamp has no defined within-batch winner (the
+      // HubWriterSpec property covers that case with explicit timestamps)
+      val batches = List.fill(4)(
+        rnd.shuffle((0 until 12).toList).take(8)
+          .map(k => (k, rnd.nextInt(1000).toString)))
+      batches.foreach(b => VersionedHub.write(spark, kv(b: _*), path, Seq("k")))
+      // every committed version must equal the Map-fold of its prefix —
+      // catches both lost updates AND snapshot mutation by later commits
+      var ref = Map.empty[Int, String]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        ref = b.foldLeft(ref) { case (m, (k, v)) => m + (k -> v) }
+        val got = VersionedHub.read(spark, path, Some(i + 1))
+          .select($"k", $"v").as[(Int, String)].collect().toMap
+        assert(got == ref, s"trial $trial version ${i + 1}")
+      }
+      // bucketed layout must agree with the flat layout on the same batches
+      val bpath = tmpDir(s"vhub_propb$trial")
+      batches.foreach(b =>
+        VersionedHub.writeBucketed(spark, kv(b: _*), bpath, Seq("k"), 4))
+      val bGot = VersionedHub.read(spark, bpath)
+        .select($"k", $"v").as[(Int, String)].collect().toMap
+      assert(bGot == ref, s"trial $trial bucketed/flat divergence")
+    }
+  }
+
   test("vacuum keeps the latest snapshot readable and drops old versions") {
     val path = tmpDir("vhub_vac")
     VersionedHub.write(spark, kv(1 -> "a"), path, Seq("k"))
