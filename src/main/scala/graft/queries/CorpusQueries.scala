@@ -111,7 +111,39 @@ object CorpusQueries {
        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Token commonality — the "how ordinary is this document's vocabulary"
+    * quality signal (rare-token-heavy docs are OCR noise/gibberish; all-
+    * common-token docs are boilerplate): per doc, the mean GLOBAL corpus
+    * frequency of its tokens, duplicates counted. Distributed shape: the
+    * frequency table is vocabulary-bounded (AQE broadcasts it back), the
+    * per-doc aggregate is one shuffle on doc_id; exact integer sums, one
+    * IEEE division.
+    */
+  val qTokenCommonality: Q = (spark, dir) => {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val gf = tok.groupBy(col("term")).agg(count(lit(1)).as("gc"))
+    tok.join(gf, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("gc")).cast("double") / count(lit(1)))
+          .as("mean_token_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenCommonalityOracle: String = {
+    import PipelineQueries.WS
+    s"""WITH t AS (SELECT doc_id, unnest($WS) AS term FROM documents),
+       |gf AS (SELECT term, count(*) AS gc FROM t GROUP BY 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(gc) AS DOUBLE) / count(*) AS mean_token_freq
+       |FROM t JOIN gf USING (term)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q_token_commonality" -> qTokenCommonality,
     "q_repetition_signals" -> qRepetitionSignals,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_source_overlap" -> qSourceOverlap,
@@ -119,6 +151,7 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_token_commonality" -> tokenCommonalityOracle,
     "q_repetition_signals" -> repetitionOracle,
     "q_tfidf_top_terms" -> tfidfOracle,
     "q_source_overlap" -> sourceOverlapOracle,
