@@ -375,13 +375,36 @@ object VersionedHub {
     true
   }
 
+  /** A manifest file becomes VISIBLE at the create-exclusive claim, a few
+    * microseconds before its JSON content lands — a concurrent reader can
+    * observe it empty/partial. Wait briefly for in-flight content; a
+    * manifest that never becomes parseable (writer crashed inside the
+    * content write) is treated as absent for reads, and its claimed
+    * version number blocks further commits (loud failure after MaxRetries)
+    * rather than being silently reclaimed by two repairers at once.
+    */
+  private val ManifestWaitMs = 10L
+  private val ManifestWaitAttempts = 100
+
   private def readManifest(spark: SparkSession, path: String, n: Int): Option[Version] = {
     val fs = fileSystem(spark, path)
     val manifest = new Path(new Path(path, LogDir), f"$n%08d.json")
     if (!fs.exists(manifest)) return None
-    val in = fs.open(manifest)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val m = new Yaml().load[java.util.Map[String, AnyRef]](text).asScala
+    var m: scala.collection.Map[String, AnyRef] = null
+    var attempt = 0
+    while (m == null && attempt < ManifestWaitAttempts) {
+      attempt += 1
+      val in = fs.open(manifest)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val parsed =
+        try new Yaml().load[java.util.Map[String, AnyRef]](text)
+        catch { case _: Exception => null }
+      if (parsed != null && parsed.containsKey("version")) m = parsed.asScala
+      else Thread.sleep(ManifestWaitMs)
+    }
+    if (m == null) return None // in-flight too long or corrupt: treat as absent
     val buckets = m.get("buckets") match {
       case Some(bm: java.util.Map[_, _]) =>
         bm.asScala.map { case (k, v) => k.toString.toInt -> v.toString }.toMap
