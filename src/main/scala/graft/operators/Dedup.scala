@@ -326,6 +326,32 @@ object Dedup {
         graft.functions.TextHashExprs.wordShingleHash31Set(col(textCol), n)),
       idCol, threshold)
 
+  /** The web-scale escape hatch for the postings self-join: drop shingles
+    * whose document frequency exceeds `dfCap` BEFORE the join, bounding the
+    * quadratic term at Σ_h min(df, cap)² — on a Zipfian corpus this removes
+    * the stop-shingle blowup that makes Σdf² infeasible. APPROXIMATE:
+    * a pair's common/union counts are computed over surviving shingles
+    * only, so reported jaccard drifts for pairs dominated by hot shingles
+    * (boilerplate), while pairs sharing RARE shingles — the ones near-dup
+    * detection is for — keep their scores (measured in DedupSpec). Use the
+    * exact operators when the corpus fits them.
+    */
+  def ngramJaccardPairsCapped(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, dfCap: Long, n: Int = 3): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2 (a df-1 shingle pairs nothing), got $dfCap")
+    val posts = sizedPostings(df, idCol,
+      graft.functions.TextHashExprs.wordShingleHash31Set(col(textCol), n))
+    val dfreq = posts.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+    // sz must be recomputed over SURVIVING shingles, or jaccard denominators
+    // count dropped shingles and every score deflates
+    val kept = posts.join(dfreq.filter(col("_df") <= dfCap), Seq("h"))
+      .select(col(idCol), col("h"))
+    val sz = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    jaccardPairsFromSizedPostings(
+      kept.join(sz, Seq(idCol)).select(col(idCol), col("sz"), col("h")),
+      idCol, threshold)
+  }
+
   /** (id, sz, h) postings from a hash-SET column, with the set size computed
     * INLINE (the array length is free once the set is in hand) — replaces
     * the groupBy-count + join-back over the exploded rows, which

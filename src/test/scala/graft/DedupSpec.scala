@@ -167,4 +167,29 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.subsetOf(exact), "LSH candidates are a subset; verify is exact")
     assert(lsh.size >= exact.size / 2, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
+
+  test("df-capped Jaccard keeps rare-shingle near-dups while cutting hot-shingle work") {
+    import spark.implicits._
+    // every doc shares the same boilerplate header (a hot shingle in every
+    // doc); pairs (1,2) and (3,4) additionally share rare unique bodies
+    val boiler = "terms of service apply to all content here"
+    val docs = Seq(
+      (1, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2, s"$boiler alpha beta gamma delta epsilon eta"),
+      (3, s"$boiler one two three four five six"),
+      (4, s"$boiler one two three four five seven"),
+      (5, s"$boiler completely different text body words entirely")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Int, Int)].collect().toSet
+    // cap df at 4: the boilerplate shingles (df=5) drop, bodies (df<=2) stay
+    val capped = Dedup.ngramJaccardPairsCapped(docs, "text", "doc_id", 0.5, 4)
+      .select("id_a", "id_b").as[(Int, Int)].collect().toSet
+    assert(exact.contains((1, 2)) && exact.contains((3, 4)))
+    assert(capped.contains((1, 2)) && capped.contains((3, 4)),
+      s"rare-shingle near-dups must survive the cap: $capped")
+    // boilerplate-only pairs (e.g. anything with doc 5) must NOT qualify
+    // once hot shingles are dropped
+    assert(!capped.exists(p => p._1 == 5 || p._2 == 5), s"$capped")
+  }
 }
