@@ -215,6 +215,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("fuzzy name join is a length-band equi-join, never a cartesian") {
+    val p = plan("q_fuzzy_names")
+    assert(!p.contains("CartesianProduct"),
+      s"fuzzy join must block on the exploded length band:\n$p")
+  }
+
+  test("token commonality joins the vocabulary-bounded frequency table, no cartesian") {
+    val p = plan("q_token_commonality")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial+final aggs
+  }
+
   test("date-partitioned RAW reads prune to the selected partition") {
     val lake = tmpDir("prune")
     val df = spark.range(100).selectExpr("id",
