@@ -308,12 +308,25 @@ object VersionedHub {
       path: String,
       targetFileRows: Long = 1024 * 1024
   ): Int = commitLoop(spark, path, batchId = None) { base =>
-    val v = base.getOrElse(throw new IllegalArgumentException(
-      s"no committed versions at $path to optimize"))
+    val v = requireFlat(base, path, "optimize")
     val current = spark.read.parquet(resolve(path, v.dataDir))
     val nFiles = math.max(1,
       math.ceil(v.rows.toDouble / targetFileRows).toInt)
     current.repartition(nFiles)
+  }
+
+  /** optimize/optimizeZOrder commit FLAT snapshots; running them against a
+    * bucketed hub would fold only the latest version's touched-bucket dirs
+    * (dataDir is not the whole snapshot there) and then mix layouts —
+    * refuse loudly instead. Bucketed tables compact per bucket via a
+    * writeBucketed of the affected buckets.
+    */
+  private def requireFlat(base: Option[Version], path: String, op: String): Version = {
+    val v = base.getOrElse(throw new IllegalArgumentException(
+      s"no committed versions at $path to $op"))
+    require(v.buckets.isEmpty,
+      s"$op supports flat hubs only; $path is bucketed (nBuckets=${v.nBuckets.getOrElse(-1)})")
+    v
   }
 
   /** Z-order compaction (Delta OPTIMIZE ZORDER BY analogue): rewrite the
@@ -329,8 +342,7 @@ object VersionedHub {
       colB: String,
       targetFileRows: Long = 1024 * 1024
   ): Int = commitLoop(spark, path, batchId = None) { base =>
-    val v = base.getOrElse(throw new IllegalArgumentException(
-      s"no committed versions at $path to optimize"))
+    val v = requireFlat(base, path, "optimizeZOrder")
     val current = spark.read.parquet(resolve(path, v.dataDir))
     val nFiles = math.max(1,
       math.ceil(v.rows.toDouble / targetFileRows).toInt)

@@ -154,6 +154,17 @@ class VersionedHubSpec extends SparkTestBase {
     assert(end.size == 50 && end(1) == "ONE" && end(30) == "v30")
   }
 
+  test("optimize refuses a bucketed hub instead of committing a partial flat snapshot") {
+    val path = tmpDir("vhub_opt_bkt")
+    VersionedHub.writeBucketed(spark, kv(1 -> "a", 2 -> "b"), path, Seq("k"), 4)
+    intercept[IllegalArgumentException] {
+      VersionedHub.optimize(spark, path)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedHub.optimizeZOrder(spark, path, "k", "v")
+    }
+  }
+
   test("bucketed writes are batchId-idempotent and reject nBuckets drift") {
     val path = tmpDir("vhub_bucketed_id")
     VersionedHub.writeBucketed(spark, kv(1 -> "a"), path, Seq("k"), 4,
