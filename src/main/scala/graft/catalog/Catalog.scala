@@ -4,7 +4,8 @@ import java.io.{FileInputStream, InputStream}
 import java.{util => ju}
 import scala.jdk.CollectionConverters._
 
-import org.yaml.snakeyaml.Yaml
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
 
 /** One declarative ingestion unit from the YAML catalog.
   *
@@ -52,6 +53,12 @@ final case class SourceSystem(
   */
 object YamlCatalog {
 
+  /** scalars/maps/lists only — the JVM analogue of the reference's
+    * `yaml.safe_load` (metadata.py:21); YAML tags that would instantiate
+    * arbitrary classes are rejected.
+    */
+  private def safeYaml = new Yaml(new SafeConstructor(new LoaderOptions()))
+
   def load(path: String): SourceSystem = {
     val in = new FileInputStream(path)
     try load(in)
@@ -59,13 +66,13 @@ object YamlCatalog {
   }
 
   def load(in: InputStream): SourceSystem = {
-    val root = new Yaml().load[ju.Map[String, AnyRef]](in)
+    val root = safeYaml.load[ju.Map[String, AnyRef]](in)
     if (root == null) throw new IllegalArgumentException("empty catalog YAML")
     fromJava(root.asScala.toMap)
   }
 
   def loadString(yaml: String): SourceSystem = {
-    val root = new Yaml().load[ju.Map[String, AnyRef]](yaml)
+    val root = safeYaml.load[ju.Map[String, AnyRef]](yaml)
     if (root == null) throw new IllegalArgumentException("empty catalog YAML")
     fromJava(root.asScala.toMap)
   }

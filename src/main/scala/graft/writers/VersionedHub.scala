@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.yaml.snakeyaml.Yaml
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
 
 /** HUB variant with a transaction log: versioned snapshots, optimistic
   * concurrent writers, and time-travel reads — the plain-Spark analogue of
@@ -67,6 +68,16 @@ object VersionedHub {
     * txnAppId/txnVersion pattern): a replayed micro-batch whose id is
     * already in the log returns the existing version without re-merging —
     * exactly-once streaming sinks on top of at-least-once foreachBatch.
+    *
+    * With no keys the merge degrades to an append (union), matching
+    * [[HubWriter.write]]'s keyless contract.
+    *
+    * On a BUCKETED table this dispatches to [[writeBucketed]] with the
+    * table's own bucket count: a bucketed version's `dataDir` is only the
+    * latest commit's touched-bucket root, so merging against it flat would
+    * commit a partial snapshot and silently drop every row living in bucket
+    * dirs shared from earlier roots. Keyless writes cannot bucket-route and
+    * are refused loudly on a bucketed table.
     */
   def write(
       spark: SparkSession,
@@ -74,13 +85,22 @@ object VersionedHub {
       path: String,
       keys: Seq[String],
       batchId: Option[Long] = None
-  ): Int = commitLoop(spark, path, batchId) { base =>
-    base match {
-      case None => df
-      case Some(v) =>
-        val target = spark.read.parquet(resolve(path, v.dataDir))
-        val (t, s) = HubWriter.reconcileSchemas(target, df)
-        HubWriter.merge(t, s, keys)
+  ): Int = latest(spark, path) match {
+    case Some(v) if v.buckets.nonEmpty =>
+      require(keys.nonEmpty,
+        s"hub at $path is bucketed; a keyless write() cannot route rows to " +
+          "buckets — provide the hub primary keys")
+      writeBucketed(spark, df, path, keys,
+        v.nBuckets.getOrElse(v.buckets.keys.max + 1), batchId)
+    case _ => commitLoop(spark, path, batchId) { base =>
+      base match {
+        case None => df
+        case Some(v) =>
+          val target = spark.read.parquet(resolve(path, v.dataDir))
+          val (t, s) = HubWriter.reconcileSchemas(target, df)
+          if (keys.isEmpty) t.unionByName(s)
+          else HubWriter.merge(t, s, keys)
+      }
     }
   }
 
@@ -103,6 +123,11 @@ object VersionedHub {
       for (id <- batchId; v <- committed.find(_.batchId.contains(id)))
         return v.version // replayed batch: already committed
       val base = committed.lastOption
+      // race guard (write() dispatches on the layout BEFORE this loop): a
+      // bucketed commit landing in between would make the flat merge below a
+      // partial-snapshot corruption — refuse instead
+      require(base.forall(_.buckets.isEmpty),
+        s"hub at $path became bucketed mid-commit; retry the write")
       val next = base.map(_.version).getOrElse(0) + 1
       val merged = mkSnapshot(base)
       val dataDir = s"data/$next-${UUID.randomUUID().toString.take(8)}"
@@ -114,6 +139,7 @@ object VersionedHub {
         return next
       // lost the race: drop the orphan snapshot, recompute against the winner
       fs.delete(new Path(resolve(path, dataDir)), true)
+      failIfStuck(spark, path, next)
     }
     throw new IllegalStateException(
       s"hub at $path: lost the commit race $MaxRetries times — giving up")
@@ -186,6 +212,7 @@ object VersionedHub {
           rows, batchId, Some(nBuckets), newBuckets)))
         return next
       fs.delete(new Path(resolve(path, root)), true)
+      failIfStuck(spark, path, next)
     }
     throw new IllegalStateException(
       s"hub at $path: lost the commit race $MaxRetries times — giving up")
@@ -221,14 +248,26 @@ object VersionedHub {
       .flatMap(readManifest(spark, path, _))
   }
 
+  /** Default vacuum retention: unreferenced data dirs younger than this are
+    * NOT swept, because they may belong to an in-flight writer whose
+    * create-exclusive commit hasn't landed yet — sweeping them would leave
+    * the winner's manifest pointing at deleted data (the Delta VACUUM
+    * retention rationale). 15 minutes dwarfs any snapshot-write duration at
+    * test scale; size it above your longest merge at production scale.
+    */
+  val DefaultVacuumRetainMs: Long = 15 * 60 * 1000L
+
   /** Remove data dirs not referenced by any kept manifest (commit-race
     * orphans, expired snapshots) and, when `keepVersions` is set, manifests
     * older than the newest `keepVersions` — Delta VACUUM's shape. Bucketed
     * versions share bucket dirs structurally, so a version ROOT is only
     * deleted once no kept manifest references any dir under it. Never
-    * touches the latest version.
+    * touches the latest version. Data dirs modified within `retainMs` are
+    * kept even when unreferenced (in-flight writer protection — see
+    * [[DefaultVacuumRetainMs]]); pass 0 only when no writer can be active.
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Option[Int] = None): Unit = {
+  def vacuum(spark: SparkSession, path: String, keepVersions: Option[Int] = None,
+      retainMs: Long = DefaultVacuumRetainMs): Unit = {
     val fs = fileSystem(spark, path)
     val all = history(spark, path)
     if (all.isEmpty) return
@@ -245,9 +284,11 @@ object VersionedHub {
       else v.buckets.values.map(rootName).toSeq
     }.toSet
     val dataRoot = new Path(path, "data")
+    val sweepBefore = System.currentTimeMillis() - math.max(retainMs, 0L)
     if (fs.exists(dataRoot))
       for (st <- fs.listStatus(dataRoot)
-           if !referencedRoots.contains(st.getPath.getName))
+           if !referencedRoots.contains(st.getPath.getName)
+           if st.getModificationTime < sweepBefore)
         fs.delete(st.getPath, true)
   }
 
@@ -391,12 +432,73 @@ object VersionedHub {
     * microseconds before its JSON content lands — a concurrent reader can
     * observe it empty/partial. Wait briefly for in-flight content; a
     * manifest that never becomes parseable (writer crashed inside the
-    * content write) is treated as absent for reads, and its claimed
-    * version number blocks further commits (loud failure after MaxRetries)
-    * rather than being silently reclaimed by two repairers at once.
+    * content write) is treated as absent for reads, blocks further commits
+    * LOUDLY (failIfStuck points at the remedy), and is reclaimed only by an
+    * explicit, age-guarded [[repair]] — never silently mid-commit.
     */
   private val ManifestWaitMs = 10L
   private val ManifestWaitAttempts = 100
+
+  /** One parse attempt, no wait. Manifests are JSON this writer produced, but
+    * the table path is writable by anyone with table access — parse with
+    * snakeyaml's SafeConstructor (scalars/maps/lists only; YAML tags that
+    * would instantiate arbitrary classes are rejected), the JVM analogue of
+    * `yaml.safe_load`.
+    */
+  private def parseManifestOnce(fs: FileSystem, manifest: Path): Option[scala.collection.Map[String, AnyRef]] = {
+    val in = fs.open(manifest)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val parsed =
+      try new Yaml(new SafeConstructor(new LoaderOptions()))
+        .load[java.util.Map[String, AnyRef]](text)
+      catch { case _: Exception => null }
+    if (parsed != null && parsed.containsKey("version")) Some(parsed.asScala)
+    else None
+  }
+
+  /** A commit loser whose winning version number has an UNREADABLE manifest
+    * is racing a ghost: the winner crashed between the create-exclusive
+    * claim and the content write, and no retry can ever succeed. Fail now
+    * with the remedy instead of burning MaxRetries full snapshot writes.
+    * (readManifest below has already waited out the in-flight window.)
+    */
+  private def failIfStuck(spark: SparkSession, path: String, version: Int): Unit = {
+    val fs = fileSystem(spark, path)
+    val manifest = new Path(new Path(path, LogDir), f"$version%08d.json")
+    if (fs.exists(manifest) && readManifest(spark, path, version).isEmpty)
+      throw new IllegalStateException(
+        s"hub at $path: version $version is claimed by an unreadable manifest " +
+          "(a writer crashed mid-commit) — run VersionedHub.repair(path) to " +
+          "reclaim the version number, then retry")
+  }
+
+  /** Reclaim version numbers blocked by crashed writers: delete manifest
+    * files that exist but can never parse, provided they are older than
+    * `minAgeMs`. Age is the safety argument — a healthy writer's content
+    * lands microseconds after its create-exclusive claim, so a claim still
+    * unparseable after minAgeMs belongs to a dead writer and will never
+    * become a committed version. The orphan data dir (if the writer got
+    * that far) is swept by the next [[vacuum]]. Returns the reclaimed
+    * version numbers; concurrent repairers are safe (delete is
+    * first-wins-idempotent).
+    */
+  def repair(spark: SparkSession, path: String, minAgeMs: Long = 600000L): Seq[Int] = {
+    val fs = fileSystem(spark, path)
+    val log = new Path(path, LogDir)
+    if (!fs.exists(log)) return Nil
+    val cutoff = System.currentTimeMillis() - math.max(minAgeMs, 0L)
+    fs.listStatus(log).toSeq
+      .filter(st => st.getPath.getName.endsWith(".json") &&
+        st.getModificationTime < cutoff)
+      .flatMap { st =>
+        val n = st.getPath.getName.stripSuffix(".json").toInt
+        if (parseManifestOnce(fs, st.getPath).isEmpty && fs.delete(st.getPath, false))
+          Some(n)
+        else None
+      }.sorted
+  }
 
   private def readManifest(spark: SparkSession, path: String, n: Int): Option[Version] = {
     val fs = fileSystem(spark, path)
@@ -406,15 +508,10 @@ object VersionedHub {
     var attempt = 0
     while (m == null && attempt < ManifestWaitAttempts) {
       attempt += 1
-      val in = fs.open(manifest)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val parsed =
-        try new Yaml().load[java.util.Map[String, AnyRef]](text)
-        catch { case _: Exception => null }
-      if (parsed != null && parsed.containsKey("version")) m = parsed.asScala
-      else Thread.sleep(ManifestWaitMs)
+      parseManifestOnce(fs, manifest) match {
+        case Some(parsed) => m = parsed
+        case None => Thread.sleep(ManifestWaitMs)
+      }
     }
     if (m == null) return None // in-flight too long or corrupt: treat as absent
     val buckets = m.get("buckets") match {

@@ -228,6 +228,68 @@ class VersionedHubSpec extends SparkTestBase {
     }
   }
 
+  test("write() on a bucketed hub routes through the bucketed path (no partial-snapshot loss)") {
+    val path = tmpDir("vhub_write_bkt")
+    VersionedHub.writeBucketed(spark,
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "v"), path, Seq("k"), 8)
+    // plain write() must NOT flat-merge against the touched-bucket root —
+    // all 100 rows must survive an upsert of 2 keys
+    val v2 = VersionedHub.write(spark, kv(1 -> "ONE", 2 -> "TWO"), path, Seq("k"))
+    assert(v2 == 2)
+    val end = VersionedHub.read(spark, path)
+      .select($"k", $"v").as[(Int, String)].collect().toMap
+    assert(end.size == 100 && end(1) == "ONE" && end(50) == "v50")
+    assert(VersionedHub.history(spark, path).last.buckets.size == 8)
+    // keyless write() cannot route rows to buckets — refused loudly
+    intercept[IllegalArgumentException] {
+      VersionedHub.write(spark, kv(3 -> "x"), path, Seq.empty)
+    }
+  }
+
+  test("keyless write() on a flat hub appends instead of merging") {
+    val path = tmpDir("vhub_keyless")
+    VersionedHub.write(spark, kv(1 -> "a"), path, Seq.empty)
+    VersionedHub.write(spark, kv(1 -> "a2"), path, Seq.empty)
+    val rows = VersionedHub.read(spark, path)
+      .select($"k", $"v").as[(Int, String)].collect().toSeq.sorted
+    assert(rows == Seq((1, "a"), (1, "a2")))
+  }
+
+  test("vacuum retention protects young unreferenced dirs; retainMs=0 sweeps them") {
+    val path = tmpDir("vhub_retain")
+    VersionedHub.write(spark, kv(1 -> "a"), path, Seq("k"))
+    // simulate an in-flight writer's not-yet-committed snapshot dir
+    val orphan = new java.io.File(path, "data/99-orphan00")
+    orphan.mkdirs()
+    VersionedHub.vacuum(spark, path) // default retention: young orphan survives
+    assert(orphan.exists(), "retention window must protect a fresh unreferenced dir")
+    VersionedHub.vacuum(spark, path, retainMs = 0L) // no writer active: sweep
+    assert(!orphan.exists(), "retainMs=0 must sweep unreferenced dirs")
+    assert(VersionedHub.read(spark, path).count() == 1)
+  }
+
+  test("crashed writer mid-manifest blocks loudly; repair reclaims the version") {
+    val path = tmpDir("vhub_repair")
+    VersionedHub.write(spark, kv(1 -> "a"), path, Seq("k"))
+    // crash injection: a claimed-but-empty manifest for version 2
+    val ghost = new java.io.File(path, "_log/00000002.json")
+    ghost.createNewFile()
+    val e = intercept[IllegalStateException] {
+      VersionedHub.write(spark, kv(2 -> "b"), path, Seq("k"))
+    }
+    assert(e.getMessage.contains("repair"))
+    // too-young claims are NOT reclaimed (could be a live in-flight writer)
+    assert(VersionedHub.repair(spark, path).isEmpty)
+    assert(ghost.exists())
+    // age-expired claim is reclaimed, and the number is reusable
+    assert(VersionedHub.repair(spark, path, minAgeMs = 0L) == Seq(2))
+    assert(!ghost.exists())
+    assert(VersionedHub.write(spark, kv(2 -> "b"), path, Seq("k")) == 2)
+    val end = VersionedHub.read(spark, path)
+      .select($"k", $"v").as[(Int, String)].collect().toMap
+    assert(end == Map(1 -> "a", 2 -> "b"))
+  }
+
   test("vacuum keeps the latest snapshot readable and drops old versions") {
     val path = tmpDir("vhub_vac")
     VersionedHub.write(spark, kv(1 -> "a"), path, Seq("k"))
