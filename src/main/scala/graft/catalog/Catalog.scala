@@ -28,6 +28,15 @@ final case class Source(
       * merges rewrite only touched buckets (HubWriter.writeBucketed).
       */
     hubBuckets: Option[Int] = None,
+    /** HUB storage layout: `"versioned"` (default for keyed sources) commits
+      * merges through the [[graft.writers.VersionedHub]] ACID log — bucketed,
+      * O(batch) per merge, time travel + CDC; `"flat"` is the plain
+      * directory-swap [[graft.writers.HubWriter]] (the reference-parity
+      * shape, and the only layout for keyless sources, whose append/overwrite
+      * quirk lives there). None = inherit `defaults.hub_layout`, then the
+      * keyed/keyless default.
+      */
+    hubLayout: Option[String] = None,
     /** The declarative form of the reference's commented-out `keep_cols`
       * scaffold (transform.py:6-8: "drop RAW-only audit columns if
       * desired"): when non-empty, the HUB table keeps ONLY these columns.
@@ -120,6 +129,11 @@ object YamlCatalog {
       rawPartitions = toStringSeq(m.get("raw_partitions"), Seq("ingest_date")),
       hubPrimaryKeys = toStringSeq(m.get("hub_primary_keys"), Nil),
       hubBuckets = m.get("hub_buckets").filter(_ != null).map(_.toString.toInt),
+      hubLayout = m.get("hub_layout").filter(_ != null).map(_.toString).map {
+        case l @ ("flat" | "versioned") => l
+        case other => throw new IllegalArgumentException(
+          s"source '$id': hub_layout must be 'flat' or 'versioned', got '$other'")
+      },
       hubKeepCols = toStringSeq(m.get("hub_keep_cols"), Nil)
     )
   }

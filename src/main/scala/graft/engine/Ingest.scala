@@ -6,7 +6,7 @@ import graft.catalog.{Source, SourceSystem, YamlCatalog}
 import graft.conf.EngineConfig
 import graft.readers.Readers
 import graft.transform.Transform
-import graft.writers.{HubWriter, RawWriter}
+import graft.writers.{HubWriter, RawWriter, VersionedHub}
 
 import org.apache.log4j.Logger
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -71,14 +71,47 @@ object Ingest {
     RawWriter.write(stamped, rawPath, s.rawPartitions)
     val hubDf = Transform.toHub(stamped, s)
     val hubPath = s"${cfg.hubBase}/${s.domain}/${s.entity}"
-    log.info(s"[${s.id}] writing HUB → $hubPath (keys=${s.hubPrimaryKeys.mkString(",")})")
-    s.hubBuckets match {
-      case Some(b) if s.hubPrimaryKeys.nonEmpty =>
-        HubWriter.writeBucketed(spark, hubDf, hubPath, s.hubPrimaryKeys, b)
-      case _ =>
-        HubWriter.write(spark, hubDf, hubPath, s.hubPrimaryKeys)
+    val keys = s.hubPrimaryKeys
+    val layout = s.hubLayout.orElse(cfg.hubLayout)
+      .getOrElse(if (keys.nonEmpty) "versioned" else "flat")
+    log.info(s"[${s.id}] writing HUB → $hubPath (keys=${keys.mkString(",")}, layout=$layout)")
+    layout match {
+      case "versioned" if keys.nonEmpty =>
+        VersionedHub.writeBucketed(spark, hubDf, hubPath, keys,
+          s.hubBuckets.getOrElse(DefaultHubBuckets))
+      case "versioned" =>
+        VersionedHub.write(spark, hubDf, hubPath, Seq.empty) // keyless: append
+      case "flat" => s.hubBuckets match {
+        case Some(b) if keys.nonEmpty =>
+          HubWriter.writeBucketed(spark, hubDf, hubPath, keys, b)
+        case _ =>
+          HubWriter.write(spark, hubDf, hubPath, keys)
+      }
+      case other => throw new IllegalArgumentException(
+        s"[${s.id}] unknown hub_layout '$other' (expected 'flat' or 'versioned')")
     }
     SourceResult(s.id, rawPath, hubPath)
+  }
+
+  /** Default bucket count for versioned keyed hubs when the catalog doesn't
+    * set `hub_buckets`. Bucket count is immutable once a table is written and
+    * bounds merge parallelism AND the per-merge rewrite floor (a 1-row batch
+    * still rewrites ≥1 whole bucket) — size it so a bucket is a few GB at the
+    * table's target size (e.g. 100 TB / 8192 ≈ 12 GB/bucket); the default
+    * here suits test-to-mid-size tables.
+    */
+  val DefaultHubBuckets: Int = 16
+
+  /** Layout-aware HUB read: a versioned hub (has a `_log/` manifest dir)
+    * reads its latest committed snapshot through the transaction log — a
+    * plain recursive parquet read there would see EVERY version's files at
+    * once (duplicates). Flat hubs read directly (bucket column hidden).
+    */
+  def readHub(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, "_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) VersionedHub.read(spark, path)
+    else HubWriter.readHub(spark, path)
   }
 
   /** Audit-column stamp (framework.py:27-32): `_source_id` literal,

@@ -69,7 +69,7 @@ object IngestQueries {
           options = Map("path" -> s"$tmp/does_not_exist"))))
     Ingest.runCatalog(spark, system)
     Ingest.runCatalog(spark, system) // idempotence: HUB upsert, RAW append
-    val hub = spark.read.parquet(s"$tmp/hub/ref/region")
+    val hub = Ingest.readHub(spark, s"$tmp/hub/ref/region")
     val raw = spark.read.parquet(s"$tmp/raw/ref/region")
     hub
       .select(col("r_regionkey").cast("long").as("r_regionkey"),
@@ -84,6 +84,65 @@ object IngestQueries {
   private val ingestHubRoundtripOracle: String =
     """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
       |  'region_csv' AS _source_id, CAST(2 AS BIGINT) AS raw_copies
+      |FROM region ORDER BY r_regionkey""".stripMargin
+
+  /** The spine's DEFAULT keyed HUB path, driver-proven: keyed sources now
+    * route through the bucketed [[graft.writers.VersionedHub]] (O(batch)
+    * ACID merges; the reference delegates exactly this to Delta,
+    * writer.py:18-36), so ingesting the same source twice must produce TWO
+    * committed versions — each a complete snapshot with the same row count
+    * (the second merge updates every key in place) — and time travel to
+    * version 1 must still read a full snapshot after version 2 lands. The
+    * oracle pins the hub contents, the append-only RAW copy count, and the
+    * version-history structure in one result.
+    */
+  val qIngestVersionedRoundtrip: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_ingest_vrt").toFile.getAbsolutePath
+    val srcCsv = s"$tmp/src/region"
+    Tables(spark, dir, "region")
+      .coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(srcCsv)
+    val system = SourceSystem(
+      version = 1,
+      defaults = Map(
+        "raw_base" -> s"$tmp/raw",
+        "hub_base" -> s"$tmp/hub",
+        "checkpoint_base" -> s"$tmp/cp"),
+      sources = Seq(
+        Source(
+          id = "region_csv",
+          `type` = "csv",
+          domain = "ref",
+          entity = "region",
+          options = Map(
+            "path" -> srcCsv,
+            "header" -> "true",
+            "inferSchema" -> "true"),
+          hubPrimaryKeys = Seq("r_regionkey"))))
+    Ingest.runCatalog(spark, system)
+    Ingest.runCatalog(spark, system) // same batch again: upsert, new version
+    val hubPath = s"$tmp/hub/ref/region"
+    val hist = graft.writers.VersionedHub.history(spark, hubPath)
+    val nRegions = Tables(spark, dir, "region").count()
+    val structure = Seq((
+      hist.size.toLong,
+      hist.map(_.rows).distinct == Seq(nRegions), // every version a full snapshot
+      graft.writers.VersionedHub.read(spark, hubPath, Some(1)).count() == nRegions,
+      hist.forall(_.buckets.nonEmpty) // the O(batch) bucketed path, not flat
+    ))
+    import spark.implicits._
+    val structDf = structure
+      .toDF("n_versions", "versions_full", "v1_readable", "bucketed")
+    Ingest.readHub(spark, hubPath)
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+      .crossJoin(structDf)
+      .orderBy(col("r_regionkey"))
+  }
+
+  private val ingestVersionedRoundtripOracle: String =
+    """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+      |  CAST(2 AS BIGINT) AS n_versions, TRUE AS versions_full,
+      |  TRUE AS v1_readable, TRUE AS bucketed
       |FROM region ORDER BY r_regionkey""".stripMargin
 
   /** ACID-log time travel, driver-proven: commit region as hub version 1,
@@ -227,6 +286,7 @@ object IngestQueries {
   val all: Map[String, Q] = Map(
     "q_zorder_prune" -> qZorderPrune,
     "q_ingest_hub_roundtrip" -> qIngestHubRoundtrip,
+    "q_ingest_versioned_roundtrip" -> qIngestVersionedRoundtrip,
     "q_hub_time_travel" -> qHubTimeTravel,
     "q_hub_change_feed" -> qHubChangeFeed,
     "q_hub_bucketed_roundtrip" -> qHubBucketedRoundtrip
@@ -235,6 +295,7 @@ object IngestQueries {
   val oracles: Map[String, String] = Map(
     "q_zorder_prune" -> zorderPruneOracle,
     "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
+    "q_ingest_versioned_roundtrip" -> ingestVersionedRoundtripOracle,
     "q_hub_time_travel" -> hubTimeTravelOracle,
     "q_hub_change_feed" -> hubChangeFeedOracle,
     "q_hub_bucketed_roundtrip" -> hubBucketedRoundtripOracle

@@ -54,9 +54,14 @@ class IngestSpec extends SparkTestBase {
     val r1 = Ingest.runCatalog(spark, sys)
     assert(r1.map(_.id) == Seq("customers_csv", "orders_json", "cube_sales_olap"))
 
+    // hub reads go through the layout-aware reader: keyed sources default to
+    // the versioned bucketed layout, whose files a plain recursive read
+    // would double-count across versions
     def counts(zone: String): Map[String, Long] =
       Seq("customers", "orders", "cube_sales").map { e =>
-        e -> spark.read.parquet(s"$lake/$zone/sales/$e").count()
+        val p = s"$lake/$zone/sales/$e"
+        e -> (if (zone == "hub") Ingest.readHub(spark, p).count()
+              else spark.read.parquet(p).count())
       }.toMap
     val raw1 = counts("raw"); val hub1 = counts("hub")
     assert(raw1 == Map("customers" -> 3L, "orders" -> 3L, "cube_sales" -> 4L))
@@ -105,7 +110,7 @@ class IngestSpec extends SparkTestBase {
     Ingest.runCatalog(spark, sys) // re-run: hub idempotent on composite key
     val src = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val distinctKeys = src.select("l_orderkey", "l_linenumber").distinct().count()
-    val hub = graft.writers.HubWriter.readHub(spark, s"$lake/hub/tpch/lineitem")
+    val hub = Ingest.readHub(spark, s"$lake/hub/tpch/lineitem")
     // the synthetic lineitem has duplicate (orderkey, linenumber) pairs —
     // the keyed upsert must land exactly one row per key
     assert(hub.count() == distinctKeys)
@@ -114,11 +119,51 @@ class IngestSpec extends SparkTestBase {
     assert(hub.columns.contains("_ingest_ts_utc"))
   }
 
+  test("keyed sources default to the versioned bucketed hub; hub_layout: flat opts out") {
+    val lake = tmpDir("lake")
+    val yaml =
+      s"""version: 1
+         |defaults: {raw_base: $lake/raw, hub_base: $lake/hub, domain: sales}
+         |sources:
+         |  - id: customers_versioned
+         |    type: csv
+         |    domain: sales
+         |    entity: customers
+         |    options:
+         |      path: ${resource("/samples/customers.csv")}
+         |      header: true
+         |      inferSchema: true
+         |    hub_primary_keys: ["customer_id"]
+         |  - id: customers_flat
+         |    type: csv
+         |    domain: sales
+         |    entity: customers_flat
+         |    options:
+         |      path: ${resource("/samples/customers.csv")}
+         |      header: true
+         |      inferSchema: true
+         |    hub_primary_keys: ["customer_id"]
+         |    hub_layout: flat
+         |""".stripMargin
+    val sys = YamlCatalog.loadString(yaml)
+    Ingest.runCatalog(spark, sys)
+    Ingest.runCatalog(spark, sys)
+    // default keyed path: ACID log with one version per run, O(batch) buckets
+    val hist = graft.writers.VersionedHub.history(spark, s"$lake/hub/sales/customers")
+    assert(hist.map(_.version) == Seq(1, 2))
+    assert(hist.forall(_.buckets.nonEmpty))
+    assert(Ingest.readHub(spark, s"$lake/hub/sales/customers").count() == 3)
+    // flat opt-out: plain parquet dir, no transaction log
+    val flat = s"$lake/hub/sales/customers_flat"
+    assert(!new java.io.File(flat, "_log").exists())
+    assert(Ingest.readHub(spark, flat).count() == 3)
+  }
+
   test("parallel source execution produces the same lake") {
     val lake = tmpDir("lake")
     Ingest.runCatalog(spark, YamlCatalog.loadString(catalogYaml(lake)), parallelism = 3)
-    assert(spark.read.parquet(s"$lake/hub/sales/customers").count() == 3)
-    assert(spark.read.parquet(s"$lake/hub/sales/orders").count() == 3)
-    assert(spark.read.parquet(s"$lake/hub/sales/cube_sales").count() == 4)
+    assert(Ingest.readHub(spark, s"$lake/hub/sales/customers").count() == 3)
+    assert(Ingest.readHub(spark, s"$lake/hub/sales/orders").count() == 3)
+    assert(Ingest.readHub(spark, s"$lake/hub/sales/cube_sales").count() == 4)
   }
 }
