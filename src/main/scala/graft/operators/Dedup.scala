@@ -501,8 +501,20 @@ object Dedup {
     * them, keep each component's minimum id plus every unpaired doc.
     */
   def dedupNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
-    val pairs = ngramJaccardPairs(df, textCol, idCol, threshold, n)
+      threshold: Double, n: Int = 3): DataFrame =
+    survivorsFromPairs(df, idCol,
+      ngramJaccardPairs(df, textCol, idCol, threshold, n))
+
+  /** Survivors from ANY (id_a, id_b) near-dup pair source: cluster, keep
+    * each component's minimum id plus every unpaired doc. This is the seam
+    * that makes the SCALE-PATH candidate generators ([[minhashLshPairs]],
+    * [[ngramJaccardPairsCapped]], [[ngramJaccardPairsPrefix]],
+    * [[simhashPairs]]) drop-in survivor sources: at 100 TB the exact Σdf²
+    * postings self-join is the one stage that cannot run, and the dedup
+    * decision layer must not be welded to it.
+    */
+  def survivorsFromPairs(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("root"))
       .select(col("id").as(idCol))

@@ -189,25 +189,31 @@ object PipelineQueries {
       LshJaccardThreshold)
       .orderBy(col("id_a"), col("id_b"))
 
-  private val minhashLshOracle: String = {
+  /** sig → bands → candidate-pair CTEs, shared by the LSH pair oracle and
+    * the LSH-fed survivors oracle.
+    */
+  private val lshCandCtes: String = {
     val bandRows = (0 until 4).map { b =>
       val keys = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('_', $keys) AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $PostingsCte,
-       |sig AS (SELECT doc_id,
+    s"""sig AS (SELECT doc_id,
        |    $sigCols
        |  FROM post GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val minhashLshOracle: String =
+    s"""WITH $PostingsCte,
+       |$lshCandCtes,
        |$jaccardSelect
        |SELECT j.id_a, j.id_b, j.jaccard
        |FROM jacc j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
        |WHERE j.jaccard >= $LshJaccardThreshold ORDER BY j.id_a, j.id_b""".stripMargin
-  }
 
   val qSimhash: Q = (spark, dir) =>
     Dedup.simhash32(Tables(spark, dir, "documents"), "text", "doc_id")
@@ -320,24 +326,91 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
-  /** Transitive closure via recursive CTE (tiny pair sets at oracle scale). */
+  /** Transitive closure + survivor select over a `qpairs(id_a, id_b)` CTE
+    * (recursive CTE — tiny pair sets at oracle scale); shared by every
+    * survivors oracle so the three pipelines differ ONLY in how pairs are
+    * generated, exactly like the Scala side after survivorsFromPairs.
+    */
+  private val survivorsClosureSql: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM qpairs
+      |          UNION SELECT id_b, id_a FROM qpairs),
+      |reach(src, node) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+      |losers AS (
+      |  SELECT src AS doc_id FROM reach GROUP BY src
+      |  HAVING src > min(node))
+      |SELECT d.doc_id, d.lang, d.source FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+      |ORDER BY d.doc_id""".stripMargin
+
   private val dedupSurvivorsOracle: String =
     s"""WITH RECURSIVE $PostingsCte,
        |$jaccardSelect,
        |qpairs AS (SELECT id_a, id_b FROM jacc
        |           WHERE jaccard >= $NgramJaccardThreshold),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM qpairs
-       |          UNION SELECT id_b, id_a FROM qpairs),
-       |reach(src, node) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-       |losers AS (
-       |  SELECT src AS doc_id FROM reach GROUP BY src
-       |  HAVING src > min(node))
-       |SELECT d.doc_id, d.lang, d.source FROM documents d
-       |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
-       |ORDER BY d.doc_id""".stripMargin
+       |$survivorsClosureSql""".stripMargin
+
+  /** Document-frequency cap for the capped survivors pipeline: low enough to
+    * actually drop shingles at sf0.01 (df tops out at 7 there; cap 3 drops
+    * the ~600 hottest — the oracle mirrors the drop exactly), high enough
+    * that near-dup pairs still share surviving shingles.
+    */
+  val SurvivorDfCap = 3L
+
+  /** SCALE-PATH survivors #1: pairs from the df-capped postings join
+    * (Σ min(df,cap)² bounded — the stop-shingle escape hatch), then the same
+    * clustering. The oracle encodes the CAPPED semantics: document frequency
+    * filter before the join, sizes recomputed over surviving shingles.
+    */
+  val qDedupSurvivorsCapped: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.survivorsFromPairs(docs, "doc_id",
+      Dedup.ngramJaccardPairsCapped(docs, "text", "doc_id",
+        NgramJaccardThreshold, SurvivorDfCap))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSurvivorsCappedOracle: String =
+    s"""WITH RECURSIVE $PostingsCte,
+       |dfreq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+       |kept AS (SELECT p.doc_id, p.h FROM post p JOIN dfreq f ON p.h = f.h
+       |         WHERE f.df <= $SurvivorDfCap),
+       |szs AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jacc AS (
+       |  SELECT id_a, id_b,
+       |    CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard
+       |  FROM common JOIN szs x ON id_a = x.doc_id JOIN szs y ON id_b = y.doc_id),
+       |qpairs AS (SELECT id_a, id_b FROM jacc
+       |           WHERE jaccard >= $NgramJaccardThreshold),
+       |$survivorsClosureSql""".stripMargin
+
+  /** SCALE-PATH survivors #2: pairs from MinHash-LSH banding (equi-join on
+    * band keys, never all-pairs) + exact verify, then the same clustering —
+    * the 100 TB default. Oracle: the LSH candidate CTEs feed the closure.
+    */
+  val qDedupSurvivorsLsh: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.survivorsFromPairs(docs, "doc_id",
+      Dedup.minhashLshPairs(docs, "text", "doc_id", LshJaccardThreshold))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSurvivorsLshOracle: String =
+    s"""WITH RECURSIVE $PostingsCte,
+       |$lshCandCtes,
+       |$jaccardSelect,
+       |qpairs AS (SELECT j.id_a, j.id_b
+       |  FROM jacc j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+       |  WHERE j.jaccard >= $LshJaccardThreshold),
+       |$survivorsClosureSql""".stripMargin
 
   // ---------- sessionization ----------
 
@@ -647,7 +720,9 @@ object PipelineQueries {
     "q_lsh_recall" -> qLshRecall,
     "q_sessionize" -> qSessionize,
     "q_quality_checks" -> qQualityChecks,
-    "q_dedup_survivors" -> qDedupSurvivors
+    "q_dedup_survivors" -> qDedupSurvivors,
+    "q_dedup_survivors_capped" -> qDedupSurvivorsCapped,
+    "q_dedup_survivors_lsh" -> qDedupSurvivorsLsh
   )
 
   val oracles: Map[String, String] = Map(
@@ -671,6 +746,8 @@ object PipelineQueries {
     "q_lsh_recall" -> lshRecallOracle,
     "q_sessionize" -> sessionizeOracle,
     "q_quality_checks" -> qualityChecksOracle,
-    "q_dedup_survivors" -> dedupSurvivorsOracle
+    "q_dedup_survivors" -> dedupSurvivorsOracle,
+    "q_dedup_survivors_capped" -> dedupSurvivorsCappedOracle,
+    "q_dedup_survivors_lsh" -> dedupSurvivorsLshOracle
   )
 }
