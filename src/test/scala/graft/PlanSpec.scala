@@ -227,6 +227,22 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial+final aggs
   }
 
+  test("referential integrity rule scans the child table exactly once") {
+    val child = Tables(spark, dir, "lineitem")
+    val parent = Tables(spark, dir, "orders")
+    val df = graft.operators.QualityChecks.referential(
+      child, "l_orderkey", parent, "o_orderkey")
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // scans in the final section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val childScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(childScans == 1,
+      s"child must be scanned once (n_rows + violations in one pass), got $childScans:\n$p")
+  }
+
   test("date-partitioned RAW reads prune to the selected partition") {
     val lake = tmpDir("prune")
     val df = spark.range(100).selectExpr("id",

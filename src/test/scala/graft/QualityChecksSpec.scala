@@ -63,6 +63,26 @@ class QualityChecksSpec extends SparkTestBase {
     val child = Seq(1, 1, 2, 9).toDF("fk")
     val r = QC.referential(child, "fk", parent, "pk").collect().head
     assert(r.getAs[Long]("violations") == 1)
+    assert(r.getAs[Long]("n_rows") == 4)
     assert(!r.getAs[Boolean]("pass"))
+  }
+
+  test("referential: null fks and duplicate parent keys don't distort counts") {
+    val parent = Seq(1, 1, 2).toDF("pk") // dup pk must not fan out child rows
+    val child = Seq(Some(1), Some(1), None, Some(9)).toDF("fk")
+    val r = QC.referential(child, "fk", parent, "pk").collect().head
+    assert(r.getAs[Long]("n_rows") == 4) // null fk counts as a row
+    assert(r.getAs[Long]("violations") == 1) // only 9; null never violates
+  }
+
+  test("referential construction is lazy — no eager child scan") {
+    import org.apache.spark.sql.functions.udf
+    val boom = udf(() => {
+      throw new RuntimeException("referential evaluated the child eagerly")
+      1
+    })
+    val child = spark.range(3).select(boom().as("fk"))
+    // an eager count() inside referential would execute `boom` right here
+    QC.referential(child, "fk", spark.range(3).toDF("pk"), "pk")
   }
 }
