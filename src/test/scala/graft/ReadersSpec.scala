@@ -50,6 +50,35 @@ class ReadersSpec extends SparkTestBase {
       .subsetOf(Readers.registry.keySet))
   }
 
+  test("jdbc reader runs the real spark jdbc path against the contoso fixture") {
+    // base_reader.py:16-29 with the fixture the reference ships
+    // (contoso_sqlite_instructions.sql) served by an in-memory JDK-only
+    // driver — schema probe, dialect fallback, and row fetch all execute
+    FakeJdbc.executed.clear()
+    val df = Readers.jdbc(spark, Map(
+      "url" -> FakeJdbc.Url,
+      "dbtable" -> "products",
+      "driver" -> FakeJdbc.DriverClass,
+      "user" -> "", // empty creds must NOT be forwarded (reference's truthy guard)
+      "password" -> ""))
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("product_id", "integer"), ("name", "string"), ("price", "double")))
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (10, "Phone", 699.0), (20, "Headphones", 199.0), (30, "Tablet", 499.0)))
+    // column pruning reaches the remote query: selecting one column must
+    // issue a SELECT over just that column, not SELECT *
+    FakeJdbc.executed.clear()
+    val names = df.select("name").collect().map(_.getString(0)).sorted
+    assert(names.toSeq == Seq("Headphones", "Phone", "Tablet"))
+    import scala.jdk.CollectionConverters._
+    val dataSql = FakeJdbc.executed.asScala.filterNot(_.contains("1=0"))
+    assert(dataSql.nonEmpty && dataSql.forall(s =>
+      s.contains("name") && !s.contains("price")),
+      s"pruned query must not fetch unused columns: $dataSql")
+  }
+
   test("orc reader round-trips a written orc table") {
     val dir = tmpDir("orc") + "/t"
     spark.read.parquet("/root/testdata/sf0.001/region.parquet")
