@@ -445,6 +445,66 @@ object PipelineQueries {
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Streaming §2.9 under the driver oracle: run the STATEFUL streaming
+    * sessionizer (flatMapGroupsWithState, processing-time timeouts, state
+    * tombstones) to completion on a finite source and compare against the
+    * batch formulation in DuckDB. The precise equivalence on a finite
+    * stream: closed sessions match batch sessions EXACTLY; each user's last
+    * session stays open in the state store (no gap-closing event arrives,
+    * and AvailableNow terminates before any idle timeout), so the oracle is
+    * "batch sessions minus each user's final session". The source is
+    * coalesced to ONE file so the run is a single deterministic micro-batch
+    * — multi-file sources give no cross-batch event-time ordering, which is
+    * the watermark's job, not this contract's.
+    */
+  val qStreamSessionizeEquiv: Q = (spark, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingIngest
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+      .toFile.getAbsolutePath
+    val src = s"$tmp/src"
+    val ev = Tables(spark, dir, "events").select(col("user_id"), col("ts"))
+    ev.coalesce(1).write.parquet(src)
+    import spark.implicits._
+    val stream = StreamingIngest.parquetStream(spark, src, ev)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[StreamingIngest.SessionEvent]
+    val q = StreamingIngest
+      .sessionizeStream(stream, SessionGapSeconds, idleTimeoutSeconds = 0L)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val streamSessionizeEquivOracle: String =
+    s"""WITH m AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |         OR (epoch_ns(ts) - epoch_ns(lag(ts) OVER w)) // 1000
+       |            > ${SessionGapSeconds * 1000000L}
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (
+       |  SELECT user_id, ts,
+       |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM m),
+       |sess AS (
+       |  SELECT user_id, session_id, count(*) AS n_events,
+       |    (epoch_ns(min(ts)) // 1000) // 1000000 AS session_start_s
+       |  FROM s GROUP BY user_id, session_id)
+       |SELECT user_id, session_id, n_events, session_start_s FROM sess
+       |WHERE session_id < (SELECT max(session_id) FROM sess s2
+       |                    WHERE s2.user_id = sess.user_id)
+       |ORDER BY user_id, session_id""".stripMargin
+
   // ---------- data-quality validation ----------
 
   /** Mixed pass/fail rule suite over orders (one scan) + two referential
@@ -719,6 +779,7 @@ object PipelineQueries {
     "q_ngram_jaccard_prefix" -> qNgramJaccardPrefix,
     "q_lsh_recall" -> qLshRecall,
     "q_sessionize" -> qSessionize,
+    "q_stream_sessionize_equiv" -> qStreamSessionizeEquiv,
     "q_quality_checks" -> qQualityChecks,
     "q_dedup_survivors" -> qDedupSurvivors,
     "q_dedup_survivors_capped" -> qDedupSurvivorsCapped,
@@ -745,6 +806,7 @@ object PipelineQueries {
     "q_ngram_jaccard_prefix" -> ngramJaccardOracle,
     "q_lsh_recall" -> lshRecallOracle,
     "q_sessionize" -> sessionizeOracle,
+    "q_stream_sessionize_equiv" -> streamSessionizeEquivOracle,
     "q_quality_checks" -> qualityChecksOracle,
     "q_dedup_survivors" -> dedupSurvivorsOracle,
     "q_dedup_survivors_capped" -> dedupSurvivorsCappedOracle,

@@ -209,7 +209,7 @@ object StreamingIngest {
         // idle user: flush the open session, keep a tombstone with the
         // emitted sid so a late return continues the sequence
         state.update(SessionAgg(st.sid, 0L, 0L, 0L))
-        state.setTimeoutDuration(idleTimeoutMs)
+        if (idleTimeoutMs > 0L) state.setTimeoutDuration(idleTimeoutMs)
         Iterator.single(SessionOut(user, st.sid, st.count, st.start / 1000000L))
       }
     } else {
@@ -224,7 +224,7 @@ object StreamingIngest {
         } else st = st.copy(last = t, count = st.count + 1L)
       }
       state.update(st)
-      state.setTimeoutDuration(idleTimeoutMs)
+      if (idleTimeoutMs > 0L) state.setTimeoutDuration(idleTimeoutMs)
       closed.iterator
     }
 
@@ -256,16 +256,27 @@ object StreamingIngest {
     stream.filter(
       graft.operators.TextAnalysis.qualityScore(col(textCol)) >= minQuality)
 
+  /** `idleTimeoutSeconds = 0` disables idle eviction (GroupStateTimeout
+    * .NoTimeout). Use it for FINITE-source runs: with a processing-time
+    * timeout pending, an AvailableNow run parks in a "cleaning up state"
+    * batch waiting for timeouts that only fire after the idle horizon —
+    * the query never terminates within the run. Long-lived deployments
+    * keep the default timeout (state stays bounded); finite replays don't
+    * need eviction at all.
+    */
   def sessionizeStream(
       events: org.apache.spark.sql.Dataset[SessionEvent],
       gapSeconds: Long,
       idleTimeoutSeconds: Long = 3600L): org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val timeout =
+      if (idleTimeoutSeconds > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAgg, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        OutputMode.Append, timeout)(
         sessionStep(gapSeconds * 1000000L, idleTimeoutSeconds * 1000L))
   }
 }

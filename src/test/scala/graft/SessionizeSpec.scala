@@ -42,6 +42,37 @@ class SessionizeSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("a real AvailableNow streaming run terminates and matches batch minus open sessions") {
+    // idleTimeoutSeconds = 0 (NoTimeout) is load-bearing: with a pending
+    // processing-time timeout, AvailableNow parks in a "cleaning up state"
+    // batch until the idle horizon and never terminates within the run
+    val tmp = tmpDir("stream_sess")
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"ts")
+    events.coalesce(1).write.parquet(s"$tmp/src")
+    val stream = StreamingIngest.parquetStream(spark, s"$tmp/src", events)
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .as[SessionEvent]
+    val q = StreamingIngest
+      .sessionizeStream(stream, 1800, idleTimeoutSeconds = 0L)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), s"did not terminate: ${q.status}")
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"user_id", $"session_id", $"n_events", $"session_start_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Sessionize.sessions(events, "user_id", "ts", 1800)
+      .select($"user_id", $"session_id", $"n_events", $"session_start_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    assert(streamed == batch -- lastPerUser)
+    assert(streamed.nonEmpty)
+  }
+
   test("idle eviction keeps a sid tombstone so a returning user continues the sequence") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
