@@ -30,6 +30,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialization for intermediates the pair pipelines REUSE across plan
+    * branches or CC rounds (postings, edge lists, label tables). Strategy is
+    * selectable via `spark.graft.materialize`:
+    *
+    *   - `local-checkpoint` (default when the master is local): lazy
+    *     `localCheckpoint` — blocks pinned on executor-local storage,
+    *     lineage truncated. Fastest, but NOT fault-tolerant: one lost
+    *     executor fails the job instead of recomputing. The right call in a
+    *     single-JVM run, where "executor loss" means the whole app died.
+    *   - `persist-disk` (default on a real cluster): `persist(DISK_ONLY)` —
+    *     lineage kept, so a lost executor's blocks recompute; the plan tree
+    *     grows per CC round, which is acceptable for O(log d) rounds.
+    *   - `none`: no materialization (recompute per consumer) — for
+    *     streaming-input plans where checkpoint/persist are unusable.
+    *
+    * Always LAZY (`localCheckpoint(eager = false)`): building or explaining
+    * a query must not execute the full shingle scan at construction time.
+    */
+  private[graft] def materialize(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val default =
+      if (sess.sparkContext.isLocal) "local-checkpoint" else "persist-disk"
+    sess.conf.get("spark.graft.materialize", default) match {
+      case "local-checkpoint" => df.localCheckpoint(eager = false)
+      case "persist-disk" =>
+        df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "none" => df
+      case other => throw new IllegalArgumentException(
+        "spark.graft.materialize must be local-checkpoint, persist-disk " +
+          s"or none, got '$other'")
+    }
+  }
+
   /** Exact dedup: keep the lowest-id row per normalized-content fingerprint.
     * One shuffle on the md5 key.
     */
@@ -272,7 +305,7 @@ object Dedup {
     // prefix rank, the full probe) — materialize the shingle+hash pass once
     // (at scale you'd persist this table anyway; recomputing the codegen'd
     // explode per consumer triples the dominant scan cost)
-    val postings = shingleHashes(df, textCol, idCol, n).localCheckpoint()
+    val postings = materialize(shingleHashes(df, textCol, idCol, n))
     // per-doc sorted hash-set array + size (postings are already distinct)
     val docsets = postings.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
@@ -365,7 +398,7 @@ object Dedup {
         explode(col("_hs")).as("h"))
       // the pair pipeline self-joins these postings: materialize the
       // shingle+hash pass once instead of recomputing it per join branch
-      .localCheckpoint()
+      .transform(materialize)
 
   /** Exact shared-window detection — the "exact substring duplication"
     * signal of Lee et al., Deduplicating Training Data Makes Language Models
@@ -387,7 +420,7 @@ object Dedup {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     // self-joined below — materialize the window-hash pass once
-    val posts = shingleHashes(df, textCol, idCol, k).localCheckpoint()
+    val posts = materialize(shingleHashes(df, textCol, idCol, k))
     val a = posts.select(col(idCol).as("id_a"), col("h"))
     val b = posts.select(col(idCol).as("id_b"), col("h"))
     a.join(b, Seq("h"))
@@ -454,18 +487,18 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // materialize the (small) edge list ONCE — every iteration would
     // otherwise recompute the full upstream pair pipeline
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("root", col("id"))
-      .localCheckpoint()
+    val edges = materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("root", col("id")))
     // neighbor-min + pointer jumping per round (diameter halves each round →
-    // O(log d) rounds); localCheckpoint after each round truncates lineage so
-    // the plan stays constant-size (a lazy formulation doubles the plan per
+    // O(log d) rounds); materializing each round truncates/pins lineage so
+    // the plan stays bounded (a fully lazy formulation doubles the plan per
     // round via the self-join) and each round's job touches only the tiny
-    // materialized label/edge tables.
+    // materialized label/edge tables. Strategy per [[materialize]].
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -482,7 +515,7 @@ object Dedup {
           col("root") === col("r2"))
         .select(col("id"), col("rootRoot").as("root"))
         .join(labels.select(col("id"), col("root").as("_old")), Seq("id"))
-        .localCheckpoint()
+        .transform(materialize)
       converged = next.filter(col("root") =!= col("_old")).isEmpty
       labels = next.select(col("id"), col("root"))
       i += 1

@@ -1,6 +1,9 @@
 package graft
 
 import graft.operators.Dedup
+import graft.queries.Tables
+
+import org.apache.spark.sql.functions.col
 
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
@@ -191,5 +194,54 @@ class DedupSpec extends SparkTestBase {
     // boilerplate-only pairs (e.g. anything with doc 5) must NOT qualify
     // once hot shingles are dropped
     assert(!capped.exists(p => p._1 == 5 || p._2 == 5), s"$capped")
+  }
+
+  test("materialization modes (local-checkpoint / persist-disk / none) agree on pairs and CC") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def run(): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.5)
+      val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      val cc = Dedup.connectedComponents(pairs)
+        .select(col("id").cast("long"), col("root").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      (p, cc)
+    }
+    val base = run() // default: local-checkpoint on a local master
+    for (mode <- Seq("persist-disk", "none")) {
+      spark.conf.set("spark.graft.materialize", mode)
+      try assert(run() == base, s"mode $mode diverged")
+      finally spark.conf.unset("spark.graft.materialize")
+    }
+    spark.conf.set("spark.graft.materialize", "bogus")
+    try intercept[IllegalArgumentException] { run() }
+    finally spark.conf.unset("spark.graft.materialize")
+  }
+
+  test("pair-pipeline construction is lazy — no jobs run before an action") {
+    // building + explaining must not execute the shingle scan (the eager
+    // localCheckpoint regression): assert via a listener that constructing
+    // the DataFrame schedules no Spark jobs
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    // read the table FIRST: parquet schema inference runs its own tiny job,
+    // which is not what this gate is about
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.schema
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.5)
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", 0.5)
+      val windows = Dedup.sharedWindowPairs(docs, "text", "doc_id")
+      Seq(pairs, prefix, windows).foreach(_.queryExecution.analyzed)
+      // listener bus is async — give queued events a moment to drain
+      Thread.sleep(500)
+      assert(jobs == 0, s"construction ran $jobs eager jobs")
+      assert(pairs.count() >= 0) // and the plans still execute
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
