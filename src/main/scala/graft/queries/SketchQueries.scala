@@ -151,21 +151,23 @@ object SketchQueries {
     * quantile band checked here; like the others it is deterministic, so
     * the local pass reproduces exactly in the gate.
     */
+  /** Exact ground truth via the BOUNDED-memory count-then-kth operator
+    * (graft.operators.Percentiles) — the built-in `percentile` aggregate
+    * buffers whole groups in executor memory, an OOM rather than a spill at
+    * extreme group sizes. The approx sketch (fixed-size buffer) rides in the
+    * same final aggregate.
+    */
   val qApproxQuantile: Q = (spark, dir) =>
-    Tables(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_p50"),
-        // ONE exact-percentile aggregate for all three points — the sort
-        // buffer is built once instead of three times
-        expr("percentile(l_extendedprice, array(0.49D, 0.5D, 0.51D))")
-          .as("_p"),
-        count(lit(1)).as("n_items"))
+    graft.operators.Percentiles.exactPercentiles(
+      Tables(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq(0.49, 0.5, 0.51),
+      extraAggs = Seq(
+        percentile_approx(col("_v"), lit(0.5), lit(1000)).as("approx_p50"),
+        count(lit(1)).as("n_items")))
       .select(col("l_returnflag"), col("n_items"),
-        round(col("_p").getItem(1), 4).as("exact_p50"),
-        (col("approx_p50") >= col("_p").getItem(0) &&
-          col("approx_p50") <= col("_p").getItem(2)).as("p50_ok"))
+        round(col("p_1"), 4).as("exact_p50"),
+        (col("approx_p50") >= col("p_0") &&
+          col("approx_p50") <= col("p_2")).as("p50_ok"))
       .orderBy(col("l_returnflag"))
 
   private val approxQuantileOracle: String =
