@@ -74,6 +74,72 @@ object AsofJoin {
       .select(Seq(col(key)) ++ leftCols.map(col) ++
         rightCols.map(c => col(s"_rlast.$c").as(c)): _*)
   }
+
+  /** As-of join, slim-union variant for wide left schemas.
+    *
+    * [[asofJoin]] carries every left column through the union, so right rows
+    * pay null padding for the whole left schema and the window sort moves
+    * wide rows. Here the window pass runs over the DISTINCT left
+    * `(key, ts)` probe set unioned with the right side — 4 slim columns
+    * regardless of the left schema — exploiting that the as-of answer is a
+    * function of `(key, leftTs)` alone (right rows tie-sort before left
+    * rows, so equal probes always resolve identically). The matched payload
+    * then joins back on null-safe `(key, ts)` equality, which reproduces the
+    * window's null-key partitioning exactly (a plain equality join would
+    * drop null-key left rows that [[asofJoin]] keeps).
+    *
+    * Cost shape: one extra shuffle (the distinct + the join-back) in
+    * exchange for never sorting or null-padding the left payload; the
+    * join-back is a hash join Catalyst can broadcast when the probe set is
+    * small. Results are identical to [[asofJoin]] (spec-asserted).
+    */
+  def asofJoinSlim(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val internal = Set("_ts", "_side", "_rv", "_rlast", "_mk", "_mts")
+    val clash = (left.columns ++ rightCols).filter(internal)
+    require(clash.isEmpty,
+      s"asofJoinSlim reserves column names ${internal.mkString(", ")}; " +
+        s"rename input columns: ${clash.mkString(", ")}")
+    val dup = rightCols.filter(left.columns.contains)
+    require(dup.isEmpty,
+      s"rightCols collide with left columns (output would be ambiguous): " +
+        dup.mkString(", "))
+    val unorderable = rightCols.filterNot(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType))
+    require(unorderable.isEmpty,
+      "asofJoinSlim orders right duplicates at equal ts by the payload " +
+        "columns, which must be orderable types; not orderable: " +
+        unorderable.map(c => s"$c: ${right.schema(c).dataType.simpleString}")
+          .mkString(", ") +
+        " — drop the column from rightCols or pre-dedup right on (key, ts)")
+    val leftCols = left.columns.filterNot(_ == key).toSeq
+    val rvType = StructType(rightCols.map(c => right.schema(c)))
+    val probes = left.select(col(key), col(leftTs)).distinct()
+    val l = probes.select(col(key), col(leftTs).as("_ts"),
+      lit(1).as("_side"), lit(null).cast(rvType).as("_rv"))
+    val r = right.select(col(key), col(rightTs).as("_ts"),
+      lit(0).as("_side"), struct(rightCols.map(col): _*).as("_rv"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side"), col("_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("_rlast", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(Seq(col(key).as("_mk"), col("_ts").as("_mts")) ++
+        rightCols.map(c => col(s"_rlast.$c").as(c)): _*)
+    // every probe row survives the window (side=1 rows are kept whether or
+    // not _rlast matched), so an inner null-safe join preserves left fan-out
+    left.join(matched,
+        col(key) <=> col("_mk") && col(leftTs) <=> col("_mts"))
+      .select(Seq(col(key)) ++ leftCols.map(col) ++ rightCols.map(col): _*)
+  }
 }
 
 /** Interval/range join via bucketing: the equi-join-able formulation of

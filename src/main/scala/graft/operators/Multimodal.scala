@@ -256,6 +256,208 @@ object Multimodal {
     }
   }
 
+  // ---------- mp4 / ISO BMFF container (real demux, JDK-only) ----------
+
+  /** Parsed ISO BMFF (mp4-family) container metadata. `handlers` and
+    * `codecs` are comma-joined in track order so the row stays scalar for
+    * the driver gate (no array columns).
+    */
+  final case class Mp4Meta(
+      media_id: Long,
+      brand: String,
+      timescale: Long,
+      duration_ms: Long,
+      n_tracks: Int,
+      handlers: String,
+      codecs: String,
+      n_samples: Long)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def putBe32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    putBe32(8L + body.length) ++
+      tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+  }
+
+  /** Synthesize a minimal VALID ISO BMFF stream: `ftyp` + `moov`(`mvhd` +
+    * per-track `trak`(`tkhd`, `mdia`(`mdhd`, `hdlr`, `minf`(`stbl`(`stsd`,
+    * `stsz`))))) + `mdat`. Box sizes, version/flags fields and sample
+    * entries follow ISO/IEC 14496-12 §4.2/§8 layouts, so any conformant
+    * demuxer reads it; only the `mdat` sample payload is filler (no encoded
+    * h264/aac frames — encoding needs external codec libs).
+    *
+    * `tracks` = (handler fourcc e.g. "vide"/"soun", sample-entry codec
+    * fourcc e.g. "avc1"/"mp4a", sampleCount).
+    */
+  def buildMp4(
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      tracks: Seq[(String, String, Int)]): Array[Byte] = {
+    require(brand.length == 4, "brand must be a fourcc")
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val ftyp = box("ftyp", brand.getBytes(ascii), putBe32(0x200),
+      "isom".getBytes(ascii), "mp42".getBytes(ascii))
+    val mvhd = box("mvhd",
+      putBe32(0), // version 0 + flags
+      putBe32(0), putBe32(0), // creation/modification time
+      putBe32(timescale), putBe32(duration),
+      putBe32(0x00010000), // rate 1.0
+      Array(0x01.toByte, 0x00.toByte), // volume 1.0
+      new Array[Byte](10), // reserved
+      // unity matrix
+      putBe32(0x00010000), putBe32(0), putBe32(0),
+      putBe32(0), putBe32(0x00010000), putBe32(0),
+      putBe32(0), putBe32(0), putBe32(0x40000000),
+      new Array[Byte](24), // pre_defined
+      putBe32(tracks.size + 1L)) // next_track_ID
+    val traks = tracks.zipWithIndex.map { case ((handler, codec, nSamples), i) =>
+      require(handler.length == 4 && codec.length == 4, "fourccs required")
+      val tkhd = box("tkhd",
+        putBe32(7), // version 0, flags: enabled | in_movie | in_preview
+        putBe32(0), putBe32(0), putBe32(i + 1L), putBe32(0), putBe32(duration),
+        new Array[Byte](8), // reserved
+        new Array[Byte](2), new Array[Byte](2), // layer, alternate_group
+        Array(0x01.toByte, 0x00.toByte), new Array[Byte](2), // volume, reserved
+        putBe32(0x00010000), putBe32(0), putBe32(0),
+        putBe32(0), putBe32(0x00010000), putBe32(0),
+        putBe32(0), putBe32(0), putBe32(0x40000000),
+        putBe32(8L << 16), putBe32(6L << 16)) // width/height 16.16
+      val mdhd = box("mdhd",
+        putBe32(0), putBe32(0), putBe32(0),
+        putBe32(timescale), putBe32(duration),
+        Array(0x55.toByte, 0xc4.toByte), // language 'und' packed
+        new Array[Byte](2))
+      val hdlr = box("hdlr",
+        putBe32(0), putBe32(0), handler.getBytes(ascii),
+        new Array[Byte](12), Array(0.toByte)) // reserved + empty name
+      // sample entry: size + fourcc + 6 reserved bytes + data_ref_index
+      val sampleEntry = box(codec, new Array[Byte](6),
+        Array(0.toByte, 1.toByte))
+      val stsd = box("stsd", putBe32(0), putBe32(1), sampleEntry)
+      val stsz = box("stsz", putBe32(0), putBe32(0), putBe32(nSamples.toLong))
+      val stbl = box("stbl", stsd, stsz)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      box("trak", tkhd, mdia)
+    }
+    val moov = box("moov", Seq(mvhd) ++ traks: _*)
+    val mdat = box("mdat", Array.fill(16)(0x42.toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Real ISO BMFF demux: walk the box tree (recursing into container
+    * boxes, honoring 32-bit, 64-bit `largesize` and size-0 to-end boxes)
+    * and extract container metadata. Handles both mvhd/mdhd versions.
+    * Returns None for payloads that are not BMFF (no parsable box
+    * structure) — callers degrade the row instead of failing the partition.
+    * FRAME DECODE of the mdat payload is out of scope (needs external
+    * h264/aac codec libs); this is the container layer only.
+    */
+  def parseMp4(payload: Array[Byte]): Option[Mp4Meta] = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    val handlers = scala.collection.mutable.ArrayBuffer[String]()
+    val codecs = scala.collection.mutable.ArrayBuffer[String]()
+    var nTracks = 0
+    var nSamples = 0L
+    def walk(lo: Int, hi: Int): Unit = {
+      var off = lo
+      while (off + 8 <= hi) {
+        val size32 = be32(payload, off)
+        val tpe = fourcc(payload, off + 4)
+        var hdr = 8
+        val size =
+          if (size32 == 1L && off + 16 <= hi) { hdr = 16; be64(payload, off + 8) }
+          else if (size32 == 0L) (hi - off).toLong
+          else size32
+        if (size < hdr || off + size > hi) return // malformed: stop cleanly
+        val end = off + size.toInt
+        tpe match {
+          case t if containers(t) =>
+            if (t == "trak") nTracks += 1
+            walk(off + hdr, end)
+          case "ftyp" if brand.isEmpty && off + hdr + 4 <= end =>
+            brand = fourcc(payload, off + hdr)
+          case "mvhd" if off + hdr + 4 <= end =>
+            val v = payload(off + hdr) & 0xff
+            if (v == 1 && off + hdr + 32 <= end) {
+              timescale = be32(payload, off + hdr + 20)
+              duration = be64(payload, off + hdr + 24)
+            } else if (off + hdr + 20 <= end) {
+              timescale = be32(payload, off + hdr + 12)
+              duration = be32(payload, off + hdr + 16)
+            }
+          case "hdlr" if off + hdr + 12 <= end =>
+            handlers += fourcc(payload, off + hdr + 8)
+          case "stsd" if off + hdr + 16 <= end =>
+            codecs += fourcc(payload, off + hdr + 12)
+          case "stsz" if off + hdr + 12 <= end =>
+            nSamples += be32(payload, off + hdr + 8)
+          case _ => () // skip leaf boxes we don't model (mdat, free, ...)
+        }
+        off = end
+      }
+    }
+    try {
+      walk(0, payload.length)
+      // a real BMFF stream has at least a brand or a movie header
+      if (brand.nonEmpty || timescale > 0L)
+        Some(Mp4Meta(0L, brand,
+          timescale,
+          if (timescale > 0) duration * 1000L / timescale else 0L,
+          nTracks, handlers.mkString(","), codecs.mkString(","), nSamples))
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic synthetic mp4 per row (the video-container analogue of
+    * [[syntheticVideos]]): track layout, duration and sample counts derive
+    * arithmetically from the id, so a SQL oracle predicts every parsed
+    * field — a wrong box walk hash-fails.
+    */
+  def syntheticMp4s(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { a =>
+        val tracks = Seq(("vide", "avc1", (10 + a % 7).toInt)) ++
+          (if (a % 2 == 1) Seq(("soun", "mp4a", (20 + a % 5).toInt)) else Nil)
+        MediaRow(a, buildMp4("isom", 1000L, 1000L + (a % 997) * 10L, tracks),
+          "mp4", 8, 6)
+      }
+    }
+  }
+
+  /** Partition-parallel container demux over a media column; undecodable
+    * rows degrade to n_tracks = -1 (same contract as the other decoders).
+    */
+  def extractMp4Metadata(media: Dataset[MediaRow]): Dataset[Mp4Meta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseMp4(r.payload) match {
+          case Some(m) => m.copy(media_id = r.media_id)
+          case None => Mp4Meta(r.media_id, "", 0L, 0L, -1, "", "", 0L)
+        }
+      }
+    }
+  }
+
   // ---------- audio (real codec: javax.sound.sampled, in the JDK) ----------
 
   final case class AudioFeatures(

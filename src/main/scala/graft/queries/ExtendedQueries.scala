@@ -32,7 +32,7 @@ object ExtendedQueries {
       .groupBy(col("user_id"), col("ts").as("click_ts"))
       .agg(max(col("value")).as("click_value"))
       .select(col("user_id"), col("click_ts"), col("click_value"))
-    AsofJoin.asofJoin(purchases, clicks, "user_id", "ts", "click_ts",
+    AsofJoin.asofJoinSlim(purchases, clicks, "user_id", "ts", "click_ts",
       Seq("click_ts", "click_value"))
       .select(col("user_id"), col("event_id"),
         expr("unix_micros(ts) div 1000000").as("purchase_s"),

@@ -674,6 +674,34 @@ object PipelineQueries {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** Real ISO BMFF (mp4-family) container demux under the oracle: a
+    * conformant box tree (ftyp/moov/mvhd/trak/mdia/hdlr/stbl/stsd/stsz) is
+    * synthesized per document with track layout, duration and sample counts
+    * arithmetic in doc_id, then walked back by the real demuxer — a wrong
+    * box-size computation, version branch or recursion bound hash-fails.
+    * Frame decode of the mdat payload stays out of scope (needs external
+    * h264/aac codec libs, absent here by design).
+    */
+  val qMp4Metadata: Q = (spark, dir) =>
+    Multimodal.extractMp4Metadata(
+      Multimodal.syntheticMp4s(Tables(spark, dir, "documents"), "doc_id"))
+      .toDF().orderBy(col("media_id"))
+
+  private val mp4MetadataOracle: String = {
+    val audio = "(doc_id % 2 = 1)"
+    s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  'isom' AS brand,
+       |  CAST(1000 AS BIGINT) AS timescale,
+       |  CAST(1000 + (doc_id % 997) * 10 AS BIGINT) AS duration_ms,
+       |  CAST(CASE WHEN $audio THEN 2 ELSE 1 END AS INT) AS n_tracks,
+       |  CASE WHEN $audio THEN 'vide,soun' ELSE 'vide' END AS handlers,
+       |  CASE WHEN $audio THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs,
+       |  CAST(10 + doc_id % 7
+       |    + CASE WHEN $audio THEN 20 + doc_id % 5 ELSE 0 END AS BIGINT)
+       |    AS n_samples
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   /** The prefix-filter (AllPairs) Jaccard path end-to-end under the SAME
     * oracle as the inverted-index default — the two formulations are
     * lossless over the same postings, so the result sets are bit-identical
@@ -776,6 +804,7 @@ object PipelineQueries {
     "q_image_decode" -> qImageDecode,
     "q_audio_decode" -> qAudioDecode,
     "q_video_frames" -> qVideoFrames,
+    "q_mp4_metadata" -> qMp4Metadata,
     "q_ngram_jaccard_prefix" -> qNgramJaccardPrefix,
     "q_lsh_recall" -> qLshRecall,
     "q_sessionize" -> qSessionize,
@@ -803,6 +832,7 @@ object PipelineQueries {
     "q_image_decode" -> imageDecodeOracle,
     "q_audio_decode" -> audioDecodeOracle,
     "q_video_frames" -> videoFramesOracle,
+    "q_mp4_metadata" -> mp4MetadataOracle,
     "q_ngram_jaccard_prefix" -> ngramJaccardOracle,
     "q_lsh_recall" -> lshRecallOracle,
     "q_sessionize" -> sessionizeOracle,

@@ -65,6 +65,43 @@ class JoinsSpec extends SparkTestBase {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("asof slim variant is identical to the wide variant, incl. duplicates and nulls") {
+    val rnd = new scala.util.Random(7)
+    // duplicate left rows, duplicate (k, t) probes, null keys and null ts on
+    // both sides — the full surface where slim's distinct + join-back could
+    // diverge from the wide union
+    val trades = ((1 to 200).map { i =>
+      (if (i % 17 == 0) null else java.lang.Long.valueOf(rnd.nextInt(8).toLong),
+        if (i % 23 == 0) null else java.lang.Long.valueOf(rnd.nextInt(300).toLong),
+        (i % 50).toLong, s"payload_$i wide extra columns " * 2)
+    } ++ Seq((null, null, 999L, "nullboth"), (null, null, 999L, "nullboth")))
+      .toDF("k", "t", "tid", "wide")
+    val quotes = (1 to 300).map { i =>
+      (if (i % 29 == 0) null else java.lang.Long.valueOf(rnd.nextInt(8).toLong),
+        java.lang.Long.valueOf(rnd.nextInt(300).toLong), i.toDouble)
+    }.toDF("k", "qt", "px")
+      .groupBy($"k", $"qt").agg(max($"px").as("px"))
+    val wide = AsofJoin.asofJoin(trades, quotes, "k", "t", "qt", Seq("qt", "px"))
+    val slim = AsofJoin.asofJoinSlim(trades, quotes, "k", "t", "qt", Seq("qt", "px"))
+    assert(slim.columns.toSeq == wide.columns.toSeq, "same output schema")
+    assert(slim.count() == trades.count(), "one output row per left row")
+    assert(slim.exceptAll(wide).isEmpty && wide.exceptAll(slim).isEmpty)
+  }
+
+  test("asof slim union carries only the probe columns, not the left payload") {
+    val trades = (1 to 10).map(i => (i.toLong % 3, i.toLong, s"w$i", i * 1.5, s"x$i"))
+      .toDF("k", "t", "wide1", "wide2", "wide3")
+    val quotes = Seq((0L, 1L, 1.0), (1L, 2L, 2.0)).toDF("k", "qt", "px")
+    val plan = AsofJoin.asofJoinSlim(trades, quotes, "k", "t", "qt", Seq("px"))
+      .queryExecution.optimizedPlan
+    val unions = plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.nonEmpty, "slim asof still plans a union")
+    assert(unions.forall(_.output.size <= 4),
+      s"union must stay slim (key, ts, side, rv); got ${unions.map(_.output.map(_.name))}")
+  }
+
   test("bucketed range join equals the naive non-equi join") {
     val points = Seq(0.0, 24.9, 25.0, 49.9, 99.9, 100.0, 250.0)
       .toDF("value").withColumn("pid", monotonically_increasing_id())

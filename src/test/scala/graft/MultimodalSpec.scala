@@ -154,4 +154,51 @@ class MultimodalSpec extends SparkTestBase {
     val f = Multimodal.extractFeatures(junk).collect().head
     assert(f.features.toSeq == Multimodal.stubDecode(Array[Byte](1, 2, 3)).toSeq)
   }
+
+  test("mp4 demux: synthesized BMFF box tree round-trips every field") {
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val metas = Multimodal.extractMp4Metadata(
+      Multimodal.syntheticMp4s(ids, "doc_id")).collect()
+    assert(metas.length == 40)
+    metas.foreach { m =>
+      val a = m.media_id
+      val audio = a % 2 == 1
+      assert(m.brand == "isom")
+      assert(m.timescale == 1000L)
+      assert(m.duration_ms == 1000L + (a % 997) * 10L)
+      assert(m.n_tracks == (if (audio) 2 else 1))
+      assert(m.handlers == (if (audio) "vide,soun" else "vide"))
+      assert(m.codecs == (if (audio) "avc1,mp4a" else "avc1"))
+      assert(m.n_samples ==
+        10 + a % 7 + (if (audio) 20 + a % 5 else 0))
+    }
+  }
+
+  test("mp4 demux: 64-bit largesize and size-0 to-end boxes parse") {
+    // hand-build: ftyp with largesize header, then an mvhd wrapped in a
+    // size-0 moov (extends to end of stream)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftypBody = "mp42".getBytes(ascii) ++ be32(0)
+    val ftyp = be32(1) ++ "ftyp".getBytes(ascii) ++
+      be32(0) ++ be32(16L + ftypBody.length) ++ ftypBody
+    val mvhd = be32(8 + 24) ++ "mvhd".getBytes(ascii) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(1200) ++ be32(0)
+    val moov = be32(0) ++ "moov".getBytes(ascii) ++ mvhd
+    val m = Multimodal.parseMp4(ftyp ++ moov)
+    assert(m.isDefined)
+    assert(m.get.brand == "mp42")
+    assert(m.get.timescale == 600L)
+    assert(m.get.duration_ms == 2000L)
+  }
+
+  test("non-BMFF payload degrades to the failure row instead of throwing") {
+    val junk = Seq(
+      Multimodal.MediaRow(5L, Array[Byte](1, 2, 3, 4, 5), "mp4", 0, 0),
+      Multimodal.MediaRow(6L, Array.fill(64)(0x7f.toByte), "mp4", 0, 0)).toDS()
+    val ms = Multimodal.extractMp4Metadata(junk).collect()
+      .sortBy(_.media_id)
+    assert(ms.forall(_.n_tracks == -1))
+  }
 }
