@@ -63,6 +63,22 @@ object Dedup {
     }
   }
 
+  /** Reuse seam for EXCHANGE-BEARING intermediates consumed more than once.
+    * [[materialize]]'s local-checkpoint mode is the wrong tool for these:
+    * under AQE, extracting the checkpoint RDD of a plan that contains an
+    * exchange finalizes its shuffle stages — running jobs at DataFrame
+    * CONSTRUCTION time, which breaks the lazy-build contract (and the spec
+    * gate) that merely building/explaining a query must not execute it.
+    * Plain persist is lazy unconditionally and still deduplicates the
+    * upstream work across consumers at first action.
+    */
+  private[graft] def persistForReuse(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.materialize", "") match {
+      case "none" => df
+      case _ =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Exact dedup: keep the lowest-id row per normalized-content fingerprint.
     * One shuffle on the md5 key.
     */
@@ -306,10 +322,13 @@ object Dedup {
     // (at scale you'd persist this table anyway; recomputing the codegen'd
     // explode per consumer triples the dominant scan cost)
     val postings = materialize(shingleHashes(df, textCol, idCol, n))
-    // per-doc sorted hash-set array + size (postings are already distinct)
-    val docsets = postings.groupBy(col(idCol))
+    // per-doc sorted hash-set array + size (postings are already distinct);
+    // persisted because THREE consumers read it (the two size lookups and
+    // the double verify join) — otherwise the collect_list shuffle reruns
+    // per consumer
+    val docsets = persistForReuse(postings.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
-      .withColumn("sz", size(col("hs")))
+      .withColumn("sz", size(col("hs"))))
     // docsets already carries the per-doc size — reuse it instead of a
     // second groupBy over the postings (a full redundant shuffle at scale)
     val szs = docsets.select(col(idCol), col("sz"))
@@ -375,13 +394,16 @@ object Dedup {
     val posts = sizedPostings(df, idCol,
       graft.functions.TextHashExprs.wordShingleHash31Set(col(textCol), n))
     val dfreq = posts.groupBy(col("h")).agg(count(lit(1)).as("_df"))
-    // sz must be recomputed over SURVIVING shingles, or jaccard denominators
-    // count dropped shingles and every score deflates
     val kept = posts.join(dfreq.filter(col("_df") <= dfCap), Seq("h"))
       .select(col(idCol), col("h"))
+    // sz must be recomputed over SURVIVING shingles, or jaccard denominators
+    // count dropped shingles and every score deflates. Persisted because the
+    // downstream self-join reads the sized postings TWICE — without it the
+    // dfreq filter and both groupBys run once per branch
     val sz = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     jaccardPairsFromSizedPostings(
-      kept.join(sz, Seq(idCol)).select(col(idCol), col("sz"), col("h")),
+      persistForReuse(kept.join(sz, Seq(idCol))
+        .select(col(idCol), col("sz"), col("h"))),
       idCol, threshold)
   }
 
@@ -491,9 +513,14 @@ object Dedup {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .distinct())
+    // fold the first neighbor-min round into initialization: root₀ =
+    // min(id, min neighbor) costs the same single shuffle as building the
+    // distinct node set, and for the dominant case (tiny components that
+    // settle in one round) it saves an entire join+aggregate+jump iteration
     var labels = materialize(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("root", col("id")))
+      edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("_mn"))
+        .select(col("id"), least(col("id"), col("_mn")).as("root")))
     // neighbor-min + pointer jumping per round (diameter halves each round →
     // O(log d) rounds); materializing each round truncates/pins lineage so
     // the plan stays bounded (a fully lazy formulation doubles the plan per

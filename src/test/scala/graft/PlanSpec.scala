@@ -208,6 +208,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p)
   }
 
+  test("mp4 demux pipeline is partition-parallel with no join or shuffle agg") {
+    val p = plan("q_mp4_metadata")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p)
+    // demux is a narrow per-row transform: the only exchange allowed is the
+    // final orderBy's range partitioning
+    assert(!p.contains("hashpartitioning"),
+      s"container demux must not hash-shuffle:\n$p")
+  }
+
+  test("slim as-of join-back is a hash join over the slim probe set, no cartesian") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    // the null-safe (key, ts) join-back stays a hash-partitionable join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("LSH recall contract joins stay equi/semi joins — no quadratic candidate plan") {
     val p = plan("q_lsh_recall")
     // the only allowed nested-loop is the intended broadcast of single-row
