@@ -219,7 +219,14 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("slim as-of join-back is a hash join over the slim probe set, no cartesian") {
-    val p = plan("q_asof_join")
+    import spark.implicits._
+    val left = (1 to 100).map(i => (i % 5, i, s"w$i" * 10, i * 1.0))
+      .toDF("k", "t", "wide1", "wide2")
+    val right = (1 to 50).map(i => (i % 5, i * 2, i * 0.5)).toDF("k", "rt", "px")
+    val df = graft.operators.AsofJoin.asofJoinSlim(
+      left, right, "k", "t", "rt", Seq("px"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), p)
     // the null-safe (key, ts) join-back stays a hash-partitionable join
