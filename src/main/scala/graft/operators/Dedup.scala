@@ -284,6 +284,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---------- incremental dedup against a persisted LSH index ----------
+
+  /** LSH index entries for a corpus slice: one row per (band, bkey) per
+    * doc with the full minhash signature carried inline —
+    * (idCol, mh0..mh15, band, bkey). Denormalized so the incremental
+    * verify step needs no join back to a separate signatures table. A pure
+    * narrow projection + 4-way explode: runs at scan speed, and appends
+    * cheaply to a persisted index table (e.g. a VersionedHub bucketed by
+    * bkey, so probe joins shuffle only the incoming batch).
+    */
+  def lshIndexEntries(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val sig = minhashSignatureFromText(df, textCol, idCol, n)
+    val sigCols = minhashParams.indices.map(i => col(s"mh$i"))
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)
+          .as("bkey"))
+    }
+    sig.select(col(idCol) +: sigCols :+ explode(array(bands: _*)).as("_bb"): _*)
+      .select(col(idCol) +: sigCols :+
+        col("_bb.band").as("band") :+ col("_bb.bkey").as("bkey"): _*)
+  }
+
+  /** Incremental near-dup detection — the 100 TB shape of dedup: a NEW
+    * batch probes an EXISTING corpus index (rows from [[lshIndexEntries]])
+    * without ever touching corpus text. The batch computes its own entries
+    * (scan speed), equi-joins the index on (band, bkey) — hash-partitioned,
+    * never all-pairs — and verifies candidates by minhash coordinate
+    * agreement (an unbiased Jaccard estimate, σ = √(J(1−J)/16)) using the
+    * signatures both entry sets carry. Returns one (new_id, old_id,
+    * jaccard_est) row per matching pair with est ≥ threshold. Id spaces of
+    * index and batch must be disjoint (equal ids are treated as the same
+    * document and skipped).
+    */
+  def incrementalNearDups(index: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      n: Int = 3): DataFrame = {
+    val k = minhashParams.size
+    val probe = lshIndexEntries(batch, textCol, idCol, n).select(
+      Seq(col(idCol).as("new_id"), col("band"), col("bkey")) ++
+        (0 until k).map(i => col(s"mh$i").as(s"_n$i")): _*)
+    val idx = index.select(
+      Seq(col(idCol).as("old_id"), col("band"), col("bkey")) ++
+        (0 until k).map(i => col(s"mh$i").as(s"_o$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"_n$i") === col(s"_o$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    probe.join(idx, Seq("band", "bkey"))
+      .filter(col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id"),
+        (agree.cast("double") / k.toDouble).as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
+      // a pair colliding in several bands reports once; est is a pure
+      // function of the pair, so pair-distinct == row-distinct
+      .distinct()
+  }
+
+  /** Batch rows that match nothing in the index — the rows whose content
+    * actually enters the corpus. Append [[lshIndexEntries]] of exactly
+    * these rows to the index table to keep it current for the next batch.
+    */
+  def incrementalSurvivors(index: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      n: Int = 3): DataFrame =
+    batch.join(
+      incrementalNearDups(index, batch, textCol, idCol, threshold, n)
+        .select(col("new_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
     * exact-Jaccard verify ≥ threshold (array-intersect verify — see
     * [[jaccardOfPairsByDocset]]).

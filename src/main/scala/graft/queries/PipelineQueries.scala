@@ -52,6 +52,10 @@ object PipelineQueries {
   // thresholds shared by impl + oracle
   val NgramJaccardThreshold = 0.5
   val LshJaccardThreshold = 0.7
+  // agreement threshold on the 16-coordinate minhash ESTIMATE (8/16): an
+  // estimator threshold, deliberately below LshJaccardThreshold so true
+  // J≈0.7 pairs (E[agree] = 11.2) are kept despite estimator variance
+  val IncrementalEstThreshold = 0.5
   val SimhashMaxHamming = 2
   val CosineNearDupThreshold = 0.4
   val TopK = 5
@@ -214,6 +218,42 @@ object PipelineQueries {
        |SELECT j.id_a, j.id_b, j.jaccard
        |FROM jacc j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
        |WHERE j.jaccard >= $LshJaccardThreshold ORDER BY j.id_a, j.id_b""".stripMargin
+
+  /** Incremental dedup end-to-end under the oracle: the corpus is split by
+    * doc_id (¾ "existing", ¼ "incoming batch"), the existing slice builds a
+    * persisted-index-shaped LSH entry table, and the batch probes it —
+    * verifying candidates by minhash agreement, never reading corpus text.
+    * The SF-independent modulo split keeps the oracle a pure SQL
+    * reformulation at every scale.
+    */
+  val qIncrementalDedup: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val index = Dedup.lshIndexEntries(
+      docs.filter(col("doc_id") % 4 =!= 0), "text", "doc_id")
+    Dedup.incrementalNearDups(index, docs.filter(col("doc_id") % 4 === 0),
+      "text", "doc_id", IncrementalEstThreshold)
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
+  private val incrementalDedupOracle: String = {
+    val est = Dedup.minhashParams.indices
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $PostingsCte,
+       |$lshCandCtes,
+       |split_cand AS (
+       |  SELECT id_a AS new_id, id_b AS old_id FROM cand
+       |  WHERE id_a % 4 = 0 AND id_b % 4 <> 0
+       |  UNION
+       |  SELECT id_b, id_a FROM cand WHERE id_b % 4 = 0 AND id_a % 4 <> 0)
+       |SELECT c.new_id, c.old_id,
+       |  ($est) / ${Dedup.minhashParams.size}.0 AS jaccard_est
+       |FROM split_cand c
+       |  JOIN sig a ON a.doc_id = c.new_id
+       |  JOIN sig b ON b.doc_id = c.old_id
+       |WHERE ($est) / ${Dedup.minhashParams.size}.0 >= $IncrementalEstThreshold
+       |ORDER BY new_id, old_id""".stripMargin
+  }
 
   val qSimhash: Q = (spark, dir) =>
     Dedup.simhash32(Tables(spark, dir, "documents"), "text", "doc_id")
@@ -795,6 +835,7 @@ object PipelineQueries {
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
     "q_minhash_signatures" -> qMinhashSignatures,
     "q_minhash_lsh_pairs" -> qMinhashLshPairs,
+    "q_incremental_dedup" -> qIncrementalDedup,
     "q_simhash" -> qSimhash,
     "q_simhash_pairs" -> qSimhashPairs,
     "q_cosine_topk" -> qCosineTopK,
@@ -823,6 +864,7 @@ object PipelineQueries {
     "q_ngram_jaccard_pairs" -> ngramJaccardOracle,
     "q_minhash_signatures" -> minhashSignaturesOracle,
     "q_minhash_lsh_pairs" -> minhashLshOracle,
+    "q_incremental_dedup" -> incrementalDedupOracle,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_cosine_topk" -> cosineTopKOracle,

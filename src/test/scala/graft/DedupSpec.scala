@@ -171,6 +171,55 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.size >= exact.size / 2, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("incremental dedup: batch probes the index; survivors appended catch an identical re-batch") {
+    // index holds docs 0 and 3; batch brings 10 (≈ dup of 0), 11 (novel)
+    val corpus = docs.filter($"doc_id" === 0L || $"doc_id" === 3L)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "an entirely new document about versioned hubs and bucket joins ok")
+    ).toDF("doc_id", "text")
+    val index = Dedup.lshIndexEntries(corpus, "text", "doc_id")
+    val matches = Dedup.incrementalNearDups(index, batch, "text", "doc_id", 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(matches.map(m => (m._1, m._2)).toSet == Set((10L, 0L)),
+      s"exact-text dup must match its corpus original: ${matches.toSeq}")
+    assert(matches.head._3 == 1.0, "identical text agrees on every coordinate")
+    val survivors = Dedup.incrementalSurvivors(index, batch, "text", "doc_id", 0.5)
+    assert(survivors.select("doc_id").as[Long].collect().toSet == Set(11L))
+    // append the survivors' entries; an identical-text re-batch (fresh ids)
+    // now matches the grown index completely — nothing enters twice
+    val grown = index.unionByName(
+      Dedup.lshIndexEntries(survivors, "text", "doc_id"))
+    val rebatch = batch.withColumn("doc_id", $"doc_id" + 100L)
+    val second = Dedup.incrementalSurvivors(grown, rebatch, "text", "doc_id", 0.5)
+    assert(second.isEmpty, "re-ingested content must all be caught")
+  }
+
+  test("incremental dedup agrees with the batch LSH formulation on the split corpus") {
+    val d = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val old = d.filter($"doc_id" % 4 =!= 0)
+    val batch = d.filter($"doc_id" % 4 === 0)
+    val inc = Dedup.incrementalNearDups(
+      Dedup.lshIndexEntries(old, "text", "doc_id"), batch, "text", "doc_id", 0.5)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    // reference: batch-mode candidates over the union, restricted to
+    // cross-split pairs, verified by the same signature-agreement estimate
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBands(Dedup.minhashSignatureFromText(d, "text", "doc_id"),
+        "doc_id"), "doc_id")
+    val sigs = Dedup.minhashSignatureFromText(d, "text", "doc_id")
+    val ref = Dedup.jaccardEstimateOfPairs(cands, sigs, "doc_id")
+      .filter($"jaccard_est" >= 0.5)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, _) =>
+        if (a % 4 == 0 && b % 4 != 0) Some((a, b))
+        else if (b % 4 == 0 && a % 4 != 0) Some((b, a))
+        else None
+      }.toSet
+    assert(inc == ref, s"incremental=${inc.size} batch=${ref.size}")
+    assert(inc.nonEmpty, "split corpus must produce cross-split near-dups")
+  }
+
   test("df-capped Jaccard keeps rare-shingle near-dups while cutting hot-shingle work") {
     import spark.implicits._
     // every doc shares the same boilerplate header (a hot shingle in every

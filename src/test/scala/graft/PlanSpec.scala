@@ -241,6 +241,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("incremental dedup probes the index with a band equi-join, no cartesian") {
+    val p = plan("q_incremental_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"index probe must equi-join on (band, bkey):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("fuzzy name join is a length-band equi-join, never a cartesian") {
     val p = plan("q_fuzzy_names")
     assert(!p.contains("CartesianProduct"),
