@@ -84,6 +84,46 @@ object Similarity {
       .select(col("id"), col("vec"), col("cell"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embeddings, then detect near-dups ONLY
+    * within a cluster — the pair term drops from N² to Σ_c |c|², and at
+    * 100 TB the cell id is a write-time partition key so each cell's pair
+    * scan stays partition-local. Clustering is [[ivfAssign]]
+    * (deterministic centroids = lowest-id vectors, so results are exactly
+    * reproducible and SQL-expressible); returns within-cell pairs with
+    * cosine ≥ threshold as (cell, id_a, id_b, cosine).
+    */
+  def semanticDedupPairs(corpus: DataFrame, nCells: Int,
+      threshold: Double): DataFrame = {
+    val cells = ivfAssign(corpus, nCells)
+    val a = withNorm(cells.select(col("cell"), col("id").as("id_a"),
+      col("vec").cast("array<double>").as("va")), "va", "na")
+    val b = withNorm(cells.select(col("cell"), col("id").as("id_b"),
+      col("vec").cast("array<double>").as("vb")), "vb", "nb")
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Survivors under SemDeDup's greedy keep-one rule: a vector is dropped
+    * iff it has a LOWER-id near-dup in its own cell (no transitive
+    * closure — the published method keeps one exemplar per duplicate set
+    * found within a cluster, and the greedy min-id rule makes that
+    * deterministic). Unpaired vectors and vectors split across cells
+    * survive; cross-cell near-dups are the recall cost of the blocking,
+    * exactly as in the paper.
+    */
+  def semanticDedupSurvivors(corpus: DataFrame, nCells: Int,
+      threshold: Double): DataFrame =
+    corpus.join(
+      semanticDedupPairs(corpus, nCells, threshold)
+        .select(col("id_b").as("id")),
+      Seq("id"), "left_anti")
+
   /** Lloyd's k-means over the corpus's `vec` column: deterministic init
     * (the k lowest-id vectors), then `iters` rounds of assign-to-nearest
     * (squared L2) + centroid recompute. Returns (id, vec, cluster).

@@ -325,6 +325,32 @@ object PipelineQueries {
        |WHERE ${cosSql("a.vec", "b.vec")} >= $CosineNearDupThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup end-to-end under the oracle: deterministic IVF clustering,
+    * within-cell cosine pairs, greedy min-id survivors — all expressible as
+    * non-recursive SQL because the survivor rule is "has no lower-id
+    * near-dup in its cell", not transitive closure.
+    */
+  val qSemanticDedup: Q = (spark, dir) =>
+    Similarity.semanticDedupSurvivors(corpus(spark, dir), IvfCells,
+      CosineNearDupThreshold)
+      .select(col("id"))
+      .orderBy(col("id"))
+
+  private val semanticDedupOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |cents AS (SELECT id AS cell, vec AS centroid FROM e ORDER BY id LIMIT $IvfCells),
+       |asg AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT e.id, e.vec, c.cell, row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${cosSql("e.vec", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e, cents c) t WHERE rn = 1),
+       |losers AS (
+       |  SELECT DISTINCT b.id FROM asg a JOIN asg b
+       |    ON a.cell = b.cell AND a.id < b.id
+       |  WHERE ${cosSql("a.vec", "b.vec")} >= $CosineNearDupThreshold)
+       |SELECT id FROM e WHERE id NOT IN (SELECT id FROM losers)
+       |ORDER BY id""".stripMargin
+
   val qAnnIvf: Q = (spark, dir) => {
     val c = corpus(spark, dir)
     Similarity.ivfTopK(c.filter(col("id") < NQueryVectors), c,
@@ -841,6 +867,7 @@ object PipelineQueries {
     "q_cosine_topk" -> qCosineTopK,
     "q_embedding_near_dup" -> qEmbeddingNearDup,
     "q_ann_ivf" -> qAnnIvf,
+    "q_semantic_dedup" -> qSemanticDedup,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_image_decode" -> qImageDecode,
     "q_audio_decode" -> qAudioDecode,
@@ -870,6 +897,7 @@ object PipelineQueries {
     "q_cosine_topk" -> cosineTopKOracle,
     "q_embedding_near_dup" -> embeddingNearDupOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_semantic_dedup" -> semanticDedupOracle,
     "q_multimodal_features" -> multimodalOracle,
     "q_image_decode" -> imageDecodeOracle,
     "q_audio_decode" -> audioDecodeOracle,

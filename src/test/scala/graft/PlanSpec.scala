@@ -241,6 +241,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("semantic dedup pairs join on the cell key, never an unbounded cartesian") {
+    val p = plan("q_semantic_dedup")
+    // the only nested-loop allowed is the bounded broadcast centroid
+    // fan-out inside ivfAssign (k rows); the pair stage must equi-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"within-cell pairs must hash-join on cell:\n$p")
+  }
+
   test("incremental dedup probes the index with a band equi-join, no cartesian") {
     val p = plan("q_incremental_dedup")
     assert(!p.contains("CartesianProduct"),

@@ -139,6 +139,21 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("semantic dedup: cell-blocked pairs are a subset of exact pairs; survivors follow the greedy rule") {
+    val exact = Similarity.cosineNearDupPairs(corpus, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairs = Similarity.semanticDedupPairs(corpus, 16, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact), "cell blocking must not invent pairs")
+    val survivors = Similarity.semanticDedupSurvivors(corpus, 16, 0.4)
+      .select("id").as[Long].collect().toSet
+    val losers = pairs.map(_._2)
+    val all = corpus.select("id").as[Long].collect().toSet
+    assert(survivors == all.diff(losers),
+      "a vector is dropped iff it has a lower-id near-dup in its cell")
+    assert(losers.nonEmpty, "test corpus has planted embedding near-dups")
+  }
+
   test("blocked near-dup pairs are a thresholded subset of the exact pairs") {
     val exact = Similarity.cosineNearDupPairs(corpus, 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
