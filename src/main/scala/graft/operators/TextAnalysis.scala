@@ -204,6 +204,42 @@ object TextAnalysis {
           col("_rs.n_bigrams").cast("double")).as("top_bigram_frac"))
   }
 
+  /** Per-document compressibility — the zlib-ratio quality signal of the
+    * Gopher-family filters (highly repetitive/boilerplate text compresses
+    * far below normal prose; near-random text approaches 1). Real JDK
+    * Deflater at default level over UTF-8 bytes, one Deflater reused per
+    * partition (allocation amortized across the partition — the codec
+    * boundary pattern, like the Multimodal decoders; no Catalyst
+    * expression computes zlib). Returns (id, n_bytes, n_deflated, ratio);
+    * empty text reports ratio 1.0. A narrow partition-parallel pass: no
+    * shuffle, runs at scan speed.
+    */
+  def compressionStats(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater()
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (bytes.isEmpty) (id, 0L, 0L, 1.0)
+          else {
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            (id, bytes.length.toLong, n, n.toDouble / bytes.length)
+          }
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_deflated", "ratio")
+  }
+
   /** Per-document top-k salient terms by a tf·(N/df) rational score — the
     * idf-proxy N/df keeps the score an exact two-operation double (one
     * integer product, one division), where a log-idf would inherit libm's

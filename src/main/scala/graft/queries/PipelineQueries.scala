@@ -255,6 +255,32 @@ object PipelineQueries {
        |ORDER BY new_id, old_id""".stripMargin
   }
 
+  /** Compressibility quality signal under a CONTRACT oracle (like
+    * `q_lsh_recall`): DuckDB cannot compute zlib, so the driver-checkable
+    * row asserts corpus-level invariants of the real Deflater pass —
+    * every ratio positive, long documents inside the plausible band. The
+    * per-doc values themselves are exercised by spec (round-trip inflate
+    * and the doubled-text back-reference property).
+    */
+  val qCompressionRatio: Q = (spark, dir) => {
+    val stats = TextAnalysis.compressionStats(
+      Tables(spark, dir, "documents"), "text", "doc_id")
+    stats.agg(
+      count(lit(1)).as("n_docs"),
+      (min(col("ratio")) > 0.0).as("all_positive"),
+      coalesce(max(when(col("n_bytes") >= 200, col("ratio"))) <= 1.05,
+        lit(true)).as("long_docs_bounded"),
+      coalesce(min(when(col("n_bytes") >= 200, col("ratio"))) >= 0.01,
+        lit(true)).as("long_docs_nontrivial"))
+  }
+
+  private val compressionRatioOracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  TRUE AS all_positive,
+      |  TRUE AS long_docs_bounded,
+      |  TRUE AS long_docs_nontrivial
+      |FROM documents""".stripMargin
+
   val qSimhash: Q = (spark, dir) =>
     Dedup.simhash32(Tables(spark, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -862,6 +888,7 @@ object PipelineQueries {
     "q_minhash_signatures" -> qMinhashSignatures,
     "q_minhash_lsh_pairs" -> qMinhashLshPairs,
     "q_incremental_dedup" -> qIncrementalDedup,
+    "q_compression_ratio" -> qCompressionRatio,
     "q_simhash" -> qSimhash,
     "q_simhash_pairs" -> qSimhashPairs,
     "q_cosine_topk" -> qCosineTopK,
@@ -892,6 +919,7 @@ object PipelineQueries {
     "q_minhash_signatures" -> minhashSignaturesOracle,
     "q_minhash_lsh_pairs" -> minhashLshOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,
+    "q_compression_ratio" -> compressionRatioOracle,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_cosine_topk" -> cosineTopKOracle,

@@ -43,4 +43,35 @@ class TextAnalysisSpec extends SparkTestBase {
     // stable across invocations (pure function of content)
     assert(fp == one("a b c d", TextAnalysis.shingleFingerprint).asInstanceOf[Long])
   }
+
+  test("compression stats: deflate round-trips and repetition compresses harder") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through fields of varied unrepeated vocabulary tokens"
+    val docs = Seq(
+      (1L, prose),
+      (2L, prose + " " + prose + " " + prose + " " + prose), // 4× repetition
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val stats = TextAnalysis.compressionStats(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // round-trip: n_deflated bytes inflate back to the original
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(prose.getBytes("UTF-8")); deflater.finish()
+    val out = new Array[Byte](64 * 1024)
+    val n = deflater.deflate(out)
+    assert(stats(1L)._2 == n.toLong, "same zlib stream length as a direct deflate")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(out, 0, n)
+    val back = new Array[Byte](64 * 1024)
+    val m = inflater.inflate(back)
+    assert(new String(back, 0, m, "UTF-8") == prose, "deflate must round-trip")
+    // the repeated copies are back-references: per-byte ratio drops hard
+    assert(stats(2L)._3 < stats(1L)._3 * 0.6,
+      s"4x-repeated text must compress much harder: ${stats(2L)._3} vs ${stats(1L)._3}")
+    // empty and null text degrade to the defined row, not a crash
+    assert(stats(3L) == ((0L, 0L, 1.0)) && stats(4L) == ((0L, 0L, 1.0)))
+  }
 }
