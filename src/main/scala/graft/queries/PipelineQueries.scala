@@ -574,6 +574,35 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Streaming incremental dedup to completion on a finite source: the
+    * batch quarter of the corpus arrives as four micro-batches
+    * (maxFilesPerTrigger=1 over four part files), each probing the static
+    * index built from the other three quarters. Same oracle as
+    * `q_incremental_dedup` — streamed union ≡ one-shot probe.
+    */
+  val qStreamIncrementalDedup: Q = (spark, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingIngest
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_inc")
+      .toFile.getAbsolutePath
+    val docs = Tables(spark, dir, "documents")
+    val index = Dedup.lshIndexEntries(
+      docs.filter(col("doc_id") % 4 =!= 0), "text", "doc_id")
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+    batch.repartition(4).write.parquet(s"$tmp/src")
+    // pre-create the sink with the result schema so a match-free SF still
+    // reads back as an empty result instead of failing on a missing dir
+    Dedup.incrementalNearDups(index, batch.limit(0), "text", "doc_id",
+      IncrementalEstThreshold).write.parquet(s"$tmp/out")
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+    StreamingIngest.incrementalDedupStream(stream, index, "text", "doc_id",
+      IncrementalEstThreshold, s"$tmp/out", s"$tmp/cp")
+      .awaitTermination()
+    spark.read.parquet(s"$tmp/out").orderBy(col("new_id"), col("old_id"))
+  }
+
   private val streamSessionizeEquivOracle: String =
     s"""WITH m AS (
        |  SELECT user_id, ts,
@@ -904,6 +933,7 @@ object PipelineQueries {
     "q_lsh_recall" -> qLshRecall,
     "q_sessionize" -> qSessionize,
     "q_stream_sessionize_equiv" -> qStreamSessionizeEquiv,
+    "q_stream_incremental_dedup" -> qStreamIncrementalDedup,
     "q_quality_checks" -> qQualityChecks,
     "q_dedup_survivors" -> qDedupSurvivors,
     "q_dedup_survivors_capped" -> qDedupSurvivorsCapped,
@@ -935,6 +965,7 @@ object PipelineQueries {
     "q_lsh_recall" -> lshRecallOracle,
     "q_sessionize" -> sessionizeOracle,
     "q_stream_sessionize_equiv" -> streamSessionizeEquivOracle,
+    "q_stream_incremental_dedup" -> incrementalDedupOracle,
     "q_quality_checks" -> qualityChecksOracle,
     "q_dedup_survivors" -> dedupSurvivorsOracle,
     "q_dedup_survivors_capped" -> dedupSurvivorsCappedOracle,

@@ -162,6 +162,31 @@ object StreamingIngest {
       schemaOf: DataFrame): DataFrame =
     spark.readStream.schema(schemaOf.schema).parquet(dir)
 
+  /** Micro-batch incremental dedup against a STATIC corpus LSH index
+    * (entries from [[graft.operators.Dedup.lshIndexEntries]]) — the
+    * daily-batches-probe-a-periodically-rebuilt-index deployment. Each
+    * micro-batch probes the same index via
+    * [[graft.operators.Dedup.incrementalNearDups]] and appends its verified
+    * matches to `outPath`. Probes are per-document and the index does not
+    * change mid-stream, so the union over micro-batches equals the one-shot
+    * batch probe exactly — the equivalence the driver oracle checks. (An
+    * index that also grows with batch survivors is the order-dependent
+    * sequential fold: run it through the versioned-hub sink instead, where
+    * each commit is one batch's appended entries.)
+    */
+  def incrementalDedupStream(batches: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, threshold: Double, outPath: String,
+      checkpoint: String): StreamingQuery =
+    batches.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .incrementalNearDups(index, batch, textCol, idCol, threshold)
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---- stateful sessionization (streaming twin of operators.Sessionize) ----
 
   final case class SessionEvent(user_id: Long, ts_us: Long)

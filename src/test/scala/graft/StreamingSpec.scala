@@ -32,6 +32,44 @@ class StreamingSpec extends SparkTestBase {
     assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
+  test("streaming incremental dedup over several micro-batches equals the batch probe") {
+    import graft.operators.Dedup
+    val lake = tmpDir("inc_stream")
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val index = Dedup.lshIndexEntries(
+      docs.filter($"doc_id" % 4 =!= 0), "text", "doc_id")
+    val batch = docs.filter($"doc_id" % 4 === 0).select($"doc_id", $"text")
+    batch.repartition(3).write.parquet(s"$lake/src")
+    Dedup.incrementalNearDups(index, batch.limit(0), "text", "doc_id", 0.5)
+      .write.parquet(s"$lake/out")
+    var nBatches = 0
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) nBatches += 1
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val stream = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$lake/src")
+      StreamingIngest.incrementalDedupStream(stream, index, "text", "doc_id",
+        0.5, s"$lake/out", s"$lake/cp").awaitTermination()
+      spark.streams.listListeners() // flush nothing; listener events are async
+      Thread.sleep(500)
+      assert(nBatches >= 2, s"must process several micro-batches, saw $nBatches")
+      val streamed = spark.read.parquet(s"$lake/out")
+        .as[(Long, Long, Double)].collect().toSet
+      val oneShot = Dedup.incrementalNearDups(index, batch, "text", "doc_id", 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == oneShot, s"streamed=${streamed.size} batch=${oneShot.size}")
+      assert(oneShot.nonEmpty, "split corpus must produce cross-split matches")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("windowed streaming agg matches the batch rollup on the same data") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     // run the same plan in batch mode (streaming/batch unification)
