@@ -574,6 +574,76 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** The full incremental-dedup index LIFECYCLE on the ACID table format:
+    * build the corpus LSH index into a bucketed VersionedHub (keyed by
+    * (doc_id, band) — per-entry unique, so re-ingesting a doc is an
+    * idempotent upsert touching only its buckets), probe the incoming batch
+    * straight from the committed table, append the survivors' entries as
+    * the next version, and prove a re-upsert of the original entries
+    * changes nothing. Every count is predicted by the oracle from the
+    * incremental-match CTE: the driver cross-checks dedup, the table
+    * format, and their composition in one row.
+    */
+  val qIncrementalIndexHub: Q = (spark, dir) => {
+    import graft.writers.VersionedHub
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_hub")
+      .toFile.getAbsolutePath
+    val hub = s"$tmp/index"
+    val docs = Tables(spark, dir, "documents")
+    val old = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val entries = Dedup.lshIndexEntries(old, "text", "doc_id")
+    val keys = Seq("doc_id", "band")
+    VersionedHub.writeBucketed(spark, entries, hub, keys, nBuckets = 8)
+    val index = VersionedHub.read(spark, hub)
+    val nMatches = Dedup.incrementalNearDups(index, batch, "text", "doc_id",
+      IncrementalEstThreshold).count()
+    val survivors = Dedup.incrementalSurvivors(index, batch, "text", "doc_id",
+      IncrementalEstThreshold)
+    VersionedHub.writeBucketed(spark,
+      Dedup.lshIndexEntries(survivors, "text", "doc_id"), hub, keys,
+      nBuckets = 8)
+    VersionedHub.writeBucketed(spark, entries, hub, keys, nBuckets = 8)
+    val v1 = VersionedHub.read(spark, hub, Some(1)).count()
+    val v2 = VersionedHub.read(spark, hub, Some(2)).count()
+    val v3 = VersionedHub.read(spark, hub, Some(3)).count()
+    val hist = VersionedHub.history(spark, hub)
+    import spark.implicits._
+    Seq((nMatches, hist.size.toLong, v1, v2, v3 == v2))
+      .toDF("n_match_pairs", "n_versions", "v1_rows", "v2_rows",
+        "idempotent_rewrite")
+  }
+
+  private val incrementalIndexHubOracle: String = {
+    val est = Dedup.minhashParams.indices
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val k = Dedup.minhashParams.size
+    s"""WITH $PostingsCte,
+       |$lshCandCtes,
+       |split_cand AS (
+       |  SELECT id_a AS new_id, id_b AS old_id FROM cand
+       |  WHERE id_a % 4 = 0 AND id_b % 4 <> 0
+       |  UNION
+       |  SELECT id_b, id_a FROM cand WHERE id_b % 4 = 0 AND id_a % 4 <> 0),
+       |matches AS (
+       |  SELECT c.new_id, c.old_id FROM split_cand c
+       |    JOIN sig a ON a.doc_id = c.new_id
+       |    JOIN sig b ON b.doc_id = c.old_id
+       |  WHERE ($est) / $k.0 >= $IncrementalEstThreshold),
+       |counts AS (SELECT
+       |  (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) AS n_old,
+       |  (SELECT count(*) FROM documents WHERE doc_id % 4 = 0) AS n_batch,
+       |  (SELECT count(*) FROM matches) AS n_pairs,
+       |  (SELECT count(DISTINCT new_id) FROM matches) AS n_matched)
+       |SELECT CAST(n_pairs AS BIGINT) AS n_match_pairs,
+       |  CAST(3 AS BIGINT) AS n_versions,
+       |  CAST(4 * n_old AS BIGINT) AS v1_rows,
+       |  CAST(4 * (n_old + n_batch - n_matched) AS BIGINT) AS v2_rows,
+       |  TRUE AS idempotent_rewrite
+       |FROM counts""".stripMargin
+  }
+
   /** Streaming incremental dedup to completion on a finite source: the
     * batch quarter of the corpus arrives as four micro-batches
     * (maxFilesPerTrigger=1 over four part files), each probing the static
@@ -934,6 +1004,7 @@ object PipelineQueries {
     "q_sessionize" -> qSessionize,
     "q_stream_sessionize_equiv" -> qStreamSessionizeEquiv,
     "q_stream_incremental_dedup" -> qStreamIncrementalDedup,
+    "q_incremental_index_hub" -> qIncrementalIndexHub,
     "q_quality_checks" -> qQualityChecks,
     "q_dedup_survivors" -> qDedupSurvivors,
     "q_dedup_survivors_capped" -> qDedupSurvivorsCapped,
@@ -966,6 +1037,7 @@ object PipelineQueries {
     "q_sessionize" -> sessionizeOracle,
     "q_stream_sessionize_equiv" -> streamSessionizeEquivOracle,
     "q_stream_incremental_dedup" -> incrementalDedupOracle,
+    "q_incremental_index_hub" -> incrementalIndexHubOracle,
     "q_quality_checks" -> qualityChecksOracle,
     "q_dedup_survivors" -> dedupSurvivorsOracle,
     "q_dedup_survivors_capped" -> dedupSurvivorsCappedOracle,
