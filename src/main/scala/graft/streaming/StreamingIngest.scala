@@ -162,6 +162,40 @@ object StreamingIngest {
       schemaOf: DataFrame): DataFrame =
     spark.readStream.schema(schemaOf.schema).parquet(dir)
 
+  /** The GROWING-index streaming variant of incremental dedup: each
+    * micro-batch probes the versioned-hub index AS OF its latest committed
+    * version, records its matches in a second versioned hub (keyed per
+    * pair), and commits its survivors' entries back to the index hub — both
+    * commits carry the micro-batch id, so a replayed batch after a crash
+    * short-circuits idempotently (exactly-once end to end, the property the
+    * versioned sink exists for). Order-dependent BY DESIGN, unlike
+    * [[incrementalDedupStream]]: a document duplicating an earlier batch's
+    * survivor is caught, which is the semantics a continuously-growing
+    * corpus needs. Equivalence to the sequential fold is spec-proven.
+    */
+  def growingIndexDedupStream(batches: DataFrame, indexHub: String,
+      matchesHub: String, nBuckets: Int, textCol: String, idCol: String,
+      threshold: Double, checkpoint: String): StreamingQuery =
+    batches.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import graft.operators.Dedup
+        import graft.writers.VersionedHub
+        val spark = batch.sparkSession
+        val index = VersionedHub.read(spark, indexHub)
+        VersionedHub.writeBucketed(spark,
+          Dedup.incrementalNearDups(index, batch, textCol, idCol, threshold),
+          matchesHub, Seq("new_id", "old_id"), nBuckets, batchId = Some(id))
+        VersionedHub.writeBucketed(spark,
+          Dedup.lshIndexEntries(
+            Dedup.incrementalSurvivors(index, batch, textCol, idCol,
+              threshold), textCol, idCol),
+          indexHub, Seq(idCol, "band"), nBuckets, batchId = Some(id))
+        () // foreachBatch wants Unit, not the committed version number
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Micro-batch incremental dedup against a STATIC corpus LSH index
     * (entries from [[graft.operators.Dedup.lshIndexEntries]]) — the
     * daily-batches-probe-a-periodically-rebuilt-index deployment. Each

@@ -70,6 +70,62 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("growing-index streaming dedup equals the sequential fold, exactly-once per batch") {
+    import graft.operators.Dedup
+    import graft.writers.VersionedHub
+    val lake = tmpDir("grow_stream")
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val old = docs.filter($"doc_id" % 4 =!= 0)
+    val batchAll = docs.filter($"doc_id" % 4 === 0).select($"doc_id", $"text")
+    val indexHub = s"$lake/index"
+    val matchesHub = s"$lake/matches"
+    VersionedHub.writeBucketed(spark,
+      Dedup.lshIndexEntries(old, "text", "doc_id"), indexHub,
+      Seq("doc_id", "band"), nBuckets = 4)
+    // three single-file groups with stepped modification times, so the file
+    // source's processing order (modTime, then path) is exactly g0, g1, g2
+    val srcDir = new java.io.File(s"$lake/src"); srcDir.mkdirs()
+    val groups = (0 until 3).map(i => batchAll.filter($"doc_id" % 3 === i))
+    groups.zipWithIndex.foreach { case (g, i) =>
+      val stage = s"$lake/stage$i"
+      g.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"b$i%d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(batchAll.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$lake/src")
+    StreamingIngest.growingIndexDedupStream(stream, indexHub, matchesHub,
+      nBuckets = 4, "text", "doc_id", 0.5, s"$lake/cp").awaitTermination()
+    // sequential reference fold over the same groups in the same order
+    var foldIndex = Dedup.lshIndexEntries(old, "text", "doc_id")
+    val foldMatches = scala.collection.mutable.Set[(Long, Long)]()
+    groups.foreach { g =>
+      foldMatches ++= Dedup.incrementalNearDups(foldIndex, g, "text",
+        "doc_id", 0.5).select($"new_id", $"old_id")
+        .as[(Long, Long)].collect()
+      foldIndex = foldIndex.unionByName(Dedup.lshIndexEntries(
+        Dedup.incrementalSurvivors(foldIndex, g, "text", "doc_id", 0.5),
+        "text", "doc_id"))
+    }
+    val streamedMatches = VersionedHub.read(spark, matchesHub)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(streamedMatches == foldMatches.toSet,
+      s"streamed=${streamedMatches.size} fold=${foldMatches.size}")
+    val streamedIds = VersionedHub.read(spark, indexHub)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    val foldIds = foldIndex.select($"doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(streamedIds == foldIds, "final index holds old + surviving ids")
+    // one seed + one version per micro-batch, each carrying its batch id
+    val hist = VersionedHub.history(spark, indexHub)
+    assert(hist.size == 4, s"versions: ${hist.map(_.version)}")
+    assert(hist.drop(1).flatMap(_.batchId).distinct.size == 3,
+      "every post-seed version records its micro-batch id (exactly-once)")
+  }
+
   test("windowed streaming agg matches the batch rollup on the same data") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     // run the same plan in batch mode (streaming/batch unification)
