@@ -193,6 +193,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(m.get.duration_ms == 2000L)
   }
 
+  test("property: mp4 demux never throws on random, mutated or truncated payloads") {
+    val rnd = new scala.util.Random(42)
+    // pure random bytes
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(512))(rnd.nextInt(256).toByte)
+      Multimodal.parseMp4(junk) // Option either way — must not throw
+    }
+    // valid streams with a single random byte flipped (corrupts sizes,
+    // fourccs, version fields) and random truncations
+    val valid = Multimodal.buildMp4("isom", 1000L, 5000L,
+      Seq(("vide", "avc1", 10), ("soun", "mp4a", 20)))
+    (1 to 300).foreach { _ =>
+      val mutated = valid.clone()
+      mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      Multimodal.parseMp4(mutated)
+      Multimodal.parseMp4(valid.take(rnd.nextInt(valid.length)))
+    }
+    // and the pristine stream still parses fully after all that
+    val m = Multimodal.parseMp4(valid).get
+    assert(m.n_tracks == 2 && m.n_samples == 30)
+  }
+
   test("non-BMFF payload degrades to the failure row instead of throwing") {
     val junk = Seq(
       Multimodal.MediaRow(5L, Array[Byte](1, 2, 3, 4, 5), "mp4", 0, 0),
