@@ -399,19 +399,26 @@ object Dedup {
     val docsets = persistForReuse(postings.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .withColumn("sz", size(col("hs"))))
-    // docsets already carries the per-doc size — reuse it instead of a
-    // second groupBy over the postings (a full redundant shuffle at scale)
-    val szs = docsets.select(col(idCol), col("sz"))
     val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("h"))
+    // per-doc (df, h) prefix rank WITHOUT a window: collect each doc's
+    // (df, h) pairs once and sort the ~|doc|-element array in memory —
+    // sort_array on the struct orders by (df asc, h asc), exactly the
+    // rarest-first AllPairs order — then slice the first
+    // sz − ⌈t·sz⌉ + 1 entries. Replaces the window formulation's full
+    // partition sort and both size join-backs with one groupBy; the array
+    // length IS sz (postings are distinct), so no size table is touched
     val prefix = postings.join(dfreq, Seq("h"))
-      .withColumn("_rnk", row_number().over(w))
-      .join(szs, Seq(idCol))
-      .filter(col("_rnk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col(idCol), col("h"), col("sz"))
-    // probe = FULL postings; index = prefix postings; length-ratio prefilter
-    // (J ≤ min/max of sizes) prunes before the distinct
-    val full = postings.join(szs, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("_a"))
+      .select(col(idCol), size(col("_a")).as("sz"),
+        explode(expr(
+          "transform(slice(_a, 1, cast(size(_a) - ceil(size(_a) * " +
+            s"$threshold) + 1 as int)), s -> s.h)")).as("h"))
+    // probe = FULL postings (re-exploded from the persisted docsets, which
+    // carry the size inline); index = prefix postings; length-ratio
+    // prefilter (J ≤ min/max of sizes) prunes before the distinct
+    val full = docsets.select(col(idCol), col("sz"),
+      explode(col("hs")).as("h"))
     val cands = full.select(col(idCol).as("id_a"), col("h"), col("sz").as("sz_a"))
       .join(prefix.select(col(idCol).as("id_b"), col("h"), col("sz").as("sz_b")),
         Seq("h"))
