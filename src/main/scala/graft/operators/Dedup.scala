@@ -474,13 +474,16 @@ object Dedup {
     val kept = posts.join(dfreq.filter(col("_df") <= dfCap), Seq("h"))
       .select(col(idCol), col("h"))
     // sz must be recomputed over SURVIVING shingles, or jaccard denominators
-    // count dropped shingles and every score deflates. Persisted because the
-    // downstream self-join reads the sized postings TWICE — without it the
-    // dfreq filter and both groupBys run once per branch
-    val sz = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // count dropped shingles and every score deflates. One groupBy collects
+    // each doc's survivors and re-explodes them with the array length as
+    // the size — no count-then-join-back second shuffle of `kept`.
+    // Persisted because the downstream self-join reads the sized postings
+    // TWICE — without it the dfreq filter and the groupBy run per branch
     jaccardPairsFromSizedPostings(
-      persistForReuse(kept.join(sz, Seq(idCol))
-        .select(col(idCol), col("sz"), col("h"))),
+      persistForReuse(kept.groupBy(col(idCol))
+        .agg(collect_list(col("h")).as("_hs"))
+        .select(col(idCol), size(col("_hs")).as("sz"),
+          explode(col("_hs")).as("h"))),
       idCol, threshold)
   }
 
