@@ -532,6 +532,29 @@ object Dedup {
       .filter(col("shared_windows") >= minShared)
   }
 
+  /** N-gram-level decontamination — the benchmark-overlap rule used for
+    * LLM training sets: drop a training document iff it shares ANY k-token
+    * window with the held-out set. Stricter than whole-document
+    * [[decontaminate]]: it catches verbatim test items embedded inside
+    * otherwise-novel documents. Shape: the train side's window hashes are
+    * a codegen'd scan-speed pass; the test side collapses to its DISTINCT
+    * window hashes (bounded by the held-out set, so AQE broadcasts it);
+    * flagged ids come from one hash semi-join, survivors from one
+    * anti-join. No all-pairs term anywhere — at 100 TB this is two
+    * scan-shaped passes and a broadcast.
+    */
+  def decontaminateNgram(train: DataFrame, test: DataFrame, textCol: String,
+      idCol: String, k: Int = 13): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    val testW = test.select(
+      explode(graft.functions.TextHashExprs.wordShingleHash31Set(
+        col(textCol), k)).as("h")).distinct()
+    val flagged = shingleHashes(train, textCol, idCol, k)
+      .join(testW, Seq("h"), "left_semi")
+      .select(col(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Character-shingle variant for unsegmented scripts (CJK, no word
     * boundaries): same inverted-index pipeline over distinct char n-gram
     * hashes of the normalized text. Use n ≈ 5 for the usual precision/recall

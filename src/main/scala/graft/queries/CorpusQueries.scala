@@ -111,6 +111,39 @@ object CorpusQueries {
        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** N-gram-level decontamination under the oracle: the held-out set is
+    * the doc_id % 10 slice; a training doc survives iff none of its
+    * k-token windows appears verbatim in that slice. Same window-hash CTE
+    * machinery as `q_shared_windows`, so the SQL reformulation shares one
+    * source of truth with the Scala shingle pass.
+    */
+  val qNgramDecontaminate: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.decontaminateNgram(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", SharedWindowK)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ngramDecontaminateOracle: String = {
+    import PipelineQueries.WS
+    val h60 = PipelineQueries.h60("s")
+    val parts = (0 until SharedWindowK).map(j => s"ws[i+$j]").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $WS ws FROM documents),
+       |sh AS (SELECT doc_id, concat_ws(' ', $parts) s
+       |       FROM t, UNNEST(range(1, greatest(len(ws)-${SharedWindowK - 1}, 1)+1)) AS u(i)),
+       |post AS (SELECT DISTINCT doc_id, $h60 % 2147483647 AS h FROM sh),
+       |testh AS (SELECT DISTINCT h FROM post WHERE doc_id % 10 = 0),
+       |flagged AS (SELECT DISTINCT doc_id FROM post
+       |  WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM testh))
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 10 <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Token commonality — the "how ordinary is this document's vocabulary"
     * quality signal (rare-token-heavy docs are OCR noise/gibberish; all-
     * common-token docs are boilerplate): per doc, the mean GLOBAL corpus
@@ -147,7 +180,8 @@ object CorpusQueries {
     "q_repetition_signals" -> qRepetitionSignals,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_source_overlap" -> qSourceOverlap,
-    "q_shared_windows" -> qSharedWindows
+    "q_shared_windows" -> qSharedWindows,
+    "q_ngram_decontaminate" -> qNgramDecontaminate
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,6 +189,7 @@ object CorpusQueries {
     "q_repetition_signals" -> repetitionOracle,
     "q_tfidf_top_terms" -> tfidfOracle,
     "q_source_overlap" -> sourceOverlapOracle,
-    "q_shared_windows" -> sharedWindowsOracle
+    "q_shared_windows" -> sharedWindowsOracle,
+    "q_ngram_decontaminate" -> ngramDecontaminateOracle
   )
 }

@@ -171,6 +171,24 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.size >= exact.size / 2, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("n-gram decontamination drops docs embedding a verbatim test window") {
+    val test = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // the test item embedded verbatim inside a longer document
+      (1L, "some prefix words alpha beta gamma delta epsilon zeta eta " +
+        "theta iota kappa and a suffix"),
+      // shares vocabulary but no full 10-token window
+      (2L, "alpha beta gamma delta epsilon DIFFERENT eta theta iota kappa"),
+      (3L, "an entirely unrelated training document with its own words here")
+    ).toDF("doc_id", "text")
+    val surv = Dedup.decontaminateNgram(train, test, "text", "doc_id", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(2L, 3L),
+      s"doc 1 embeds the verbatim window and must be dropped: $surv")
+  }
+
   test("incremental dedup: batch probes the index; survivors appended catch an identical re-batch") {
     // index holds docs 0 and 3; batch brings 10 (≈ dup of 0), 11 (novel)
     val corpus = docs.filter($"doc_id" === 0L || $"doc_id" === 3L)

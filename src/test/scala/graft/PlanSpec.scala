@@ -251,6 +251,12 @@ class PlanSpec extends SparkTestBase {
       s"within-cell pairs must hash-join on cell:\n$p")
   }
 
+  test("n-gram decontamination is a hash semi-join + anti-join, never all-pairs") {
+    val p = plan("q_ngram_decontaminate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+
   test("incremental dedup probes the index with a band equi-join, no cartesian") {
     val p = plan("q_incremental_dedup")
     assert(!p.contains("CartesianProduct"),
