@@ -95,6 +95,38 @@ object PipelineQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source quality-percentile curation — the "drop the bottom half of
+    * every domain" filter: percent_rank of the composite quality score
+    * inside each source, ordered by (score, doc_id) so ties have a total
+    * order and the cut is deterministic. Both engines compute percent_rank
+    * as (rank−1)/(n−1) over the same integers, so the boundary comparison
+    * is bit-identical. One window shuffle on source.
+    */
+  val qQualityFilter: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(TextAnalysis.qualityScore(col("text")), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.5)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityFilterOracle: String = {
+    val n = s"len($WS)"
+    val stopHits = hits(TextAnalysis.stopwordsEn)
+    val stopRatio = s"(CAST($stopHits AS DOUBLE) / CAST($n AS DOUBLE))"
+    val avgLen =
+      s"(CAST(length(trim(text)) - $n + 1 AS DOUBLE) / CAST($n AS DOUBLE))"
+    val quality = s"least(CAST($n AS DOUBLE) / 100.0, 1.0) * 0.4 + " +
+      s"$stopRatio * 0.3 + least($avgLen / 8.0, 1.0) * 0.3"
+    s"""WITH q AS (SELECT doc_id, source, $quality AS qs FROM documents),
+       |r AS (SELECT doc_id, source, percent_rank() OVER (
+       |    PARTITION BY source ORDER BY qs, doc_id) AS pr FROM q)
+       |SELECT doc_id, source FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin
+  }
+
   val qLangId: Q = (spark, dir) =>
     Tables(spark, dir, "documents")
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
@@ -988,6 +1020,7 @@ object PipelineQueries {
     "q_minhash_lsh_pairs" -> qMinhashLshPairs,
     "q_incremental_dedup" -> qIncrementalDedup,
     "q_compression_ratio" -> qCompressionRatio,
+    "q_quality_filter" -> qQualityFilter,
     "q_simhash" -> qSimhash,
     "q_simhash_pairs" -> qSimhashPairs,
     "q_cosine_topk" -> qCosineTopK,
@@ -1021,6 +1054,7 @@ object PipelineQueries {
     "q_minhash_lsh_pairs" -> minhashLshOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,
     "q_compression_ratio" -> compressionRatioOracle,
+    "q_quality_filter" -> qualityFilterOracle,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_cosine_topk" -> cosineTopKOracle,
