@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance: refresh a grouped count/sum materialized
+  * aggregate from a Delta-CDF-style change feed
+  * ([[graft.writers.VersionedHub.changesCDF]]) WITHOUT rescanning the base
+  * table — the O(changes) refresh that makes a 100 TB materialized view
+  * affordable to keep current. Classic delta-propagation IVM (Gupta &
+  * Mumick, "Maintenance of Materialized Views", 1995), specialized to the
+  * self-maintainable count/sum algebra.
+  */
+object Materialize {
+
+  /** Apply a CDF delta to `baseAgg` = `GROUP BY groupCols: count(*),
+    * sum(measure)`. Sign convention: rows leaving the table
+    * (delete, update_preimage) subtract; rows entering it
+    * (insert, update_postimage) add — which makes group MIGRATION (an
+    * update that changes a group column) work with no special casing:
+    * the preimage decrements the old group, the postimage increments the
+    * new one. Groups whose count reaches zero are dropped, so the result
+    * is row-identical to a full recompute over the new snapshot.
+    *
+    * Cost: one shuffle of the CDF on the group keys (partial+final agg),
+    * one join against the view — both O(changes + groups), never
+    * O(base table).
+    */
+  def applyCountSumDelta(
+      baseAgg: DataFrame,
+      cdf: DataFrame,
+      groupCols: Seq[String],
+      measureCol: String,
+      cntCol: String = "cnt",
+      sumCol: String = "sum"
+  ): DataFrame = {
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val delta = cdf.groupBy(groupCols.map(col): _*)
+      .agg(sum(sign).as("_d_cnt"),
+        sum(sign * col(measureCol)).as("_d_sum"))
+    baseAgg.join(delta, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("_d_cnt"), lit(0L)))
+          .as(cntCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("_d_sum"), lit(0L)))
+          .as(sumCol)): _*)
+      .filter(col(cntCol) > 0)
+  }
+}

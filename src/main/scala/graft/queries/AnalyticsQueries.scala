@@ -382,7 +382,63 @@ object AnalyticsQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Key-distribution skew profile of events.user_id — the pre-flight
+    * diagnostic for choosing salting/AQE-skew handling before a big join
+    * (see operators/Joins.saltedJoin). All counts exact; the top-10 sum is
+    * tie-insensitive; one IEEE division for the skew ratio.
+    */
+  val qSkewProfile: Q = (spark, dir) =>
+    graft.operators.Profiling.keySkewProfile(
+      Tables(spark, dir, "events"), "user_id", topN = 10)
+
+  private val skewProfileOracle: String =
+    """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      |o AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |        CAST(sum(c) AS BIGINT) AS n_rows,
+      |        CAST(max(c) AS BIGINT) AS max_count FROM c),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS topn_count FROM
+      |      (SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10))
+      |SELECT n_keys, n_rows, max_count, topn_count,
+      |  CAST(max_count * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio
+      |FROM o CROSS JOIN t""".stripMargin
+
+  /** Hourly gap-fill of the event stream per event_type: resample onto the
+    * [first, last] hourly grid, carry the latest observation per hour
+    * (ties on ts broken by event_id), forward-fill empty hours. The value
+    * is only COPIED (no arithmetic), so the double hashes exactly.
+    */
+  val qGapfill: Q = (spark, dir) =>
+    graft.operators.TimeSeries.gapFill(
+      Tables(spark, dir, "events"),
+      keyCol = "event_type", tsCol = "ts", valueCol = "value",
+      tieCol = "event_id", bucket = "hour")
+      .orderBy(col("event_type"), col("bucket"))
+
+  private val gapfillOracle: String =
+    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |        ts, event_id, value FROM events),
+      |obs AS (SELECT event_type, bucket, value AS obs FROM
+      |        (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+      |           ORDER BY ts DESC, event_id DESC) AS rn FROM b)
+      |        WHERE rn = 1),
+      |span AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+      |         FROM obs GROUP BY 1),
+      |grid AS (SELECT event_type,
+      |           unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      |         FROM span),
+      |j AS (SELECT g.event_type, g.bucket, o.obs
+      |      FROM grid g LEFT JOIN obs o
+      |        ON g.event_type = o.event_type AND g.bucket = o.bucket)
+      |SELECT event_type, bucket,
+      |  last_value(obs IGNORE NULLS) OVER (PARTITION BY event_type
+      |    ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      |  obs IS NULL AS is_gap
+      |FROM j ORDER BY event_type, bucket""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_skew_profile" -> qSkewProfile,
+    "q_gapfill" -> qGapfill,
     "q8_market_share" -> q8MarketShare,
     "q9_profit_proxy" -> q9ProfitProxy,
     "q11_part_value_share" -> q11PartValueShare,
@@ -401,6 +457,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_profile" -> skewProfileOracle,
+    "q_gapfill" -> gapfillOracle,
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(sum(CASE WHEN n2.n_name = 'NATION_18'

@@ -175,7 +175,102 @@ object CorpusQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  val Bm25Terms = Seq("spark", "merge", "window")
+  val Bm25K1 = "1.2"
+  val Bm25B = "0.75"
+  val Bm25TopK = 20
+
+  /** BM25 retrieval top-k over the corpus for a fixed 3-term query. The
+    * oracle rebuilds the identical rational-idf arithmetic (libm rule: no
+    * log) with the same IEEE expression tree, so the double scores hash
+    * bit-equal. Scale shape: dl is a narrow per-row size() (no shuffle),
+    * only query-term tokens are exploded/shuffled, df pivots to one
+    * broadcast row.
+    */
+  val qBm25Search: Q = (spark, dir) =>
+    graft.operators.Search.bm25TopK(Tables(spark, dir, "documents"),
+      "text", "doc_id", Bm25Terms,
+      k1 = Bm25K1.toDouble, b = Bm25B.toDouble, k = Bm25TopK)
+
+  private val bm25Oracle: String = {
+    import PipelineQueries.WS
+    val in = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val tfCases = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN term = '$t' THEN tf END) AS tf$i"
+    }.mkString(",\n       |        ")
+    val dfSubs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"(SELECT df FROM df WHERE term = '$t') AS df$i"
+    }.mkString(",\n       |        ")
+    val (k1, b) = (Bm25K1, Bm25B)
+    val scoreTerms = Bm25Terms.indices.map { i =>
+      s"""(CASE WHEN tf$i IS NOT NULL THEN
+         |    ((nd - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         |    * (CAST(tf$i AS DOUBLE) * ($k1 + 1.0))
+         |    / (CAST(tf$i AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl AS DOUBLE) / avgdl)))
+         |  ELSE 0.0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $WS ws FROM documents),
+       |d AS (SELECT doc_id, len(ws) AS dl FROM t),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+       |        CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+       |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ($in) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |p AS (SELECT doc_id,
+       |        $tfCases
+       |      FROM tf GROUP BY 1),
+       |f AS (SELECT p.doc_id, d.dl, p.* EXCLUDE (doc_id),
+       |        $dfSubs,
+       |        s.nd, s.avgdl
+       |      FROM p JOIN d USING (doc_id) CROSS JOIN s)
+       |SELECT doc_id, $scoreTerms AS score
+       |FROM f
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  val OovVocabSize = 16
+
+  /** Vocabulary construction + out-of-vocabulary rate: the tokenizer-prep
+    * signal (docs with high OOV against the top-V corpus vocabulary are
+    * noise or wrong-domain). Vocabulary = top-$OovVocabSize terms by
+    * global count, total tie-break (count desc, term asc). Scale shape:
+    * the frequency table is vocabulary-bounded and broadcast back; one
+    * shuffle on doc_id.
+    */
+  val qVocabOov: Q = (spark, dir) => {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("gc"))
+      .orderBy(col("gc").desc, col("term"))
+      .limit(OovVocabSize)
+      .select(col("term"), lit(1).as("_inv"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val vocabOovOracle: String = {
+    import PipelineQueries.WS
+    s"""WITH tok AS (SELECT doc_id, unnest($WS) AS term FROM documents),
+       |gf AS (SELECT term, count(*) AS gc FROM tok GROUP BY 1),
+       |vocab AS (SELECT term FROM gf ORDER BY gc DESC, term LIMIT $OovVocabSize)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS oov_frac
+       |FROM tok LEFT JOIN vocab v ON tok.term = v.term
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q_bm25_search" -> qBm25Search,
+    "q_vocab_oov" -> qVocabOov,
     "q_token_commonality" -> qTokenCommonality,
     "q_repetition_signals" -> qRepetitionSignals,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
@@ -185,6 +280,8 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bm25_search" -> bm25Oracle,
+    "q_vocab_oov" -> vocabOovOracle,
     "q_token_commonality" -> tokenCommonalityOracle,
     "q_repetition_signals" -> repetitionOracle,
     "q_tfidf_top_terms" -> tfidfOracle,

@@ -288,7 +288,56 @@ object IngestQueries {
     """SELECT TRUE AS files_ok,
       |  TRUE AS prune_a_ok, TRUE AS prune_b_ok""".stripMargin
 
+  /** Incremental view maintenance end-to-end under the oracle: build hub
+    * v1 (events with id%3≠0), commit v2 (inserts = the id%3=0 slice;
+    * updates = the id%5=0 survivors re-typed 'boosted' with doubled
+    * cents — i.e. group MIGRATION out of their original event_type), then
+    * refresh the v1 count/sum aggregate using ONLY the CDF delta
+    * ([[graft.writers.VersionedHub.changesCDF]] →
+    * [[graft.operators.Materialize.applyCountSumDelta]]). The oracle
+    * recomputes the aggregate from the final state directly — hash
+    * equality proves delta-refresh ≡ full recompute, including groups that
+    * only exist in the delta ('boosted') and groups that lost members.
+    */
+  val qIncrementalView: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_ivm").toFile.getAbsolutePath
+    val hub = s"$tmp/hub"
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    graft.writers.VersionedHub.write(spark,
+      ev.filter(col("event_id") % 3 =!= 0), hub, Seq("event_id"))
+    val inserts = ev.filter(col("event_id") % 3 === 0)
+    val updates = ev
+      .filter(col("event_id") % 3 =!= 0 && col("event_id") % 5 === 0)
+      .withColumn("event_type", lit("boosted"))
+      .withColumn("cents", col("cents") * 2)
+    graft.writers.VersionedHub.write(spark,
+      inserts.unionByName(updates), hub, Seq("event_id"))
+    val base = graft.writers.VersionedHub.read(spark, hub, Some(1))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+    val cdf = graft.writers.VersionedHub.changesCDF(
+      spark, hub, Seq("event_id"), 1, 2)
+    graft.operators.Materialize.applyCountSumDelta(
+      base, cdf, Seq("event_type"), "cents", "cnt", "sum_cents")
+      .orderBy(col("event_type"))
+  }
+
+  private val incrementalViewOracle: String =
+    """WITH st AS (SELECT
+      |    CASE WHEN event_id % 3 <> 0 AND event_id % 5 = 0
+      |      THEN 'boosted' ELSE event_type END AS event_type,
+      |    CASE WHEN event_id % 3 <> 0 AND event_id % 5 = 0
+      |      THEN 2 * CAST(floor(value * 100) AS BIGINT)
+      |      ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM st GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_incremental_view" -> qIncrementalView,
     "q_zorder_prune" -> qZorderPrune,
     "q_ingest_hub_roundtrip" -> qIngestHubRoundtrip,
     "q_ingest_versioned_roundtrip" -> qIngestVersionedRoundtrip,
@@ -298,6 +347,7 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_incremental_view" -> incrementalViewOracle,
     "q_zorder_prune" -> zorderPruneOracle,
     "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
     "q_ingest_versioned_roundtrip" -> ingestVersionedRoundtripOracle,

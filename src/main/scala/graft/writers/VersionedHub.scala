@@ -337,6 +337,55 @@ object VersionedHub {
         col("_change_type"): _*)
   }
 
+  /** Delta-CDF-style change feed (`readChangeFeed` analogue): like
+    * [[changes]], but an update emits BOTH its before and after images as
+    * separate rows (`_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage) — the shape incremental view maintenance needs,
+    * because an aggregate delta must subtract the old values and add the
+    * new ones (see [[graft.operators.Materialize]]). Same single
+    * full-outer key join as [[changes]]; the 1-or-2-row expansion is a
+    * narrow explode, not a second scan.
+    */
+  def changesCDF(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      fromVersion: Int,
+      toVersion: Int
+  ): DataFrame = {
+    require(keys.nonEmpty, "change feed requires hub primary keys")
+    import org.apache.spark.sql.functions._
+    val (a, b) = HubWriter.reconcileSchemas(
+      read(spark, path, Some(fromVersion)),
+      read(spark, path, Some(toVersion)))
+    val cols = b.columns.toSeq
+    val nonKey = cols.filterNot(keys.contains)
+    val oldSide = a.select(
+      keys.map(col) :+ struct(cols.map(col): _*).as("_old"): _*)
+    val newSide = b.select(
+      keys.map(col) :+ struct(cols.map(col): _*).as("_new"): _*)
+    val joined = oldSide.join(newSide, keys, "full_outer")
+      .withColumn("_ct",
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .when(nonKey.map(c => !(col(s"_new.$c") <=> col(s"_old.$c")))
+            .reduceOption(_ || _).getOrElse(lit(false)), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("_ct") =!= "unchanged")
+    val expanded = joined.select(explode(
+      when(col("_ct") === "insert",
+        array(struct(col("_new").as("row"), lit("insert").as("t"))))
+        .when(col("_ct") === "delete",
+          array(struct(col("_old").as("row"), lit("delete").as("t"))))
+        .otherwise(array(
+          struct(col("_old").as("row"), lit("update_preimage").as("t")),
+          struct(col("_new").as("row"), lit("update_postimage").as("t")))))
+      .as("_e"))
+    expanded.select(
+      cols.map(c => col(s"_e.row.$c").as(c)) :+
+        col("_e.t").as("_change_type"): _*)
+  }
+
   /** Compaction as a COMMITTED version (Delta OPTIMIZE's shape): rewrite
     * the latest snapshot into ≈`targetFileRows`-row files and commit the
     * result through the normal log, so readers never see a half-compacted

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Materialize
+import graft.writers.VersionedHub
+
+import org.apache.spark.sql.functions._
+
+class MaterializeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("CDF delta refresh equals full recompute, incl. group migration and group drop") {
+    val hub = tmpDir("graft_ivm_spec") + "/hub"
+    val v1 = Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 30L))
+      .toDF("id", "grp", "m")
+    VersionedHub.write(spark, v1, hub, Seq("id"))
+    // id 2 migrates x→z; id 3 migrates y→x (emptying group y); id 4 inserts
+    val batch = Seq((2L, "z", 25L), (3L, "x", 31L), (4L, "z", 5L))
+      .toDF("id", "grp", "m")
+    VersionedHub.write(spark, batch, hub, Seq("id"))
+
+    val cdf = VersionedHub.changesCDF(spark, hub, Seq("id"), 1, 2)
+    val types = cdf.groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types == Map("insert" -> 1L,
+      "update_preimage" -> 2L, "update_postimage" -> 2L))
+
+    val base = VersionedHub.read(spark, hub, Some(1))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("m")).as("s"))
+    val refreshed = Materialize
+      .applyCountSumDelta(base, cdf, Seq("grp"), "m", "cnt", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val recomputed = VersionedHub.read(spark, hub)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("m")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(refreshed == recomputed)
+    // group y vanished (its only member migrated) — must be dropped, not 0
+    assert(!refreshed.exists(_._1 == "y"))
+    // group z exists only in the delta — full-outer side
+    assert(refreshed.exists(_._1 == "z"))
+  }
+}

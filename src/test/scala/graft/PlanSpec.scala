@@ -293,6 +293,24 @@ class PlanSpec extends SparkTestBase {
       s"child must be scanned once (n_rows + violations in one pass), got $childScans:\n$p")
   }
 
+  test("bm25 top-k plans as TakeOrdered, not a full global sort") {
+    val p = plan("q_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not materialize a total sort:\n$p")
+  }
+
+  test("vocab OOV joins the bounded vocabulary via broadcast") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("gapfill aggregates the bucket-latest partially before the shuffle") {
+    val p = plan("q_gapfill")
+    // max(struct(...)) is an ordinary aggregate: partial + final pair
+    assert("Aggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("date-partitioned RAW reads prune to the selected partition") {
     val lake = tmpDir("prune")
     val df = spark.range(100).selectExpr("id",
