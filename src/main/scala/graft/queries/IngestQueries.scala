@@ -336,7 +336,42 @@ object IngestQueries {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM st GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** The streaming composition of [[qIncrementalView]] under the oracle:
+    * three micro-batches (maxFilesPerTrigger=1 over three source files)
+    * flow through [[graft.streaming.StreamingIngest.streamingMaterializedView]]
+    * — hub upsert + CDF-delta view refresh per trigger, no hub rescan
+    * after bootstrap — and the FINAL view must equal DuckDB's direct
+    * aggregate over all events. Proves the incremental refresh composes
+    * across a chain of versions, not just one delta.
+    */
+  val qStreamMvEquiv: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_stream_mv").toFile.getAbsolutePath
+    val src = s"$tmp/src"
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    (0 until 3).foreach(i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = graft.streaming.StreamingIngest.streamingMaterializedView(
+      stream, s"$tmp/hub", s"$tmp/mv", Seq("event_id"), Seq("event_type"),
+      "cents", s"$tmp/cp", cntCol = "cnt", sumCol = "sum_cents")
+    q.awaitTermination()
+    val last = graft.writers.VersionedHub.history(spark, s"$tmp/hub")
+      .last.version
+    require(last >= 2, s"expected multiple micro-batch commits, got $last")
+    spark.read.parquet(s"$tmp/mv/v$last").orderBy(col("event_type"))
+  }
+
+  private val streamMvEquivOracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_stream_mv_equiv" -> qStreamMvEquiv,
     "q_incremental_view" -> qIncrementalView,
     "q_zorder_prune" -> qZorderPrune,
     "q_ingest_hub_roundtrip" -> qIngestHubRoundtrip,
@@ -347,6 +382,7 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_mv_equiv" -> streamMvEquivOracle,
     "q_incremental_view" -> incrementalViewOracle,
     "q_zorder_prune" -> zorderPruneOracle,
     "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
