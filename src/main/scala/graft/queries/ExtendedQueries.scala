@@ -285,23 +285,6 @@ object ExtendedQueries {
       |GROUP BY GROUPING SETS ((lang), (source), ())
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
-  /** ROLLUP via the DSL (hierarchical subtotals: (lang, source), (lang),
-    * grand total) — one Expand + aggregate, same single-scan shape as
-    * GROUPING SETS.
-    */
-  val qRollup: Q = (spark, dir) =>
-    Tables(spark, dir, "documents")
-      .rollup(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
-
-  private val rollupOracle: String =
-    """SELECT lang, source, count(*) AS n_docs,
-      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      |FROM documents
-      |GROUP BY ROLLUP (lang, source)
-      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
-
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
 
   /** PIVOT surface: doc counts per source spread across one column per
@@ -325,33 +308,6 @@ object ExtendedQueries {
       |  $cols
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
-
-  /** Rank-function window surface: ntile quartiles, percent_rank and
-    * cume_dist over a TOTAL order (price, then key — unique, so the
-    * rational rank arithmetic divides identical integers on both engines
-    * and no tie semantics are exercised).
-    */
-  val qNtileRanks: Q = (spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
-      .orderBy(col("o_orderkey"))
-  }
-
-  private val ntileRanksOracle: String =
-    """SELECT o_orderkey, o_orderpriority,
-      |  CAST(ntile(4) OVER w AS INT) AS quartile,
-      |  percent_rank() OVER w AS pr,
-      |  cume_dist() OVER w AS cd
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderpriority
-      |             ORDER BY o_totalprice, o_orderkey)
-      |ORDER BY o_orderkey""".stripMargin
 
   // ---------- statistical moments (exact-decimal formulation) ----------
 
@@ -564,9 +520,7 @@ object ExtendedQueries {
   // ---------- registry ----------
 
   val all: Map[String, Q] = Map(
-    "q_rollup" -> qRollup,
     "q_pivot_langs" -> qPivotLangs,
-    "q_ntile_ranks" -> qNtileRanks,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_pii_scrub" -> qPiiScrub,
@@ -584,9 +538,7 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "q_rollup" -> rollupOracle,
     "q_pivot_langs" -> pivotLangsOracle,
-    "q_ntile_ranks" -> ntileRanksOracle,
     "q_outliers" -> outliersOracle,
     "q_doc_packing" -> docPackingOracle,
     "q_training_mix" -> trainingMixOracle,

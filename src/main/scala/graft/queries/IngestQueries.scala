@@ -357,7 +357,8 @@ object IngestQueries {
       .option("maxFilesPerTrigger", 1).parquet(src)
     val q = graft.streaming.StreamingIngest.streamingMaterializedView(
       stream, s"$tmp/hub", s"$tmp/mv", Seq("event_id"), Seq("event_type"),
-      "cents", s"$tmp/cp", cntCol = "cnt", sumCol = "sum_cents")
+      "cents", s"$tmp/cp", cntCol = "cnt", sumCol = "sum_cents",
+      nBuckets = Some(8))
     q.awaitTermination()
     val last = graft.writers.VersionedHub.history(spark, s"$tmp/hub")
       .last.version

@@ -111,6 +111,7 @@ object StreamingIngest {
       checkpointPath: String,
       cntCol: String = "cnt",
       sumCol: String = "sum",
+      nBuckets: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointPath)
@@ -118,8 +119,15 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         import org.apache.spark.sql.functions._
         val s = batch.sparkSession
-        val v = graft.writers.VersionedHub.write(
-          s, batch, hubPath, keys, batchId = Some(id))
+        // bucketed layout keeps each commit O(touched buckets) — the shape
+        // a high-frequency trigger needs on a large hub; flat (None) is the
+        // small-table default
+        val v = nBuckets match {
+          case Some(n) => graft.writers.VersionedHub.writeBucketed(
+            s, batch, hubPath, keys, n, batchId = Some(id))
+          case None => graft.writers.VersionedHub.write(
+            s, batch, hubPath, keys, batchId = Some(id))
+        }
         val mvDir = (n: Int) => s"$mvPath/v$n"
         val fs = new org.apache.hadoop.fs.Path(mvPath)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
