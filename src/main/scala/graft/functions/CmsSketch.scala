@@ -134,6 +134,51 @@ case class CmsEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Join-size estimation from two CMS sketches (Cormode & Muthukrishnan §4.2:
+  * the sketch inner product estimates Σ_x f_A(x)·f_B(x), i.e. the row count
+  * of an equi-join, without executing it): est = min over rows i of
+  * Σ_j A[i][j]·B[i][j]. Always ≥ the true size (collision cross-terms are
+  * non-negative); ≤ true + (e/width)·|A|·|B| w.h.p. — the pre-flight
+  * answer to "how badly does this join blow up" that costs two constant-
+  * size sketches instead of the join's shuffle.
+  */
+case class CmsJoinSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val ba = ByteBuffer.wrap(a.asInstanceOf[Array[Byte]])
+      val bb = ByteBuffer.wrap(b.asInstanceOf[Array[Byte]])
+      val (d1, w1) = (ba.getInt(0), ba.getInt(4))
+      val (d2, w2) = (bb.getInt(0), bb.getInt(4))
+      require(d1 == d2 && w1 == w2,
+        s"sketch shape mismatch: ${d1}x$w1 vs ${d2}x$w2")
+      var best = Long.MaxValue
+      var i = 0
+      while (i < d1) {
+        var dot = 0L
+        var j = 0
+        while (j < w1) {
+          val off = 8 + 8 * (i * w1 + j)
+          dot += ba.getLong(off) * bb.getLong(off)
+          j += 1
+        }
+        if (dot < best) best = dot
+        i += 1
+      }
+      best
+    }
+  }
+
+  override def dataType: DataType = LongType
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CmsSketch {
 
   /** 2⁶¹ − 1 (Mersenne prime): the pairwise-independent row-hash modulus. */
@@ -172,4 +217,9 @@ object CmsSketch {
   def cmsEstimate(sketch: Column, key: Column): Column =
     ColumnBridge.column(
       CmsEstimate(ColumnBridge.expression(sketch), ColumnBridge.expression(key)))
+
+  /** Column API: equi-join row-count estimate from two same-shape sketches. */
+  def cmsJoinSize(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CmsJoinSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

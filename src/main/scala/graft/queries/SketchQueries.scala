@@ -322,7 +322,37 @@ object SketchQueries {
        |FROM ranked WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Equi-join row-count estimation from two CMS sketches WITHOUT running
+    * the join (Cormode & Muthukrishnan inner-product estimator) — the
+    * pre-flight "how big does events ⋈ events on user_id blow up" check,
+    * costing two constant-size sketches instead of the join's shuffle.
+    * Contract oracle: est ≥ exact (collision terms are non-negative) and
+    * est ≤ exact + (e/width)·N² (the CM inner-product slack); exact
+    * self-join size Σ c_u² is emitted for the hash.
+    */
+  val qJoinSizeEstimate: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val sk = ev.agg(
+      CmsSketch.cmsSketch(col("user_id"), CmsDepth, CmsWidth).as("sk"),
+      count(lit(1)).as("n"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_join_rows"))
+    val est = CmsSketch.cmsJoinSize(col("sk"), col("sk"))
+    val slack = ceil(lit(math.E / CmsWidth) * col("n") * col("n")).cast("long")
+    sk.crossJoin(exact).select(
+      col("exact_join_rows"),
+      (est >= col("exact_join_rows")).as("est_upper_ok"),
+      (est <= col("exact_join_rows") + slack).as("est_tolerance_ok"))
+  }
+
+  private val joinSizeEstimateOracle: String =
+    """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+      |SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_rows,
+      |  TRUE AS est_upper_ok, TRUE AS est_tolerance_ok
+      |FROM c""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_join_size_estimate" -> qJoinSizeEstimate,
     "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_cms_freq" -> qCmsFreq,
     "q_bigram_counts" -> qBigramCounts,
@@ -334,6 +364,7 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_size_estimate" -> joinSizeEstimateOracle,
     "q_bloom_decontaminate" -> bloomDecontaminateOracle,
     "q_cms_freq" -> cmsFreqOracle,
     "q_bigram_counts" -> bigramCountsOracle,

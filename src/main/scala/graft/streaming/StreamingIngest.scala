@@ -117,40 +117,64 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        import org.apache.spark.sql.functions._
-        val s = batch.sparkSession
-        // bucketed layout keeps each commit O(touched buckets) — the shape
-        // a high-frequency trigger needs on a large hub; flat (None) is the
-        // small-table default
-        val v = nBuckets match {
-          case Some(n) => graft.writers.VersionedHub.writeBucketed(
-            s, batch, hubPath, keys, n, batchId = Some(id))
-          case None => graft.writers.VersionedHub.write(
-            s, batch, hubPath, keys, batchId = Some(id))
-        }
-        val mvDir = (n: Int) => s"$mvPath/v$n"
-        val fs = new org.apache.hadoop.fs.Path(mvPath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val done = fs.exists(new org.apache.hadoop.fs.Path(
-          mvDir(v), "_SUCCESS"))
-        if (!done) {
-          val mv =
-            if (v == 1)
-              graft.writers.VersionedHub.read(s, hubPath, Some(1))
-                .groupBy(groupCols.map(col): _*)
-                .agg(count(lit(1)).as(cntCol),
-                  sum(col(measureCol)).as(sumCol))
-            else
-              graft.operators.Materialize.applyCountSumDelta(
-                s.read.parquet(mvDir(v - 1)),
-                graft.writers.VersionedHub.changesCDF(
-                  s, hubPath, keys, v - 1, v),
-                groupCols, measureCol, cntCol, sumCol)
-          mv.write.mode("overwrite").parquet(mvDir(v))
-        }
+        mvRefreshStep(batch, id, hubPath, mvPath, keys, groupCols,
+          measureCol, cntCol, sumCol, nBuckets)
         ()
       }
       .start()
+
+  /** One micro-batch of the streaming materialized view (extracted so
+    * crash/replay behavior is directly spec-testable): commit the batch to
+    * the hub (batchId-idempotent), then refresh `mvPath/v<version>` from
+    * the previous view + the CDF — skipping if the view is already
+    * complete (`_SUCCESS` gate). Safe to re-run with the same batch/id
+    * after a crash at ANY point: hub replay short-circuits to the existing
+    * version, a torn view write is redone via mode(overwrite). Returns the
+    * hub version the view now reflects.
+    */
+  private[graft] def mvRefreshStep(
+      batch: DataFrame,
+      id: Long,
+      hubPath: String,
+      mvPath: String,
+      keys: Seq[String],
+      groupCols: Seq[String],
+      measureCol: String,
+      cntCol: String,
+      sumCol: String,
+      nBuckets: Option[Int]): Int = {
+    import org.apache.spark.sql.functions._
+    val s = batch.sparkSession
+    // bucketed layout keeps each commit O(touched buckets) — the shape a
+    // high-frequency trigger needs on a large hub; flat (None) is the
+    // small-table default
+    val v = nBuckets match {
+      case Some(n) => graft.writers.VersionedHub.writeBucketed(
+        s, batch, hubPath, keys, n, batchId = Some(id))
+      case None => graft.writers.VersionedHub.write(
+        s, batch, hubPath, keys, batchId = Some(id))
+    }
+    val mvDir = (n: Int) => s"$mvPath/v$n"
+    val fs = new org.apache.hadoop.fs.Path(mvPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = fs.exists(new org.apache.hadoop.fs.Path(mvDir(v), "_SUCCESS"))
+    if (!done) {
+      val mv =
+        if (v == 1)
+          graft.writers.VersionedHub.read(s, hubPath, Some(1))
+            .groupBy(groupCols.map(col): _*)
+            .agg(count(lit(1)).as(cntCol),
+              sum(col(measureCol)).as(sumCol))
+        else
+          graft.operators.Materialize.applyCountSumDelta(
+            s.read.parquet(mvDir(v - 1)),
+            graft.writers.VersionedHub.changesCDF(
+              s, hubPath, keys, v - 1, v),
+            groupCols, measureCol, cntCol, sumCol)
+      mv.write.mode("overwrite").parquet(mvDir(v))
+    }
+    v
+  }
 
   /** Watermarked sliding-window count/sum per event type.
     * `ts` must be a TimestampType column.

@@ -40,4 +40,34 @@ class MaterializeSpec extends SparkTestBase {
     // group z exists only in the delta — full-outer side
     assert(refreshed.exists(_._1 == "z"))
   }
+
+  test("streaming MV step survives crash-replay at every boundary") {
+    val tmp = tmpDir("graft_mv_crash")
+    val hub = s"$tmp/hub"
+    val mv = s"$tmp/mv"
+    def step(df: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.StreamingIngest.mvRefreshStep(
+        df, id, hub, mv, Seq("id"), Seq("grp"), "m", "cnt", "s",
+        nBuckets = Some(2))
+    def view(v: Int) = spark.read.parquet(s"$mv/v$v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val b1 = Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "grp", "m")
+    val b2 = Seq((2L, "y", 25L), (3L, "x", 5L)).toDF("id", "grp", "m")
+    assert(step(b1, 1L) == 1)
+    val v1 = view(1)
+    assert(v1 == Set(("x", 1L, 10L), ("y", 1L, 20L)))
+
+    // crash AFTER hub commit, BEFORE view write: simulate by committing
+    // the hub directly, then replaying the full step with the same id
+    graft.writers.VersionedHub.writeBucketed(
+      spark, b2, hub, Seq("id"), 2, batchId = Some(2L))
+    assert(step(b2, 2L) == 2) // hub replay short-circuits; view catches up
+    val v2 = view(2)
+    assert(v2 == Set(("x", 2L, 15L), ("y", 1L, 25L)))
+
+    // full replay of a COMPLETED batch: both hub and view are no-ops
+    assert(step(b2, 2L) == 2)
+    assert(view(2) == v2 && view(1) == v1)
+  }
 }

@@ -87,4 +87,17 @@ class SketchFunctionsSpec extends SparkTestBase {
         s"flag ${r.getString(0)}: est $est vs exact $exact (n=$n)")
     }
   }
+
+  test("cms join-size inner product is exact when keys don't collide") {
+    // few distinct keys vs width 2048 → collisions virtually impossible,
+    // so min-of-dots equals Σ f_A(x)·f_B(x) exactly
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")     // f_A = {1:3, 2:1, 3:1}
+    val b = Seq(1L, 2L, 2L, 4L).toDF("k")         // f_B = {1:1, 2:2, 4:1}
+    val skA = a.agg(CmsSketch.cmsSketch($"k", 5, 2048).as("a"))
+    val skB = b.agg(CmsSketch.cmsSketch($"k", 5, 2048).as("b"))
+    val est = skA.crossJoin(skB)
+      .select(CmsSketch.cmsJoinSize($"a", $"b").as("est"))
+      .collect()(0).getLong(0)
+    assert(est == 3L * 1L + 1L * 2L) // = |A ⋈ B on k| = 5
+  }
 }
