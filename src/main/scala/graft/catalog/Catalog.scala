@@ -42,7 +42,16 @@ final case class Source(
       * desired"): when non-empty, the HUB table keeps ONLY these columns.
       * Empty = identity (the reference's committed behavior).
       */
-    hubKeepCols: Seq[String] = Nil
+    hubKeepCols: Seq[String] = Nil,
+    /** Engine extension: exactly two column names → after each HUB commit,
+      * rewrite the snapshot along their Morton curve as a further committed
+      * version (`VersionedHub.optimizeZOrder`), so parquet zone maps prune
+      * point predicates on EITHER column. Only valid for keyless versioned
+      * hubs (append-style event tables — the tables read-heavy enough to
+      * pay a layout pass); keyed hubs are bucketed, where per-bucket
+      * compaction applies instead.
+      */
+    hubZorder: Seq[String] = Nil
 )
 
 /** The whole catalog: version + defaults + sources
@@ -134,7 +143,15 @@ object YamlCatalog {
         case other => throw new IllegalArgumentException(
           s"source '$id': hub_layout must be 'flat' or 'versioned', got '$other'")
       },
-      hubKeepCols = toStringSeq(m.get("hub_keep_cols"), Nil)
+      hubKeepCols = toStringSeq(m.get("hub_keep_cols"), Nil),
+      hubZorder = {
+        val z = toStringSeq(m.get("hub_zorder"), Nil)
+        if (z.nonEmpty && z.size != 2)
+          throw new IllegalArgumentException(
+            s"source '$id': hub_zorder needs exactly 2 columns (Morton " +
+              s"curve is 2-D), got ${z.size}")
+        z
+      }
     )
   }
 

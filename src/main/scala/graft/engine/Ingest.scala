@@ -90,6 +90,15 @@ object Ingest {
       case other => throw new IllegalArgumentException(
         s"[${s.id}] unknown hub_layout '$other' (expected 'flat' or 'versioned')")
     }
+    if (s.hubZorder.nonEmpty) {
+      require(layout == "versioned" && keys.isEmpty,
+        s"[${s.id}] hub_zorder applies only to keyless versioned hubs " +
+          s"(got layout=$layout, keys=${keys.mkString(",")}) — keyed hubs " +
+          "are bucketed; compact per bucket instead")
+      val Seq(za, zb) = s.hubZorder
+      log.info(s"[${s.id}] z-order compaction on ($za, $zb)")
+      VersionedHub.optimizeZOrder(spark, hubPath, za, zb)
+    }
     SourceResult(s.id, rawPath, hubPath)
   }
 

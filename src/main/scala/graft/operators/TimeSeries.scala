@@ -49,4 +49,44 @@ object TimeSeries {
         last(col("_obs"), ignoreNulls = true).over(w).as("filled_value"),
         col("_obs").isNull.as("is_gap"))
   }
+
+  /** Rate-anomaly detection: flag buckets whose event count deviates more
+    * than `sigma` standard deviations from the trailing `lookback`-bucket
+    * mean (the monitoring primitive for ingest-volume regressions). The
+    * test is the SQUARED comparison `(x − μ)² > σ²·var` — algebraically
+    * the 3σ rule with no sqrt, so every value is rational arithmetic over
+    * exact integer window sums (Σn, Σn², count) and reproduces
+    * bit-identically across engines. Buckets with fewer than `minHistory`
+    * trailing observations yield NULL (insufficient evidence), not false.
+    *
+    * Scale shape: one shuffle to the per-bucket counts, then a window over
+    * the BUCKETED series (keys × buckets rows) — never over raw events.
+    */
+  def rateAnomalies(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      bucket: String = "hour",
+      lookback: Int = 24,
+      minHistory: Int = 8,
+      sigma: Double = 3.0
+  ): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val f = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    val s1 = sum(col("n_events")).over(f)
+    val s2 = sum(col("n_events") * col("n_events")).over(f)
+    val c = count(col("n_events")).over(f)
+    val cD = c.cast("double")
+    val mean = s1.cast("double") / cD
+    val variance =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / cD) /
+        (c - lit(1)).cast("double")
+    val dev = col("n_events").cast("double") - mean
+    hourly.select(col(keyCol), col("bucket"), col("n_events"),
+      when(c >= minHistory,
+        dev * dev > lit(sigma) * lit(sigma) * variance).as("is_anomaly"))
+  }
 }

@@ -436,7 +436,37 @@ object AnalyticsQueries {
       |  obs IS NULL AS is_gap
       |FROM j ORDER BY event_type, bucket""".stripMargin
 
+  /** Hourly ingest-rate anomaly flags per event_type: squared 3σ test over
+    * the trailing-24h window — rational arithmetic over exact integer
+    * window sums (no sqrt), NULL under 8 observed hours. The oracle
+    * mirrors the identical IEEE expression tree.
+    */
+  val qRateAnomaly: Q = (spark, dir) =>
+    graft.operators.TimeSeries.rateAnomalies(
+      Tables(spark, dir, "events"), "event_type", "ts",
+      bucket = "hour", lookback = 24, minHistory = 8, sigma = 3.0)
+      .orderBy(col("event_type"), col("bucket"))
+
+  private val rateAnomalyOracle: String =
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |        count(*) AS n FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, bucket, n,
+      |        sum(n) OVER f AS s1, sum(n * n) OVER f AS s2,
+      |        count(n) OVER f AS c
+      |      FROM h WINDOW f AS (PARTITION BY event_type ORDER BY bucket
+      |        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, bucket, CAST(n AS BIGINT) AS n_events,
+      |  CASE WHEN c >= 8 THEN
+      |    (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+      |    > 3.0 * 3.0 * ((CAST(s2 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+      |      / CAST(c - 1 AS DOUBLE))
+      |  END AS is_anomaly
+      |FROM w ORDER BY event_type, bucket""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_rate_anomaly" -> qRateAnomaly,
     "q_skew_profile" -> qSkewProfile,
     "q_gapfill" -> qGapfill,
     "q8_market_share" -> q8MarketShare,
@@ -457,6 +487,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rate_anomaly" -> rateAnomalyOracle,
     "q_skew_profile" -> skewProfileOracle,
     "q_gapfill" -> gapfillOracle,
     "q8_market_share" ->

@@ -166,4 +166,48 @@ class IngestSpec extends SparkTestBase {
     assert(Ingest.readHub(spark, s"$lake/hub/sales/orders").count() == 3)
     assert(Ingest.readHub(spark, s"$lake/hub/sales/cube_sales").count() == 4)
   }
+
+  test("hub_zorder compacts a keyless versioned hub as a committed version") {
+    val lake = tmpDir("lake")
+    val csv = new java.io.File(lake, "points.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("a,b")
+    (1 to 50).foreach(i => w.println(s"${i % 10},${i / 10}"))
+    w.close()
+    val yaml =
+      s"""version: 1
+         |defaults:
+         |  raw_base: $lake/raw
+         |  hub_base: $lake/hub
+         |  domain: d
+         |sources:
+         |  - id: points
+         |    type: csv
+         |    domain: d
+         |    entity: points
+         |    options: {path: $csv, header: true, inferSchema: true}
+         |    hub_layout: versioned
+         |    hub_zorder: [a, b]
+         |""".stripMargin
+    Ingest.runCatalog(spark, YamlCatalog.loadString(yaml))
+    val hub = s"$lake/hub/d/points"
+    // version 1 = the append, version 2 = the committed z-order rewrite
+    val hist = graft.writers.VersionedHub.history(spark, hub)
+    assert(hist.map(_.version) == Seq(1, 2))
+    assert(hist.forall(_.rows == 50))
+    assert(Ingest.readHub(spark, hub).count() == 50)
+  }
+
+  test("hub_zorder on a keyed source fails loudly") {
+    val lake = tmpDir("lake")
+    val yaml = catalogYaml(lake).replace(
+      """hub_primary_keys: ["customer_id"]""",
+      "hub_primary_keys: [\"customer_id\"]\n    hub_zorder: [customer_id, customer_id]")
+    val ex = intercept[Exception] {
+      Ingest.runCatalog(spark, YamlCatalog.loadString(yaml))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("hub_zorder")), ex)
+  }
 }

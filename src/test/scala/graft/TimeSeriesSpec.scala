@@ -30,6 +30,26 @@ class TimeSeriesSpec extends SparkTestBase {
       ("b", "2024-01-01 05:00:00.0", 9.0, false)))
   }
 
+  test("rateAnomalies flags a planted spike, nulls short history, ignores steady state") {
+    val base = ts("2024-01-01 00:00:00").toInstant
+    val events = (for {
+      hour <- 0 until 30
+      n = if (hour == 20) 100 else 10
+      i <- 0 until n
+    } yield ("a", java.sql.Timestamp.from(
+      base.plusSeconds(hour * 3600L + i)))).toDF("k", "t")
+    val out = graft.operators.TimeSeries
+      .rateAnomalies(events, "k", "t", "hour", lookback = 24, minHistory = 8)
+      .orderBy("bucket").collect()
+    assert(out.length == 30)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val flag = if (r.isNullAt(3)) None else Some(r.getBoolean(3))
+      if (i < 8) assert(flag.isEmpty, s"hour $i: short history must be NULL")
+      else if (i == 20) assert(flag.contains(true), s"hour $i: spike must flag")
+      else assert(flag.contains(false), s"hour $i: steady state must not flag")
+    }
+  }
+
   test("in-bucket tie on ts breaks by the tie column") {
     val events = Seq(
       ("a", ts("2024-01-01 00:00:00"), 1.0, 1L),
