@@ -229,6 +229,9 @@ object IngestQueries {
       hist.head.buckets.get(b).contains(d)
     }
     require(shared, "bucketed v2 must share at least one untouched v1 bucket dir")
+    // per-bucket small-file compaction commits v3; the oracle's unchanged
+    // hash proves layout-only (content identity) under the driver gate
+    graft.writers.VersionedHub.compactBuckets(spark, hub)
     graft.writers.VersionedHub.read(spark, hub)
       .select(col("r_regionkey"), col("r_name"))
       .orderBy(col("r_regionkey"))

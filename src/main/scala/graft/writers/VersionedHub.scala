@@ -405,11 +405,67 @@ object VersionedHub {
     current.repartition(nFiles)
   }
 
+  /** Per-bucket small-file compaction for BUCKETED hubs — [[optimize]]'s
+    * counterpart (which serves flat hubs only). High-frequency streaming
+    * merges leave each touched bucket dir with one small file per shuffle
+    * task per trigger; this rewrites the selected buckets' current
+    * contents into single-file dirs under a new COMMITTED version, sharing
+    * every untouched bucket's dir structurally (like a Delta OPTIMIZE
+    * limited to chosen partitions). Content is unchanged — only layout —
+    * so readers time-traveling across the compaction see identical rows.
+    * Runs the same optimistic create-exclusive commit loop as every other
+    * writer; concurrent upserts simply win or lose the version race.
+    */
+  def compactBuckets(
+      spark: SparkSession,
+      path: String,
+      buckets: Option[Seq[Int]] = None
+  ): Int = {
+    val fs = fileSystem(spark, path)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      attempt += 1
+      val base = history(spark, path).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed versions at $path to compact"))
+      require(base.buckets.nonEmpty,
+        s"compactBuckets serves bucketed hubs; $path is flat — use optimize")
+      val chosen = buckets.getOrElse(base.buckets.keys.toSeq.sorted)
+        .filter(base.buckets.contains)
+      if (chosen.isEmpty) return base.version
+      val next = base.version + 1
+      val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
+      import org.apache.spark.sql.functions.lit
+      val merged = chosen.map { b =>
+        spark.read.parquet(resolve(path, base.buckets(b)))
+          .withColumn(BucketCol, lit(b))
+      }.reduce { (a, b) =>
+        // buckets can carry drifted schemas (only touched buckets see a
+        // widening merge) — reconcile pairwise like the writers do
+        val (x, y) = HubWriter.reconcileSchemas(a, b)
+        x.unionByName(y)
+      }
+      // one writer task → one file per bucket dir (the compaction point)
+      merged.coalesce(1).write.partitionBy(BucketCol)
+        .parquet(resolve(path, root))
+      val newBuckets = base.buckets ++
+        chosen.map(b => b -> s"$root/$BucketCol=$b")
+      // content unchanged: the base manifest's row count carries over
+      if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
+          base.rows, None, base.nBuckets, newBuckets)))
+        return next
+      fs.delete(new Path(resolve(path, root)), true)
+      failIfStuck(spark, path, next)
+    }
+    throw new IllegalStateException(
+      s"hub at $path: lost the commit race $MaxRetries times — giving up")
+  }
+
   /** optimize/optimizeZOrder commit FLAT snapshots; running them against a
     * bucketed hub would fold only the latest version's touched-bucket dirs
     * (dataDir is not the whole snapshot there) and then mix layouts —
-    * refuse loudly instead. Bucketed tables compact per bucket via a
-    * writeBucketed of the affected buckets.
+    * refuse loudly instead. Bucketed tables compact per bucket via
+    * [[compactBuckets]].
     */
   private def requireFlat(base: Option[Version], path: String, op: String): Version = {
     val v = base.getOrElse(throw new IllegalArgumentException(

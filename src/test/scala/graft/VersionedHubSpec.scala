@@ -290,6 +290,51 @@ class VersionedHubSpec extends SparkTestBase {
     assert(end == Map(1 -> "a", 2 -> "b"))
   }
 
+  test("compactBuckets collapses small files, shares untouched dirs, keeps rows") {
+    val path = tmpDir("vhub_compact")
+    def batch(ids: Range) = ids.map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    // explicit repartition → 4 writer tasks, each hitting several bucket
+    // dirs → multi-file dirs (AQE would coalesce an implicit shuffle away
+    // at this scale, hiding the small-file accumulation being tested)
+    VersionedHub.writeBucketed(spark, batch(0 until 40).repartition(4),
+      path, Seq("k"), 4)
+    // single-key merges leave most buckets pointing at v1's multi-file dirs
+    VersionedHub.writeBucketed(spark, batch(0 until 1), path, Seq("k"), 4)
+    VersionedHub.writeBucketed(spark, batch(1 until 2), path, Seq("k"), 4)
+    val before = VersionedHub.history(spark, path).last
+    def filesIn(rel: String) =
+      new java.io.File(path, rel).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(before.buckets.values.exists(d => filesIn(d) > 1),
+      "expected small-file accumulation before compaction")
+    val rows = VersionedHub.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val v = VersionedHub.compactBuckets(spark, path)
+    val after = VersionedHub.history(spark, path).last
+    assert(after.version == v && v == before.version + 1)
+    assert(after.buckets.values.forall(d => filesIn(d) == 1),
+      "every compacted bucket dir must hold exactly one file")
+    assert(after.rows == before.rows)
+    val rowsAfter = VersionedHub.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowsAfter == rows, "compaction must not change content")
+    // time travel across the compaction still sees the old layout's rows
+    assert(VersionedHub.read(spark, path, Some(before.version))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == rows)
+
+    // partial compaction shares the untouched buckets' dirs structurally
+    VersionedHub.writeBucketed(spark, batch(0 until 10), path, Seq("k"), 4)
+    val base2 = VersionedHub.history(spark, path).last
+    val one = base2.buckets.keys.min
+    val v2 = VersionedHub.compactBuckets(spark, path, Some(Seq(one)))
+    val after2 = VersionedHub.history(spark, path).last
+    assert(after2.version == v2)
+    assert((base2.buckets - one).forall { case (b, d) =>
+      after2.buckets(b) == d
+    }, "untouched buckets must keep their existing dirs")
+  }
+
   test("vacuum keeps the latest snapshot readable and drops old versions") {
     val path = tmpDir("vhub_vac")
     VersionedHub.write(spark, kv(1 -> "a"), path, Seq("k"))
