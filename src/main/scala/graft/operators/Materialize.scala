@@ -44,7 +44,14 @@ object Materialize {
       .select(groupCols.map(col) ++ Seq(
         (coalesce(col(cntCol), lit(0L)) + coalesce(col("_d_cnt"), lit(0L)))
           .as(cntCol),
-        (coalesce(col(sumCol), lit(0L)) + coalesce(col("_d_sum"), lit(0L)))
+        // SQL SUM over zero non-null values is NULL, not 0: keep NULL when
+        // neither side saw a non-null measure (e.g. a column added by
+        // schema drift — untouched groups must recompute to NULL).
+        // Residual documented edge: a group whose last non-null value is
+        // UPDATED to null nets to 0 here where a recompute says NULL —
+        // exact fidelity would need a non-null-count column in the view.
+        when(col(sumCol).isNotNull || col("_d_sum").isNotNull,
+          coalesce(col(sumCol), lit(0L)) + coalesce(col("_d_sum"), lit(0L)))
           .as(sumCol)): _*)
       .filter(col(cntCol) > 0)
   }

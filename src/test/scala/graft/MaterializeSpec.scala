@@ -41,6 +41,43 @@ class MaterializeSpec extends SparkTestBase {
     assert(refreshed.exists(_._1 == "z"))
   }
 
+  test("changesCDF under schema drift: added column reads as null preimage") {
+    val hub = tmpDir("graft_cdf_drift") + "/hub"
+    val v1 = Seq((1L, "x"), (2L, "y")).toDF("id", "grp")
+    VersionedHub.write(spark, v1, hub, Seq("id"))
+    // v2 adds a measure column and touches only id 2
+    val batch = Seq((2L, "y", 7L)).toDF("id", "grp", "m")
+    VersionedHub.write(spark, batch, hub, Seq("id"))
+    val cdf = VersionedHub.changesCDF(spark, hub, Seq("id"), 1, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+      .toSet
+    // id 1 is unchanged (new column null on both reconciled sides);
+    // id 2 is an update: preimage with null m, postimage with m=7
+    assert(cdf == Set(
+      (2L, "y", None, "update_preimage"),
+      (2L, "y", Some(7L), "update_postimage")))
+    // and a count/sum view over the drifted column still refreshes
+    // consistently: null preimage contributes nothing to the sum, exactly
+    // like the base aggregate ignored it
+    val base = VersionedHub.read(spark, hub, Some(1))
+      .withColumn("m", lit(null).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("m")).as("s"))
+    val refreshed = Materialize.applyCountSumDelta(
+      base, VersionedHub.changesCDF(spark, hub, Seq("id"), 1, 2),
+      Seq("grp"), "m", "cnt", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val recomputed = VersionedHub.read(spark, hub)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("m")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(refreshed == recomputed)
+  }
+
   test("streaming MV step survives crash-replay at every boundary") {
     val tmp = tmpDir("graft_mv_crash")
     val hub = s"$tmp/hub"
