@@ -16,21 +16,36 @@ object Main {
     var yaml = "metadata/sources.yaml"
     var env: Option[String] = None
     var parallelism = 1
-    args.sliding(2, 2).foreach {
-      case Array("--sources_yaml", v) => yaml = v
-      case Array("--env", v)          => env = Some(v)
-      case Array("--parallelism", v)  => parallelism = v.toInt
-      case other =>
-        System.err.println(s"unknown args: ${other.mkString(" ")}")
+    var continueOnError = false
+    var rest = args.toList
+    while (rest.nonEmpty) rest = rest match {
+      case Nil                        => Nil
+      case "--sources_yaml" :: v :: t => yaml = v; t
+      case "--env" :: v :: t          => env = Some(v); t
+      case "--parallelism" :: v :: t  => parallelism = v.toInt; t
+      case "--continue_on_error" :: t => continueOnError = true; t
+      case other :: _ =>
+        System.err.println(s"unknown arg: $other")
         System.err.println(
-          "usage: graft.Main --sources_yaml <path> [--env <env>] [--parallelism <n>]"
+          "usage: graft.Main --sources_yaml <path> [--env <env>] " +
+            "[--parallelism <n>] [--continue_on_error]"
         )
         sys.exit(2)
+        Nil
     }
     val spark = GraftSession.build()
     try {
-      val results = Ingest.run(spark, yaml, env, parallelism)
+      val results = Ingest.runCatalog(spark,
+        graft.catalog.YamlCatalog.load(yaml), env, parallelism,
+        continueOnError)
       println(s"Ingestion finished successfully: ${results.size} sources.")
+    } catch {
+      case e: Ingest.PartialIngestFailure =>
+        // healthy sources landed; report the partial outcome and fail
+        println(s"Ingestion finished with errors: " +
+          s"${e.succeeded.size} succeeded, ${e.failures.size} failed " +
+          s"(${e.failures.map(_.id).mkString(", ")}).")
+        sys.exit(1)
     } finally spark.stop()
   }
 }

@@ -38,28 +38,64 @@ object Ingest {
   ): Seq[SourceResult] =
     runCatalog(spark, YamlCatalog.load(sourcesYaml), env, parallelism)
 
+  /** One source's failure, kept alongside the successes when the run is
+    * error-isolated.
+    */
+  final case class SourceFailure(id: String, error: Throwable)
+
+  /** Thrown at the END of an error-isolated run: every healthy source has
+    * already ingested; the message lists exactly which sources failed.
+    */
+  final class PartialIngestFailure(
+      val failures: Seq[SourceFailure],
+      val succeeded: Seq[SourceResult])
+      extends RuntimeException(
+        s"${failures.size} source(s) failed: " +
+          failures.map(f => s"${f.id} (${f.error.getMessage})").mkString("; "))
+
   def runCatalog(
       spark: SparkSession,
       system: SourceSystem,
       env: Option[String] = None,
-      parallelism: Int = 1
+      parallelism: Int = 1,
+      /** false (default) = reference parity: first failure aborts the run.
+        * true = per-source isolation: every healthy source ingests; failures
+        * are collected and thrown together as [[PartialIngestFailure]] at
+        * the end — the behavior a nightly run over hundreds of sources
+        * needs (one broken upstream must not starve the other 199).
+        */
+      continueOnError: Boolean = false
   ): Seq[SourceResult] = {
     val cfg = EngineConfig.fromDefaults(system.defaults, env)
     val enabled = system.sources.filter(_.enabled)
     log.info(s"ingest: ${enabled.size}/${system.sources.size} sources enabled (env=${cfg.env})")
-    if (parallelism <= 1) enabled.map(runSource(spark, cfg, _))
-    else {
-      import java.util.concurrent.Executors
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = Executors.newFixedThreadPool(parallelism)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(
-        Future.sequence(enabled.map(s => Future(runSource(spark, cfg, s)))),
-        Duration.Inf
-      )
-      finally pool.shutdown()
-    }
+    def attempt(s: Source): Either[SourceFailure, SourceResult] =
+      if (!continueOnError) Right(runSource(spark, cfg, s))
+      else
+        try Right(runSource(spark, cfg, s))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.error(s"[${s.id}] failed: ${e.getMessage}")
+            Left(SourceFailure(s.id, e))
+        }
+    val outcomes: Seq[Either[SourceFailure, SourceResult]] =
+      if (parallelism <= 1) enabled.map(attempt)
+      else {
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(parallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(enabled.map(s => Future(attempt(s)))),
+          Duration.Inf
+        )
+        finally pool.shutdown()
+      }
+    val failures = outcomes.collect { case Left(f) => f }
+    val results = outcomes.collect { case Right(r) => r }
+    if (failures.nonEmpty) throw new PartialIngestFailure(failures, results)
+    results
   }
 
   def runSource(spark: SparkSession, cfg: EngineConfig, s: Source): SourceResult = {

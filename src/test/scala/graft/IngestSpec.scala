@@ -167,6 +167,33 @@ class IngestSpec extends SparkTestBase {
     assert(Ingest.readHub(spark, s"$lake/hub/sales/cube_sales").count() == 4)
   }
 
+  test("continueOnError isolates a broken source; default aborts on it") {
+    val lake = tmpDir("lake")
+    val broken =
+      s"""  - id: broken_csv
+         |    type: csv
+         |    domain: sales
+         |    entity: broken
+         |    options: {path: $lake/does_not_exist.csv, header: true}
+         |""".stripMargin
+    val yaml = catalogYaml(lake) + broken
+    // default: reference parity — the failure propagates
+    intercept[Exception] {
+      Ingest.runCatalog(spark, YamlCatalog.loadString(yaml))
+    }
+    // isolated: healthy sources land, the failure is collected and thrown
+    val lake2 = tmpDir("lake")
+    val yaml2 = catalogYaml(lake2) +
+      broken.replace(s"$lake/does_not_exist", s"$lake2/does_not_exist")
+    val ex = intercept[Ingest.PartialIngestFailure] {
+      Ingest.runCatalog(spark, YamlCatalog.loadString(yaml2),
+        continueOnError = true)
+    }
+    assert(ex.failures.map(_.id) == Seq("broken_csv"))
+    assert(ex.succeeded.map(_.id).toSet.contains("customers_csv"))
+    assert(Ingest.readHub(spark, s"$lake2/hub/sales/customers").count() == 3)
+  }
+
   test("hub_zorder compacts a keyless versioned hub as a committed version") {
     val lake = tmpDir("lake")
     val csv = new java.io.File(lake, "points.csv")
