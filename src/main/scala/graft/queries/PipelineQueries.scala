@@ -1008,9 +1008,70 @@ object PipelineQueries {
        |  TRUE AS multiprobe_ge_single,
        |  TRUE AS blocked_recall_ok""".stripMargin
 
+  val TokenBudget = 20000L
+
+  /** Token-budget-constrained corpus selection: fill a fixed token budget
+    * with the longest documents first (total order: n_chars desc, doc_id),
+    * keeping docs while the running token total stays within budget — the
+    * "best docs until the 1B-token budget is full" curation step. Exact
+    * formulation is a global-order cumulative sum; the 100 TB sibling
+    * replaces the global sort with an approx-quantile threshold on the
+    * ordering key (select-then-trim), same contract.
+    */
+  val qTokenBudget: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenBudgetOracle: String =
+    s"""WITH t AS (SELECT doc_id, n_chars,
+       |        CAST(len($WS) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS cum_tokens
+       |      FROM t)
+       |SELECT doc_id, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin
+
+  /** Deterministic 80/10/10 train/val/test split via the shared md5 hash
+    * (same constant pipeline as hashSample — stable across runs, engines,
+    * partitionings), reported as per-(source, split) counts.
+    */
+  val qTrainValTest: Q = (spark, dir) => {
+    val h = graft.operators.Shingles.hash60(col("doc_id").cast("string")) % 10
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        when(h < 8, "train").when(h === 8, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val trainValTestOracle: String = {
+    val h = h60("CAST(doc_id AS VARCHAR)")
+    s"""SELECT source,
+       |  CASE WHEN $h % 10 < 8 THEN 'train'
+       |       WHEN $h % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs
+       |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, Q] = Map(
+    "q_token_budget" -> qTokenBudget,
+    "q_train_val_test" -> qTrainValTest,
     "q_text_stats" -> qTextStats,
     "q_lang_id" -> qLangId,
     "q_fingerprints" -> qFingerprints,
@@ -1045,6 +1106,8 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_token_budget" -> tokenBudgetOracle,
+    "q_train_val_test" -> trainValTestOracle,
     "q_text_stats" -> textStatsOracle,
     "q_lang_id" -> langIdOracle,
     "q_fingerprints" -> fingerprintsOracle,
