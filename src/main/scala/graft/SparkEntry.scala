@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries, ExtendedQueries, IngestQueries, PipelineQueries, RelationalQueries, SketchQueries, SubqueryQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries, ExtendedQueries, GraphQueries, IngestQueries, PipelineQueries, RelationalQueries, SketchQueries, SubqueryQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` is the union of every operator suite's entries; `oracleSql`
@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ PipelineQueries.all ++ ExtendedQueries.all ++
       SubqueryQueries.all ++ SketchQueries.all ++ AnalyticsQueries.all ++
-      CorpusQueries.all ++ IngestQueries.all ++ BehaviorQueries.all
+      CorpusQueries.all ++ IngestQueries.all ++ BehaviorQueries.all ++
+      GraphQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
       ExtendedQueries.oracles ++ SubqueryQueries.oracles ++
       SketchQueries.oracles ++ AnalyticsQueries.oracles ++
-      CorpusQueries.oracles ++ IngestQueries.oracles ++ BehaviorQueries.oracles
+      CorpusQueries.oracles ++ IngestQueries.oracles ++
+      BehaviorQueries.oracles ++ GraphQueries.oracles
 }

@@ -465,7 +465,101 @@ object AnalyticsQueries {
       |  END AS is_anomaly
       |FROM w ORDER BY event_type, bucket""".stripMargin
 
+  /** Exact Pearson-correlation components between quantity and extended
+    * price per return flag, in long-cents integer space: n, Σx, Σy, Σxy,
+    * Σx², Σy² plus the derived covariance / variance numerators
+    * (n·Σxy − Σx·Σy etc.). The ratio r itself needs a square root — a
+    * transcendental whose last bit is accumulation-order-dependent — so the
+    * query reports the EXACT integer components instead; any consumer can
+    * divide. Per-row products stay in 64-bit (≤5e10); sums run in
+    * DECIMAL(38,0), which holds the numerators to ~6e12-row tables
+    * (n·Σxy ≈ 1.8e36 < 1e38) — the 100 TB head-room is by construction.
+    * One partial+final aggregate pass, no shuffle beyond the groupBy.
+    */
+  val qCorrelation: Q = (spark, dir) => {
+    val d38 = "decimal(38,0)"
+    val s = Tables(spark, dir, "lineitem").select(col("l_returnflag"),
+      cents(col("l_quantity")).as("qx"), cents(col("l_extendedprice")).as("px"))
+    s.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qx").cast(d38)).as("sx"),
+        sum(col("px").cast(d38)).as("sy"),
+        sum((col("qx") * col("px")).cast(d38)).as("sxy"),
+        sum((col("qx") * col("qx")).cast(d38)).as("sxx"),
+        sum((col("px") * col("px")).cast(d38)).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        col("sx").cast(d38).as("sx"), col("sy").cast(d38).as("sy"),
+        col("sxy").cast(d38).as("sxy"), col("sxx").cast(d38).as("sxx"),
+        col("syy").cast(d38).as("syy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast(d38)
+          .as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(d38)
+          .as("var_num_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast(d38)
+          .as("var_num_y"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val correlationOracle: String =
+    """WITH s AS (SELECT l_returnflag,
+      |  CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS px FROM lineitem),
+      |a AS (SELECT l_returnflag, count(*) AS n, SUM(qx) AS sx, SUM(px) AS sy,
+      |        SUM(qx * px) AS sxy, SUM(qx * qx) AS sxx, SUM(px * px) AS syy
+      |      FROM s GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(sx AS DECIMAL(38,0)) AS sx, CAST(sy AS DECIMAL(38,0)) AS sy,
+      |  CAST(sxy AS DECIMAL(38,0)) AS sxy, CAST(sxx AS DECIMAL(38,0)) AS sxx,
+      |  CAST(syy AS DECIMAL(38,0)) AS syy,
+      |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
+      |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_num_x,
+      |  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_num_y
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
+  /** Time-series lag/rolling feature generation — the feature-engineering
+    * verb of an ML pipeline. Per (user, day): event count and exact-decimal
+    * value sum, previous-day value (lag 1), and trailing-3-row sum/min/max.
+    * One shuffle on user_id serves the daily aggregate AND both window
+    * frames (same partitioning, reused); decimals keep the sums
+    * order-independent, cast to double only at the edge.
+    */
+  val qLagFeatures: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("dv"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val w3 = w.rowsBetween(-2, 0)
+    daily.select(col("user_id"), col("day"), col("n_events"),
+      d(col("dv")).as("day_value"),
+      d(lag(col("dv"), 1).over(w)).as("prev_value"),
+      sum(col("n_events")).over(w3).as("n_events_3d"),
+      d(min(col("dv")).over(w3)).as("min_value_3d"),
+      d(max(col("dv")).over(w3)).as("max_value_3d"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val lagFeaturesOracle: String =
+    """WITH dd AS (SELECT user_id,
+      |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    count(*) AS n_events,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS dv
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(dv AS DOUBLE) AS day_value,
+      |  CAST(lag(dv, 1) OVER w AS DOUBLE) AS prev_value,
+      |  CAST(SUM(n_events) OVER w3 AS BIGINT) AS n_events_3d,
+      |  CAST(MIN(dv) OVER w3 AS DOUBLE) AS min_value_3d,
+      |  CAST(MAX(dv) OVER w3 AS DOUBLE) AS max_value_3d
+      |FROM dd
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day),
+      |  w3 AS (PARTITION BY user_id ORDER BY day
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_correlation" -> qCorrelation,
+    "q_lag_features" -> qLagFeatures,
     "q_rate_anomaly" -> qRateAnomaly,
     "q_skew_profile" -> qSkewProfile,
     "q_gapfill" -> qGapfill,
@@ -487,6 +581,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_correlation" -> correlationOracle,
+    "q_lag_features" -> lagFeaturesOracle,
     "q_rate_anomaly" -> rateAnomalyOracle,
     "q_skew_profile" -> skewProfileOracle,
     "q_gapfill" -> gapfillOracle,

@@ -27,7 +27,8 @@ class EntryContractSpec extends SparkTestBase {
       "Analytics" -> AnalyticsQueries.all.keySet,
       "Corpus" -> CorpusQueries.all.keySet,
       "Ingest" -> IngestQueries.all.keySet,
-      "Behavior" -> BehaviorQueries.all.keySet)
+      "Behavior" -> BehaviorQueries.all.keySet,
+      "Graph" -> GraphQueries.all.keySet)
     for {
       (Seq((na, a), (nb, b))) <- suites.combinations(2)
       dup = a.intersect(b)
