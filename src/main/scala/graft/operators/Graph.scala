@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Dedup.persistForReuse
+
 /** Distributed graph analytics over edge DataFrames — the link-graph verbs a
   * web-corpus pipeline runs (page quality via PageRank, community density via
   * triangles, co-occurrence graph construction).
@@ -40,21 +42,34 @@ object Graph {
     * Returns (node, pr) with pr still in `scale` units.
     */
   def pageRankInt(edges: DataFrame, iterations: Int,
-      scale: Long = 1000000L): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val deg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"))
+      scale: Long = 1000000L, truncateEvery: Int = 0): DataFrame = {
+    // The edge list is scanned ~2 + iterations times (node set, degrees,
+    // one rank join per round) — persist it once; same for the derived
+    // nodes/deg, each a shuffle output consumed every round.
+    val e = persistForReuse(edges.select(col("src"), col("dst")))
+    val nodes = persistForReuse(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val deg = persistForReuse(e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")))
     val base = lit(scale * 15 / 100)
     var ranks = nodes.withColumn("pr", lit(scale))
-    for (_ <- 1 to iterations) {
-      val contrib = edges.join(deg, "src")
+    for (i <- 1 to iterations) {
+      val contrib = e.join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("c"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (base + expr("(coalesce(c, 0L) * 17) div 20")).as("pr"))
+      // The per-round plan nests one join deeper each iteration; past ~10
+      // rounds Catalyst analysis cost and lineage depth dominate. A LAZY
+      // local checkpoint (no job at construction — see persistForReuse's
+      // rationale) resets the plan to a leaf at the next action. Integer
+      // ranks make the cut bit-invisible. Executor loss recomputes from
+      // the truncation point on a cluster — acceptable for an iterative
+      // algorithm that is cheap per round; pass 0 to keep full lineage.
+      if (truncateEvery > 0 && i % truncateEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(eager = false)
     }
     ranks
   }
@@ -70,7 +85,10 @@ object Graph {
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
       minWeight: Long): DataFrame = {
-    val l = df.select(col(groupCol).as("g"), col(itemCol).as("u")).distinct()
+    // The distinct (group, item) set is both sides of the self-join —
+    // persist so the dedup shuffle runs once, not twice.
+    val l = persistForReuse(
+      df.select(col(groupCol).as("g"), col(itemCol).as("u")).distinct())
     val r = l.select(col("g"), col("u").as("v"))
     l.join(r, "g").filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
@@ -84,15 +102,18 @@ object Graph {
     * orientation counts each triangle exactly once.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
-    val e2 = edges.select(col("u").as("b"), col("v").as("c"))
-    val e3 = edges.select(col("u").as("a"), col("v").as("c"))
+    // Six scans of the (usually join-derived) edge list: three join legs,
+    // two node-set unions, one edge count — persist it once.
+    val e = persistForReuse(edges.select(col("u"), col("v")))
+    val e1 = e.select(col("u").as("a"), col("v").as("b"))
+    val e2 = e.select(col("u").as("b"), col("v").as("c"))
+    val e3 = e.select(col("u").as("a"), col("v").as("c"))
     val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
       .agg(count(lit(1)).as("n_triangles"))
-    val nNodes = edges.select(col("u").as("n"))
-      .union(edges.select(col("v").as("n"))).distinct()
+    val nNodes = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n"))).distinct()
       .agg(count(lit(1)).as("n_nodes"))
-    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
     nNodes.crossJoin(nEdges).crossJoin(tri)
   }
 }

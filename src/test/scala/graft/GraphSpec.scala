@@ -25,6 +25,15 @@ class GraphSpec extends SparkTestBase {
     assert(r == Map(1L -> 150000L, 2L -> 1000000L))
   }
 
+  test("lineage truncation does not change ranks") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val plain = Graph.pageRankInt(edges, 6).as[(Long, Long)].collect().toMap
+    val cut = Graph.pageRankInt(edges, 6, truncateEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(cut == plain)
+  }
+
   test("triangleCount counts each triangle once on a canonical edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
     val row = Graph.triangleCount(edges).as[(Long, Long, Long)].head()

@@ -311,6 +311,39 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("pagerank rounds are equi-joins with a TakeOrdered top-k, no cartesian") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 must not materialize a total sort:\n$p")
+  }
+
+  test("triangle closure joins are equi-joins; only 1-row aggregates cross-join") {
+    val p = plan("q_triangle_count")
+    // e1⋈e2 on b, then ⋈e3 on (a,c): hash-partitionable equi-joins
+    val equiJoins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).size
+    assert(equiJoins >= 3, s"expected >=3 equi-joins (co-occur + closure):\n$p")
+    // the final n_nodes × n_edges × n_triangles combine is 1-row × 1-row:
+    // bounded by construction, so at most those two nested-loop/cartesian
+    // ops in the FINAL plan (AQE's toString repeats them in the initial plan)
+    val finalOnly = p.split("== Initial Plan ==").head
+    val unbounded =
+      "(CartesianProduct|BroadcastNestedLoop)".r.findAllIn(finalOnly).size
+    assert(unbounded <= 2,
+      s"pair generation must never be a cartesian:\n$finalOnly")
+  }
+
+  test("markov transitions: one user-window pass then partial+final aggregate") {
+    val p = plan("q_markov_transitions")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"transition counts must map-side combine:\n$p")
+  }
+
   test("date-partitioned RAW reads prune to the selected partition") {
     val lake = tmpDir("prune")
     val df = spark.range(100).selectExpr("id",
