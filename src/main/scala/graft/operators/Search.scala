@@ -75,4 +75,28 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of N
+    * candidate rankings — the standard way to combine keyword (BM25) and
+    * vector (ANN) retrieval without score calibration. Each input carries
+    * (`idCol`, `r`) with r a 1-based rank; a document's fused score is
+    * Σ_rankings scale div (kConst + r), in INTEGER division so the fusion
+    * is bit-stable across engines and partitionings (double 1/(k+r) sums
+    * are addition-order-dependent; integer sums are associative).
+    *
+    * Scale shape: the inputs are already top-k pools (bounded), so the
+    * union + groupBy touches O(N·k) rows regardless of corpus size, and
+    * the final top-k is a TakeOrdered, never a global sort.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, kConst: Long = 60L,
+      scale: Long = 1000000L, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings
+      .map(_.select(col(idCol),
+        expr(s"$scale div ($kConst + r)").as("_c")))
+      .reduce(_ union _)
+      .groupBy(col(idCol)).agg(sum(col("_c")).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -557,7 +557,40 @@ object AnalyticsQueries {
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, day""".stripMargin
 
+  /** One-pass table profile of five customer columns — null counts, exact
+    * distincts, string-rendered min/max. c_acctbal is pre-normalized to
+    * DECIMAL(18,2) so its string rendering is engine-portable (raw
+    * double-to-string is not — NOTES.md determinism contract). The exact
+    * variant Expands 5-fold before the partial agg; see
+    * [[graft.operators.Profiling.columnProfileApprox]] for the no-Expand
+    * HLL sibling (spec-tested; sketches have no hash oracle).
+    */
+  val qColumnProfile: Q = (spark, dir) => {
+    val cols = Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal",
+      "c_nationkey")
+    graft.operators.Profiling.columnProfile(
+      Tables(spark, dir, "customer")
+        .withColumn("c_acctbal", dec(col("c_acctbal"))),
+      cols)
+  }
+
+  private val columnProfileOracle: String = {
+    val cols = Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal",
+      "c_nationkey")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM (SELECT * REPLACE (CAST(c_acctbal AS DECIMAL(18,2))
+         |      AS c_acctbal) FROM customer)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_column_profile" -> qColumnProfile,
     "q_correlation" -> qCorrelation,
     "q_lag_features" -> qLagFeatures,
     "q_rate_anomaly" -> qRateAnomaly,
@@ -581,6 +614,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_column_profile" -> columnProfileOracle,
     "q_correlation" -> correlationOracle,
     "q_lag_features" -> lagFeaturesOracle,
     "q_rate_anomaly" -> rateAnomalyOracle,

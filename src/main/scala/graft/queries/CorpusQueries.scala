@@ -192,7 +192,7 @@ object CorpusQueries {
       "text", "doc_id", Bm25Terms,
       k1 = Bm25K1.toDouble, b = Bm25B.toDouble, k = Bm25TopK)
 
-  private val bm25Oracle: String = {
+  private def bm25OracleWithK(k: Int): String = {
     import PipelineQueries.WS
     val in = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val tfCases = Bm25Terms.zipWithIndex.map { case (t, i) =>
@@ -226,8 +226,52 @@ object CorpusQueries {
        |      FROM p JOIN d USING (doc_id) CROSS JOIN s)
        |SELECT doc_id, $scoreTerms AS score
        |FROM f
-       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  private val bm25Oracle: String = bm25OracleWithK(Bm25TopK)
+
+  val RrfPoolK = 50
+  val RrfK = "60"
+  val RrfScale = "1000000"
+
+  /** Hybrid-retrieval fusion: the BM25 keyword top-50 pool fused with a
+    * document-length prior top-50 (stand-in for the vector ANN leg — same
+    * (id, rank) contract [[graft.operators.Search.rrfFuse]] takes from any
+    * ranking) by integer reciprocal-rank fusion. Both pools are TakeOrdered
+    * (bounded) before any window touches them, so the rank assignment
+    * windows run over ≤50 rows, and the fusion itself is O(pools).
+    */
+  val qRrfFusion: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val keyword = graft.operators.Search
+      .bm25TopK(docs, "text", "doc_id", Bm25Terms,
+        k1 = Bm25K1.toDouble, b = Bm25B.toDouble, k = RrfPoolK)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).as("r"))
+    val length = docs
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(RrfPoolK)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("n_chars").desc, col("doc_id"))).as("r"))
+    graft.operators.Search.rrfFuse(Seq(keyword, length), "doc_id",
+      kConst = RrfK.toLong, scale = RrfScale.toLong, topK = 20)
+  }
+
+  private val rrfFusionOracle: String =
+    s"""WITH ra AS (SELECT doc_id,
+       |        row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |      FROM (${bm25OracleWithK(RrfPoolK)})),
+       |rb AS (SELECT doc_id,
+       |        row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+       |      FROM (SELECT doc_id, n_chars FROM documents
+       |            ORDER BY n_chars DESC, doc_id LIMIT $RrfPoolK)),
+       |u AS (SELECT doc_id, $RrfScale // ($RrfK + r) AS c FROM ra
+       |      UNION ALL
+       |      SELECT doc_id, $RrfScale // ($RrfK + r) AS c FROM rb)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score
+       |FROM u GROUP BY 1
+       |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
 
   val OovVocabSize = 16
 
@@ -270,6 +314,7 @@ object CorpusQueries {
 
   val all: Map[String, Q] = Map(
     "q_bm25_search" -> qBm25Search,
+    "q_rrf_fusion" -> qRrfFusion,
     "q_vocab_oov" -> qVocabOov,
     "q_token_commonality" -> qTokenCommonality,
     "q_repetition_signals" -> qRepetitionSignals,
@@ -281,6 +326,7 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
+    "q_rrf_fusion" -> rrfFusionOracle,
     "q_vocab_oov" -> vocabOovOracle,
     "q_token_commonality" -> tokenCommonalityOracle,
     "q_repetition_signals" -> repetitionOracle,

@@ -36,6 +36,22 @@ class SearchSpec extends SparkTestBase {
       out.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("rrfFuse sums integer reciprocal ranks and ranks by fused score") {
+    // ranking A: 1,2,3 ; ranking B: 3,2,4
+    val ra = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "r")
+    val rb = Seq((3L, 1), (2L, 2), (4L, 3)).toDF("doc_id", "r")
+    val out = Search.rrfFuse(Seq(ra, rb), "doc_id", kConst = 60L,
+      scale = 1000000L, topK = 10).as[(Long, Long)].collect().toSeq
+    def c(r: Long) = 1000000L / (60L + r)
+    val expected = Map(1L -> c(1), 2L -> (c(2) + c(2)),
+      3L -> (c(3) + c(1)), 4L -> c(3))
+    assert(out.toMap == expected)
+    // doc 2 (two mid ranks) and doc 3 (a top + a low rank) beat singletons
+    assert(out.map(_._1).take(2).toSet == Set(2L, 3L))
+    // descending by fused score, id tiebreak
+    assert(out == out.sortBy { case (id, s) => (-s, id) })
+  }
+
   test("terms absent from the corpus contribute nothing / empty result") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     assert(Search.bm25TopK(docs, "text", "doc_id", Seq("zzz")).count() == 0)
