@@ -88,6 +88,38 @@ object CorpusQueries {
        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
   }
 
+  /** Per-source corpus-diversity signal: Gini impurity of the language
+    * distribution, 1 − Σ(n_lang/N)², in EXACT integer basis points —
+    * (N² − Σ n_lang²)·10000 div N². The rational form sidesteps the libm
+    * exclusion (entropy's log is last-bit engine-dependent; Gini ranks
+    * diversity identically). Two partial+final aggregates: per-(source,
+    * lang) counts, then per-source combine — shuffles bounded by
+    * |sources|·|langs|, never the corpus.
+    */
+  val qLangGini: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"))
+      .groupBy(col("source"))
+      .agg(sum(col("nl")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("nl") * col("nl")).as("_ss"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        expr("((n_docs * n_docs - _ss) * 10000) div (n_docs * n_docs)")
+          .as("gini_bps"))
+      .orderBy(col("source"))
+
+  private val langGiniOracle: String =
+    """WITH c AS (SELECT source, lang, count(*) AS nl FROM documents
+      |           GROUP BY 1, 2),
+      |a AS (SELECT source, SUM(nl) AS n_docs, count(*) AS n_langs,
+      |        SUM(nl * nl) AS ss FROM c GROUP BY 1)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_langs AS BIGINT) AS n_langs,
+      |  CAST(((n_docs * n_docs - ss) * 10000) // (n_docs * n_docs)
+      |       AS BIGINT) AS gini_bps
+      |FROM a ORDER BY source""".stripMargin
+
   val SharedWindowK = 10
 
   /** Exact shared k-token windows per doc pair (Lee et al.-style substring
@@ -315,6 +347,7 @@ object CorpusQueries {
   val all: Map[String, Q] = Map(
     "q_bm25_search" -> qBm25Search,
     "q_rrf_fusion" -> qRrfFusion,
+    "q_lang_gini" -> qLangGini,
     "q_vocab_oov" -> qVocabOov,
     "q_token_commonality" -> qTokenCommonality,
     "q_repetition_signals" -> qRepetitionSignals,
@@ -327,6 +360,7 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
     "q_rrf_fusion" -> rrfFusionOracle,
+    "q_lang_gini" -> langGiniOracle,
     "q_vocab_oov" -> vocabOovOracle,
     "q_token_commonality" -> tokenCommonalityOracle,
     "q_repetition_signals" -> repetitionOracle,
