@@ -519,9 +519,11 @@ object AnalyticsQueries {
   /** Time-series lag/rolling feature generation — the feature-engineering
     * verb of an ML pipeline. Per (user, day): event count and exact-decimal
     * value sum, previous-day value (lag 1), and trailing-3-row sum/min/max.
-    * One shuffle on user_id serves the daily aggregate AND both window
-    * frames (same partitioning, reused); decimals keep the sums
-    * order-independent, cast to double only at the edge.
+    * Scale shape: map-side combine shrinks the raw event stream before the
+    * (user, day) shuffle; the follow-up user_id exchange for the windows
+    * moves only DAILY rows (tiny), and lag + all trailing frames share one
+    * Window pass. Decimals keep the sums order-independent, cast to double
+    * only at the edge.
     */
   val qLagFeatures: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window

@@ -20,7 +20,10 @@ object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val PrIterations = 3
-  private val SuppOffset = 1000000L
+  // Supplier ids shift into a disjoint range of the shared node-id space.
+  // 2^40 clears any realistic key range (sf100 TPC-H custkeys are ~1.5e7;
+  // 1e6 would already collide at sf>=7) while pr sums stay far inside Long.
+  private val SuppOffset = 1L << 40
 
   /** PageRank over the bipartite customer→supplier purchase graph (edge =
     * "customer bought from supplier", deduplicated). Supplier nodes are
