@@ -475,9 +475,27 @@ object AnalyticsQueries {
     * DECIMAL(38,0), which holds the numerators to ~6e12-row tables
     * (n·Σxy ≈ 1.8e36 < 1e38) — the 100 TB head-room is by construction.
     * One partial+final aggregate pass, no shuffle beyond the groupBy.
+    *
+    * Output encoding — the ±2^53 contract (NOTES.md): the raw Σy² and the
+    * three numerators exceed 2^53 even at sf0.01 (syy ≈ 7.5e17, var_num_y ≈
+    * 3.7e21), the range where a float64-based numeric canonicalization stops
+    * being exact — CORRECTNESS_r05 proved the driver hash diverges there
+    * while the values themselves are bit-identical. So every potentially-big
+    * component is emitted as an exact base-1e9 hi/lo BIGINT pair
+    * (value = hi·1e9 + lo) plus an explicit sign column for the one
+    * component (cov_num) that is not nonnegative by construction; hi/lo are
+    * taken of the ABSOLUTE value so DIV/% truncation-vs-floor semantics can
+    * never disagree across engines. Both halves stay far below 2^53 at any
+    * realistic SF ratio, and the encoding is lossless.
     */
   val qCorrelation: Q = (spark, dir) => {
     val d38 = "decimal(38,0)"
+    // base-1e9 hi/lo split keeps both halves ≪ 2^53; DIV (integral divide,
+    // truncating) on the abs value matches DuckDB `//` exactly — a plain
+    // decimal `/` + cast would ROUND half-up and corrupt hi by one.
+    def hiLo(c: String): Seq[String] = Seq(
+      s"CAST(abs($c) DIV 1000000000 AS BIGINT) AS ${c}_hi",
+      s"CAST(abs($c) % 1000000000 AS BIGINT) AS ${c}_lo")
     val s = Tables(spark, dir, "lineitem").select(col("l_returnflag"),
       cents(col("l_quantity")).as("qx"), cents(col("l_extendedprice")).as("px"))
     s.groupBy(col("l_returnflag"))
@@ -487,16 +505,17 @@ object AnalyticsQueries {
         sum((col("qx") * col("px")).cast(d38)).as("sxy"),
         sum((col("qx") * col("qx")).cast(d38)).as("sxx"),
         sum((col("px") * col("px")).cast(d38)).as("syy"))
-      .select(col("l_returnflag"), col("n"),
-        col("sx").cast(d38).as("sx"), col("sy").cast(d38).as("sy"),
-        col("sxy").cast(d38).as("sxy"), col("sxx").cast(d38).as("sxx"),
-        col("syy").cast(d38).as("syy"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast(d38)
-          .as("cov_num"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).cast(d38)
-          .as("var_num_x"),
-        (col("n") * col("syy") - col("sy") * col("sy")).cast(d38)
-          .as("var_num_y"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast(d38).as("cov"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(d38).as("varx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast(d38).as("vary"))
+      .selectExpr(Seq("l_returnflag", "n",
+        "CAST(sx AS BIGINT) AS sx", "CAST(sy AS BIGINT) AS sy") ++
+        hiLo("sxy") ++ hiLo("sxx") ++ hiLo("syy") ++
+        Seq("CAST(CASE WHEN cov < 0 THEN -1 WHEN cov > 0 THEN 1 ELSE 0 END" +
+          " AS BIGINT) AS cov_sign") ++
+        hiLo("cov") ++ hiLo("varx") ++ hiLo("vary"): _*)
       .orderBy(col("l_returnflag"))
   }
 
@@ -504,17 +523,32 @@ object AnalyticsQueries {
     """WITH s AS (SELECT l_returnflag,
       |  CAST(round(l_quantity * 100) AS BIGINT) AS qx,
       |  CAST(round(l_extendedprice * 100) AS BIGINT) AS px FROM lineitem),
-      |a AS (SELECT l_returnflag, count(*) AS n, SUM(qx) AS sx, SUM(px) AS sy,
-      |        SUM(qx * px) AS sxy, SUM(qx * qx) AS sxx, SUM(px * px) AS syy
-      |      FROM s GROUP BY 1)
+      |a AS (SELECT l_returnflag, count(*) AS n,
+      |        CAST(SUM(qx) AS HUGEINT) AS sx, CAST(SUM(px) AS HUGEINT) AS sy,
+      |        CAST(SUM(qx * px) AS HUGEINT) AS sxy,
+      |        CAST(SUM(qx * qx) AS HUGEINT) AS sxx,
+      |        CAST(SUM(px * px) AS HUGEINT) AS syy
+      |      FROM s GROUP BY 1),
+      |d AS (SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+      |        n * sxy - sx * sy AS cov, n * sxx - sx * sx AS varx,
+      |        n * syy - sy * sy AS vary FROM a)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-      |  CAST(sx AS DECIMAL(38,0)) AS sx, CAST(sy AS DECIMAL(38,0)) AS sy,
-      |  CAST(sxy AS DECIMAL(38,0)) AS sxy, CAST(sxx AS DECIMAL(38,0)) AS sxx,
-      |  CAST(syy AS DECIMAL(38,0)) AS syy,
-      |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
-      |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_num_x,
-      |  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_num_y
-      |FROM a ORDER BY l_returnflag""".stripMargin
+      |  CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+      |  CAST(abs(sxy) // 1000000000 AS BIGINT) AS sxy_hi,
+      |  CAST(abs(sxy) % 1000000000 AS BIGINT) AS sxy_lo,
+      |  CAST(abs(sxx) // 1000000000 AS BIGINT) AS sxx_hi,
+      |  CAST(abs(sxx) % 1000000000 AS BIGINT) AS sxx_lo,
+      |  CAST(abs(syy) // 1000000000 AS BIGINT) AS syy_hi,
+      |  CAST(abs(syy) % 1000000000 AS BIGINT) AS syy_lo,
+      |  CAST(CASE WHEN cov < 0 THEN -1 WHEN cov > 0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS cov_sign,
+      |  CAST(abs(cov) // 1000000000 AS BIGINT) AS cov_hi,
+      |  CAST(abs(cov) % 1000000000 AS BIGINT) AS cov_lo,
+      |  CAST(abs(varx) // 1000000000 AS BIGINT) AS varx_hi,
+      |  CAST(abs(varx) % 1000000000 AS BIGINT) AS varx_lo,
+      |  CAST(abs(vary) // 1000000000 AS BIGINT) AS vary_hi,
+      |  CAST(abs(vary) % 1000000000 AS BIGINT) AS vary_lo
+      |FROM d ORDER BY l_returnflag""".stripMargin
 
   /** Time-series lag/rolling feature generation — the feature-engineering
     * verb of an ML pipeline. Per (user, day): event count and exact-decimal
