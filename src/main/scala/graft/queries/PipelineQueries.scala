@@ -153,9 +153,12 @@ object PipelineQueries {
     // both fingerprints are pure per-row functions → one narrow projection
     // (the shingle-min runs in the codegen'd WordShingleMinHash60; the old
     // explode + groupBy + join formulation shuffled every shingle row)
+    // % 2^53 folds the 60-bit min-hash into the driver's exact float64
+    // range (NOTES.md ±2^53 contract); nonneg % nonneg is engine-identical
     docs.select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp_md5"),
-      TextAnalysis.shingleFingerprint(col("text")).as("fp_shingle"))
+      (TextAnalysis.shingleFingerprint(col("text")) % lit(9007199254740992L))
+        .as("fp_shingle"))
       .orderBy(col("doc_id"))
   }
 
@@ -164,7 +167,8 @@ object PipelineQueries {
        |sh AS (SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
        |       FROM t, UNNEST(range(1, greatest(len(ws)-2, 1)+1)) AS u(i))
        |SELECT t.doc_id, md5($NORM) AS fp_md5, mn.fp_shingle
-       |FROM t JOIN (SELECT doc_id, min(${h60("s")}) AS fp_shingle
+       |FROM t JOIN (SELECT doc_id,
+       |               min(${h60("s")}) % 9007199254740992 AS fp_shingle
        |             FROM (SELECT DISTINCT doc_id, s FROM sh) GROUP BY doc_id) mn
        |  ON t.doc_id = mn.doc_id
        |ORDER BY t.doc_id""".stripMargin

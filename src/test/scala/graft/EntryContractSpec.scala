@@ -46,4 +46,49 @@ class EntryContractSpec extends SparkTestBase {
         assert(n > 0, s"$name returned no rows")
     }
   }
+
+  /** The ±2^53 determinism bound (NOTES.md): the driver's numeric
+    * canonicalization is float64-rendering-sensitive above 2^53
+    * (CORRECTNESS_r05 q_correlation — values bit-identical locally, hash
+    * divergent at the driver). Enforced at sf0.01, the exact SF the
+    * driver's correctness gate runs, so a value that would diverge there
+    * fails HERE first. Big components must be emitted as hi/lo BIGINT
+    * pairs (see AnalyticsQueries.qCorrelation).
+    */
+  test("no numeric output cell exceeds ±2^53 at sf0.01 (driver hash bound)") {
+    import org.apache.spark.sql.types._
+    val bound = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(53))
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, "/root/testdata/sf0.01")
+      val numeric = df.schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType.isInstanceOf[NumericType] => (f.name, i)
+      }
+      if (numeric.nonEmpty) {
+        var worst = Map.empty[String, java.math.BigDecimal]
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          numeric.foreach { case (cn, i) =>
+            if (!row.isNullAt(i)) {
+              val abs = (row.get(i) match {
+                case d: java.math.BigDecimal => d
+                case d: BigDecimal           => d.bigDecimal
+                case d: Double               => new java.math.BigDecimal(d)
+                case f: Float                => new java.math.BigDecimal(f.toDouble)
+                case n: Number => new java.math.BigDecimal(n.longValue())
+              }).abs
+              if (abs.compareTo(bound) > 0 &&
+                  worst.get(cn).forall(_.compareTo(abs) < 0))
+                worst += cn -> abs
+            }
+          }
+        }
+        worst.foreach { case (cn, v) => offenders += s"$name.$cn = $v" }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"cells exceed 2^53 — the driver hash is not exact there; mask or " +
+        s"split into hi/lo BIGINT (NOTES.md):\n  ${offenders.mkString("\n  ")}")
+  }
 }
