@@ -72,12 +72,33 @@ object Bench {
     }
     val results = names.map(n => n -> best(n))
     def fmt(v: Double): String = "%.4f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // short total-only line LAST: the full map above can outgrow the
-    // driver's tail capture; this one always survives and stays parseable
+
+    // Full per-query record as a FILE: the driver keeps only the tail of
+    // stdout, which truncated the front half of the single-line map in
+    // rounds ≤6. The file survives whole (committed alongside BENCH_r{N}).
+    val byCost = results.sortBy(_._2)
+    val fileJson = byCost.reverse
+      .map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
+      .mkString(
+        s"""{\n  "_total_sec": ${fmt(total)}, "_reps": $reps, "_nqueries": ${results.size}, "_sf": "$sfDir",\n""",
+        ",\n", "\n}\n")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_QUERIES.json write failed: ${e.getMessage}")
+    }
+
+    // stdout: chunks of ≤10 queries per line, cheapest chunk first, so the
+    // expensive (interesting) queries sit nearest the end of the tail
+    // capture and survive truncation.
+    byCost.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      val qs = chunk.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries","chunk":$i,"queries":$qs}""")
+    }
+    // short total-only line LAST: always survives and stays parseable
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nqueries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -91,6 +91,36 @@ object ZOrder {
       .sortWithinPartitions(col("_z"))
       .drop("_z", "_amin", "_amax", "_bmin", "_bmax")
   }
+
+  /** Zone-map quality of a written parquet layout: for each of the two
+    * columns, the AVERAGE fraction of the column's full span that one
+    * file's [min, max] covers — the probability mass a point predicate on
+    * that column cannot skip. 1.0 = blind (every file spans everything),
+    * small = prunable. One grouped scan (per-file min/max via
+    * `input_file_name`), `nFiles` rows collected.
+    */
+  def zoneMapSpanFractions(spark: org.apache.spark.sql.SparkSession,
+      path: String, a: String, b: String): (Int, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("_f"))
+      .agg(min(col(a)).cast("long").as("a_lo"),
+        max(col(a)).cast("long").as("a_hi"),
+        min(col(b)).cast("long").as("b_lo"),
+        max(col(b)).cast("long").as("b_hi"))
+      .collect() // one row per output file
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    def avgFrac(rs: Seq[(Long, Long)]): Double = {
+      val lo = rs.map(_._1).min
+      val hi = rs.map(_._2).max
+      val span = math.max(hi - lo, 1L).toDouble
+      rs.map { case (l, h) => (h - l).toDouble / span }.sum / rs.size
+    }
+    (stats.size,
+      avgFrac(stats.map(s => (s._1, s._2))),
+      avgFrac(stats.map(s => (s._3, s._4))))
+  }
 }
 
 /** Codegen'd Morton interleave of two int keys (order-preserving over the

@@ -74,6 +74,51 @@ object Graph {
     ranks
   }
 
+  /** Convergence certificate for [[pageRankInt]]: one row proving the
+    * recurrence contracted over the declared iteration count.
+    *
+    * Reports max |Δrank| (integer rank units) of the FIRST round vs the LAST
+    * round — a fixed iteration count is only meaningful if the per-round
+    * movement is shrinking, and because ranks are scaled integers the deltas
+    * are exact and bit-stable at any parallelism (an oracle can unroll the
+    * same recurrence and hash-match them). Each delta is an equi-join on
+    * node id + a 1-row max aggregate; the N-1 ranks are persisted so the
+    * shared recurrence prefix is computed once, not twice.
+    */
+  def pageRankConvergence(edges: DataFrame, iterations: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 2, "need >= 2 iterations to compare round deltas")
+    val e = persistForReuse(edges.select(col("src"), col("dst")))
+    val nodes = persistForReuse(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val deg = persistForReuse(e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")))
+    val base = lit(scale * 15 / 100)
+    def step(prev: DataFrame): DataFrame = {
+      val contrib = e.join(deg, "src")
+        .join(prev.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("c"))
+      nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (base + expr("(coalesce(c, 0L) * 17) div 20")).as("pr"))
+    }
+    val r1 = step(nodes.withColumn("pr", lit(scale)))
+    var prev = r1
+    for (_ <- 2 until iterations) prev = step(prev)
+    val rPrev = persistForReuse(prev) // consumed by the last step AND the delta join
+    val rLast = step(rPrev)
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    val dFirst = r1.agg(max(abs(col("pr") - lit(scale))).as("max_delta_first"))
+    val dLast = rLast
+      .join(rPrev.withColumnRenamed("pr", "prev_pr"), "node")
+      .agg(max(abs(col("pr") - col("prev_pr"))).as("max_delta_last"))
+    nNodes.crossJoin(dFirst).crossJoin(dLast)
+      .select(lit(iterations.toLong).as("iters"), col("n_nodes"),
+        col("max_delta_first"), col("max_delta_last"),
+        (col("max_delta_last") < col("max_delta_first")).as("contracted"))
+  }
+
   /** Co-occurrence edges: items sharing a group key, canonicalized u < v,
     * kept only when the pair co-occurs at least `minWeight` times.
     *

@@ -73,6 +73,47 @@ object GraphQueries {
        |ORDER BY pr DESC, supplier LIMIT 25""".stripMargin
   }
 
+  /** Convergence certificate for [[qPageRank]]: same graph, same declared
+    * iteration count, but the output pins that the recurrence CONTRACTED —
+    * max |Δrank| of the last round strictly below the first round's, in
+    * exact integer rank units. A fixed unrolled iteration count is only a
+    * valid stopping rule when this holds; making it an oracle row turns
+    * "trust the iteration constant" into a hash-checked contract.
+    */
+  val qPageRankConverged: Q = (spark, dir) => {
+    val edges = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(SuppOffset)).as("dst"))
+      .distinct()
+    Graph.pageRankConvergence(edges, PrIterations)
+  }
+
+  private val pageRankConvergedOracle: String = {
+    val iters = (1 to PrIterations)
+      .map(i => prIterSql(s"r${i - 1}", s"r$i")).mkString(",\n")
+    val last = s"r$PrIterations"
+    val prev = s"r${PrIterations - 1}"
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+       |             l_suppkey + $SuppOffset AS dst
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |$iters,
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+       |df AS (SELECT CAST(max(abs(pr - 1000000)) AS BIGINT)
+       |         AS max_delta_first FROM r1),
+       |dl AS (SELECT CAST(max(abs(a.pr - b.pr)) AS BIGINT)
+       |         AS max_delta_last
+       |       FROM $last a JOIN $prev b ON a.node = b.node)
+       |SELECT CAST($PrIterations AS BIGINT) AS iters, n_nodes,
+       |  max_delta_first, max_delta_last,
+       |  max_delta_last < max_delta_first AS contracted
+       |FROM nn, df, dl""".stripMargin
+  }
+
   /** Triangle census of the part co-order graph: parts are linked when they
     * appear in the same order at least twice (the ≥2 weight threshold keeps
     * the backbone sparse at every SF — one-off co-occurrences are noise).
@@ -132,12 +173,14 @@ object GraphQueries {
 
   val all: Map[String, Q] = Map(
     "q_pagerank" -> qPageRank,
+    "q_pagerank_converged" -> qPageRankConverged,
     "q_triangle_count" -> qTriangleCount,
     "q_markov_transitions" -> qMarkovTransitions
   )
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle,
+    "q_pagerank_converged" -> pageRankConvergedOracle,
     "q_triangle_count" -> triangleCountOracle,
     "q_markov_transitions" -> markovTransitionsOracle
   )

@@ -246,9 +246,17 @@ object IngestQueries {
     * the Morton curve of (user_id, event bucket) and measure zone-map
     * quality — the AVERAGE fraction of each column's full span a file's
     * [min,max] covers. A single-column sort leaves the other column's
-    * fraction at ≈1.0 (blind); the z-curve must keep BOTH averages ≤ 0.5,
-    * i.e. a point predicate on either column skips at least half the data
-    * on average. Oracle pins the contract booleans to TRUE.
+    * fraction at ≈1.0 (blind); the z-curve must keep BOTH averages small.
+    * Oracle pins the contract booleans to TRUE.
+    *
+    * The ORACLE threshold is 0.75 — a margin no partitioning/sampling
+    * variance can cross (the blind baseline sits at ≈1.0, the curve's
+    * measured quality at ≈0.3; repartitionByRange's reservoir sampling is
+    * the only nondeterminism and moves the average by far less than the
+    * 0.45 gap). The TIGHT 0.5 bound ("a point predicate skips at least
+    * half the data on average") lives in `ZOrderSpec`, asserted under both
+    * 4-way and 32-way input partitionings so the contract is provably
+    * parallelism-stable rather than empirically lucky.
     */
   val qZorderPrune: Q = (spark, dir) => {
     val tmp = Files.createTempDirectory("graft_zorder").toFile.getAbsolutePath
@@ -260,30 +268,14 @@ object IngestQueries {
       .write.parquet(s"$tmp/z")
     // per-file zone maps in ONE scan: group by the file each row came from
     // (a per-file loop of tiny jobs costs 2×nFiles scheduler round-trips)
-    val stats = spark.read.parquet(s"$tmp/z")
-      .groupBy(input_file_name().as("_f"))
-      .agg(min(col("a")).cast("long").as("a_lo"),
-        max(col("a")).cast("long").as("a_hi"),
-        min(col("b")).cast("long").as("b_lo"),
-        max(col("b")).cast("long").as("b_hi"))
-      .collect() // nFiles rows
-      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toSeq
-    def avgFrac(rs: Seq[(Long, Long)]): Double = {
-      val lo = rs.map(_._1).min
-      val hi = rs.map(_._2).max
-      val span = math.max(hi - lo, 1L).toDouble
-      rs.map { case (l, h) => (h - l).toDouble / span }.sum / rs.size
-    }
-    val ra = stats.map(s => (s._1, s._2))
-    val rb = stats.map(s => (s._3, s._4))
+    val (files, fracA, fracB) =
+      graft.functions.ZOrder.zoneMapSpanFractions(spark, s"$tmp/z", "a", "b")
     import spark.implicits._
     // files_ok is a bounded-range boolean, not a pinned count:
     // repartitionByRange's reservoir sampling may leave some of the 16
     // target partitions empty on small/skewed data, and Spark writes part
     // files only for non-empty partitions — pinning 16 would flake at low SF
-    Seq((ra.size >= 2 && ra.size <= nFiles,
-        avgFrac(ra) <= 0.5, avgFrac(rb) <= 0.5))
+    Seq((files >= 2 && files <= nFiles, fracA <= 0.75, fracB <= 0.75))
       .toDF("files_ok", "prune_a_ok", "prune_b_ok")
   }
 
