@@ -399,21 +399,7 @@ object Dedup {
     val docsets = persistForReuse(postings.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .withColumn("sz", size(col("hs"))))
-    val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // per-doc (df, h) prefix rank WITHOUT a window: collect each doc's
-    // (df, h) pairs once and sort the ~|doc|-element array in memory —
-    // sort_array on the struct orders by (df asc, h asc), exactly the
-    // rarest-first AllPairs order — then slice the first
-    // sz − ⌈t·sz⌉ + 1 entries. Replaces the window formulation's full
-    // partition sort and both size join-backs with one groupBy; the array
-    // length IS sz (postings are distinct), so no size table is touched
-    val prefix = postings.join(dfreq, Seq("h"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("_a"))
-      .select(col(idCol), size(col("_a")).as("sz"),
-        explode(expr(
-          "transform(slice(_a, 1, cast(size(_a) - ceil(size(_a) * " +
-            s"$threshold) + 1 as int)), s -> s.h)")).as("h"))
+    val prefix = prefixPostings(postings, idCol, threshold)
     // probe = FULL postings (re-exploded from the persisted docsets, which
     // carry the size inline); index = prefix postings; length-ratio
     // prefilter (J ≤ min/max of sizes) prunes before the distinct
@@ -439,6 +425,73 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-doc rarest-first prefix postings — the AllPairs (Bayardo et al.,
+    * WWW'07) candidate index. For each doc, the sz − ⌈t·sz⌉ + 1 shingles
+    * with the LOWEST document frequency: two docs with Jaccard ≥ t MUST
+    * share at least one of either's prefix entries, so probing the full
+    * postings against only these is lossless.
+    *
+    * Built WITHOUT a window: collect each doc's (df, h) pairs once and sort
+    * the ~|doc|-element array in memory — sort_array on the struct orders by
+    * (df asc, h asc), exactly the rarest-first AllPairs order — then slice.
+    * Replaces the window formulation's full partition sort and both size
+    * join-backs with one groupBy; the array length IS sz (postings are
+    * distinct), so no size table is touched.
+    */
+  private[graft] def prefixPostings(postings: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    postings.join(dfreq, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("_a"))
+      .select(col(idCol), size(col("_a")).as("sz"),
+        explode(expr(
+          "transform(slice(_a, 1, cast(size(_a) - ceil(size(_a) * " +
+            s"$threshold) + 1 as int)), s -> s.h)")).as("h"))
+  }
+
+  /** Candidate-generation workload A/B of the two exact AllPairs
+    * formulations, measured — not timed — so the comparison is
+    * deterministic and scale-explainable:
+    *
+    *   - `index_workload`  = Σ_h df(h)·(df(h)−1): cross-doc posting matches
+    *     the inverted-index self-join ([[ngramJaccardPairs]]) generates.
+    *     The Σdf² term that explodes on Zipfian corpora (stop-shingles).
+    *   - `prefix_workload` = Σ_h df(h)·pdf(h) − pdf(h): matches the
+    *     full-probe × prefix-index join ([[ngramJaccardPairsPrefix]])
+    *     generates, where pdf is the PREFIX document frequency. Prefix
+    *     entries are rarest-first by construction, so hot shingles — the
+    *     ones with quadratic df — almost never appear in the index side.
+    *
+    * Both are computed EXACTLY from the two (small) frequency tables, no
+    * explosive join executed; the distinct candidate-pair counts (what
+    * survives to verification) come from the real joins. One row out.
+    */
+  def prefixVsIndexCandidateStats(df: DataFrame, textCol: String,
+      idCol: String, threshold: Double, n: Int = 3): DataFrame = {
+    val postings = materialize(shingleHashes(df, textCol, idCol, n))
+    val prefix = materialize(prefixPostings(postings, idCol, threshold))
+    val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pdf = prefix.groupBy(col("h")).agg(count(lit(1)).as("pdf"))
+    val work = dfreq.join(pdf, Seq("h"), "left")
+      .agg(
+        sum(expr("df * (df - 1)")).as("index_workload"),
+        sum(expr("df * coalesce(pdf, 0) - coalesce(pdf, 0)"))
+          .as("prefix_workload"))
+    val ipairs = postings.select(col(idCol).as("a"), col("h"))
+      .join(postings.select(col(idCol).as("b"), col("h")), Seq("h"))
+      .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+      .agg(count(lit(1)).as("index_cand_pairs"))
+    val ppairs = postings.select(col(idCol).as("a"), col("h"))
+      .join(prefix.select(col(idCol).as("b"), col("h")), Seq("h"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+      .agg(count(lit(1)).as("prefix_cand_pairs"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    nDocs.crossJoin(work).crossJoin(ipairs).crossJoin(ppairs)
   }
 
   /** The inverted-index formulation (postings self-join) — the DEFAULT:

@@ -11,19 +11,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
-    * builder here). Re-materialize it as a proper TimestampType (micros) with
-    * integer division — ns since epoch exceeds 2^53, so float division would
-    * corrupt it.
+  /** `events.ts` has shipped in two physical forms across driver data
+    * generations, both normalized here to a plain TimestampType instant:
+    *
+    *   - parquet TIMESTAMP(NANOS), readable only via
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
+    *     builder here) → rebuilt with integer division (ns since epoch
+    *     exceeds 2^53, so float division would corrupt it);
+    *   - parquet TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4
+    *     infers as TIMESTAMP_NTZ by default → cast to TimestampType (every
+    *     session here pins spark.sql.session.timeZone=UTC, so the cast is a
+    *     pure re-tag, numerically identical to what the DuckDB oracle reads).
+    *
+    * Our own sessions also set `spark.sql.parquet.inferTimestampNTZ
+    * .enabled=false` so the scan itself yields TimestampType; the cast branch
+    * keeps queries correct under a DRIVER-OWNED session (entry smoke check)
+    * that runs with Spark defaults.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }

@@ -510,10 +510,47 @@ object VersionedHub {
   private def latest(spark: SparkSession, path: String): Option[Version] =
     history(spark, path).lastOption
 
+  /** Multi-writer atomicity here rests ENTIRELY on `FileSystem.create(
+    * overwrite = false)` being atomic — true on HDFS and on local/file
+    * (POSIX O_EXCL), FALSE on object stores (S3/GCS/ABFS translate create
+    * to a PUT that last-writer-wins): two committers could both "win" the
+    * same version and silently fork the log. Delta Lake solves this with a
+    * pluggable LogStore (DynamoDB/conditional-PUT coordinator); that
+    * coordinator is the documented seam here. Until one is wired in, a
+    * commit against a known object-store scheme fails LOUDLY instead of
+    * corrupting the log, and an unrecognized scheme warns once (it may be
+    * an HCFS with real create-exclusive semantics, e.g. a fuse mount).
+    */
+  private val NonAtomicCreateSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+    "cos", "swift")
+  private val AtomicCreateSchemes = Set("file", "hdfs", "viewfs", "local")
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def checkAtomicCommitScheme(path: String): Unit = {
+    val scheme = Option(new Path(path).toUri.getScheme)
+      .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
+    if (NonAtomicCreateSchemes.contains(scheme))
+      throw new IllegalArgumentException(
+        s"VersionedHub commit on '$scheme://' is unsafe: object-store " +
+          "create is not atomic-exclusive, so concurrent writers can fork " +
+          "the version log. Wire a LogStore-style commit coordinator " +
+          "(conditional PUT / external lock) for this scheme, or stage the " +
+          s"hub on hdfs:///file:// and replicate. Path: $path")
+    else if (!AtomicCreateSchemes.contains(scheme) && warnedSchemes.add(scheme))
+      System.err.println(
+        s"[graft] WARNING: VersionedHub commit atomicity on '$scheme://' " +
+          "is unverified — it holds only if FileSystem.create(overwrite = " +
+          "false) is atomic on this filesystem. Validate before running " +
+          s"concurrent writers. Path: $path")
+  }
+
   /** The commit point: create-exclusive on the manifest file. Returns false
     * when another writer already committed this version number.
     */
   private def commit(fs: FileSystem, path: String, v: Version): Boolean = {
+    checkAtomicCommitScheme(path)
     val log = new Path(path, LogDir)
     fs.mkdirs(log)
     val manifest = new Path(log, f"${v.version}%08d.json")

@@ -287,4 +287,135 @@ class StreamingSpec extends SparkTestBase {
     val n = spark.sql("SELECT sum(n_events) FROM win_out").collect()(0).getLong(0)
     assert(n == 1000L, "all events flow through the windowed stream")
   }
+
+  // ---- state-bound gates: the equivalence tests above prove RESULTS; these
+  // prove the state store stays ≤ f(watermark, band, users) on a growing
+  // input — the property that decides whether a deployment survives day two
+  // at 100 TB/day. Bounds read from StreamingQueryProgress.stateOperators
+  // (numRowsTotal), the same numbers an operator watches in production.
+
+  /** Max Σ numRowsTotal across all progress reports of a finished query. */
+  private def maxStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.map(_.stateOperators.map(_.numRowsTotal).sum)
+      .foldLeft(0L)(math.max)
+
+  test("sessionize state is O(active users), not O(events)") {
+    val lake = tmpDir("sbound1")
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    val nUsers = 20
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime * 1000L
+    // 5 files × 100 events: every user active in every file, time advancing
+    for (f <- 0 until 5) {
+      (0 until 100).map { i =>
+        (i.toLong % nUsers, t0 + (f * 100L + i) * 60000000L)
+      }.toDF("user_id", "ts_us").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5) // distinct mod-times keep the file order deterministic
+    }
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_us LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .as[StreamingIngest.SessionEvent]
+    val q = StreamingIngest
+      .sessionizeStream(stream, gapSeconds = 1800, idleTimeoutSeconds = 0L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sbound_sess")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), s"did not terminate: ${q.status}")
+    val st = maxStateRows(q)
+    // bound: one SessionAgg row per user — 500 input rows, ≤ 20 state rows
+    assert(st > 0L, "state operator reported no rows — gate would be vacuous")
+    assert(st <= nUsers.toLong,
+      s"sessionize state $st exceeds the per-user bound $nUsers")
+  }
+
+  test("banded join state is bounded by the watermark+band horizon") {
+    val lake = tmpDir("sbound2")
+    val (lsrc, rsrc) = (s"$lake/l", s"$lake/r")
+    new java.io.File(lsrc).mkdirs(); new java.io.File(rsrc).mkdirs()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val perFile = 50
+    // 6 files per side, each spanning a distinct hour: with a 5-minute
+    // watermark the horizon never covers more than ~2 files per side
+    for (f <- 0 until 6) {
+      (0 until perFile).map(i => (i.toLong, ts(f * 60 + i % 10)))
+        .toDF("user_id", "imp_ts").coalesce(1).write.mode("append").parquet(lsrc)
+      (0 until perFile).map(i => (i.toLong, ts(f * 60 + i % 10 + 1)))
+        .toDF("user_id", "click_ts").coalesce(1).write.mode("append").parquet(rsrc)
+      Thread.sleep(5)
+    }
+    def src(dir: String, tsCol: String) = spark.readStream
+      .schema(s"user_id LONG, $tsCol TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingIngest.bandedStreamJoin(
+        src(lsrc, "imp_ts"), src(rsrc, "click_ts"),
+        "user_id", "imp_ts", "click_ts",
+        bandSeconds = 120, watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sbound_join")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), s"did not terminate: ${q.status}")
+    val st = maxStateRows(q)
+    val total = 2L * 6 * perFile // 600 rows fed across both sides
+    // horizon ≈ watermark(5m) + band(2m) inside one hour-file, but the
+    // watermark only advances at batch boundaries so up to ~2 files per
+    // side can be live at once: 4 × perFile, well under the full history
+    assert(st > 0L, "state operator reported no rows — gate would be vacuous")
+    assert(st <= 4L * perFile + 50L,
+      s"banded-join state $st exceeds the horizon bound; total fed = $total")
+    assert(st < total, s"state $st not below total input $total")
+  }
+
+  test("watermarked dedup state is bounded by the horizon's keys") {
+    val lake = tmpDir("sbound3")
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val perFile = 40
+    // 5 files, each a distinct hour of UNIQUE texts (worst case for state:
+    // every fingerprint is a new key)
+    for (f <- 0 until 5) {
+      (0 until perFile).map(i => (s"doc $f $i", ts(f * 60 + i % 10)))
+        .toDF("text", "ts").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5)
+    }
+    val stream = spark.readStream
+      .schema("text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingIngest.dedupStream(stream, "text", "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sbound_dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), s"did not terminate: ${q.status}")
+    val st = maxStateRows(q)
+    // 200 unique keys fed; the 10-minute horizon + one batch of watermark
+    // lag keeps ≤ ~2 files of keys live
+    assert(st > 0L, "state operator reported no rows — gate would be vacuous")
+    assert(st <= 2L * perFile + 20L,
+      s"dedup state $st exceeds the horizon bound")
+  }
+
+  test("incremental-dedup stream holds NO state-store rows (index-resident state)") {
+    import graft.operators.Dedup
+    val lake = tmpDir("sbound4")
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val index = Dedup.lshIndexEntries(
+      docs.filter($"doc_id" % 4 =!= 0), "text", "doc_id")
+    val batch = docs.filter($"doc_id" % 4 === 0).select($"doc_id", $"text")
+    batch.repartition(2).write.parquet(s"$lake/src")
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$lake/src")
+    val q = StreamingIngest.incrementalDedupStream(stream, index, "text",
+      "doc_id", 0.5, s"$lake/out", s"$lake/cp")
+    assert(q.awaitTermination(120000), s"did not terminate: ${q.status}")
+    // the foreachBatch probe keeps its "state" in the persisted LSH index,
+    // not the state store — the shape that scales to an ever-growing corpus
+    assert(maxStateRows(q) == 0L,
+      "incremental dedup must not accumulate state-store rows")
+  }
 }

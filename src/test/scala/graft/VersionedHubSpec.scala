@@ -347,4 +347,26 @@ class VersionedHubSpec extends SparkTestBase {
       VersionedHub.read(spark, path, Some(1))
     }
   }
+
+  test("commit refuses object-store schemes where create-exclusive is not atomic") {
+    // every known object-store scheme must fail LOUDLY, pointing at the
+    // LogStore-style coordinator seam, BEFORE a manifest can be forked
+    for (p <- Seq("s3a://bucket/hub", "s3://bucket/hub", "gs://bucket/hub",
+        "abfss://c@acct.dfs.core.windows.net/hub", "wasb://c@acct/hub")) {
+      val e = intercept[IllegalArgumentException] {
+        VersionedHub.checkAtomicCommitScheme(p)
+      }
+      assert(e.getMessage.contains("LogStore"), s"message must name the seam: $p")
+    }
+    // create-exclusive-safe schemes pass silently
+    VersionedHub.checkAtomicCommitScheme("/tmp/local/hub")
+    VersionedHub.checkAtomicCommitScheme("file:///tmp/local/hub")
+    VersionedHub.checkAtomicCommitScheme("hdfs://nn:8020/warehouse/hub")
+    // an unrecognized scheme is allowed (may be a POSIX-semantics HCFS)
+    // but warns once — and a real local write still commits end to end
+    VersionedHub.checkAtomicCommitScheme("weirdfs://x/hub")
+    val path = tmpDir("vhub_scheme")
+    VersionedHub.write(spark, kv(1 -> "a"), path, Seq("k"))
+    assert(VersionedHub.read(spark, path).count() == 1)
+  }
 }
