@@ -508,6 +508,44 @@ object Dedup {
         graft.functions.TextHashExprs.wordShingleHash31Set(col(textCol), n)),
       idCol, threshold)
 
+  /** Asymmetric containment pairs: ordered (id_a, id_b) where at least
+    * `num/den` of doc a's distinct shingles also appear in doc b —
+    * C(A,B) = |A∩B| / |A|. The signal Jaccard misses: a short document
+    * quoted verbatim inside a much longer one scores tiny Jaccard (union
+    * is dominated by the long doc) but containment ≈ 1. Training pipelines
+    * use it to catch quote-embedding, boilerplate wrapping, and test-set
+    * passages pasted into larger pages.
+    *
+    * Same scale shape as [[ngramJaccardPairs]]: one codegen'd postings
+    * pass, hash-partitioned equi-join on the shingle hash (never
+    * all-pairs), count per ordered pair. The threshold is a RATIONAL
+    * num/den compared in exact integer arithmetic (`common·den ≥ num·sz_a`)
+    * so engine float rounding can never flip a boundary pair; the reported
+    * score is then one IEEE division. The only extra cost vs Jaccard is
+    * emitting both orders of each qualifying pair (containment is not
+    * symmetric). At 100 TB apply the same df-cap escape hatch as
+    * [[ngramJaccardPairsCapped]] before the self-join.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      num: Int, den: Int, n: Int = 3): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must be a rational in (0, 1]: $num/$den")
+    val withSz = sizedPostings(df, idCol,
+      graft.functions.TextHashExprs.wordShingleHash31Set(col(textCol), n))
+    withSz.select(col(idCol).as("id_a"), col("h"), col("sz").as("sz_a"))
+      .join(withSz.select(col(idCol).as("id_b"), col("h"),
+        col("sz").as("sz_b")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b") &&
+        // b must hold at least ceil(num/den · sz_a) shingles to contain a
+        col("sz_b") * den >= col("sz_a") * num)
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") * den >= col("sz_a") * num)
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / col("sz_a").cast("double"))
+          .as("containment"))
+  }
+
   /** The web-scale escape hatch for the postings self-join: drop shingles
     * whose document frequency exceeds `dfCap` BEFORE the join, bounding the
     * quadratic term at Σ_h min(df, cap)² — on a Zipfian corpus this removes

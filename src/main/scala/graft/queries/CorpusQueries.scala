@@ -344,7 +344,70 @@ object CorpusQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Target size of the temperature-mixed sample (docs across all
+    * sources); τ is fixed at 0.5 so the weight is an exact `floor(sqrt(n))`
+    * — IEEE sqrt is correctly rounded on every engine, making the quota
+    * arithmetic (integer multiply + integer div) bit-identical between
+    * Spark and the oracle with no libm exposure.
+    */
+  val TempMixTarget = 200L
+
+  /** Temperature-based source mixing — the standard rebalancing step of
+    * multilingual/multi-source pretraining (sample source s with
+    * probability ∝ n_s^τ, τ < 1, so small sources are up-weighted relative
+    * to their share): each source gets quota = TempMixTarget·√n_s / Σ√n_t
+    * docs, and WHICH docs fill the quota is decided by the shared md5
+    * doc_id hash — a deterministic "random" that is stable across runs,
+    * engines, and partitionings.
+    *
+    * Scale shape: per-source counts are one partial+final aggregate; the
+    * quota table is |sources| rows, broadcast back; per-source selection is
+    * one hash-partitioned window (rank by hash within source). At 100 TB
+    * with quota ≪ n_s, replace the full per-source sort with a two-pass
+    * threshold probe (sample the hash distribution, keep rows below the
+    * estimated quota-th hash, exact-rank only the survivors) — same
+    * result, no global sort; the window form is exact and fine while
+    * per-source rows fit a partition sort.
+    */
+  val qTemperatureMix: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val quotas = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("f", expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
+      .withColumn("tot_f", sum(col("f")).over(Window.partitionBy()))
+      .withColumn("quota",
+        least(expr(s"($TempMixTarget * f) div tot_f"), col("n_docs")))
+      .select(col("source"), col("quota"))
+    val ranked = docs.select(col("source"), col("doc_id"),
+        graft.operators.Shingles.hash60(col("doc_id").cast("string")).as("hk"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))))
+    ranked.join(broadcast(quotas), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val temperatureMixOracle: String = {
+    val h = PipelineQueries.h60("CAST(doc_id AS VARCHAR)")
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |w AS (SELECT source, n_docs,
+       |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS f
+       |      FROM c),
+       |t AS (SELECT SUM(f) AS tot_f FROM w),
+       |q AS (SELECT source, least(($TempMixTarget * f) // tot_f, n_docs)
+       |        AS quota FROM w, t),
+       |r AS (SELECT source, doc_id, row_number() OVER (
+       |        PARTITION BY source ORDER BY $h, doc_id) AS rk
+       |      FROM documents)
+       |SELECT r.source, r.doc_id FROM r JOIN q USING (source)
+       |WHERE rk <= quota ORDER BY source, doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q_temperature_mix" -> qTemperatureMix,
     "q_bm25_search" -> qBm25Search,
     "q_rrf_fusion" -> qRrfFusion,
     "q_lang_gini" -> qLangGini,
@@ -358,6 +421,7 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_temperature_mix" -> temperatureMixOracle,
     "q_bm25_search" -> bm25Oracle,
     "q_rrf_fusion" -> rrfFusionOracle,
     "q_lang_gini" -> langGiniOracle,

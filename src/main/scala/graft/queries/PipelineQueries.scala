@@ -209,6 +209,35 @@ object PipelineQueries {
        |SELECT id_a, id_b, jaccard FROM jacc
        |WHERE jaccard >= $NgramJaccardThreshold ORDER BY id_a, id_b""".stripMargin
 
+  /** Containment threshold as an exact rational (7/10): the pair filter
+    * compares `common·10 ≥ 7·sz_a` in integers on BOTH engines, so a
+    * boundary pair can never flip on float rounding.
+    */
+  val ContainmentNum = 7
+  val ContainmentDen = 10
+
+  /** Ordered quote/subset pairs: ≥70% of doc a's distinct shingles appear
+    * in doc b. The asymmetric signal Jaccard misses (short doc pasted into
+    * a long one).
+    */
+  val qContainmentPairs: Q = (spark, dir) =>
+    Dedup.containmentPairs(Tables(spark, dir, "documents"), "text", "doc_id",
+      ContainmentNum, ContainmentDen)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val containmentPairsOracle: String =
+    s"""WITH $PostingsCte,
+       |szs AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(common AS DOUBLE) / CAST(x.sz AS DOUBLE) AS containment
+       |FROM common JOIN szs x ON id_a = x.doc_id
+       |WHERE common * $ContainmentDen >= x.sz * $ContainmentNum
+       |ORDER BY id_a, id_b""".stripMargin
+
   val qMinhashSignatures: Q = (spark, dir) =>
     Dedup.minhashSignatureFromText(Tables(spark, dir, "documents"),
       "text", "doc_id")
@@ -1081,6 +1110,7 @@ object PipelineQueries {
     "q_fingerprints" -> qFingerprints,
     "q_exact_dedup" -> qExactDedup,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
+    "q_containment_pairs" -> qContainmentPairs,
     "q_minhash_signatures" -> qMinhashSignatures,
     "q_minhash_lsh_pairs" -> qMinhashLshPairs,
     "q_incremental_dedup" -> qIncrementalDedup,
@@ -1117,6 +1147,7 @@ object PipelineQueries {
     "q_fingerprints" -> fingerprintsOracle,
     "q_exact_dedup" -> exactDedupOracle,
     "q_ngram_jaccard_pairs" -> ngramJaccardOracle,
+    "q_containment_pairs" -> containmentPairsOracle,
     "q_minhash_signatures" -> minhashSignaturesOracle,
     "q_minhash_lsh_pairs" -> minhashLshOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,

@@ -346,6 +346,24 @@ class DedupSpec extends SparkTestBase {
     (base ++ mutated).toDF("doc_id", "text")
   }
 
+  test("containment catches a quoted doc that Jaccard misses") {
+    import spark.implicits._
+    val quote = (1 to 12).map(i => s"tok$i").mkString(" ") // 10 shingles
+    val page = ((1 to 12).map(i => s"tok$i") ++
+      (1 to 80).map(i => s"body$i")).mkString(" ")          // ~90 shingles
+    val other = (1 to 40).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, quote), (2L, page), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "text", "doc_id", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the quote is fully inside the page: ordered pair (1→2) at C = 1.0;
+    // the reverse direction (2→1) is far below 0.7 and must NOT appear
+    assert(cont.map(t => (t._1, t._2)).toSet == Set((1L, 2L)), cont.toSeq.toString)
+    assert(cont.head._3 == 1.0)
+    // symmetric Jaccard on the same pair is ≈ 10/90 — below any useful bar
+    val jac = Dedup.ngramJaccardPairs(df, "text", "doc_id", 0.5).collect()
+    assert(jac.isEmpty, "Jaccard must miss the asymmetric quote pair")
+  }
+
   test("prefix-AllPairs prunes the Zipfian candidate blowup the index path pays") {
     // the round-5 verdict asked for the crossover PROOF, not a NOTES.md
     // claim: on a Zipf(1.1) corpus hot shingles drive the inverted-index

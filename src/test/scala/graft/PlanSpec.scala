@@ -344,6 +344,21 @@ class PlanSpec extends SparkTestBase {
       s"transition counts must map-side combine:\n$p")
   }
 
+  test("containment pairs run as an equi-join on the shingle hash, never all-pairs") {
+    val p = plan("q_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"postings self-join must hash-partition on h:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-pair common counts must map-side combine:\n$p")
+  }
+
+  test("temperature mix broadcasts the quota table back to the corpus") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"|sources|-row quota table must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("date-partitioned RAW reads prune to the selected partition") {
     val lake = tmpDir("prune")
     val df = spark.range(100).selectExpr("id",
