@@ -370,12 +370,13 @@ object CorpusQueries {
     * per-source rows fit a partition sort.
     */
   val qTemperatureMix: Q = (spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
-    val quotas = docs.groupBy(col("source"))
+    val weights = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("f", expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
-      .withColumn("tot_f", sum(col("f")).over(Window.partitionBy()))
+    // Σf via a 1-row aggregate cross-joined back (|sources| rows on both
+    // sides — no single-partition window, no warning at any source count)
+    val quotas = weights.crossJoin(weights.agg(sum(col("f")).as("tot_f")))
       .withColumn("quota",
         least(expr(s"($TempMixTarget * f) div tot_f"), col("n_docs")))
       .select(col("source"), col("quota"))
