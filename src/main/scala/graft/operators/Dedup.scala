@@ -79,6 +79,23 @@ object Dedup {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Fan a NARROW input out to the cluster parallelism before a CPU-heavy
+    * per-row stage (shingle+md5 explode, codec decode). Parquet splits are
+    * row-group aligned, so a file written as one row group caps scan
+    * parallelism at ONE TASK no matter what maxPartitionBytes says — and
+    * every codegen'd stage fused onto that scan inherits the cap. The
+    * round-robin shuffle here costs one pass over the (small, by
+    * hypothesis) input and buys back the full cluster for the expensive
+    * stage above it. A no-op whenever the input already carries at least
+    * half the default parallelism — at real scale (many files / row
+    * groups) that is always true and no shuffle is added.
+    */
+  private[graft] def fanOutNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   /** Exact dedup: keep the lowest-id row per normalized-content fingerprint.
     * One shuffle on the md5 key.
     */
@@ -586,7 +603,7 @@ object Dedup {
     */
   private def sizedPostings(df: DataFrame, idCol: String,
       hashSet: Column): DataFrame =
-    df.select(col(idCol), hashSet.as("_hs"))
+    fanOutNarrow(df).select(col(idCol), hashSet.as("_hs"))
       .select(col(idCol), size(col("_hs")).as("sz"),
         explode(col("_hs")).as("h"))
       // the pair pipeline self-joins these postings: materialize the

@@ -210,7 +210,8 @@ object Multimodal {
     */
   def syntheticVideos(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    Dedup.fanOutNarrow(df.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { ids =>
       ids.map { a =>
         val nFrames = (2 + (a % 3)).toInt
         val w = 8
@@ -433,7 +434,8 @@ object Multimodal {
     */
   def syntheticMp4s(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    Dedup.fanOutNarrow(df.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { ids =>
       ids.map { a =>
         val tracks = Seq(("vide", "avc1", (10 + a % 7).toInt)) ++
           (if (a % 2 == 1) Seq(("soun", "mp4a", (20 + a % 5).toInt)) else Nil)
@@ -526,7 +528,8 @@ object Multimodal {
     */
   def syntheticWavs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    Dedup.fanOutNarrow(df.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { ids =>
       ids.map { a =>
         val amp = (1000 + (a % 20) * 500).toShort
         val half = (2 + (a % 4)).toInt
@@ -615,7 +618,8 @@ object Multimodal {
     */
   def syntheticImages(df: DataFrame, idCol: String, auxCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(auxCol).cast("long"))
+    Dedup.fanOutNarrow(
+        df.select(col(idCol).cast("long"), col(auxCol).cast("long")))
       .as[(Long, Long)]
       .mapPartitions { rows =>
         rows.map { case (a, b) =>
