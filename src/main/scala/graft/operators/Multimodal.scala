@@ -525,11 +525,19 @@ object Multimodal {
     *
     * amplitude = 1000 + (id % 20)·500; half-period = 2 + (id % 4) samples;
     * n = 800 + (id % 10)·80 samples @ 8 kHz.
+    *
+    * Deliberately NOT fanned out ([[graft.operators.Dedup.fanOutNarrow]]):
+    * `javax.sound.sampled.AudioSystem` resolves codecs through a
+    * synchronized provider registry, so 32 same-JVM threads contend and
+    * measure SLOWER than one warm serial task (A/B at sf0.1: 1.6 s serial
+    * vs 3.3 s fanned). On a real cluster the contention disappears
+    * (separate executor JVMs) and multi-file inputs parallelize the scan
+    * naturally. Same finding for [[syntheticImages]]/ImageIO; the mp4/GIF
+    * builders have no registry in the hot path and ARE fanned out.
     */
   def syntheticWavs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    Dedup.fanOutNarrow(df.select(col(idCol).cast("long")))
-      .as[Long].mapPartitions { ids =>
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
       ids.map { a =>
         val amp = (1000 + (a % 20) * 500).toShort
         val half = (2 + (a % 4)).toInt
@@ -615,11 +623,15 @@ object Multimodal {
     * Width = 8 + (a % 5)*2 (even, so the halves are exactly equal), height
     * = 6; left (r,g,b) = (a%256, (a*31+7)%256, b%256), right = ((a*7+13)%256,
     * (a*11+3)%256, (b*3+5)%256).
+    *
+    * Not fanned out: ImageIO's synchronized service registry makes
+    * 32-thread same-JVM PNG encode/decode slower than warm serial
+    * (measured — see [[syntheticWavs]] for the A/B and the cluster-scale
+    * rationale).
     */
   def syntheticImages(df: DataFrame, idCol: String, auxCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    Dedup.fanOutNarrow(
-        df.select(col(idCol).cast("long"), col(auxCol).cast("long")))
+    df.select(col(idCol).cast("long"), col(auxCol).cast("long"))
       .as[(Long, Long)]
       .mapPartitions { rows =>
         rows.map { case (a, b) =>
