@@ -51,6 +51,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Contrastive hard negatives: for each query vector, the top-k corpus
+    * vectors by cosine WITHIN [lo, hi) — similar enough to be confusable,
+    * capped below the near-dup band so true duplicates (which would poison
+    * a contrastive objective as false negatives) are excluded. The standard
+    * negative-mining step for embedding-model training data.
+    *
+    * Same scale shape as [[bruteForceTopK]]: the (small) query set is
+    * broadcast, the corpus never shuffles for scoring, and only in-band
+    * rows reach the per-query rank window. At corpus scale swap the
+    * broadcast scoring for IVF-cell candidates ([[ivfTopK]]) feeding the
+    * same band filter and window.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, lo: Double,
+      hi: Double, k: Int): DataFrame = {
+    require(lo < hi, s"band must be non-empty: [$lo, $hi)")
+    val q = withNorm(queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qvec")), "qvec", "qnorm")
+    val c = withNorm(corpus.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("cvec")), "cvec", "cnorm")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("qvec"), col("cvec")) /
+          (col("qnorm") * col("cnorm")))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥ threshold.
     * Exact all-pairs — for corpora where |C|² is affordable; at scale feed
     * LSH/IVF candidates into the same scoring.

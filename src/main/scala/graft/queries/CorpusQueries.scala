@@ -407,7 +407,51 @@ object CorpusQueries {
        |WHERE rk <= quota ORDER BY source, doc_id""".stripMargin
   }
 
+  /** Per-doc novelty: the fraction of a doc's distinct shingles it is the
+    * FIRST (lowest doc_id) to contribute to the corpus — the
+    * redundancy/novelty curation signal: boilerplate-heavy docs score near
+    * 0, genuinely new content near 1. One shingle-postings pass, a min
+    * aggregate per shingle hash, a co-partitioned join back (both sides
+    * hash-partitioned on h by the preceding aggregate), and a per-doc
+    * count — every shuffle is bounded by the postings, never all-pairs.
+    * At 100 TB the first-seen table IS the incremental novelty index:
+    * min(doc_id) merges associatively across corpus deltas.
+    */
+  val qNoveltyScores: Q = (spark, dir) => {
+    val postings = Dedup.shingleHashes(Tables(spark, dir, "documents"),
+      "text", "doc_id")
+    val firstSeen = postings.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    postings.join(firstSeen, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val noveltyScoresOracle: String = {
+    import PipelineQueries.WS
+    val h60 = PipelineQueries.h60("s")
+    s"""WITH t AS (SELECT doc_id, $WS ws FROM documents),
+       |sh AS (SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
+       |       FROM t, UNNEST(range(1, greatest(len(ws)-2, 1)+1)) AS u(i)),
+       |post AS (SELECT DISTINCT doc_id, $h60 % 2147483647 AS h FROM sh),
+       |fs AS (SELECT h, min(doc_id) AS first_id FROM post GROUP BY 1)
+       |SELECT p.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN fs.first_id = p.doc_id THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN fs.first_id = p.doc_id THEN 1 ELSE 0 END)
+       |       AS DOUBLE) / count(*) AS novelty_frac
+       |FROM post p JOIN fs USING (h)
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q_novelty_scores" -> qNoveltyScores,
     "q_temperature_mix" -> qTemperatureMix,
     "q_bm25_search" -> qBm25Search,
     "q_rrf_fusion" -> qRrfFusion,
@@ -422,6 +466,7 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_novelty_scores" -> noveltyScoresOracle,
     "q_temperature_mix" -> temperatureMixOracle,
     "q_bm25_search" -> bm25Oracle,
     "q_rrf_fusion" -> rrfFusionOracle,

@@ -405,6 +405,33 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative band: [0.15, near-dup threshold) — confusably similar,
+    * never an actual duplicate (a duplicate labeled "negative" poisons a
+    * contrastive objective).
+    */
+  val HardNegLo = 0.15
+  val HardNegK = 3
+
+  val qHardNegatives: Q = (spark, dir) =>
+    Similarity.hardNegatives(
+      corpus(spark, dir).filter(col("id") < NQueryVectors),
+      corpus(spark, dir), HardNegLo, CosineNearDupThreshold, HardNegK)
+      .orderBy(col("query_id"), col("rank"))
+
+  private val hardNegativesOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |q AS (SELECT id AS query_id, vec AS qv FROM e WHERE id < $NQueryVectors),
+       |scored AS (
+       |  SELECT query_id, b.id AS neighbor_id, ${cosSql("qv", "b.vec")} AS cosine
+       |  FROM q, e b WHERE b.id <> query_id),
+       |banded AS (SELECT * FROM scored
+       |  WHERE cosine >= $HardNegLo AND cosine < $CosineNearDupThreshold),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM banded)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked
+       |WHERE rank <= $HardNegK ORDER BY query_id, rank""".stripMargin
+
   val qEmbeddingNearDup: Q = (spark, dir) =>
     Similarity.cosineNearDupPairs(corpus(spark, dir), CosineNearDupThreshold)
       .orderBy(col("id_a"), col("id_b"))
@@ -1120,6 +1147,7 @@ object PipelineQueries {
     "q_simhash_pairs" -> qSimhashPairs,
     "q_cosine_topk" -> qCosineTopK,
     "q_embedding_near_dup" -> qEmbeddingNearDup,
+    "q_hard_negatives" -> qHardNegatives,
     "q_ann_ivf" -> qAnnIvf,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -1157,6 +1185,7 @@ object PipelineQueries {
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_cosine_topk" -> cosineTopKOracle,
     "q_embedding_near_dup" -> embeddingNearDupOracle,
+    "q_hard_negatives" -> hardNegativesOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_multimodal_features" -> multimodalOracle,

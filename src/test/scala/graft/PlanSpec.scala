@@ -61,6 +61,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("hard-negative mining broadcasts queries and never shuffles the corpus for scoring") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("novelty scoring is postings-bounded: equi-join on the shingle hash only") {
+    val p = plan("q_novelty_scores")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"first-seen join must stay hash-partitioned on h:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-shingle min and per-doc counts must map-side combine:\n$p")
+  }
+
   test("LSH candidate generation is an equi-join (hash-partitionable), not a cartesian") {
     val p = plan("q_minhash_lsh_pairs")
     assert(!p.contains("CartesianProduct"),
