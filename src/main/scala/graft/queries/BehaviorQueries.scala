@@ -119,15 +119,59 @@ object BehaviorQueries {
       |FROM f JOIN a ON f.user_id = a.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** SCD-2 (slowly-changing-dimension type 2) interval reconstruction from
+    * an event log: collapse each user's event stream into validity
+    * intervals [valid_from, valid_to) of their CURRENT event_type — the
+    * state a temporal dimension table materializes. Consecutive equal
+    * states merge (only CHANGES open an interval); the last interval per
+    * user is open (null valid_to).
+    *
+    * Two window passes over one user-partitioned shuffle: lag() finds the
+    * change points, lead() over the surviving rows closes each interval.
+    * Ordering ties break on event_id (unique), so the reconstruction is
+    * deterministic on both engines. Timestamps stay exact BIGINT micros
+    * (epoch µs ≈ 1.7e15, comfortably inside the ±2^53 hash contract).
+    * At 100 TB this is the shape that works: one shuffle by the dimension
+    * key, per-key streams processed independently, no self-join.
+    */
+  val qScd2Intervals: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_type"))
+  }
+
+  private val scd2IntervalsOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |             event_type FROM events),
+      |c AS (SELECT *, lag(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+      |ch AS (SELECT user_id, event_id, ts_us, event_type FROM c
+      |       WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, ts_us AS valid_from_us,
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |    AS valid_to_us
+      |FROM ch ORDER BY user_id, valid_from_us, event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_fuzzy_names" -> qFuzzyNames,
     "q_funnel" -> qFunnel,
-    "q_cohort_retention" -> qCohortRetention
+    "q_cohort_retention" -> qCohortRetention,
+    "q_scd2_intervals" -> qScd2Intervals
   )
 
   val oracles: Map[String, String] = Map(
     "q_fuzzy_names" -> fuzzyNamesOracle,
     "q_funnel" -> funnelOracle,
-    "q_cohort_retention" -> cohortRetentionOracle
+    "q_cohort_retention" -> cohortRetentionOracle,
+    "q_scd2_intervals" -> scd2IntervalsOracle
   )
 }

@@ -536,6 +536,41 @@ object PipelineQueries {
        |           WHERE jaccard >= $NgramJaccardThreshold),
        |$survivorsClosureSql""".stripMargin
 
+  /** Near-dup cluster-size histogram — the dedup PLANNING diagnostic: the
+    * distribution of connected-component sizes over the near-dup graph
+    * tells you the corpus-shrink a survivors pass will buy (Σ (size−1))
+    * and whether any pathological mega-cluster exists (a size spike =
+    * boilerplate or template family that deserves its own rule) BEFORE
+    * committing to the full rewrite. Same pair pipeline and min-label CC
+    * as the survivors queries; two tiny aggregates on top.
+    */
+  val qDedupClusterStats: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", NgramJaccardThreshold))
+      .groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val dedupClusterStatsOracle: String =
+    s"""WITH RECURSIVE $PostingsCte,
+       |$jaccardSelect,
+       |qpairs AS (SELECT id_a, id_b FROM jacc
+       |           WHERE jaccard >= $NgramJaccardThreshold),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM qpairs
+       |          UNION SELECT id_b, id_a FROM qpairs),
+       |reach(src, node) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+       |roots AS (SELECT src AS doc_id, min(node) AS root FROM reach
+       |          GROUP BY src),
+       |sizes AS (SELECT root, count(*) AS cluster_size FROM roots
+       |          GROUP BY root)
+       |SELECT cluster_size, count(*) AS n_clusters FROM sizes
+       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** Document-frequency cap for the capped survivors pipeline: low enough to
     * actually drop shingles at sf0.01 (df tops out at 7 there; cap 3 drops
     * the ~600 hottest — the oracle mirrors the drop exactly), high enough
@@ -1163,6 +1198,7 @@ object PipelineQueries {
     "q_incremental_index_hub" -> qIncrementalIndexHub,
     "q_quality_checks" -> qQualityChecks,
     "q_dedup_survivors" -> qDedupSurvivors,
+    "q_dedup_cluster_stats" -> qDedupClusterStats,
     "q_dedup_survivors_capped" -> qDedupSurvivorsCapped,
     "q_dedup_survivors_lsh" -> qDedupSurvivorsLsh
   )
@@ -1201,6 +1237,7 @@ object PipelineQueries {
     "q_incremental_index_hub" -> incrementalIndexHubOracle,
     "q_quality_checks" -> qualityChecksOracle,
     "q_dedup_survivors" -> dedupSurvivorsOracle,
+    "q_dedup_cluster_stats" -> dedupClusterStatsOracle,
     "q_dedup_survivors_capped" -> dedupSurvivorsCappedOracle,
     "q_dedup_survivors_lsh" -> dedupSurvivorsLshOracle
   )
