@@ -71,6 +71,29 @@ class ZOrderSpec extends SparkTestBase {
     assert(zA <= nFiles / 2, s"z-order must still prune on a: $zA")
   }
 
+  test("zone-map span fractions meet the tight 0.5 bound at 4- and 32-way input parallelism") {
+    // the oracle (q_zorder_prune) uses a 0.75 margin that no
+    // partitioning/sampling variance can cross; THIS is the tight
+    // contract — a point predicate on either column skips at least half
+    // the data on average — asserted under both a narrow and a wide input
+    // partitioning so the bound is provably parallelism-stable, not
+    // empirically lucky at one layout
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      ((i * 2654435761L % 1000).toInt, (i * 40503L % 1000).toInt, i)
+    }
+    for (parts <- Seq(4, 32)) {
+      val df = rows.toDF("a", "b", "payload").repartition(parts)
+      val out = tmpDir(s"zspan$parts")
+      ZOrder.zOrderBy(df, "a", "b", 16).write.mode("overwrite").parquet(out)
+      val (files, fracA, fracB) =
+        ZOrder.zoneMapSpanFractions(spark, out, "a", "b")
+      assert(files >= 2, s"parts=$parts wrote $files files")
+      assert(fracA <= 0.5 && fracB <= 0.5,
+        s"parts=$parts: avg span fractions a=$fracA b=$fracB exceed 0.5")
+    }
+  }
+
   test("optimizeZOrder commits a content-identical re-laid version") {
     val path = tmpDir("vhub_zorder")
     val df = (1 to 500).map(i => (i, (i * 37) % 100, s"v$i"))
