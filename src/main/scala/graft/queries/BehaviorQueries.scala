@@ -161,17 +161,69 @@ object BehaviorQueries {
       |    AS valid_to_us
       |FROM ch ORDER BY user_id, valid_from_us, event_type""".stripMargin
 
+  /** STREAMING SCD-2 equivalence, driver-visible: a real AvailableNow
+    * micro-batch run of [[graft.streaming.StreamingIngest.scd2Stream]] over
+    * the same event log must emit exactly the batch reconstruction's
+    * CLOSED intervals (the per-user open tail lives in the state store,
+    * not the output). The oracle is the batch SQL with `valid_to IS NOT
+    * NULL` — so a hash match proves the stateful fold, its cross-batch
+    * state carry, and the window formulation agree row for row.
+    */
+  val qStreamScd2Equiv: Q = (spark, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingIngest
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_scd2")
+      .toFile.getAbsolutePath
+    val src = s"$tmp/src"
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+    ev.coalesce(1).write.parquet(src)
+    import spark.implicits._
+    val stream = StreamingIngest.parquetStream(spark, src, ev)
+      .as[StreamingIngest.Scd2Event]
+    val q = StreamingIngest.scd2Stream(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .select(col("user_id"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_type"))
+  }
+
+  private val streamScd2EquivOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |             event_type FROM events),
+      |c AS (SELECT *, lag(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+      |ch AS (SELECT user_id, event_id, ts_us, event_type FROM c
+      |       WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+      |         lead(ts_us) OVER (PARTITION BY user_id
+      |           ORDER BY ts_us, event_id) AS valid_to_us
+      |       FROM ch)
+      |SELECT user_id, event_type, valid_from_us, valid_to_us FROM iv
+      |WHERE valid_to_us IS NOT NULL
+      |ORDER BY user_id, valid_from_us, event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_fuzzy_names" -> qFuzzyNames,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
-    "q_scd2_intervals" -> qScd2Intervals
+    "q_scd2_intervals" -> qScd2Intervals,
+    "q_stream_scd2_equiv" -> qStreamScd2Equiv
   )
 
   val oracles: Map[String, String] = Map(
     "q_fuzzy_names" -> fuzzyNamesOracle,
     "q_funnel" -> funnelOracle,
     "q_cohort_retention" -> cohortRetentionOracle,
-    "q_scd2_intervals" -> scd2IntervalsOracle
+    "q_scd2_intervals" -> scd2IntervalsOracle,
+    "q_stream_scd2_equiv" -> streamScd2EquivOracle
   )
 }

@@ -310,6 +310,56 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ---- streaming SCD-2 (streaming twin of BehaviorQueries.qScd2Intervals) ----
+
+  final case class Scd2Event(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String)
+
+  /** The user's OPEN interval: current state + when it started. */
+  final case class Scd2State(cur: String, since_us: Long)
+
+  final case class Scd2Out(user_id: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Per-user SCD-2 fold: a state CHANGE closes the open interval (emitted)
+    * and opens a new one; the open interval rides in the state store across
+    * micro-batches, so a dimension table maintained from this stream is
+    * always interval-consistent. Within a batch, events sort by
+    * (ts_us, event_id) — the same total order as the batch operator, so
+    * streaming emits exactly the batch result minus each user's final OPEN
+    * interval (the equivalence the oracle checks). State is O(1) per user:
+    * current type + start — the shape that holds at 100 TB/day.
+    */
+  private[graft] def scd2Step(user: Long, it: Iterator[Scd2Event],
+      state: org.apache.spark.sql.streaming.GroupState[Scd2State]
+  ): Iterator[Scd2Out] = {
+    val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.orNull
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+    evs.foreach { e =>
+      if (st == null) st = Scd2State(e.event_type, e.ts_us)
+      else if (e.event_type != st.cur) {
+        closed += Scd2Out(user, st.cur, st.since_us, e.ts_us)
+        st = Scd2State(e.event_type, e.ts_us)
+      }
+    }
+    if (st != null) state.update(st)
+    closed.iterator
+  }
+
+  /** NoTimeout keeps finite AvailableNow replays terminating (see
+    * [[sessionizeStream]]'s idle-eviction note for the long-lived
+    * deployment variant — the same tombstone pattern applies here).
+    */
+  def scd2Stream(events: org.apache.spark.sql.Dataset[Scd2Event])
+      : org.apache.spark.sql.Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(scd2Step)
+  }
+
   // ---- stateful sessionization (streaming twin of operators.Sessionize) ----
 
   final case class SessionEvent(user_id: Long, ts_us: Long)

@@ -400,6 +400,36 @@ class StreamingSpec extends SparkTestBase {
       s"dedup state $st exceeds the horizon bound")
   }
 
+  test("streaming SCD-2 carries the open interval across micro-batches") {
+    import StreamingIngest.{Scd2Event, Scd2Out}
+    val lake = tmpDir("scd2s")
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    // batch 1: user 1 goes A -> B (A closes IN batch 1, B stays open);
+    // batch 2: user 1 goes B -> A (B must close with its batch-1 start —
+    // only possible if the open interval survived in the state store)
+    Seq(Scd2Event(1L, 1L, 1000L, "A"), Scd2Event(1L, 2L, 2000L, "B"))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(5)
+    Seq(Scd2Event(1L, 3L, 3000L, "A"))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_us LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .as[Scd2Event]
+    val q = StreamingIngest.scd2Stream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), s"did not terminate: ${q.status}")
+    val out = spark.sql("SELECT * FROM scd2_out").as[Scd2Out].collect()
+      .map(o => (o.event_type, o.valid_from_us, o.valid_to_us)).toSet
+    assert(out == Set(("A", 1000L, 2000L), ("B", 2000L, 3000L)),
+      s"closed intervals wrong: $out")
+    assert(maxStateRows(q) == 1L, "exactly one open interval per user in state")
+  }
+
   test("incremental-dedup stream holds NO state-store rows (index-resident state)") {
     import graft.operators.Dedup
     val lake = tmpDir("sbound4")
