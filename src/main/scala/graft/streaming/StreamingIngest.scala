@@ -347,9 +347,17 @@ object StreamingIngest {
     closed.iterator
   }
 
-  /** NoTimeout keeps finite AvailableNow replays terminating (see
-    * [[sessionizeStream]]'s idle-eviction note for the long-lived
-    * deployment variant — the same tombstone pattern applies here).
+  /** NoTimeout, deliberately — and unlike [[sessionizeStream]], SCD-2
+    * state must NOT be idle-evicted: an entity's open interval is its
+    * CURRENT dimension value, and forgetting it would restart the entity's
+    * history at its next event (a silent interval corruption, not a
+    * bounded-staleness trade-off like a session restart). The state store
+    * is therefore O(|entities|) — exactly the size of the dimension table
+    * this stream maintains, which is the floor for ANY correct SCD-2
+    * implementation. Long-lived deployments bound the STORE (not the
+    * information) by periodically draining cold entries into the persisted
+    * hub and re-seeding state on their next event — a foreachBatch
+    * merge against [[graft.writers.VersionedHub]], not a timeout.
     */
   def scd2Stream(events: org.apache.spark.sql.Dataset[Scd2Event])
       : org.apache.spark.sql.Dataset[Scd2Out] = {
