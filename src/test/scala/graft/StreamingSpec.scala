@@ -430,6 +430,44 @@ class StreamingSpec extends SparkTestBase {
     assert(maxStateRows(q) == 1L, "exactly one open interval per user in state")
   }
 
+  test("hub-resident SCD-2 stream equals the batch reconstruction, state-store-free") {
+    import StreamingIngest.Scd2Event
+    val lake = tmpDir("scd2hub")
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    // three micro-batches over three users: changes, merges (same value
+    // across a batch boundary), a user idle in the middle batch, and a
+    // user appearing only later
+    val batches = Seq(
+      Seq(Scd2Event(1L, 1L, 1000L, "A"), Scd2Event(2L, 2L, 1100L, "X")),
+      Seq(Scd2Event(1L, 3L, 2000L, "A"), Scd2Event(2L, 4L, 2100L, "Y")),
+      Seq(Scd2Event(1L, 5L, 3000L, "B"), Scd2Event(3L, 6L, 3100L, "Q")))
+    batches.foreach { b =>
+      b.toDF().coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5)
+    }
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_us LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingIngest.scd2HubStream(stream, s"$lake/hub",
+      nBuckets = 4, checkpoint = s"$lake/cp")
+    assert(q.awaitTermination(120000), s"did not terminate: ${q.status}")
+    // no state store at all — the hub IS the state
+    assert(maxStateRows(q) == 0L, "hub-resident SCD-2 must hold no state-store rows")
+    val hub = graft.writers.VersionedHub.read(spark, s"$lake/hub")
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    val expected = Set(
+      (1L, "A", 1000L, Some(3000L)), // A merged across batches 1-2, closed by B
+      (1L, "B", 3000L, None),
+      (2L, "X", 1100L, Some(2100L)),
+      (2L, "Y", 2100L, None),
+      (3L, "Q", 3100L, None))
+    assert(hub == expected, s"hub content: $hub")
+    // one version per non-empty micro-batch committed
+    assert(graft.writers.VersionedHub.history(spark, s"$lake/hub").size == 3)
+  }
+
   test("incremental-dedup stream holds NO state-store rows (index-resident state)") {
     import graft.operators.Dedup
     val lake = tmpDir("sbound4")
