@@ -97,14 +97,22 @@ object Dedup {
   }
 
   /** Exact dedup: keep the lowest-id row per normalized-content fingerprint.
-    * One shuffle on the md5 key.
+    *
+    * NOT a per-fingerprint `row_number` window: a window partitioned by the
+    * fingerprint does no partial aggregation, so a viral exact-duplicate
+    * cluster (one document duplicated 1e7×) concentrates on a single task.
+    * `groupBy(fp).agg(min(id))` map-side-combines the hot fingerprint down
+    * to one row per input partition; the surviving ids then select their
+    * rows back with a semi-join on the (unique, uniformly distributed) id
+    * key — every stage is skew-free. Costs one extra shuffle vs the window
+    * form; buys survival on the corpora exact dedup actually targets.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val survivors = df
+      .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"), col(idCol))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
   }
 
   /** Decontamination: drop every `train` row whose normalized-content
@@ -578,24 +586,27 @@ object Dedup {
     require(dfCap >= 2, s"dfCap must be >= 2 (a df-1 shingle pairs nothing), got $dfCap")
     val posts = sizedPostings(df, idCol,
       graft.functions.TextHashExprs.wordShingleHash31Set(col(textCol), n))
-    // df per shingle and the per-doc SURVIVING size (jaccard denominators
-    // must not count dropped shingles) as two unordered window counts —
-    // one posting-scale shuffle each, versus the aggregate+join-back
-    // formulation's three (dfreq groupBy, h-join, per-doc regroup) with a
-    // collect_list array materialization in the middle. Persisted because
-    // the downstream self-join reads the sized postings TWICE.
-    // df per shingle and the per-doc SURVIVING size (jaccard denominators
-    // must not count dropped shingles) as two unordered window counts —
-    // one posting-scale shuffle each. A/B'd against (a) the dfreq
-    // aggregate + h-join + collect_list regroup and (b) a partial-agg size
-    // table joined back: at sf0.1 the windows win (4.5 s vs 4.7 s vs
-    // 5.3 s). The ~2 s premium over the uncapped path is the price of
-    // touching every posting twice more, paid back only when the cap
-    // actually prunes hot shingles (Zipfian corpora — see the DedupSpec
-    // crossover gate); on near-uniform data use the exact operators.
-    val kept = posts
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("_df") <= dfCap)
+    // Document frequency must NOT be a window partitioned by h: an
+    // unordered window does no partial aggregation, so every posting of a
+    // shingle lands on ONE task before the cap filter runs — on the
+    // Zipfian corpora this operator targets, the hottest shingle
+    // (df ~ 1e8+ at 100 TB) is exactly the stop-shingle blowup the cap is
+    // meant to remove, paid inside the cap's own computation. Instead:
+    // groupBy(h).count map-side-combines the hot key down to one row per
+    // partition, and only the HOT set (df > cap) is kept — its cardinality
+    // is bounded by totalPostings/dfCap and in a Zipf head it is tiny, so
+    // dropping hot postings is a broadcast ANTI-join: scan-speed, no
+    // posting-scale shuffle at all for the df filter. (The hint is left to
+    // AQE rather than forced: if a pathological cap makes the hot set
+    // large, a shuffled anti-join with AQE skew-split is still safe,
+    // unlike the window.) The per-doc SURVIVING size stays a window —
+    // jaccard denominators must not count dropped shingles, and that
+    // partition is bounded by a single document's shingle count. Persisted
+    // because the downstream self-join reads the sized postings TWICE.
+    val hot = posts.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > dfCap)
+      .select(col("h"))
+    val kept = posts.join(hot, Seq("h"), "left_anti")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
       .select(col(idCol), col("sz"), col("h"))
     jaccardPairsFromSizedPostings(persistForReuse(kept), idCol, threshold)

@@ -81,10 +81,37 @@ class PlanSpec extends SparkTestBase {
       s"LSH must bucket-join, never cross-join:\n$p")
   }
 
-  test("exact dedup is a single hash-shuffle window, no join") {
+  test("exact dedup partial-aggregates the fingerprint — no per-fingerprint window") {
+    // a window partitioned by the fingerprint concentrates a viral
+    // duplicate cluster (one doc copied 1e7x) on a single task; the
+    // groupBy(min) + semi-join form map-side-combines the hot key
     val p = plan("q_exact_dedup")
-    assert(!p.contains("Join"), p)
-    assert(p.contains("Window"), p)
+    assert(!p.contains("Window"),
+      s"exact dedup must not window over the fingerprint:\n$p")
+    assert(p.contains("partial_min"),
+      s"survivor selection must show map-side partial min:\n$p")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("df-capped Jaccard computes df with partial aggregation, not a per-shingle window") {
+    // an unordered window partitioned by h ships every posting of the
+    // hottest shingle to ONE task — the exact stop-shingle blowup the cap
+    // exists to remove; groupBy(h).count partial-aggregates it away and
+    // the hot set is dropped via an anti-join. Asserted on the pairs
+    // operator directly: the full survivors query truncates lineage at the
+    // connected-components checkpoint, hiding the df stage from its plan.
+    val docs = Tables(spark, dir, "documents")
+    val pairs = graft.operators.Dedup.ngramJaccardPairsCapped(
+      docs, "text", "doc_id", 0.5, 4)
+    pairs.collect()
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      s"df must map-side combine:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("windowspecdefinition(h#")),
+      s"no window may partition by the shingle hash:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"hot shingles must drop via anti-join:\n$p")
   }
 
   test("as-of join is one window pass, no cartesian or range join") {
