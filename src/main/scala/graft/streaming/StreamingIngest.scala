@@ -372,27 +372,42 @@ object StreamingIngest {
     * deployment shape [[scd2Stream]]'s scaladoc points at: NO state store
     * at all. Each micro-batch
     *
-    *   1. reads the OPEN intervals from the versioned hub (they ARE the
-    *      per-entity state: current value + since),
-    *   2. replays them as synthetic events (event_id −1, so they sort
-    *      before any real event at the same timestamp) in front of the
-    *      batch's events and runs the same window reconstruction as the
-    *      batch operator — an open interval whose value matches the next
-    *      event merges (no spurious change row, original start preserved),
-    *   3. upserts the resulting intervals keyed by (user_id,
-    *      valid_from_us): a newly-closed interval REPLACES its open row
-    *      (same key, valid_to now set), new opens insert, and every
-    *      untouched user's rows ride along structurally — an O(touched
-    *      buckets) commit, not a table rewrite.
+    *   1. prunes the hub scan to the BUCKETS the batch's users hash to
+    *      (the table is bucketed by user_id — [[graft.writers.VersionedHub
+    *      .readBucketsFor]]), then keeps only the touched users' intervals
+    *      that OVERLAP the batch: per user, every interval with
+    *      `valid_to >= min(batch event ts)` plus the open one. In the
+    *      steady state (no late data) that is exactly the open interval;
+    *      a LATE event additionally pulls in the closed intervals it lands
+    *      among, so the splice below can rewrite them — the bitemporal
+    *      case the previous revision documented as unsupported,
+    *   2. replays those intervals as synthetic events carrying their
+    *      ORIGINAL opening event_id (stored on the row), so re-folding
+    *      synthetic + batch events through the batch operator's
+    *      (ts, event_id) window order reproduces the reconstruction over
+    *      change-point ∪ new events — an interval whose value matches the
+    *      next event merges, a late event splits the closed interval it
+    *      lands inside, and a same-timestamp change pair keeps both rows
+    *      (event_id disambiguates the key),
+    *   3. commits the re-folded intervals keyed by (user_id, valid_from_us,
+    *      event_id): updated intervals replace their rows, new ones
+    *      insert, and keys the re-fold RETIRED (a late event can merge a
+    *      formerly-distinct interval away) are deleted in the same atomic
+    *      commit (`deletes`) — still O(touched buckets), untouched users
+    *      ride along structurally.
     *
     * The commit carries the micro-batch id, so a crash-replayed batch
     * short-circuits idempotently (exactly-once, same contract as
-    * [[growingIndexDedupStream]]). Assumes event time does not regress
-    * across batches for a given user (late data older than the user's open
-    * interval would need a bitemporal merge — documented trade-off).
-    * State per entity: exactly its open hub row — the floor for any
-    * correct SCD-2 — and it lives on the ACID table, not in executor
-    * memory.
+    * [[growingIndexDedupStream]]). State per entity: exactly its hub rows —
+    * the floor for any correct SCD-2 — on the ACID table, not in executor
+    * memory. Per-batch ROW work is O(batch events + overlapped intervals);
+    * the scan is bucket-pruned, not O(hub). Residual (information-
+    * theoretic, shared by any interval-state SCD-2): an event that was
+    * merged away as a non-change (equal state to its predecessor) is not
+    * stored, so a late event landing strictly between it and that
+    * predecessor yields the reconstruction over the SURVIVING change
+    * points — the merged event cannot re-split the interval. Keep the raw
+    * event log (RAW zone) when full replay fidelity is required.
     */
   def scd2HubStream(batches: DataFrame, hubPath: String, nBuckets: Int,
       checkpoint: String): StreamingQuery =
@@ -401,29 +416,48 @@ object StreamingIngest {
         import graft.writers.VersionedHub
         import org.apache.spark.sql.expressions.Window
         val spark = batch.sparkSession
+        val keys = Seq("user_id", "valid_from_us", "event_id")
         val evs = batch.select(col("user_id"), col("event_id"),
           col("ts_us"), col("event_type"))
-        // only TOUCHED users' open rows enter the fold (left-semi on the
-        // batch's users): per-batch work is O(batch), never O(dimension)
-        val union =
-          if (VersionedHub.history(spark, hubPath).isEmpty) evs
-          else evs.unionByName(
-            VersionedHub.read(spark, hubPath)
-              .filter(col("valid_to_us").isNull)
-              .join(evs.select(col("user_id")).distinct(),
-                Seq("user_id"), "left_semi")
-              .select(col("user_id"), lit(-1L).as("event_id"),
-                col("valid_from_us").as("ts_us"), col("event_type")))
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_us"), col("event_id"))
-        val intervals = union
+        def fold(events: DataFrame): DataFrame = events
           .withColumn("_prev", lag(col("event_type"), 1).over(w))
           .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
           .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
-          .select(col("user_id"), col("event_type"),
+          .select(col("user_id"), col("event_id"), col("event_type"),
             col("ts_us").as("valid_from_us"), col("valid_to_us"))
-        VersionedHub.writeBucketed(spark, intervals, hubPath,
-          Seq("user_id", "valid_from_us"), nBuckets, batchId = Some(id))
+        val tip = VersionedHub.latest(spark, hubPath) // one log parse/batch
+        tip match {
+          case None =>
+            VersionedHub.writeBucketed(spark, fold(evs), hubPath, keys,
+              nBuckets, batchId = Some(id), bucketCols = Some(Seq("user_id")))
+          case Some(v) =>
+            val users = evs.select(col("user_id")).distinct()
+            val mine = VersionedHub
+              .readBucketsFor(spark, hubPath, users, Seq("user_id"),
+                version = Some(v))
+              // inner join: drops same-bucket strangers AND tags each row
+              // with its user's earliest batch event for the overlap split
+              .join(evs.groupBy(col("user_id"))
+                .agg(min(col("ts_us")).as("_min_ts")), Seq("user_id"))
+            // the splice region: open intervals + closed ones that overlap
+            // [min batch ts, ∞). Intervals are contiguous per user, so the
+            // earliest re-folded row starts at or before every batch event
+            // and carries the prior state into the fold.
+            val refold = mine.filter(col("valid_to_us").isNull ||
+              col("valid_to_us") >= col("_min_ts"))
+            val synth = refold.select(col("user_id"), col("event_id"),
+              col("valid_from_us").as("ts_us"), col("event_type"))
+            val folded = fold(evs.unionByName(synth))
+            // keys the re-fold no longer produces are stale — delete them
+            // in the same commit
+            val stale = refold.select(keys.map(col): _*)
+              .join(folded.select(keys.map(col): _*), keys, "left_anti")
+            VersionedHub.writeBucketed(spark, folded, hubPath, keys,
+              nBuckets, batchId = Some(id),
+              bucketCols = Some(Seq("user_id")), deletes = Some(stale))
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -57,7 +57,8 @@ object VersionedHub {
       version: Int, dataDir: String, ts: Long, rows: Long,
       batchId: Option[Long] = None,
       nBuckets: Option[Int] = None,
-      buckets: Map[Int, String] = Map.empty)
+      buckets: Map[Int, String] = Map.empty,
+      bucketCols: Option[Seq[String]] = None)
 
   /** Merge-upsert `df` into the hub at `path` as a new committed version.
     * Returns the committed version number. Safe to call from concurrent
@@ -91,7 +92,8 @@ object VersionedHub {
         s"hub at $path is bucketed; a keyless write() cannot route rows to " +
           "buckets — provide the hub primary keys")
       writeBucketed(spark, df, path, keys,
-        v.nBuckets.getOrElse(v.buckets.keys.max + 1), batchId)
+        v.nBuckets.getOrElse(v.buckets.keys.max + 1), batchId,
+        bucketCols = v.bucketCols)
     case _ => commitLoop(spark, path, batchId) { base =>
       base match {
         case None => df
@@ -153,6 +155,20 @@ object VersionedHub {
     * and batchId idempotence are identical to [[write]]. Keys are hashed
     * through [[HubWriter.canonicalKey]] so type-widened keys keep their
     * bucket across runs.
+    *
+    * `bucketCols` (default: the merge keys) routes rows to buckets by a
+    * SUBSET of the keys — e.g. bucket an interval table keyed by
+    * (user_id, valid_from_us) on user_id alone, so every row of one entity
+    * shares a bucket and a reader holding a set of entities can prune the
+    * scan to their buckets ([[readBucketsFor]]). The choice is recorded in
+    * the manifest and immutable, like the bucket count: mixing routings
+    * would scatter one key's row across generations and duplicate it.
+    *
+    * `deletes` (columns = exactly the merge keys) removes matching target
+    * rows from the touched buckets in the same atomic commit, before the
+    * upsert — the primitive an interval-splicing writer needs (a re-fold
+    * can retire a key, not just update it). A bucket whose rows are all
+    * deleted drops out of the manifest.
     */
   def writeBucketed(
       spark: SparkSession,
@@ -160,17 +176,19 @@ object VersionedHub {
       path: String,
       keys: Seq[String],
       nBuckets: Int,
-      batchId: Option[Long] = None
+      batchId: Option[Long] = None,
+      bucketCols: Option[Seq[String]] = None,
+      deletes: Option[DataFrame] = None
   ): Int = {
     require(keys.nonEmpty, "bucketed versioned hub requires primary keys")
+    val bCols = bucketCols.getOrElse(keys)
+    require(bCols.nonEmpty && bCols.forall(keys.contains),
+      s"bucket columns $bCols must be a non-empty subset of the keys $keys — " +
+        "routing by a non-key column would split one key across buckets")
+    deletes.foreach(d => require(d.columns.sorted.sameElements(keys.sorted),
+      s"deletes must carry exactly the key columns $keys, got ${d.columns.toSeq}"))
     val fs = fileSystem(spark, path)
-    def stamp(d: DataFrame): DataFrame = {
-      import org.apache.spark.sql.functions._
-      d.withColumn(BucketCol,
-        pmod(xxhash64(keys.map(k =>
-          HubWriter.canonicalKey(col(k), d.schema(k).dataType)): _*),
-          lit(nBuckets)).cast("int"))
-    }
+    def stamp(d: DataFrame): DataFrame = stampBuckets(d, bCols, nBuckets)
     val stamped = stamp(df)
     var attempt = 0
     while (attempt < MaxRetries) {
@@ -183,10 +201,18 @@ object VersionedHub {
         require(b == nBuckets,
           s"hub at $path is bucketed with nBuckets=$b; got $nBuckets — " +
             "bucket count is immutable once written")
+      for (v <- base; bc <- v.bucketCols)
+        require(bc == bCols,
+          s"hub at $path is bucketed by $bc; got $bCols — bucket routing " +
+            "is immutable once written")
       require(base.forall(_.buckets.nonEmpty),
         s"hub at $path has non-bucketed versions — cannot mix layouts")
       val next = base.map(_.version).getOrElse(0) + 1
-      val touched = stamped.select(BucketCol).distinct()
+      val touched = (deletes match {
+        case None => stamped.select(BucketCol)
+        case Some(d) => stamped.select(BucketCol)
+          .unionByName(stamp(d).select(BucketCol))
+      }).distinct()
         .collect().map(_.getInt(0)).sorted.toIndexedSeq // ≤ nBuckets values
       val merged = base match {
         case None => stamped
@@ -194,8 +220,12 @@ object VersionedHub {
           val dirs = touched.flatMap(v.buckets.get).map(resolve(path, _))
           if (dirs.isEmpty) stamped
           else {
-            val target = spark.read.option("mergeSchema", "true")
+            val read = spark.read.option("mergeSchema", "true")
               .parquet(dirs: _*)
+            val target = deletes match {
+              case None => read
+              case Some(d) => read.join(d, keys, "left_anti")
+            }
             val (t, s) = HubWriter.reconcileSchemas(
               target, stamped.drop(BucketCol))
             stamp(HubWriter.merge(t, s, keys))
@@ -203,19 +233,65 @@ object VersionedHub {
       }
       val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
       merged.write.partitionBy(BucketCol).parquet(resolve(path, root))
-      val newBuckets = base.map(_.buckets).getOrElse(Map.empty) ++
-        touched.map(b => b -> s"$root/$BucketCol=$b")
-      val rows = spark.read.option("mergeSchema", "true")
-        .parquet(newBuckets.values.map(resolve(path, _)).toSeq: _*)
-        .count() // parquet footer metadata, no data scan
+      // deletes can empty a bucket entirely; partitionBy writes no dir for
+      // it, so map only the bucket dirs that actually materialized and drop
+      // the rest from the manifest
+      val writtenB = fs.listStatus(new Path(resolve(path, root))).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith(s"$BucketCol=") =>
+          n.stripPrefix(s"$BucketCol=").toInt }
+        .toSet
+      val newBuckets = (base.map(_.buckets).getOrElse(Map.empty) -- touched) ++
+        touched.filter(writtenB).map(b => b -> s"$root/$BucketCol=$b")
+      val rows =
+        if (newBuckets.isEmpty) 0L
+        else spark.read.option("mergeSchema", "true")
+          .parquet(newBuckets.values.map(resolve(path, _)).toSeq: _*)
+          .count() // parquet footer metadata, no data scan
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
-          rows, batchId, Some(nBuckets), newBuckets)))
+          rows, batchId, Some(nBuckets), newBuckets, Some(bCols))))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
     }
     throw new IllegalStateException(
       s"hub at $path: lost the commit race $MaxRetries times — giving up")
+  }
+
+  /** Shared bucket-routing stamp: `pmod(xxhash64(canonical cols), n)`. */
+  private def stampBuckets(d: DataFrame, cols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    d.withColumn(BucketCol,
+      pmod(xxhash64(cols.map(k =>
+        HubWriter.canonicalKey(col(k), d.schema(k).dataType)): _*),
+        lit(nBuckets)).cast("int"))
+  }
+
+  /** Bucket-PRUNED snapshot read: only the bucket dirs that `probe`'s
+    * `cols` values hash to are scanned — O(probe's buckets), not O(hub).
+    * This is the steady-state read shape for a foreachBatch writer keeping
+    * per-entity state ON the hub: the batch's entity ids are the probe, and
+    * per-batch work stays proportional to the batch. `cols` must equal the
+    * hub's recorded bucket routing (checked against the manifest when
+    * present). Returns rows from the probed buckets only — callers join
+    * against the probe to drop same-bucket strangers.
+    */
+  def readBucketsFor(spark: SparkSession, path: String, probe: DataFrame,
+      cols: Seq[String], version: Option[Version] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.orElse(latest(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(v.buckets.nonEmpty, s"hub at $path is not bucketed")
+    for (bc <- v.bucketCols) require(bc == cols,
+      s"hub at $path is bucketed by $bc, probed by $cols")
+    val n = v.nBuckets.getOrElse(v.buckets.keys.max + 1)
+    val ids = stampBuckets(probe.select(cols.map(col): _*).distinct(), cols, n)
+      .select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq // ≤ nBuckets values
+    val dirs = ids.sorted.flatMap(v.buckets.get).map(resolve(path, _))
+    if (dirs.isEmpty) read(spark, path, Some(v.version)).limit(0)
+    else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** Snapshot read. `version = None` reads the latest committed version;
@@ -507,7 +583,7 @@ object VersionedHub {
 
   // ---------- log internals ----------
 
-  private def latest(spark: SparkSession, path: String): Option[Version] =
+  private[graft] def latest(spark: SparkSession, path: String): Option[Version] =
     history(spark, path).lastOption
 
   /** Multi-writer atomicity here rests ENTIRELY on `FileSystem.create(
@@ -561,7 +637,10 @@ object VersionedHub {
     val bucketFields = v.nBuckets.map { n =>
       val m = v.buckets.toSeq.sortBy(_._1)
         .map { case (b, d) => s""""$b": "$d"""" }.mkString("{", ", ", "}")
-      s""", "nBuckets": $n, "buckets": $m"""
+      val bc = v.bucketCols.map(cs =>
+        s""", "bucketCols": ${cs.map(c => s""""$c"""").mkString("[", ", ", "]")}""")
+        .getOrElse("")
+      s""", "nBuckets": $n, "buckets": $m$bc"""
     }.getOrElse("")
     try out.write(
       s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields}"""
@@ -661,6 +740,10 @@ object VersionedHub {
         bm.asScala.map { case (k, v) => k.toString.toInt -> v.toString }.toMap
       case _ => Map.empty[Int, String]
     }
+    val bucketCols = m.get("bucketCols") match {
+      case Some(l: java.util.List[_]) => Some(l.asScala.map(_.toString).toSeq)
+      case _ => None
+    }
     Some(Version(
       m("version").toString.toInt,
       m("dataDir").toString,
@@ -668,7 +751,8 @@ object VersionedHub {
       m("rows").toString.toLong,
       m.get("batchId").map(_.toString.toLong),
       m.get("nBuckets").map(_.toString.toInt),
-      buckets))
+      buckets,
+      bucketCols))
   }
 
   private def resolve(path: String, rel: String): String =

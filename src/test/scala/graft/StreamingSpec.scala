@@ -468,6 +468,91 @@ class StreamingSpec extends SparkTestBase {
     assert(graft.writers.VersionedHub.history(spark, s"$lake/hub").size == 3)
   }
 
+  /** Runs scd2HubStream over pre-written per-file micro-batches and returns
+    * the final hub as (user, type, from, to) tuples.
+    */
+  private def runScd2Hub(lake: String,
+      batches: Seq[Seq[StreamingIngest.Scd2Event]])
+      : Set[(Long, String, Long, Option[Long])] = {
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    batches.foreach { b =>
+      b.toDF().coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5)
+    }
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_us LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingIngest.scd2HubStream(stream, s"$lake/hub",
+      nBuckets = 4, checkpoint = s"$lake/cp")
+    assert(q.awaitTermination(120000), s"did not terminate: ${q.status}")
+    graft.writers.VersionedHub.read(spark, s"$lake/hub")
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+  }
+
+  /** The batch reconstruction over the same events — the equivalence
+    * oracle for the splice tests (mirrors BehaviorQueries.qScd2Intervals).
+    */
+  private def scd2Batch(events: Seq[StreamingIngest.Scd2Event])
+      : Set[(Long, String, Long, Option[Long])] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    events.toDF()
+      .withColumn("_prev", lag($"event_type", 1).over(w))
+      .filter($"_prev".isNull || $"_prev" =!= $"event_type")
+      .withColumn("valid_to_us", lead($"ts_us", 1).over(w))
+      .select($"user_id", $"event_type", $"ts_us", $"valid_to_us")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+  }
+
+  test("hub-resident SCD-2 splices a late event into already-closed intervals") {
+    import StreamingIngest.Scd2Event
+    // round-7 verdict task 4: an event arriving one batch AFTER a newer
+    // event must re-fold the closed intervals it lands among.
+    val batches = Seq(
+      // batch 1: A@1000 then B@3000 — A closes [1000,3000), B open
+      Seq(Scd2Event(1L, 1L, 1000L, "A"), Scd2Event(1L, 3L, 3000L, "B")),
+      // batch 2: LATE C@2000 — must split A's closed interval and re-close
+      // against B: A[1000,2000), C[2000,3000), B[3000,∞)
+      Seq(Scd2Event(1L, 2L, 2000L, "C")),
+      // batch 3: late B@2500 merges INTO nothing new vs C? No: C[2000,3000)
+      // splits again: C[2000,2500), B[2500,3000) then B@3000 is no longer a
+      // change — its interval must be DELETED (retired key), leaving
+      // B[2500,∞) open
+      Seq(Scd2Event(1L, 4L, 2500L, "B")))
+    val hub = runScd2Hub(tmpDir("scd2late"), batches)
+    val expected = scd2Batch(batches.flatten)
+    assert(hub == expected,
+      s"hub must equal the batch reconstruction:\nhub:      $hub\nexpected: $expected")
+    assert(hub == Set(
+      (1L, "A", 1000L, Some(2000L)),
+      (1L, "C", 2000L, Some(2500L)),
+      (1L, "B", 2500L, None)), s"splice result wrong: $hub")
+  }
+
+  test("hub-resident SCD-2 keeps both rows of a same-timestamp change pair") {
+    import StreamingIngest.Scd2Event
+    // the round-7 advice case: two state changes at one ts_us for one user
+    // collide on a (user_id, valid_from_us) key; event_id in the key keeps
+    // the zero-length closed interval AND the open one, like the batch op
+    val batches = Seq(
+      Seq(Scd2Event(1L, 1L, 1000L, "A")),
+      Seq(Scd2Event(1L, 2L, 2000L, "B"), Scd2Event(1L, 3L, 2000L, "C")),
+      // cross-batch carry from the colliding pair: the OPEN row must have
+      // survived as C so D closes it at 3000
+      Seq(Scd2Event(1L, 4L, 3000L, "D")))
+    val hub = runScd2Hub(tmpDir("scd2samets"), batches)
+    val expected = scd2Batch(batches.flatten)
+    assert(hub == expected,
+      s"hub must equal the batch reconstruction:\nhub:      $hub\nexpected: $expected")
+    assert(hub == Set(
+      (1L, "A", 1000L, Some(2000L)),
+      (1L, "B", 2000L, Some(2000L)), // zero-length closed row preserved
+      (1L, "C", 2000L, Some(3000L)),
+      (1L, "D", 3000L, None)), s"same-ts pair handling wrong: $hub")
+  }
+
   test("incremental-dedup stream holds NO state-store rows (index-resident state)") {
     import graft.operators.Dedup
     val lake = tmpDir("sbound4")

@@ -177,6 +177,51 @@ class VersionedHubSpec extends SparkTestBase {
     }
   }
 
+  test("bucketCols subset routing: pruned reads, immutability, and atomic deletes") {
+    val path = tmpDir("vhub_bcols")
+    // interval-table shape: keyed (u, from), bucketed by u alone
+    val rows = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "x"),
+      (3L, 10L, "q")).toDF("u", "from", "v")
+    VersionedHub.writeBucketed(spark, rows, path, Seq("u", "from"), 8,
+      bucketCols = Some(Seq("u")))
+    assert(VersionedHub.history(spark, path).head.bucketCols
+      .contains(Seq("u")), "bucket routing must be recorded in the manifest")
+    // pruned read: user 1's bucket only (may contain hash-neighbours, but
+    // must contain all of user 1 and not require scanning every bucket)
+    val probe = Seq(1L).toDF("u")
+    val pruned = VersionedHub.readBucketsFor(spark, path, probe, Seq("u"))
+      .select($"u", $"from").as[(Long, Long)].collect().toSet
+    assert(pruned.filter(_._1 == 1L) == Set((1L, 10L), (1L, 20L)), s"$pruned")
+    // routing drift is refused like nBuckets drift
+    intercept[IllegalArgumentException] {
+      VersionedHub.writeBucketed(spark, rows, path, Seq("u", "from"), 8)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedHub.readBucketsFor(spark, path, probe, Seq("from"))
+    }
+    // a delete + upsert in one commit: retire (1,10), update (1,20)
+    VersionedHub.writeBucketed(spark,
+      Seq((1L, 20L, "B")).toDF("u", "from", "v"), path, Seq("u", "from"), 8,
+      bucketCols = Some(Seq("u")),
+      deletes = Some(Seq((1L, 10L)).toDF("u", "from")))
+    val end = VersionedHub.read(spark, path)
+      .select($"u", $"from", $"v").as[(Long, Long, String)].collect().toSet
+    assert(end == Set((1L, 20L, "B"), (2L, 10L, "x"), (3L, 10L, "q")), s"$end")
+    // time travel still sees the pre-delete snapshot
+    val old = VersionedHub.read(spark, path, Some(1))
+      .select($"u", $"from").as[(Long, Long)].collect().toSet
+    assert(old.size == 4)
+    // deleting EVERY row of an entity empties its bucket: the bucket must
+    // drop out of the manifest and reads must survive
+    VersionedHub.writeBucketed(spark,
+      Seq.empty[(Long, Long, String)].toDF("u", "from", "v"), path,
+      Seq("u", "from"), 8, bucketCols = Some(Seq("u")),
+      deletes = Some(Seq((3L, 10L)).toDF("u", "from")))
+    val end2 = VersionedHub.read(spark, path)
+      .select($"u", $"from", $"v").as[(Long, Long, String)].collect().toSet
+    assert(end2 == Set((1L, 20L, "B"), (2L, 10L, "x")), s"$end2")
+  }
+
   test("optimize commits a compacted snapshot as a new version, content-identical") {
     val path = tmpDir("vhub_opt")
     VersionedHub.write(spark,
