@@ -943,6 +943,55 @@ object PipelineQueries {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** Real resize under the oracle (round-7 verdict task 5): synthesize the
+    * two-tone PNGs, run [[Multimodal.resize]] (decode → deterministic
+    * nearest-neighbor scale → PNG re-encode), then DECODE the resized
+    * payload and featurize from its pixels. Factor 2 on a width-w two-tone
+    * image keeps pixel (x,y) = source (2x, 2y), so the output dimensions
+    * (w/2 × 3), both corner pixels, and the exact channel means — the left
+    * band survives as ceil(w/4) of the w/2 columns — are all arithmetic in
+    * (doc_id, n_chars). A stubbed resize (byte thinning) cannot produce a
+    * decodable PNG, and a smoothing scaler would shift the means: only the
+    * real decode→scale→encode round-trip hash-matches.
+    */
+  val qImageResize: Q = (spark, dir) => {
+    val resized = Multimodal.resize(
+      Multimodal.syntheticImages(
+        Tables(spark, dir, "documents"), "doc_id", "n_chars"), 2)
+    val flat = Multimodal.extractFeatures(resized).toDF()
+    val fCols = (0 until 8).map(i => col("features")(i).as(s"f$i"))
+    flat.select(Seq(col("media_id"), col("n_frames")) ++ fCols: _*)
+      .orderBy(col("media_id"))
+  }
+
+  private val imageResizeOracle: String = {
+    // source image: w = 8 + (doc_id%5)*2, h = 6, two tone; factor-2
+    // nearest-neighbor keeps source pixels (2x, 2y) → w2 = w/2, h2 = 3,
+    // and the left band covers ceil(w/4) of the w2 output columns
+    val rL = "CAST(doc_id % 256 AS DOUBLE)"
+    val bL = "CAST(n_chars % 256 AS DOUBLE)"
+    val rR = "CAST((doc_id * 7 + 13) % 256 AS DOUBLE)"
+    val bR = "CAST((n_chars * 3 + 5) % 256 AS DOUBLE)"
+    val w2 = "(4 + doc_id % 5)"
+    val nl = "((8 + (doc_id % 5) * 2 + 3) // 4)"
+    // mirror imageFeatures' exact arithmetic: integer pixel sums over all
+    // 3 rows, ONE double division at the end (same IEEE operands)
+    val sumR = s"3 * ($nl * (doc_id % 256) + ($w2 - $nl) * ((doc_id * 7 + 13) % 256))"
+    val sumB = s"3 * ($nl * (n_chars % 256) + ($w2 - $nl) * ((n_chars * 3 + 5) % 256))"
+    val n = s"(3 * $w2)"
+    s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CAST(1 AS INT) AS n_frames,
+       |  CAST($w2 AS DOUBLE) AS f0,
+       |  CAST(3 AS DOUBLE) AS f1,
+       |  $rL AS f2,
+       |  $bL AS f3,
+       |  $rR AS f4,
+       |  $bR AS f5,
+       |  CAST($sumR AS DOUBLE) / CAST($n AS DOUBLE) AS f6,
+       |  CAST($sumB AS DOUBLE) / CAST($n AS DOUBLE) AS f7
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   /** Real audio-codec round-trip under the oracle: synthesize a
     * deterministic square-wave WAV per document (JDK `AudioSystem` RIFF
     * encode), DECODE it back through the same codec, featurize from PCM
@@ -1187,6 +1236,7 @@ object PipelineQueries {
     "q_semantic_dedup" -> qSemanticDedup,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_image_decode" -> qImageDecode,
+    "q_image_resize" -> qImageResize,
     "q_audio_decode" -> qAudioDecode,
     "q_video_frames" -> qVideoFrames,
     "q_mp4_metadata" -> qMp4Metadata,
@@ -1226,6 +1276,7 @@ object PipelineQueries {
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_multimodal_features" -> multimodalOracle,
     "q_image_decode" -> imageDecodeOracle,
+    "q_image_resize" -> imageResizeOracle,
     "q_audio_decode" -> audioDecodeOracle,
     "q_video_frames" -> videoFramesOracle,
     "q_mp4_metadata" -> mp4MetadataOracle,
