@@ -391,6 +391,61 @@ object CorpusQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** The 100 TB sibling of [[qTemperatureMix]] — threshold selection
+    * instead of a full per-source sort (the scale path the window form's
+    * scaladoc promises). The selection key hk = md5-hash60(doc_id) is
+    * uniform on [0, 2^60), so the quota-th smallest hash of a source with
+    * n docs concentrates at quota/n · 2^60: keep only rows with
+    * hk ≤ (quota + m)/n · 2^60 — a broadcast-filtered SCAN, no shuffle of
+    * the corpus — then exact-rank just the ~quota survivors per source.
+    * The margin m = 50 + 6·⌈√quota⌉ puts the miss probability below
+    * exp(−m²/2(quota+m)) ≈ 1e−8 per source (Chernoff lower tail), and a
+    * miss is LOUD, not a silent undercount: `assert_true` fails the job if
+    * any source's survivor count lands under its quota (rerun with a wider
+    * margin; the window form is the exact fallback). Result is
+    * bit-identical to the window form whenever the guard passes: the
+    * survivor set is a prefix of the same (hk, doc_id) order the window
+    * form ranks by, and the final row_number re-ranks it exactly.
+    *
+    * Work: one partial+final count per source (quota table, broadcast
+    * back), one scan with a scan-local filter keeping ~Σ(quota+m) rows,
+    * one window over those survivors only. The full-corpus sort the window
+    * form pays — the dominant cost when quota ≪ n_s — never happens.
+    */
+  def temperatureMixThresholdSelect(docs: DataFrame, target: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("f", expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
+    val quotas = weights.crossJoin(weights.agg(sum(col("f")).as("tot_f")))
+      .withColumn("quota",
+        least(expr(s"($target * f) div tot_f"), col("n_docs")))
+      .withColumn("m",
+        expr("50L + 6L * cast(ceil(sqrt(cast(quota as double))) as bigint)"))
+      .withColumn("thr", expr(
+        // 2^60 − 1 (keep everything) when the padded quota reaches n;
+        // double arithmetic is safe: the margin swamps the ulp error
+        """case when quota + m >= n_docs then 1152921504606846975L
+          |else cast((cast(quota + m as double) / cast(n_docs as double))
+          |          * 1152921504606846976.0 as bigint) end""".stripMargin))
+      .select(col("source"), col("quota"), col("thr"))
+    val surv = docs.select(col("source"), col("doc_id"),
+        graft.operators.Shingles.hash60(col("doc_id").cast("string")).as("hk"))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("hk") <= col("thr"))
+    surv
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))))
+      .withColumn("n_surv",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      // evaluated via the filter so the optimizer cannot prune the guard
+      .filter(assert_true(col("n_surv") >= col("quota"),
+        lit("temperature-mix threshold missed a quota — widen the margin " +
+          "or use the exact window form")).isNull)
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"))
+  }
+
   private val temperatureMixOracle: String = {
     val h = PipelineQueries.h60("CAST(doc_id AS VARCHAR)")
     s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),

@@ -117,4 +117,39 @@ class CorpusStatsSpec extends SparkTestBase {
     val m = TextAnalysis.sourceOverlap(docs, "text", "source")
     assert(m.filter(col("src_a") >= col("src_b")).isEmpty)
   }
+
+  test("temperature-mix threshold sibling is result-identical to the window form") {
+    // round-7 verdict task 6: the quota ≪ n scale path (broadcast hash
+    // threshold + survivor-only rank) must select exactly the rows the
+    // full per-source sort selects
+    val windowForm = graft.queries.CorpusQueries
+      .qTemperatureMix(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val threshold = graft.queries.CorpusQueries
+      .temperatureMixThresholdSelect(docs,
+        graft.queries.CorpusQueries.TempMixTarget)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(threshold == windowForm,
+      s"threshold path diverged: only-threshold=${threshold -- windowForm} " +
+        s"only-window=${windowForm -- threshold}")
+    assert(threshold.nonEmpty)
+    // margin dominates on this tiny corpus (quota+m ≥ n keeps everything);
+    // prove the prune on a larger synthetic source where quota ≪ n
+    val big = spark.range(20000).selectExpr("'s0' AS source", "id AS doc_id")
+    val picked = graft.queries.CorpusQueries
+      .temperatureMixThresholdSelect(big, 100L)
+    picked.collect()
+    val planStr = picked.queryExecution.executedPlan.toString
+    assert(planStr.contains("Filter"), planStr)
+    // exact-identity on the big source too: same rows as the window form's
+    // selection rule (rank by (hk, doc_id) within quota)
+    val quota = 100L // one source: quota = target·f/f = target, ≤ n
+    val wf = big.select(col("source"), col("doc_id"),
+        graft.operators.Shingles.hash60(col("doc_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("doc_id")).limit(quota.toInt)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val tf = picked.collect().map(_.getLong(1)).toSet
+    assert(tf == wf, s"big-source selection diverged (${tf.size} vs ${wf.size})")
+  }
 }
