@@ -37,6 +37,24 @@ object Bench {
     def execute(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Fixed constant-work calibration probe (round-7 verdict task 2): the
+    // same CPU-bound job — no I/O, no data dependence — timed before and
+    // after the measured reps. If the suite moves round-over-round while
+    // the calibration figure holds, the plans changed; if both move
+    // together, the ENVIRONMENT (co-tenant load, cpu clock, JVM) changed —
+    // the r6→r7 ~1.5× uniform shift was indistinguishable without this.
+    def calibrate(): Double = {
+      System.gc()
+      Thread.sleep(50)
+      val t0 = System.nanoTime()
+      execute(spark.range(0L, 400000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id * (id % 7)) AS v"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+
     // warmup: smallest SF, every query once (codegen + parquet footer caches)
     selected.foreach { case (_, fn) =>
       try execute(fn(spark, "/root/testdata/sf0.001"))
@@ -59,6 +77,9 @@ object Bench {
     // garbage.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val names = selected.keys.toSeq.sorted
+    calibrate() // warm the calibration plan itself
+    val calibFirst = calibrate()
+    val loadFirst = loadAvg()
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to reps; name <- names) {
       System.gc()
@@ -71,9 +92,14 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
     }
+    val calibLast = calibrate()
+    val loadLast = loadAvg()
     val results = names.map(n => n -> best(n))
     def fmt(v: Double): String = "%.4f".format(v)
     val total = results.map(_._2).sum
+    val calibJson = s""""calib_first_sec":${fmt(calibFirst)},""" +
+      s""""calib_last_sec":${fmt(calibLast)},""" +
+      s""""load_avg_first":${fmt(loadFirst)},"load_avg_last":${fmt(loadLast)}"""
 
     // Full per-query record as a FILE: the driver keeps only the tail of
     // stdout, which truncated the front half of the single-line map in
@@ -82,7 +108,8 @@ object Bench {
     val fileJson = byCost.reverse
       .map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
       .mkString(
-        s"""{\n  "_total_sec": ${fmt(total)}, "_reps": $reps, "_nqueries": ${results.size}, "_sf": "$sfDir",\n""",
+        s"""{\n  "_total_sec": ${fmt(total)}, "_reps": $reps, "_nqueries": ${results.size}, "_sf": "$sfDir",\n""" +
+          s"""  $calibJson,\n""",
         ",\n", "\n}\n")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_QUERIES.json"),
@@ -100,7 +127,7 @@ object Bench {
       println(s"""{"metric":"queries","chunk":$i,"queries":$qs}""")
     }
     // short total-only line LAST: always survives and stays parseable
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nqueries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nqueries":${results.size},$calibJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,24 @@ object Tables {
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the cast interprets the NTZ wall-clock in the SESSION timezone —
+        // a pure re-tag only when that is UTC. This branch exists for
+        // driver-owned sessions running Spark defaults, where the session
+        // tz is the HOST JVM's: on a non-UTC host every instant would
+        // silently shift relative to the DuckDB oracle. Fail loudly with
+        // the remedy instead.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        val isUtc =
+          try {
+            val rules = java.time.ZoneId.of(tz).getRules
+            rules.isFixedOffset &&
+              rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+          } catch { case _: Exception => false }
+        require(isUtc,
+          s"events.ts is TIMESTAMP_NTZ and the session timezone is '$tz': " +
+            "re-tagging to an instant is only correct under UTC — set " +
+            "spark.sql.session.timeZone=UTC (or read with " +
+            "spark.sql.parquet.inferTimestampNTZ.enabled=false)")
         df.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast(
             org.apache.spark.sql.types.TimestampType))
