@@ -178,7 +178,10 @@ object BehaviorQueries {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
         expr("unix_micros(ts)").as("ts_us"), col("event_type"))
-    ev.coalesce(1).write.parquet(src)
+    // parallel write; AvailableNow with no per-trigger file cap still
+    // delivers all files as one micro-batch (cross-batch state carry is
+    // proven by StreamingSpec's multi-batch cases)
+    ev.write.parquet(src)
     import spark.implicits._
     val stream = StreamingIngest.parquetStream(spark, src, ev)
       .as[StreamingIngest.Scd2Event]

@@ -772,10 +772,16 @@ object PipelineQueries {
   }
 
   /** Streaming incremental dedup to completion on a finite source: the
-    * batch quarter of the corpus arrives as four micro-batches
-    * (maxFilesPerTrigger=1 over four part files), each probing the static
-    * index built from the other three quarters. Same oracle as
-    * `q_incremental_dedup` — streamed union ≡ one-shot probe.
+    * batch quarter of the corpus arrives as two micro-batches
+    * (maxFilesPerTrigger=1 over two part files), each probing the static
+    * index built from the other three quarters. The index is MATERIALIZED
+    * to parquet once before the stream starts — the deployment shape (a
+    * persisted index outlives any single probe batch) and the only sane
+    * cost model: a closure-captured lazy plan would recompute every
+    * signature for every micro-batch. Same oracle as
+    * `q_incremental_dedup` — streamed union ≡ one-shot probe; two batches
+    * prove the per-batch append accumulates (probes are row-independent,
+    * so batch COUNT does not change the result).
     */
   val qStreamIncrementalDedup: Q = (spark, dir) => {
     import org.apache.spark.sql.streaming.Trigger
@@ -783,11 +789,12 @@ object PipelineQueries {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_inc")
       .toFile.getAbsolutePath
     val docs = Tables(spark, dir, "documents")
-    val index = Dedup.lshIndexEntries(
-      docs.filter(col("doc_id") % 4 =!= 0), "text", "doc_id")
+    Dedup.lshIndexEntries(docs.filter(col("doc_id") % 4 =!= 0),
+      "text", "doc_id").write.parquet(s"$tmp/idx")
+    val index = spark.read.parquet(s"$tmp/idx")
     val batch = docs.filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"), col("text"))
-    batch.repartition(4).write.parquet(s"$tmp/src")
+    batch.repartition(2).write.parquet(s"$tmp/src")
     // pre-create the sink with the result schema so a match-free SF still
     // reads back as an empty result instead of failing on a missing dir
     Dedup.incrementalNearDups(index, batch.limit(0), "text", "doc_id",

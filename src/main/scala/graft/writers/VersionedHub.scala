@@ -58,7 +58,8 @@ object VersionedHub {
       batchId: Option[Long] = None,
       nBuckets: Option[Int] = None,
       buckets: Map[Int, String] = Map.empty,
-      bucketCols: Option[Seq[String]] = None)
+      bucketCols: Option[Seq[String]] = None,
+      bucketRows: Map[Int, Long] = Map.empty)
 
   /** Merge-upsert `df` into the hub at `path` as a new committed version.
     * Returns the committed version number. Safe to call from concurrent
@@ -134,8 +135,10 @@ object VersionedHub {
       val merged = mkSnapshot(base)
       val dataDir = s"data/$next-${UUID.randomUUID().toString.take(8)}"
       merged.write.parquet(resolve(path, dataDir))
-      // footer-metadata count (no data scan) for the manifest audit field
-      val rows = spark.read.parquet(resolve(path, dataDir)).count()
+      // footer-metadata count (no data scan) for the manifest audit field;
+      // small snapshots are summed driver-side with no Spark job at all
+      val rows = footerRows(fs, new Path(resolve(path, dataDir)))
+        .getOrElse(spark.read.parquet(resolve(path, dataDir)).count())
       if (commit(fs, path,
           Version(next, dataDir, System.currentTimeMillis(), rows, batchId)))
         return next
@@ -243,13 +246,37 @@ object VersionedHub {
         .toSet
       val newBuckets = (base.map(_.buckets).getOrElse(Map.empty) -- touched) ++
         touched.filter(writtenB).map(b => b -> s"$root/$BucketCol=$b")
-      val rows =
-        if (newBuckets.isEmpty) 0L
-        else spark.read.option("mergeSchema", "true")
-          .parquet(newBuckets.values.map(resolve(path, _)).toSeq: _*)
-          .count() // parquet footer metadata, no data scan
+      // per-bucket row counts: rewritten buckets are counted from the new
+      // root's footers only (BucketCol is a partition column, so the scan
+      // projects no data pages); carried-over buckets reuse the base
+      // manifest's counts — the manifest audit field stays O(touched
+      // buckets) per commit instead of re-reading every bucket's footers.
+      val carried = base.map(_.bucketRows).getOrElse(Map.empty) -- touched
+      val carriedDirs = (newBuckets -- touched).keySet
+      def countDir(rel: String): Long = {
+        val p = new Path(resolve(path, rel))
+        footerRows(fs, p).getOrElse(spark.read.parquet(p.toString).count())
+      }
+      // small commits (the high-frequency streaming case) count footers on
+      // the driver with zero Spark jobs; a bulk commit that blows the
+      // per-dir file budget falls back to ONE parallel metadata scan over
+      // the whole new root (BucketCol is a partition column — no data pages)
+      val perBucket = touched.filter(writtenB).map(b =>
+        b -> footerRows(fs, new Path(resolve(path, s"$root/$BucketCol=$b"))))
+      val newRows: Map[Int, Long] =
+        if (perBucket.forall(_._2.isDefined))
+          perBucket.map { case (b, o) => b -> o.get }.toMap
+        else spark.read.parquet(resolve(path, root))
+          .groupBy(org.apache.spark.sql.functions.col(BucketCol)).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val bucketRows: Map[Int, Long] =
+        if (carriedDirs.forall(carried.contains)) carried ++ newRows
+        else // pre-bucketRows manifest underneath: count the legacy dirs once
+          newRows ++ carriedDirs.map(b => b -> countDir(newBuckets(b))).toMap
+      val rows = bucketRows.values.sum
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
-          rows, batchId, Some(nBuckets), newBuckets, Some(bCols))))
+          rows, batchId, Some(nBuckets), newBuckets, Some(bCols),
+          bucketRows)))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -382,6 +409,57 @@ object VersionedHub {
     * `fromVersion` side (and its appearance alone marks rows as updates
     * only when values actually differ).
     */
+  /** The two snapshots a change feed diffs, PRUNED to the buckets that can
+    * differ: structural sharing means a bucket dir carried unchanged from
+    * `fromVersion` to `toVersion` holds bit-identical rows on both sides
+    * and contributes nothing to the diff — so when both versions are
+    * bucketed with the same layout, only the bucket dirs that DIFFER
+    * between the two manifests are read. This turns the CDF's full-outer
+    * join from O(hub) into O(touched buckets) per version step — the shape
+    * that keeps incremental view maintenance affordable over a 100 TB hub
+    * with small streaming commits. Flat (or layout-mismatched) versions
+    * fall back to the full snapshot reads.
+    *
+    * Caveat (schema evolution): the pruned output schema is the union of
+    * the CHANGED buckets' schemas. A column living only in unchanged
+    * buckets is omitted — it would have been all-null on every emitted row
+    * anyway, because emitted rows come only from changed buckets' files.
+    */
+  private def changedSnapshots(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Int,
+      toVersion: Int): (DataFrame, DataFrame) = {
+    val hist = history(spark, path)
+    def v(n: Int): Version = hist.find(_.version == n).getOrElse(
+      throw new IllegalArgumentException(s"hub at $path has no version $n"))
+    val (a, b) = (v(fromVersion), v(toVersion))
+    val prunable = a.buckets.nonEmpty && b.buckets.nonEmpty &&
+      a.nBuckets == b.nBuckets && a.bucketCols == b.bucketCols
+    if (!prunable)
+      (read(spark, path, Some(fromVersion)), read(spark, path, Some(toVersion)))
+    else {
+      val diff = (a.buckets.keySet ++ b.buckets.keySet)
+        .filter(k => a.buckets.get(k) != b.buckets.get(k)).toSeq.sorted
+      def dirs(ver: Version): Seq[String] =
+        diff.flatMap(ver.buckets.get).map(resolve(path, _))
+      def rd(ds: Seq[String]): DataFrame =
+        spark.read.option("mergeSchema", "true").parquet(ds: _*)
+      val (da, db) = (dirs(a), dirs(b))
+      (da.nonEmpty, db.nonEmpty) match {
+        case (true, true) => (rd(da), rd(db))
+        // every changed bucket is new to (or gone from) one side: that
+        // side is schema-shaped empty, borrowed from the populated side
+        case (false, true) => (rd(db).limit(0), rd(db))
+        case (true, false) => (rd(da), rd(da).limit(0))
+        // no bucket differs at all: the diff is empty by construction
+        case (false, false) =>
+          val empty = read(spark, path, Some(toVersion)).limit(0)
+          (empty, empty)
+      }
+    }
+  }
+
   def changes(
       spark: SparkSession,
       path: String,
@@ -391,9 +469,8 @@ object VersionedHub {
   ): DataFrame = {
     require(keys.nonEmpty, "change feed requires hub primary keys")
     import org.apache.spark.sql.functions._
-    val (a, b) = HubWriter.reconcileSchemas(
-      read(spark, path, Some(fromVersion)),
-      read(spark, path, Some(toVersion)))
+    val (ra, rb) = changedSnapshots(spark, path, fromVersion, toVersion)
+    val (a, b) = HubWriter.reconcileSchemas(ra, rb)
     val cols = b.columns.toSeq
     val nonKey = cols.filterNot(keys.contains)
     val oldSide = a.select(
@@ -431,9 +508,8 @@ object VersionedHub {
   ): DataFrame = {
     require(keys.nonEmpty, "change feed requires hub primary keys")
     import org.apache.spark.sql.functions._
-    val (a, b) = HubWriter.reconcileSchemas(
-      read(spark, path, Some(fromVersion)),
-      read(spark, path, Some(toVersion)))
+    val (ra, rb) = changedSnapshots(spark, path, fromVersion, toVersion)
+    val (a, b) = HubWriter.reconcileSchemas(ra, rb)
     val cols = b.columns.toSeq
     val nonKey = cols.filterNot(keys.contains)
     val oldSide = a.select(
@@ -640,7 +716,12 @@ object VersionedHub {
       val bc = v.bucketCols.map(cs =>
         s""", "bucketCols": ${cs.map(c => s""""$c"""").mkString("[", ", ", "]")}""")
         .getOrElse("")
-      s""", "nBuckets": $n, "buckets": $m$bc"""
+      val br =
+        if (v.bucketRows.isEmpty) ""
+        else v.bucketRows.toSeq.sortBy(_._1)
+          .map { case (b, r) => s""""$b": $r""" }
+          .mkString(""", "bucketRows": {""", ", ", "}")
+      s""", "nBuckets": $n, "buckets": $m$bc$br"""
     }.getOrElse("")
     try out.write(
       s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields}"""
@@ -744,6 +825,12 @@ object VersionedHub {
       case Some(l: java.util.List[_]) => Some(l.asScala.map(_.toString).toSeq)
       case _ => None
     }
+    val bucketRows = m.get("bucketRows") match {
+      case Some(bm: java.util.Map[_, _]) =>
+        bm.asScala.map { case (k, v) => k.toString.toInt -> v.toString.toLong }
+          .toMap
+      case _ => Map.empty[Int, Long]
+    }
     Some(Version(
       m("version").toString.toInt,
       m("dataDir").toString,
@@ -752,7 +839,33 @@ object VersionedHub {
       m.get("batchId").map(_.toString.toLong),
       m.get("nBuckets").map(_.toString.toInt),
       buckets,
-      bucketCols))
+      bucketCols,
+      bucketRows))
+  }
+
+  /** Row count of every parquet file under `dir`, summed from the footers
+    * on the DRIVER — no Spark job. Returns None when the dir holds more
+    * than `maxFiles` files (a driver-side sequential footer loop would
+    * serialize what a parallel scan job does better); callers fall back to
+    * a Spark metadata count then. Small streaming commits — the
+    * high-frequency case where per-job launch overhead dominates — stay
+    * job-free.
+    */
+  private def footerRows(fs: FileSystem, dir: Path,
+      maxFiles: Int = 64): Option[Long] = {
+    val it = fs.listFiles(dir, /* recursive = */ true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      files += it.next()
+      if (files.count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+        return None
+    }
+    val conf = fs.getConf
+    Some(files.filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try fr.getRecordCount finally fr.close()
+    }.sum)
   }
 
   private def resolve(path: String, rel: String): String =

@@ -222,6 +222,57 @@ class VersionedHubSpec extends SparkTestBase {
     assert(end2 == Set((1L, 20L, "B"), (2L, 10L, "x")), s"$end2")
   }
 
+  test("bucketed change feed scans only the bucket dirs that differ") {
+    val path = tmpDir("vhub_cdf_prune")
+    VersionedHub.writeBucketed(spark,
+      (1 to 200).map(i => (i, s"v$i")).toDF("k", "v"), path, Seq("k"), 8)
+    VersionedHub.writeBucketed(spark,
+      kv(7 -> "SEVEN", 201 -> "NEW"), path, Seq("k"), 8)
+    val hist = VersionedHub.history(spark, path)
+    val (m1, m2) = (hist.head, hist.last)
+    val changedDirs = (m1.buckets.keySet ++ m2.buckets.keySet)
+      .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
+      .flatMap(b => Seq(m1.buckets.get(b), m2.buckets.get(b)).flatten)
+    assert(changedDirs.size <= 4, s"2 keys touch ≤2 buckets: $changedDirs")
+    val cdf = VersionedHub.changesCDF(spark, path, Seq("k"), 1, 2)
+    // pruning evidence: every scanned file lives under a CHANGED bucket dir
+    val scanned = cdf.inputFiles.toSet
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(f => changedDirs.exists(d => f.contains(d))),
+      s"scan must not touch shared bucket dirs: $scanned vs $changedDirs")
+    // and the feed itself is still exact
+    val out = cdf.select($"k", $"v", $"_change_type")
+      .as[(Int, String, String)].collect().toSet
+    assert(out == Set((7, "v7", "update_preimage"),
+      (7, "SEVEN", "update_postimage"), (201, "NEW", "insert")), s"$out")
+    // delete-only step: the retired key's bucket is the only one read
+    VersionedHub.writeBucketed(spark,
+      Seq.empty[(Int, String)].toDF("k", "v"), path, Seq("k"), 8,
+      deletes = Some(Seq(7).toDF("k")))
+    val del = VersionedHub.changes(spark, path, Seq("k"), 2, 3)
+      .select($"k", $"_change_type").as[(Int, String)].collect().toSet
+    assert(del == Set((7, "delete")), s"$del")
+  }
+
+  test("manifest rows stay exact through bucketed upserts and deletes") {
+    val path = tmpDir("vhub_rows")
+    VersionedHub.writeBucketed(spark,
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "v"), path, Seq("k"), 4)
+    VersionedHub.writeBucketed(spark,
+      kv(1 -> "ONE", 101 -> "NEW"), path, Seq("k"), 4) // 1 update + 1 insert
+    VersionedHub.writeBucketed(spark,
+      Seq.empty[(Int, String)].toDF("k", "v"), path, Seq("k"), 4,
+      deletes = Some(Seq(1, 2, 3).toDF("k")))
+    val hist = VersionedHub.history(spark, path)
+    assert(hist.map(_.rows) == Seq(100L, 101L, 98L), s"${hist.map(_.rows)}")
+    // per-bucket counts in each manifest sum to the total and match disk
+    hist.foreach { v =>
+      assert(v.bucketRows.values.sum == v.rows, s"v${v.version}")
+      assert(v.bucketRows.keySet == v.buckets.keySet, s"v${v.version}")
+    }
+    assert(VersionedHub.read(spark, path).count() == 98L)
+  }
+
   test("optimize commits a compacted snapshot as a new version, content-identical") {
     val path = tmpDir("vhub_opt")
     VersionedHub.write(spark,
