@@ -872,4 +872,62 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Exact duplicated-SUBSTRING spans — the ExactSubstr signal of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), re-expressed distributed. Their suffix array finds
+    * verbatim ≥50-token overlaps anywhere in the corpus; a suffix array
+    * does not distribute, but the same signal falls out of POSITIONAL
+    * k-token windows: a window position is duplicated iff its k-token
+    * sequence occurs anywhere else in the corpus (another document, or
+    * another offset of the same one), and any verbatim overlap of
+    * length L ≥ k is exactly a run of L − k + 1 consecutive duplicated
+    * positions. Runs whose position gap ≤ k cover a contiguous token
+    * range, so merging them yields disjoint maximal SPANS with exact
+    * token coverage `min(p2 − p1 + k, n_tokens − p1 + 1)` (the `min`
+    * clamps the single sub-k-token-document window).
+    *
+    * Returns one row per document that contains at least one span:
+    * (id, n_dup_spans, dup_tokens, max_span_tokens) — the per-doc signal
+    * a cut-or-trim policy consumes (Lee et al. REMOVE the span, keeping
+    * one copy; emitting the aggregate keeps the operator policy-neutral).
+    *
+    * 100 TB shape: the positional postings pass is one codegen'd
+    * projection (O(total tokens), no distinct); occurrence counts are a
+    * partial+final `groupBy(h)` (the hottest boilerplate shingle
+    * collapses map-side, never on one task); the join-back is a hash
+    * equi-join on the 60-bit window hash; the run-merge is one window
+    * over doc id — bounded by document length, never corpus-wide. No
+    * all-pairs anywhere. Collisions of the 60-bit hash conflate two
+    * windows (~n²/2⁶¹) — the price of not shipping the strings twice.
+    */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2 (got $k)")
+    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    val hashes = transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => Shingles.hash60(concat_ws(" ",
+        (0 until k).map(j => try_element_at(toks, i + lit(j))): _*)))
+    val pos = materialize(df
+      .select(col(idCol), size(toks).as("_nt"), posexplode(hashes))
+      .select(col(idCol), col("_nt"), (col("pos") + 1).as("p"), col("col").as("h")))
+    val occ = pos.groupBy(col("h")).agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") > 1)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    pos.join(occ, Seq("h"))
+      .withColumn("_new",
+        when(col("p") - lag(col("p"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("_run", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_run"))
+      .agg(min(col("p")).as("_p1"), max(col("p")).as("_p2"),
+        first(col("_nt")).as("_nt"))
+      .withColumn("_span_tokens",
+        least(col("_p2") - col("_p1") + k, col("_nt") - col("_p1") + 1))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("_span_tokens")).as("dup_tokens"),
+        max(col("_span_tokens")).cast("long").as("max_span_tokens"))
+  }
 }

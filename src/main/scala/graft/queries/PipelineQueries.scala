@@ -57,6 +57,7 @@ object PipelineQueries {
   // J≈0.7 pairs (E[agree] = 11.2) are kept despite estimator variance
   val IncrementalEstThreshold = 0.5
   val SimhashMaxHamming = 2
+  val DupSpanK = 4
   val CosineNearDupThreshold = 0.4
   val TopK = 5
   val NQueryVectors = 20
@@ -174,6 +175,43 @@ object PipelineQueries {
        |ORDER BY t.doc_id""".stripMargin
 
   // ---------- dedup ----------
+
+  /** ExactSubstr span signal ([[graft.operators.Dedup.duplicatedSpans]]):
+    * per document, the maximal spans of tokens that occur verbatim
+    * elsewhere in the corpus as ≥ [[DupSpanK]]-token windows. The oracle
+    * rebuilds the positional-window pipeline (same md5-prefix window hash,
+    * same gap-≤-k run merge, same coverage clamp) end to end.
+    */
+  val qDupSpans: Q = (spark, dir) =>
+    Dedup.duplicatedSpans(Tables(spark, dir, "documents"),
+      "text", "doc_id", DupSpanK)
+      .orderBy(col("doc_id"))
+
+  private val dupSpansOracle: String = {
+    val k = DupSpanK
+    val parts = (0 until k).map(j => s"ws[i+$j]").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $WS ws FROM documents),
+       |sh AS (SELECT doc_id, len(ws) AS nt, i,
+       |         ${h60(s"concat_ws(' ', $parts)")} AS h
+       |       FROM t, UNNEST(range(1, greatest(len(ws)-${k - 1}, 1)+1)) AS u(i)),
+       |occ AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+       |dup AS (SELECT doc_id, nt, i FROM sh JOIN occ USING (h)),
+       |runs AS (SELECT doc_id, nt, i,
+       |           CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |                  <= $k THEN 0 ELSE 1 END AS new_run
+       |         FROM dup),
+       |r2 AS (SELECT doc_id, nt, i, sum(new_run) OVER (
+       |         PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+       |         AS run FROM runs),
+       |sp AS (SELECT doc_id, run, min(i) AS p1, max(i) AS p2,
+       |         any_value(nt) AS nt FROM r2 GROUP BY 1, 2),
+       |spt AS (SELECT doc_id, least(p2 - p1 + $k, nt - p1 + 1)
+       |          AS span_tokens FROM sp)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+       |  CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       |  CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+       |FROM spt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   val qExactDedup: Q = (spark, dir) =>
     Dedup.exact(Tables(spark, dir, "documents"), "text", "doc_id")
@@ -1227,6 +1265,7 @@ object PipelineQueries {
     "q_lang_id" -> qLangId,
     "q_fingerprints" -> qFingerprints,
     "q_exact_dedup" -> qExactDedup,
+    "q_dup_spans" -> qDupSpans,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
     "q_containment_pairs" -> qContainmentPairs,
     "q_minhash_signatures" -> qMinhashSignatures,
@@ -1267,6 +1306,7 @@ object PipelineQueries {
     "q_lang_id" -> langIdOracle,
     "q_fingerprints" -> fingerprintsOracle,
     "q_exact_dedup" -> exactDedupOracle,
+    "q_dup_spans" -> dupSpansOracle,
     "q_ngram_jaccard_pairs" -> ngramJaccardOracle,
     "q_containment_pairs" -> containmentPairsOracle,
     "q_minhash_signatures" -> minhashSignaturesOracle,

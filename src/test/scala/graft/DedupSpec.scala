@@ -402,6 +402,45 @@ class DedupSpec extends SparkTestBase {
     assert(p1.size >= 15, s"planted near-dups must surface, got ${p1.size}")
   }
 
+  test("duplicated spans: cross-doc, within-doc, sub-k, and gap-merge arithmetic") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),        // shares a..d with 11, e..h + a b c with 15
+      (11L, "x x a b c d y z"),        // spans [3..4] -> 4 tokens
+      (12L, "p q r"),                  // unique: no row
+      (13L, "m n"),                    // sub-k doc duplicated by 14: clamp to 2
+      (14L, "m n"),
+      (15L, "e f g h q q q a b c"),    // two separate spans (gap 6 > k)
+      (16L, "u v u v u v")             // within-doc repeat: every window dup'd
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(corpus, "text", "doc_id", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 10: dup positions 1,2 (a b c / b c d) and 5,6 (e f g / f g h);
+    // the 2->5 gap is exactly k, so token coverage 1-4 and 5-8 is
+    // contiguous and the whole doc merges into ONE 8-token span
+    assert(out == Set(
+      (10L, 1L, 8L, 8L),
+      (11L, 1L, 4L, 4L),
+      (13L, 1L, 2L, 2L),
+      (14L, 1L, 2L, 2L),
+      (15L, 2L, 7L, 4L),
+      (16L, 1L, 6L, 6L)), s"$out")
+  }
+
+  test("duplicated spans: occurrence count partial-aggregates; join-back is an equi-join") {
+    val docs = Seq(
+      (0L, "a b c d e f"), (1L, "a b c d x y"), (2L, "q w e r t y")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "text", "doc_id", 4)
+    spans.collect()
+    val p = spans.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      s"window-occurrence count must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"join-back must be a hash equi-join on the window hash:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("windowspecdefinition(h#")),
+      s"no window may partition by the window hash (hot-key skew):\n$p")
+  }
+
   test("capped path's df computation partial-aggregates under Zipf — no hot-key window") {
     // round-7 verdict: the df count must never be a window partitioned by
     // the shingle hash (the hottest shingle's postings would concentrate
