@@ -142,6 +142,21 @@ object TextHashing {
     v
   }
 
+  /** POSITIONAL word-n-window 60-bit hashes: element i−1 is hash60 of the
+    * window starting at 1-based token position i, duplicates KEPT, order
+    * preserved — the index the duplicated-span operators posexplode. One
+    * tokenize + one md5 per window; the column-composed formulation
+    * (try_element_at inside a transform lambda) re-tokenizes per element
+    * access, O(tokens²) per document.
+    */
+  def wordWindowHash60Array(s: UTF8String, n: Int): ArrayData = {
+    val sh = WordShingles.shingle(s.toString, n)
+    val hs = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { hs(i) = md5Hash60(sh(i)); i += 1 }
+    new GenericArrayData(hs)
+  }
+
   /** min hash60 over word n-shingles (winnowing-style fingerprint;
     * duplicate-insensitive).
     */
@@ -261,6 +276,18 @@ case class WordShingleMinHash60(child: Expression, n: Int) extends TextHashExpr 
     copy(child = newChild)
 }
 
+case class WordWindowHash60Array(child: Expression, n: Int)
+    extends TextHashExpr {
+  require(n >= 1, s"window size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.wordWindowHash60Array(input.asInstanceOf[UTF8String], n)
+  override protected def javaCall: String =
+    s"$Helper.wordWindowHash60Array(%s, $n)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Md5Hash60(child: Expression) extends TextHashExpr {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
@@ -284,5 +311,7 @@ object TextHashExprs {
   def simHash(text: Column, bits: Int): Column = c(SimHash(x(text), bits))
   def wordShingleMinHash60(text: Column, n: Int): Column =
     c(WordShingleMinHash60(x(text), n))
+  def wordWindowHash60Array(text: Column, n: Int): Column =
+    c(WordWindowHash60Array(x(text), n))
   def md5Hash60(s: Column): Column = c(Md5Hash60(x(s)))
 }

@@ -904,18 +904,39 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 4): DataFrame = {
     require(k >= 2, s"window size k must be >= 2 (got $k)")
-    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
-    val hashes = transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-      i => Shingles.hash60(concat_ws(" ",
-        (0 until k).map(j => try_element_at(toks, i + lit(j))): _*)))
-    val pos = materialize(df
-      .select(col(idCol), size(toks).as("_nt"), posexplode(hashes))
-      .select(col(idCol), col("_nt"), (col("pos") + 1).as("p"), col("col").as("h")))
+    val pos = positionalWindowHashes(df, textCol, idCol, k)
     val occ = pos.groupBy(col("h")).agg(count(lit(1)).as("_occ"))
       .filter(col("_occ") > 1)
+    mergeRuns(pos.join(occ, Seq("h")), idCol, k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("_span_tokens")).as("dup_tokens"),
+        max(col("_span_tokens")).cast("long").as("max_span_tokens"))
+  }
+
+  /** (id, _nt, p, h): the 60-bit hash of the k-token window starting at
+    * 1-based token position p, for every position. NOT distinct — the
+    * positional index the span operators run on.
+    */
+  private def positionalWindowHashes(df: DataFrame, textCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    materialize(df
+      .select(col(idCol), size(toks).as("_nt"),
+        posexplode(graft.functions.TextHashExprs
+          .wordWindowHash60Array(col(textCol), k)))
+      .select(col(idCol), col("_nt"), (col("pos") + 1).as("p"),
+        col("col").as("h")))
+  }
+
+  /** Merge a set of flagged positions into maximal spans: runs whose
+    * position gap ≤ k cover a contiguous token range, so each output row
+    * is a disjoint span with exact coverage `_span_tokens` starting at
+    * `_p1`. One window over the doc id — bounded by document length.
+    */
+  private def mergeRuns(flagged: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
-    pos.join(occ, Seq("h"))
+    flagged
       .withColumn("_new",
         when(col("p") - lag(col("p"), 1).over(w) <= k, 0).otherwise(1))
       .withColumn("_run", sum(col("_new"))
@@ -925,9 +946,53 @@ object Dedup {
         first(col("_nt")).as("_nt"))
       .withColumn("_span_tokens",
         least(col("_p2") - col("_p1") + k, col("_nt") - col("_p1") + 1))
+  }
+
+  /** APPLY the ExactSubstr policy ([[duplicatedSpans]] is the signal;
+    * this is the cut): every k-token window occurrence EXCEPT the
+    * corpus-global first one (lowest (id, position), encoded as
+    * `id * 1e6 + p` so the keeper survives a partial-agg `min` — no
+    * per-hash window, no hot-key task) is REMOVABLE; removable positions
+    * merge into spans exactly like the signal operator, and the covered
+    * tokens are cut from the document. Returns every document with
+    * (n_tokens, n_tokens_kept, text_trimmed) — `text_trimmed` is the
+    * surviving tokens space-joined in order, possibly empty for a
+    * document that is verbatim duplicate material end to end.
+    *
+    * Token positions are capped at 1e6 per document by the keeper
+    * encoding (`require`d) — generous for any training document.
+    *
+    * Policy note (shared by Lee et al.'s range cutting): a token covered
+    * by both a keeper window and a removable one is still cut; the
+    * keeper's content survives at its own first-occurrence site.
+    */
+  def trimDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2 (got $k)")
+    val pos = positionalWindowHashes(df, textCol, idCol, k)
+    val firsts = pos.groupBy(col("h")).agg(
+      count(lit(1)).as("_occ"),
+      min(col(idCol) * 1000000L + col("p")).as("_keep"))
+    val removable = pos.join(firsts, Seq("h"))
+      .filter(col("_occ") > 1 &&
+        col(idCol) * 1000000L + col("p") =!= col("_keep"))
+    val spans = mergeRuns(removable, idCol, k)
+      .withColumn("_pe", col("_p1") + col("_span_tokens") - 1)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("_span_tokens")).as("dup_tokens"),
-        max(col("_span_tokens")).cast("long").as("max_span_tokens"))
+      .agg(collect_list(struct(col("_p1"), col("_pe"))).as("_spans"))
+    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), toks.as("_toks"), size(toks).as("_nt"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_toks"))
+          .otherwise(filter(col("_toks"), (x, i) =>
+            !exists(col("_spans"),
+              sp => (i + 1) >= sp("_p1") && (i + 1) <= sp("_pe")))))
+      .select(col(idCol),
+        when(col("_nt") >= 1000000, raise_error(lit(
+          "trimDuplicatedSpans: document exceeds 1e6 tokens")))
+          .otherwise(col("_nt")).cast("long").as("n_tokens"),
+        size(col("_kept")).cast("long").as("n_tokens_kept"),
+        concat_ws(" ", col("_kept")).as("text_trimmed"))
   }
 }

@@ -213,6 +213,56 @@ object PipelineQueries {
        |FROM spt GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** The cut policy applied ([[graft.operators.Dedup.trimDuplicatedSpans]]):
+    * every duplicated-window occurrence except the corpus-global first is
+    * removed from the text; the oracle rebuilds keeper selection (same
+    * id*1e6+p encoding), span merging, and the token-level cut, then
+    * reassembles the trimmed strings — a hash match proves the rewritten
+    * TEXTS agree byte for byte.
+    */
+  val qDupSpanTrim: Q = (spark, dir) =>
+    Dedup.trimDuplicatedSpans(Tables(spark, dir, "documents"),
+      "text", "doc_id", DupSpanK)
+      .orderBy(col("doc_id"))
+
+  private val dupSpanTrimOracle: String = {
+    val k = DupSpanK
+    val parts = (0 until k).map(j => s"ws[i+$j]").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $WS ws FROM documents),
+       |sh AS (SELECT doc_id, len(ws) AS nt, i,
+       |         ${h60(s"concat_ws(' ', $parts)")} AS h
+       |       FROM t, UNNEST(range(1, greatest(len(ws)-${k - 1}, 1)+1)) AS u(i)),
+       |fs AS (SELECT h, count(*) AS c, min(doc_id * 1000000 + i) AS keep
+       |       FROM sh GROUP BY h),
+       |rem AS (SELECT doc_id, nt, i FROM sh JOIN fs USING (h)
+       |        WHERE c > 1 AND doc_id * 1000000 + i <> keep),
+       |runs AS (SELECT doc_id, nt, i,
+       |           CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |                  <= $k THEN 0 ELSE 1 END AS new_run
+       |         FROM rem),
+       |r2 AS (SELECT doc_id, nt, i, sum(new_run) OVER (
+       |         PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+       |         AS run FROM runs),
+       |sp AS (SELECT doc_id, min(i) AS p1,
+       |         min(i) + least(max(i) - min(i) + $k,
+       |                        any_value(nt) - min(i) + 1) - 1 AS pe
+       |       FROM r2 GROUP BY doc_id, run),
+       |tok AS (SELECT doc_id, i, ws[i] AS x
+       |        FROM t, UNNEST(range(1, len(ws)+1)) AS u(i)),
+       |kept AS (SELECT doc_id, i, x FROM tok
+       |         WHERE NOT EXISTS (SELECT 1 FROM sp
+       |           WHERE sp.doc_id = tok.doc_id
+       |             AND tok.i BETWEEN sp.p1 AND sp.pe)),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |          string_agg(x, ' ' ORDER BY i) AS txt
+       |        FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       |  coalesce(a.txt, '') AS text_trimmed
+       |FROM t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val qExactDedup: Q = (spark, dir) =>
     Dedup.exact(Tables(spark, dir, "documents"), "text", "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -1266,6 +1316,7 @@ object PipelineQueries {
     "q_fingerprints" -> qFingerprints,
     "q_exact_dedup" -> qExactDedup,
     "q_dup_spans" -> qDupSpans,
+    "q_dup_span_trim" -> qDupSpanTrim,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
     "q_containment_pairs" -> qContainmentPairs,
     "q_minhash_signatures" -> qMinhashSignatures,
@@ -1307,6 +1358,7 @@ object PipelineQueries {
     "q_fingerprints" -> fingerprintsOracle,
     "q_exact_dedup" -> exactDedupOracle,
     "q_dup_spans" -> dupSpansOracle,
+    "q_dup_span_trim" -> dupSpanTrimOracle,
     "q_ngram_jaccard_pairs" -> ngramJaccardOracle,
     "q_containment_pairs" -> containmentPairsOracle,
     "q_minhash_signatures" -> minhashSignaturesOracle,

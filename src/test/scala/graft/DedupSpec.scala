@@ -426,6 +426,28 @@ class DedupSpec extends SparkTestBase {
       (16L, 1L, 6L, 6L)), s"$out")
   }
 
+  test("span trim cuts every non-first occurrence, keeps the corpus-global keeper") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),     // keeper of every shared window -> intact
+      (11L, "x x a b c d y z"),     // removable [3..4] -> cut tokens 3-6
+      (12L, "p q r"),               // unique -> intact
+      (13L, "m n"),                 // keeper of the sub-k window
+      (14L, "m n"),                 // removable -> trimmed to empty
+      (15L, "e f g h q q q a b c"), // two cuts, middle survives
+      (16L, "u v u v u v")          // within-doc: first period kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.trimDuplicatedSpans(corpus, "text", "doc_id", k = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) == ((8L, 8L, "a b c d e f g h")))
+    assert(out(11L) == ((8L, 4L, "x x y z")))
+    assert(out(12L) == ((3L, 3L, "p q r")))
+    assert(out(13L) == ((2L, 2L, "m n")))
+    assert(out(14L) == ((2L, 0L, "")))
+    assert(out(15L) == ((10L, 3L, "q q q")))
+    assert(out(16L) == ((6L, 2L, "u v")))
+  }
+
   test("duplicated spans: occurrence count partial-aggregates; join-back is an equi-join") {
     val docs = Seq(
       (0L, "a b c d e f"), (1L, "a b c d x y"), (2L, "q w e r t y")
