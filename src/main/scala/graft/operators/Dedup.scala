@@ -976,6 +976,15 @@ object Dedup {
     val removable = pos.join(firsts, Seq("h"))
       .filter(col("_occ") > 1 &&
         col(idCol) * 1000000L + col("p") =!= col("_keep"))
+    cutSpans(df, removable, textCol, idCol, k)
+  }
+
+  /** Shared tail of the cut operators: merge `removable` positions into
+    * spans, cut the covered tokens out of each document's text, and emit
+    * (id, n_tokens, n_tokens_kept, text_trimmed) for EVERY document.
+    */
+  private def cutSpans(df: DataFrame, removable: DataFrame, textCol: String,
+      idCol: String, k: Int): DataFrame = {
     val spans = mergeRuns(removable, idCol, k)
       .withColumn("_pe", col("_p1") + col("_span_tokens") - 1)
       .groupBy(col(idCol))
@@ -990,9 +999,52 @@ object Dedup {
               sp => (i + 1) >= sp("_p1") && (i + 1) <= sp("_pe")))))
       .select(col(idCol),
         when(col("_nt") >= 1000000, raise_error(lit(
-          "trimDuplicatedSpans: document exceeds 1e6 tokens")))
+          "span trim: document exceeds 1e6 tokens")))
           .otherwise(col("_nt")).cast("long").as("n_tokens"),
         size(col("_kept")).cast("long").as("n_tokens_kept"),
         concat_ws(" ", col("_kept")).as("text_trimmed"))
+  }
+
+  /** The persisted INDEX for steady-state span dedup: one row per distinct
+    * k-token window hash in the corpus, with its occurrence count and its
+    * keeper encoding (`min(id·1e6 + p)`). Size = O(distinct windows);
+    * probe-able by equi-join — the batch never re-reads corpus text.
+    */
+  def spanIndexEntries(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4): DataFrame =
+    positionalWindowHashes(df, textCol, idCol, k)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"),
+        min(col(idCol) * 1000000L + col("p")).as("keep"))
+
+  /** STEADY-STATE span trim: cut an incoming batch against a persisted
+    * [[spanIndexEntries]] index without re-reading the corpus. A batch
+    * window is removable iff its hash exists in the index (the corpus
+    * already holds that content — the corpus keeper wins uncondition-
+    * ally), or it duplicates within the batch and is not the batch's own
+    * first occurrence. When every corpus id precedes every batch id, the
+    * result is row-identical to [[trimDuplicatedSpans]] over corpus ∪
+    * batch restricted to batch documents (spec-proven); under id
+    * interleaving the policies differ only in WHICH copy survives —
+    * steady-state ingestion wants exactly this corpus-wins rule.
+    *
+    * 100 TB shape: positional postings of the BATCH only; one partial-agg
+    * groupBy over batch hashes; one equi-join probe into the index — the
+    * same probe-the-index discipline as [[incrementalNearDups]].
+    */
+  def incrementalSpanTrim(index: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, k: Int = 4): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2 (got $k)")
+    val pos = positionalWindowHashes(batch, textCol, idCol, k)
+    val bf = pos.groupBy(col("h")).agg(
+      count(lit(1)).as("_bocc"),
+      min(col(idCol) * 1000000L + col("p")).as("_bkeep"))
+    val removable = pos
+      .join(bf, Seq("h"))
+      .join(index.select(col("h"), lit(true).as("_inIdx")), Seq("h"), "left")
+      .filter(col("_inIdx").isNotNull ||
+        (col("_bocc") > 1 &&
+          col(idCol) * 1000000L + col("p") =!= col("_bkeep")))
+    cutSpans(batch, removable, textCol, idCol, k)
   }
 }

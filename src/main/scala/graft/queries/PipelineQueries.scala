@@ -263,6 +263,67 @@ object PipelineQueries {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Steady-state span dedup ([[graft.operators.Dedup.incrementalSpanTrim]]):
+    * the batch quarter (doc_id %4 == 0) is trimmed against the persisted
+    * window-hash index of the other three quarters — corpus content wins
+    * unconditionally, batch-internal duplicates keep their batch-first
+    * occurrence. The oracle rebuilds both the index probe and the
+    * batch-internal keeper rule.
+    */
+  val qIncrementalSpanTrim: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val index = Dedup.spanIndexEntries(
+      docs.filter(col("doc_id") % 4 =!= 0), "text", "doc_id", DupSpanK)
+    Dedup.incrementalSpanTrim(index,
+      docs.filter(col("doc_id") % 4 === 0), "text", "doc_id", DupSpanK)
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalSpanTrimOracle: String = {
+    val k = DupSpanK
+    val parts = (0 until k).map(j => s"ws[i+$j]").mkString(", ")
+    s"""WITH ad AS (SELECT doc_id, $WS ws FROM documents),
+       |bsh AS (SELECT doc_id, len(ws) AS nt, i,
+       |          ${h60(s"concat_ws(' ', $parts)")} AS h
+       |        FROM ad, UNNEST(range(1, greatest(len(ws)-${k - 1}, 1)+1)) AS u(i)
+       |        WHERE doc_id % 4 = 0),
+       |csh AS (SELECT DISTINCT ${h60(s"concat_ws(' ', $parts)")} AS h
+       |        FROM ad, UNNEST(range(1, greatest(len(ws)-${k - 1}, 1)+1)) AS u(i)
+       |        WHERE doc_id % 4 <> 0),
+       |bf AS (SELECT h, count(*) AS c, min(doc_id * 1000000 + i) AS keep
+       |       FROM bsh GROUP BY h),
+       |rem AS (SELECT b.doc_id, b.nt, b.i
+       |        FROM bsh b JOIN bf USING (h) LEFT JOIN csh USING (h)
+       |        WHERE csh.h IS NOT NULL
+       |           OR (bf.c > 1 AND b.doc_id * 1000000 + b.i <> bf.keep)),
+       |runs AS (SELECT doc_id, nt, i,
+       |           CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |                  <= $k THEN 0 ELSE 1 END AS new_run
+       |         FROM rem),
+       |r2 AS (SELECT doc_id, nt, i, sum(new_run) OVER (
+       |         PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+       |         AS run FROM runs),
+       |sp AS (SELECT doc_id, min(i) AS p1,
+       |         min(i) + least(max(i) - min(i) + $k,
+       |                        any_value(nt) - min(i) + 1) - 1 AS pe
+       |       FROM r2 GROUP BY doc_id, run),
+       |bt AS (SELECT doc_id, ws FROM ad WHERE doc_id % 4 = 0),
+       |tok AS (SELECT doc_id, i, ws[i] AS x
+       |        FROM bt, UNNEST(range(1, len(ws)+1)) AS u(i)),
+       |kept AS (SELECT doc_id, i, x FROM tok
+       |         WHERE NOT EXISTS (SELECT 1 FROM sp
+       |           WHERE sp.doc_id = tok.doc_id
+       |             AND tok.i BETWEEN sp.p1 AND sp.pe)),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |          string_agg(x, ' ' ORDER BY i) AS txt
+       |        FROM kept GROUP BY doc_id)
+       |SELECT bt.doc_id, CAST(len(bt.ws) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       |  coalesce(a.txt, '') AS text_trimmed
+       |FROM bt LEFT JOIN agg a USING (doc_id)
+       |ORDER BY bt.doc_id""".stripMargin
+  }
+
   val qExactDedup: Q = (spark, dir) =>
     Dedup.exact(Tables(spark, dir, "documents"), "text", "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -1317,6 +1378,7 @@ object PipelineQueries {
     "q_exact_dedup" -> qExactDedup,
     "q_dup_spans" -> qDupSpans,
     "q_dup_span_trim" -> qDupSpanTrim,
+    "q_incremental_span_trim" -> qIncrementalSpanTrim,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
     "q_containment_pairs" -> qContainmentPairs,
     "q_minhash_signatures" -> qMinhashSignatures,
@@ -1359,6 +1421,7 @@ object PipelineQueries {
     "q_exact_dedup" -> exactDedupOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_dup_span_trim" -> dupSpanTrimOracle,
+    "q_incremental_span_trim" -> incrementalSpanTrimOracle,
     "q_ngram_jaccard_pairs" -> ngramJaccardOracle,
     "q_containment_pairs" -> containmentPairsOracle,
     "q_minhash_signatures" -> minhashSignaturesOracle,

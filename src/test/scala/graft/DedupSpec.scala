@@ -448,6 +448,35 @@ class DedupSpec extends SparkTestBase {
     assert(out(16L) == ((6L, 2L, "u v")))
   }
 
+  test("incremental span trim == union trim on an id-ordered split; corpus wins") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z z z y y y"),
+      (3L, "k l m n")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "a b c d q r"),          // corpus content -> cut even as batch-first
+      (101L, "k l m n"),              // verbatim corpus doc -> trimmed to empty
+      (102L, "fresh words only here"),// batch-internal keeper
+      (103L, "fresh words only here") // batch-internal dup -> trimmed to empty
+    ).toDF("doc_id", "text")
+    val index = Dedup.spanIndexEntries(corpus, "text", "doc_id", k = 3)
+    val inc = Dedup.incrementalSpanTrim(index, batch, "text", "doc_id", k = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    // every corpus id < every batch id, so the one-shot union trim must
+    // agree row for row on the batch documents
+    val union = Dedup.trimDuplicatedSpans(
+        corpus.unionByName(batch), "text", "doc_id", k = 3)
+      .filter(col("doc_id") >= 100L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(inc == union, s"inc=$inc union=$union")
+    val byId = inc.map(r => r._1 -> r).toMap
+    assert(byId(100L) == ((100L, 6L, 2L, "q r")))
+    assert(byId(101L) == ((101L, 4L, 0L, "")))
+    assert(byId(102L) == ((102L, 4L, 4L, "fresh words only here")))
+    assert(byId(103L) == ((103L, 4L, 0L, "")))
+  }
+
   test("duplicated spans: occurrence count partial-aggregates; join-back is an equi-join") {
     val docs = Seq(
       (0L, "a b c d e f"), (1L, "a b c d x y"), (2L, "q w e r t y")
