@@ -921,7 +921,7 @@ object Dedup {
   private def positionalWindowHashes(df: DataFrame, textCol: String,
       idCol: String, k: Int): DataFrame = {
     val toks = graft.operators.TextAnalysis.tokens(col(textCol))
-    materialize(df
+    materialize(fanOutNarrow(df)
       .select(col(idCol), size(toks).as("_nt"),
         posexplode(graft.functions.TextHashExprs
           .wordWindowHash60Array(col(textCol), k)))
@@ -990,7 +990,9 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("_p1"), col("_pe"))).as("_spans"))
     val toks = graft.operators.TextAnalysis.tokens(col(textCol))
-    df.select(col(idCol), toks.as("_toks"), size(toks).as("_nt"))
+    // fan the single-file scan out: the span-containment filter below runs
+    // as interpreted HOF lambdas — parallelism, not codegen, bounds it
+    fanOutNarrow(df).select(col(idCol), toks.as("_toks"), size(toks).as("_nt"))
       .join(spans, Seq(idCol), "left")
       .withColumn("_kept",
         when(col("_spans").isNull, col("_toks"))
