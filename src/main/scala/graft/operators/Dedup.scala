@@ -918,7 +918,7 @@ object Dedup {
     * 1-based token position p, for every position. NOT distinct — the
     * positional index the span operators run on.
     */
-  private def positionalWindowHashes(df: DataFrame, textCol: String,
+  private[graft] def positionalWindowHashes(df: DataFrame, textCol: String,
       idCol: String, k: Int): DataFrame = {
     val toks = graft.operators.TextAnalysis.tokens(col(textCol))
     materialize(fanOutNarrow(df)
@@ -1014,8 +1014,12 @@ object Dedup {
     */
   def spanIndexEntries(df: DataFrame, textCol: String, idCol: String,
       k: Int = 4): DataFrame =
-    positionalWindowHashes(df, textCol, idCol, k)
-      .groupBy(col("h"))
+    spanIndexEntriesFromPos(positionalWindowHashes(df, textCol, idCol, k),
+      idCol)
+
+  private[graft] def spanIndexEntriesFromPos(pos: DataFrame,
+      idCol: String): DataFrame =
+    pos.groupBy(col("h"))
       .agg(count(lit(1)).as("occ"),
         min(col(idCol) * 1000000L + col("p")).as("keep"))
 
@@ -1035,9 +1039,18 @@ object Dedup {
     * same probe-the-index discipline as [[incrementalNearDups]].
     */
   def incrementalSpanTrim(index: DataFrame, batch: DataFrame,
-      textCol: String, idCol: String, k: Int = 4): DataFrame = {
+      textCol: String, idCol: String, k: Int = 4): DataFrame =
+    incrementalSpanTrimFromPos(index, batch,
+      positionalWindowHashes(batch, textCol, idCol, k), textCol, idCol, k)
+
+  /** [[incrementalSpanTrim]] with the batch's positional postings supplied
+    * by the caller — lets a streaming composition compute them ONCE per
+    * micro-batch and share them between the trim and the index commit.
+    */
+  private[graft] def incrementalSpanTrimFromPos(index: DataFrame,
+      batch: DataFrame, pos: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
     require(k >= 2, s"window size k must be >= 2 (got $k)")
-    val pos = positionalWindowHashes(batch, textCol, idCol, k)
     val bf = pos.groupBy(col("h")).agg(
       count(lit(1)).as("_bocc"),
       min(col(idCol) * 1000000L + col("p")).as("_bkeep"))

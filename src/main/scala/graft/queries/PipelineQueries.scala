@@ -324,6 +324,49 @@ object PipelineQueries {
        |ORDER BY bt.doc_id""".stripMargin
   }
 
+  /** Streaming growing-index span trim under the oracle: the corpus
+    * arrives as two id-ordered micro-batches (explicit file mtimes force
+    * the file source's oldest-first order), each trimmed against the
+    * window-hash index built from the batches before it, with both hubs
+    * committed exactly-once per batch. With id-ordered arrival the
+    * trimmed-hub content equals the ONE-SHOT trim of the whole corpus, so
+    * this query shares `q_dup_span_trim`'s oracle verbatim — a hash match
+    * proves the stream composition, the ACID index lifecycle, and the cut
+    * policy agree byte for byte with the batch operator.
+    */
+  val qStreamSpanTrim: Q = (spark, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_span")
+      .toFile.getAbsolutePath
+    val src = s"$tmp/src"
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val mid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+    // two id-ordered halves with stepped mtimes, so the file source's
+    // (modTime, path) processing order is exactly low-ids-first
+    val srcDir = new java.io.File(src); srcDir.mkdirs()
+    Seq(docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid))
+      .zipWithIndex.foreach { case (half, i) =>
+        val stage = s"$tmp/stage$i"
+        half.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        require(dst.setLastModified(1000000000000L + i * 60000L))
+      }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    graft.streaming.StreamingIngest.spanTrimStream(stream, s"$tmp/idx",
+        s"$tmp/trimmed", nBuckets = 4, "text", "doc_id", DupSpanK,
+        s"$tmp/cp")
+      .awaitTermination()
+    graft.writers.VersionedHub.read(spark, s"$tmp/trimmed")
+      .select(col("doc_id"), col("n_tokens"), col("n_tokens_kept"),
+        col("text_trimmed"))
+      .orderBy(col("doc_id"))
+  }
+
   val qExactDedup: Q = (spark, dir) =>
     Dedup.exact(Tables(spark, dir, "documents"), "text", "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -1379,6 +1422,7 @@ object PipelineQueries {
     "q_dup_spans" -> qDupSpans,
     "q_dup_span_trim" -> qDupSpanTrim,
     "q_incremental_span_trim" -> qIncrementalSpanTrim,
+    "q_stream_span_trim" -> qStreamSpanTrim,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
     "q_containment_pairs" -> qContainmentPairs,
     "q_minhash_signatures" -> qMinhashSignatures,
@@ -1422,6 +1466,7 @@ object PipelineQueries {
     "q_dup_spans" -> dupSpansOracle,
     "q_dup_span_trim" -> dupSpanTrimOracle,
     "q_incremental_span_trim" -> incrementalSpanTrimOracle,
+    "q_stream_span_trim" -> dupSpanTrimOracle,
     "q_ngram_jaccard_pairs" -> ngramJaccardOracle,
     "q_containment_pairs" -> containmentPairsOracle,
     "q_minhash_signatures" -> minhashSignaturesOracle,

@@ -285,6 +285,57 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** GROWING-index streaming span trim (the ExactSubstr cut policy as a
+    * continuously-ingesting stream): each micro-batch is trimmed against
+    * the window-hash index AS OF its latest committed version
+    * ([[graft.operators.Dedup.incrementalSpanTrim]] — corpus content wins,
+    * batch-internal duplicates keep their batch-first occurrence), the
+    * trimmed documents commit to `trimmedHub` keyed by id, and the batch's
+    * OWN window entries (over the original text — later batches must be
+    * cut against content that was trimmed here too) commit to `indexHub`
+    * keyed by the window hash. Both commits carry the micro-batch id, so a
+    * crash-replayed batch short-circuits idempotently (exactly-once).
+    *
+    * Order-dependent BY DESIGN, like [[growingIndexDedupStream]]: WHICH
+    * copy survives follows arrival order. When batches arrive in id order,
+    * the trimmed-hub content equals the one-shot
+    * [[graft.operators.Dedup.trimDuplicatedSpans]] over the whole corpus —
+    * the driver-visible oracle. Index upserts are keyed by `h` alone, so a
+    * re-ingested hash's occ/keep metadata reflects its latest contributing
+    * batch; the trim consults only h-existence, which is append-monotone.
+    */
+  def spanTrimStream(batches: DataFrame, indexHub: String,
+      trimmedHub: String, nBuckets: Int, textCol: String, idCol: String,
+      k: Int, checkpoint: String): StreamingQuery =
+    batches.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import graft.operators.Dedup
+        import graft.writers.VersionedHub
+        val spark = batch.sparkSession
+        // one positional-hashing pass per micro-batch, shared between the
+        // trim and the index commit
+        val pos = Dedup.positionalWindowHashes(batch, textCol, idCol, k)
+        val index = VersionedHub.latest(spark, indexHub) match {
+          // bucket-pruned probe: only the index buckets that can hold one
+          // of the batch's window hashes are read — O(batch), not O(index)
+          case Some(v) => VersionedHub.readBucketsFor(spark, indexHub,
+            pos.select(col("h")).distinct(), Seq("h"), version = Some(v))
+          case None => spark.range(0).select(col("id").as("h"),
+            lit(0L).as("occ"), lit(0L).as("keep"))
+        }
+        VersionedHub.writeBucketed(spark,
+          Dedup.incrementalSpanTrimFromPos(index, batch, pos, textCol,
+            idCol, k),
+          trimmedHub, Seq(idCol), nBuckets, batchId = Some(id))
+        VersionedHub.writeBucketed(spark,
+          Dedup.spanIndexEntriesFromPos(pos, idCol),
+          indexHub, Seq("h"), nBuckets, batchId = Some(id))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Micro-batch incremental dedup against a STATIC corpus LSH index
     * (entries from [[graft.operators.Dedup.lshIndexEntries]]) — the
     * daily-batches-probe-a-periodically-rebuilt-index deployment. Each

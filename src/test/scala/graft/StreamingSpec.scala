@@ -126,6 +126,49 @@ class StreamingSpec extends SparkTestBase {
       "every post-seed version records its micro-batch id (exactly-once)")
   }
 
+  test("streaming span trim over id-ordered batches equals the one-shot trim") {
+    import graft.operators.Dedup
+    import graft.writers.VersionedHub
+    val lake = tmpDir("span_stream")
+    val corpus = Seq(
+      (1L, "a b c d e f"),            // batch 0: keeper of a..d
+      (2L, "fresh words only here"),  // batch 0
+      (10L, "a b c d q r"),           // batch 1: cut against batch 0
+      (11L, "fresh words only here"), // batch 1: verbatim batch-0 doc
+      (12L, "w w w unique tail x")    // batch 1: untouched
+    ).toDF("doc_id", "text")
+    val srcDir = new java.io.File(s"$lake/src"); srcDir.mkdirs()
+    Seq(corpus.filter($"doc_id" < 10), corpus.filter($"doc_id" >= 10))
+      .zipWithIndex.foreach { case (half, i) =>
+        val stage = s"$lake/stage$i"
+        half.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        assert(dst.setLastModified(1000000000000L + i * 60000L))
+      }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$lake/src")
+    StreamingIngest.spanTrimStream(stream, s"$lake/idx", s"$lake/trimmed",
+      nBuckets = 4, "text", "doc_id", k = 3, s"$lake/cp")
+      .awaitTermination()
+    val streamed = VersionedHub.read(spark, s"$lake/trimmed")
+      .select($"doc_id", $"n_tokens", $"n_tokens_kept", $"text_trimmed")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val oneShot = Dedup.trimDuplicatedSpans(corpus, "text", "doc_id", k = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // the cross-batch cut really happened
+    val byId = streamed.map(r => r._1 -> r).toMap
+    assert(byId(10L)._4 == "q r" && byId(11L)._4 == "")
+    // one version per micro-batch on both hubs, batch ids recorded
+    assert(VersionedHub.history(spark, s"$lake/idx")
+      .flatMap(_.batchId).distinct.size == 2)
+    assert(VersionedHub.history(spark, s"$lake/trimmed")
+      .flatMap(_.batchId).distinct.size == 2)
+  }
+
   test("windowed streaming agg matches the batch rollup on the same data") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     // run the same plan in batch mode (streaming/batch unification)
