@@ -809,6 +809,31 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Survivor selection by QUALITY: keep each near-dup component's
+    * best-`score` member (ties to the lowest id) instead of its lowest id
+    * — the policy real curation pipelines run ("keep the longest/highest-
+    * quality duplicate"), on the same clustering seam as
+    * [[survivorsFromPairs]]. `score` must be a deterministic expression
+    * over `df`'s columns (both engines must rank identically).
+    *
+    * The winner is one partial+final `max(struct(score, -id))` per
+    * component — no per-component window, so a viral mega-cluster
+    * collapses map-side like everything else in this family.
+    */
+  def survivorsFromPairsBy(df: DataFrame, idCol: String,
+      pairs: DataFrame, score: Column): DataFrame = {
+    val comps = connectedComponents(pairs) // (id, root)
+    val members = comps.join(
+      df.select(col(idCol).as("id"), score.as("_q")), Seq("id"))
+    val winners = members.groupBy(col("root"))
+      .agg(max(struct(col("_q"), (-col("id")).as("_nid"))).as("_w"))
+      .select((-col("_w._nid")).as("_keep"))
+    val losers = comps.join(winners, comps("id") === winners("_keep"),
+        "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash over term-frequency-weighted token hashes: bit i is set
     * iff Σ_tokens (2·bitᵢ(h) − 1) ≥ 0. Single groupBy pass with 32 partial
     * sums.

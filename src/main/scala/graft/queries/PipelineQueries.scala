@@ -728,6 +728,44 @@ object PipelineQueries {
        |           WHERE jaccard >= $NgramJaccardThreshold),
        |$survivorsClosureSql""".stripMargin
 
+  /** Keep-BEST survivor policy ([[graft.operators.Dedup.survivorsFromPairsBy]]):
+    * same pair source and clustering as `q_dedup_survivors`, but each
+    * component keeps its LONGEST member (ties to the lowest id) — the
+    * "keep the best duplicate" rule curation pipelines actually run. The
+    * oracle ranks members with the identical (n_chars DESC, doc_id ASC)
+    * order inside the same recursive closure.
+    */
+  val qDedupSurvivorsBest: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.survivorsFromPairsBy(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          NgramJaccardThreshold), col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSurvivorsBestOracle: String =
+    s"""WITH RECURSIVE $PostingsCte,
+       |$jaccardSelect,
+       |qpairs AS (SELECT id_a, id_b FROM jacc
+       |           WHERE jaccard >= $NgramJaccardThreshold),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM qpairs
+       |          UNION SELECT id_b, id_a FROM qpairs),
+       |reach(src, node) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+       |roots AS (SELECT src AS doc_id, min(node) AS root FROM reach
+       |          GROUP BY src),
+       |ranked AS (SELECT r.doc_id, row_number() OVER (
+       |             PARTITION BY r.root
+       |             ORDER BY d.n_chars DESC, r.doc_id ASC) AS rn
+       |           FROM roots r JOIN documents d USING (doc_id)),
+       |losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Near-dup cluster-size histogram — the dedup PLANNING diagnostic: the
     * distribution of connected-component sizes over the near-dup graph
     * tells you the corpus-shrink a survivors pass will buy (Σ (size−1))
@@ -1451,6 +1489,7 @@ object PipelineQueries {
     "q_incremental_index_hub" -> qIncrementalIndexHub,
     "q_quality_checks" -> qQualityChecks,
     "q_dedup_survivors" -> qDedupSurvivors,
+    "q_dedup_survivors_best" -> qDedupSurvivorsBest,
     "q_dedup_cluster_stats" -> qDedupClusterStats,
     "q_dedup_survivors_capped" -> qDedupSurvivorsCapped,
     "q_dedup_survivors_lsh" -> qDedupSurvivorsLsh
@@ -1495,6 +1534,7 @@ object PipelineQueries {
     "q_incremental_index_hub" -> incrementalIndexHubOracle,
     "q_quality_checks" -> qualityChecksOracle,
     "q_dedup_survivors" -> dedupSurvivorsOracle,
+    "q_dedup_survivors_best" -> dedupSurvivorsBestOracle,
     "q_dedup_cluster_stats" -> dedupClusterStatsOracle,
     "q_dedup_survivors_capped" -> dedupSurvivorsCappedOracle,
     "q_dedup_survivors_lsh" -> dedupSurvivorsLshOracle

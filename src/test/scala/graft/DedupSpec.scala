@@ -3,7 +3,7 @@ package graft
 import graft.operators.Dedup
 import graft.queries.Tables
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
@@ -424,6 +424,26 @@ class DedupSpec extends SparkTestBase {
       (14L, 1L, 2L, 2L),
       (15L, 2L, 7L, 4L),
       (16L, 1L, 6L, 6L)), s"$out")
+  }
+
+  test("keep-best survivors pick the highest score per component, ties to lowest id") {
+    val scored = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today", 10L),
+      (1L, "the quick brown fox jumps over the lazy cat again and again today", 99L),
+      (2L, "  the quick   brown fox jumps over the lazy dog again and again today ", 10L),
+      (3L, "completely different words about spark shuffle partitions and codegen", 1L)
+    ).toDF("doc_id", "text", "score")
+    val pairs = Dedup.ngramJaccardPairs(scored, "text", "doc_id", 0.4)
+    // docs 0/1/2 cluster; 1 has the top score -> 1 survives, 3 unpaired
+    val best = Dedup.survivorsFromPairsBy(scored, "doc_id", pairs, col("score"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(best == Seq(1L, 3L), s"$best")
+    // tie on score -> lowest id wins (0 beats 2 at score 10... all tied at 5)
+    val tied = scored.withColumn("score", lit(5L))
+    val tb = Dedup.survivorsFromPairsBy(tied, "doc_id",
+        Dedup.ngramJaccardPairs(tied, "text", "doc_id", 0.4), col("score"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(tb == Seq(0L, 3L), s"$tb")
   }
 
   test("span trim cuts every non-first occurrence, keeps the corpus-global keeper") {
