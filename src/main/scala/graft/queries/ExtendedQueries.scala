@@ -285,6 +285,37 @@ object ExtendedQueries {
       |GROUP BY GROUPING SETS ((lang), (source), ())
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
+  // ---------- recursive CTE (SQL entry path, Spark 4's WITH RECURSIVE) ----------
+
+  /** Hierarchy traversal via WITH RECURSIVE (new SQL surface in Spark 4):
+    * walk the synthetic parent = ⌊id/2⌋ binary hierarchy from every
+    * document to the root and histogram the depths — the org-chart /
+    * BOM-explosion / category-tree verb in ONE declarative statement.
+    * Catalyst plans the fixpoint loop itself (UnionLoop), no driver-side
+    * iteration; both engines execute the IDENTICAL SQL text, so the hash
+    * match proves the recursion semantics agree (termination row sets,
+    * truncating integer division, depth arithmetic).
+    */
+  private def recursiveDepthSql(table: String): String =
+    s"""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+       |  SELECT doc_id, doc_id, 0 FROM $table
+       |  UNION ALL
+       |  -- floor() then cast: DuckDB's double->BIGINT cast ROUNDS while
+       |  -- Spark's truncates, so a bare CAST(x/2) walks different parents
+       |  SELECT doc_id, CAST(floor(anc_id / 2) AS BIGINT), depth + 1
+       |  FROM anc WHERE anc_id > 0),
+       |d AS (SELECT doc_id, max(depth) AS depth FROM anc GROUP BY doc_id)
+       |SELECT CAST(depth AS BIGINT) AS depth,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM d GROUP BY depth ORDER BY depth""".stripMargin
+
+  val qRecursiveDepth: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").createOrReplaceTempView("rc_documents")
+    spark.sql(recursiveDepthSql("rc_documents"))
+  }
+
+  private val recursiveDepthOracle: String = recursiveDepthSql("documents")
+
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
 
   /** PIVOT surface: doc counts per source spread across one column per
@@ -531,6 +562,7 @@ object ExtendedQueries {
     "q_doc_packing" -> qDocPacking,
     "q_training_mix" -> qTrainingMix,
     "q_grouping_sets" -> qGroupingSets,
+    "q_recursive_depth" -> qRecursiveDepth,
     "q_stats_moments" -> qStatsMoments,
     "q_decontaminate" -> qDecontaminate,
     "q_char_jaccard" -> qCharJaccard,
@@ -543,6 +575,7 @@ object ExtendedQueries {
     "q_doc_packing" -> docPackingOracle,
     "q_training_mix" -> trainingMixOracle,
     "q_grouping_sets" -> groupingSetsOracle,
+    "q_recursive_depth" -> recursiveDepthOracle,
     "q_stats_moments" -> statsMomentsOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_char_jaccard" -> charJaccardOracle,
