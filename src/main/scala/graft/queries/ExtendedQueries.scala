@@ -316,6 +316,28 @@ object ExtendedQueries {
 
   private val recursiveDepthOracle: String = recursiveDepthSql("documents")
 
+  // ---------- LATERAL join (SQL entry path) ----------
+
+  /** Correlated LATERAL derived table with ORDER BY + LIMIT — the
+    * per-group top-k expressed as a lateral join instead of a window
+    * (Catalyst decorrelates the inner query; DuckDB executes the same
+    * text). Ties break on doc_id so both engines pick identical rows.
+    */
+  private def lateralTopkSql(table: String): String =
+    s"""SELECT s.source, l.doc_id, l.n_chars
+       |FROM (SELECT DISTINCT source FROM $table) s,
+       |LATERAL (SELECT doc_id, n_chars FROM $table d
+       |         WHERE d.source = s.source
+       |         ORDER BY n_chars DESC, doc_id LIMIT 2) l
+       |ORDER BY s.source, l.n_chars DESC, l.doc_id""".stripMargin
+
+  val qLateralTopk: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").createOrReplaceTempView("lt_documents")
+    spark.sql(lateralTopkSql("lt_documents"))
+  }
+
+  private val lateralTopkOracle: String = lateralTopkSql("documents")
+
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
 
   /** PIVOT surface: doc counts per source spread across one column per
@@ -563,6 +585,7 @@ object ExtendedQueries {
     "q_training_mix" -> qTrainingMix,
     "q_grouping_sets" -> qGroupingSets,
     "q_recursive_depth" -> qRecursiveDepth,
+    "q_lateral_topk" -> qLateralTopk,
     "q_stats_moments" -> qStatsMoments,
     "q_decontaminate" -> qDecontaminate,
     "q_char_jaccard" -> qCharJaccard,
@@ -576,6 +599,7 @@ object ExtendedQueries {
     "q_training_mix" -> trainingMixOracle,
     "q_grouping_sets" -> groupingSetsOracle,
     "q_recursive_depth" -> recursiveDepthOracle,
+    "q_lateral_topk" -> lateralTopkOracle,
     "q_stats_moments" -> statsMomentsOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_char_jaccard" -> charJaccardOracle,
