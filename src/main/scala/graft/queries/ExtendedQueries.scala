@@ -338,6 +338,67 @@ object ExtendedQueries {
 
   private val lateralTopkOracle: String = lateralTopkSql("documents")
 
+  // ---------- SQL pipe syntax (Spark 4 |> operator chain) ----------
+
+  /** The same filter→aggregate→having→sort pipeline written in Spark 4's
+    * SQL PIPE syntax (`|>` — each operator applies to the preceding
+    * table). The oracle states the equivalent classic SQL: a hash match
+    * proves the pipe chain desugars to identical semantics.
+    */
+  val PipeMinClicks = 5L
+
+  val qPipeSyntax: Q = (spark, dir) => {
+    Tables(spark, dir, "events").createOrReplaceTempView("pipe_events")
+    spark.sql(
+      s"""FROM pipe_events
+         ||> WHERE event_type = 'click'
+         ||> AGGREGATE count(*) AS n_clicks,
+         |     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |   GROUP BY user_id
+         ||> WHERE n_clicks >= $PipeMinClicks
+         ||> ORDER BY user_id""".stripMargin)
+  }
+
+  private val pipeSyntaxOracle: String =
+    s"""SELECT user_id, count(*) AS n_clicks,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events WHERE event_type = 'click'
+       |GROUP BY user_id HAVING count(*) >= $PipeMinClicks
+       |ORDER BY user_id""".stripMargin
+
+  // ---------- VARIANT semi-structured type (Spark 4) ----------
+
+  /** Semi-structured access through the VARIANT type (Spark 4's
+    * open-schema column): `parse_json` once, typed `variant_get`
+    * extraction, then a relational aggregate over the extracted field.
+    * The oracle reads the same JSON with DuckDB's json functions — the
+    * hash match pins the extraction semantics (typed cast, missing-field
+    * null behavior via try_variant_get).
+    */
+  val qVariantExtract: Q = (spark, dir) => {
+    Tables(spark, dir, "events").createOrReplaceTempView("var_events")
+    spark.sql(
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(variant_get(parse_json(props), '$.k', 'bigint'))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(max(variant_get(parse_json(props), '$.k', 'bigint'))
+        |    AS BIGINT) AS max_k,
+        |  CAST(count(try_variant_get(parse_json(props), '$.missing',
+        |    'bigint')) AS BIGINT) AS n_missing_field
+        |FROM var_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val variantExtractOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS sum_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS max_k,
+      |  CAST(count(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+      |    AS BIGINT) AS n_missing_field
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
 
   /** PIVOT surface: doc counts per source spread across one column per
@@ -586,6 +647,8 @@ object ExtendedQueries {
     "q_grouping_sets" -> qGroupingSets,
     "q_recursive_depth" -> qRecursiveDepth,
     "q_lateral_topk" -> qLateralTopk,
+    "q_pipe_syntax" -> qPipeSyntax,
+    "q_variant_extract" -> qVariantExtract,
     "q_stats_moments" -> qStatsMoments,
     "q_decontaminate" -> qDecontaminate,
     "q_char_jaccard" -> qCharJaccard,
@@ -600,6 +663,8 @@ object ExtendedQueries {
     "q_grouping_sets" -> groupingSetsOracle,
     "q_recursive_depth" -> recursiveDepthOracle,
     "q_lateral_topk" -> lateralTopkOracle,
+    "q_pipe_syntax" -> pipeSyntaxOracle,
+    "q_variant_extract" -> variantExtractOracle,
     "q_stats_moments" -> statsMomentsOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_char_jaccard" -> charJaccardOracle,
