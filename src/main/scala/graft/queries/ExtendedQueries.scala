@@ -389,6 +389,42 @@ object ExtendedQueries {
         |FROM var_events GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  // ---------- string collations (Spark 4 COLLATE) ----------
+
+  /** Case-insensitive semantics through Spark 4's collation system: a
+    * mixed-case derivation of `source` is compared, distinct-counted, and
+    * grouped under `COLLATE UTF8_LCASE`. Only collation-DETERMINISTIC
+    * outputs are emitted (counts — never a group's representative string,
+    * which is an arbitrary casing under CI equality). The oracle lowers
+    * explicitly; a hash match proves the collated equality/distinct
+    * semantics match byte-wise lowercasing on this ASCII domain.
+    */
+  val qCollation: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").createOrReplaceTempView("coll_documents")
+    spark.sql(
+      """WITH t AS (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
+        |                       ELSE source END AS src
+        |           FROM coll_documents)
+        |SELECT
+        |  CAST(count(CASE WHEN src COLLATE UTF8_LCASE = 'SrC1' THEN 1 END)
+        |    AS BIGINT) AS n_src1_ci,
+        |  CAST(count(DISTINCT src COLLATE UTF8_LCASE) AS BIGINT)
+        |    AS n_sources_ci,
+        |  CAST(count(DISTINCT src) AS BIGINT) AS n_variants_cs
+        |FROM t""".stripMargin)
+  }
+
+  private val collationOracle: String =
+    """WITH t AS (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
+      |                       ELSE source END AS src
+      |           FROM documents)
+      |SELECT
+      |  CAST(count(CASE WHEN lower(src) = lower('SrC1') THEN 1 END)
+      |    AS BIGINT) AS n_src1_ci,
+      |  CAST(count(DISTINCT lower(src)) AS BIGINT) AS n_sources_ci,
+      |  CAST(count(DISTINCT src) AS BIGINT) AS n_variants_cs
+      |FROM t""".stripMargin
+
   private val variantExtractOracle: String =
     """SELECT event_type, count(*) AS n,
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -649,6 +685,7 @@ object ExtendedQueries {
     "q_lateral_topk" -> qLateralTopk,
     "q_pipe_syntax" -> qPipeSyntax,
     "q_variant_extract" -> qVariantExtract,
+    "q_collation" -> qCollation,
     "q_stats_moments" -> qStatsMoments,
     "q_decontaminate" -> qDecontaminate,
     "q_char_jaccard" -> qCharJaccard,
@@ -665,6 +702,7 @@ object ExtendedQueries {
     "q_lateral_topk" -> lateralTopkOracle,
     "q_pipe_syntax" -> pipeSyntaxOracle,
     "q_variant_extract" -> variantExtractOracle,
+    "q_collation" -> collationOracle,
     "q_stats_moments" -> statsMomentsOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_char_jaccard" -> charJaccardOracle,
