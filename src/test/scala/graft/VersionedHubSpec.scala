@@ -254,6 +254,23 @@ class VersionedHubSpec extends SparkTestBase {
     assert(del == Set((7, "delete")), s"$del")
   }
 
+  test("manifest rows stay exact when a bulk commit blows the footer budget") {
+    // 80 input partitions × 2 buckets → far more than 64 files per bucket
+    // dir, so the driver-side footer sum must refuse and the per-bucket
+    // counts must come from the parallel metadata-scan fallback instead
+    val path = tmpDir("vhub_rows_bulk")
+    VersionedHub.writeBucketed(spark,
+      (1 to 2000).map(i => (i, s"v$i")).toDF("k", "v").repartition(80),
+      path, Seq("k"), 2)
+    val v = VersionedHub.history(spark, path).head
+    assert(v.rows == 2000L, s"${v.rows}")
+    assert(v.bucketRows.values.sum == 2000L && v.bucketRows.keySet == v.buckets.keySet)
+    // and a small follow-up commit still audits exactly on top of it
+    VersionedHub.writeBucketed(spark, kv(1 -> "ONE", 2001 -> "NEW"),
+      path, Seq("k"), 2)
+    assert(VersionedHub.history(spark, path).last.rows == 2001L)
+  }
+
   test("manifest rows stay exact through bucketed upserts and deletes") {
     val path = tmpDir("vhub_rows")
     VersionedHub.writeBucketed(spark,
