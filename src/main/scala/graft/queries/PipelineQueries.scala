@@ -225,10 +225,14 @@ object PipelineQueries {
       "text", "doc_id", DupSpanK)
       .orderBy(col("doc_id"))
 
-  private val dupSpanTrimOracle: String = {
+  /** Shared CTE chain of the span-trim oracle up to the per-doc `agg`
+    * (kept-token count + reassembled text); [[dupSpanTrimOracle]] and the
+    * curation composite build different final selects on top.
+    */
+  private def spanTrimBodyCtes: String = {
     val k = DupSpanK
     val parts = (0 until k).map(j => s"ws[i+$j]").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, $WS ws FROM documents),
+    s"""t AS (SELECT doc_id, $WS ws FROM documents),
        |sh AS (SELECT doc_id, len(ws) AS nt, i,
        |         ${h60(s"concat_ws(' ', $parts)")} AS h
        |       FROM t, UNNEST(range(1, greatest(len(ws)-${k - 1}, 1)+1)) AS u(i)),
@@ -255,13 +259,51 @@ object PipelineQueries {
        |             AND tok.i BETWEEN sp.p1 AND sp.pe)),
        |agg AS (SELECT doc_id, count(*) AS n_kept,
        |          string_agg(x, ' ' ORDER BY i) AS txt
-       |        FROM kept GROUP BY doc_id)
-       |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
-       |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
-       |  coalesce(a.txt, '') AS text_trimmed
-       |FROM t LEFT JOIN agg a USING (doc_id)
-       |ORDER BY t.doc_id""".stripMargin
+       |        FROM kept GROUP BY doc_id),
+       |trimmed AS (SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       |    coalesce(a.txt, '') AS text_trimmed
+       |  FROM t LEFT JOIN agg a USING (doc_id))""".stripMargin
   }
+
+  private val dupSpanTrimOracle: String =
+    s"""WITH $spanTrimBodyCtes
+       |SELECT doc_id, n_tokens, n_tokens_kept, text_trimmed
+       |FROM trimmed ORDER BY doc_id""".stripMargin
+
+  /** Curation composite v2 — the span family wired into a real pipeline:
+    * cut duplicated spans corpus-wide, then keep only documents that
+    * RETAIN ≥ half their tokens (mostly-duplicate docs go) and at least
+    * [[CurationMinKeptTokens]] kept tokens (husks go), then summarize
+    * per source what survives and how much text the cut removed. Integer-
+    * rational retention threshold (`kept·10 ≥ total·5`) keeps both
+    * engines' comparisons exact.
+    */
+  val CurationMinKeptTokens = 10L
+
+  val qCurationV2: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.trimDuplicatedSpans(docs, "text", "doc_id", DupSpanK)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .filter(col("n_tokens_kept") * 10 >= col("n_tokens") * 5 &&
+        col("n_tokens_kept") >= CurationMinKeptTokens)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_kept")).as("sum_tokens_kept"),
+        sum(col("n_tokens") - col("n_tokens_kept")).as("sum_tokens_cut"))
+      .orderBy(col("source"))
+  }
+
+  private val curationV2Oracle: String =
+    s"""WITH $spanTrimBodyCtes
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tr.n_tokens_kept) AS BIGINT) AS sum_tokens_kept,
+       |  CAST(sum(tr.n_tokens - tr.n_tokens_kept) AS BIGINT)
+       |    AS sum_tokens_cut
+       |FROM trimmed tr JOIN documents d USING (doc_id)
+       |WHERE tr.n_tokens_kept * 10 >= tr.n_tokens * 5
+       |  AND tr.n_tokens_kept >= $CurationMinKeptTokens
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** Steady-state span dedup ([[graft.operators.Dedup.incrementalSpanTrim]]):
     * the batch quarter (doc_id %4 == 0) is trimmed against the persisted
@@ -1459,6 +1501,7 @@ object PipelineQueries {
     "q_exact_dedup" -> qExactDedup,
     "q_dup_spans" -> qDupSpans,
     "q_dup_span_trim" -> qDupSpanTrim,
+    "q_curation_v2" -> qCurationV2,
     "q_incremental_span_trim" -> qIncrementalSpanTrim,
     "q_stream_span_trim" -> qStreamSpanTrim,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
@@ -1504,6 +1547,7 @@ object PipelineQueries {
     "q_exact_dedup" -> exactDedupOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_dup_span_trim" -> dupSpanTrimOracle,
+    "q_curation_v2" -> curationV2Oracle,
     "q_incremental_span_trim" -> incrementalSpanTrimOracle,
     "q_stream_span_trim" -> dupSpanTrimOracle,
     "q_ngram_jaccard_pairs" -> ngramJaccardOracle,
