@@ -366,6 +366,80 @@ object ExtendedQueries {
        |GROUP BY user_id HAVING count(*) >= $PipeMinClicks
        |ORDER BY user_id""".stripMargin
 
+  // ---------- GROUP BY ALL / ORDER BY ALL ----------
+
+  /** The DuckDB-originated GROUP BY ALL / ORDER BY ALL shorthand, adopted
+    * by Spark 4 — identical SQL text on both engines; the hash match pins
+    * the "every non-aggregate select item groups / every select item
+    * orders" inference.
+    */
+  private def groupByAllSql(table: String): String =
+    s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM $table GROUP BY ALL ORDER BY ALL""".stripMargin
+
+  val qGroupByAll: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").createOrReplaceTempView("gba_documents")
+    spark.sql(groupByAllSql("gba_documents"))
+  }
+
+  private val groupByAllOracle: String = groupByAllSql("documents")
+
+  // ---------- UNPIVOT (wide → long melt) ----------
+
+  /** SQL UNPIVOT: melt a per-lang metrics row back into (lang, metric,
+    * value) long form — the inverse of the pivot surface. The oracle
+    * states the engine-agnostic UNION ALL melt, so the hash match proves
+    * Spark's UNPIVOT (including column-name-as-label semantics) against
+    * first principles rather than another engine's unpivot dialect.
+    */
+  val qUnpivot: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").createOrReplaceTempView("up_documents")
+    spark.sql(
+      """SELECT lang, metric, v FROM (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM up_documents GROUP BY lang)
+        |UNPIVOT (v FOR metric IN (n_docs, sum_chars))
+        |ORDER BY lang, metric""".stripMargin)
+  }
+
+  private val unpivotOracle: String =
+    """WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |           FROM documents GROUP BY lang)
+      |SELECT lang, 'n_docs' AS metric, n_docs AS v FROM w
+      |UNION ALL
+      |SELECT lang, 'sum_chars', sum_chars FROM w
+      |ORDER BY lang, metric""".stripMargin
+
+  // ---------- multiset set operations (INTERSECT ALL / EXCEPT ALL) ----------
+
+  /** Bag-semantics set ops — INTERSECT ALL keeps min(m₁,m₂) copies per
+    * value, EXCEPT ALL keeps m₁−m₂ — summarized as per-lang multiplicity
+    * counts. Identical SQL text on both engines.
+    */
+  private def setOpsAllSql(table: String): String =
+    s"""SELECT 'except_all' AS op, lang, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT lang FROM $table WHERE doc_id % 2 = 0
+       |      EXCEPT ALL
+       |      SELECT lang FROM $table WHERE doc_id % 3 = 0)
+       |GROUP BY lang
+       |UNION ALL
+       |SELECT 'intersect_all', lang, CAST(count(*) AS BIGINT)
+       |FROM (SELECT lang FROM $table WHERE doc_id % 2 = 0
+       |      INTERSECT ALL
+       |      SELECT lang FROM $table WHERE doc_id % 3 = 0)
+       |GROUP BY lang
+       |ORDER BY op, lang""".stripMargin
+
+  val qSetOpsAll: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").createOrReplaceTempView("soa_documents")
+    spark.sql(setOpsAllSql("soa_documents"))
+  }
+
+  private val setOpsAllOracle: String = setOpsAllSql("documents")
+
   // ---------- VARIANT semi-structured type (Spark 4) ----------
 
   /** Semi-structured access through the VARIANT type (Spark 4's
@@ -686,6 +760,9 @@ object ExtendedQueries {
     "q_pipe_syntax" -> qPipeSyntax,
     "q_variant_extract" -> qVariantExtract,
     "q_collation" -> qCollation,
+    "q_group_by_all" -> qGroupByAll,
+    "q_unpivot" -> qUnpivot,
+    "q_set_ops_all" -> qSetOpsAll,
     "q_stats_moments" -> qStatsMoments,
     "q_decontaminate" -> qDecontaminate,
     "q_char_jaccard" -> qCharJaccard,
@@ -703,6 +780,9 @@ object ExtendedQueries {
     "q_pipe_syntax" -> pipeSyntaxOracle,
     "q_variant_extract" -> variantExtractOracle,
     "q_collation" -> collationOracle,
+    "q_group_by_all" -> groupByAllOracle,
+    "q_unpivot" -> unpivotOracle,
+    "q_set_ops_all" -> setOpsAllOracle,
     "q_stats_moments" -> statsMomentsOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_char_jaccard" -> charJaccardOracle,
