@@ -942,12 +942,23 @@ object Dedup {
   /** (id, _nt, p, h): the 60-bit hash of the k-token window starting at
     * 1-based token position p, for every position. NOT distinct — the
     * positional index the span operators run on.
+    *
+    * The `id*1e6+p` keeper encoding every downstream consumer builds
+    * (trim keeper min-agg, [[spanIndexEntriesFromPos]]'s persisted `keep`
+    * field) is only injective while p < 1e6 — enforce the bound HERE, at
+    * the single producer of positions, so an oversized document fails
+    * loudly in every pipeline instead of silently corrupting whichever
+    * index/keeper field it reaches first.
     */
   private[graft] def positionalWindowHashes(df: DataFrame, textCol: String,
       idCol: String, k: Int): DataFrame = {
     val toks = graft.operators.TextAnalysis.tokens(col(textCol))
     materialize(fanOutNarrow(df)
-      .select(col(idCol), size(toks).as("_nt"),
+      .select(col(idCol),
+        when(size(toks) >= 1000000, raise_error(lit(
+          "span dedup: document exceeds 1e6 tokens — the id*1e6+p keeper " +
+            "encoding would collide; split the document or raise the base")))
+          .otherwise(size(toks)).as("_nt"),
         posexplode(graft.functions.TextHashExprs
           .wordWindowHash60Array(col(textCol), k)))
       .select(col(idCol), col("_nt"), (col("pos") + 1).as("p"),

@@ -1466,6 +1466,99 @@ object PipelineQueries {
        |SELECT doc_id, n_tokens, cum_tokens FROM c
        |WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin
 
+  /** Safety multiplier on the select-then-trim pre-filter: survivors target
+    * ≈ `TokenBudgetSafety ×` the budget's token mass, absorbing both the
+    * approx-quantile rank error and the (mild, real-corpus) non-monotonicity
+    * of whitespace-token count in character count. A miss is LOUD
+    * (`assert_true`), never a silent under-selection.
+    */
+  val TokenBudgetSafety = 4L
+
+  /** The 100 TB sibling of [[qTokenBudget]] — select-then-trim instead of a
+    * global-order cumulative window (the scale path the window form's
+    * scaladoc promises; same pattern as
+    * [[CorpusQueries.temperatureMixThresholdSelect]]):
+    *
+    *   1. one scan-speed aggregate gives the corpus token mass T and the
+    *      ordering-key range (1-row collect);
+    *   2. when T exceeds the budget, an approx-quantile probe on the
+    *      ordering key `n_chars` locates the character-length threshold
+    *      whose suffix (the longest docs) carries ≈ [[TokenBudgetSafety]]×
+    *      budget tokens — survivors are selected by a broadcast-free scan
+    *      filter, and `{n_chars ≥ thr}` is PREFIX-CLOSED in the
+    *      (n_chars desc, doc_id) total order, so their exact cumulative
+    *      sums equal the global ones;
+    *   3. an `assert_true` guard fails the job loudly if the survivor token
+    *      mass undershoots min(budget, T) (rerun with a wider safety margin
+    *      — the window form is the exact fallback);
+    *   4. the exact cumulative sum over the ~budget-bounded survivors is a
+    *      two-level distributed prefix sum with NO unpartitioned window
+    *      anywhere: a range-bucketed within-bucket running sum
+    *      (`Window.partitionBy(bucket)`) plus per-bucket totals whose
+    *      exclusive prefix comes from a ≤1024-row broadcast self-join.
+    *
+    * Work at 100 TB: two metadata-light scans (stats + quantile sketch),
+    * one filtered scan keeping O(budget) rows, and a shuffle of ONLY those
+    * survivors. The full-corpus single-partition sort the window form pays
+    * never happens. Result is row-identical to [[qTokenBudget]] whenever
+    * the guard passes (spec-proven, and `q_token_budget_scaled` shares the
+    * window form's oracle verbatim).
+    */
+  def tokenBudgetThresholdSelect(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+      size(graft.operators.TextAnalysis.tokens(col("text")))
+        .cast("long").as("n_tokens"))
+    // 1-row stats collect (bounded): token mass + ordering-key extrema
+    val st = tok.agg(sum(col("n_tokens")), max(col("n_chars")),
+      min(col("n_chars"))).collect()(0)
+    val (total, maxC, minC) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val thr: Long =
+      if (total <= budget * TokenBudgetSafety) minC
+      else {
+        // suffix fraction by DOC COUNT: the kept docs are the longest, so
+        // their token share is ≥ their count share on any corpus where
+        // token count grows with character count; the safety factor plus
+        // the loud guard below covers local non-monotonicity
+        val p = 1.0 - math.min(1.0,
+          TokenBudgetSafety.toDouble * budget.toDouble / total.toDouble)
+        val q = tok.stat.approxQuantile("n_chars", Array(p), 1e-4)(0)
+        math.min(q.floor.toLong, maxC)
+      }
+    val surv = graft.operators.Dedup.materialize(
+      tok.filter(col("n_chars") >= thr))
+    val guard = surv.agg(sum(col("n_tokens")).as("_stok"))
+    // ≤1024 range buckets over the survivor ordering-key span; every doc of
+    // one n_chars value lands in one bucket, and bucket order = key order
+    val width = math.max(1L, (maxC - thr) / 1024L + 1L)
+    val bucketed = surv.withColumn("_b",
+      expr(s"(${maxC}L - n_chars) div ${width}L"))
+    val btot = bucketed.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_btok"))
+    val bpre = btot.as("x")
+      .join(broadcast(btot.select(col("_b").as("_b2"), col("_btok").as("_btok2"))),
+        col("_b2") < col("_b"), "left")
+      .groupBy(col("_b"))
+      .agg(coalesce(sum(col("_btok2")), lit(0L)).as("_bpre"))
+    val wB = Window.partitionBy(col("_b"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .crossJoin(broadcast(guard))
+      // evaluated via the filter so the optimizer cannot prune the guard
+      .filter(assert_true(
+        col("_stok") >= least(lit(budget), lit(total)),
+        lit("token-budget threshold missed the budget mass — widen " +
+          "TokenBudgetSafety or use the exact window form")).isNull)
+      .join(broadcast(bpre), Seq("_b"))
+      .withColumn("cum_tokens", col("_bpre") + sum(col("n_tokens")).over(wB))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTokenBudgetScaled: Q = (spark, dir) =>
+    tokenBudgetThresholdSelect(Tables(spark, dir, "documents"), TokenBudget)
+
   /** Deterministic 80/10/10 train/val/test split via the shared md5 hash
     * (same constant pipeline as hashSample — stable across runs, engines,
     * partitionings), reported as per-(source, split) counts.
@@ -1494,6 +1587,7 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "q_token_budget" -> qTokenBudget,
+    "q_token_budget_scaled" -> qTokenBudgetScaled,
     "q_train_val_test" -> qTrainValTest,
     "q_text_stats" -> qTextStats,
     "q_lang_id" -> qLangId,

@@ -264,7 +264,10 @@ object StreamingIngest {
     */
   def growingIndexDedupStream(batches: DataFrame, indexHub: String,
       matchesHub: String, nBuckets: Int, textCol: String, idCol: String,
-      threshold: Double, checkpoint: String): StreamingQuery =
+      threshold: Double, checkpoint: String,
+      housekeepEvery: Int = 0,
+      housekeepRetainMs: Long = graft.writers.VersionedHub.DefaultVacuumRetainMs
+  ): StreamingQuery =
     batches.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         import graft.operators.Dedup
@@ -279,11 +282,41 @@ object StreamingIngest {
             Dedup.incrementalSurvivors(index, batch, textCol, idCol,
               threshold), textCol, idCol),
           indexHub, Seq(idCol, "band"), nBuckets, batchId = Some(id))
+        housekeep(spark, Seq(indexHub, matchesHub), id, housekeepEvery,
+          housekeepRetainMs)
         () // foreachBatch wants Unit, not the committed version number
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** A growing-index stream commits 1-2 versions per hub per micro-batch
+    * FOREVER — without housekeeping the version log, the per-trigger
+    * small-file count, and the orphaned snapshot storage all grow without
+    * bound. Every `housekeepEvery` batches: compact the touched buckets'
+    * small files into one file each ([[graft.writers.VersionedHub
+    * .compactBuckets]], a committed version — readers mid-stream are never
+    * affected), then [[graft.writers.VersionedHub.vacuum]] down to the
+    * newest [[HousekeepKeepVersions]] manifests and sweep unreferenced
+    * data dirs older than `retainMs`.
+    *
+    * Replay safety: a crash-replayed micro-batch can only be the LATEST
+    * batch (the checkpoint advances before the next one starts), and its
+    * idempotence manifests are at most 2 versions deep (its own commit +
+    * one compaction) — keeping ≥ 4 versions means vacuum can never delete
+    * the batchId record a replay would need to short-circuit on, so
+    * exactly-once survives housekeeping.
+    */
+  val HousekeepKeepVersions = 4
+
+  private def housekeep(spark: SparkSession, hubs: Seq[String], batchId: Long,
+      every: Int, retainMs: Long): Unit =
+    if (every > 0 && batchId > 0 && batchId % every == 0)
+      hubs.foreach { hub =>
+        graft.writers.VersionedHub.compactBuckets(spark, hub)
+        graft.writers.VersionedHub.vacuum(spark, hub,
+          keepVersions = Some(HousekeepKeepVersions), retainMs = retainMs)
+      }
 
   /** GROWING-index streaming span trim (the ExactSubstr cut policy as a
     * continuously-ingesting stream): each micro-batch is trimmed against
@@ -300,36 +333,59 @@ object StreamingIngest {
     * copy survives follows arrival order. When batches arrive in id order,
     * the trimmed-hub content equals the one-shot
     * [[graft.operators.Dedup.trimDuplicatedSpans]] over the whole corpus —
-    * the driver-visible oracle. Index upserts are keyed by `h` alone, so a
-    * re-ingested hash's occ/keep metadata reflects its latest contributing
-    * batch; the trim consults only h-existence, which is append-monotone.
+    * the driver-visible oracle. Index upserts are keyed by `h`; a
+    * re-ingested hash's metadata is merged CUMULATIVELY against the probed
+    * index rows (occ adds, keep takes the min) — the probe the trim already
+    * reads covers every hash the batch commits, so the persisted index's
+    * `occ` is the corpus-global occurrence count and `keep` the
+    * corpus-global first occurrence, not batch-local values a downstream
+    * consumer could mistake for global ones.
     */
   def spanTrimStream(batches: DataFrame, indexHub: String,
       trimmedHub: String, nBuckets: Int, textCol: String, idCol: String,
-      k: Int, checkpoint: String): StreamingQuery =
+      k: Int, checkpoint: String,
+      housekeepEvery: Int = 0,
+      housekeepRetainMs: Long = graft.writers.VersionedHub.DefaultVacuumRetainMs
+  ): StreamingQuery =
     batches.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         import graft.operators.Dedup
         import graft.writers.VersionedHub
         val spark = batch.sparkSession
-        // one positional-hashing pass per micro-batch, shared between the
-        // trim and the index commit
+        // one positional-hashing pass per micro-batch (materialized inside
+        // positionalWindowHashes), shared between the probe, the trim and
+        // the index commit
         val pos = Dedup.positionalWindowHashes(batch, textCol, idCol, k)
-        val index = VersionedHub.latest(spark, indexHub) match {
-          // bucket-pruned probe: only the index buckets that can hold one
-          // of the batch's window hashes are read — O(batch), not O(index)
-          case Some(v) => VersionedHub.readBucketsFor(spark, indexHub,
-            pos.select(col("h")).distinct(), Seq("h"), version = Some(v))
-          case None => spark.range(0).select(col("id").as("h"),
-            lit(0L).as("occ"), lit(0L).as("keep"))
-        }
-        VersionedHub.writeBucketed(spark,
-          Dedup.incrementalSpanTrimFromPos(index, batch, pos, textCol,
-            idCol, k),
-          trimmedHub, Seq(idCol), nBuckets, batchId = Some(id))
-        VersionedHub.writeBucketed(spark,
-          Dedup.spanIndexEntriesFromPos(pos, idCol),
-          indexHub, Seq("h"), nBuckets, batchId = Some(id))
+        val index = Dedup.persistForReuse(
+          VersionedHub.latest(spark, indexHub) match {
+            // bucket-pruned probe: only the index buckets that can hold one
+            // of the batch's window hashes are read — O(batch), not O(index)
+            case Some(v) => VersionedHub.readBucketsFor(spark, indexHub,
+              pos.select(col("h")).distinct(), Seq("h"), version = Some(v))
+            case None => spark.range(0).select(col("id").as("h"),
+              lit(0L).as("occ"), lit(0L).as("keep"))
+          })
+        try {
+          VersionedHub.writeBucketed(spark,
+            Dedup.incrementalSpanTrimFromPos(index, batch, pos, textCol,
+              idCol, k),
+            trimmedHub, Seq(idCol), nBuckets, batchId = Some(id))
+          // cumulative upsert: the probed rows are exactly the existing
+          // entries for every hash this batch touches, so merging here keeps
+          // occ/keep corpus-global at O(batch) cost
+          val entries = Dedup.spanIndexEntriesFromPos(pos, idCol)
+          val old = index.select(col("h"), col("occ").as("_old_occ"),
+            col("keep").as("_old_keep"))
+          val cumulative = entries.join(old, Seq("h"), "left")
+            .select(col("h"),
+              (col("occ") + coalesce(col("_old_occ"), lit(0L))).as("occ"),
+              least(col("keep"), coalesce(col("_old_keep"), col("keep")))
+                .as("keep"))
+          VersionedHub.writeBucketed(spark, cumulative, indexHub, Seq("h"),
+            nBuckets, batchId = Some(id))
+        } finally index.unpersist()
+        housekeep(spark, Seq(indexHub, trimmedHub), id, housekeepEvery,
+          housekeepRetainMs)
         ()
       }
       .option("checkpointLocation", checkpoint)

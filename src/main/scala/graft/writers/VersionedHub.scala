@@ -59,7 +59,18 @@ object VersionedHub {
       nBuckets: Option[Int] = None,
       buckets: Map[Int, String] = Map.empty,
       bucketCols: Option[Seq[String]] = None,
-      bucketRows: Map[Int, Long] = Map.empty)
+      bucketRows: Map[Int, Long] = Map.empty,
+      schemaJson: Option[String] = None) {
+    /** The version's full-snapshot schema, when the manifest records one.
+      * On a bucketed hub this is the UNION across all bucket dirs — a
+      * column that lives only in buckets untouched since a schema
+      * evolution is still present here, which is what lets bucket-pruned
+      * reads reproduce the full-read schema without touching every dir.
+      */
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
 
   /** Merge-upsert `df` into the hub at `path` as a new committed version.
     * Returns the committed version number. Safe to call from concurrent
@@ -140,7 +151,8 @@ object VersionedHub {
       val rows = footerRows(fs, new Path(resolve(path, dataDir)))
         .getOrElse(spark.read.parquet(resolve(path, dataDir)).count())
       if (commit(fs, path,
-          Version(next, dataDir, System.currentTimeMillis(), rows, batchId)))
+          Version(next, dataDir, System.currentTimeMillis(), rows, batchId,
+            schemaJson = Some(merged.schema.json))))
         return next
       // lost the race: drop the orphan snapshot, recompute against the winner
       fs.delete(new Path(resolve(path, dataDir)), true)
@@ -192,7 +204,11 @@ object VersionedHub {
       s"deletes must carry exactly the key columns $keys, got ${d.columns.toSeq}"))
     val fs = fileSystem(spark, path)
     def stamp(d: DataFrame): DataFrame = stampBuckets(d, bCols, nBuckets)
-    val stamped = stamp(df)
+    // the commit consumes `stamped` at least twice (touched-bucket collect,
+    // then the snapshot write) — persist so an expensive upstream (a span
+    // trim, an LSH verify) runs once per commit, not once per consumer
+    val stamped = graft.operators.Dedup.persistForReuse(stamp(df))
+    try {
     var attempt = 0
     while (attempt < MaxRetries) {
       attempt += 1
@@ -274,15 +290,70 @@ object VersionedHub {
         else // pre-bucketRows manifest underneath: count the legacy dirs once
           newRows ++ carriedDirs.map(b => b -> countDir(newBuckets(b))).toMap
       val rows = bucketRows.values.sum
+      // the recorded schema is the UNION of the base's recorded schema and
+      // this commit's merged schema: `merged` covers only the TOUCHED
+      // buckets, so after a schema evolution a column living solely in
+      // untouched buckets would otherwise vanish from the record (and from
+      // every bucket-pruned read that relies on it)
+      val snapSchema = unionSchema(spark, path, base,
+        merged.drop(BucketCol).schema)
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
           rows, batchId, Some(nBuckets), newBuckets, Some(bCols),
-          bucketRows)))
+          bucketRows, schemaJson = Some(snapSchema.json))))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
     }
     throw new IllegalStateException(
       s"hub at $path: lost the commit race $MaxRetries times — giving up")
+    } finally stamped.unpersist()
+  }
+
+  /** The committed version's full-snapshot schema: the base's recorded
+    * schema (falling back to ONE mergeSchema read of the base snapshot for
+    * legacy manifests predating the record) union-widened with the columns
+    * this commit wrote.
+    */
+  private def unionSchema(spark: SparkSession, path: String,
+      base: Option[Version],
+      written: org.apache.spark.sql.types.StructType
+  ): org.apache.spark.sql.types.StructType =
+    base.map(v => v.schema.getOrElse(read(spark, path, Some(v.version)).schema))
+      .fold(written)(bs => mergeStruct(bs, written))
+
+  private def mergeStruct(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType
+  ): org.apache.spark.sql.types.StructType = {
+    val aNames = a.fieldNames.toSet
+    val bMap = b.fields.map(f => f.name -> f).toMap
+    org.apache.spark.sql.types.StructType(a.fields.map { f =>
+      bMap.get(f.name) match {
+        case Some(g) if g.dataType != f.dataType =>
+          f.copy(dataType = HubWriter.widen(f.dataType, g.dataType),
+            nullable = true)
+        case _ => f
+      }
+    } ++ b.fields.filterNot(f => aNames.contains(f.name)))
+  }
+
+  /** Pad, cast and reorder a (possibly bucket-pruned) read to the recorded
+    * full-snapshot schema: a column living only in unpruned dirs comes back
+    * all-null — exactly what the full read would have shown for the emitted
+    * rows — and a column narrower in old bucket generations widens to the
+    * recorded type.
+    */
+  private def alignTo(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.schema.map(f => f.name -> f.dataType).toMap
+    val cols = schema.fields.map { f =>
+      have.get(f.name) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(dt) if dt != f.dataType => col(f.name).cast(f.dataType).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq
+    df.select(cols: _*)
   }
 
   /** Shared bucket-routing stamp: `pmod(xxhash64(canonical cols), n)`. */
@@ -420,10 +491,14 @@ object VersionedHub {
     * with small streaming commits. Flat (or layout-mismatched) versions
     * fall back to the full snapshot reads.
     *
-    * Caveat (schema evolution): the pruned output schema is the union of
-    * the CHANGED buckets' schemas. A column living only in unchanged
-    * buckets is omitted — it would have been all-null on every emitted row
-    * anyway, because emitted rows come only from changed buckets' files.
+    * Schema evolution: each pruned side is aligned to its version's
+    * RECORDED full-snapshot schema (manifest `schema` field), so a column
+    * living only in unchanged buckets still appears — all-null, exactly as
+    * the full read would show it for the emitted rows — and a consumer
+    * selecting it by name (e.g. streamingMaterializedView's valCol) never
+    * breaks on a delta step that touches only pre-evolution buckets.
+    * Versions without a recorded schema (legacy manifests) fall back to
+    * full snapshot reads — correctness over pruning.
     */
   private def changedSnapshots(
       spark: SparkSession,
@@ -435,27 +510,30 @@ object VersionedHub {
       throw new IllegalArgumentException(s"hub at $path has no version $n"))
     val (a, b) = (v(fromVersion), v(toVersion))
     val prunable = a.buckets.nonEmpty && b.buckets.nonEmpty &&
-      a.nBuckets == b.nBuckets && a.bucketCols == b.bucketCols
+      a.nBuckets == b.nBuckets && a.bucketCols == b.bucketCols &&
+      a.schema.isDefined && b.schema.isDefined
     if (!prunable)
       (read(spark, path, Some(fromVersion)), read(spark, path, Some(toVersion)))
     else {
+      val (sa, sb) = (a.schema.get, b.schema.get)
       val diff = (a.buckets.keySet ++ b.buckets.keySet)
         .filter(k => a.buckets.get(k) != b.buckets.get(k)).toSeq.sorted
       def dirs(ver: Version): Seq[String] =
         diff.flatMap(ver.buckets.get).map(resolve(path, _))
       def rd(ds: Seq[String]): DataFrame =
         spark.read.option("mergeSchema", "true").parquet(ds: _*)
+      def emptyOf(s: org.apache.spark.sql.types.StructType): DataFrame =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       val (da, db) = (dirs(a), dirs(b))
       (da.nonEmpty, db.nonEmpty) match {
-        case (true, true) => (rd(da), rd(db))
+        case (true, true) => (alignTo(rd(da), sa), alignTo(rd(db), sb))
         // every changed bucket is new to (or gone from) one side: that
-        // side is schema-shaped empty, borrowed from the populated side
-        case (false, true) => (rd(db).limit(0), rd(db))
-        case (true, false) => (rd(da), rd(da).limit(0))
+        // side is schema-shaped empty
+        case (false, true) => (emptyOf(sa), alignTo(rd(db), sb))
+        case (true, false) => (alignTo(rd(da), sa), emptyOf(sb))
         // no bucket differs at all: the diff is empty by construction
-        case (false, false) =>
-          val empty = read(spark, path, Some(toVersion)).limit(0)
-          (empty, empty)
+        case (false, false) => (emptyOf(sa), emptyOf(sb))
       }
     }
   }
@@ -602,9 +680,13 @@ object VersionedHub {
         .parquet(resolve(path, root))
       val newBuckets = base.buckets ++
         chosen.map(b => b -> s"$root/$BucketCol=$b")
-      // content unchanged: the base manifest's row count carries over
+      // content unchanged: row counts, routing and the recorded snapshot
+      // schema all carry over from the base manifest
+      val snapSchema = unionSchema(spark, path, Some(base),
+        merged.drop(BucketCol).schema)
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
-          base.rows, None, base.nBuckets, newBuckets)))
+          base.rows, None, base.nBuckets, newBuckets, base.bucketCols,
+          base.bucketRows, schemaJson = Some(snapSchema.json))))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -723,11 +805,31 @@ object VersionedHub {
           .mkString(""", "bucketRows": {""", ", ", "}")
       s""", "nBuckets": $n, "buckets": $m$bc$br"""
     }.getOrElse("")
+    val schemaField = v.schemaJson
+      .map(s => s""", "schema": "${jsonEscape(s)}"""").getOrElse("")
     try out.write(
-      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields}"""
+      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields$schemaField}"""
         .getBytes("UTF-8"))
     finally out.close()
     true
+  }
+
+  /** Minimal JSON string escape for the embedded schema record (the schema
+    * is itself JSON, so quotes and backslashes must survive the round-trip
+    * through the YAML-safe manifest parser).
+    */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 16)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append("\\u%04x".format(c.toInt))
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
   /** A manifest file becomes VISIBLE at the create-exclusive claim, a few
@@ -840,7 +942,8 @@ object VersionedHub {
       m.get("nBuckets").map(_.toString.toInt),
       buckets,
       bucketCols,
-      bucketRows))
+      bucketRows,
+      m.get("schema").map(_.toString)))
   }
 
   /** Row count of every parquet file under `dir`, summed from the footers
@@ -855,10 +958,14 @@ object VersionedHub {
       maxFiles: Int = 64): Option[Long] = {
     val it = fs.listFiles(dir, /* recursive = */ true)
     val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    var nParquet = 0 // running count: the listing loop stays O(entries)
     while (it.hasNext) {
-      files += it.next()
-      if (files.count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
-        return None
+      val st = it.next()
+      files += st
+      if (st.getPath.getName.endsWith(".parquet")) {
+        nParquet += 1
+        if (nParquet > maxFiles) return None
+      }
     }
     val conf = fs.getConf
     Some(files.filter(_.getPath.getName.endsWith(".parquet")).map { st =>

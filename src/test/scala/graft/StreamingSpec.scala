@@ -167,6 +167,85 @@ class StreamingSpec extends SparkTestBase {
       .flatMap(_.batchId).distinct.size == 2)
     assert(VersionedHub.history(spark, s"$lake/trimmed")
       .flatMap(_.batchId).distinct.size == 2)
+    // the persisted index is corpus-GLOBAL after the cumulative upsert fix:
+    // occ sums across batches, keep is the corpus-global first occurrence —
+    // byte-identical to the one-shot index over the full corpus
+    val streamedIdx = VersionedHub.read(spark, s"$lake/idx")
+      .select($"h", $"occ", $"keep").as[(Long, Long, Long)].collect().toSet
+    val oneShotIdx = Dedup.spanIndexEntries(corpus, "text", "doc_id", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamedIdx == oneShotIdx,
+      s"streamed index must equal the one-shot spanIndexEntries")
+  }
+
+  test("span-trim housekeeping bounds versions/files without disturbing reads mid-stream") {
+    import graft.operators.Dedup
+    import graft.writers.VersionedHub
+    val lake = tmpDir("span_housekeep")
+    val corpus = (1L to 40L)
+      .map(i => (i, if (i % 10 == 0) "shared run of tokens here now"
+                    else s"doc $i unique words ${i * 7} and ${i * 13} tail"))
+      .toDF("doc_id", "text")
+    val srcDir = new java.io.File(s"$lake/src"); srcDir.mkdirs()
+    def addFile(half: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val stage = s"$lake/stage$i"
+      half.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1000000000000L + i * 60000L))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$lake/src")
+      // housekeep every batch, sweep immediately (single writer, test-only)
+      StreamingIngest.spanTrimStream(stream, s"$lake/idx", s"$lake/trimmed",
+        nBuckets = 4, "text", "doc_id", k = 3, s"$lake/cp",
+        housekeepEvery = 1, housekeepRetainMs = 0L).awaitTermination()
+    }
+    def slice(i: Int) =
+      corpus.filter($"doc_id" > i * 10L && $"doc_id" <= (i + 1) * 10L)
+    (0 until 2).foreach(i => addFile(slice(i), i))
+    run()
+    // mid-lifecycle read between runs: content already correct and readable
+    assert(VersionedHub.read(spark, s"$lake/trimmed").count() == 20)
+    (2 until 4).foreach(i => addFile(slice(i), i))
+    run()
+    // id-ordered arrival ⇒ the streamed lifecycle equals the one-shot trim
+    // byte for byte, housekeeping or not
+    val trimmed = VersionedHub.read(spark, s"$lake/trimmed")
+    val streamedSet = trimmed
+      .select($"doc_id", $"n_tokens", $"n_tokens_kept", $"text_trimmed")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val oneShotSet = Dedup.trimDuplicatedSpans(corpus, "text", "doc_id", k = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamedSet == oneShotSet)
+    assert(trimmed.select($"doc_id").distinct().count() == 40)
+    // housekeeping bounded the LOG: ≤ HousekeepKeepVersions manifests per
+    // hub (4 batches committed + compactions, vacuumed down each batch)
+    for (hub <- Seq(s"$lake/idx", s"$lake/trimmed")) {
+      val hist = VersionedHub.history(spark, hub)
+      assert(hist.size <= StreamingIngest.HousekeepKeepVersions,
+        s"$hub versions=${hist.size}")
+      // storage bounded too: every surviving data root is referenced by a
+      // kept manifest (orphans swept), and compaction left single-file dirs
+      val roots = new java.io.File(hub, "data").listFiles().map(_.getName).toSet
+      val referenced = hist.flatMap(v =>
+        if (v.buckets.isEmpty) Seq(v.dataDir.stripPrefix("data/"))
+        else v.buckets.values.map(_.stripPrefix("data/").takeWhile(_ != '/')))
+        .toSet
+      assert(roots.forall(referenced.contains),
+        s"$hub unswept orphan roots: ${roots.diff(referenced)}")
+    }
+    // and reads remained trim-correct: re-trim of any already-seen doc text
+    // agrees with the one-shot cut for the duplicated run
+    val dupRows = trimmed.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text_trimmed").as[(Long, String)].collect().toMap
+    val keeper = dupRows.keys.min
+    assert(dupRows(keeper) == "shared run of tokens here now")
+    assert(dupRows.filter(_._1 != keeper).values.forall(_ == ""),
+      s"later copies of the shared run must be fully cut: $dupRows")
   }
 
   test("windowed streaming agg matches the batch rollup on the same data") {

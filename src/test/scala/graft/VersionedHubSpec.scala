@@ -482,4 +482,44 @@ class VersionedHubSpec extends SparkTestBase {
     VersionedHub.write(spark, kv(1 -> "a"), path, Seq("k"))
     assert(VersionedHub.read(spark, path).count() == 1)
   }
+
+  test("bucket-pruned change feed keeps evolved columns that live only in unchanged buckets") {
+    val path = tmpDir("vhub_cdf_schema")
+    val n = 8
+    def bucketOf(k: Long): Int = {
+      // same canonical-key routing as the writer (integral key → string cast)
+      val df = Seq(k).toDF("k")
+        .select(pmod(xxhash64(col("k").cast("string")), lit(n)).cast("int"))
+      df.collect()(0).getInt(0)
+    }
+    val keys = (1L to 30L)
+    VersionedHub.writeBucketed(spark,
+      keys.map(k => (k, s"v$k")).toDF("k", "v"), path, Seq("k"), n)
+    // v2: schema evolution confined to key 1's bucket — column `extra`
+    // exists ONLY in that bucket's dir afterwards
+    VersionedHub.writeBucketed(spark,
+      Seq((1L, "V1", 9.5)).toDF("k", "v", "extra"), path, Seq("k"), n)
+    // v3: touch a key in a DIFFERENT bucket, without the evolved column
+    val other = keys.find(k => bucketOf(k) != bucketOf(1L)).get
+    VersionedHub.writeBucketed(spark,
+      Seq((other, "UPD")).toDF("k", "v"), path, Seq("k"), n)
+    // the manifests record full-snapshot schemas (pruning precondition)
+    val hist = VersionedHub.history(spark, path)
+    assert(hist.forall(_.schema.isDefined))
+    assert(hist.last.schema.get.fieldNames.contains("extra"))
+    // v2→v3 diffs only `other`'s bucket, whose files never saw `extra`:
+    // the pruned feed must still expose it (all-null), like the full read
+    val cdf = VersionedHub.changesCDF(spark, path, Seq("k"), 2, 3)
+    assert(cdf.columns.contains("extra"),
+      s"pruned CDF dropped an evolved column: ${cdf.columns.toSeq}")
+    val rows = cdf.select($"k", $"v", $"extra", $"_change_type")
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    assert(rows == Set(
+      (other, s"v$other", None, "update_preimage"),
+      (other, "UPD", None, "update_postimage")), s"rows=$rows")
+    // a consumer selecting the evolved column by name over the simple feed
+    // must not throw either
+    assert(VersionedHub.changes(spark, path, Seq("k"), 2, 3)
+      .select($"extra").count() == 1)
+  }
 }
