@@ -1634,6 +1634,10 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_token_budget" -> tokenBudgetOracle,
+    // the scale sibling is result-identical to the window form by
+    // construction (prefix-closed selection + exact distributed prefix sum)
+    // — it shares the oracle verbatim
+    "q_token_budget_scaled" -> tokenBudgetOracle,
     "q_train_val_test" -> trainValTestOracle,
     "q_text_stats" -> textStatsOracle,
     "q_lang_id" -> langIdOracle,

@@ -152,4 +152,45 @@ class CorpusStatsSpec extends SparkTestBase {
     val tf = picked.collect().map(_.getLong(1)).toSet
     assert(tf == wf, s"big-source selection diverged (${tf.size} vs ${wf.size})")
   }
+
+  test("token-budget threshold sibling is result-identical with no unpartitioned window") {
+    // round-8 verdict task 1: the select-then-trim scale path must emit
+    // exactly the window form's rows (doc_id, n_tokens, cum_tokens)...
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val windowForm = graft.queries.PipelineQueries
+        .qTokenBudget(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val scaled = graft.queries.PipelineQueries
+        .qTokenBudgetScaled(spark, dir)
+      val got = scaled
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == windowForm,
+        s"$dir diverged: only-scaled=${got -- windowForm} " +
+          s"only-window=${windowForm -- got}")
+      assert(got.nonEmpty)
+      // ...and every window in its physical plan must carry a partition
+      // spec — the whole point is eliminating the single-partition global
+      // cumulative sum (Spark's "No Partition Defined" shape)
+      val wins = scaled.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "expected the bucketed running-sum window")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        "scale sibling must not contain an unpartitioned window")
+    }
+    // degenerate corpora: total under budget (everything survives) and a
+    // single distinct n_chars value (one bucket)
+    val tiny = Seq((1L, 5L, "a b c"), (2L, 5L, "d e"), (3L, 5L, "f"))
+      .toDF("doc_id", "n_chars", "text")
+    val all = graft.queries.PipelineQueries
+      .tokenBudgetThresholdSelect(tiny, budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // order: n_chars ties → doc_id asc; cum over (3,2,1)-token docs
+    assert(all == Set((1L, 3L, 3L), (2L, 2L, 5L), (3L, 1L, 6L)))
+    // boundary trim inside one bucket
+    val cut = graft.queries.PipelineQueries
+      .tokenBudgetThresholdSelect(tiny, budget = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cut == Set((1L, 3L, 3L), (2L, 2L, 5L)))
+  }
 }
