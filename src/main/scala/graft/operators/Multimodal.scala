@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *     q_video_frames. Formats needing external codecs (mp4/h264) would
   *     slot into the same `decodeGifFrames`-shaped seam.
   *
-  * `stubDecode` remains only as the degraded fallback for payloads no
-  * installed codec recognizes (corrupt bytes, genuinely exotic formats),
-  * so a bad row degrades instead of failing the partition.
+  * Payloads no installed codec recognizes (corrupt bytes, genuinely exotic
+  * formats) degrade to [[byteStats]] — real byte-histogram statistics,
+  * Shannon entropy and Deflater compressibility — instead of failing the
+  * partition.
   */
 object Multimodal {
 
@@ -46,7 +47,7 @@ object Multimodal {
 
   /** Formats [[extractFeatures]] decodes for real via `javax.imageio`
     * (ships with the JDK — no extra jars). Everything else (audio/video/
-    * text payloads) falls back to [[stubDecode]].
+    * text payloads) falls back to [[byteStats]].
     */
   val ImageFormats: Set[String] = Set("png", "jpg", "jpeg", "gif", "bmp")
 
@@ -124,26 +125,66 @@ object Multimodal {
     out
   }
 
-  /** STUB decoder ??? — fallback for non-image formats (audio/video: no
-    * codec libraries in this container). Deterministic fake: 8 features
-    * derived from byte statistics so tests and oracles are stable. Image
-    * formats take the real [[decodeImage]] path in [[extractFeatures]].
+  /** REAL byte statistics for payloads with no JVM codec (exotic or
+    * corrupt formats) — the degraded-but-honest fallback path of
+    * [[extractFeatures]]; image formats take the real [[decodeImage]]
+    * path. 8 features:
+    *
+    *   - f0 byte length, f1 mean byte value (exact integer-ratio double);
+    *   - f2 distinct byte values, f3 modal byte frequency, f4 index-of-
+    *     coincidence numerator Σc·(c−1), f5 Rényi-2 effective alphabet
+    *     n²/Σc² — all exact functions of the byte histogram a SQL oracle
+    *     reproduces bit for bit;
+    *   - f6 Shannon entropy in bits and f7 the ACTUAL Deflater-compressed
+    *     length (same codec boundary as
+    *     [[TextAnalysis.compressionStats]]) — engine-local reals, checked
+    *     per row against their information-theoretic envelope
+    *     (0 ≤ H2 ≤ H ≤ log2 distinct; 0 < deflated ≤ n + block overhead)
+    *     by `q_multimodal_features`.
     */
-  def stubDecode(payload: Array[Byte]): Array[Double] = {
+  def byteStats(payload: Array[Byte],
+      deflater: java.util.zip.Deflater): Array[Double] = {
     val n = payload.length
+    if (n == 0) return Array.fill(8)(0.0)
+    val hist = new Array[Long](256)
     var sum = 0L
     var i = 0
-    while (i < n) { sum += payload(i) & 0xff; i += 1 }
-    val mean = if (n == 0) 0.0 else sum.toDouble / n
-    Array(
-      n.toDouble,
-      mean,
-      if (n == 0) 0.0 else (payload(0) & 0xff).toDouble,
-      if (n == 0) 0.0 else (payload(n - 1) & 0xff).toDouble,
-      (sum % 256L).toDouble,
-      (n % 97).toDouble,
-      math.min(n, 4096).toDouble,
-      1.0)
+    while (i < n) { val b = payload(i) & 0xff; hist(b) += 1; sum += b; i += 1 }
+    var distinct = 0L
+    var maxF = 0L
+    var coin = 0L
+    var sumSq = 0L
+    var h = 0.0
+    val ln2 = math.log(2.0)
+    var v = 0
+    while (v < 256) { // fixed ascending order: reproducible fp summation
+      val c = hist(v)
+      if (c > 0) {
+        distinct += 1
+        if (c > maxF) maxF = c
+        coin += c * (c - 1)
+        sumSq += c * c
+        val p = c.toDouble / n
+        h -= p * (math.log(p) / ln2)
+      }
+      v += 1
+    }
+    deflater.reset()
+    deflater.setInput(payload)
+    deflater.finish()
+    val buf = new Array[Byte](64 * 1024)
+    var dn = 0L
+    while (!deflater.finished()) dn += deflater.deflate(buf)
+    Array(n.toDouble, sum.toDouble / n, distinct.toDouble, maxF.toDouble,
+      coin.toDouble, (n.toLong * n).toDouble / sumSq.toDouble, h, dn.toDouble)
+  }
+
+  /** Convenience overload owning a throwaway Deflater — spec/one-off use;
+    * batch paths amortize one Deflater per partition.
+    */
+  def byteStats(payload: Array[Byte]): Array[Double] = {
+    val d = new java.util.zip.Deflater()
+    try byteStats(payload, d) finally d.end()
   }
 
   // ---------- video (real multi-frame codec: animated GIF via ImageIO) ----------
@@ -596,6 +637,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val deflater = new java.util.zip.Deflater() // one per partition
       rows.map { r =>
         md.reset()
         val digest = md.digest(r.payload).map("%02x".format(_)).mkString
@@ -607,7 +649,7 @@ object Multimodal {
           checksum = digest,
           n_frames = decoded.fold(
             frameOffsets(r.payload.length.toLong, 1000L).size)(_ => 1),
-          features = decoded.fold(stubDecode(r.payload))(imageFeatures))
+          features = decoded.fold(byteStats(r.payload, deflater))(imageFeatures))
       }
     }
   }
@@ -654,10 +696,12 @@ object Multimodal {
       }
   }
 
-  /** STUB resize ??? — a real implementation decodes, scales by `factor`,
-    * and re-encodes. The deterministic stand-in keeps every k-th byte, so
-    * the binary-in/binary-out plumbing (schema preserved, metadata scaled,
-    * per-partition batches) is exercised for real while the codec is fake.
+  /** Byte-thinning fallback for NON-IMAGE payloads in [[resize]] (keep
+    * every `factor`-th byte): deterministic, size-scaled, format-agnostic.
+    * Image formats never reach this — they take the real decode →
+    * nearest-neighbor scale → PNG re-encode path; a format with no JVM
+    * codec has no meaningful pixel-space resize, so the honest contract is
+    * proportional payload thinning with the metadata scaled alongside.
     */
   def stubResize(payload: Array[Byte], factor: Int): Array[Byte] = {
     val out = new Array[Byte]((payload.length + factor - 1) / factor)

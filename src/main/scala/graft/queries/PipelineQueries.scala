@@ -1155,36 +1155,57 @@ object PipelineQueries {
 
   // ---------- multimodal ----------
 
-  /** Feature vector flattened to scalar columns f0..f7 — the driver's
-    * pandas-based compare cannot hash/sort array cells.
+  /** Feature vector flattened to scalar columns — the driver's
+    * pandas-based compare cannot hash/sort array cells. f0..f5 are exact
+    * byte-histogram statistics the oracle reproduces bit for bit; Shannon
+    * entropy (f6) and the Deflater-compressed length (f7) are engine-local
+    * reals, so the query emits their information-theoretic ENVELOPE as
+    * per-row booleans the oracle pins TRUE: 0 ≤ log2(Rényi-2 perplexity) ≤
+    * H ≤ log2(distinct bytes), and 0 < deflated ≤ n + zlib block overhead.
     */
   val qMultimodalFeatures: Q = (spark, dir) => {
     val flat = Multimodal.extractFeatures(
       Multimodal.fromText(Tables(spark, dir, "documents"), "doc_id", "text"))
       .toDF()
-    val fCols = (0 until 8).map(i => col("features")(i).as(s"f$i"))
+    val f = (i: Int) => col("features")(i)
+    val eps = 1e-9
     flat.select(Seq(col("media_id"), col("byte_len"), col("checksum"),
-        col("n_frames")) ++ fCols: _*)
+        col("n_frames")) ++ (0 until 6).map(i => f(i).as(s"f$i")) ++ Seq(
+        (f(6) >= -eps && f(6) <= log(2.0, f(2)) + eps &&
+          f(6) + eps >= log(2.0, f(5))).as("entropy_ok"),
+        (f(7) > 0.0 &&
+          f(7) <= f(0) + 11.0 + (floor(f(0) / 16384.0) + 1.0) * 5.0)
+          .as("deflate_ok")): _*)
       .orderBy(col("media_id"))
   }
 
   private val multimodalOracle: String = {
     val n = "length(text)" // ASCII corpus: chars == bytes
-    val sumOrds =
-      s"list_sum(list_transform(range(1, $n+1), i -> ord(substring(text, i, 1))))"
-    s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
-       |  CAST($n AS BIGINT) AS byte_len,
-       |  md5(text) AS checksum,
-       |  CAST(((greatest($n, 1) - 1) // 1000) + 1 AS INT) AS n_frames,
-       |  CAST($n AS DOUBLE) AS f0,
-       |  CAST($sumOrds AS DOUBLE) / CAST($n AS DOUBLE) AS f1,
-       |  CAST(ord(substring(text, 1, 1)) AS DOUBLE) AS f2,
-       |  CAST(ord(substring(text, $n, 1)) AS DOUBLE) AS f3,
-       |  CAST($sumOrds % 256 AS DOUBLE) AS f4,
-       |  CAST($n % 97 AS DOUBLE) AS f5,
-       |  CAST(least($n, 4096) AS DOUBLE) AS f6,
-       |  1.0 AS f7
-       |FROM documents ORDER BY media_id""".stripMargin
+    s"""WITH ch AS (SELECT doc_id, ord(substring(text, i, 1)) AS b
+       |  FROM documents, UNNEST(range(1, $n + 1)) AS u(i)),
+       |hist AS (SELECT doc_id, b, count(*) AS cnt FROM ch GROUP BY 1, 2),
+       |st AS (SELECT doc_id,
+       |    CAST(sum(cnt) AS BIGINT) AS n,
+       |    CAST(sum(b * cnt) AS BIGINT) AS sum_b,
+       |    CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(max(cnt) AS BIGINT) AS maxf,
+       |    CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS coin,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS sumsq
+       |  FROM hist GROUP BY doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+       |  st.n AS byte_len,
+       |  md5(d.text) AS checksum,
+       |  CAST(((greatest(st.n, 1) - 1) // 1000) + 1 AS INT) AS n_frames,
+       |  CAST(st.n AS DOUBLE) AS f0,
+       |  CAST(st.sum_b AS DOUBLE) / CAST(st.n AS DOUBLE) AS f1,
+       |  CAST(st.nd AS DOUBLE) AS f2,
+       |  CAST(st.maxf AS DOUBLE) AS f3,
+       |  CAST(st.coin AS DOUBLE) AS f4,
+       |  CAST(st.n * st.n AS DOUBLE) / CAST(st.sumsq AS DOUBLE) AS f5,
+       |  TRUE AS entropy_ok,
+       |  TRUE AS deflate_ok
+       |FROM documents d JOIN st ON d.doc_id = st.doc_id
+       |ORDER BY media_id""".stripMargin
   }
 
   /** Real ImageIO round-trip under the oracle: synthesize a deterministic

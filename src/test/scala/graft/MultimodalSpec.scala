@@ -29,13 +29,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.frameOffsets(0, 1000) == Seq(0L))
   }
 
-  test("stub decode is pure and length-sensitive") {
-    val a = Multimodal.stubDecode("hello".getBytes("UTF-8"))
-    val b = Multimodal.stubDecode("hello".getBytes("UTF-8"))
-    val c = Multimodal.stubDecode("hello!".getBytes("UTF-8"))
-    assert(a.toSeq == b.toSeq)
-    assert(a.toSeq != c.toSeq)
+  test("byte-stats fallback computes exact histogram moments, entropy and deflate length") {
+    val a = Multimodal.byteStats("hello".getBytes("UTF-8"))
+    val b = Multimodal.byteStats("hello".getBytes("UTF-8"))
+    assert(a.toSeq == b.toSeq, "pure")
+    // "hello": n=5, bytes h(104) e(101) l(108)x2 o(111)
     assert(a(0) == 5.0)
+    assert(a(1) == (104 + 101 + 108 + 108 + 111).toDouble / 5)
+    assert(a(2) == 4.0, "distinct byte values")
+    assert(a(3) == 2.0, "modal frequency (l)")
+    assert(a(4) == 2.0, "coincidence numerator: only l contributes 2*1")
+    assert(a(5) == 25.0 / 7.0, "Renyi-2 effective alphabet n^2/sum c^2")
+    // Shannon entropy: 3 singletons + one pair over 5 bytes
+    val h = -(3 * (1.0 / 5) * (math.log(1.0 / 5) / math.log(2.0)) +
+      (2.0 / 5) * (math.log(2.0 / 5) / math.log(2.0)))
+    assert(math.abs(a(6) - h) < 1e-12, s"entropy ${a(6)} vs $h")
+    assert(a(7) > 0 && a(7) <= 5 + 16, "deflate length inside envelope")
+    // uniform input: H == log2(distinct) == log2(Renyi-2 perplexity)
+    val u = Multimodal.byteStats(Array[Byte](1, 2, 3, 4))
+    assert(u(2) == 4.0 && u(5) == 4.0 && math.abs(u(6) - 2.0) < 1e-12)
+    // constant input: zero entropy, perplexity 1, deflate still positive
+    val k = Multimodal.byteStats(Array.fill[Byte](100)(7))
+    assert(k(2) == 1.0 && k(5) == 1.0 && k(6) == 0.0 && k(7) > 0 && k(7) < 100)
+    // empty payload: all-zero row (degraded, not thrown)
+    assert(Multimodal.byteStats(Array.empty[Byte]).forall(_ == 0.0))
   }
 
   test("resize shrinks payload and metadata by the factor, binary-to-binary") {
@@ -148,11 +165,11 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.n_frames == -1)
   }
 
-  test("corrupt image payload degrades to the stub path instead of failing") {
+  test("corrupt image payload degrades to the byte-stats path instead of failing") {
     val junk = Seq(Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "png", 0, 0))
       .toDS()
     val f = Multimodal.extractFeatures(junk).collect().head
-    assert(f.features.toSeq == Multimodal.stubDecode(Array[Byte](1, 2, 3)).toSeq)
+    assert(f.features.toSeq == Multimodal.byteStats(Array[Byte](1, 2, 3)).toSeq)
   }
 
   test("mp4 demux: synthesized BMFF box tree round-trips every field") {
