@@ -170,14 +170,24 @@ object TextAnalysis {
     *
     * Deterministic: docs are packed in `idCol` order; pack_id =
     * tokens_before / maxTokens (integer division).
+    *
+    * `tokenCountCol` budgets the packs by a PRECOMPUTED per-doc token count
+    * column instead of the whitespace [[tokenCount]] — real pipelines
+    * budget context windows in tokenizer tokens, e.g.
+    * [[graft.operators.Bpe.tokenStats]]'s `n_tokens_bpe`.
     */
   def packDocuments(df: DataFrame, textCol: String, idCol: String,
-      shardCol: String, maxTokens: Int): DataFrame = {
+      shardCol: String, maxTokens: Int,
+      tokenCountCol: Option[String] = None): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", tokenCount(col(textCol)))
+    val counted = tokenCountCol match {
+      case Some(c) => df.withColumn("n_tokens", col(c).cast("long"))
+      case None => df.withColumn("n_tokens", tokenCount(col(textCol)))
+    }
+    counted
       .withColumn("_cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id", expr(s"_cum_before div $maxTokens"))

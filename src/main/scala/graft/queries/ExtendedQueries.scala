@@ -688,6 +688,39 @@ object ExtendedQueries {
        |  CAST(sum(n) AS BIGINT) AS pack_tokens
        |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
 
+  /** [[qDocPacking]] budgeted in REAL tokenizer tokens: per-doc BPE counts
+    * from [[graft.operators.Bpe.tokenStats]] drive the pack boundaries
+    * (`tokenCountCol`), the way production context packing budgets in
+    * tokenizer tokens rather than whitespace words. Same shard-parallel
+    * window; the tokenize pass is narrow and fuses with the scan.
+    */
+  val qPackBpe: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val counts = graft.operators.Bpe.tokenStats(docs, "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens_bpe"))
+    TextAnalysis.packDocuments(docs.join(counts, Seq("doc_id")),
+        "text", "doc_id", "lang", PackMaxTokens,
+        tokenCountCol = Some("n_tokens_bpe"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  private val packBpeOracle: String = {
+    val enc = graft.operators.Bpe.replaceChainSql("text")
+    s"""WITH t AS (SELECT lang, doc_id,
+       |             length(replace($enc, ' ', '')) AS n FROM documents),
+       |p AS (SELECT lang, doc_id, n,
+       |        COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          // $PackMaxTokens AS pack_id
+       |      FROM t)
+       |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS pack_tokens
+       |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+  }
+
   // ---------- flagship composite: training-mix build ----------
 
   val MixQualityThreshold = 0.35
@@ -753,6 +786,7 @@ object ExtendedQueries {
     "q_percentiles" -> qPercentiles,
     "q_stratified_sample" -> qStratifiedSample,
     "q_doc_packing" -> qDocPacking,
+    "q_pack_bpe" -> qPackBpe,
     "q_training_mix" -> qTrainingMix,
     "q_grouping_sets" -> qGroupingSets,
     "q_recursive_depth" -> qRecursiveDepth,
@@ -773,6 +807,7 @@ object ExtendedQueries {
     "q_pivot_langs" -> pivotLangsOracle,
     "q_outliers" -> outliersOracle,
     "q_doc_packing" -> docPackingOracle,
+    "q_pack_bpe" -> packBpeOracle,
     "q_training_mix" -> trainingMixOracle,
     "q_grouping_sets" -> groupingSetsOracle,
     "q_recursive_depth" -> recursiveDepthOracle,

@@ -96,6 +96,28 @@ object PipelineQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Distributed BPE tokenizer apply ([[graft.operators.Bpe]]): per-doc
+    * word count, BPE token count, and the exact integer sum of token ids.
+    * The oracle re-runs the SAME merges table as a DuckDB replace chain —
+    * single-char merge outputs make the two formulations provably
+    * identical — so a hash match proves the encoder end to end.
+    */
+  val qBpeTokens: Q = (spark, dir) =>
+    graft.operators.Bpe.tokenStats(
+      Tables(spark, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val bpeTokensOracle: String = {
+    val enc = graft.operators.Bpe.replaceChainSql("text")
+    s"""WITH e AS (SELECT doc_id, len($WS) AS nw,
+       |  replace($enc, ' ', '') AS enc FROM documents)
+       |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+       |  CAST(length(enc) AS BIGINT) AS n_tokens_bpe,
+       |  CAST(coalesce(list_sum(list_transform(range(1, length(enc) + 1),
+       |    i -> ord(substring(enc, i, 1)))), 0) AS BIGINT) AS sum_token_ids
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source quality-percentile curation — the "drop the bottom half of
     * every domain" filter: percent_rank of the composite quality score
     * inside each source, ordered by (score, doc_id) so ties have a total
@@ -1609,6 +1631,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "q_token_budget" -> qTokenBudget,
     "q_token_budget_scaled" -> qTokenBudgetScaled,
+    "q_bpe_tokens" -> qBpeTokens,
     "q_train_val_test" -> qTrainValTest,
     "q_text_stats" -> qTextStats,
     "q_lang_id" -> qLangId,
@@ -1659,6 +1682,7 @@ object PipelineQueries {
     // construction (prefix-closed selection + exact distributed prefix sum)
     // — it shares the oracle verbatim
     "q_token_budget_scaled" -> tokenBudgetOracle,
+    "q_bpe_tokens" -> bpeTokensOracle,
     "q_train_val_test" -> trainValTestOracle,
     "q_text_stats" -> textStatsOracle,
     "q_lang_id" -> langIdOracle,
