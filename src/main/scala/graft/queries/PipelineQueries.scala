@@ -96,6 +96,38 @@ object PipelineQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Hashed-n-gram linear quality model apply
+    * ([[graft.operators.QualityModel]], fastText-style): per-doc feature
+    * count, exact integer score, and the keep/drop label. One narrow pass;
+    * the oracle re-runs the hash→bucket→weight sum from the same in-repo
+    * weight table.
+    */
+  val qQualityModel: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("_t", TextAnalysis.tokens(col("text")))
+    val (n, score) = graft.operators.QualityModel.scoreOfTokens(col("_t"))
+    docs.select(col("doc_id"), n.as("n_features"), score.as("score"),
+        (score > 0L).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityModelOracle: String = {
+    val d = graft.operators.QualityModel.HashBuckets
+    val w = graft.operators.QualityModel.weightsSqlList
+    s"""WITH t AS (SELECT doc_id, $WS ws FROM documents),
+       |f AS (SELECT doc_id, ${h60("tok")} % $d AS b
+       |      FROM (SELECT doc_id, unnest(ws) AS tok FROM t)
+       |      UNION ALL
+       |      SELECT doc_id, ${h60("ws[i] || ' ' || ws[i+1]")} % $d AS b
+       |      FROM t, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS u(i)),
+       |sc AS (SELECT doc_id, count(*) AS n_features,
+       |         sum(($w)[CAST(b AS INT) + 1]) AS score
+       |       FROM f GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+       |  CAST(score AS BIGINT) AS score, score > 0 AS label
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** Distributed BPE tokenizer apply ([[graft.operators.Bpe]]): per-doc
     * word count, BPE token count, and the exact integer sum of token ids.
     * The oracle re-runs the SAME merges table as a DuckDB replace chain —
@@ -326,6 +358,54 @@ object PipelineQueries {
        |WHERE tr.n_tokens_kept * 10 >= tr.n_tokens * 5
        |  AND tr.n_tokens_kept >= $CurationMinKeptTokens
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** Curation composite v3 — the model-gated variant of [[qCurationV2]]:
+    * same corpus-wide span cut, but the keep decision is the LINEAR MODEL
+    * ([[graft.operators.QualityModel]], score > 0 on the original text)
+    * alongside the husk floor, the way production pipelines swap heuristic
+    * gates for learned ones without touching the surrounding plan. Per-doc
+    * scoring is a narrow projection, so the composite still costs the span
+    * pipeline + one final aggregate.
+    */
+  val qCurationModel: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val (_, score) = graft.operators.QualityModel.scoreOfTokens(col("_t"))
+    val gated = docs
+      .withColumn("_t", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("source"), score.as("_score"))
+    Dedup.trimDuplicatedSpans(docs, "text", "doc_id", DupSpanK)
+      .join(gated, Seq("doc_id"))
+      .filter(col("_score") > 0L &&
+        col("n_tokens_kept") >= CurationMinKeptTokens)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_kept")).as("sum_tokens_kept"),
+        sum(col("n_tokens") - col("n_tokens_kept")).as("sum_tokens_cut"))
+      .orderBy(col("source"))
+  }
+
+  private val curationModelOracle: String = {
+    val d = graft.operators.QualityModel.HashBuckets
+    val w = graft.operators.QualityModel.weightsSqlList
+    s"""WITH $spanTrimBodyCtes,
+       |mf AS (SELECT doc_id, ${h60("tok")} % $d AS b
+       |       FROM (SELECT doc_id, unnest(ws) AS tok FROM t)
+       |       UNION ALL
+       |       SELECT doc_id, ${h60("ws[i] || ' ' || ws[i+1]")} % $d AS b
+       |       FROM t, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS u(i)),
+       |msc AS (SELECT doc_id, sum(($w)[CAST(b AS INT) + 1]) AS score
+       |        FROM mf GROUP BY doc_id)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tr.n_tokens_kept) AS BIGINT) AS sum_tokens_kept,
+       |  CAST(sum(tr.n_tokens - tr.n_tokens_kept) AS BIGINT)
+       |    AS sum_tokens_cut
+       |FROM trimmed tr
+       |  JOIN documents d USING (doc_id)
+       |  JOIN msc USING (doc_id)
+       |WHERE msc.score > 0
+       |  AND tr.n_tokens_kept >= $CurationMinKeptTokens
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
 
   /** Steady-state span dedup ([[graft.operators.Dedup.incrementalSpanTrim]]):
     * the batch quarter (doc_id %4 == 0) is trimmed against the persisted
@@ -1632,6 +1712,8 @@ object PipelineQueries {
     "q_token_budget" -> qTokenBudget,
     "q_token_budget_scaled" -> qTokenBudgetScaled,
     "q_bpe_tokens" -> qBpeTokens,
+    "q_quality_model" -> qQualityModel,
+    "q_curation_model" -> qCurationModel,
     "q_train_val_test" -> qTrainValTest,
     "q_text_stats" -> qTextStats,
     "q_lang_id" -> qLangId,
@@ -1683,6 +1765,8 @@ object PipelineQueries {
     // — it shares the oracle verbatim
     "q_token_budget_scaled" -> tokenBudgetOracle,
     "q_bpe_tokens" -> bpeTokensOracle,
+    "q_quality_model" -> qualityModelOracle,
+    "q_curation_model" -> curationModelOracle,
     "q_train_val_test" -> trainValTestOracle,
     "q_text_stats" -> textStatsOracle,
     "q_lang_id" -> langIdOracle,

@@ -44,6 +44,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fp == one("a b c d", TextAnalysis.shingleFingerprint).asInstanceOf[Long])
   }
 
+  test("quality-model scorer equals an independent explode formulation") {
+    import graft.operators.{QualityModel, Shingles}
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(80).select(col("doc_id"), col("text"))
+    val (n, s) = QualityModel.scoreOfTokens(col("_t"))
+    val narrow = docs.withColumn("_t", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), n.as("n"), s.as("s"))
+      .as[(Long, Long, Long)].collect().map { case (d, a, b) => d -> (a, b) }.toMap
+    // independent path: explode unigrams + bigrams, hash, table lookup, agg
+    val t = docs.withColumn("_t", TextAnalysis.tokens(col("text")))
+    val uni = t.select(col("doc_id"), explode(col("_t")).as("term"))
+    val bi = t.select(col("doc_id"), explode(zip_with(
+      slice(col("_t"), lit(1), size(col("_t")) - 1),
+      slice(col("_t"), lit(2), size(col("_t")) - 1),
+      (a, b) => concat(a, lit(" "), b))).as("term"))
+    val w = element_at(typedLit(QualityModel.Weights),
+      (pmod(Shingles.hash60(col("term")),
+        lit(QualityModel.HashBuckets.toLong)) + 1L).cast("int"))
+    val wide = uni.unionByName(bi)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(w).as("s"))
+      .as[(Long, Long, Long)].collect().map { case (d, a, b) => d -> (a, b) }.toMap
+    assert(narrow == wide)
+    // the gate is non-degenerate on the corpus: both labels occur
+    val labels = narrow.values.map(_._2 > 0).toSet
+    assert(labels == Set(true, false), s"degenerate gate: $labels")
+  }
+
   test("compression stats: deflate round-trips and repetition compresses harder") {
     import spark.implicits._
     val prose = "the quick brown fox jumps over the lazy dog and keeps " +
