@@ -618,7 +618,7 @@ object Dedup {
     * re-evaluated the whole shingle+md5 pass once more per use. Shared by
     * the word- and char-shingle pipelines.
     */
-  private def sizedPostings(df: DataFrame, idCol: String,
+  private[graft] def sizedPostings(df: DataFrame, idCol: String,
       hashSet: Column): DataFrame =
     fanOutNarrow(df).select(col(idCol), hashSet.as("_hs"))
       .select(col(idCol), size(col("_hs")).as("sz"),
@@ -703,7 +703,7 @@ object Dedup {
     * conservative under float rounding. A pure pruning condition: results
     * (and the oracle) are unchanged.
     */
-  private def jaccardPairsFromSizedPostings(withSz: DataFrame, idCol: String,
+  private[graft] def jaccardPairsFromSizedPostings(withSz: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
     // sz_a/sz_b are functionally dependent on id_a/id_b and already ride
     // through the h-join for the prefilter — grouping by them too makes the
@@ -1085,11 +1085,29 @@ object Dedup {
     */
   private[graft] def incrementalSpanTrimFromPos(index: DataFrame,
       batch: DataFrame, pos: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
-    require(k >= 2, s"window size k must be >= 2 (got $k)")
-    val bf = pos.groupBy(col("h")).agg(
+      k: Int): DataFrame =
+    incrementalSpanTrimFromParts(index, batch, pos,
+      batchWindowFirsts(pos, idCol), textCol, idCol, k)
+
+  /** The batch's per-hash occurrence count + first-occurrence keeper — the
+    * ONE aggregate the streaming composition shares between the trim, the
+    * index probe, and the index commit (it IS [[spanIndexEntriesFromPos]]
+    * under the `_bocc/_bkeep` names).
+    */
+  private[graft] def batchWindowFirsts(pos: DataFrame,
+      idCol: String): DataFrame =
+    pos.groupBy(col("h")).agg(
       count(lit(1)).as("_bocc"),
       min(col(idCol) * 1000000L + col("p")).as("_bkeep"))
+
+  /** [[incrementalSpanTrimFromPos]] with the per-hash aggregate supplied by
+    * the caller too — lets [[graft.streaming.StreamingIngest.spanTrimStream]]
+    * compute it once per micro-batch and reuse it three ways.
+    */
+  private[graft] def incrementalSpanTrimFromParts(index: DataFrame,
+      batch: DataFrame, pos: DataFrame, bf: DataFrame, textCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2 (got $k)")
     val removable = pos
       .join(bf, Seq("h"))
       .join(index.select(col("h"), lit(true).as("_inIdx")), Seq("h"), "left")

@@ -487,18 +487,19 @@ object PipelineQueries {
       .select(col("doc_id"), col("text"))
     val mid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
     // two id-ordered halves with stepped mtimes, so the file source's
-    // (modTime, path) processing order is exactly low-ids-first
+    // (modTime, path) processing order is exactly low-ids-first; ONE
+    // partitioned write stages both halves in a single corpus scan
     val srcDir = new java.io.File(src); srcDir.mkdirs()
-    Seq(docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid))
-      .zipWithIndex.foreach { case (half, i) =>
-        val stage = s"$tmp/stage$i"
-        half.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(srcDir, s"b$i.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath)
-        require(dst.setLastModified(1000000000000L + i * 60000L))
-      }
+    val stage = s"$tmp/stage"
+    docs.withColumn("_half", when(col("doc_id") <= mid, 0).otherwise(1))
+      .coalesce(1).write.partitionBy("_half").parquet(stage)
+    (0 until 2).foreach { i =>
+      val part = new java.io.File(s"$stage/_half=$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      require(dst.setLastModified(1000000000000L + i * 60000L))
+    }
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     graft.streaming.StreamingIngest.spanTrimStream(stream, s"$tmp/idx",

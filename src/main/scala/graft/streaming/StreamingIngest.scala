@@ -356,34 +356,56 @@ object StreamingIngest {
         // positionalWindowHashes), shared between the probe, the trim and
         // the index commit
         val pos = Dedup.positionalWindowHashes(batch, textCol, idCol, k)
+        // ONE per-hash aggregate serves the index probe, the trim's
+        // batch-first-occurrence rule, AND the index commit's entries
+        val bf = Dedup.persistForReuse(Dedup.batchWindowFirsts(pos, idCol))
+        val tip = VersionedHub.latest(spark, indexHub)
         val index = Dedup.persistForReuse(
-          VersionedHub.latest(spark, indexHub) match {
+          tip match {
             // bucket-pruned probe: only the index buckets that can hold one
             // of the batch's window hashes are read — O(batch), not O(index)
             case Some(v) => VersionedHub.readBucketsFor(spark, indexHub,
-              pos.select(col("h")).distinct(), Seq("h"), version = Some(v))
+              bf.select(col("h")), Seq("h"), version = Some(v))
             case None => spark.range(0).select(col("id").as("h"),
               lit(0L).as("occ"), lit(0L).as("keep"))
           })
         try {
-          VersionedHub.writeBucketed(spark,
-            Dedup.incrementalSpanTrimFromPos(index, batch, pos, textCol,
-              idCol, k),
-            trimmedHub, Seq(idCol), nBuckets, batchId = Some(id))
           // cumulative upsert: the probed rows are exactly the existing
           // entries for every hash this batch touches, so merging here keeps
           // occ/keep corpus-global at O(batch) cost
-          val entries = Dedup.spanIndexEntriesFromPos(pos, idCol)
           val old = index.select(col("h"), col("occ").as("_old_occ"),
             col("keep").as("_old_keep"))
-          val cumulative = entries.join(old, Seq("h"), "left")
+          val cumulative = bf
+            .select(col("h"), col("_bocc").as("occ"), col("_bkeep").as("keep"))
+            .join(old, Seq("h"), "left")
             .select(col("h"),
               (col("occ") + coalesce(col("_old_occ"), lit(0L))).as("occ"),
               least(col("keep"), coalesce(col("_old_keep"), col("keep")))
                 .as("keep"))
-          VersionedHub.writeBucketed(spark, cumulative, indexHub, Seq("h"),
-            nBuckets, batchId = Some(id))
-        } finally index.unpersist()
+          // the two commits target DIFFERENT hubs, so when their shared
+          // inputs are already materialized (the probe ran: pos/bf are
+          // materialized, index persisted) they run CONCURRENTLY — one
+          // batch pays the driver/commit latency once, not twice. Each
+          // carries the batch id, so crash-replay stays exactly-once
+          // independently. The probe-less first batch commits sequentially
+          // (its first action is what materializes pos).
+          def commitTrim(): Int = VersionedHub.writeBucketed(spark,
+            Dedup.incrementalSpanTrimFromParts(index, batch, pos, bf,
+              textCol, idCol, k),
+            trimmedHub, Seq(idCol), nBuckets, batchId = Some(id))
+          def commitIdx(): Int = VersionedHub.writeBucketed(spark,
+            cumulative, indexHub, Seq("h"), nBuckets, batchId = Some(id))
+          if (tip.isEmpty) { commitTrim(); commitIdx() }
+          else {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.ExecutionContext.Implicits.global
+            import scala.concurrent.duration.Duration
+            val fTrim = Future(commitTrim())
+            val fIdx = Future(commitIdx())
+            Await.result(fTrim, Duration.Inf)
+            Await.result(fIdx, Duration.Inf)
+          }
+        } finally { index.unpersist(); bf.unpersist() }
         housekeep(spark, Seq(indexHub, trimmedHub), id, housekeepEvery,
           housekeepRetainMs)
         ()

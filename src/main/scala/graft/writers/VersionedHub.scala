@@ -227,12 +227,18 @@ object VersionedHub {
       require(base.forall(_.buckets.nonEmpty),
         s"hub at $path has non-bucketed versions — cannot mix layouts")
       val next = base.map(_.version).getOrElse(0) + 1
-      val touched = (deletes match {
-        case None => stamped.select(BucketCol)
-        case Some(d) => stamped.select(BucketCol)
-          .unionByName(stamp(d).select(BucketCol))
-      }).distinct()
-        .collect().map(_.getInt(0)).sorted.toIndexedSeq // ≤ nBuckets values
+      // the touched-bucket set gates which BASE dirs the merge reads; a
+      // base-less first commit reads nothing, so the collect (one full
+      // computation of `stamped`) is skipped and the manifest derives the
+      // bucket map from the dirs the write materialized
+      val touched: IndexedSeq[Int] =
+        if (base.isEmpty) IndexedSeq.empty
+        else (deletes match {
+          case None => stamped.select(BucketCol)
+          case Some(d) => stamped.select(BucketCol)
+            .unionByName(stamp(d).select(BucketCol))
+        }).distinct()
+          .collect().map(_.getInt(0)).sorted.toIndexedSeq // ≤ nBuckets values
       val merged = base match {
         case None => stamped
         case Some(v) =>
@@ -255,33 +261,49 @@ object VersionedHub {
       // deletes can empty a bucket entirely; partitionBy writes no dir for
       // it, so map only the bucket dirs that actually materialized and drop
       // the rest from the manifest
-      val writtenB = fs.listStatus(new Path(resolve(path, root))).toSeq
+      val writtenBSeq = fs.listStatus(new Path(resolve(path, root))).toSeq
         .map(_.getPath.getName)
         .collect { case n if n.startsWith(s"$BucketCol=") =>
           n.stripPrefix(s"$BucketCol=").toInt }
-        .toSet
-      val newBuckets = (base.map(_.buckets).getOrElse(Map.empty) -- touched) ++
-        touched.filter(writtenB).map(b => b -> s"$root/$BucketCol=$b")
+      val writtenB = writtenBSeq.toSet
+      val touchedEff =
+        if (base.isEmpty) writtenBSeq.sorted.toIndexedSeq else touched
+      val newBuckets = (base.map(_.buckets).getOrElse(Map.empty) -- touchedEff) ++
+        touchedEff.filter(writtenB).map(b => b -> s"$root/$BucketCol=$b")
       // per-bucket row counts: rewritten buckets are counted from the new
       // root's footers only (BucketCol is a partition column, so the scan
       // projects no data pages); carried-over buckets reuse the base
       // manifest's counts — the manifest audit field stays O(touched
       // buckets) per commit instead of re-reading every bucket's footers.
-      val carried = base.map(_.bucketRows).getOrElse(Map.empty) -- touched
-      val carriedDirs = (newBuckets -- touched).keySet
+      val carried = base.map(_.bucketRows).getOrElse(Map.empty) -- touchedEff
+      val carriedDirs = (newBuckets -- touchedEff).keySet
       def countDir(rel: String): Long = {
         val p = new Path(resolve(path, rel))
         footerRows(fs, p).getOrElse(spark.read.parquet(p.toString).count())
       }
       // small commits (the high-frequency streaming case) count footers on
-      // the driver with zero Spark jobs; a bulk commit that blows the
-      // per-dir file budget falls back to ONE parallel metadata scan over
-      // the whole new root (BucketCol is a partition column — no data pages)
-      val perBucket = touched.filter(writtenB).map(b =>
-        b -> footerRows(fs, new Path(resolve(path, s"$root/$BucketCol=$b"))))
+      // the driver with zero Spark jobs; a commit that wrote MANY files
+      // falls back to ONE parallel metadata scan over the whole new root
+      // (BucketCol is a partition column — no data pages). The budget is
+      // per COMMIT, not per dir: serial driver footer opens cost ~10 ms
+      // each, so a 4-bucket × 32-task write (128 files) was paying >1 s of
+      // driver time per streaming trigger before this gate.
+      val rootParquet = {
+        val it = fs.listFiles(new Path(resolve(path, root)), true)
+        var n = 0
+        while (n <= 32 && it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      val perBucket =
+        if (rootParquet > 32) IndexedSeq.empty
+        else touchedEff.filter(writtenB).map(b =>
+          b -> footerRows(fs, new Path(resolve(path, s"$root/$BucketCol=$b"))))
       val newRows: Map[Int, Long] =
-        if (perBucket.forall(_._2.isDefined))
+        if (perBucket.nonEmpty && perBucket.forall(_._2.isDefined))
           perBucket.map { case (b, o) => b -> o.get }.toMap
+        else if (writtenB.isEmpty) Map.empty
         else spark.read.parquet(resolve(path, root))
           .groupBy(org.apache.spark.sql.functions.col(BucketCol)).count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
