@@ -242,6 +242,52 @@ object IngestQueries {
       |  CASE WHEN r_regionkey < 3 THEN r_name || '_v2' ELSE r_name END AS r_name
       |FROM region ORDER BY r_regionkey""".stripMargin
 
+  /** The DataSource V2 connector under the driver gate
+    * ([[graft.sources.HubDataSource]]): a bucketed hub with a v2 update is
+    * read back through `format("graft-hub")` — the latest snapshot under a
+    * bucket-pruning key predicate, and version 1 via `versionAsOf` — and an
+    * in-query require asserts the scan was really DIR-pruned (fewer dirs
+    * than the snapshot's bucket count in the executed plan). Hash-green iff
+    * time travel, filter semantics under pruning, and the merge all agree
+    * with the oracle's reconstruction from the source table.
+    */
+  val qHubDsv2Read: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_dsv2").toFile.getAbsolutePath
+    val hub = s"$tmp/hub"
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    graft.writers.VersionedHub.writeBucketed(spark, nation, hub,
+      Seq("n_nationkey"), 8)
+    val batch2 = nation.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", concat(col("n_name"), lit("_v2")))
+    graft.writers.VersionedHub.writeBucketed(spark, batch2, hub,
+      Seq("n_nationkey"), 8)
+    val latestFiltered = spark.read.format("graft-hub").option("path", hub)
+      .load()
+      .filter(col("n_nationkey").isin(1L, 2L, 7L))
+      .withColumn("version", lit(2))
+    val planStr = latestFiltered.queryExecution.executedPlan.toString
+    val m = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(planStr)
+    require(m.exists(g => g.group(1).toInt < g.group(2).toInt),
+      s"graft-hub scan must be bucket-pruned by the IN predicate:\n$planStr")
+    val v1 = spark.read.format("graft-hub").option("path", hub)
+      .option("versionAsOf", "1").load()
+      .filter(col("n_nationkey") < 3)
+      .withColumn("version", lit(1))
+    v1.unionByName(latestFiltered)
+      .select(col("version"), col("n_nationkey"), col("n_name"))
+      .orderBy(col("version"), col("n_nationkey"))
+  }
+
+  private val hubDsv2ReadOracle: String =
+    """SELECT 1 AS version, CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+      |FROM nation WHERE n_nationkey < 3
+      |UNION ALL
+      |SELECT 2, CAST(n_nationkey AS BIGINT),
+      |  CASE WHEN n_nationkey < 5 THEN n_name || '_v2' ELSE n_name END
+      |FROM nation WHERE n_nationkey IN (1, 2, 7)
+      |ORDER BY version, n_nationkey""".stripMargin
+
   /** Z-order layout contract under the driver gate: lay events out along
     * the Morton curve of (user_id, event bucket) and measure zone-map
     * quality — the AVERAGE fraction of each column's full span a file's
@@ -379,7 +425,8 @@ object IngestQueries {
     "q_ingest_versioned_roundtrip" -> qIngestVersionedRoundtrip,
     "q_hub_time_travel" -> qHubTimeTravel,
     "q_hub_change_feed" -> qHubChangeFeed,
-    "q_hub_bucketed_roundtrip" -> qHubBucketedRoundtrip
+    "q_hub_bucketed_roundtrip" -> qHubBucketedRoundtrip,
+    "q_hub_dsv2_read" -> qHubDsv2Read
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,6 +436,7 @@ object IngestQueries {
     "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
     "q_ingest_versioned_roundtrip" -> ingestVersionedRoundtripOracle,
     "q_hub_time_travel" -> hubTimeTravelOracle,
+    "q_hub_dsv2_read" -> hubDsv2ReadOracle,
     "q_hub_change_feed" -> hubChangeFeedOracle,
     "q_hub_bucketed_roundtrip" -> hubBucketedRoundtripOracle
   )

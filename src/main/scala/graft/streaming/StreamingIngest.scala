@@ -539,7 +539,10 @@ object StreamingIngest {
     * event log (RAW zone) when full replay fidelity is required.
     */
   def scd2HubStream(batches: DataFrame, hubPath: String, nBuckets: Int,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      housekeepEvery: Int = 0,
+      housekeepRetainMs: Long = graft.writers.VersionedHub.DefaultVacuumRetainMs
+  ): StreamingQuery =
     batches.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         import graft.writers.VersionedHub
@@ -587,6 +590,7 @@ object StreamingIngest {
               nBuckets, batchId = Some(id),
               bucketCols = Some(Seq("user_id")), deletes = Some(stale))
         }
+        housekeep(spark, Seq(hubPath), id, housekeepEvery, housekeepRetainMs)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -364,7 +364,7 @@ object VersionedHub {
     * rows — and a column narrower in old bucket generations widens to the
     * recorded type.
     */
-  private def alignTo(df: DataFrame,
+  private[graft] def alignTo(df: DataFrame,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val have = df.schema.map(f => f.name -> f.dataType).toMap
@@ -766,6 +766,24 @@ object VersionedHub {
   private[graft] def latest(spark: SparkSession, path: String): Option[Version] =
     history(spark, path).lastOption
 
+  /** Resolve an optional time-travel request to its manifest — shared by
+    * the DataSource V2 connector ([[graft.sources.HubDataSource]]).
+    */
+  private[graft] def versionAt(spark: SparkSession, path: String,
+      asOf: Option[Int]): Version = asOf match {
+    case Some(n) => history(spark, path).find(_.version == n).getOrElse(
+      throw new IllegalArgumentException(s"hub at $path has no version $n"))
+    case None => latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+  }
+
+  /** The version's full-snapshot schema: the manifest record when present
+    * (round-9 manifests onward), else one mergeSchema read.
+    */
+  private[graft] def snapshotSchema(spark: SparkSession, path: String,
+      v: Version): org.apache.spark.sql.types.StructType =
+    v.schema.getOrElse(read(spark, path, Some(v.version)).schema)
+
   /** Multi-writer atomicity here rests ENTIRELY on `FileSystem.create(
     * overwrite = false)` being atomic — true on HDFS and on local/file
     * (POSIX O_EXCL), FALSE on object stores (S3/GCS/ABFS translate create
@@ -997,7 +1015,7 @@ object VersionedHub {
     }.sum)
   }
 
-  private def resolve(path: String, rel: String): String =
+  private[graft] def resolve(path: String, rel: String): String =
     new Path(path, rel).toString
 
   private def fileSystem(spark: SparkSession, path: String): FileSystem =
