@@ -103,5 +103,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvDistinct(args(0), k).toAggregateExpression()
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_stats"),
+      new ExpressionInfo(classOf[graft.functions.BpeStats].getName, "bpe_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bpe_stats(text)")
+        graft.functions.BpeStats(args(0))
+      }))
   }
 }

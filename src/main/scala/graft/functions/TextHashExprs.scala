@@ -297,6 +297,24 @@ case class Md5Hash60(child: Expression) extends TextHashExpr {
     copy(child = newChild)
 }
 
+/** One-pass BPE token statistics under the in-repo default merges table
+  * ([[graft.operators.Bpe.DefaultMerges]]): struct(n_words, n_tokens_bpe,
+  * sum_token_ids). Codegen'd like the hash expressions — the whole
+  * tokenizer fuses into the scan stage, no Dataset encode/decode.
+  */
+case class BpeStats(child: Expression) extends TextHashExpr {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_tokens_bpe", LongType, nullable = false),
+    StructField("sum_token_ids", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.Bpe.statsDefault(input.asInstanceOf[UTF8String])
+  override protected def javaCall: String =
+    "graft.operators.Bpe$.MODULE$.statsDefault(%s)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-facing constructors. */
 object TextHashExprs {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -314,4 +332,5 @@ object TextHashExprs {
   def wordWindowHash60Array(text: Column, n: Int): Column =
     c(WordWindowHash60Array(x(text), n))
   def md5Hash60(s: Column): Column = c(Md5Hash60(x(s)))
+  def bpeStats(text: Column): Column = c(BpeStats(x(text)))
 }

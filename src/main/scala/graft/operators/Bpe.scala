@@ -89,35 +89,67 @@ object Bpe {
     syms
   }
 
+  /** One-pass (n_words, n_tokens_bpe, sum_token_ids) for a document under
+    * `merges` — the static helper both [[tokenStats]] paths share. Word
+    * split follows [[TextAnalysis.tokens]]: empty text yields one empty
+    * token, which encodes to zero symbols.
+    */
+  def statsOf(text: String,
+      merges: IndexedSeq[(Int, Int, Int)]): (Long, Long, Long) = {
+    val words = Option(text).getOrElse("").trim.split("\\s+")
+    var nTok = 0L
+    var sumIds = 0L
+    words.foreach { w =>
+      val syms = encodeWord(w, merges)
+      nTok += syms.length
+      var i = 0
+      while (i < syms.length) { sumIds += syms(i); i += 1 }
+    }
+    (words.length.toLong, nTok, sumIds)
+  }
+
+  /** [[statsOf]] under the DEFAULT table as an InternalRow — the entry the
+    * codegen'd [[graft.functions.BpeStats]] expression calls from generated
+    * code (a custom table cannot ride a static call; use the mapPartitions
+    * path for those).
+    */
+  def statsDefault(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val (nw, nt, sum) = statsOf(if (s == null) "" else s.toString, DefaultMerges)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nw, nt, sum))
+  }
+
   /** Per-document BPE token statistics: word count (whitespace split, same
     * contract as [[TextAnalysis.tokens]]), total BPE token count, and the
     * exact integer sum of token ids — the aggregate that proves the id
-    * assignment end to end under the oracle. One narrow mapPartitions pass.
+    * assignment end to end under the oracle.
+    *
+    * Default table → ONE codegen'd expression fused into the scan
+    * ([[graft.functions.BpeStats]] — no Dataset encode/decode, no shuffle);
+    * a custom table falls back to the closure-carrying mapPartitions pass.
     */
   def tokenStats(df: DataFrame, textCol: String, idCol: String,
-      merges: IndexedSeq[(Int, Int, Int)] = DefaultMerges): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { rows =>
-        rows.map { case (id, text) =>
-          // split(-1 semantics match TextAnalysis.tokens: empty text yields
-          // one empty token, which encodes to zero symbols)
-          val words = Option(text).getOrElse("").trim.split("\\s+")
-          var nTok = 0L
-          var sumIds = 0L
-          words.foreach { w =>
-            val syms = encodeWord(w, merges)
-            nTok += syms.length
-            var i = 0
-            while (i < syms.length) { sumIds += syms(i); i += 1 }
+      merges: IndexedSeq[(Int, Int, Int)] = DefaultMerges): DataFrame =
+    if (merges eq DefaultMerges) {
+      df.select(col(idCol).cast("long").as(idCol),
+          graft.functions.TextHashExprs.bpeStats(col(textCol)).as("_s"))
+        .select(col(idCol), col("_s.n_words").as("n_words"),
+          col("_s.n_tokens_bpe").as("n_tokens_bpe"),
+          col("_s.sum_token_ids").as("sum_token_ids"))
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.map { case (id, text) =>
+            val (nw, nt, sum) = statsOf(text, merges)
+            (id, nw, nt, sum)
           }
-          (id, words.length.toLong, nTok, sumIds)
         }
-      }
-      .toDF(idCol, "n_words", "n_tokens_bpe", "sum_token_ids")
-  }
+        .toDF(idCol, "n_words", "n_tokens_bpe", "sum_token_ids")
+    }
 
   /** The DuckDB expression computing the encoded symbol STRING of
     * `textExpr` under `merges` — the oracle side of the exactness contract

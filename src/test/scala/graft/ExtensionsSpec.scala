@@ -61,6 +61,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(2) == graft.functions.TextHashing.md5Hash60("x"))
   }
 
+  test("bpe_stats is callable from SQL and matches the Scala encoder") {
+    val row = spark.sql(
+      """SELECT s.n_words, s.n_tokens_bpe, s.sum_token_ids
+        |FROM (SELECT bpe_stats('the line scans fast') AS s)""".stripMargin)
+      .collect().head
+    val (nw, nt, sum) = graft.operators.Bpe.statsOf(
+      "the line scans fast", graft.operators.Bpe.DefaultMerges)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((nw, nt, sum)))
+  }
+
   test("repetition_stats is callable from SQL") {
     val row = spark.sql(
       """SELECT s.n_tokens AS nt, s.n_distinct AS nd, s.top_word AS tw,
