@@ -8,7 +8,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -141,17 +142,21 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
     new HubScanBuilder(path, v, fullSchema)
 }
 
-private[sources] class HubScanBuilder(path: String,
+private[graft] class HubScanBuilder(path: String,
     v: VersionedHub.Version, fullSchema: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pruned: Option[Set[Int]] = None
   private var usedForPruning: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var countFromManifest = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val spark = SparkSession.active
+    sawFilters = filters.nonEmpty
     pruned = HubDataSource.prunedBuckets(spark, fullSchema, v, filters.toSeq)
     usedForPruning =
       if (pruned.isEmpty) Array.empty
@@ -168,20 +173,102 @@ private[sources] class HubScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Global `count(*)` with no predicates is answered from the MANIFEST —
+    * the commit audit field every version carries — so counting a 100 TB
+    * hub snapshot costs zero file I/O. Spark only offers an aggregate for
+    * pushdown when every filter was fully handled; this builder always
+    * returns filters for post-scan evaluation, so any filtered count
+    * automatically takes the row-scan path (semantics can never regress).
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    countFromManifest = !sawFilters &&
+      aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    countFromManifest
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    pushAggregation(aggregation)
+    countFromManifest
+  }
+
   override def build(): Scan =
-    new HubScan(path, v, fullSchema, required,
+    if (countFromManifest) new HubCountScan(path, v)
+    else new HubScan(path, v, fullSchema, required,
       HubDataSource.scanDirs(path, v, pruned))
+}
+
+/** The manifest-answered `count(*)` scan: one row, zero file I/O. */
+private[sources] class HubCountScan(path: String, v: VersionedHub.Version)
+    extends V1Scan {
+
+  private val schemaOut =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def readSchema(): StructType = schemaOut
+
+  override def description(): String =
+    s"graft-hub v${v.version} count-from-manifest rows=${v.rows}"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val desc = description()
+    val rows = v.rows
+    val relation = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = schemaOut
+      override def toString: String = desc
+      override def buildScan(): RDD[Row] =
+        context.sparkSession.sparkContext.parallelize(Seq(Row(rows)), 1)
+    }
+    relation.asInstanceOf[T]
+  }
 }
 
 private[sources] class HubScan(path: String, v: VersionedHub.Version,
     fullSchema: StructType, required: StructType, dirs: Seq[String])
-    extends V1Scan {
+    extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-hub v${v.version} dirs=${dirs.size}/${
       if (v.buckets.isEmpty) 1 else v.buckets.size}"
+
+  /** Manifest-backed planning statistics, so Catalyst's join strategy sees
+    * the true (pruned) row count instead of a default guess — a
+    * bucket-pruned hub side of a join can qualify for broadcast. Row count:
+    * the per-bucket manifest audit sums over exactly the scanned dirs;
+    * bytes: one filesystem listing per scanned dir (planning-time, bounded
+    * by the dir count).
+    */
+  override def estimateStatistics(): Statistics = {
+    val rowsOpt: Option[Long] =
+      if (v.buckets.isEmpty) Some(v.rows)
+      else if (v.bucketRows.nonEmpty) {
+        val scanned = v.buckets.filter { case (_, d) =>
+          dirs.contains(VersionedHub.resolve(path, d))
+        }.keySet
+        Some(scanned.toSeq.flatMap(v.bucketRows.get).sum)
+      } else None
+    val bytes: Long =
+      try {
+        val conf = SparkSession.active.sparkContext.hadoopConfiguration
+        dirs.map { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).getContentSummary(p).getLength
+        }.sum
+      } catch { case _: Exception => Long.MaxValue }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rowsOpt.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

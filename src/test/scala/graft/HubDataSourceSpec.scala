@@ -91,6 +91,48 @@ class HubDataSourceSpec extends SparkTestBase {
     assert(evolved == Seq(Some(9.5)))
   }
 
+  test("unfiltered count(*) is answered from the manifest with zero file I/O") {
+    val path = mkHub("dsv2_count")
+    val df = spark.read.format("graft-hub").option("path", path).load()
+    assert(df.count() == 31L)
+    // the plan must carry the manifest-count relation, not a parquet scan
+    val agg = df.groupBy().count()
+    val planStr = agg.queryExecution.executedPlan.toString
+    assert(planStr.contains("count-from-manifest"),
+      s"expected manifest-answered count in:\n$planStr")
+    assert(agg.collect().head.getLong(0) == 31L)
+    // time travel counts the requested snapshot
+    assert(spark.read.format("graft-hub").option("path", path)
+      .option("versionAsOf", "1").load().count() == 30L)
+    // a FILTERED count must take the row path and stay correct (pruning
+    // never short-circuits through the manifest)
+    val filtered = df.filter($"k" <= 5L)
+    assert(filtered.count() == 5L)
+    assert(!filtered.groupBy().count().queryExecution.executedPlan.toString
+      .contains("count-from-manifest"))
+  }
+
+  test("scan reports manifest-backed statistics (pruned row counts)") {
+    val path = mkHub("dsv2_stats")
+    val v = VersionedHub.history(spark, path).last
+    val schema = VersionedHub.read(spark, path).schema
+    val full = new graft.sources.HubScanBuilder(path, v, schema)
+    val fullStats = full.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(fullStats.numRows.getAsLong == 31L)
+    assert(fullStats.sizeInBytes.getAsLong > 0L &&
+      fullStats.sizeInBytes.getAsLong < Long.MaxValue)
+    // pruned scan: row estimate shrinks to the probed bucket's audit count
+    val prunedBuilder = new graft.sources.HubScanBuilder(path, v, schema)
+    prunedBuilder.pushFilters(Array(EqualTo("k", 7L)))
+    val prunedStats = prunedBuilder.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(prunedStats.numRows.getAsLong < 31L &&
+      prunedStats.numRows.getAsLong >= 1L)
+  }
+
   test("column pruning and flat hubs work through the connector") {
     val flat = tmpDir("dsv2_flat")
     VersionedHub.write(spark,
