@@ -124,7 +124,8 @@ object HubDataSource {
 }
 
 private[sources] class HubTable(path: String, asOf: Option[Int])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private def spark = SparkSession.active
   private lazy val v = VersionedHub.versionAt(spark, path, asOf)
@@ -136,10 +137,44 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
   override def schema(): StructType = fullSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HubScanBuilder(path, v, fullSchema)
+
+  /** WRITE path (`df.write.format("graft-hub").option("path", hub)
+    * .option("keys", "k").mode("append").save()`): an "append" lands as one
+    * ACID merge-upsert version through [[VersionedHub.write]] — keyed when
+    * `keys` is given (comma-separated; a bucketed hub routes through its
+    * recorded layout automatically), a plain snapshot append otherwise.
+    * Same V1 bridge as the read path ([[org.apache.spark.sql.connector
+    * .write.V1Write]] → InsertableRelation, the JDBC-v2 shape). The table
+    * must have at least one committed version (schema inference reads the
+    * manifest); bootstrap the first commit through the library.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty,
+      "cannot write to a time-travel snapshot — drop versionAsOf")
+    val keys = Option(info.options.get("keys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              require(!overwrite,
+                "graft-hub writes are merge-upserts; use mode(\"append\")")
+              VersionedHub.write(data.sparkSession, data, path, keys)
+              ()
+            }
+        }
+    }
+  }
 }
 
 private[graft] class HubScanBuilder(path: String,

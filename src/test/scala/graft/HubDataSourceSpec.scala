@@ -133,6 +133,29 @@ class HubDataSourceSpec extends SparkTestBase {
       prunedStats.numRows.getAsLong >= 1L)
   }
 
+  test("df.write.format(graft-hub) commits an ACID merge-upsert version") {
+    val path = mkHub("dsv2_write")
+    Seq((2L, "WRITTEN"), (40L, "ins")).toDF("k", "v")
+      .write.format("graft-hub").option("path", path).option("keys", "k")
+      .mode("append").save()
+    val after = VersionedHub.read(spark, path)
+      .as[(Long, String)].collect().toMap
+    assert(after(2L) == "WRITTEN" && after(40L) == "ins" && after.size == 32)
+    // one new committed version; bucketed layout preserved
+    val hist = VersionedHub.history(spark, path)
+    assert(hist.size == 3 && hist.last.buckets.nonEmpty)
+    // reading back through the connector sees the write
+    assert(spark.read.format("graft-hub").option("path", path).load()
+      .filter($"k" === 2L).as[(Long, String)].collect().toSeq ==
+      Seq((2L, "WRITTEN")))
+    // time-travel snapshots are immutable targets
+    intercept[Exception] {
+      Seq((1L, "x")).toDF("k", "v").write.format("graft-hub")
+        .option("path", path).option("versionAsOf", "1").option("keys", "k")
+        .mode("append").save()
+    }
+  }
+
   test("column pruning and flat hubs work through the connector") {
     val flat = tmpDir("dsv2_flat")
     VersionedHub.write(spark,
