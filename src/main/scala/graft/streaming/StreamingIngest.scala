@@ -382,29 +382,27 @@ object StreamingIngest {
               (col("occ") + coalesce(col("_old_occ"), lit(0L))).as("occ"),
               least(col("keep"), coalesce(col("_old_keep"), col("keep")))
                 .as("keep"))
-          // the two commits target DIFFERENT hubs, so when their shared
-          // inputs are already materialized (the probe ran: pos/bf are
-          // materialized, index persisted) they run CONCURRENTLY — one
+          // the two commits target DIFFERENT hubs and share only
+          // already-materialized inputs, so they run CONCURRENTLY — one
           // batch pays the driver/commit latency once, not twice. Each
           // carries the batch id, so crash-replay stays exactly-once
-          // independently. The probe-less first batch commits sequentially
-          // (its first action is what materializes pos).
+          // independently. The probe collect materializes pos+bf on probed
+          // batches; the probe-less first batch forces them with one cheap
+          // action so the forked commits never race a lazy checkpoint.
+          if (tip.isEmpty) bf.foreach(_ => ())
           def commitTrim(): Int = VersionedHub.writeBucketed(spark,
             Dedup.incrementalSpanTrimFromParts(index, batch, pos, bf,
               textCol, idCol, k),
             trimmedHub, Seq(idCol), nBuckets, batchId = Some(id))
           def commitIdx(): Int = VersionedHub.writeBucketed(spark,
             cumulative, indexHub, Seq("h"), nBuckets, batchId = Some(id))
-          if (tip.isEmpty) { commitTrim(); commitIdx() }
-          else {
-            import scala.concurrent.{Await, Future}
-            import scala.concurrent.ExecutionContext.Implicits.global
-            import scala.concurrent.duration.Duration
-            val fTrim = Future(commitTrim())
-            val fIdx = Future(commitIdx())
-            Await.result(fTrim, Duration.Inf)
-            Await.result(fIdx, Duration.Inf)
-          }
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val fTrim = Future(commitTrim())
+          val fIdx = Future(commitIdx())
+          Await.result(fTrim, Duration.Inf)
+          Await.result(fIdx, Duration.Inf)
         } finally { index.unpersist(); bf.unpersist() }
         housekeep(spark, Seq(indexHub, trimmedHub), id, housekeepEvery,
           housekeepRetainMs)
