@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import graft.writers.VersionedHub
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin exposing a directory of versioned hubs as SQL tables —
+  * the surface that makes the ACID hub a first-class `FROM` target:
+  *
+  * {{{
+  *   spark.sql.catalog.hub      = graft.sources.HubCatalog
+  *   spark.sql.catalog.hub.base = /lake/hubs
+  *
+  *   CREATE TABLE hub.default.events (k BIGINT, v STRING)
+  *   INSERT INTO hub.default.events VALUES (1, 'a')   -- versioned commit
+  *   SELECT * FROM hub.default.events VERSION AS OF 1 -- native time travel
+  * }}}
+  *
+  * Table identity is directory layout: `<base>/<name>` is a
+  * [[VersionedHub]] root (namespaces are accepted and flattened into the
+  * path, so `hub.raw.events` lives at `<base>/raw/events`). `VERSION AS
+  * OF n` resolves through the manifest log (Spark calls the versioned
+  * `loadTable` for the native syntax); reads inherit every [[HubTable]]
+  * capability — bucket pruning, manifest-answered counts, statistics.
+  * `INSERT INTO` commits an APPEND version (SQL insert semantics); keyed
+  * merge-upserts carry their keys explicitly through
+  * `df.write.format("graft-hub").option("keys", ...)` or the library —
+  * a bucketed hub refuses a keyless SQL insert loudly rather than
+  * guessing merge keys from its routing columns (routing can be a key
+  * SUBSET, and merging on a subset would collapse distinct keys).
+  */
+class HubCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var base: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = options.get("base")
+    require(base != null && base.nonEmpty,
+      s"catalog $name requires spark.sql.catalog.$name.base = <dir of hubs>")
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace().filterNot(_ == "default") :+ ident.name())
+      .foldLeft(new Path(base))(new Path(_, _)).toString
+
+  private def spark = SparkSession.active
+
+  private def fs(p: String) = new Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    fs(p).exists(new Path(p, "_log"))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.filterNot(_ == "default")
+      .foldLeft(new Path(base))(new Path(_, _))
+    val f = fs(dir.toString)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).collect {
+      case st if st.isDirectory &&
+          f.exists(new Path(st.getPath, "_log")) =>
+        Identifier.of(namespace, st.getPath.getName)
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new HubTable(pathOf(ident), asOf = None)
+  }
+
+  /** Native `VERSION AS OF n` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new HubTable(pathOf(ident), asOf = Some(version.toInt))
+  }
+
+  /** CREATE TABLE commits an EMPTY version 1 with the declared schema
+    * (recorded in the manifest), so INSERT INTO / connector writes have a
+    * base to merge against.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-hub tables bucket by key hash; PARTITIONED BY is not supported")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val p = pathOf(ident)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    VersionedHub.write(spark, empty, p, Seq.empty)
+    new HubTable(p, asOf = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-hub schema evolves through writes (widening merge); ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    tableExists(ident) && fs(p).delete(new Path(p), true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val (src, dst) = (new Path(pathOf(from)), new Path(pathOf(to)))
+    val f = fs(src.toString)
+    f.mkdirs(dst.getParent)
+    require(f.rename(src, dst), s"rename $src -> $dst failed")
+  }
+}

@@ -317,7 +317,9 @@ private[sources] class HubScan(path: String, v: VersionedHub.Version,
       override def buildScan(): RDD[Row] = {
         val session = context.sparkSession
         val base =
-          if (dirs.isEmpty)
+          // a 0-row snapshot (catalog CREATE TABLE) may hold no part files;
+          // parquet cannot scan an empty dir but the manifest has the schema
+          if (dirs.isEmpty || v.rows == 0L)
             session.createDataFrame(
               session.sparkContext.emptyRDD[Row], fullSchema)
           else VersionedHub.alignTo(

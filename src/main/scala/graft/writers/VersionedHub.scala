@@ -110,7 +110,14 @@ object VersionedHub {
       base match {
         case None => df
         case Some(v) =>
-          val target = spark.read.parquet(resolve(path, v.dataDir))
+          // a 0-row base (e.g. a catalog CREATE TABLE's empty v1) may hold
+          // no part files at all — parquet cannot infer a schema from an
+          // empty dir, but the manifest records it
+          val target =
+            if (v.rows == 0L) spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              snapshotSchema(spark, path, v))
+            else spark.read.parquet(resolve(path, v.dataDir))
           val (t, s) = HubWriter.reconcileSchemas(target, df)
           if (keys.isEmpty) t.unionByName(s)
           else HubWriter.merge(t, s, keys)
