@@ -359,7 +359,20 @@ object StreamingIngest {
         // ONE per-hash aggregate serves the index probe, the trim's
         // batch-first-occurrence rule, AND the index commit's entries
         val bf = Dedup.persistForReuse(Dedup.batchWindowFirsts(pos, idCol))
-        val tip = VersionedHub.latest(spark, indexHub)
+        // Crash-replay guard: the two hub commits below run concurrently,
+        // so the index commit may land while the trim commit does not. A
+        // replayed batch must then probe the index AS OF the last version
+        // BEFORE its own commit — probing a tip that already holds this
+        // batch's window hashes makes every window match `_inIdx` and
+        // permanently over-trims first-occurrence spans. Versions AFTER the
+        // own-batch commit (e.g. a housekeeping compaction that ran before
+        // the crash) contain those hashes too, so the cut is by version
+        // number, not just batchId inequality.
+        val hist = VersionedHub.history(spark, indexHub)
+        val tip = hist.find(_.batchId.contains(id)) match {
+          case Some(own) => hist.filter(_.version < own.version).lastOption
+          case None => hist.lastOption
+        }
         val index = Dedup.persistForReuse(
           tip match {
             // bucket-pruned probe: only the index buckets that can hold one
@@ -401,8 +414,11 @@ object StreamingIngest {
           import scala.concurrent.duration.Duration
           val fTrim = Future(commitTrim())
           val fIdx = Future(commitIdx())
-          Await.result(fTrim, Duration.Inf)
-          Await.result(fIdx, Duration.Inf)
+          // await BOTH before the finally-unpersist even when one throws —
+          // otherwise the loser's jobs race the cache teardown
+          val rTrim = scala.util.Try(Await.result(fTrim, Duration.Inf))
+          val rIdx = scala.util.Try(Await.result(fIdx, Duration.Inf))
+          rTrim.get; rIdx.get
         } finally { index.unpersist(); bf.unpersist() }
         housekeep(spark, Seq(indexHub, trimmedHub), id, housekeepEvery,
           housekeepRetainMs)

@@ -178,6 +178,60 @@ class StreamingSpec extends SparkTestBase {
       s"streamed index must equal the one-shot spanIndexEntries")
   }
 
+  test("span-trim replay never probes its own index entries (index-committed, trim-lost crash)") {
+    import graft.operators.Dedup
+    import graft.writers.VersionedHub
+    val lake = tmpDir("span_replay")
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "fresh words only here"),
+      (10L, "a b c d q r"),
+      (11L, "fresh words only here"),
+      (12L, "w w w unique tail x")
+    ).toDF("doc_id", "text")
+    val batch0 = corpus.filter($"doc_id" < 10)
+    // Simulate the crash the advice describes: batch 0's INDEX commit
+    // landed (batchId=0) but its TRIM commit did not, and the driver died
+    // before the checkpoint advanced — so micro-batch 0 will replay against
+    // an index that already holds its own window hashes. The replayed trim
+    // must probe the index AS OF before that commit (here: empty), not the
+    // tip — otherwise every batch-0 window matches `_inIdx` and first
+    // occurrences are permanently over-trimmed.
+    VersionedHub.writeBucketed(spark,
+      Dedup.spanIndexEntries(batch0, "text", "doc_id", k = 3),
+      s"$lake/idx", Seq("h"), nBuckets = 4, batchId = Some(0L))
+    val srcDir = new java.io.File(s"$lake/src"); srcDir.mkdirs()
+    Seq(batch0, corpus.filter($"doc_id" >= 10)).zipWithIndex.foreach {
+      case (half, i) =>
+        val stage = s"$lake/stage$i"
+        half.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        assert(dst.setLastModified(1000000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$lake/src")
+    StreamingIngest.spanTrimStream(stream, s"$lake/idx", s"$lake/trimmed",
+      nBuckets = 4, "text", "doc_id", k = 3, s"$lake/cp")
+      .awaitTermination()
+    val streamed = VersionedHub.read(spark, s"$lake/trimmed")
+      .select($"doc_id", $"n_tokens", $"n_tokens_kept", $"text_trimmed")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val oneShot = Dedup.trimDuplicatedSpans(corpus, "text", "doc_id", k = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == oneShot,
+      s"replayed batch over-trimmed: streamed=$streamed oneShot=$oneShot")
+    // batch 0's keepers survived intact — the over-trim signature is gone
+    val byId = streamed.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 == "a b c d e f" && byId(2L)._4 == "fresh words only here")
+    // and the replayed index commit short-circuited: still exactly one
+    // version per batch id on the index hub
+    assert(VersionedHub.history(spark, s"$lake/idx")
+      .flatMap(_.batchId).sorted == Seq(0L, 1L))
+  }
+
   test("span-trim housekeeping bounds versions/files without disturbing reads mid-stream") {
     import graft.operators.Dedup
     import graft.writers.VersionedHub
