@@ -417,7 +417,44 @@ object IngestQueries {
       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Z-order layout consumed THROUGH the connector: commit a z-ordered
+    * snapshot to a versioned hub, then range-query it via
+    * `format("graft-hub")` — the per-file min/max stats recorded at commit
+    * ([[graft.writers.FileStats]]) must let the PLANNER skip files the
+    * range cannot touch, from the manifest alone (Delta data skipping,
+    * Armbrust VLDB 2020 §4.1). Plan-gated on `skipped>0`: the z-curve
+    * guarantees the upper half of the curve holds only rows with
+    * user_id above the axis midpoint, so a low range always proves
+    * skippable files regardless of partition-sampling noise.
+    */
+  val qHubDsv2RangePrune: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_dsv2_range").toFile.getAbsolutePath
+    val hub = s"$tmp/hub"
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id").cast("long").as("a"),
+        (col("event_id") % 1000).cast("long").as("b"))
+    graft.writers.VersionedHub.write(spark,
+      graft.functions.ZOrder.zOrderByBinned(ev, "a", "b", nFiles = 16),
+      hub, Seq.empty)
+    val rd = spark.read.format("graft-hub").option("path", hub).load()
+      .filter(col("a") < 3L)
+    val planStr = rd.queryExecution.executedPlan.toString
+    val m = "files=(\\d+) skipped=(\\d+)".r.findFirstMatchIn(planStr)
+    require(m.exists(_.group(2).toInt > 0),
+      s"range predicate over a z-ordered hub must skip files from the " +
+        s"manifest stats:\n$planStr")
+    rd.groupBy(col("a"))
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("sum_b"))
+      .orderBy(col("a"))
+  }
+
+  private val hubDsv2RangePruneOracle: String =
+    """SELECT CAST(user_id AS BIGINT) AS a, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(event_id % 1000) AS BIGINT) AS sum_b
+      |FROM events WHERE user_id < 3 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_hub_dsv2_range_prune" -> qHubDsv2RangePrune,
     "q_stream_mv_equiv" -> qStreamMvEquiv,
     "q_incremental_view" -> qIncrementalView,
     "q_zorder_prune" -> qZorderPrune,
@@ -430,6 +467,7 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hub_dsv2_range_prune" -> hubDsv2RangePruneOracle,
     "q_stream_mv_equiv" -> streamMvEquivOracle,
     "q_incremental_view" -> incrementalViewOracle,
     "q_zorder_prune" -> zorderPruneOracle,

@@ -52,8 +52,16 @@ class HubCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** Only the conventional single-element ["default"] namespace aliases to
+    * the base dir; "default" at any deeper position is a real directory
+    * segment — stripping it at depth would silently collapse
+    * `hub.a.default.b` and `hub.a.b` onto one table.
+    */
+  private def effectiveNs(namespace: Array[String]): Array[String] =
+    if (namespace.sameElements(Array("default"))) Array.empty else namespace
+
   private def pathOf(ident: Identifier): String =
-    (ident.namespace().filterNot(_ == "default") :+ ident.name())
+    (effectiveNs(ident.namespace()) :+ ident.name())
       .foldLeft(new Path(base))(new Path(_, _)).toString
 
   private def spark = SparkSession.active
@@ -67,7 +75,7 @@ class HubCatalog extends TableCatalog {
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = namespace.filterNot(_ == "default")
+    val dir = effectiveNs(namespace)
       .foldLeft(new Path(base))(new Path(_, _))
     val f = fs(dir.toString)
     if (!f.exists(dir)) Array.empty
@@ -109,8 +117,13 @@ class HubCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "graft-hub schema evolves through writes (widening merge); ALTER TABLE is not supported")
 
+  /** DDL relies on filesystem rename/delete atomicity the same way commits
+    * rely on create-exclusive — route it through the same loud scheme guard
+    * (and commit-coordinator seam) instead of silently assuming it.
+    */
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathOf(ident)
+    VersionedHub.checkAtomicCommitScheme(p)
     tableExists(ident) && fs(p).delete(new Path(p), true)
   }
 
@@ -118,6 +131,8 @@ class HubCatalog extends TableCatalog {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
     val (src, dst) = (new Path(pathOf(from)), new Path(pathOf(to)))
+    VersionedHub.checkAtomicCommitScheme(src.toString)
+    VersionedHub.checkAtomicCommitScheme(dst.toString)
     val f = fs(src.toString)
     f.mkdirs(dst.getParent)
     require(f.rename(src, dst), s"rename $src -> $dst failed")

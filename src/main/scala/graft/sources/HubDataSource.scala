@@ -2,17 +2,20 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import graft.writers.{HubWriter, VersionedHub}
+import graft.writers.{FileStats, HubWriter, VersionedHub}
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst
+import org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{And, BaseRelation, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or, TableScan}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 connector for the versioned hub — the idiomatic Spark
@@ -21,7 +24,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * library call, so SQL users, BI tools, and other Spark code can consume
   * ACID hub snapshots without importing graft.
   *
-  * Planning-time capabilities:
+  * Planning-time capabilities — all JOBLESS (no Spark job, no filesystem
+  * listing, during query planning; everything is answered from the commit
+  * manifest plus driver-local expression evaluation):
   *
   *   - **time travel** via `versionAsOf` (manifest-resolved snapshot, same
   *     contract as [[graft.writers.VersionedHub.read]]);
@@ -29,18 +34,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     the hub's bucket-routing column prunes the scan to the matching
   *     bucket DIRS at planning time ([[SupportsPushDownFilters]]) — the
   *     connector twin of [[graft.writers.VersionedHub.readBucketsFor]].
-  *     Every filter is also returned for post-scan re-evaluation, so
-  *     pruning can only skip data, never change semantics;
+  *     Bucket ids come from the SAME canonical-key hash the writer stamps
+  *     with, evaluated driver-locally over the literal (no job);
+  *   - **file-level min/max data skipping**: `=`, `<=>`, `IN`, `<`, `<=`,
+  *     `>`, `>=`, `IS [NOT] NULL` (and And/Or combinations) on ANY column
+  *     with manifest-recorded per-file stats skip whole files whose
+  *     [min,max] cannot contain a match — the Delta data-skipping shape
+  *     (Armbrust VLDB 2020 §4.1), answered from [[FileStats]] in the
+  *     manifest with zero file I/O. Every filter is also returned for
+  *     post-scan re-evaluation, so pruning can only skip data, never
+  *     change semantics;
   *   - **column pruning** ([[SupportsPushDownRequiredColumns]]) — the
   *     projection reaches the inner parquet scan;
+  *   - **manifest-backed statistics** (rows AND bytes of exactly the
+  *     surviving file set) so Catalyst's join planner sees true post-prune
+  *     sizes — a pruned hub side of a join can qualify for broadcast;
   *   - **schema-evolution safety**: output aligns to the manifest-recorded
   *     full-snapshot schema, so a column living only in pruned-away buckets
-  *     reads as null instead of vanishing.
+  *     reads as null instead of vanishing, and a file written before a
+  *     column existed records no stat for it — it is never skipped on that
+  *     column's predicates.
   *
-  * Execution delegates to Spark's own parquet source over the pruned dirs
-  * through the [[V1Scan]] bridge (the same bridge Spark's JDBC v2 connector
-  * uses) — scan performance, vectorization, and further parquet pushdown
-  * stay Spark-native instead of reimplemented.
+  * Execution delegates to Spark's own parquet source over the surviving
+  * files through the [[V1Scan]] bridge (the same bridge Spark's JDBC v2
+  * connector uses) — scan performance, vectorization, and further parquet
+  * pushdown (row-group zone maps under the file level) stay Spark-native
+  * instead of reimplemented.
   */
 class HubDataSource extends TableProvider with DataSourceRegister {
 
@@ -73,33 +92,68 @@ object HubDataSource {
   private[sources] def versionOf(options: CaseInsensitiveStringMap): Option[Int] =
     Option(options.get("versionAsOf")).map(_.toInt)
 
-  /** Bucket ids implied by the pushed filters, or None when pruning does
-    * not apply (flat hub, multi-column routing, or no usable predicate).
-    * Supports single-column routing with `=`, `<=>` and `IN` — each such
-    * filter yields a bucket set; conjunctions intersect. Bucket ids come
-    * from the SAME canonical-key hash the writer stamps with, evaluated in
-    * one driver-local 1-task job over the literal values.
+  /** [[graft.writers.HubWriter.canonicalKey]] rebuilt as a raw Catalyst
+    * tree (the Column API produces UnresolvedFunction nodes that cannot
+    * eval without an analyzer pass). Semantic identity with the writer's
+    * stamp is property-checked in HubDataSourceSpec against the
+    * distributed `stampBuckets` across every routable type.
     */
-  private[graft] def prunedBuckets(spark: SparkSession, fullSchema: StructType,
-      v: VersionedHub.Version, filters: Seq[Filter]): Option[Set[Int]] = {
+  private def canonicalKeyExpr(l: catalyst.expressions.Expression,
+      dt: DataType): catalyst.expressions.Expression = {
+    import catalyst.expressions.{CaseWhen, Cast, EqualTo => CatEqualTo}
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Cast(l, StringType)
+      case _: org.apache.spark.sql.types.NumericType =>
+        val d = Cast(l, DoubleType)
+        val roundTrip = Cast(Cast(d, LongType), DoubleType)
+        CaseWhen(
+          Seq((CatEqualTo(d, roundTrip), Cast(Cast(d, LongType), StringType))),
+          Some(Cast(d, StringType)))
+      case DateType => Cast(Cast(l, TimestampType), StringType)
+      case _ => Cast(l, StringType)
+    }
+  }
+
+  /** The bucket a literal routes to, computed DRIVER-LOCALLY: the same
+    * `pmod(xxhash64(canonicalKey(...)), n)` expression the writer stamps
+    * rows with, built over a literal and evaluated with Catalyst's
+    * interpreter — no Spark job at planning time. None when the literal
+    * cannot be rendered into the column type (unprunable: full scan).
+    */
+  private[graft] def bucketOf(spark: SparkSession, value: Any, dt: DataType,
+      n: Int): Option[Int] =
+    try {
+      import catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
+      val l = Cast(Literal(value), dt)
+      val h = Cast(
+        Pmod(new XxHash64(Seq(canonicalKeyExpr(l, dt))), Literal(n.toLong)),
+        IntegerType)
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val e = h.transformUp {
+        case t: TimeZoneAwareExpression if t.timeZoneId.isEmpty =>
+          t.withTimeZone(tz)
+      }
+      Option(e.eval(null)).map(_.asInstanceOf[Int])
+    } catch { case _: Exception => None }
+
+  /** Bucket ids implied by ONE filter, or None when it cannot prune
+    * (not a single-routing-column hub, wrong column, wrong shape, or an
+    * unhashable literal).
+    */
+  private[graft] def bucketsForFilter(spark: SparkSession,
+      fullSchema: StructType, v: VersionedHub.Version,
+      filter: Filter): Option[Set[Int]] = {
     if (v.buckets.isEmpty) return None
     val routing = v.bucketCols.getOrElse(return None)
     if (routing.size != 1) return None
     val c = routing.head
     val dt = fullSchema.find(_.name == c).map(_.dataType).getOrElse(return None)
-    def buckets(values: Seq[Any]): Option[Set[Int]] =
-      try {
-        val n = v.nBuckets.getOrElse(v.buckets.keys.max + 1)
-        val rows = values.map(Row(_))
-        val df = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1),
-          StructType(Seq(org.apache.spark.sql.types.StructField(c, dt))))
-        Some(df.select(
-            pmod(xxhash64(HubWriter.canonicalKey(col(c), dt)), lit(n))
-              .cast("int"))
-          .collect().map(_.getInt(0)).toSet)
-      } catch { case _: Exception => None } // unprunable literal type: full scan
-    val sets = filters.flatMap {
+    val n = v.nBuckets.getOrElse(v.buckets.keys.max + 1)
+    def buckets(values: Seq[Any]): Option[Set[Int]] = {
+      val ids = values.map(bucketOf(spark, _, dt, n))
+      if (ids.forall(_.isDefined)) Some(ids.flatten.toSet) else None
+    }
+    filter match {
       case EqualTo(`c`, value) if value != null => buckets(Seq(value))
       case EqualNullSafe(`c`, value) if value != null => buckets(Seq(value))
       case In(`c`, values)
@@ -107,19 +161,173 @@ object HubDataSource {
         buckets(values.toSeq)
       case _ => None
     }
+  }
+
+  /** Conjunction over all filters: per-filter bucket sets intersect.
+    * Computed in ONE pass (each filter hashed once, driver-locally).
+    */
+  private[graft] def prunedBuckets(spark: SparkSession, fullSchema: StructType,
+      v: VersionedHub.Version, filters: Seq[Filter]): Option[Set[Int]] = {
+    val sets = filters.flatMap(bucketsForFilter(spark, fullSchema, v, _))
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
   /** The parquet dirs a scan must read: all of the snapshot's dirs, or only
-    * the pruned buckets' dirs.
+    * the pruned buckets' dirs. Relative to the table root.
     */
-  private[graft] def scanDirs(path: String, v: VersionedHub.Version,
+  private[graft] def scanDirRels(v: VersionedHub.Version,
       buckets: Option[Set[Int]]): Seq[String] =
-    if (v.buckets.isEmpty) Seq(VersionedHub.resolve(path, v.dataDir))
+    if (v.buckets.isEmpty) Seq(v.dataDir)
     else {
       val ids = buckets.fold(v.buckets.keys.toSeq.sorted)(bs =>
         bs.toSeq.sorted.filter(v.buckets.contains))
-      ids.flatMap(v.buckets.get).map(VersionedHub.resolve(path, _))
+      ids.flatMap(v.buckets.get)
+    }
+
+  /** The planned physical read set after bucket pruning AND file-level
+    * stats skipping: `survivors` are individually-listed files with
+    * manifest stats (read + statistics both answered from the manifest);
+    * `uncoveredDirs` are dirs from manifests predating per-file stats,
+    * scanned whole.
+    */
+  private[graft] final case class PlannedFiles(
+      survivors: Seq[(String, FileStats.FileStat)],
+      uncoveredDirs: Seq[String],
+      skipped: Int)
+
+  private[graft] def planFiles(v: VersionedHub.Version,
+      dirRels: Seq[String], filters: Seq[Filter],
+      schema: StructType): PlannedFiles = {
+    // assign each stat-covered file to its scan dir by walking parents —
+    // one pass over the manifest entries, no filesystem access
+    val dirSet = dirRels.toSet
+    val byDir = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[(String, FileStats.FileStat)]]
+    for ((p, st) <- v.fileStats) {
+      var parent = p
+      var found: Option[String] = None
+      while (found.isEmpty && parent.contains('/')) {
+        parent = parent.substring(0, parent.lastIndexOf('/'))
+        if (dirSet.contains(parent)) found = Some(parent)
+      }
+      for (d <- found)
+        byDir.getOrElseUpdate(d,
+          scala.collection.mutable.ArrayBuffer.empty) += ((p, st))
+    }
+    val survivors = Seq.newBuilder[(String, FileStats.FileStat)]
+    val uncovered = Seq.newBuilder[String]
+    var skipped = 0
+    for (d <- dirRels) byDir.get(d) match {
+      case None => uncovered += d
+      case Some(entries) =>
+        for ((p, f) <- entries.sortBy(_._1)) {
+          if (f.rows == 0L) skipped += 1 // provably empty: always skippable
+          else if (filters.forall(mayMatch(schema, f, _))) survivors += ((p, f))
+          else skipped += 1
+        }
+    }
+    PlannedFiles(survivors.result(), uncovered.result(), skipped)
+  }
+
+  /** true = the file may contain a row matching `filter` (keep it);
+    * false = the manifest stats PROVE it cannot (skip it). Any unknown —
+    * missing stat, unsupported shape, incomparable classes — keeps the
+    * file: skipping is an optimization, never a semantic.
+    */
+  private[graft] def mayMatch(schema: StructType, f: FileStats.FileStat,
+      filter: Filter): Boolean = {
+    def dtOf(c: String): Option[DataType] =
+      schema.find(_.name == c).map(_.dataType)
+    def stat(c: String): Option[FileStats.ColStat] = f.cols.get(c)
+    def coerced(c: String, v: Any): Option[Any] =
+      for { dt <- dtOf(c); cv <- coerce(v, dt) } yield cv
+    def eqMay(c: String, v: Any): Boolean =
+      if (v == null || f.allNull(c)) false
+      else (for {
+        s <- stat(c); mn <- s.min; mx <- s.max; cv <- coerced(c, v)
+        lo <- FileStats.compareOpt(mn, cv); hi <- FileStats.compareOpt(cv, mx)
+      } yield lo <= 0 && hi <= 0).getOrElse(true)
+    def gtMay(c: String, v: Any, strict: Boolean): Boolean =
+      if (v == null || f.allNull(c)) false
+      else (for {
+        s <- stat(c); mx <- s.max; cv <- coerced(c, v)
+        r <- FileStats.compareOpt(mx, cv)
+      } yield if (strict) r > 0 else r >= 0).getOrElse(true)
+    def ltMay(c: String, v: Any, strict: Boolean): Boolean =
+      if (v == null || f.allNull(c)) false
+      else (for {
+        s <- stat(c); mn <- s.min; cv <- coerced(c, v)
+        r <- FileStats.compareOpt(mn, cv)
+      } yield if (strict) r < 0 else r <= 0).getOrElse(true)
+    filter match {
+      case And(l, r) => mayMatch(schema, f, l) && mayMatch(schema, f, r)
+      case Or(l, r) => mayMatch(schema, f, l) || mayMatch(schema, f, r)
+      case EqualTo(c, v) => eqMay(c, v)
+      case EqualNullSafe(c, null) => mayMatch(schema, f, IsNull(c))
+      case EqualNullSafe(c, v) => eqMay(c, v)
+      case In(c, vs) =>
+        vs == null || vs.isEmpty || vs.exists(v => v != null && eqMay(c, v))
+      case GreaterThan(c, v) => gtMay(c, v, strict = true)
+      case GreaterThanOrEqual(c, v) => gtMay(c, v, strict = false)
+      case LessThan(c, v) => ltMay(c, v, strict = true)
+      case LessThanOrEqual(c, v) => ltMay(c, v, strict = false)
+      case IsNull(c) => stat(c).flatMap(_.nullCount).forall(_ > 0)
+      case IsNotNull(c) => !f.allNull(c)
+      case _ => true
+    }
+  }
+
+  /** Spark's external filter-literal types → the manifest stat value space
+    * ([[FileStats]]: Long | Double | String | Boolean; dates as epoch days,
+    * timestamps as epoch micros). None = cannot compare = never prune.
+    */
+  private def coerce(value: Any, dt: DataType): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => value match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    case FloatType | DoubleType => value match {
+      case n: java.lang.Number =>
+        val d = n.doubleValue(); if (d.isNaN) None else Some(d)
+      case _ => None
+    }
+    case StringType => value match { case s: String => Some(s); case _ => None }
+    case BooleanType => value match {
+      case b: java.lang.Boolean => Some(b.booleanValue()); case _ => None
+    }
+    case DateType => value match {
+      case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
+      case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d).toLong)
+      case _ => None
+    }
+    case TimestampType => value match {
+      case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+      case _ => None
+    }
+    case TimestampNTZType => value match {
+      case l: java.time.LocalDateTime =>
+        Some(DateTimeUtils.localDateTimeToMicros(l))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The column a stats-skippable filter constrains, for pushed-filter
+    * attribution only.
+    */
+  private[sources] def statsFilterAttr(filter: Filter): Option[String] =
+    filter match {
+      case EqualTo(c, _) => Some(c)
+      case EqualNullSafe(c, _) => Some(c)
+      case In(c, _) => Some(c)
+      case GreaterThan(c, _) => Some(c)
+      case GreaterThanOrEqual(c, _) => Some(c)
+      case LessThan(c, _) => Some(c)
+      case LessThanOrEqual(c, _) => Some(c)
+      case IsNull(c) => Some(c)
+      case IsNotNull(c) => Some(c)
+      case _ => None
     }
 }
 
@@ -185,6 +393,7 @@ private[graft] class HubScanBuilder(path: String,
 
   private var required: StructType = fullSchema
   private var pruned: Option[Set[Int]] = None
+  private var pushed: Array[Filter] = Array.empty
   private var usedForPruning: Array[Filter] = Array.empty
   private var sawFilters = false
   private var countFromManifest = false
@@ -192,14 +401,24 @@ private[graft] class HubScanBuilder(path: String,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val spark = SparkSession.active
     sawFilters = filters.nonEmpty
-    pruned = HubDataSource.prunedBuckets(spark, fullSchema, v, filters.toSeq)
-    usedForPruning =
-      if (pruned.isEmpty) Array.empty
-      else filters.filter(f =>
-        HubDataSource.prunedBuckets(spark, fullSchema, v, Seq(f)).isDefined)
-    // dir-level pruning only skips buckets a matching row cannot live in;
-    // rows inside surviving buckets still need every predicate — return
-    // ALL filters for post-scan evaluation (correctness cannot regress)
+    pushed = filters
+    // ONE driver-local pass: each filter's bucket set computed once (no
+    // Spark jobs), the conjunction intersected, attribution derived from
+    // the same per-filter results
+    val perFilter = filters.map(f =>
+      f -> HubDataSource.bucketsForFilter(spark, fullSchema, v, f))
+    val sets = perFilter.flatMap(_._2)
+    pruned = if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    val statCols: Set[String] =
+      v.fileStats.valuesIterator.flatMap(_.cols.keysIterator).toSet
+    usedForPruning = perFilter.collect {
+      case (f, Some(_)) => f
+      case (f, None)
+          if HubDataSource.statsFilterAttr(f).exists(statCols.contains) => f
+    }
+    // dir/file pruning only skips data a matching row cannot live in; rows
+    // inside surviving files still need every predicate — return ALL
+    // filters for post-scan evaluation (correctness cannot regress)
     filters
   }
 
@@ -230,8 +449,13 @@ private[graft] class HubScanBuilder(path: String,
 
   override def build(): Scan =
     if (countFromManifest) new HubCountScan(path, v)
-    else new HubScan(path, v, fullSchema, required,
-      HubDataSource.scanDirs(path, v, pruned))
+    else {
+      val dirRels = HubDataSource.scanDirRels(v, pruned)
+      val plan = HubDataSource.planFiles(v, dirRels, pushed.toSeq, fullSchema)
+      val totalDirs = if (v.buckets.isEmpty) 1 else v.buckets.size
+      new HubScan(path, v, fullSchema, required, plan,
+        dirsScanned = dirRels.size, totalDirs = totalDirs)
+    }
 }
 
 /** The manifest-answered `count(*)` scan: one row, zero file I/O. */
@@ -263,36 +487,47 @@ private[sources] class HubCountScan(path: String, v: VersionedHub.Version)
 }
 
 private[sources] class HubScan(path: String, v: VersionedHub.Version,
-    fullSchema: StructType, required: StructType, dirs: Seq[String])
+    fullSchema: StructType, required: StructType,
+    plan: HubDataSource.PlannedFiles, dirsScanned: Int, totalDirs: Int)
     extends V1Scan with SupportsReportStatistics {
+
+  private def paths: Seq[String] =
+    plan.survivors.map(s => VersionedHub.resolve(path, s._1)) ++
+      plan.uncoveredDirs.map(VersionedHub.resolve(path, _))
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graft-hub v${v.version} dirs=${dirs.size}/${
-      if (v.buckets.isEmpty) 1 else v.buckets.size}"
+    s"graft-hub v${v.version} dirs=$dirsScanned/$totalDirs " +
+      s"files=${plan.survivors.size} skipped=${plan.skipped}"
 
   /** Manifest-backed planning statistics, so Catalyst's join strategy sees
-    * the true (pruned) row count instead of a default guess — a
-    * bucket-pruned hub side of a join can qualify for broadcast. Row count:
-    * the per-bucket manifest audit sums over exactly the scanned dirs;
-    * bytes: one filesystem listing per scanned dir (planning-time, bounded
-    * by the dir count).
+    * the true (pruned + skipped) row count and byte size instead of a
+    * default guess — a pruned hub side of a join can qualify for broadcast.
+    * Rows AND bytes of the surviving file set come straight from the
+    * manifest's per-file audit: zero filesystem access. Only dirs from
+    * legacy manifests (predating per-file stats) fall back to a listing.
     */
   override def estimateStatistics(): Statistics = {
+    val dirToBucket: Map[String, Int] = v.buckets.map(_.swap)
+    val uncoveredRows: Option[Long] =
+      if (plan.uncoveredDirs.isEmpty) Some(0L)
+      else if (v.buckets.isEmpty)
+        if (plan.uncoveredDirs == Seq(v.dataDir)) Some(v.rows) else None
+      else {
+        val rs = plan.uncoveredDirs.map(d =>
+          dirToBucket.get(d).flatMap(v.bucketRows.get))
+        if (rs.forall(_.isDefined)) Some(rs.flatten.sum) else None
+      }
     val rowsOpt: Option[Long] =
-      if (v.buckets.isEmpty) Some(v.rows)
-      else if (v.bucketRows.nonEmpty) {
-        val scanned = v.buckets.filter { case (_, d) =>
-          dirs.contains(VersionedHub.resolve(path, d))
-        }.keySet
-        Some(scanned.toSeq.flatMap(v.bucketRows.get).sum)
-      } else None
+      uncoveredRows.map(_ + plan.survivors.map(_._2.rows).sum)
+    val coveredBytes = plan.survivors.map(_._2.bytes).sum
     val bytes: Long =
-      try {
+      if (plan.uncoveredDirs.isEmpty) coveredBytes
+      else try {
         val conf = SparkSession.active.sparkContext.hadoopConfiguration
-        dirs.map { d =>
-          val p = new org.apache.hadoop.fs.Path(d)
+        coveredBytes + plan.uncoveredDirs.map { d =>
+          val p = new org.apache.hadoop.fs.Path(VersionedHub.resolve(path, d))
           p.getFileSystem(conf).getContentSummary(p).getLength
         }.sum
       } catch { case _: Exception => Long.MaxValue }
@@ -308,22 +543,27 @@ private[sources] class HubScan(path: String, v: VersionedHub.Version,
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     val desc = description()
+    val scanPaths = paths
     val relation = new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = required
       // RowDataSourceScan prints the relation's toString — surface the
-      // version + dir-pruning evidence there (plan-gated in spec)
+      // version + dir/file-pruning evidence there (plan-gated in spec)
       override def toString: String = desc
       override def buildScan(): RDD[Row] = {
         val session = context.sparkSession
         val base =
           // a 0-row snapshot (catalog CREATE TABLE) may hold no part files;
           // parquet cannot scan an empty dir but the manifest has the schema
-          if (dirs.isEmpty || v.rows == 0L)
+          if (scanPaths.isEmpty || v.rows == 0L)
             session.createDataFrame(
               session.sparkContext.emptyRDD[Row], fullSchema)
           else VersionedHub.alignTo(
-            session.read.option("mergeSchema", "true").parquet(dirs: _*),
+            // the manifest already records the full-snapshot schema —
+            // passing it to the reader skips parquet schema INFERENCE (a
+            // footer-reading Spark job with mergeSchema) at planning time;
+            // files missing evolved columns read them as null
+            session.read.schema(fullSchema).parquet(scanPaths: _*),
             fullSchema)
         base.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
       }

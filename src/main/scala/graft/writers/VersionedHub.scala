@@ -60,7 +60,8 @@ object VersionedHub {
       buckets: Map[Int, String] = Map.empty,
       bucketCols: Option[Seq[String]] = None,
       bucketRows: Map[Int, Long] = Map.empty,
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      fileStats: Map[String, FileStats.FileStat] = Map.empty) {
     /** The version's full-snapshot schema, when the manifest records one.
       * On a bucketed hub this is the UNION across all bucket dirs — a
       * column that lives only in buckets untouched since a schema
@@ -153,13 +154,16 @@ object VersionedHub {
       val merged = mkSnapshot(base)
       val dataDir = s"data/$next-${UUID.randomUUID().toString.take(8)}"
       merged.write.parquet(resolve(path, dataDir))
-      // footer-metadata count (no data scan) for the manifest audit field;
-      // small snapshots are summed driver-side with no Spark job at all
-      val rows = footerRows(fs, new Path(resolve(path, dataDir)))
-        .getOrElse(spark.read.parquet(resolve(path, dataDir)).count())
+      // ONE footer pass over the files just written serves the whole
+      // manifest audit: row count, per-file bytes, and per-file column
+      // min/max for data skipping. Small snapshots read footers driver-side
+      // with no Spark job at all; large ones run one metadata-only job.
+      val fstats = FileStats.collect(spark, fs, new Path(path),
+        new Path(resolve(path, dataDir)))
+      val rows = fstats.values.map(_.rows).sum
       if (commit(fs, path,
           Version(next, dataDir, System.currentTimeMillis(), rows, batchId,
-            schemaJson = Some(merged.schema.json))))
+            schemaJson = Some(merged.schema.json), fileStats = fstats)))
         return next
       // lost the race: drop the orphan snapshot, recompute against the winner
       fs.delete(new Path(resolve(path, dataDir)), true)
@@ -277,48 +281,34 @@ object VersionedHub {
         if (base.isEmpty) writtenBSeq.sorted.toIndexedSeq else touched
       val newBuckets = (base.map(_.buckets).getOrElse(Map.empty) -- touchedEff) ++
         touchedEff.filter(writtenB).map(b => b -> s"$root/$BucketCol=$b")
-      // per-bucket row counts: rewritten buckets are counted from the new
-      // root's footers only (BucketCol is a partition column, so the scan
-      // projects no data pages); carried-over buckets reuse the base
-      // manifest's counts — the manifest audit field stays O(touched
-      // buckets) per commit instead of re-reading every bucket's footers.
+      // per-bucket row counts + per-file data-skipping stats from ONE
+      // footer pass over the new root (metadata only, driver-side for small
+      // commits, one parallel job for many-file commits — see
+      // [[FileStats.collect]]); carried-over buckets reuse the base
+      // manifest's rows AND per-file stats (structural sharing) — the
+      // manifest audit stays O(touched buckets) per commit.
       val carried = base.map(_.bucketRows).getOrElse(Map.empty) -- touchedEff
       val carriedDirs = (newBuckets -- touchedEff).keySet
       def countDir(rel: String): Long = {
         val p = new Path(resolve(path, rel))
         footerRows(fs, p).getOrElse(spark.read.parquet(p.toString).count())
       }
-      // small commits (the high-frequency streaming case) count footers on
-      // the driver with zero Spark jobs; a commit that wrote MANY files
-      // falls back to ONE parallel metadata scan over the whole new root
-      // (BucketCol is a partition column — no data pages). The budget is
-      // per COMMIT, not per dir: serial driver footer opens cost ~10 ms
-      // each, so a 4-bucket × 32-task write (128 files) was paying >1 s of
-      // driver time per streaming trigger before this gate.
-      val rootParquet = {
-        val it = fs.listFiles(new Path(resolve(path, root)), true)
-        var n = 0
-        while (n <= 32 && it.hasNext) {
-          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-        }
-        n
-      }
-      val perBucket =
-        if (rootParquet > 32) IndexedSeq.empty
-        else touchedEff.filter(writtenB).map(b =>
-          b -> footerRows(fs, new Path(resolve(path, s"$root/$BucketCol=$b"))))
-      val newRows: Map[Int, Long] =
-        if (perBucket.nonEmpty && perBucket.forall(_._2.isDefined))
-          perBucket.map { case (b, o) => b -> o.get }.toMap
-        else if (writtenB.isEmpty) Map.empty
-        else spark.read.parquet(resolve(path, root))
-          .groupBy(org.apache.spark.sql.functions.col(BucketCol)).count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val fstatsNew = FileStats.collect(spark, fs, new Path(path),
+        new Path(resolve(path, root)))
+      val newRows: Map[Int, Long] = writtenBSeq.map { b =>
+        val prefix = s"$root/$BucketCol=$b/"
+        b -> fstatsNew.iterator
+          .collect { case (p, st) if p.startsWith(prefix) => st.rows }.sum
+      }.toMap
       val bucketRows: Map[Int, Long] =
         if (carriedDirs.forall(carried.contains)) carried ++ newRows
         else // pre-bucketRows manifest underneath: count the legacy dirs once
           newRows ++ carriedDirs.map(b => b -> countDir(newBuckets(b))).toMap
       val rows = bucketRows.values.sum
+      val carriedStats = base.fold(Map.empty[String, FileStats.FileStat]) { bv =>
+        val dirRels = carriedDirs.flatMap(newBuckets.get).map(_ + "/")
+        bv.fileStats.filter { case (p, _) => dirRels.exists(p.startsWith) }
+      }
       // the recorded schema is the UNION of the base's recorded schema and
       // this commit's merged schema: `merged` covers only the TOUCHED
       // buckets, so after a schema evolution a column living solely in
@@ -328,7 +318,8 @@ object VersionedHub {
         merged.drop(BucketCol).schema)
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
           rows, batchId, Some(nBuckets), newBuckets, Some(bCols),
-          bucketRows, schemaJson = Some(snapSchema.json))))
+          bucketRows, schemaJson = Some(snapSchema.json),
+          fileStats = carriedStats ++ fstatsNew)))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -710,12 +701,20 @@ object VersionedHub {
       val newBuckets = base.buckets ++
         chosen.map(b => b -> s"$root/$BucketCol=$b")
       // content unchanged: row counts, routing and the recorded snapshot
-      // schema all carry over from the base manifest
+      // schema all carry over from the base manifest; per-file stats are
+      // re-read for the rewritten dirs (fewer, larger files) and carried
+      // for the untouched ones
       val snapSchema = unionSchema(spark, path, Some(base),
         merged.drop(BucketCol).schema)
+      val fstatsNew = FileStats.collect(spark, fs, new Path(path),
+        new Path(resolve(path, root)))
+      val untouchedDirs = (base.buckets -- chosen).values.map(_ + "/").toSet
+      val carriedStats = base.fileStats.filter { case (p, _) =>
+        untouchedDirs.exists(p.startsWith) }
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
           base.rows, None, base.nBuckets, newBuckets, base.bucketCols,
-          base.bucketRows, schemaJson = Some(snapSchema.json))))
+          base.bucketRows, schemaJson = Some(snapSchema.json),
+          fileStats = carriedStats ++ fstatsNew)))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -854,8 +853,28 @@ object VersionedHub {
     }.getOrElse("")
     val schemaField = v.schemaJson
       .map(s => s""", "schema": "${jsonEscape(s)}"""").getOrElse("")
+    // per-file data-skipping stats; min/max travel tag-encoded (see
+    // FileStats.encodeScalar) so the YAML-safe parser round-trips them
+    // type-exactly
+    val statsField =
+      if (v.fileStats.isEmpty) ""
+      else {
+        val entries = v.fileStats.toSeq.sortBy(_._1).map { case (p, f) =>
+          val cols = f.cols.toSeq.sortBy(_._1).map { case (c, s) =>
+            val parts =
+              s.min.map(x =>
+                s""""mn": "${jsonEscape(FileStats.encodeScalar(x))}"""").toSeq ++
+              s.max.map(x =>
+                s""""mx": "${jsonEscape(FileStats.encodeScalar(x))}"""") ++
+              s.nullCount.map(n => s""""nc": $n""")
+            s""""${jsonEscape(c)}": ${parts.mkString("{", ", ", "}")}"""
+          }.mkString("{", ", ", "}")
+          s""""${jsonEscape(p)}": {"rows": ${f.rows}, "bytes": ${f.bytes}, "cols": $cols}"""
+        }.mkString("{", ", ", "}")
+        s""", "fileStats": $entries"""
+      }
     try out.write(
-      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields$schemaField}"""
+      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields$schemaField$statsField}"""
         .getBytes("UTF-8"))
     finally out.close()
     true
@@ -980,6 +999,26 @@ object VersionedHub {
           .toMap
       case _ => Map.empty[Int, Long]
     }
+    val fileStats: Map[String, FileStats.FileStat] = m.get("fileStats") match {
+      case Some(fm: java.util.Map[_, _]) =>
+        fm.asScala.map { case (k, raw) =>
+          val e = raw.asInstanceOf[java.util.Map[String, AnyRef]].asScala
+          val cols = e.get("cols") match {
+            case Some(cm: java.util.Map[_, _]) =>
+              cm.asScala.map { case (c, s0) =>
+                val s = s0.asInstanceOf[java.util.Map[String, AnyRef]].asScala
+                c.toString -> FileStats.ColStat(
+                  s.get("mn").flatMap(x => FileStats.decodeScalar(x.toString)),
+                  s.get("mx").flatMap(x => FileStats.decodeScalar(x.toString)),
+                  s.get("nc").map(_.toString.toLong))
+              }.toMap
+            case _ => Map.empty[String, FileStats.ColStat]
+          }
+          k.toString -> FileStats.FileStat(
+            e("rows").toString.toLong, e("bytes").toString.toLong, cols)
+        }.toMap
+      case _ => Map.empty
+    }
     Some(Version(
       m("version").toString.toInt,
       m("dataDir").toString,
@@ -990,7 +1029,8 @@ object VersionedHub {
       buckets,
       bucketCols,
       bucketRows,
-      m.get("schema").map(_.toString)))
+      m.get("schema").map(_.toString),
+      fileStats))
   }
 
   /** Row count of every parquet file under `dir`, summed from the footers

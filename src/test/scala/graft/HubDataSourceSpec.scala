@@ -156,6 +156,147 @@ class HubDataSourceSpec extends SparkTestBase {
     }
   }
 
+  test("driver-local bucketOf matches the distributed writer stamp for every routable type") {
+    import org.apache.spark.sql.types._
+    val cases: Seq[(DataType, Seq[Any])] = Seq(
+      LongType -> Seq(0L, 1L, -7L, 123456789L, Long.MaxValue),
+      IntegerType -> Seq(0, 5, -3, Int.MaxValue),
+      ShortType -> Seq(0.toShort, (-12).toShort),
+      ByteType -> Seq(1.toByte),
+      StringType -> Seq("", "a", "héllo", "ключ", "multi word key"),
+      DoubleType -> Seq(0.0, 5.0, 5.5, -2.25, 1e18),
+      FloatType -> Seq(1.5f, -0.5f),
+      DateType -> Seq(java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Date.valueOf("1969-12-31")),
+      TimestampType -> Seq(
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789")),
+      BooleanType -> Seq(true, false),
+      DecimalType(10, 2) -> Seq(new java.math.BigDecimal("123.45")))
+    for ((dt, vals) <- cases; n <- Seq(8, 32)) {
+      // distributed truth: stamp a one-column frame exactly like the writer
+      val schema = StructType(Seq(StructField("c", dt)))
+      val rows = vals.map(org.apache.spark.sql.Row(_))
+      val stamped = spark
+        .createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .select(col("c"), pmod(
+          xxhash64(graft.writers.HubWriter.canonicalKey(col("c"), dt)),
+          lit(n)).cast("int").as("b"))
+        .collect().map(r => r.get(0) -> r.getInt(1)).toMap
+      for (v <- vals) {
+        val local = graft.sources.HubDataSource.bucketOf(spark, v, dt, n)
+        assert(local.contains(stamped(v)),
+          s"$dt value $v (n=$n): local=$local distributed=${stamped(v)}")
+      }
+    }
+  }
+
+  test("planning a pruned+skipped read launches ZERO Spark jobs") {
+    val path = mkHub("dsv2_nojobs")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = spark.read.format("graft-hub").option("path", path).load()
+        .filter($"k".isin(3L, 4L) && $"v" > "a")
+      // force FULL planning: filter pushdown, scan build, AND the
+      // statistics Catalyst's join planner would consult
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("graft-hub"))
+      df.queryExecution.optimizedPlan.stats
+      org.apache.spark.GraftListenerSync.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"planning a graft-hub read launched ${jobs.get()} Spark job(s)")
+      // ...and the jobless pruning produces the same rows as ever
+      assert(df.as[(Long, String)].collect().toSet ==
+        Set((3L, "v3"), (4L, "v4")))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("file-level min/max stats skip files for range/equality/null predicates") {
+    val path = tmpDir("dsv2_skip")
+    // flat hub whose 8 files carry disjoint k ranges (range-clustered write
+    // — the zone-map-friendly layout optimizeZOrder also produces)
+    val df = (1L to 1000L)
+      .map(k => (k, if (k <= 500) null else s"s$k")).toDF("k", "s")
+      .repartitionByRange(8, $"k")
+    VersionedHub.write(spark, df, path, Seq.empty)
+    val v = VersionedHub.history(spark, path).last
+    assert(v.fileStats.size == 8 &&
+      v.fileStats.values.forall(_.cols.contains("k")))
+    def skipOf(d: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = d.queryExecution.executedPlan.toString
+      val m = "files=(\\d+) skipped=(\\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"expected file-skip evidence in:\n$p")
+      (m.get.group(1).toInt, m.get.group(2).toInt)
+    }
+    val rd = spark.read.format("graft-hub").option("path", path).load()
+    // range predicate: only the tail file(s) survive
+    val hi = rd.filter($"k" > 900L)
+    val (hiF, hiS) = skipOf(hi)
+    assert(hiS > 0 && hiF < 8, s"files=$hiF skipped=$hiS")
+    assert(hi.count() == 100L)
+    // equality: a single mid-range key needs one file
+    val eq = rd.filter($"k" === 500L)
+    val (eqF, eqS) = skipOf(eq)
+    assert(eqF == 1 && eqS == 7)
+    assert(eq.select($"k").as[Long].collect().toSeq == Seq(500L))
+    // IN over two distant keys
+    val in = rd.filter($"k".isin(5L, 995L))
+    assert(skipOf(in)._2 >= 6)
+    assert(in.select($"k").as[Long].collect().toSet == Set(5L, 995L))
+    // conjunction with an unskippable predicate still skips on the other
+    val conj = rd.filter($"k" < 100L && length($"s") > 1)
+    assert(skipOf(conj)._2 > 0)
+    assert(conj.count() == 0L)
+    // null-aware: s is all-null exactly on the low files
+    val notNull = rd.filter($"s".isNotNull)
+    assert(skipOf(notNull)._2 > 0)
+    assert(notNull.count() == 500L)
+    val isNull = rd.filter($"s".isNull)
+    assert(skipOf(isNull)._2 > 0)
+    assert(isNull.count() == 500L)
+    // statistics of a skipped scan come straight from the manifest bytes
+    val builder = new graft.sources.HubScanBuilder(path, v,
+      VersionedHub.read(spark, path).schema)
+    builder.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThan("k", 900L)))
+    val st = builder.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    val expected = v.fileStats.values.filter(f =>
+      f.cols("k").max.exists { case l: Long => l > 900L }).toSeq
+    assert(st.numRows.getAsLong == expected.map(_.rows).sum)
+    assert(st.sizeInBytes.getAsLong == expected.map(_.bytes).sum)
+  }
+
+  test("a column absent from old files never skips them (schema-evolution no-skip)") {
+    val path = mkHub("dsv2_skip_evolve")
+    // evolution touches ONLY key 1's bucket; every other bucket's files
+    // predate the column and record no stats for it
+    VersionedHub.writeBucketed(spark,
+      Seq((1L, "V1", 9.5)).toDF("k", "v", "extra"), path, Seq("k"), 8)
+    val rd = spark.read.format("graft-hub").option("path", path).load()
+    // the predicate is only provable on the NEW file; old files must be
+    // kept (scanned, aligned to null, then row-filtered) — a skip here
+    // would be wrong the day the column stops being all-null
+    val hit = rd.filter($"extra" >= 0.0)
+      .select($"k", $"extra").as[(Long, Double)].collect().toSeq
+    assert(hit == Seq((1L, 9.5)))
+    // inverted range: the stats-covered new file IS skippable, old files
+    // still scanned, result exactly empty
+    val miss = rd.filter($"extra" < 0.0)
+    val p = miss.queryExecution.executedPlan.toString
+    val m = "files=(\\d+) skipped=(\\d+)".r.findFirstMatchIn(p)
+    assert(m.exists(_.group(2).toInt >= 1),
+      s"the evolved file (min=9.5) must be skipped for extra<0:\n$p")
+    assert(miss.count() == 0L)
+  }
+
   test("column pruning and flat hubs work through the connector") {
     val flat = tmpDir("dsv2_flat")
     VersionedHub.write(spark,

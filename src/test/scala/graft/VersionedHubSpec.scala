@@ -522,4 +522,59 @@ class VersionedHubSpec extends SparkTestBase {
     assert(VersionedHub.changes(spark, path, Seq("k"), 2, 3)
       .select($"extra").count() == 1)
   }
+
+  test("manifests record per-file min/max stats; untouched buckets carry them across versions") {
+    import graft.writers.FileStats
+    val path = tmpDir("vh_filestats")
+    VersionedHub.writeBucketed(spark,
+      (1L to 40L).map(k => (k, s"v$k", k * 2.5)).toDF("k", "v", "d"),
+      path, Seq("k"), 4)
+    val v1 = VersionedHub.history(spark, path).last
+    assert(v1.fileStats.nonEmpty)
+    // every recorded file carries typed min/max for every atomic column,
+    // and the per-file rows sum to the audit count
+    assert(v1.fileStats.values.map(_.rows).sum == v1.rows)
+    for ((p, f) <- v1.fileStats; c <- Seq("k", "v", "d")) {
+      val s = f.cols.getOrElse(c, fail(s"$p lacks stats for $c"))
+      assert(s.min.isDefined && s.max.isDefined && s.nullCount.contains(0L), s"$p/$c: $s")
+    }
+    // global min/max across files must bracket the actual data
+    val kMins = v1.fileStats.values.map(_.cols("k").min.get.asInstanceOf[Long])
+    val kMaxs = v1.fileStats.values.map(_.cols("k").max.get.asInstanceOf[Long])
+    assert(kMins.min == 1L && kMaxs.max == 40L)
+    assert(v1.fileStats.values.flatMap(_.cols("v").min).toSeq.contains("v1") ||
+      v1.fileStats.values.flatMap(_.cols("v").min)
+        .forall(_.isInstanceOf[String]))
+    // a touched-bucket upsert re-records ONLY the rewritten dirs' files and
+    // carries the untouched buckets' entries byte-identically
+    VersionedHub.writeBucketed(spark,
+      Seq((1L, "V1", -9.0)).toDF("k", "v", "d"), path, Seq("k"), 4)
+    val v2 = VersionedHub.history(spark, path).last
+    val untouched = (v2.buckets.toSet intersect v1.buckets.toSet).map(_._2)
+    assert(untouched.nonEmpty)
+    for (d <- untouched) {
+      val olds = v1.fileStats.filter(_._1.startsWith(d + "/"))
+      assert(olds.nonEmpty && olds.forall { case (p, st) =>
+        v2.fileStats.get(p).contains(st) }, s"carried stats drifted under $d")
+    }
+    // the rewritten bucket reflects the new extreme
+    val dMins = v2.fileStats.values.flatMap(_.cols("d").min)
+      .map(_.asInstanceOf[Double])
+    assert(dMins.min == -9.0)
+    // stats survive the manifest JSON round-trip type-exactly (Long stays
+    // Long, Double stays Double, String stays String)
+    assert(v2.fileStats.values.flatMap(_.cols("k").min)
+      .forall(_.isInstanceOf[Long]))
+    assert(v2.fileStats.values.flatMap(_.cols("d").max)
+      .forall(_.isInstanceOf[Double]))
+    // compaction re-records the compacted dirs and carries the rest
+    VersionedHub.compactBuckets(spark, path)
+    val v3 = VersionedHub.history(spark, path).last
+    assert(v3.fileStats.nonEmpty &&
+      v3.fileStats.values.map(_.rows).sum == v3.rows)
+    assert(FileStats.decodeScalar(FileStats.encodeScalar(1.0E10))
+      .contains(1.0E10))
+    assert(FileStats.decodeScalar(FileStats.encodeScalar("S:x"))
+      .contains("S:x"))
+  }
 }
