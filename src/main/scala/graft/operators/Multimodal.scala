@@ -638,6 +638,12 @@ object Multimodal {
     media.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val deflater = new java.util.zip.Deflater() // one per partition
+      // native zlib memory is freed by end(), not GC — release it when the
+      // task finishes rather than accumulating it on long-lived executors
+      org.apache.spark.TaskContext.get() match {
+        case null => () // direct (non-task) invocation, e.g. in a local test
+        case tc => tc.addTaskCompletionListener[Unit](_ => deflater.end())
+      }
       rows.map { r =>
         md.reset()
         val digest = md.digest(r.payload).map("%02x".format(_)).mkString

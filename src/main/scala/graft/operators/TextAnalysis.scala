@@ -232,6 +232,12 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater()
+        // native zlib memory needs an explicit end() — release on task
+        // completion instead of leaking it on long-lived executors
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => deflater.end())
+        }
         val buf = new Array[Byte](64 * 1024)
         rows.map { case (id, text) =>
           val bytes = Option(text).getOrElse("")

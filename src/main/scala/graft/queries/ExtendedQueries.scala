@@ -710,7 +710,7 @@ object ExtendedQueries {
   private val packBpeOracle: String = {
     val enc = graft.operators.Bpe.replaceChainSql("text")
     s"""WITH t AS (SELECT lang, doc_id,
-       |             length(replace($enc, ' ', '')) AS n FROM documents),
+       |             length(regexp_replace($enc, '\\s', '', 'g')) AS n FROM documents),
        |p AS (SELECT lang, doc_id, n,
        |        COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

@@ -142,7 +142,7 @@ object PipelineQueries {
   private val bpeTokensOracle: String = {
     val enc = graft.operators.Bpe.replaceChainSql("text")
     s"""WITH e AS (SELECT doc_id, len($WS) AS nw,
-       |  replace($enc, ' ', '') AS enc FROM documents)
+       |  regexp_replace($enc, '\\s', '', 'g') AS enc FROM documents)
        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
        |  CAST(length(enc) AS BIGINT) AS n_tokens_bpe,
        |  CAST(coalesce(list_sum(list_transform(range(1, length(enc) + 1),
