@@ -25,6 +25,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // MERGE INTO <hub table> — rewrites the canonical upsert MERGE shape
+    // onto the versioned hub's own ACID merge commit
+    ext.injectResolutionRule(graft.sources.HubMergeRule.apply)
+    // restore SupportsReportStatistics across Spark's V1ScanWrapper so the
+    // connector's manifest-backed sizes reach the join planner (broadcast
+    // decisions) instead of degrading to defaultSizeInBytes. The wrapper
+    // only exists AFTER "Early Filter and Projection Push-Down", and the
+    // extension points (operator-optimization batch, preCBO) both run
+    // BEFORE it — so the builder registers the rule into the session's
+    // "User Provided Optimizers" batch (which runs after pushdown) and
+    // returns it for the early batch too, where it is a harmless no-op.
+    ext.injectOptimizerRule { session =>
+      import org.apache.spark.sql.graftbridge.RestoreV1ScanStatistics
+      val experimental = session.experimental
+      if (!experimental.extraOptimizations
+          .exists(_.isInstanceOf[RestoreV1ScanStatistics]))
+        experimental.extraOptimizations =
+          experimental.extraOptimizations :+ RestoreV1ScanStatistics(session)
+      RestoreV1ScanStatistics(session)
+    }
     ext.injectFunction((
       new FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),

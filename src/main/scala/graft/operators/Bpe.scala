@@ -61,11 +61,13 @@ object Bpe {
       (l.codePointAt(0), r.codePointAt(0), MergeBase + i)
     }
 
-  /** Greedy BPE encode of ONE word: apply each merge in rank order,
-    * rewriting left-to-right non-overlapping pair occurrences — the
-    * original Sennrich apply loop. Returns the symbol (= token id) array.
+  /** Reference apply — the literal Sennrich formulation: one left-to-right
+    * non-overlapping rewrite pass PER MERGE, in rank order. O(V·len) per
+    * word: correct at any table size but the wrong asymptotic regime at a
+    * 32k-merge production vocabulary. Kept as the executable spec the fast
+    * apply is property-checked against (BpeSpec).
     */
-  def encodeWord(word: String,
+  def encodeWordRankOrder(word: String,
       merges: IndexedSeq[(Int, Int, Int)] = DefaultMerges): Array[Int] = {
     var syms = word.codePoints().toArray
     merges.foreach { case (l, r, o) =>
@@ -87,6 +89,139 @@ object Bpe {
       }
     }
     syms
+  }
+
+  /** Pair → (rank, output) lookup for the fast apply, built once per table
+    * (per task, not per word). Key packs the two symbol codepoints into one
+    * Long, value packs rank and output — zero boxing on the hot path.
+    */
+  final class MergeTable private (
+      private val pairs: java.util.HashMap[java.lang.Long, java.lang.Long],
+      val size: Int) {
+    /** rank<<32 | output for the pair (l, r), or -1 when not a merge.
+      * Values stay BOXED in the map: an unboxed-typed get would turn the
+      * null miss into 0 — a phantom rank-0 merge for every absent pair.
+      */
+    @inline def lookup(l: Int, r: Int): Long = {
+      val v = pairs.get((l.toLong << 32) | (r.toLong & 0xffffffffL))
+      if (v eq null) -1L else v.longValue()
+    }
+  }
+
+  object MergeTable {
+    def apply(merges: IndexedSeq[(Int, Int, Int)]): MergeTable = {
+      val m = new java.util.HashMap[java.lang.Long, java.lang.Long](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((l, r, o), rank) =>
+        // first (lowest) rank wins on duplicate pairs — the rank-order pass
+        // would have consumed every occurrence at the earlier rank already
+        m.putIfAbsent((l.toLong << 32) | (r.toLong & 0xffffffffL),
+          (rank.toLong << 32) | (o.toLong & 0xffffffffL))
+      }
+      new MergeTable(m, merges.size)
+    }
+  }
+
+  private val DefaultTable = MergeTable(DefaultMerges)
+
+  /** Greedy BPE encode of ONE word — the pair-indexed HEAP apply (the
+    * standard production formulation, e.g. the original GPT-2 encoder):
+    * repeatedly merge the lowest-ranked pair PRESENT in the word,
+    * left-to-right within a rank, maintaining a doubly-linked symbol list
+    * and a lazy-deletion min-heap of candidate pairs. Only merges whose
+    * pair actually occurs are ever touched, so the cost is
+    * O(len·log len) INDEPENDENT of the table size V — at a 32k-merge
+    * vocabulary this is the difference between tokenizing at scan speed
+    * and scanning the merges table per word.
+    *
+    * Equivalent to [[encodeWordRankOrder]] for every WELL-FORMED table
+    * (each pair references only base characters or earlier merge outputs —
+    * true of any learned BPE table, enforced for [[DefaultMerges]]):
+    * merging rank k can only create pairs containing k's output symbol,
+    * whose ranks are all > k, so no lower-ranked pair ever (re)appears
+    * after its turn — the iterative lowest-rank-first order visits exactly
+    * the rank-order pass's rewrites. Property-checked in BpeSpec over
+    * random valid tables and words.
+    */
+  def encodeWord(word: String,
+      merges: IndexedSeq[(Int, Int, Int)] = DefaultMerges): Array[Int] =
+    encodeWordWith(word,
+      if (merges eq DefaultMerges) DefaultTable else MergeTable(merges))
+
+  def encodeWordWith(word: String, table: MergeTable): Array[Int] = {
+    val syms = word.codePoints().toArray
+    val n = syms.length
+    if (n < 2 || table.size == 0) return syms
+    // doubly-linked list over the symbol array; -1 = end, dead nodes have
+    // next(i) = -2
+    val next = new Array[Int](n)
+    val prev = new Array[Int](n)
+    var i = 0
+    while (i < n) { next(i) = i + 1; prev(i) = i - 1; i += 1 }
+    next(n - 1) = -1
+    // lazy-deletion min-heap of rank<<32|pos (both non-negative, so Long
+    // order = (rank, pos) lexicographic = lowest rank first, leftmost first)
+    var heap = new Array[Long](math.max(8, n))
+    var heapN = 0
+    def push(v: Long): Unit = {
+      if (heapN == heap.length) heap = java.util.Arrays.copyOf(heap, heapN * 2)
+      var c = heapN; heapN += 1; heap(c) = v
+      while (c > 0 && heap((c - 1) >> 1) > heap(c)) {
+        val p = (c - 1) >> 1
+        val t = heap(p); heap(p) = heap(c); heap(c) = t; c = p
+      }
+    }
+    def pop(): Long = {
+      val top = heap(0); heapN -= 1; heap(0) = heap(heapN)
+      var c = 0
+      while (true) {
+        val l = 2 * c + 1
+        if (l >= heapN) return top
+        val s = if (l + 1 < heapN && heap(l + 1) < heap(l)) l + 1 else l
+        if (heap(c) <= heap(s)) return top
+        val t = heap(c); heap(c) = heap(s); heap(s) = t; c = s
+      }
+      top
+    }
+    def offer(pos: Int): Unit = {
+      val nx = next(pos)
+      if (nx >= 0) {
+        val ro = table.lookup(syms(pos), syms(nx))
+        if (ro >= 0)
+          push(((ro >>> 32) << 32) | pos.toLong)
+      }
+    }
+    i = 0
+    while (i < n - 1) { offer(i); i += 1 }
+    var alive = n
+    while (heapN > 0 && alive >= 2) {
+      val top = pop()
+      val pos = (top & 0xffffffffL).toInt
+      val nx = next(pos)
+      if (nx >= -1) { // node still alive
+        if (nx >= 0) {
+          val ro = table.lookup(syms(pos), syms(nx))
+          // stale entries (symbols changed since push) re-validate here
+          if (ro >= 0 && (ro >>> 32) == (top >>> 32)) {
+            syms(pos) = (ro & 0xffffffffL).toInt
+            // unlink nx
+            val nnx = next(nx)
+            next(nx) = -2
+            next(pos) = nnx
+            if (nnx >= 0) prev(nnx) = pos
+            alive -= 1
+            // the merged symbol forms two fresh candidate pairs
+            val pv = prev(pos)
+            if (pv >= 0) offer(pv)
+            offer(pos)
+          }
+        }
+      }
+    }
+    val out = new Array[Int](alive)
+    var p = 0
+    var j = 0
+    while (p >= 0) { out(j) = syms(p); j += 1; p = next(p) }
+    out
   }
 
   /** One-pass (n_words, n_tokens_bpe, sum_token_ids) for a document under

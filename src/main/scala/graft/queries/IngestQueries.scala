@@ -453,7 +453,177 @@ object IngestQueries {
       |  CAST(sum(event_id % 1000) AS BIGINT) AS sum_b
       |FROM events WHERE user_id < 3 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Register a throwaway HubCatalog over `base`. The name is derived from
+    * the base path because CatalogManager caches catalog instances by name
+    * — re-pointing a cached name at a new base would silently read the old
+    * directory.
+    */
+  private def tempCatalog(spark: SparkSession, base: String): String = {
+    val name = s"ghub${java.lang.Integer.toUnsignedString(base.hashCode, 36)}"
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.HubCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.base", base)
+    name
+  }
+
+  /** Real `MERGE INTO` SQL against a hub catalog table — the upsert shape
+    * rewritten onto one ACID [[graft.writers.VersionedHub.write]] commit by
+    * [[graft.sources.HubMergeRule]]. Exercises matched updates, not-matched
+    * inserts, and the null-key insert quirk (a null key never equi-matches,
+    * so it lands as an insert — reference writer.py merge semantics).
+    */
+  val qHubMergeSql: Q = (spark, dir) => {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_merge_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    graft.writers.VersionedHub.writeBucketed(spark, nation,
+      s"$tmp/nation_m", Seq("n_nationkey"), 8)
+    Tables(spark, dir, "nation")
+      .filter(col("n_nationkey") < 5)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        concat(col("n_name"), lit("_m")).as("n_name"))
+      .unionByName(Seq((Some(900L), "NEWLAND"), (None: Option[Long], "NULLKEY"))
+        .toDF("n_nationkey", "n_name"))
+      .createOrReplaceTempView("nation_updates")
+    spark.sql(
+      s"""MERGE INTO $cat.default.nation_m t USING nation_updates s
+         |ON t.n_nationkey = s.n_nationkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(s"SELECT n_nationkey, n_name FROM $cat.default.nation_m")
+      .orderBy(col("n_nationkey").asc_nulls_first)
+  }
+
+  private val hubMergeSqlOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  CASE WHEN n_nationkey < 5 THEN n_name || '_m' ELSE n_name END AS n_name
+      |FROM nation
+      |UNION ALL SELECT 900, 'NEWLAND'
+      |UNION ALL SELECT NULL, 'NULLKEY'
+      |ORDER BY n_nationkey NULLS FIRST""".stripMargin
+
+  /** A TPC-H-shaped join/agg run ENTIRELY over hub catalog tables in SQL
+    * (`FROM <cat>.default.lineitem JOIN <cat>.default.orders ...`),
+    * plan-gated on a BroadcastHashJoin that only the connector's
+    * manifest-backed statistics can justify: without them a V1 relation
+    * reports `defaultSizeInBytes` (Long.MaxValue) and Spark would never
+    * broadcast. The IN predicate on the orders routing key bucket-prunes
+    * the orders scan, Catalyst's constraint propagation pushes the same IN
+    * onto lineitem's routing key (pruning it too), and the pruned orders
+    * side — whose true pruned byte size the manifest reports — becomes the
+    * broadcast build side. The O(whole-hub) shuffle never happens.
+    */
+  val qHubCatalogJoin: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_cat_join").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority")),
+      s"$tmp/orders", Seq("o_orderkey"), 16)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"), col("l_discount")),
+      s"$tmp/lineitem", Seq("l_orderkey", "l_linenumber"),
+      16, bucketCols = Some(Seq("l_orderkey")))
+    val out = spark.sql(
+      s"""SELECT o.o_orderpriority, l.l_orderkey,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         |    * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+         |    / 10000.0 AS revenue
+         |FROM $cat.default.lineitem l
+         |JOIN $cat.default.orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderkey IN (1, 3, 7, 32, 69)
+         |GROUP BY o.o_orderpriority, l.l_orderkey
+         |ORDER BY l.l_orderkey""".stripMargin)
+    val planStr = out.queryExecution.executedPlan.toString
+    require(planStr.contains("BroadcastHashJoin"),
+      s"manifest statistics must let the pruned orders side broadcast:\n$planStr")
+    require("dirs=(\\d+)/(\\d+)".r.findAllMatchIn(planStr)
+      .exists(g => g.group(1).toInt < g.group(2).toInt),
+      s"the IN predicate must bucket-prune at least one hub scan:\n$planStr")
+    out
+  }
+
+  private val hubCatalogJoinOracle: String =
+    """SELECT o_orderpriority, CAST(l_orderkey AS BIGINT) AS l_orderkey,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (1, 3, 7, 32, 69)
+      |GROUP BY o_orderpriority, l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** Tail a hub's commits with the STREAMING source
+    * (`spark.readStream.format("graft-hub")`) and fold them into an
+    * accumulator hub with a batchId-idempotent upsert: the accumulated
+    * table must equal the final snapshot byte-for-byte — the
+    * Delta-streaming-source parity contract. Plan/behavior-gated on
+    * incrementality: the post-catch-up delta batch must deliver only the
+    * touched buckets' rows, not the whole hub.
+    */
+  val qStreamHubTail: Q = (spark, dir) => {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_hub_tail").toFile.getAbsolutePath
+    val hub = s"$tmp/hub"
+    val acc = s"$tmp/acc"
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-hub").option("path", hub).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = graft.operators.Dedup.persistForReuse(b)
+          try {
+            sizes += rows.count()
+            graft.writers.VersionedHub.writeBucketed(rows.sparkSession, rows,
+              acc, Seq("n_nationkey"), 8, batchId = Some(id))
+          } finally rows.unpersist()
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    graft.writers.VersionedHub.writeBucketed(spark, nation, hub,
+      Seq("n_nationkey"), 8)
+    run() // catch-up batch: the full v1 snapshot
+    graft.writers.VersionedHub.writeBucketed(spark,
+      nation.filter(col("n_nationkey") < 2)
+        .withColumn("n_name", concat(col("n_name"), lit("_s"))),
+      hub, Seq("n_nationkey"), 8)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Seq((900L, "TAILLAND")).toDF("n_nationkey", "n_name"), hub,
+      Seq("n_nationkey"), 8)
+    run() // delta batch: both new commits, touched buckets only
+    val total = nation.count()
+    require(sizes.length == 2 && sizes.head == total && sizes.last < total,
+      s"stream must deliver one full catch-up batch then a bucket-pruned " +
+        s"delta, got $sizes over $total rows")
+    graft.writers.VersionedHub.read(spark, acc)
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val streamHubTailOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  CASE WHEN n_nationkey < 2 THEN n_name || '_s' ELSE n_name END AS n_name
+      |FROM nation
+      |UNION ALL SELECT 900, 'TAILLAND'
+      |ORDER BY n_nationkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_stream_hub_tail" -> qStreamHubTail,
+    "q_hub_merge_sql" -> qHubMergeSql,
+    "q_hub_catalog_join" -> qHubCatalogJoin,
     "q_hub_dsv2_range_prune" -> qHubDsv2RangePrune,
     "q_stream_mv_equiv" -> qStreamMvEquiv,
     "q_incremental_view" -> qIncrementalView,
@@ -467,6 +637,9 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_hub_tail" -> streamHubTailOracle,
+    "q_hub_merge_sql" -> hubMergeSqlOracle,
+    "q_hub_catalog_join" -> hubCatalogJoinOracle,
     "q_hub_dsv2_range_prune" -> hubDsv2RangePruneOracle,
     "q_stream_mv_equiv" -> streamMvEquivOracle,
     "q_incremental_view" -> incrementalViewOracle,

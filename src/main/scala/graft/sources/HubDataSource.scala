@@ -61,9 +61,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pushdown (row-group zone maps under the file level) stay Spark-native
   * instead of reimplemented.
   */
-class HubDataSource extends TableProvider with DataSourceRegister {
+class HubDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-hub"
+
+  // ---- streaming source (spark.readStream.format("graft-hub")) ----
+  // Wired through the V1 StreamSourceProvider bridge (the DeltaSource
+  // shape): the table deliberately does NOT declare MICRO_BATCH_READ, so
+  // the engine falls back here and [[HubStreamSource]] serves manifest
+  // versions as offsets.
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = streamPathOf(parameters)
+    val spark = sqlContext.sparkSession
+    (shortName(), VersionedHub.snapshotSchema(spark, path,
+      VersionedHub.versionAt(spark, path, None)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new HubStreamSource(sqlContext, streamPathOf(parameters))
+
+  private def streamPathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") && v.nonEmpty => v
+    }.getOrElse(throw new IllegalArgumentException(
+      "graft-hub stream requires option(\"path\", ...)"))
 
   override def supportsExternalMetadata(): Boolean = false
 
@@ -334,6 +362,9 @@ object HubDataSource {
 private[sources] class HubTable(path: String, asOf: Option[Int])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private[graft] def hubPath: String = path
+  private[graft] def isTimeTravel: Boolean = asOf.nonEmpty
 
   private def spark = SparkSession.active
   private lazy val v = VersionedHub.versionAt(spark, path, asOf)

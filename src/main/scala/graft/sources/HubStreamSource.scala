@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.writers.VersionedHub
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.types.StructType
+
+/** Version offset of the hub streaming source — one offset per committed
+  * manifest version, serialized into the streaming checkpoint.
+  */
+case class HubSourceOffset(version: Int) extends OffsetV1 {
+  override def json: String = s"""{"version":$version}"""
+}
+
+object HubSourceOffset {
+  private val JsonRe = """\{\s*"version"\s*:\s*(\d+)\s*\}""".r
+  /** After a restart the engine hands back a SerializedOffset holding our
+    * json — accept both forms.
+    */
+  def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Int =
+    o match {
+      case HubSourceOffset(v) => v
+      case other => other.json match {
+        case JsonRe(v) => v.toInt
+        case j => throw new IllegalArgumentException(
+          s"not a graft-hub offset: $j")
+      }
+    }
+}
+
+/** Streaming SOURCE over the versioned hub — the Delta streaming-source
+  * parity piece: a downstream pipeline tails commits with
+  *
+  * {{{
+  *   spark.readStream.format("graft-hub").option("path", hub).load()
+  * }}}
+  *
+  * Offsets are manifest VERSIONS (checkpointed by the engine), and the
+  * micro-batch for the version step (start, end] is the content AS OF
+  * `end` of every data dir `end`'s manifest references that `start`'s did
+  * not — O(changed buckets) per step thanks to the bucketed layout's
+  * structural sharing, never O(hub). Replay of a committed range re-reads
+  * the same manifests (time travel), so a crash-restarted query reproduces
+  * its batch byte-for-byte: exactly-once end to end when the sink is
+  * idempotent (e.g. the versioned hub's batchId commits).
+  *
+  * Delivery contract (Delta's `ignoreChanges` shape): a rewritten bucket
+  * re-delivers ALL its current rows, not a row-level diff — consumers
+  * upsert by the hub key (or dedupe) rather than blind-append; the
+  * accumulated upsert over every batch equals the final snapshot exactly
+  * (oracle-checked). A `fromVersion` whose manifest housekeeping has
+  * vacuumed falls back to the full snapshot at `end` — a superset
+  * re-delivery, safe under the same upsert contract.
+  *
+  * The declared schema is the hub's recorded snapshot schema at stream
+  * start; later schema evolution is projected onto it (new columns ignored
+  * until restart — Delta's contract too).
+  */
+class HubStreamSource(sqlContext: SQLContext, path: String)
+    extends Source {
+
+  private def spark = sqlContext.sparkSession
+
+  private val declaredSchema: StructType =
+    VersionedHub.snapshotSchema(spark, path,
+      VersionedHub.versionAt(spark, path, None))
+
+  override def schema: StructType = declaredSchema
+
+  override def getOffset: Option[OffsetV1] =
+    VersionedHub.latest(spark, path).map(v => HubSourceOffset(v.version))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = HubSourceOffset.versionOf(end)
+    val startV = start.map(HubSourceOffset.versionOf).getOrElse(0)
+    val batch = VersionedHub.changedDirsRead(spark, path, startV, endV)
+    // project onto the stream's declared schema (drop later-evolved
+    // columns, pad vanished ones) so every micro-batch is schema-stable
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = batch.columns.toSet
+    val aligned = batch.select(declaredSchema.fields.toIndexedSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    // the engine requires isStreaming=true on the returned frame
+    org.apache.spark.sql.graftbridge.StreamingDF.toStreaming(aligned)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"HubStreamSource[$path]"
+}

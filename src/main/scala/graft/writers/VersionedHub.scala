@@ -256,8 +256,7 @@ object VersionedHub {
           val dirs = touched.flatMap(v.buckets.get).map(resolve(path, _))
           if (dirs.isEmpty) stamped
           else {
-            val read = spark.read.option("mergeSchema", "true")
-              .parquet(dirs: _*)
+            val read = readDirs(spark, v, dirs)
             val target = deletes match {
               case None => read
               case Some(d) => read.join(d, keys, "left_anti")
@@ -376,6 +375,19 @@ object VersionedHub {
     df.select(cols: _*)
   }
 
+  /** Read a version's dirs with its RECORDED full-snapshot schema: no
+    * parquet schema inference (zero footer jobs), and files from older
+    * bucket generations read through type widening (int32 under a BIGINT
+    * column) and missing-column padding — parquet's own mergeSchema can do
+    * neither (CANNOT_MERGE_SCHEMAS on a widened column). Legacy manifests
+    * without a recorded schema fall back to mergeSchema inference.
+    */
+  private[graft] def readDirs(spark: SparkSession, v: Version,
+      dirs: Seq[String]): DataFrame = v.schema match {
+    case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+    case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
   /** Shared bucket-routing stamp: `pmod(xxhash64(canonical cols), n)`. */
   private def stampBuckets(d: DataFrame, cols: Seq[String],
       nBuckets: Int): DataFrame = {
@@ -409,7 +421,7 @@ object VersionedHub {
       .collect().map(_.getInt(0)).toIndexedSeq // ≤ nBuckets values
     val dirs = ids.sorted.flatMap(v.buckets.get).map(resolve(path, _))
     if (dirs.isEmpty) read(spark, path, Some(v.version)).limit(0)
-    else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    else readDirs(spark, v, dirs)
   }
 
   /** Snapshot read. `version = None` reads the latest committed version;
@@ -425,8 +437,8 @@ object VersionedHub {
         throw new IllegalArgumentException(s"no committed versions at $path"))
     }
     if (v.buckets.nonEmpty)
-      spark.read.option("mergeSchema", "true")
-        .parquet(v.buckets.values.map(resolve(path, _)).toSeq: _*)
+      readDirs(spark, v, v.buckets.values.map(resolve(path, _)).toSeq)
+    else if (v.schema.isDefined) readDirs(spark, v, Seq(resolve(path, v.dataDir)))
     else spark.read.parquet(resolve(path, v.dataDir))
   }
 
@@ -540,21 +552,60 @@ object VersionedHub {
         .filter(k => a.buckets.get(k) != b.buckets.get(k)).toSeq.sorted
       def dirs(ver: Version): Seq[String] =
         diff.flatMap(ver.buckets.get).map(resolve(path, _))
-      def rd(ds: Seq[String]): DataFrame =
-        spark.read.option("mergeSchema", "true").parquet(ds: _*)
+      def rd(ver: Version, ds: Seq[String]): DataFrame =
+        readDirs(spark, ver, ds)
       def emptyOf(s: org.apache.spark.sql.types.StructType): DataFrame =
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       val (da, db) = (dirs(a), dirs(b))
       (da.nonEmpty, db.nonEmpty) match {
-        case (true, true) => (alignTo(rd(da), sa), alignTo(rd(db), sb))
+        case (true, true) => (alignTo(rd(a, da), sa), alignTo(rd(b, db), sb))
         // every changed bucket is new to (or gone from) one side: that
         // side is schema-shaped empty
-        case (false, true) => (emptyOf(sa), alignTo(rd(db), sb))
-        case (true, false) => (alignTo(rd(da), sa), emptyOf(sb))
+        case (false, true) => (emptyOf(sa), alignTo(rd(b, db), sb))
+        case (true, false) => (alignTo(rd(a, da), sa), emptyOf(sb))
         // no bucket differs at all: the diff is empty by construction
         case (false, false) => (emptyOf(sa), emptyOf(sb))
       }
+    }
+  }
+
+  /** The rows a stream tailing this hub receives for the version step
+    * (fromVersion, toVersion]: content AS OF toVersion of every data dir
+    * toVersion's manifest references that fromVersion's does not —
+    * O(changed buckets) per step via structural sharing
+    * ([[graft.sources.HubStreamSource]]'s batch body). Falls back to the
+    * full toVersion snapshot when the step cannot be proven incremental
+    * (flat layouts, layout changes, vacuumed fromVersion manifest, no
+    * recorded schema) — a superset re-delivery, safe for upsert/dedupe
+    * consumers.
+    */
+  def changedDirsRead(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val hist = history(spark, path)
+    val b = hist.find(_.version == toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"hub at $path has no version $toVersion"))
+    val aOpt = if (fromVersion <= 0) None
+      else hist.find(_.version == fromVersion)
+    val incremental = aOpt.exists(a =>
+      a.buckets.nonEmpty && b.buckets.nonEmpty &&
+        a.nBuckets == b.nBuckets && a.bucketCols == b.bucketCols &&
+        b.schema.isDefined)
+    if (!incremental) read(spark, path, Some(toVersion))
+    else {
+      val a = aOpt.get
+      val sb = b.schema.get
+      val changed = b.buckets.collect {
+        case (k, d) if !a.buckets.get(k).contains(d) => d
+      }.toSeq.sorted
+      if (changed.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sb)
+      else alignTo(readDirs(spark, b, changed.map(resolve(path, _))), sb)
     }
   }
 

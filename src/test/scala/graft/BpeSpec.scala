@@ -58,4 +58,96 @@ class BpeSpec extends SparkTestBase {
         assert(s - Bpe.MergeBase < i, s"rank $i references unmade merge")
     }
   }
+
+  /** A random WELL-FORMED merge table over `nBase` base letters: each
+    * pair's symbols are base characters or outputs of EARLIER merges (the
+    * invariant every learned BPE table satisfies, and the precondition of
+    * the heap apply's equivalence proof). Distinct pairs only.
+    */
+  private def buildTable(n: Int, seeds: Seq[Int],
+      nBase: Int = 6): IndexedSeq[(Int, Int, Int)] = {
+    val pool = scala.collection.mutable.ArrayBuffer.range('a'.toInt, 'a'.toInt + nBase)
+    val used = scala.collection.mutable.Set.empty[(Int, Int)]
+    val out = IndexedSeq.newBuilder[(Int, Int, Int)]
+    var rank = 0
+    var s = 0
+    while (rank < n && s + 1 < seeds.length) {
+      val l = pool(math.abs(seeds(s)) % pool.length)
+      val r = pool(math.abs(seeds(s + 1)) % pool.length)
+      s += 2
+      if (!used.contains((l, r))) {
+        used += ((l, r))
+        val o = Bpe.MergeBase + rank
+        out += ((l, r, o))
+        pool += o
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("property: heap apply == rank-order apply on random valid tables and words") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genTable = for {
+      n <- Gen.choose(0, 48)
+      seeds <- Gen.listOfN(3 * n + 2, Gen.choose(0, Int.MaxValue))
+    } yield buildTable(n, seeds)
+    val genWord = for {
+      len <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(len, Gen.choose('a', 'f'))
+    } yield cs.mkString
+    val prop = Prop.forAll(genTable, Gen.listOfN(20, genWord)) { (t, ws) =>
+      ws.forall { w =>
+        val fast = Bpe.encodeWord(w, t).toSeq
+        val ref = Bpe.encodeWordRankOrder(w, t).toSeq
+        if (fast != ref)
+          System.err.println(s"MISMATCH word=$w table=$t fast=$fast ref=$ref")
+        fast == ref
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+    // and the adversarial shapes the heap's lazy deletion must survive
+    val t = Bpe.DefaultMerges
+    for (w <- Seq("ththththe", "aaaaaat", "ererer", "qqu", "thhe", "")) {
+      assert(Bpe.encodeWord(w, t).toSeq ==
+        Bpe.encodeWordRankOrder(w, t).toSeq, s"word $w")
+    }
+  }
+
+  test("heap apply cost is bounded by the word, not the table (8k synthetic merges)") {
+    // 8192-merge synthetic table over 26 letters — the production-vocab
+    // regime where the O(V·len) rank-order loop is the wrong asymptotic
+    val rnd = new scala.util.Random(7)
+    val big = buildTable(8192,
+      IndexedSeq.fill(3 * 8192 + 2)(rnd.nextInt(Int.MaxValue)), nBase = 26)
+    assert(big.size == 8192)
+    val words = IndexedSeq.fill(2000)(
+      (0 until (3 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString)
+    val table = Bpe.MergeTable(big)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }
+    // warm both paths (JIT), then measure
+    words.take(200).foreach { w =>
+      Bpe.encodeWordWith(w, table); Bpe.encodeWordRankOrder(w, big)
+    }
+    var sink = 0L
+    val fastMs = time(words.foreach(w => sink += Bpe.encodeWordWith(w, table).length))
+    val refMs = time(words.foreach(w => sink += Bpe.encodeWordRankOrder(w, big).length))
+    info(f"8k-merge table, 2000 words: heap ${fastMs}%.1f ms, rank-order ${refMs}%.1f ms (${refMs / fastMs}%.0fx)")
+    assert(sink > 0)
+    // results identical at scale too
+    words.take(100).foreach { w =>
+      assert(Bpe.encodeWordWith(w, table).toSeq ==
+        Bpe.encodeWordRankOrder(w, big).toSeq)
+    }
+    // generous bound: at V=8192 the rank-order loop must be at least 5x
+    // slower (it is typically 100x+); guards the fast path from silently
+    // regressing back into the V-proportional regime
+    assert(refMs > 5 * fastMs,
+      f"heap apply no longer V-independent: heap=${fastMs}%.1f ms rank-order=${refMs}%.1f ms")
+  }
 }

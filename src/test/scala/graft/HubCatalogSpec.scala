@@ -1,0 +1,147 @@
+package graft
+
+import graft.writers.VersionedHub
+
+import org.apache.spark.sql.functions._
+
+/** The SQL surface of the hub: TableCatalog (`hub.db.t`), `MERGE INTO`
+  * through [[graft.sources.HubMergeRule]], and the namespace rules.
+  */
+class HubCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withCatalog[A](name: String)(f: String => A): A = {
+    val base = tmpDir(s"cat_$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.HubCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.base", base)
+    try f(base)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$name")
+      spark.conf.unset(s"spark.sql.catalog.$name.base")
+    }
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT / VERSION AS OF through the catalog") {
+    withCatalog("hubsql") { base =>
+      spark.sql("CREATE TABLE hubsql.default.kv (k BIGINT, v STRING)")
+      assert(new java.io.File(base, "kv/_log").exists())
+      spark.sql("INSERT INTO hubsql.default.kv VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT * FROM hubsql.default.kv")
+        .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+      spark.sql("INSERT INTO hubsql.default.kv VALUES (3, 'c')")
+      assert(spark.sql(
+        "SELECT count(*) FROM hubsql.default.kv VERSION AS OF 2")
+        .as[Long].head() == 2L)
+      assert(spark.sql("SELECT count(*) FROM hubsql.default.kv")
+        .as[Long].head() == 3L)
+    }
+  }
+
+  test("MERGE INTO upserts through the hub's ACID merge (update, insert, null key)") {
+    withCatalog("hubm") { base =>
+      // seed a keyed bucketed hub through the library
+      VersionedHub.writeBucketed(spark,
+        (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+        s"$base/t", Seq("k"), 4)
+      Seq((Some(2L), "UPD"), (Some(99L), "INS"), (None: Option[Long], "NULLK"))
+        .toDF("k", "v").createOrReplaceTempView("merge_src")
+      spark.sql("""MERGE INTO hubm.default.t AS t USING merge_src AS s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val after = VersionedHub.read(spark, s"$base/t")
+        .as[(Option[Long], String)].collect().toSet
+      val expected = (1L to 10L).filterNot(_ == 2L)
+        .map(k => (Some(k), s"v$k")).toSet ++
+        Set((Some(2L), "UPD"), (Some(99L), "INS"), (None, "NULLK"))
+      assert(after == expected)
+      // exactly one new committed version, still bucketed
+      val hist = VersionedHub.history(spark, s"$base/t")
+      assert(hist.size == 2 && hist.last.buckets.nonEmpty)
+      // the same rows are visible through SQL
+      assert(spark.sql("SELECT count(*) FROM hubm.default.t")
+        .as[Long].head() == 12L)
+    }
+  }
+
+  test("MERGE INTO widens the hub schema when the source is wider (hub merge semantics)") {
+    withCatalog("hubw") { base =>
+      VersionedHub.writeBucketed(spark,
+        Seq((1, "a"), (2, "b")).toDF("k", "v"), s"$base/t", Seq("k"), 4)
+      Seq((2L, "B2"), (7L, "n7")).toDF("k", "v")
+        .createOrReplaceTempView("wide_src")
+      spark.sql("""MERGE INTO hubw.default.t t USING wide_src s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val after = VersionedHub.read(spark, s"$base/t")
+      assert(after.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(after.as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "B2"), (7L, "n7")))
+    }
+  }
+
+  test("MERGE shapes the hub cannot express fail loudly") {
+    withCatalog("hubx") { base =>
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "a", 1.0)).toDF("k", "v", "w"), s"$base/t", Seq("k"), 2)
+      Seq((1L, "b", 2.0)).toDF("k", "v", "w")
+        .createOrReplaceTempView("bad_src")
+      def denied(sql: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql))
+        assert(e.getMessage.contains("graft-hub MERGE INTO supports"),
+          s"wrong error for: $sql\n${e.getMessage}")
+      }
+      // partial-column update
+      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // conditional matched action
+      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
+               |WHEN MATCHED AND s.w > 1.0 THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // DELETE branch
+      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
+               |WHEN MATCHED THEN DELETE""".stripMargin)
+      // non-equi ON
+      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k < s.k
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+  }
+
+  test("only the single-element default namespace aliases to the base dir") {
+    withCatalog("hubns") { base =>
+      spark.sql("CREATE TABLE hubns.default.x (k BIGINT)")
+      assert(new java.io.File(base, "x/_log").exists())
+      spark.sql("CREATE TABLE hubns.a.b (k BIGINT)")
+      assert(new java.io.File(base, "a/b/_log").exists())
+      // "default" at depth is a REAL directory segment, not an alias —
+      // hub.a.default.b and hub.a.b must be two distinct tables
+      spark.sql("CREATE TABLE hubns.a.default.b (k BIGINT)")
+      assert(new java.io.File(base, "a/default/b/_log").exists())
+      spark.sql("INSERT INTO hubns.a.default.b VALUES (42)")
+      assert(spark.sql("SELECT count(*) FROM hubns.a.b").as[Long].head() == 0L)
+      assert(spark.sql("SELECT count(*) FROM hubns.a.default.b")
+        .as[Long].head() == 1L)
+    }
+  }
+
+  test("catalog DDL refuses object-store schemes like commits do") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val cat = new graft.sources.HubCatalog
+    cat.initialize("hubs3", new CaseInsensitiveStringMap(
+      java.util.Map.of("base", "s3a://bucket/hubs")))
+    val e = intercept[IllegalArgumentException](
+      cat.dropTable(Identifier.of(Array("default"), "t")))
+    assert(e.getMessage.contains("create is not atomic-exclusive"))
+    val r = intercept[IllegalArgumentException] {
+      // rename guard fires for a "to" even when "from" would resolve —
+      // simulate by probing the path guard the way renameTable does
+      graft.writers.VersionedHub.checkAtomicCommitScheme("s3a://bucket/x")
+    }
+    assert(r.getMessage.contains("create is not atomic-exclusive"))
+  }
+}
