@@ -859,9 +859,15 @@ object VersionedHub {
   private val warnedSchemes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private[graft] def checkAtomicCommitScheme(path: String): Unit = {
-    val scheme = Option(new Path(path).toUri.getScheme)
+  private[graft] def schemeOf(path: String): String =
+    Option(new Path(path).toUri.getScheme)
       .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
+
+  private[graft] def checkAtomicCommitScheme(path: String): Unit = {
+    val scheme = schemeOf(path)
+    // a registered CommitStore owns mutual exclusion for its scheme — the
+    // filesystem's create semantics stop mattering and the guard stands down
+    if (CommitStore.hasStoreFor(scheme)) return
     if (NonAtomicCreateSchemes.contains(scheme))
       throw new IllegalArgumentException(
         s"VersionedHub commit on '$scheme://' is unsafe: object-store " +
@@ -877,17 +883,16 @@ object VersionedHub {
           s"concurrent writers. Path: $path")
   }
 
-  /** The commit point: create-exclusive on the manifest file. Returns false
-    * when another writer already committed this version number.
+  /** The commit point: put-if-absent on the manifest file, through the
+    * scheme's [[CommitStore]] (default: filesystem create-exclusive; an
+    * object-store coordinator can be [[CommitStore.register]]ed). Returns
+    * false when another writer already committed this version number.
     */
   private def commit(fs: FileSystem, path: String, v: Version): Boolean = {
     checkAtomicCommitScheme(path)
     val log = new Path(path, LogDir)
     fs.mkdirs(log)
     val manifest = new Path(log, f"${v.version}%08d.json")
-    val out =
-      try fs.create(manifest, /* overwrite = */ false)
-      catch { case _: java.io.IOException => return false }
     val batchField = v.batchId.map(id => s""", "batchId": $id""").getOrElse("")
     val bucketFields = v.nBuckets.map { n =>
       val m = v.buckets.toSeq.sortBy(_._1)
@@ -924,11 +929,10 @@ object VersionedHub {
         }.mkString("{", ", ", "}")
         s""", "fileStats": $entries"""
       }
-    try out.write(
+    val content =
       s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields$schemaField$statsField}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-    true
+        .getBytes("UTF-8")
+    CommitStore.forScheme(schemeOf(path)).putIfAbsent(fs, manifest, content)
   }
 
   /** Minimal JSON string escape for the embedded schema record (the schema

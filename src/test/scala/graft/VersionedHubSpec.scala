@@ -523,6 +523,55 @@ class VersionedHubSpec extends SparkTestBase {
       .select($"extra").count() == 1)
   }
 
+  test("pluggable CommitStore: a conditional-write coordinator serializes commits and lifts the scheme guard") {
+    import graft.writers.CommitStore
+    // fake external coordinator: the CLAIM is decided in shared memory (the
+    // conditional-PUT analogue); the manifest content then lands with plain
+    // overwrite semantics — exactly what an object store offers
+    class FakeConditional extends CommitStore {
+      val claims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val rejected = new java.util.concurrent.atomic.AtomicInteger
+      override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+          p: org.apache.hadoop.fs.Path, content: Array[Byte]): Boolean =
+        if (!claims.add(p.toString)) { rejected.incrementAndGet(); false }
+        else {
+          val o = fs.create(p, true)
+          try o.write(content) finally o.close()
+          true
+        }
+    }
+    val store = new FakeConditional
+    assert(CommitStore.register("file", store).isEmpty)
+    try {
+      val path = tmpDir("commit_store")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writers = (1 to 4).map(i => Future {
+        VersionedHub.write(spark,
+          Seq((i.toLong, s"v$i")).toDF("k", "v"), path, Seq("k"))
+      })
+      writers.foreach(Await.result(_, Duration.Inf))
+      // every batch survived (the retry loop re-merges losers), and every
+      // committed manifest was claimed THROUGH the coordinator
+      assert(VersionedHub.read(spark, path).as[(Long, String)]
+        .collect().toMap == (1 to 4).map(i => i.toLong -> s"v$i").toMap)
+      val hist = VersionedHub.history(spark, path)
+      assert(hist.size == 4 && store.claims.size >= 4,
+        s"versions=${hist.size} claims=${store.claims.size}")
+      // a scheme with a registered coordinator passes the guard: mutual
+      // exclusion no longer rests on filesystem create semantics
+      CommitStore.register("s3a", store)
+      VersionedHub.checkAtomicCommitScheme("s3a://bucket/hub") // must not throw
+    } finally {
+      CommitStore.unregister("file")
+      CommitStore.unregister("s3a")
+    }
+    // without a coordinator the loud refusal stands
+    intercept[IllegalArgumentException](
+      VersionedHub.checkAtomicCommitScheme("s3a://bucket/hub"))
+  }
+
   test("manifests record per-file min/max stats; untouched buckets carry them across versions") {
     import graft.writers.FileStats
     val path = tmpDir("vh_filestats")
