@@ -132,21 +132,45 @@ object FileStats {
       }
       val cols = acc.map { case (name, a) =>
         name -> ColStat(
-          if (a.vBad) None else a.min.map(widenZero(_, isMin = true)),
-          if (a.vBad) None else a.max.map(widenZero(_, isMin = false)),
+          if (a.vBad) None else a.min.flatMap(widenZero(_, isMin = true)),
+          if (a.vBad) None else a.max.flatMap(widenZero(_, isMin = false)),
           if (a.nBad) None else Some(a.nulls))
       }.toMap
       FileStat(rows, bytes, cols)
     } finally fr.close()
   }
 
+  /** Longest string bound recorded verbatim; longer values are truncated
+    * to a still-valid bound so a TEXT column cannot bloat the manifest
+    * with whole documents.
+    */
+  val MaxStringBound = 64
+
   /** Parquet writers are historically sloppy about the sign of floating
     * zero in min/max; widen ±0.0 bounds to the safe side so `= 0.0`
-    * pruning can never skip a file holding the other zero.
+    * pruning can never skip a file holding the other zero. Long strings
+    * are WIDENED-truncated: a min prefix is ≤ the true min (valid lower
+    * bound); a max prefix gets its last incrementable char bumped and the
+    * tail dropped (parquet's own truncator trick — strictly > everything
+    * the true max prefixes), or None when nothing can be bumped.
     */
-  private def widenZero(v: Any, isMin: Boolean): Any = v match {
-    case d: Double if d == 0.0d => if (isMin) -0.0d else 0.0d
-    case other => other
+  private def widenZero(v: Any, isMin: Boolean): Option[Any] = v match {
+    case d: Double if d == 0.0d => Some(if (isMin) -0.0d else 0.0d)
+    case s: String if s.length > MaxStringBound =>
+      if (isMin) Some(s.substring(0, MaxStringBound))
+      else {
+        // rightmost char below the surrogate range can be incremented while
+        // preserving UTF-8 byte order (our comparison space)
+        val prefix = s.substring(0, MaxStringBound).toCharArray
+        var i = prefix.length - 1
+        while (i >= 0 && prefix(i) >= 0xD7FF.toChar) i -= 1
+        if (i < 0) None
+        else {
+          prefix(i) = (prefix(i) + 1).toChar
+          Some(new String(prefix, 0, i + 1))
+        }
+      }
+    case other => Some(other)
   }
 
   /** Physical+logical parquet type → the manifest value space. None =

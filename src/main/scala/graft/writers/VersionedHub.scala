@@ -204,7 +204,8 @@ object VersionedHub {
       nBuckets: Int,
       batchId: Option[Long] = None,
       bucketCols: Option[Seq[String]] = None,
-      deletes: Option[DataFrame] = None
+      deletes: Option[DataFrame] = None,
+      optimizeWrite: Boolean = true
   ): Int = {
     require(keys.nonEmpty, "bucketed versioned hub requires primary keys")
     val bCols = bucketCols.getOrElse(keys)
@@ -267,7 +268,22 @@ object VersionedHub {
           }
       }
       val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
-      merged.write.partitionBy(BucketCol).parquet(resolve(path, root))
+      // OPTIMIZED WRITE (Delta's optimizeWrite shape): co-locate each
+      // bucket's rows into one shuffle partition before partitionBy, so a
+      // commit writes ONE file per touched bucket instead of one per
+      // (task × bucket) — a 32-task streaming trigger was paying 128 tiny
+      // files per version (footer passes, listings, downstream opens). The
+      // extra exchange moves only the touched buckets' rows; bucket count
+      // bounds the write parallelism, which is exactly the layout's scale
+      // knob.
+      // `optimizeWrite = false` opts out for bulk loads whose single-bucket
+      // volume wants task-level write parallelism (then compactBuckets is
+      // the small-file remedy, as before)
+      val toWrite =
+        if (optimizeWrite)
+          merged.repartition(org.apache.spark.sql.functions.col(BucketCol))
+        else merged
+      toWrite.write.partitionBy(BucketCol).parquet(resolve(path, root))
       // deletes can empty a bucket entirely; partitionBy writes no dir for
       // it, so map only the bucket dirs that actually materialized and drop
       // the rest from the manifest

@@ -406,11 +406,11 @@ class VersionedHubSpec extends SparkTestBase {
   test("compactBuckets collapses small files, shares untouched dirs, keeps rows") {
     val path = tmpDir("vhub_compact")
     def batch(ids: Range) = ids.map(i => (i.toLong, s"v$i")).toDF("k", "v")
-    // explicit repartition → 4 writer tasks, each hitting several bucket
-    // dirs → multi-file dirs (AQE would coalesce an implicit shuffle away
-    // at this scale, hiding the small-file accumulation being tested)
+    // optimizeWrite=false reproduces the bulk-load layout (one file per
+    // writer task per bucket dir) whose small files compaction exists for —
+    // the default optimized write collapses them at commit time already
     VersionedHub.writeBucketed(spark, batch(0 until 40).repartition(4),
-      path, Seq("k"), 4)
+      path, Seq("k"), 4, optimizeWrite = false)
     // single-key merges leave most buckets pointing at v1's multi-file dirs
     VersionedHub.writeBucketed(spark, batch(0 until 1), path, Seq("k"), 4)
     VersionedHub.writeBucketed(spark, batch(1 until 2), path, Seq("k"), 4)
