@@ -620,7 +620,120 @@ object IngestQueries {
       |UNION ALL SELECT 900, 'TAILLAND'
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Tail a hub's CHANGE FEED with the streaming source
+    * (`readChangeFeed=true` — Delta CDF-streaming parity): the catch-up
+    * batch delivers the snapshot as inserts, later batches row-level NET
+    * changes (insert / delete / update_pre+postimage). A delta-APPLYING
+    * consumer — drop touched keys, add postimages and inserts — must
+    * reconstruct the final snapshot exactly, including a real DELETE
+    * (which the plain tail's upsert contract cannot express).
+    */
+  val qStreamCdfTail: Q = (spark, dir) => {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_cdf_tail").toFile.getAbsolutePath
+    val hub = s"$tmp/hub"
+    val acc = s"$tmp/acc"
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-hub").option("path", hub)
+        .option("readChangeFeed", "true").option("keys", "n_nationkey")
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("_batch", lit(id))
+            .write.mode("append").parquet(acc)
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    graft.writers.VersionedHub.writeBucketed(spark, nation, hub,
+      Seq("n_nationkey"), 8)
+    run() // catch-up: snapshot as inserts
+    graft.writers.VersionedHub.writeBucketed(spark,
+      nation.filter(col("n_nationkey") < 2)
+        .withColumn("n_name", concat(col("n_name"), lit("_c"))),
+      hub, Seq("n_nationkey"), 8)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Seq((901L, "CDFLAND")).toDF("n_nationkey", "n_name"), hub,
+      Seq("n_nationkey"), 8,
+      deletes = Some(Seq(3L).toDF("n_nationkey")))
+    run() // delta: net changes across both commits
+    val all = spark.read.parquet(acc)
+    val base = all.filter(col("_batch") === 0)
+      .select(col("n_nationkey"), col("n_name"))
+    val ch = all.filter(col("_batch") > 0)
+    // the feed must carry REAL row-level change types, not a re-snapshot
+    val types = ch.groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(types.getOrElse("delete", 0L) == 1L &&
+      types.getOrElse("insert", 0L) == 1L &&
+      types.getOrElse("update_postimage", 0L) == 2L,
+      s"expected a net CDF batch (1 delete, 1 insert, 2 postimages), got $types")
+    val touched = ch.select(col("n_nationkey")).distinct()
+    base.join(touched, Seq("n_nationkey"), "left_anti")
+      .unionByName(ch
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("n_nationkey"), col("n_name")))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val streamCdfTailOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  CASE WHEN n_nationkey < 2 THEN n_name || '_c' ELSE n_name END AS n_name
+      |FROM nation WHERE n_nationkey <> 3
+      |UNION ALL SELECT 901, 'CDFLAND'
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** The streaming SINK (`writeStream.format("graft-hub")`): micro-batches
+    * land as batchId-idempotent ACID merge versions — the write-side twin
+    * of [[qStreamHubTail]], here chained source→sink: tail one hub's
+    * commits and mirror them into a second hub entirely through the
+    * connector surface. The mirror must equal the origin snapshot.
+    */
+  val qStreamHubMirror: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_hub_mirror").toFile.getAbsolutePath
+    val hub = s"$tmp/hub"
+    val mirror = s"$tmp/mirror"
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-hub").option("path", hub).load()
+        .writeStream.format("graft-hub")
+        .option("path", mirror).option("keys", "n_nationkey")
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    graft.writers.VersionedHub.writeBucketed(spark, nation, hub,
+      Seq("n_nationkey"), 8)
+    run()
+    graft.writers.VersionedHub.writeBucketed(spark,
+      nation.filter(col("n_nationkey") < 3)
+        .withColumn("n_name", concat(col("n_name"), lit("_m2"))),
+      hub, Seq("n_nationkey"), 8)
+    run()
+    // exactly-once across the restart: one mirror version per micro-batch
+    val hist = graft.writers.VersionedHub.history(spark, mirror)
+    require(hist.flatMap(_.batchId).distinct.size == hist.size,
+      s"mirror versions must each carry a distinct engine batchId: $hist")
+    graft.writers.VersionedHub.read(spark, mirror)
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val streamHubMirrorOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  CASE WHEN n_nationkey < 3 THEN n_name || '_m2' ELSE n_name END AS n_name
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_stream_cdf_tail" -> qStreamCdfTail,
+    "q_stream_hub_mirror" -> qStreamHubMirror,
     "q_stream_hub_tail" -> qStreamHubTail,
     "q_hub_merge_sql" -> qHubMergeSql,
     "q_hub_catalog_join" -> qHubCatalogJoin,
@@ -637,6 +750,8 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_cdf_tail" -> streamCdfTailOracle,
+    "q_stream_hub_mirror" -> streamHubMirrorOracle,
     "q_stream_hub_tail" -> streamHubTailOracle,
     "q_hub_merge_sql" -> hubMergeSqlOracle,
     "q_hub_catalog_join" -> hubCatalogJoinOracle,

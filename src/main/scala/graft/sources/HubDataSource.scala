@@ -62,7 +62,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * instead of reimplemented.
   */
 class HubDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-hub"
 
@@ -77,15 +78,59 @@ class HubDataSource extends TableProvider with DataSourceRegister
       parameters: Map[String, String]): (String, StructType) = {
     val path = streamPathOf(parameters)
     val spark = sqlContext.sparkSession
-    (shortName(), VersionedHub.snapshotSchema(spark, path,
-      VersionedHub.versionAt(spark, path, None)))
+    val snap = VersionedHub.snapshotSchema(spark, path,
+      VersionedHub.versionAt(spark, path, None))
+    val out =
+      if (cdfKeysOf(parameters).isEmpty) snap
+      else StructType(snap.fields :+ org.apache.spark.sql.types.StructField(
+        "_change_type", org.apache.spark.sql.types.StringType,
+        nullable = false))
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
-    new HubStreamSource(sqlContext, streamPathOf(parameters))
+    new HubStreamSource(sqlContext, streamPathOf(parameters),
+      cdfKeysOf(parameters))
+
+  /** `readChangeFeed=true` switches the stream to row-level CDF batches;
+    * `keys` (the hub primary keys) are required then — the feed is a keyed
+    * diff.
+    */
+  private def cdfKeysOf(parameters: Map[String, String]): Option[Seq[String]] = {
+    val cdf = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean
+    }.getOrElse(false)
+    if (!cdf) None
+    else Some(parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("keys") => v
+    }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "readChangeFeed requires option(\"keys\", <hub primary keys>)")))
+  }
+
+  /** Streaming SINK (`df.writeStream.format("graft-hub")`): each
+    * micro-batch is one batchId-idempotent ACID merge commit — see
+    * [[HubStreamSink]].
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-hub routes rows by key hash; partitionBy is not supported")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft-hub sink merges each micro-batch; Complete mode (whole-table " +
+        "overwrite per trigger) is not supported — use Append or Update")
+    val keys = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("keys") => v
+    }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new HubStreamSink(sqlContext, streamPathOf(parameters), keys)
+  }
 
   private def streamPathOf(parameters: Map[String, String]): String =
     parameters.collectFirst {
@@ -98,8 +143,18 @@ class HubDataSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = HubDataSource.pathOf(options)
-    val v = VersionedHub.versionAt(spark, path, HubDataSource.versionOf(options))
-    VersionedHub.snapshotSchema(spark, path, v)
+    HubDataSource.versionOf(options) match {
+      case asOf @ Some(_) => VersionedHub.snapshotSchema(spark, path,
+        VersionedHub.versionAt(spark, path, asOf))
+      case None => VersionedHub.latest(spark, path) match {
+        case Some(v) => VersionedHub.snapshotSchema(spark, path, v)
+        // a hub that does not exist yet: streaming-WRITE resolution builds
+        // the Table first (then falls back to the V1 sink, which creates
+        // the hub on its first commit); a READ of the empty schema still
+        // fails with the clear no-committed-versions error at scan time
+        case None => new StructType()
+      }
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

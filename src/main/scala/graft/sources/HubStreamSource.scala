@@ -56,15 +56,29 @@ object HubSourceOffset {
   * The declared schema is the hub's recorded snapshot schema at stream
   * start; later schema evolution is projected onto it (new columns ignored
   * until restart — Delta's contract too).
+  *
+  * CHANGE-FEED mode (`option("readChangeFeed", "true")` +
+  * `option("keys", ...)` — Delta's `readChangeFeed` parity): micro-batches
+  * carry row-level NET changes for the version step with a `_change_type`
+  * column (insert | delete | update_preimage | update_postimage, from
+  * [[VersionedHub.changesCDF]]); the catch-up batch is the start snapshot
+  * as inserts. A delta-applying consumer reconstructs the exact snapshot
+  * (oracle-checked).
   */
-class HubStreamSource(sqlContext: SQLContext, path: String)
-    extends Source {
+class HubStreamSource(sqlContext: SQLContext, path: String,
+    cdfKeys: Option[Seq[String]] = None) extends Source {
 
   private def spark = sqlContext.sparkSession
 
-  private val declaredSchema: StructType =
+  private val snapshotSchema: StructType =
     VersionedHub.snapshotSchema(spark, path,
       VersionedHub.versionAt(spark, path, None))
+
+  private val declaredSchema: StructType =
+    if (cdfKeys.isEmpty) snapshotSchema
+    else StructType(snapshotSchema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false))
 
   override def schema: StructType = declaredSchema
 
@@ -72,12 +86,31 @@ class HubStreamSource(sqlContext: SQLContext, path: String)
     VersionedHub.latest(spark, path).map(v => HubSourceOffset(v.version))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val endV = HubSourceOffset.versionOf(end)
     val startV = start.map(HubSourceOffset.versionOf).getOrElse(0)
-    val batch = VersionedHub.changedDirsRead(spark, path, startV, endV)
+    val batch = cdfKeys match {
+      case None => VersionedHub.changedDirsRead(spark, path, startV, endV)
+      case Some(keys) =>
+        // CHANGE-FEED mode: row-level net changes for the version step.
+        // The catch-up step (no prior offset) delivers the start snapshot
+        // as inserts; a vacuumed start version cannot be reconstructed and
+        // fails loudly — re-delivering a snapshot as "inserts" would
+        // corrupt a delta-applying consumer.
+        if (startV <= 0)
+          VersionedHub.read(spark, path, Some(endV))
+            .withColumn("_change_type", lit("insert"))
+        else {
+          require(VersionedHub.history(spark, path)
+            .exists(_.version == startV),
+            s"hub at $path no longer has version $startV (vacuumed?) — " +
+              "the change feed cannot be reconstructed; raise the vacuum " +
+              "retention above the stream's max downtime")
+          VersionedHub.changesCDF(spark, path, keys, startV, endV)
+        }
+    }
     // project onto the stream's declared schema (drop later-evolved
     // columns, pad vanished ones) so every micro-batch is schema-stable
-    import org.apache.spark.sql.functions.{col, lit}
     val have = batch.columns.toSet
     val aligned = batch.select(declaredSchema.fields.toIndexedSeq.map { f =>
       if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -89,5 +122,6 @@ class HubStreamSource(sqlContext: SQLContext, path: String)
 
   override def stop(): Unit = ()
 
-  override def toString: String = s"HubStreamSource[$path]"
+  override def toString: String =
+    s"HubStreamSource[$path${cdfKeys.fold("")(k => s" cdf=${k.mkString(",")}")}]"
 }

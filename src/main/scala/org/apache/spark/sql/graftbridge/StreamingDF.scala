@@ -14,4 +14,15 @@ object StreamingDF {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse direction, for SINKS: pin a micro-batch's incremental
+    * frame to its computed RDD so a sink can run several jobs over it
+    * (the ForeachBatchSink recipe).
+    */
+  def toBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

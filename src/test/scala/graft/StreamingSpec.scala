@@ -178,6 +178,52 @@ class StreamingSpec extends SparkTestBase {
       s"streamed index must equal the one-shot spanIndexEntries")
   }
 
+  test("writeStream.format(graft-hub) commits one idempotent merge version per micro-batch") {
+    import graft.writers.VersionedHub
+    val lake = tmpDir("hub_sink")
+    val src = s"$lake/in"
+    new java.io.File(src).mkdirs()
+    def run(): Unit = {
+      val q = StreamingIngest.parquetStream(spark, src,
+        Seq((0L, "x")).toDF("k", "v"))
+        .writeStream.format("graft-hub")
+        .option("path", s"$lake/hub").option("keys", "k")
+        .option("checkpointLocation", s"$lake/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("append").parquet(src)
+    run()
+    assert(VersionedHub.read(spark, s"$lake/hub").as[(Long, String)]
+      .collect().toMap == Map(1L -> "a", 2L -> "b"))
+    // restart with an update + insert: exactly-once keyed upsert
+    Seq((2L, "B"), (3L, "c")).toDF("k", "v").write.mode("append").parquet(src)
+    run()
+    assert(VersionedHub.read(spark, s"$lake/hub").as[(Long, String)]
+      .collect().toMap == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // one version per micro-batch, each recording its engine batchId
+    val hist = VersionedHub.history(spark, s"$lake/hub")
+    assert(hist.flatMap(_.batchId).sorted == Seq(0L, 1L), s"$hist")
+    // idle restart: no new version
+    run()
+    assert(VersionedHub.history(spark, s"$lake/hub").size == hist.size)
+    // Complete mode is refused loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-hub").option("path", s"$lake/hub").load()
+        .groupBy($"k").count()
+        .writeStream.format("graft-hub")
+        .option("path", s"$lake/hub2").option("keys", "k")
+        .option("checkpointLocation", s"$lake/cp2")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getMessage.contains("Complete mode") ||
+      Option(e.getCause).exists(_.getMessage.contains("Complete mode")),
+      s"got: ${e.getMessage}")
+  }
+
   test("graft-hub streaming source tails commits incrementally, exactly-once across restarts and replays") {
     import graft.writers.VersionedHub
     import org.apache.spark.sql.DataFrame
