@@ -731,7 +731,51 @@ object IngestQueries {
       |  CASE WHEN n_nationkey < 3 THEN n_name || '_m2' ELSE n_name END AS n_name
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** SQL `DELETE FROM <hub table> WHERE ...` through [[SupportsDelete]]:
+    * one committed version, candidate buckets bounded by the manifest file
+    * stats, untouched buckets shared structurally. The oracle is the
+    * surviving-row reconstruction; the in-query gates pin the version
+    * structure (one new version; structural sharing happened).
+    */
+  val qHubDeleteSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_delete_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority")),
+      s"$tmp/orders_d", Seq("o_orderkey"), 16)
+    val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_d").last
+    // a broad predicate delete (touches many buckets) ...
+    spark.sql(s"DELETE FROM $cat.default.orders_d " +
+      "WHERE o_orderpriority = '5-LOW' AND o_orderkey < 1000")
+    val v2 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_d").last
+    require(v2.version > v1.version, "DELETE must commit a new version")
+    // ... then a NARROW key delete: the IN on the routing column prunes
+    // the candidate set to its hash buckets, so every other bucket's dir
+    // must carry over structurally into the new manifest
+    spark.sql(s"DELETE FROM $cat.default.orders_d " +
+      "WHERE o_orderkey IN (1, 2, 3)")
+    val v3 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_d").last
+    require(v3.version > v2.version, "DELETE must commit a new version")
+    require((v2.buckets.toSet intersect v3.buckets.toSet).nonEmpty,
+      "buckets without matches must share dirs structurally")
+    spark.sql(s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(sum(o_orderkey) AS BIGINT) AS sum_k " +
+      s"FROM $cat.default.orders_d GROUP BY o_orderpriority " +
+      "ORDER BY o_orderpriority")
+  }
+
+  private val hubDeleteSqlOracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+      |FROM orders
+      |WHERE NOT (o_orderpriority = '5-LOW' AND o_orderkey < 1000)
+      |  AND o_orderkey NOT IN (1, 2, 3)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_hub_delete_sql" -> qHubDeleteSql,
     "q_stream_cdf_tail" -> qStreamCdfTail,
     "q_stream_hub_mirror" -> qStreamHubMirror,
     "q_stream_hub_tail" -> qStreamHubTail,
@@ -750,6 +794,7 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hub_delete_sql" -> hubDeleteSqlOracle,
     "q_stream_cdf_tail" -> streamCdfTailOracle,
     "q_stream_hub_mirror" -> streamHubMirrorOracle,
     "q_stream_hub_tail" -> streamHubTailOracle,

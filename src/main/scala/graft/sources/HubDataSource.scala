@@ -396,6 +396,44 @@ object HubDataSource {
     case _ => None
   }
 
+  /** Translate a DSv2 V1 Filter into a Column predicate over `schema`'s
+    * columns — the executable form [[graft.writers.VersionedHub.deleteWhere]]
+    * consumes. None = untranslatable (the caller refuses the delete rather
+    * than approximating).
+    */
+  private[graft] def filterToColumn(filter: Filter,
+      schema: StructType): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    def c(name: String): Option[org.apache.spark.sql.Column] =
+      if (schema.fieldNames.contains(name)) Some(col(name)) else None
+    filter match {
+      case EqualTo(a, v) => c(a).map(_ === lit(v))
+      case EqualNullSafe(a, v) => c(a).map(_ <=> lit(v))
+      case GreaterThan(a, v) => c(a).map(_ > lit(v))
+      case GreaterThanOrEqual(a, v) => c(a).map(_ >= lit(v))
+      case LessThan(a, v) => c(a).map(_ < lit(v))
+      case LessThanOrEqual(a, v) => c(a).map(_ <= lit(v))
+      case In(a, vs) => c(a).map(_.isInCollection(vs.toIndexedSeq))
+      case IsNull(a) => c(a).map(_.isNull)
+      case IsNotNull(a) => c(a).map(_.isNotNull)
+      case And(l, r) => for {
+        lc <- filterToColumn(l, schema); rc <- filterToColumn(r, schema)
+      } yield lc && rc
+      case Or(l, r) => for {
+        lc <- filterToColumn(l, schema); rc <- filterToColumn(r, schema)
+      } yield lc || rc
+      case org.apache.spark.sql.sources.Not(child) =>
+        filterToColumn(child, schema).map(not)
+      case org.apache.spark.sql.sources.StringStartsWith(a, v) =>
+        c(a).map(_.startsWith(v))
+      case org.apache.spark.sql.sources.StringEndsWith(a, v) =>
+        c(a).map(_.endsWith(v))
+      case org.apache.spark.sql.sources.StringContains(a, v) =>
+        c(a).map(_.contains(v))
+      case _ => None
+    }
+  }
+
   /** The column a stats-skippable filter constrains, for pushed-filter
     * attribution only.
     */
@@ -416,12 +454,50 @@ object HubDataSource {
 
 private[sources] class HubTable(path: String, asOf: Option[Int])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private[graft] def hubPath: String = path
   private[graft] def isTimeTravel: Boolean = asOf.nonEmpty
 
   private def spark = SparkSession.active
+
+  /** SQL `DELETE FROM <hub table> WHERE ...` ([[SupportsDelete]]): one
+    * committed version removing the matching rows. The same manifest file
+    * stats that prune reads bound the delete to its candidate buckets —
+    * everything else shares structurally. TRUNCATE (no filters) empties
+    * the table as a delete-all version.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f =>
+      HubDataSource.filterToColumn(f, fullSchema).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty,
+      "cannot DELETE FROM a VERSION AS OF snapshot — drop versionAsOf")
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.toIndexedSeq
+      .map(f => HubDataSource.filterToColumn(f, fullSchema).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-hub cannot translate delete filter $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val tip = VersionedHub.versionAt(spark, path, None)
+    val candidates: Option[Set[Int]] =
+      if (tip.buckets.isEmpty || filters.isEmpty) None
+      else {
+        val dirRels = HubDataSource.scanDirRels(tip,
+          HubDataSource.prunedBuckets(spark, fullSchema, tip, filters.toSeq))
+        val plan = HubDataSource.planFiles(tip, dirRels, filters.toSeq,
+          fullSchema)
+        val dirToBucket = tip.buckets.map(_.swap)
+        val survivorDirs = plan.survivors.map { case (p, _) =>
+          p.substring(0, p.lastIndexOf('/')) }.toSet
+        Some((survivorDirs ++ plan.uncoveredDirs)
+          .flatMap(dirToBucket.get).toSet)
+      }
+    VersionedHub.deleteWhere(spark, path, cond, candidates)
+    ()
+  }
   private lazy val v = VersionedHub.versionAt(spark, path, asOf)
   private lazy val fullSchema = VersionedHub.snapshotSchema(spark, path, v)
 

@@ -586,6 +586,97 @@ object VersionedHub {
     }
   }
 
+  /** DELETE the rows matching `cond` as one committed version (SQL
+    * `DELETE FROM ... WHERE` semantics: rows where `cond` is TRUE go; rows
+    * where it is FALSE or NULL stay). Flat hubs rewrite the snapshot;
+    * bucketed hubs rewrite ONLY the buckets that actually contain matches
+    * (everything else shares structurally) — and `candidateBuckets`, when
+    * supplied by a caller that already consulted the manifest's file stats
+    * (the DSv2 connector), bounds even the detection scan. A DELETE that
+    * matches nothing commits nothing and returns the current version.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      cond: org.apache.spark.sql.Column,
+      candidateBuckets: Option[Set[Int]] = None
+  ): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val keep = !coalesce(cond, lit(false))
+    latest(spark, path) match {
+      case None => throw new IllegalArgumentException(
+        s"no committed versions at $path")
+      case Some(v0) if v0.buckets.isEmpty =>
+        commitLoop(spark, path, batchId = None) { base =>
+          val v = base.getOrElse(throw new IllegalStateException(
+            s"hub at $path lost its versions mid-delete"))
+          read(spark, path, Some(v.version)).filter(keep)
+        }
+      case Some(_) =>
+        val fs = fileSystem(spark, path)
+        var attempt = 0
+        while (attempt < MaxRetries) {
+          attempt += 1
+          val base = latest(spark, path).getOrElse(
+            throw new IllegalStateException(
+              s"hub at $path lost its versions mid-delete"))
+          require(base.buckets.nonEmpty,
+            s"hub at $path became flat mid-delete; retry")
+          val cand = candidateBuckets
+            .map(_.toSeq.filter(base.buckets.contains).sorted)
+            .getOrElse(base.buckets.keys.toSeq.sorted)
+          if (cand.isEmpty) return base.version
+          // one tagged read of the candidate dirs serves both the
+          // touched-bucket detection and the rewrite
+          val tagged = graft.operators.Dedup.persistForReuse(
+            cand.map { b =>
+              readDirs(spark, base, Seq(resolve(path, base.buckets(b))))
+                .withColumn(BucketCol, lit(b))
+            }.reduce(_ unionByName _))
+          try {
+            val touched = tagged.filter(cond).select(BucketCol).distinct()
+              .collect().map(_.getInt(0)).sorted.toIndexedSeq
+            if (touched.isEmpty) return base.version
+            val next = base.version + 1
+            val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
+            tagged
+              .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+              .filter(keep)
+              .repartition(col(BucketCol))
+              .write.partitionBy(BucketCol).parquet(resolve(path, root))
+            val fstatsNew = FileStats.collect(spark, fs, new Path(path),
+              new Path(resolve(path, root)))
+            val writtenB = fs.listStatus(new Path(resolve(path, root))).toSeq
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith(s"$BucketCol=") =>
+                n.stripPrefix(s"$BucketCol=").toInt }.toSet
+            // a fully-emptied bucket writes no dir and drops from the map
+            val newBuckets = (base.buckets -- touched) ++
+              touched.filter(writtenB).map(b => b -> s"$root/$BucketCol=$b")
+            val newRows: Map[Int, Long] = touched.filter(writtenB).map { b =>
+              val prefix = s"$root/$BucketCol=$b/"
+              b -> fstatsNew.iterator.collect {
+                case (p, st) if p.startsWith(prefix) => st.rows }.sum
+            }.toMap
+            val bucketRows = (base.bucketRows -- touched) ++ newRows
+            val keptDirRels = (newBuckets -- touched).values.map(_ + "/").toSet
+            val carriedStats = base.fileStats.filter { case (p, _) =>
+              keptDirRels.exists(p.startsWith) }
+            if (commit(fs, path, Version(next, root,
+                System.currentTimeMillis(), bucketRows.values.sum, None,
+                base.nBuckets, newBuckets, base.bucketCols, bucketRows,
+                schemaJson = base.schemaJson,
+                fileStats = carriedStats ++ fstatsNew)))
+              return next
+            fs.delete(new Path(resolve(path, root)), true)
+            failIfStuck(spark, path, next)
+          } finally tagged.unpersist()
+        }
+        throw new IllegalStateException(
+          s"hub at $path: lost the commit race $MaxRetries times — giving up")
+    }
+  }
+
   /** The rows a stream tailing this hub receives for the version step
     * (fromVersion, toVersion]: content AS OF toVersion of every data dir
     * toVersion's manifest references that fromVersion's does not —

@@ -111,6 +111,36 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("DELETE FROM rewrites only the buckets holding matches; misses are a no-op") {
+    withCatalog("hubdel") { base =>
+      VersionedHub.writeBucketed(spark,
+        (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"), s"$base/t",
+        Seq("k"), 8)
+      val v1 = VersionedHub.history(spark, s"$base/t").last
+      spark.sql("DELETE FROM hubdel.default.t WHERE k >= 35")
+      val v2 = VersionedHub.history(spark, s"$base/t").last
+      assert(v2.version == v1.version + 1 && v2.rows == 34)
+      assert(spark.sql("SELECT max(k) FROM hubdel.default.t")
+        .as[Long].head() == 34L)
+      // buckets without matches share their v1 dirs structurally
+      val shared = v1.buckets.toSet intersect v2.buckets.toSet
+      assert(shared.nonEmpty, s"v1=${v1.buckets} v2=${v2.buckets}")
+      // a DELETE matching nothing commits nothing
+      spark.sql("DELETE FROM hubdel.default.t WHERE k > 1000")
+      assert(VersionedHub.history(spark, s"$base/t").last.version == v2.version)
+      // null-semantics: rows where the predicate is NULL stay
+      VersionedHub.writeBucketed(spark,
+        Seq((100L, null: String)).toDF("k", "v"), s"$base/t", Seq("k"), 8)
+      spark.sql("DELETE FROM hubdel.default.t WHERE v < 'v2'")
+      val after = spark.sql("SELECT k FROM hubdel.default.t").as[Long]
+        .collect().toSet
+      assert(after.contains(100L), "NULL-predicate row must survive")
+      // time travel delete refused
+      intercept[Exception](spark.sql(
+        "DELETE FROM hubdel.default.t VERSION AS OF 1 WHERE k = 1"))
+    }
+  }
+
   test("only the single-element default namespace aliases to the base dir") {
     withCatalog("hubns") { base =>
       spark.sql("CREATE TABLE hubns.default.x (k BIGINT)")
