@@ -774,7 +774,41 @@ object IngestQueries {
       |  AND o_orderkey NOT IN (1, 2, 3)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** SQL `INSERT OVERWRITE <hub table>`: one full-replacement committed
+    * version through the connector's truncate-capable write builder; the
+    * pre-overwrite snapshot stays time-travelable and the bucketed layout
+    * survives (in-query gates).
+    */
+  val qHubOverwriteSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_overwrite_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    graft.writers.VersionedHub.writeBucketed(spark, nation,
+      s"$tmp/nation_o", Seq("n_nationkey"), 8)
+    nation.createOrReplaceTempView("nation_ow_src")
+    spark.sql(s"INSERT OVERWRITE $cat.default.nation_o " +
+      "SELECT n_nationkey, upper(n_name) AS n_name FROM nation_ow_src " +
+      "WHERE n_nationkey < 10")
+    val hist = graft.writers.VersionedHub.history(spark, s"$tmp/nation_o")
+    require(hist.size == 2 && hist.last.nBuckets.contains(8),
+      s"overwrite must commit ONE layout-preserving version: $hist")
+    require(spark.sql(
+      s"SELECT count(*) FROM $cat.default.nation_o VERSION AS OF 1")
+      .head().getLong(0) == nation.count(),
+      "the pre-overwrite snapshot must stay time-travelable")
+    spark.sql(s"SELECT n_nationkey, n_name FROM $cat.default.nation_o")
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val hubOverwriteSqlOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  upper(n_name) AS n_name
+      |FROM nation WHERE n_nationkey < 10
+      |ORDER BY n_nationkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_hub_overwrite_sql" -> qHubOverwriteSql,
     "q_hub_delete_sql" -> qHubDeleteSql,
     "q_stream_cdf_tail" -> qStreamCdfTail,
     "q_stream_hub_mirror" -> qStreamHubMirror,
@@ -794,6 +828,7 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hub_overwrite_sql" -> hubOverwriteSqlOracle,
     "q_hub_delete_sql" -> hubDeleteSqlOracle,
     "q_stream_cdf_tail" -> streamCdfTailOracle,
     "q_stream_hub_mirror" -> streamHubMirrorOracle,

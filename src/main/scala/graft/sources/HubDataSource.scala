@@ -430,6 +430,8 @@ object HubDataSource {
         c(a).map(_.endsWith(v))
       case org.apache.spark.sql.sources.StringContains(a, v) =>
         c(a).map(_.contains(v))
+      case org.apache.spark.sql.sources.AlwaysTrue() => Some(lit(true))
+      case org.apache.spark.sql.sources.AlwaysFalse() => Some(lit(false))
       case _ => None
     }
   }
@@ -501,14 +503,17 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
   private lazy val v = VersionedHub.versionAt(spark, path, asOf)
   private lazy val fullSchema = VersionedHub.snapshotSchema(spark, path, v)
 
+  // no backticks: DSv2 write commands (OverwriteByExpression) feed the
+  // table name through the attribute-name parser, which rejects them
   override def name(): String =
-    s"graft-hub `$path`" + asOf.fold("")(n => s" VERSION AS OF $n")
+    s"graft-hub $path" + asOf.fold("")(n => s" VERSION_AS_OF_$n")
 
   override def schema(): StructType = fullSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HubScanBuilder(path, v, fullSchema)
@@ -531,15 +536,23 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
     val keys = Option(info.options.get("keys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceAll = false
+      // INSERT OVERWRITE arrives as truncate-then-append in DSv2; the hub
+      // commits it as ONE full-replacement version (earlier versions stay
+      // time-travelable)
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        replaceAll = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              require(!overwrite,
-                "graft-hub writes are merge-upserts; use mode(\"append\")")
-              VersionedHub.write(data.sparkSession, data, path, keys)
+              if (overwrite || replaceAll)
+                VersionedHub.overwrite(data.sparkSession, data, path)
+              else VersionedHub.write(data.sparkSession, data, path, keys)
               ()
             }
         }

@@ -100,12 +100,11 @@ object VersionedHub {
       keys: Seq[String],
       batchId: Option[Long] = None
   ): Int = latest(spark, path) match {
-    case Some(v) if v.buckets.nonEmpty =>
+    case Some(v) if v.nBuckets.isDefined =>
       require(keys.nonEmpty,
         s"hub at $path is bucketed; a keyless write() cannot route rows to " +
           "buckets — provide the hub primary keys")
-      writeBucketed(spark, df, path, keys,
-        v.nBuckets.getOrElse(v.buckets.keys.max + 1), batchId,
+      writeBucketed(spark, df, path, keys, v.nBuckets.get, batchId,
         bucketCols = v.bucketCols)
     case _ => commitLoop(spark, path, batchId) { base =>
       base match {
@@ -148,7 +147,7 @@ object VersionedHub {
       // race guard (write() dispatches on the layout BEFORE this loop): a
       // bucketed commit landing in between would make the flat merge below a
       // partial-snapshot corruption — refuse instead
-      require(base.forall(_.buckets.isEmpty),
+      require(base.forall(_.nBuckets.isEmpty),
         s"hub at $path became bucketed mid-commit; retry the write")
       val next = base.map(_.version).getOrElse(0) + 1
       val merged = mkSnapshot(base)
@@ -236,7 +235,7 @@ object VersionedHub {
         require(bc == bCols,
           s"hub at $path is bucketed by $bc; got $bCols — bucket routing " +
             "is immutable once written")
-      require(base.forall(_.buckets.nonEmpty),
+      require(base.forall(_.nBuckets.isDefined),
         s"hub at $path has non-bucketed versions — cannot mix layouts")
       val next = base.map(_.version).getOrElse(0) + 1
       // the touched-bucket set gates which BASE dirs the merge reads; a
@@ -428,7 +427,8 @@ object VersionedHub {
     import org.apache.spark.sql.functions.col
     val v = version.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
-    require(v.buckets.nonEmpty, s"hub at $path is not bucketed")
+    require(v.nBuckets.isDefined, s"hub at $path is not bucketed")
+    if (v.buckets.isEmpty) return read(spark, path, Some(v.version)).limit(0)
     for (bc <- v.bucketCols) require(bc == cols,
       s"hub at $path is bucketed by $bc, probed by $cols")
     val n = v.nBuckets.getOrElse(v.buckets.keys.max + 1)
@@ -585,6 +585,59 @@ object VersionedHub {
       }
     }
   }
+
+  /** OVERWRITE the table's content with `df` as one committed version —
+    * SQL `INSERT OVERWRITE` semantics: the new snapshot is exactly `df`,
+    * earlier versions stay time-travelable. A bucketed hub keeps its
+    * recorded layout (rows re-routed through the immutable bucket count
+    * and routing columns); a flat hub commits `df` as the next snapshot.
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, path: String): Int =
+    latest(spark, path) match {
+      case Some(v0) if v0.nBuckets.isDefined =>
+        val n = v0.nBuckets.get
+        val bCols = v0.bucketCols.getOrElse(throw new IllegalStateException(
+          s"hub at $path records no bucket routing"))
+        require(bCols.forall(df.columns.contains),
+          s"overwrite batch must carry the routing columns $bCols")
+        val fs = fileSystem(spark, path)
+        var attempt = 0
+        while (attempt < MaxRetries) {
+          attempt += 1
+          val base = latest(spark, path).getOrElse(
+            throw new IllegalStateException(
+              s"hub at $path lost its versions mid-overwrite"))
+          require(base.nBuckets.contains(n) && base.bucketCols.contains(bCols),
+            s"hub at $path changed layout mid-overwrite; retry")
+          val next = base.version + 1
+          val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
+          stampBuckets(df, bCols, n)
+            .repartition(org.apache.spark.sql.functions.col(BucketCol))
+            .write.partitionBy(BucketCol).parquet(resolve(path, root))
+          val fstats = FileStats.collect(spark, fs, new Path(path),
+            new Path(resolve(path, root)))
+          val writtenB = fs.listStatus(new Path(resolve(path, root))).toSeq
+            .map(_.getPath.getName)
+            .collect { case nm if nm.startsWith(s"$BucketCol=") =>
+              nm.stripPrefix(s"$BucketCol=").toInt }
+          val buckets = writtenB.map(b => b -> s"$root/$BucketCol=$b").toMap
+          val bucketRows = writtenB.map { b =>
+            val prefix = s"$root/$BucketCol=$b/"
+            b -> fstats.iterator.collect {
+              case (pp, st) if pp.startsWith(prefix) => st.rows }.sum
+          }.toMap
+          if (commit(fs, path, Version(next, root,
+              System.currentTimeMillis(), bucketRows.values.sum, None,
+              Some(n), buckets, Some(bCols), bucketRows,
+              schemaJson = Some(df.schema.json), fileStats = fstats)))
+            return next
+          fs.delete(new Path(resolve(path, root)), true)
+          failIfStuck(spark, path, next)
+        }
+        throw new IllegalStateException(
+          s"hub at $path: lost the commit race $MaxRetries times — giving up")
+      case _ => commitLoop(spark, path, batchId = None)(_ => df)
+    }
 
   /** DELETE the rows matching `cond` as one committed version (SQL
     * `DELETE FROM ... WHERE` semantics: rows where `cond` is TRUE go; rows

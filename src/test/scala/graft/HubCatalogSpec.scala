@@ -141,6 +141,36 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("TRUNCATE TABLE and INSERT OVERWRITE keep the bucketed layout and time travel") {
+    withCatalog("hubtr") { base =>
+      VersionedHub.writeBucketed(spark,
+        (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), s"$base/t",
+        Seq("k"), 4)
+      // INSERT OVERWRITE: one full-replacement version
+      spark.sql("INSERT OVERWRITE hubtr.default.t VALUES (100, 'o1'), (101, 'o2')")
+      assert(spark.sql("SELECT k, v FROM hubtr.default.t")
+        .as[(Long, String)].collect().toSet == Set((100L, "o1"), (101L, "o2")))
+      // the pre-overwrite snapshot is still time-travelable
+      assert(spark.sql("SELECT count(*) FROM hubtr.default.t VERSION AS OF 1")
+        .as[Long].head() == 20L)
+      val v2 = VersionedHub.history(spark, s"$base/t").last
+      assert(v2.nBuckets.contains(4) && v2.rows == 2)
+      // TRUNCATE: empties the table, layout survives for later writes
+      spark.sql("TRUNCATE TABLE hubtr.default.t")
+      assert(spark.sql("SELECT count(*) FROM hubtr.default.t")
+        .as[Long].head() == 0L)
+      val v3 = VersionedHub.history(spark, s"$base/t").last
+      assert(v3.nBuckets.contains(4) && v3.rows == 0 && v3.buckets.isEmpty)
+      // a keyed write after truncate routes through the SAME layout
+      VersionedHub.write(spark, Seq((7L, "back")).toDF("k", "v"),
+        s"$base/t", Seq("k"))
+      val v4 = VersionedHub.history(spark, s"$base/t").last
+      assert(v4.nBuckets.contains(4) && v4.rows == 1 && v4.buckets.size == 1)
+      assert(spark.sql("SELECT v FROM hubtr.default.t WHERE k = 7")
+        .as[String].head() == "back")
+    }
+  }
+
   test("only the single-element default namespace aliases to the base dir") {
     withCatalog("hubns") { base =>
       spark.sql("CREATE TABLE hubns.default.x (k BIGINT)")
