@@ -93,7 +93,13 @@ class HubDataSource extends TableProvider with DataSourceRegister
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     new HubStreamSource(sqlContext, streamPathOf(parameters),
-      cdfKeysOf(parameters))
+      cdfKeysOf(parameters),
+      parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") =>
+          val n = v.toInt
+          require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+          n
+      })
 
   /** `readChangeFeed=true` switches the stream to row-level CDF batches;
     * `keys` (the hub primary keys) are required then — the feed is a keyed

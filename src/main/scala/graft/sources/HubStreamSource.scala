@@ -66,9 +66,47 @@ object HubSourceOffset {
   * (oracle-checked).
   */
 class HubStreamSource(sqlContext: SQLContext, path: String,
-    cdfKeys: Option[Seq[String]] = None) extends Source {
+    cdfKeys: Option[Seq[String]] = None,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
   private def spark = sqlContext.sparkSession
+
+  /** Trigger.AvailableNow latches the target at start so the run drains
+    * exactly the commits that existed then, in maxVersionsPerTrigger-sized
+    * steps, and stops — the engine drives this through
+    * [[SupportsTriggerAvailableNow]]/[[latestOffset]].
+    */
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = VersionedHub.latest(spark, path).map(_.version)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): OffsetV2 =
+    VersionedHub.latest(spark, path)
+      .map(v => HubSourceOffset(v.version)).orNull
+
+  /** Admission control: one trigger advances at most
+    * `maxVersionsPerTrigger` versions past the engine-provided start — a
+    * commit backlog drains in bounded steps instead of one unbounded
+    * micro-batch. The FIRST batch of a fresh stream (start = null) still
+    * delivers the whole catch-up snapshot: the snapshot is one version's
+    * content, not a backlog.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latest = VersionedHub.latest(spark, path).map(_.version).getOrElse(0)
+    val bounded = availableNowTarget.fold(latest)(math.min(latest, _))
+    val start = Option(startOffset).map(HubSourceOffset.versionOf).getOrElse(0)
+    val end = maxVersionsPerTrigger match {
+      case Some(m) if start > 0 => math.min(bounded, start + m)
+      case _ => bounded
+    }
+    if (end <= start) startOffset else HubSourceOffset(end)
+  }
 
   private val snapshotSchema: StructType =
     VersionedHub.snapshotSchema(spark, path,
@@ -82,6 +120,8 @@ class HubStreamSource(sqlContext: SQLContext, path: String,
 
   override def schema: StructType = declaredSchema
 
+  // legacy V1 entry point; the engine prefers the admission-control
+  // latestOffset above when SupportsAdmissionControl is present
   override def getOffset: Option[OffsetV1] =
     VersionedHub.latest(spark, path).map(v => HubSourceOffset(v.version))
 

@@ -224,6 +224,43 @@ class StreamingSpec extends SparkTestBase {
       s"got: ${e.getMessage}")
   }
 
+  test("maxVersionsPerTrigger bounds how many commits one trigger may swallow") {
+    import graft.writers.VersionedHub
+    import org.apache.spark.sql.DataFrame
+    val lake = tmpDir("hub_rate")
+    val hub = s"$lake/hub"
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-hub").option("path", hub)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          ends += b.count().toInt; ()
+        }
+        .option("checkpointLocation", s"$lake/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // v1..v3: each touches ONE key so per-version batch sizes are small
+    VersionedHub.writeBucketed(spark,
+      (1L to 9L).map(k => (k, s"v$k")).toDF("k", "v"), hub, Seq("k"), 4)
+    run() // fresh stream: uncapped catch-up (no committed anchor)
+    assert(ends == Seq(9), s"catch-up delivers the snapshot: $ends")
+    VersionedHub.writeBucketed(spark, Seq((1L, "A")).toDF("k", "v"),
+      hub, Seq("k"), 4)
+    VersionedHub.writeBucketed(spark, Seq((2L, "B")).toDF("k", "v"),
+      hub, Seq("k"), 4)
+    // one RESUMED run with two pending commits: the cap forces them into
+    // separate version steps instead of one v1->v3 swallow — each batch
+    // carries exactly one commit's touched-bucket content
+    run()
+    assert(ends.length >= 3, s"capped runs must step one version at a time: $ends")
+    // every post-catch-up batch is a single commit's touched buckets —
+    // strictly smaller than the snapshot
+    assert(ends.drop(1).forall(_ < 9), s"capped batches re-delivered too much: $ends")
+  }
+
   test("graft-hub streaming source tails commits incrementally, exactly-once across restarts and replays") {
     import graft.writers.VersionedHub
     import org.apache.spark.sql.DataFrame
