@@ -74,6 +74,19 @@ object ZOrder {
   def zOrderByBinned(df: DataFrame, a: String, b: String, nFiles: Int,
       bins: Int = 1024): DataFrame = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    withBinnedZ(df, a, b, bins)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+
+  /** `df` + a `_z` column (range-binned Morton value of (a, b)) — the
+    * building block [[zOrderByBinned]] and the bucketed-hub z-order
+    * compaction share; the binning stats ride a broadcast, no driver
+    * action.
+    */
+  def withBinnedZ(df: DataFrame, a: String, b: String,
+      bins: Int = 1024): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     import org.apache.spark.sql.functions._
     val stats = df.agg(
@@ -87,9 +100,7 @@ object ZOrder {
     df.crossJoin(broadcast(stats))
       .withColumn("_z", zValue(bucket(a, "_amin", "_amax"),
         bucket(b, "_bmin", "_bmax")))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z", "_amin", "_amax", "_bmin", "_bmax")
+      .drop("_amin", "_amax", "_bmin", "_bmax")
   }
 
   /** Zone-map quality of a written parquet layout: for each of the two

@@ -807,7 +807,44 @@ object IngestQueries {
       |FROM nation WHERE n_nationkey < 10
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Z-order compaction of a BUCKETED hub consumed through the connector:
+    * after [[graft.writers.VersionedHub.optimizeZOrderBuckets]] every
+    * bucket dir holds a few contiguous z-curve files, so a range predicate
+    * on a NON-routing column — which bucket pruning cannot touch (`dirs`
+    * stays full) — still skips whole files inside every bucket from the
+    * manifest's per-file stats. Plan-gated on exactly that shape.
+    */
+  val qHubZorderBuckets: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_zob").toFile.getAbsolutePath
+    val hub = s"$tmp/hub"
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("a"),
+      (col("event_id") % 1000).cast("long").as("b"))
+    graft.writers.VersionedHub.writeBucketed(spark, ev, hub,
+      Seq("event_id"), 16)
+    graft.writers.VersionedHub.optimizeZOrderBuckets(spark, hub, "a", "b",
+      filesPerBucket = 4)
+    val rd = spark.read.format("graft-hub").option("path", hub).load()
+      .filter(col("a") < 8L)
+    val planStr = rd.queryExecution.executedPlan.toString
+    val m = "dirs=(\\d+)/(\\d+) files=(\\d+) skipped=(\\d+)".r
+      .findFirstMatchIn(planStr)
+    require(m.exists(g => g.group(1) == g.group(2) && g.group(4).toInt > 0),
+      s"a non-routing range must keep all bucket dirs yet skip z-ordered " +
+        s"files inside them:\n$planStr")
+    rd.groupBy(col("a"))
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("sum_b"))
+      .orderBy(col("a"))
+  }
+
+  private val hubZorderBucketsOracle: String =
+    """SELECT CAST(user_id AS BIGINT) AS a, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(event_id % 1000) AS BIGINT) AS sum_b
+      |FROM events WHERE user_id < 8 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_hub_zorder_buckets" -> qHubZorderBuckets,
     "q_hub_overwrite_sql" -> qHubOverwriteSql,
     "q_hub_delete_sql" -> qHubDeleteSql,
     "q_stream_cdf_tail" -> qStreamCdfTail,
@@ -828,6 +865,7 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hub_zorder_buckets" -> hubZorderBucketsOracle,
     "q_hub_overwrite_sql" -> hubOverwriteSqlOracle,
     "q_hub_delete_sql" -> hubDeleteSqlOracle,
     "q_stream_cdf_tail" -> streamCdfTailOracle,

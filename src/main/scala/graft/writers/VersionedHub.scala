@@ -934,6 +934,74 @@ object VersionedHub {
       s"hub at $path: lost the commit race $MaxRetries times — giving up")
   }
 
+  /** Z-order compaction for BUCKETED hubs — [[optimizeZOrder]]'s
+    * counterpart: rewrite every (or the chosen) bucket's current content
+    * along the Morton curve of (colA, colB), `filesPerBucket` contiguous
+    * curve segments per bucket dir, in ONE shuffle + ONE write job
+    * (range-partition on (bucket, z) then partitionBy bucket). Combined
+    * with the manifest's per-file min/max stats, a range predicate on
+    * EITHER column then skips whole files inside every bucket through the
+    * DSv2 scan — the bucketed table's answer to Delta OPTIMIZE ZORDER BY.
+    * Content is unchanged (rows/schema carried); committed through the
+    * normal optimistic log.
+    */
+  def optimizeZOrderBuckets(
+      spark: SparkSession,
+      path: String,
+      colA: String,
+      colB: String,
+      filesPerBucket: Int = 4,
+      buckets: Option[Seq[Int]] = None
+  ): Int = {
+    require(filesPerBucket >= 1,
+      s"filesPerBucket must be >= 1, got $filesPerBucket")
+    val fs = fileSystem(spark, path)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      attempt += 1
+      val base = history(spark, path).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed versions at $path to z-order"))
+      require(base.nBuckets.isDefined,
+        s"optimizeZOrderBuckets serves bucketed hubs; $path is flat — " +
+          "use optimizeZOrder")
+      val chosen = buckets.getOrElse(base.buckets.keys.toSeq.sorted)
+        .filter(base.buckets.contains)
+      if (chosen.isEmpty) return base.version
+      val next = base.version + 1
+      val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
+      import org.apache.spark.sql.functions.{col, lit}
+      val current = chosen.map { b =>
+        readDirs(spark, base, Seq(resolve(path, base.buckets(b))))
+          .withColumn(BucketCol, lit(b))
+      }.reduce(_ unionByName _)
+      graft.functions.ZOrder.withBinnedZ(current, colA, colB)
+        .repartitionByRange(chosen.size * filesPerBucket,
+          col(BucketCol), col("_z"))
+        .sortWithinPartitions(col(BucketCol), col("_z"))
+        .drop("_z")
+        .write.partitionBy(BucketCol).parquet(resolve(path, root))
+      val fstats = FileStats.collect(spark, fs, new Path(path),
+        new Path(resolve(path, root)))
+      val newBuckets = base.buckets ++
+        chosen.map(b => b -> s"$root/$BucketCol=$b")
+      val snapSchema = unionSchema(spark, path, Some(base),
+        current.drop(BucketCol).schema)
+      val keptDirRels = (newBuckets -- chosen).values.map(_ + "/").toSet
+      val carriedStats = base.fileStats.filter { case (p, _) =>
+        keptDirRels.exists(p.startsWith) }
+      if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
+          base.rows, None, base.nBuckets, newBuckets, base.bucketCols,
+          base.bucketRows, schemaJson = Some(snapSchema.json),
+          fileStats = carriedStats ++ fstats)))
+        return next
+      fs.delete(new Path(resolve(path, root)), true)
+      failIfStuck(spark, path, next)
+    }
+    throw new IllegalStateException(
+      s"hub at $path: lost the commit race $MaxRetries times — giving up")
+  }
+
   /** optimize/optimizeZOrder commit FLAT snapshots; running them against a
     * bucketed hub would fold only the latest version's touched-bucket dirs
     * (dataDir is not the whole snapshot there) and then mix layouts —

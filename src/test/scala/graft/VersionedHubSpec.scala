@@ -523,6 +523,41 @@ class VersionedHubSpec extends SparkTestBase {
       .select($"extra").count() == 1)
   }
 
+  test("optimizeZOrderBuckets: z-contiguous files per bucket, content unchanged, stats recorded") {
+    val path = tmpDir("vhub_zob")
+    // (a, b) covers the 64x64 grid exactly once — the clean z-order case
+    val df = (0L until 4096L).map(k => (k, k % 64, k / 64))
+      .toDF("k", "a", "b")
+    VersionedHub.writeBucketed(spark, df, path, Seq("k"), 4)
+    val before = VersionedHub.read(spark, path)
+      .as[(Long, Long, Long)].collect().toSet
+    val v = VersionedHub.optimizeZOrderBuckets(spark, path, "a", "b",
+      filesPerBucket = 8)
+    assert(v == 2)
+    val after = VersionedHub.history(spark, path).last
+    // content identical, rows/layout carried
+    assert(VersionedHub.read(spark, path)
+      .as[(Long, Long, Long)].collect().toSet == before)
+    assert(after.rows == 4096 && after.nBuckets.contains(4))
+    // multiple z-segment files per bucket, all stats-recorded
+    for ((b, d) <- after.buckets) {
+      val files = after.fileStats.keys.filter(_.startsWith(d + "/"))
+      assert(files.nonEmpty, s"bucket $b has no recorded files")
+      assert(files.forall(after.fileStats(_).cols.contains("a")))
+    }
+    assert(after.fileStats.size >= 8,
+      s"expected several z-segment files, got ${after.fileStats.size}")
+    // the layout is PRUNABLE: the average fraction of a's global span one
+    // file covers must be well under 1 (the zone-map quality the curve buys)
+    val spans = after.fileStats.values.toSeq.map { f =>
+      val mn = f.cols("a").min.get.asInstanceOf[Long]
+      val mx = f.cols("a").max.get.asInstanceOf[Long]
+      (mx - mn).toDouble / 63.0
+    }
+    assert(spans.sum / spans.size < 0.75,
+      s"z-order produced blind files: avg a-span ${spans.sum / spans.size}")
+  }
+
   test("pluggable CommitStore: a conditional-write coordinator serializes commits and lifts the scheme guard") {
     import graft.writers.CommitStore
     // fake external coordinator: the CLAIM is decided in shared memory (the
