@@ -87,6 +87,14 @@ class HubCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `t$history` exposes the commit log as a read-only metadata table
+    // (DESCRIBE HISTORY analogue)
+    if (ident.name.endsWith("$history")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$history"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new HubHistoryTable(pathOf(base))
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new HubTable(pathOf(ident), asOf = None)
   }

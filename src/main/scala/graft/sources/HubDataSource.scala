@@ -566,6 +566,43 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
   }
 }
 
+/** Read-only metadata table exposing the commit log (`DESCRIBE HISTORY`
+  * analogue): `SELECT * FROM hub.db.\`t$history\``. One row per committed
+  * version — version, data dir, timestamp, rows, batchId, bucket counts.
+  */
+private[sources] class HubHistoryTable(path: String)
+    extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = s"graft-hub $path history"
+
+  override def schema(): StructType =
+    VersionedHub.historyDF(spark, path).schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        private val out = schema()
+        override def readSchema(): StructType = out
+        override def description(): String = s"graft-hub $path history"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val relation = new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = out
+            override def buildScan(): RDD[Row] =
+              VersionedHub.historyDF(context.sparkSession, path).rdd
+          }
+          relation.asInstanceOf[T]
+        }
+      }
+    }
+}
+
 private[graft] class HubScanBuilder(path: String,
     v: VersionedHub.Version, fullSchema: StructType)
     extends ScanBuilder

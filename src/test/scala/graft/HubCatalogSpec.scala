@@ -138,6 +138,19 @@ class HubCatalogSpec extends SparkTestBase {
       // time travel delete refused
       intercept[Exception](spark.sql(
         "DELETE FROM hubdel.default.t VERSION AS OF 1 WHERE k = 1"))
+      // FLAT hubs delete through the snapshot-rewrite path
+      VersionedHub.write(spark,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+        s"$base/flat", Seq.empty)
+      spark.sql("DELETE FROM hubdel.default.flat WHERE k = 2")
+      assert(spark.sql("SELECT k FROM hubdel.default.flat ORDER BY k")
+        .as[Long].collect().toSeq == Seq(1L, 3L))
+      // the commit log is queryable as the $history metadata table
+      val hist = spark.sql(
+        "SELECT version, rows FROM hubdel.default.`t$history` ORDER BY version")
+        .as[(Int, Long)].collect().toSeq
+      assert(hist.nonEmpty && hist.map(_._1) == hist.map(_._1).sorted &&
+        hist.last._2 == VersionedHub.read(spark, s"$base/t").count())
     }
   }
 
