@@ -489,19 +489,22 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
         throw new UnsupportedOperationException(
           s"graft-hub cannot translate delete filter $f")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val tip = VersionedHub.versionAt(spark, path, None)
-    val candidates: Option[Set[Int]] =
-      if (tip.buckets.isEmpty || filters.isEmpty) None
-      else {
-        val dirRels = HubDataSource.scanDirRels(tip,
-          HubDataSource.prunedBuckets(spark, fullSchema, tip, filters.toSeq))
-        val plan = HubDataSource.planFiles(tip, dirRels, filters.toSeq,
+    // candidate buckets as a FUNCTION of the base manifest: the commit-retry
+    // loop re-reads a fresh base each attempt, and pruning must be judged
+    // against THAT snapshot's file stats — a set precomputed from the entry
+    // tip would miss rows a concurrent upsert landed in a bucket whose old
+    // stats proved no-match (wrong answer under concurrency)
+    val candidates: Option[VersionedHub.Version => Set[Int]] =
+      if (filters.isEmpty) None
+      else Some { base =>
+        val dirRels = HubDataSource.scanDirRels(base,
+          HubDataSource.prunedBuckets(spark, fullSchema, base, filters.toSeq))
+        val plan = HubDataSource.planFiles(base, dirRels, filters.toSeq,
           fullSchema)
-        val dirToBucket = tip.buckets.map(_.swap)
+        val dirToBucket = base.buckets.map(_.swap)
         val survivorDirs = plan.survivors.map { case (p, _) =>
           p.substring(0, p.lastIndexOf('/')) }.toSet
-        Some((survivorDirs ++ plan.uncoveredDirs)
-          .flatMap(dirToBucket.get).toSet)
+        (survivorDirs ++ plan.uncoveredDirs).flatMap(dirToBucket.get).toSet
       }
     VersionedHub.deleteWhere(spark, path, cond, candidates)
     ()

@@ -644,15 +644,21 @@ object VersionedHub {
     * where it is FALSE or NULL stay). Flat hubs rewrite the snapshot;
     * bucketed hubs rewrite ONLY the buckets that actually contain matches
     * (everything else shares structurally) — and `candidateBuckets`, when
-    * supplied by a caller that already consulted the manifest's file stats
-    * (the DSv2 connector), bounds even the detection scan. A DELETE that
-    * matches nothing commits nothing and returns the current version.
+    * supplied by a caller that can consult a manifest's file stats (the
+    * DSv2 connector), bounds even the detection scan. It is a FUNCTION of
+    * the base version, not a precomputed set: the commit-retry loop
+    * re-reads a fresh base on every attempt, and a set computed against an
+    * earlier tip would silently skip rows a concurrent upsert landed in a
+    * bucket whose OLD stats proved no-match — a wrong answer under
+    * concurrency. Each attempt therefore recomputes the candidates against
+    * the very snapshot it is about to rewrite. A DELETE that matches
+    * nothing commits nothing and returns the current version.
     */
   def deleteWhere(
       spark: SparkSession,
       path: String,
       cond: org.apache.spark.sql.Column,
-      candidateBuckets: Option[Set[Int]] = None
+      candidateBuckets: Option[Version => Set[Int]] = None
   ): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val keep = !coalesce(cond, lit(false))
@@ -676,7 +682,7 @@ object VersionedHub {
           require(base.buckets.nonEmpty,
             s"hub at $path became flat mid-delete; retry")
           val cand = candidateBuckets
-            .map(_.toSeq.filter(base.buckets.contains).sorted)
+            .map(_(base).toSeq.filter(base.buckets.contains).sorted)
             .getOrElse(base.buckets.keys.toSeq.sorted)
           if (cand.isEmpty) return base.version
           // one tagged read of the candidate dirs serves both the

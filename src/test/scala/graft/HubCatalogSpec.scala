@@ -154,6 +154,53 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("DELETE recomputes candidate buckets per retry: a concurrent upsert " +
+    "into a previously-no-match bucket is still deleted") {
+    import graft.writers.CommitStore
+    withCatalog("hubrace") { base =>
+      val hub = s"$base/t"
+      // seed: keys 1..40 carry x = k (≤ 40), key 41 carries x = 950 — so
+      // `x >= 900` matches ONE bucket and every other bucket's file stats
+      // PROVE no-match (the pruning the race exploits)
+      VersionedHub.writeBucketed(spark,
+        ((1L to 40L).map(k => (k, k)) :+ (41L, 950L)).toDF("k", "x"),
+        hub, Seq("k"), 8)
+      val v1 = VersionedHub.history(spark, hub).last
+      // interpose on the COMMIT POINT: the delete's first manifest claim
+      // loses the race to a concurrent upsert that lands x = 999 rows
+      // across many buckets — buckets whose OLD stats proved no-match.
+      // The retry must recompute its candidate set against the fresh base
+      // (stale-set behavior would silently leave those rows undeleted).
+      @volatile var fired = false
+      CommitStore.register("file", new CommitStore {
+        override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path, content: Array[Byte]): Boolean = {
+          if (!fired) {
+            fired = true
+            VersionedHub.write(spark,
+              (42L to 80L).map(k => (k, 999L)).toDF("k", "x"), hub, Seq("k"))
+            // the upsert just claimed this version number — losing the
+            // create-exclusive race is the real-filesystem outcome
+          }
+          CommitStore.CreateExclusive.putIfAbsent(fs, p, content)
+        }
+      })
+      try spark.sql("DELETE FROM hubrace.default.t WHERE x >= 900")
+      finally CommitStore.unregister("file")
+      assert(fired, "the interceptor never saw the delete's commit attempt")
+      val after = VersionedHub.read(spark, hub)
+      assert(after.filter($"x" >= 900).count() == 0L,
+        "rows upserted concurrently into previously-no-match buckets " +
+          "must still be deleted")
+      // the non-matching seed rows all survive
+      assert(after.as[(Long, Long)].collect().toSet ==
+        (1L to 40L).map(k => (k, k)).toSet)
+      // and the log shows upsert + delete as separate committed versions
+      val hist = VersionedHub.history(spark, hub)
+      assert(hist.last.version >= v1.version + 2, hist.map(_.version).toString)
+    }
+  }
+
   test("TRUNCATE TABLE and INSERT OVERWRITE keep the bucketed layout and time travel") {
     withCatalog("hubtr") { base =>
       VersionedHub.writeBucketed(spark,
