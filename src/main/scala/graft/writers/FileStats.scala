@@ -77,12 +77,19 @@ object FileStats {
       val conf = fs.getConf
       files.map { case (p, len) => rel(p) -> ofFile(p, len, conf) }.toMap
     } else {
-      // executor-side footer reads: a fresh Configuration resolves the
-      // absolute URIs (scheme+authority travel in the path string)
-      spark.sparkContext
+      // executor-side footer reads resolve the absolute URIs (scheme +
+      // authority travel in the path string) with the DRIVER's hadoop conf,
+      // broadcast once per commit: a bare `new Configuration()` would drop
+      // every `spark.hadoop.*` override and custom filesystem registration
+      // — the exact settings an object-store deployment needs to open its
+      // own files
+      val bcConf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(fs.getConf))
+      try spark.sparkContext
         .parallelize(files.toSeq, math.max(1, math.min(files.length, 64)))
-        .map { case (p, len) => p -> ofFile(p, len, new Configuration()) }
+        .map { case (p, len) => p -> ofFile(p, len, bcConf.value.value) }
         .collect().map { case (p, st) => rel(p) -> st }.toMap
+      finally bcConf.destroy()
     }
   }
 

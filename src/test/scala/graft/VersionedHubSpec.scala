@@ -254,6 +254,33 @@ class VersionedHubSpec extends SparkTestBase {
     assert(del == Set((7, "delete")), s"$del")
   }
 
+  test("executor-side footer stats (>64 files) resolve paths with the DRIVER's hadoop conf") {
+    // a filesystem scheme that exists ONLY in the driver's configuration
+    // (the spark.hadoop.* / custom-FS deployment shape): if the parallel
+    // footer pass built a bare `new Configuration()` on executors, the
+    // scheme would be unresolvable and the commit-stats job would fail
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val dir = tmpDir("fstats_conf")
+    (1 to 300).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(80)
+      .write.mode("overwrite").parquet(s"$dir/data")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.grafttest.impl", classOf[ConfOnlyFs].getName)
+    // newInstance: the driver's FS never lands in the shared get()-cache,
+    // so an executor-side bare-conf lookup could NOT ride a cache hit —
+    // the conf must genuinely travel with the job
+    val fs = FileSystem.newInstance(java.net.URI.create("grafttest:///"), conf)
+    try {
+      val stats = graft.writers.FileStats.collect(spark, fs,
+        new HPath(s"grafttest://$dir"), new HPath(s"grafttest://$dir/data"))
+      assert(stats.size > 64, s"expected >64 files, got ${stats.size}")
+      assert(stats.values.map(_.rows).sum == 300L)
+      val ks = stats.values.flatMap(_.cols.get("k")).toSeq
+      assert(ks.flatMap(_.min).map(_.asInstanceOf[Long]).min == 1L)
+      assert(ks.flatMap(_.max).map(_.asInstanceOf[Long]).max == 300L)
+    } finally fs.close()
+  }
+
   test("manifest rows stay exact when a bulk commit blows the footer budget") {
     // 80 input partitions × 2 buckets → far more than 64 files per bucket
     // dir, so the driver-side footer sum must refuse and the per-bucket
@@ -661,4 +688,52 @@ class VersionedHubSpec extends SparkTestBase {
     assert(FileStats.decodeScalar(FileStats.encodeScalar("S:x"))
       .contains("S:x"))
   }
+}
+
+/** A local filesystem under a scheme resolvable ONLY through the conf key
+  * `fs.grafttest.impl` — the probe for hadoop-conf propagation into
+  * executor-side parquet footer reads ([[graft.writers.FileStats.collect]]).
+  * Paths translate `grafttest://` ↔ `file://` around a RawLocalFileSystem
+  * delegate (a plain scheme-override subclass trips RawLocal's permission
+  * loader, which insists on `file:` URIs).
+  */
+class ConfOnlyFs extends org.apache.hadoop.fs.FileSystem {
+  import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, FSDataOutputStream, Path => HPath}
+  private val local = new org.apache.hadoop.fs.RawLocalFileSystem
+  private def toLocal(p: HPath) = new HPath("file", null, p.toUri.getPath)
+  private def remap(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime,
+      new HPath("grafttest", null, st.getPath.toUri.getPath))
+  override def initialize(uri: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(uri, conf)
+    setConf(conf)
+    local.initialize(java.net.URI.create("file:///"), conf)
+  }
+  override def getUri: java.net.URI = java.net.URI.create("grafttest:///")
+  override def open(f: HPath, b: Int): FSDataInputStream =
+    local.open(toLocal(f), b)
+  override def create(f: HPath,
+      p: org.apache.hadoop.fs.permission.FsPermission, o: Boolean, bu: Int,
+      r: Short, bs: Long,
+      pr: org.apache.hadoop.util.Progressable): FSDataOutputStream =
+    local.create(toLocal(f), p, o, bu, r, bs, pr)
+  override def append(f: HPath, b: Int,
+      pr: org.apache.hadoop.util.Progressable): FSDataOutputStream =
+    local.append(toLocal(f), b, pr)
+  override def rename(a: HPath, b: HPath): Boolean =
+    local.rename(toLocal(a), toLocal(b))
+  override def delete(f: HPath, r: Boolean): Boolean =
+    local.delete(toLocal(f), r)
+  override def listStatus(f: HPath): Array[FileStatus] =
+    local.listStatus(toLocal(f)).map(remap)
+  override def setWorkingDirectory(d: HPath): Unit =
+    local.setWorkingDirectory(toLocal(d))
+  override def getWorkingDirectory: HPath = new HPath("grafttest:///")
+  override def mkdirs(f: HPath,
+      p: org.apache.hadoop.fs.permission.FsPermission): Boolean =
+    local.mkdirs(toLocal(f), p)
+  override def getFileStatus(f: HPath): FileStatus =
+    remap(local.getFileStatus(toLocal(f)))
 }
