@@ -97,19 +97,41 @@ object Bpe {
     */
   final class MergeTable private (
       private val pairs: java.util.HashMap[java.lang.Long, java.lang.Long],
-      val size: Int) {
+      val size: Int,
+      lookupCounter: java.util.concurrent.atomic.AtomicLong) {
     /** rank<<32 | output for the pair (l, r), or -1 when not a merge.
       * Values stay BOXED in the map: an unboxed-typed get would turn the
       * null miss into 0 — a phantom rank-0 merge for every absent pair.
       */
     @inline def lookup(l: Int, r: Int): Long = {
+      if (lookupCounter ne null) lookupCounter.incrementAndGet()
       val v = pairs.get((l.toLong << 32) | (r.toLong & 0xffffffffL))
       if (v eq null) -1L else v.longValue()
     }
   }
 
   object MergeTable {
-    def apply(merges: IndexedSeq[(Int, Int, Int)]): MergeTable = {
+    /** Total tables ever built in this JVM — the instrumentation the memo
+      * contract is asserted on (one build per distinct table instance, not
+      * per word).
+      */
+    private[graft] val builds = new java.util.concurrent.atomic.AtomicLong
+
+    def apply(merges: IndexedSeq[(Int, Int, Int)]): MergeTable =
+      build(merges, null)
+
+    /** Test-only: a table whose every [[MergeTable.lookup]] bumps `counter`
+      * — the V-independence of the heap apply is asserted as an
+      * OPERATION-COUNT bound, not a wall-clock ratio (which flakes under
+      * load).
+      */
+    private[graft] def counting(merges: IndexedSeq[(Int, Int, Int)],
+        counter: java.util.concurrent.atomic.AtomicLong): MergeTable =
+      build(merges, counter)
+
+    private def build(merges: IndexedSeq[(Int, Int, Int)],
+        counter: java.util.concurrent.atomic.AtomicLong): MergeTable = {
+      builds.incrementAndGet()
       val m = new java.util.HashMap[java.lang.Long, java.lang.Long](merges.size * 2)
       merges.zipWithIndex.foreach { case ((l, r, o), rank) =>
         // first (lowest) rank wins on duplicate pairs — the rank-order pass
@@ -117,11 +139,33 @@ object Bpe {
         m.putIfAbsent((l.toLong << 32) | (r.toLong & 0xffffffffL),
           (rank.toLong << 32) | (o.toLong & 0xffffffffL))
       }
-      new MergeTable(m, merges.size)
+      new MergeTable(m, merges.size, counter)
     }
   }
 
   private val DefaultTable = MergeTable(DefaultMerges)
+
+  /** Single-slot identity memo for CUSTOM tables: the common shape is one
+    * `merges` value captured by a task closure and applied to every word of
+    * the partition — without the memo each word rebuilt the O(V) hashmap,
+    * silently reintroducing the table-proportional cost the heap apply
+    * exists to kill. One slot (not an unbounded cache) because each Spark
+    * task deserializes its own `merges` instance: an identity-keyed MAP
+    * would grow per task for the life of the executor.
+    */
+  @volatile private var memoTable: (IndexedSeq[(Int, Int, Int)], MergeTable) =
+    (DefaultMerges, DefaultTable)
+
+  private def tableFor(merges: IndexedSeq[(Int, Int, Int)]): MergeTable = {
+    if (merges eq DefaultMerges) return DefaultTable
+    val m = memoTable
+    if (m._1 eq merges) m._2
+    else {
+      val t = MergeTable(merges)
+      memoTable = (merges, t)
+      t
+    }
+  }
 
   /** Greedy BPE encode of ONE word — the pair-indexed HEAP apply (the
     * standard production formulation, e.g. the original GPT-2 encoder):
@@ -144,8 +188,7 @@ object Bpe {
     */
   def encodeWord(word: String,
       merges: IndexedSeq[(Int, Int, Int)] = DefaultMerges): Array[Int] =
-    encodeWordWith(word,
-      if (merges eq DefaultMerges) DefaultTable else MergeTable(merges))
+    encodeWordWith(word, tableFor(merges))
 
   def encodeWordWith(word: String, table: MergeTable): Array[Int] = {
     val syms = word.codePoints().toArray

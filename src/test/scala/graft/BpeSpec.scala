@@ -118,7 +118,10 @@ class BpeSpec extends SparkTestBase {
 
   test("heap apply cost is bounded by the word, not the table (8k synthetic merges)") {
     // 8192-merge synthetic table over 26 letters — the production-vocab
-    // regime where the O(V·len) rank-order loop is the wrong asymptotic
+    // regime where the O(V·len) rank-order loop is the wrong asymptotic.
+    // V-independence is asserted as an OPERATION-COUNT bound (table lookups
+    // per word vs word length) on an instrumented table — a wall-clock
+    // ratio here flaked under load.
     val rnd = new scala.util.Random(7)
     val big = buildTable(8192,
       IndexedSeq.fill(3 * 8192 + 2)(rnd.nextInt(Int.MaxValue)), nBase = 26)
@@ -126,28 +129,59 @@ class BpeSpec extends SparkTestBase {
     val words = IndexedSeq.fill(2000)(
       (0 until (3 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(26)).toChar)
         .mkString)
-    val table = Bpe.MergeTable(big)
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
-    }
-    // warm both paths (JIT), then measure
-    words.take(200).foreach { w =>
-      Bpe.encodeWordWith(w, table); Bpe.encodeWordRankOrder(w, big)
-    }
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    val table = Bpe.MergeTable.counting(big, counter)
     var sink = 0L
-    val fastMs = time(words.foreach(w => sink += Bpe.encodeWordWith(w, table).length))
-    val refMs = time(words.foreach(w => sink += Bpe.encodeWordRankOrder(w, big).length))
-    info(f"8k-merge table, 2000 words: heap ${fastMs}%.1f ms, rank-order ${refMs}%.1f ms (${refMs / fastMs}%.0fx)")
+    words.foreach(w => sink += Bpe.encodeWordWith(w, table).length)
     assert(sink > 0)
+    val lookups = counter.get()
+    val totalChars = words.map(_.length.toLong).sum
+    // heap apply: ≤ (len-1) initial offers + ≤2 offers per merge (≤ len-1
+    // merges) + ≤1 revalidation per pop (pops ≤ pushes) → ≤ 6·len lookups;
+    // assert with slack. A V-proportional regression would need ≥ V = 8192
+    // lookups per word — three orders of magnitude over this bound.
+    val bound = 8L * totalChars + 8L * words.size
+    info(s"8k-merge table, ${words.size} words, $totalChars chars: " +
+      s"$lookups table lookups (bound $bound, V·words = ${8192L * words.size})")
+    assert(lookups <= bound,
+      s"heap apply no longer V-independent: $lookups lookups > bound $bound")
     // results identical at scale too
     words.take(100).foreach { w =>
       assert(Bpe.encodeWordWith(w, table).toSeq ==
         Bpe.encodeWordRankOrder(w, big).toSeq)
     }
-    // generous bound: at V=8192 the rank-order loop must be at least 5x
-    // slower (it is typically 100x+); guards the fast path from silently
-    // regressing back into the V-proportional regime
-    assert(refMs > 5 * fastMs,
-      f"heap apply no longer V-independent: heap=${fastMs}%.1f ms rank-order=${refMs}%.1f ms")
+  }
+
+  test("custom-table encode builds the MergeTable once per table instance, not per word") {
+    val rnd = new scala.util.Random(11)
+    val custom = buildTable(256,
+      IndexedSeq.fill(3 * 256 + 2)(rnd.nextInt(Int.MaxValue)), nBase = 26)
+    val words = IndexedSeq.fill(500)(
+      (0 until (3 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString)
+    val before = Bpe.MergeTable.builds.get()
+    val viaDefault = words.map(w => Bpe.encodeWord(w).toSeq)
+    assert(Bpe.MergeTable.builds.get() == before,
+      "DefaultMerges path must never rebuild its table")
+    words.foreach(w => Bpe.encodeWord(w, custom))
+    val afterCustom = Bpe.MergeTable.builds.get()
+    assert(afterCustom - before == 1L,
+      s"expected ONE table build for ${words.size} words on one custom " +
+        s"table instance, got ${afterCustom - before}")
+    // memoized path is result-identical to an explicitly built table
+    val explicit = Bpe.MergeTable(custom)
+    words.take(50).foreach { w =>
+      assert(Bpe.encodeWord(w, custom).toSeq ==
+        Bpe.encodeWordWith(w, explicit).toSeq)
+    }
+    // and statsOf (the tokenStats per-row hot path) rides the same memo:
+    // another custom instance costs exactly one more build
+    val custom2 = buildTable(128,
+      IndexedSeq.fill(3 * 128 + 2)(rnd.nextInt(Int.MaxValue)), nBase = 26)
+    val base = Bpe.MergeTable.builds.get()
+    words.take(100).foreach(w => Bpe.statsOf(w, custom2))
+    assert(Bpe.MergeTable.builds.get() - base == 1L,
+      "statsOf must reuse the memoized table across rows")
+    assert(viaDefault.nonEmpty)
   }
 }
