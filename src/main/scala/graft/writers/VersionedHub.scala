@@ -61,7 +61,8 @@ object VersionedHub {
       bucketCols: Option[Seq[String]] = None,
       bucketRows: Map[Int, Long] = Map.empty,
       schemaJson: Option[String] = None,
-      fileStats: Map[String, FileStats.FileStat] = Map.empty) {
+      statsNew: Map[String, FileStats.FileStat] = Map.empty,
+      statsCarried: () => Map[String, FileStats.FileStat] = Version.NoCarried) {
     /** The version's full-snapshot schema, when the manifest records one.
       * On a bucketed hub this is the UNION across all bucket dirs — a
       * column that lives only in buckets untouched since a schema
@@ -71,6 +72,35 @@ object VersionedHub {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.map(org.apache.spark.sql.types.DataType.fromJson(_)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+    /** The data dir rels (trailing `/`) this snapshot references — the
+      * path space its live files inhabit.
+      */
+    private[writers] def referencedDirRels: Set[String] =
+      if (buckets.nonEmpty) buckets.values.map(_ + "/").toSet
+      else Set(dataDir + "/")
+
+    /** FULL-snapshot per-file data-skipping stats, reconstructed LAZILY:
+      * the manifest itself carries only this commit's new files
+      * (`statsNew` — O(touched files) JSON per commit, the Delta §4.1
+      * incremental-log shape); files carried structurally from earlier
+      * versions come from `statsCarried` (the base snapshot's map for a
+      * writer, the checkpoint + delta-chain fold for a reader), restricted
+      * to the dirs THIS snapshot still references. Nothing is read or
+      * folded until a planner actually consults the stats, so listing a
+      * hub's history stays O(versions), not O(versions × files).
+      */
+    lazy val fileStats: Map[String, FileStats.FileStat] = {
+      val dirs = referencedDirRels
+      val carried = statsCarried().filter { case (p, _) =>
+        dirs.exists(p.startsWith) }
+      carried ++ statsNew
+    }
+  }
+
+  object Version {
+    private val NoCarried: () => Map[String, FileStats.FileStat] =
+      () => Map.empty
   }
 
   /** Merge-upsert `df` into the hub at `path` as a new committed version.
@@ -160,9 +190,11 @@ object VersionedHub {
       val fstats = FileStats.collect(spark, fs, new Path(path),
         new Path(resolve(path, dataDir)))
       val rows = fstats.values.map(_.rows).sum
+      // flat snapshots are self-anchoring: the new dataDir IS the whole
+      // snapshot, so the delta equals the full stats map
       if (commit(fs, path,
           Version(next, dataDir, System.currentTimeMillis(), rows, batchId,
-            schemaJson = Some(merged.schema.json), fileStats = fstats)))
+            schemaJson = Some(merged.schema.json), statsNew = fstats)))
         return next
       // lost the race: drop the orphan snapshot, recompute against the winner
       fs.delete(new Path(resolve(path, dataDir)), true)
@@ -319,10 +351,6 @@ object VersionedHub {
         else // pre-bucketRows manifest underneath: count the legacy dirs once
           newRows ++ carriedDirs.map(b => b -> countDir(newBuckets(b))).toMap
       val rows = bucketRows.values.sum
-      val carriedStats = base.fold(Map.empty[String, FileStats.FileStat]) { bv =>
-        val dirRels = carriedDirs.flatMap(newBuckets.get).map(_ + "/")
-        bv.fileStats.filter { case (p, _) => dirRels.exists(p.startsWith) }
-      }
       // the recorded schema is the UNION of the base's recorded schema and
       // this commit's merged schema: `merged` covers only the TOUCHED
       // buckets, so after a schema evolution a column living solely in
@@ -330,10 +358,15 @@ object VersionedHub {
       // every bucket-pruned read that relies on it)
       val snapSchema = unionSchema(spark, path, base,
         merged.drop(BucketCol).schema)
+      // the manifest records ONLY this commit's files (statsNew); carried
+      // files reconstruct lazily from the base snapshot — manifest size and
+      // commit cost stay O(touched buckets), not O(table)
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
           rows, batchId, Some(nBuckets), newBuckets, Some(bCols),
           bucketRows, schemaJson = Some(snapSchema.json),
-          fileStats = carriedStats ++ fstatsNew)))
+          statsNew = fstatsNew,
+          statsCarried = () => base.fold(
+            Map.empty[String, FileStats.FileStat])(_.fileStats))))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -465,7 +498,7 @@ object VersionedHub {
     if (!fs.exists(log)) return Nil
     fs.listStatus(log).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.endsWith(".json") => n.stripSuffix(".json").toInt }
+      .collect { case ManifestName(n) => n.toInt }
       .sorted
       .flatMap(readManifest(spark, path, _))
   }
@@ -497,8 +530,25 @@ object VersionedHub {
       case Some(k) if k >= 1 => all.takeRight(k)
       case _ => all
     }
-    for (v <- all if !keep.exists(_.version == v.version))
-      fs.delete(new Path(new Path(path, LogDir), f"${v.version}%08d.json"), false)
+    val dropped = all.filterNot(v => keep.exists(_.version == v.version))
+    if (dropped.nonEmpty) {
+      // the oldest KEPT version may reconstruct its carried file stats
+      // from manifests about to be dropped — anchor it with a full
+      // checkpoint FIRST (computed while the chain is still readable).
+      // Every younger kept version folds from this anchor: a dir it
+      // references that predates the anchor is, by structural sharing,
+      // referenced continuously since its introduction — so the anchor's
+      // map covers it.
+      val oldest = keep.head
+      if (oldest.buckets.nonEmpty &&
+          readCheckpoint(fs, path, oldest.version).isEmpty)
+        writeCheckpoint(fs, path, oldest)
+      for (v <- dropped) {
+        fs.delete(new Path(new Path(path, LogDir), f"${v.version}%08d.json"),
+          false)
+        fs.delete(checkpointPath(path, v.version), false)
+      }
+    }
     // roots still referenced: a plain version references its dataDir; a
     // bucketed version references (dirs under) the roots its buckets map to
     val referencedRoots = keep.flatMap { v =>
@@ -626,10 +676,11 @@ object VersionedHub {
             b -> fstats.iterator.collect {
               case (pp, st) if pp.startsWith(prefix) => st.rows }.sum
           }.toMap
+          // an overwrite references ONLY the new root: delta == full
           if (commit(fs, path, Version(next, root,
               System.currentTimeMillis(), bucketRows.values.sum, None,
               Some(n), buckets, Some(bCols), bucketRows,
-              schemaJson = Some(df.schema.json), fileStats = fstats)))
+              schemaJson = Some(df.schema.json), statsNew = fstats)))
             return next
           fs.delete(new Path(resolve(path, root)), true)
           failIfStuck(spark, path, next)
@@ -718,14 +769,12 @@ object VersionedHub {
                 case (p, st) if p.startsWith(prefix) => st.rows }.sum
             }.toMap
             val bucketRows = (base.bucketRows -- touched) ++ newRows
-            val keptDirRels = (newBuckets -- touched).values.map(_ + "/").toSet
-            val carriedStats = base.fileStats.filter { case (p, _) =>
-              keptDirRels.exists(p.startsWith) }
             if (commit(fs, path, Version(next, root,
                 System.currentTimeMillis(), bucketRows.values.sum, None,
                 base.nBuckets, newBuckets, base.bucketCols, bucketRows,
                 schemaJson = base.schemaJson,
-                fileStats = carriedStats ++ fstatsNew)))
+                statsNew = fstatsNew,
+                statsCarried = () => base.fileStats)))
               return next
             fs.delete(new Path(resolve(path, root)), true)
             failIfStuck(spark, path, next)
@@ -925,13 +974,10 @@ object VersionedHub {
         merged.drop(BucketCol).schema)
       val fstatsNew = FileStats.collect(spark, fs, new Path(path),
         new Path(resolve(path, root)))
-      val untouchedDirs = (base.buckets -- chosen).values.map(_ + "/").toSet
-      val carriedStats = base.fileStats.filter { case (p, _) =>
-        untouchedDirs.exists(p.startsWith) }
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
           base.rows, None, base.nBuckets, newBuckets, base.bucketCols,
           base.bucketRows, schemaJson = Some(snapSchema.json),
-          fileStats = carriedStats ++ fstatsNew)))
+          statsNew = fstatsNew, statsCarried = () => base.fileStats)))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -993,13 +1039,10 @@ object VersionedHub {
         chosen.map(b => b -> s"$root/$BucketCol=$b")
       val snapSchema = unionSchema(spark, path, Some(base),
         current.drop(BucketCol).schema)
-      val keptDirRels = (newBuckets -- chosen).values.map(_ + "/").toSet
-      val carriedStats = base.fileStats.filter { case (p, _) =>
-        keptDirRels.exists(p.startsWith) }
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
           base.rows, None, base.nBuckets, newBuckets, base.bucketCols,
           base.bucketRows, schemaJson = Some(snapSchema.json),
-          fileStats = carriedStats ++ fstats)))
+          statsNew = fstats, statsCarried = () => base.fileStats)))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -1143,31 +1186,154 @@ object VersionedHub {
     }.getOrElse("")
     val schemaField = v.schemaJson
       .map(s => s""", "schema": "${jsonEscape(s)}"""").getOrElse("")
-    // per-file data-skipping stats; min/max travel tag-encoded (see
-    // FileStats.encodeScalar) so the YAML-safe parser round-trips them
-    // type-exactly
+    // per-file data-skipping stats for THIS COMMIT'S NEW FILES ONLY — the
+    // incremental-log shape (Delta §4.1): a manifest is O(touched files),
+    // carried files reconstruct from the checkpoint + delta chain. Min/max
+    // travel tag-encoded (see FileStats.encodeScalar) so the YAML-safe
+    // parser round-trips them type-exactly.
     val statsField =
-      if (v.fileStats.isEmpty) ""
-      else {
-        val entries = v.fileStats.toSeq.sortBy(_._1).map { case (p, f) =>
-          val cols = f.cols.toSeq.sortBy(_._1).map { case (c, s) =>
-            val parts =
-              s.min.map(x =>
-                s""""mn": "${jsonEscape(FileStats.encodeScalar(x))}"""").toSeq ++
-              s.max.map(x =>
-                s""""mx": "${jsonEscape(FileStats.encodeScalar(x))}"""") ++
-              s.nullCount.map(n => s""""nc": $n""")
-            s""""${jsonEscape(c)}": ${parts.mkString("{", ", ", "}")}"""
-          }.mkString("{", ", ", "}")
-          s""""${jsonEscape(p)}": {"rows": ${f.rows}, "bytes": ${f.bytes}, "cols": $cols}"""
-        }.mkString("{", ", ", "}")
-        s""", "fileStats": $entries"""
-      }
+      if (v.statsNew.isEmpty) ""
+      else s""", "statsDelta": ${encodeStatsMap(v.statsNew)}"""
     val content =
       s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields$schemaField$statsField}"""
         .getBytes("UTF-8")
-    CommitStore.forScheme(schemeOf(path)).putIfAbsent(fs, manifest, content)
+    val won = CommitStore.forScheme(schemeOf(path)).putIfAbsent(
+      fs, manifest, content)
+    // periodic FULL-stats checkpoint (Delta §4.1's parquet checkpoint,
+    // JSON here): bounds every reader's delta-chain fold to the
+    // checkpoint interval. Best-effort and NOT the commit point — a lost
+    // or torn checkpoint only lengthens the fold, never loses data.
+    if (won && v.buckets.nonEmpty && v.version % CheckpointInterval == 0) {
+      try writeCheckpoint(fs, path, v)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] WARNING: checkpoint at $path " +
+          s"v${v.version} failed (readers fold deltas instead): $e")
+      }
+    }
+    won
   }
+
+  /** Full checkpoints land every this-many versions on bucketed hubs. */
+  private[graft] val CheckpointInterval = 10
+
+  private def checkpointPath(path: String, version: Int): Path =
+    new Path(new Path(path, LogDir), f"$version%08d.checkpoint.json")
+
+  /** Write the FULL per-file stats snapshot of `v` as a checkpoint —
+    * overwrite-idempotent (content is deterministic for a committed
+    * version) via temp-file + rename so readers never parse a torn write.
+    */
+  private[writers] def writeCheckpoint(fs: FileSystem, path: String,
+      v: Version): Unit = {
+    val target = checkpointPath(path, v.version)
+    val tmp = new Path(target.getParent,
+      s"${target.getName}.tmp-${UUID.randomUUID().toString.take(8)}")
+    val content =
+      s"""{"version": ${v.version}, "fileStats": ${encodeStatsMap(v.fileStats)}}"""
+        .getBytes("UTF-8")
+    val out = fs.create(tmp, /* overwrite = */ true)
+    try out.write(content) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      // some filesystems refuse rename-onto-existing: replace explicitly
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+    }
+  }
+
+  /** The checkpointed full stats map at `version`, or None when absent or
+    * unparseable (readers then fold a longer delta chain — never an error).
+    */
+  private def readCheckpoint(fs: FileSystem, path: String,
+      version: Int): Option[Map[String, FileStats.FileStat]] = {
+    val p = checkpointPath(path, version)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val parsed =
+      try new Yaml(new SafeConstructor(new LoaderOptions()))
+        .load[java.util.Map[String, AnyRef]](text)
+      catch { case _: Exception => null }
+    if (parsed == null) None
+    else Option(parsed.get("fileStats")).map(decodeStatsMap)
+  }
+
+  /** Carried-file stats for version `n` as READERS reconstruct them: the
+    * latest parseable checkpoint at or before `n`, plus every manifest
+    * delta in between (a checkpoint AT `n` short-circuits — it already
+    * holds the full map). The union is exact without tombstones because
+    * file paths are globally unique (UUID roots) and [[Version.fileStats]]
+    * restricts to the dirs `n` actually references. Legacy manifests
+    * (full `fileStats` field) parse into `statsNew` wholesale, so they act
+    * as natural anchors inside the fold.
+    */
+  private def loadCarried(spark: SparkSession, path: String,
+      n: Int): Map[String, FileStats.FileStat] = {
+    val fs = fileSystem(spark, path)
+    val log = new Path(path, LogDir)
+    if (!fs.exists(log)) return Map.empty
+    val names = fs.listStatus(log).map(_.getPath.getName)
+    val ckVersions = names.collect {
+      case CheckpointName(v) if v.toInt <= n => v.toInt }.sorted.reverse
+    var anchor = 0
+    var acc = Map.empty[String, FileStats.FileStat]
+    // newest parseable checkpoint wins; a torn/corrupt one falls through
+    ckVersions.iterator
+      .map(c => c -> readCheckpoint(fs, path, c))
+      .collectFirst { case (c, Some(m)) => (c, m) }
+      .foreach { case (c, m) => anchor = c; acc = m }
+    if (anchor == n) return acc
+    val manifestVersions = names.collect {
+      case ManifestName(v) if v.toInt > anchor && v.toInt < n => v.toInt
+    }.sorted
+    for (i <- manifestVersions; m <- readManifest(spark, path, i))
+      acc = acc ++ m.statsNew
+    acc
+  }
+
+  private val ManifestName = """(\d+)\.json""".r
+  private val CheckpointName = """(\d+)\.checkpoint\.json""".r
+
+  /** `{path: {rows, bytes, cols: {c: {mn, mx, nc}}}}` as manifest JSON —
+    * shared by the per-commit `statsDelta` field and the checkpoint file.
+    */
+  private def encodeStatsMap(
+      stats: Map[String, FileStats.FileStat]): String =
+    stats.toSeq.sortBy(_._1).map { case (p, f) =>
+      val cols = f.cols.toSeq.sortBy(_._1).map { case (c, s) =>
+        val parts =
+          s.min.map(x =>
+            s""""mn": "${jsonEscape(FileStats.encodeScalar(x))}"""").toSeq ++
+          s.max.map(x =>
+            s""""mx": "${jsonEscape(FileStats.encodeScalar(x))}"""") ++
+          s.nullCount.map(n => s""""nc": $n""")
+        s""""${jsonEscape(c)}": ${parts.mkString("{", ", ", "}")}"""
+      }.mkString("{", ", ", "}")
+      s""""${jsonEscape(p)}": {"rows": ${f.rows}, "bytes": ${f.bytes}, "cols": $cols}"""
+    }.mkString("{", ", ", "}")
+
+  private def decodeStatsMap(raw: AnyRef): Map[String, FileStats.FileStat] =
+    raw match {
+      case fm: java.util.Map[_, _] =>
+        fm.asScala.map { case (k, e0) =>
+          val e = e0.asInstanceOf[java.util.Map[String, AnyRef]].asScala
+          val cols = e.get("cols") match {
+            case Some(cm: java.util.Map[_, _]) =>
+              cm.asScala.map { case (c, s0) =>
+                val s = s0.asInstanceOf[java.util.Map[String, AnyRef]].asScala
+                c.toString -> FileStats.ColStat(
+                  s.get("mn").flatMap(x => FileStats.decodeScalar(x.toString)),
+                  s.get("mx").flatMap(x => FileStats.decodeScalar(x.toString)),
+                  s.get("nc").map(_.toString.toLong))
+              }.toMap
+            case _ => Map.empty[String, FileStats.ColStat]
+          }
+          k.toString -> FileStats.FileStat(
+            e("rows").toString.toLong, e("bytes").toString.toLong, cols)
+        }.toMap
+      case _ => Map.empty
+    }
 
   /** Minimal JSON string escape for the embedded schema record (the schema
     * is itself JSON, so quotes and backslashes must survive the round-trip
@@ -1249,7 +1415,7 @@ object VersionedHub {
     if (!fs.exists(log)) return Nil
     val cutoff = System.currentTimeMillis() - math.max(minAgeMs, 0L)
     fs.listStatus(log).toSeq
-      .filter(st => st.getPath.getName.endsWith(".json") &&
+      .filter(st => ManifestName.matches(st.getPath.getName) &&
         st.getModificationTime < cutoff)
       .flatMap { st =>
         val n = st.getPath.getName.stripSuffix(".json").toInt
@@ -1288,28 +1454,21 @@ object VersionedHub {
           .toMap
       case _ => Map.empty[Int, Long]
     }
-    val fileStats: Map[String, FileStats.FileStat] = m.get("fileStats") match {
-      case Some(fm: java.util.Map[_, _]) =>
-        fm.asScala.map { case (k, raw) =>
-          val e = raw.asInstanceOf[java.util.Map[String, AnyRef]].asScala
-          val cols = e.get("cols") match {
-            case Some(cm: java.util.Map[_, _]) =>
-              cm.asScala.map { case (c, s0) =>
-                val s = s0.asInstanceOf[java.util.Map[String, AnyRef]].asScala
-                c.toString -> FileStats.ColStat(
-                  s.get("mn").flatMap(x => FileStats.decodeScalar(x.toString)),
-                  s.get("mx").flatMap(x => FileStats.decodeScalar(x.toString)),
-                  s.get("nc").map(_.toString.toLong))
-              }.toMap
-            case _ => Map.empty[String, FileStats.ColStat]
-          }
-          k.toString -> FileStats.FileStat(
-            e("rows").toString.toLong, e("bytes").toString.toLong, cols)
-        }.toMap
-      case _ => Map.empty
+    val version = m("version").toString.toInt
+    // two stats encodings coexist: "statsDelta" (incremental — this
+    // commit's files, carried files fold lazily from checkpoint + chain)
+    // and legacy "fileStats" (a full snapshot map per manifest — parses as
+    // statsNew wholesale and needs no carried chain, acting as an anchor)
+    val (statsNew, statsCarried) = m.get("statsDelta") match {
+      case Some(raw) =>
+        (decodeStatsMap(raw),
+          () => loadCarried(spark, path, version))
+      case None => (m.get("fileStats").map(decodeStatsMap).getOrElse(
+        Map.empty[String, FileStats.FileStat]),
+        () => Map.empty[String, FileStats.FileStat])
     }
     Some(Version(
-      m("version").toString.toInt,
+      version,
       m("dataDir").toString,
       m("ts").toString.toLong,
       m("rows").toString.toLong,
@@ -1319,7 +1478,8 @@ object VersionedHub {
       bucketCols,
       bucketRows,
       m.get("schema").map(_.toString),
-      fileStats))
+      statsNew,
+      statsCarried))
   }
 
   /** Row count of every parquet file under `dir`, summed from the footers

@@ -254,6 +254,60 @@ class VersionedHubSpec extends SparkTestBase {
     assert(del == Set((7, "delete")), s"$del")
   }
 
+  test("incremental log: manifests are O(touched files); checkpoints + deltas reconstruct full stats; vacuum re-anchors") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val path = tmpDir("vhub_incr")
+    def logFile(name: String) = new java.io.File(s"$path/_log/$name")
+    def manifestLen(n: Int) = logFile(f"$n%08d.json").length()
+    // v1: a bulk load leaving ~20 files per bucket — the big manifest
+    VersionedHub.writeBucketed(spark,
+      (1 to 4000).map(i => (i, s"v$i")).toDF("k", "v").repartition(20),
+      path, Seq("k"), 8, optimizeWrite = false)
+    val v1Len = manifestLen(1)
+    // 12 single-key upserts: versions 2..13, crossing CheckpointInterval
+    for (i <- 1 to 12)
+      VersionedHub.writeBucketed(spark,
+        Seq((i * 37, s"U$i")).toDF("k", "v"), path, Seq("k"), 8)
+    // each small commit's manifest carries only its own files' stats — its
+    // size must not scale with the v1 bulk (the 100 TB log-growth contract)
+    val smallLens = (2 to 13).map(manifestLen)
+    assert(smallLens.max < v1Len / 4,
+      s"small-commit manifests must be O(touched): v1=$v1Len bytes, " +
+        s"upserts=${smallLens.mkString(",")}")
+    // the interval checkpoint landed
+    assert(logFile(f"${10}%08d.checkpoint.json").exists(),
+      "expected a checkpoint at version 10")
+    // reconstructed full stats == ground truth re-collected from disk
+    val tip = VersionedHub.history(spark, path).last
+    assert(tip.version == 13)
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val truth = tip.buckets.values.toSeq.flatMap(rel =>
+      graft.writers.FileStats.collect(spark, fs, new HPath(path),
+        new HPath(s"$path/$rel"))).toMap
+    assert(tip.fileStats.keySet == truth.keySet,
+      s"missing=${(truth.keySet -- tip.fileStats.keySet).take(3)} " +
+        s"extra=${(tip.fileStats.keySet -- truth.keySet).take(3)}")
+    for ((p, st) <- truth)
+      assert(tip.fileStats(p) == st, s"stat drifted for $p")
+    assert(tip.fileStats.values.map(_.rows).sum == tip.rows)
+    // vacuum away the anchors: the oldest kept version gets checkpointed
+    // first, so stats still reconstruct and reads survive
+    VersionedHub.vacuum(spark, path, keepVersions = Some(2), retainMs = 0)
+    assert(logFile(f"${12}%08d.checkpoint.json").exists(),
+      "vacuum must anchor the oldest kept version before dropping manifests")
+    val hist = VersionedHub.history(spark, path)
+    assert(hist.map(_.version) == Seq(12, 13))
+    assert(hist.last.fileStats == tip.fileStats,
+      "post-vacuum reconstruction must equal the pre-vacuum full map")
+    assert(VersionedHub.read(spark, path).count() == 4000L)
+    // a fresh commit on the vacuumed log still folds correctly
+    VersionedHub.writeBucketed(spark, Seq((1, "last")).toDF("k", "v"),
+      path, Seq("k"), 8)
+    val v14 = VersionedHub.history(spark, path).last
+    assert(v14.fileStats.values.map(_.rows).sum == v14.rows)
+  }
+
   test("executor-side footer stats (>64 files) resolve paths with the DRIVER's hadoop conf") {
     // a filesystem scheme that exists ONLY in the driver's configuration
     // (the spark.hadoop.* / custom-FS deployment shape): if the parallel
