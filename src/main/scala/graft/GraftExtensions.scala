@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MERGE INTO <hub table> — rewrites the canonical upsert MERGE shape
     // onto the versioned hub's own ACID merge commit
     ext.injectResolutionRule(graft.sources.HubMergeRule.apply)
+    // UPDATE <hub table> SET ... WHERE ... — one ACID commit rewriting
+    // only the candidate buckets (manifest-stat bounded, per-retry)
+    ext.injectResolutionRule(graft.sources.HubUpdateRule.apply)
     // restore SupportsReportStatistics across Spark's V1ScanWrapper so the
     // connector's manifest-backed sizes reach the join planner (broadcast
     // decisions) instead of degrading to defaultSizeInBytes. The wrapper

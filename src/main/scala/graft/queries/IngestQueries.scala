@@ -766,6 +766,62 @@ object IngestQueries {
       "ORDER BY o_orderpriority")
   }
 
+  /** Real `UPDATE` SQL against a hub catalog table — rewritten onto one
+    * ACID [[graft.writers.VersionedHub.updateWhere]] commit by
+    * [[graft.sources.HubUpdateRule]]: candidate buckets bounded by the
+    * manifest file stats, only matching buckets rewritten, untouched dirs
+    * shared structurally (in-query gates). Exercises a multi-assignment
+    * SET evaluated against the pre-update row, a predicate on a
+    * NON-routing column (stats pruning, not bucket hashing), and SQL
+    * NULL-predicate semantics (NULL keeps the row's values). The oracle is
+    * the same UPDATE applied as a CASE projection.
+    */
+  val qHubUpdateSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_update_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice")),
+      s"$tmp/orders_u", Seq("o_orderkey"), 16)
+    val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_u").last
+    // broad update on a non-routing column
+    spark.sql(s"UPDATE $cat.default.orders_u " +
+      "SET o_orderpriority = concat('X-', o_orderpriority), " +
+      "o_totalprice = o_totalprice * 2 " +
+      "WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 2000")
+    val v2 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_u").last
+    require(v2.version == v1.version + 1 && v2.rows == v1.rows,
+      "UPDATE must commit one version and keep the row count")
+    // narrow keyed update: the routing-column IN prunes candidates, so
+    // most bucket dirs must carry over structurally
+    spark.sql(s"UPDATE $cat.default.orders_u " +
+      "SET o_totalprice = 0.0 WHERE o_orderkey IN (1, 2, 3)")
+    val v3 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_u").last
+    require((v2.buckets.toSet intersect v3.buckets.toSet).nonEmpty,
+      "buckets without matches must share dirs structurally")
+    spark.sql(s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      s"FROM $cat.default.orders_u GROUP BY o_orderpriority " +
+      "ORDER BY o_orderpriority")
+  }
+
+  private val hubUpdateSqlOracle: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey < 2000
+      |         THEN 'X-' || o_orderpriority ELSE o_orderpriority END
+      |      AS o_orderpriority,
+      |    CASE WHEN o_orderkey IN (1, 2, 3) THEN 0.0
+      |         WHEN o_orderpriority = '1-URGENT' AND o_orderkey < 2000
+      |         THEN CAST(o_totalprice AS DOUBLE) * 2
+      |         ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM upd GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private val hubDeleteSqlOracle: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k
@@ -847,6 +903,7 @@ object IngestQueries {
     "q_hub_zorder_buckets" -> qHubZorderBuckets,
     "q_hub_overwrite_sql" -> qHubOverwriteSql,
     "q_hub_delete_sql" -> qHubDeleteSql,
+    "q_hub_update_sql" -> qHubUpdateSql,
     "q_stream_cdf_tail" -> qStreamCdfTail,
     "q_stream_hub_mirror" -> qStreamHubMirror,
     "q_stream_hub_tail" -> qStreamHubTail,
@@ -868,6 +925,7 @@ object IngestQueries {
     "q_hub_zorder_buckets" -> hubZorderBucketsOracle,
     "q_hub_overwrite_sql" -> hubOverwriteSqlOracle,
     "q_hub_delete_sql" -> hubDeleteSqlOracle,
+    "q_hub_update_sql" -> hubUpdateSqlOracle,
     "q_stream_cdf_tail" -> streamCdfTailOracle,
     "q_stream_hub_mirror" -> streamHubMirrorOracle,
     "q_stream_hub_tail" -> streamHubTailOracle,

@@ -442,6 +442,37 @@ object HubDataSource {
     }
   }
 
+  /** The buckets of `base` that can hold rows matching ALL of `filters`,
+    * judged against base's own manifest (bucket-hash pruning + per-file
+    * stats skipping). A FUNCTION of the version — row-level commands
+    * (DELETE/UPDATE) evaluate it inside each commit retry against the
+    * freshly-read base, never against a stale tip.
+    */
+  private[graft] def candidateBucketsFn(spark: SparkSession,
+      fullSchema: StructType, filters: Seq[Filter])
+      : VersionedHub.Version => Set[Int] = { base =>
+    val dirRels = scanDirRels(base,
+      prunedBuckets(spark, fullSchema, base, filters))
+    val plan = planFiles(base, dirRels, filters, fullSchema)
+    val dirToBucket = base.buckets.map(_.swap)
+    val survivorDirs = plan.survivors.map { case (p, _) =>
+      p.substring(0, p.lastIndexOf('/')) }.toSet
+    (survivorDirs ++ plan.uncoveredDirs).flatMap(dirToBucket.get).toSet
+  }
+
+  /** [[candidateBucketsFn]] against the hub's tip schema — the public
+    * entry for row-level commands living outside the graft package
+    * ([[org.apache.spark.sql.graftbridge.GraftUpdateCommand]]).
+    */
+  def rowLevelCandidates(spark: SparkSession, path: String,
+      filters: Seq[Filter]): Option[VersionedHub.Version => Set[Int]] =
+    if (filters.isEmpty) None
+    else {
+      val tip = VersionedHub.versionAt(spark, path, None)
+      val schema = VersionedHub.snapshotSchema(spark, path, tip)
+      Some(candidateBucketsFn(spark, schema, filters))
+    }
+
   /** The column a stats-skippable filter constrains, for pushed-filter
     * attribution only.
     */
@@ -496,16 +527,8 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
     // stats proved no-match (wrong answer under concurrency)
     val candidates: Option[VersionedHub.Version => Set[Int]] =
       if (filters.isEmpty) None
-      else Some { base =>
-        val dirRels = HubDataSource.scanDirRels(base,
-          HubDataSource.prunedBuckets(spark, fullSchema, base, filters.toSeq))
-        val plan = HubDataSource.planFiles(base, dirRels, filters.toSeq,
-          fullSchema)
-        val dirToBucket = base.buckets.map(_.swap)
-        val survivorDirs = plan.survivors.map { case (p, _) =>
-          p.substring(0, p.lastIndexOf('/')) }.toSet
-        (survivorDirs ++ plan.uncoveredDirs).flatMap(dirToBucket.get).toSet
-      }
+      else Some(HubDataSource.candidateBucketsFn(spark, fullSchema,
+        filters.toSeq))
     VersionedHub.deleteWhere(spark, path, cond, candidates)
     ()
   }

@@ -785,6 +785,113 @@ object VersionedHub {
     }
   }
 
+  /** UPDATE the rows matching `cond` as one committed version (SQL
+    * `UPDATE ... SET ... WHERE` semantics: every assignment evaluates
+    * against the PRE-update row — one projection, not a fold — and rows
+    * where `cond` is FALSE or NULL keep their values). Flat hubs rewrite
+    * the snapshot; bucketed hubs rewrite ONLY the buckets holding matches,
+    * with `candidateBuckets` (a function of the fresh base, recomputed per
+    * commit retry exactly like [[deleteWhere]]) bounding even the
+    * detection scan. Updating a bucket-ROUTING column is refused: the
+    * rewrite keeps rows in their dirs, and a re-routed value would strand
+    * the row where later merges of its new key cannot find it.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      path: String,
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      candidateBuckets: Option[Version => Set[Int]] = None
+  ): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(sets.nonEmpty, "UPDATE requires at least one SET assignment")
+    val hit = coalesce(cond, lit(false))
+    val setMap = sets.toMap
+    require(setMap.size == sets.size,
+      s"duplicate SET column among ${sets.map(_._1)}")
+    def applySets(df: DataFrame): DataFrame = {
+      val missing = setMap.keySet -- df.columns
+      require(missing.isEmpty, s"SET columns $missing not in the snapshot")
+      df.select(df.columns.toIndexedSeq.map { c =>
+        setMap.get(c).fold(col(c))(v => when(hit, v).otherwise(col(c)).as(c))
+      }: _*)
+    }
+    latest(spark, path) match {
+      case None => throw new IllegalArgumentException(
+        s"no committed versions at $path")
+      case Some(v0) if v0.buckets.isEmpty =>
+        commitLoop(spark, path, batchId = None) { base =>
+          val v = base.getOrElse(throw new IllegalStateException(
+            s"hub at $path lost its versions mid-update"))
+          applySets(read(spark, path, Some(v.version)))
+        }
+      case Some(_) =>
+        val fs = fileSystem(spark, path)
+        var attempt = 0
+        while (attempt < MaxRetries) {
+          attempt += 1
+          val base = latest(spark, path).getOrElse(
+            throw new IllegalStateException(
+              s"hub at $path lost its versions mid-update"))
+          require(base.buckets.nonEmpty,
+            s"hub at $path became flat mid-update; retry")
+          for (bc <- base.bucketCols)
+            require(!bc.exists(setMap.contains),
+              s"cannot UPDATE bucket routing column(s) " +
+                s"${bc.filter(setMap.contains).mkString(", ")} — rows would " +
+                "leave the bucket later merges of their key route to")
+          val cand = candidateBuckets
+            .map(_(base).toSeq.filter(base.buckets.contains).sorted)
+            .getOrElse(base.buckets.keys.toSeq.sorted)
+          if (cand.isEmpty) return base.version
+          val tagged = graft.operators.Dedup.persistForReuse(
+            cand.map { b =>
+              readDirs(spark, base, Seq(resolve(path, base.buckets(b))))
+                .withColumn(BucketCol, lit(b))
+            }.reduce(_ unionByName _))
+          try {
+            val touched = tagged.filter(cond).select(BucketCol).distinct()
+              .collect().map(_.getInt(0)).sorted.toIndexedSeq
+            if (touched.isEmpty) return base.version
+            val next = base.version + 1
+            val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
+            val rewritten = applySets(
+              tagged.filter(
+                col(BucketCol).isin(touched.map(Integer.valueOf): _*)))
+            rewritten
+              .repartition(col(BucketCol))
+              .write.partitionBy(BucketCol).parquet(resolve(path, root))
+            val fstatsNew = FileStats.collect(spark, fs, new Path(path),
+              new Path(resolve(path, root)))
+            val newBuckets = (base.buckets -- touched) ++
+              touched.map(b => b -> s"$root/$BucketCol=$b")
+            val newRows: Map[Int, Long] = touched.map { b =>
+              val prefix = s"$root/$BucketCol=$b/"
+              b -> fstatsNew.iterator.collect {
+                case (p, st) if p.startsWith(prefix) => st.rows }.sum
+            }.toMap
+            val bucketRows = (base.bucketRows -- touched) ++ newRows
+            // a SET value wider than its column widens the recorded schema
+            // (the hub's documented merge behavior) — untouched buckets
+            // keep their narrower files, reads align
+            val snapSchema = unionSchema(spark, path, Some(base),
+              rewritten.drop(BucketCol).schema)
+            if (commit(fs, path, Version(next, root,
+                System.currentTimeMillis(), bucketRows.values.sum, None,
+                base.nBuckets, newBuckets, base.bucketCols, bucketRows,
+                schemaJson = Some(snapSchema.json),
+                statsNew = fstatsNew,
+                statsCarried = () => base.fileStats)))
+              return next
+            fs.delete(new Path(resolve(path, root)), true)
+            failIfStuck(spark, path, next)
+          } finally tagged.unpersist()
+        }
+        throw new IllegalStateException(
+          s"hub at $path: lost the commit race $MaxRetries times — giving up")
+    }
+  }
+
   /** The rows a stream tailing this hub receives for the version step
     * (fromVersion, toVersion]: content AS OF toVersion of every data dir
     * toVersion's manifest references that fromVersion's does not —

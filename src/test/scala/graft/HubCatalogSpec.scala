@@ -154,6 +154,88 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("UPDATE rewrites only the buckets holding matches; SET sees pre-update rows; misses are a no-op") {
+    withCatalog("hubupd") { base =>
+      VersionedHub.writeBucketed(spark,
+        (1L to 40L).map(k => (k, s"v$k", k * 10)).toDF("k", "v", "n"),
+        s"$base/t", Seq("k"), 8)
+      val v1 = VersionedHub.history(spark, s"$base/t").last
+      // multiple SETs, all evaluated against the PRE-update row (n = n + k
+      // must use the original n even though v is also being set)
+      spark.sql(
+        "UPDATE hubupd.default.t SET v = concat(v, '!'), n = n + k WHERE k <= 3")
+      val v2 = VersionedHub.history(spark, s"$base/t").last
+      assert(v2.version == v1.version + 1 && v2.rows == 40)
+      val low = spark.sql(
+        "SELECT k, v, n FROM hubupd.default.t WHERE k <= 4 ORDER BY k")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(low == Seq((1L, "v1!", 11L), (2L, "v2!", 22L), (3L, "v3!", 33L),
+        (4L, "v4", 40L)))
+      // buckets without matches share their dirs structurally
+      assert((v1.buckets.toSet intersect v2.buckets.toSet).nonEmpty)
+      // pre-update snapshot still time-travelable
+      assert(spark.sql(
+        "SELECT v FROM hubupd.default.t VERSION AS OF 1 WHERE k = 1")
+        .as[String].head() == "v1")
+      // an UPDATE matching nothing commits nothing
+      spark.sql("UPDATE hubupd.default.t SET n = 0 WHERE k > 1000")
+      assert(VersionedHub.history(spark, s"$base/t").last.version == v2.version)
+      // NULL-predicate rows keep their values
+      VersionedHub.writeBucketed(spark,
+        Seq((100L, null: String, 7L)).toDF("k", "v", "n"),
+        s"$base/t", Seq("k"), 8)
+      spark.sql("UPDATE hubupd.default.t SET n = -1 WHERE v < 'v2'")
+      val nByK = spark.sql(
+        "SELECT k, n FROM hubupd.default.t WHERE k IN (1, 19, 100)")
+        .as[(Long, Long)].collect().toMap
+      assert(nByK(1L) == -1L && nByK(19L) == -1L,
+        s"matching rows must update: $nByK")
+      assert(nByK(100L) == 7L, "NULL-predicate row must keep its value")
+      // WHERE-less UPDATE touches every row
+      spark.sql("UPDATE hubupd.default.t SET n = 0")
+      assert(spark.sql(
+        "SELECT count(*) FROM hubupd.default.t WHERE n <> 0")
+        .as[Long].head() == 0L)
+      // bucket-routing columns are refused (rows would leave the bucket
+      // their key routes to)
+      val e = intercept[Exception](
+        spark.sql("UPDATE hubupd.default.t SET k = k + 1 WHERE k = 5"))
+      assert(e.getMessage.contains("bucket routing column"), e.getMessage)
+      // time travel UPDATE refused (parser or rule — either gate holds)
+      intercept[Exception](spark.sql(
+        "UPDATE hubupd.default.t VERSION AS OF 1 SET n = 5"))
+      // FLAT hubs update through the snapshot-rewrite path
+      VersionedHub.write(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"), s"$base/flat", Seq.empty)
+      spark.sql("UPDATE hubupd.default.flat SET v = upper(v) WHERE k = 2")
+      assert(spark.sql("SELECT v FROM hubupd.default.flat ORDER BY k")
+        .as[String].collect().toSeq == Seq("a", "B"))
+    }
+  }
+
+  test("UPDATE candidate pruning: stats-proven no-match buckets are not rewritten") {
+    withCatalog("hubupp") { base =>
+      // one bucket holds the high-n rows; every other bucket's file stats
+      // prove no match for n >= 900 — their dirs must carry over even
+      // though the predicate is not on the routing column
+      VersionedHub.writeBucketed(spark,
+        ((1L to 40L).map(k => (k, k)) :+ (41L, 950L)).toDF("k", "n"),
+        s"$base/t", Seq("k"), 8)
+      val v1 = VersionedHub.history(spark, s"$base/t").last
+      spark.sql("UPDATE hubupp.default.t SET n = n + 1 WHERE n >= 900")
+      val v2 = VersionedHub.history(spark, s"$base/t").last
+      val rewritten = v2.buckets.count { case (b, d) =>
+        !v1.buckets.get(b).contains(d) }
+      assert(rewritten == 1,
+        s"stats pruning must bound the rewrite to the ONE matching bucket, " +
+          s"rewrote $rewritten")
+      assert(spark.sql("SELECT max(n) FROM hubupp.default.t")
+        .as[Long].head() == 951L)
+      assert(spark.sql("SELECT count(*) FROM hubupp.default.t")
+        .as[Long].head() == 41L)
+    }
+  }
+
   test("DELETE recomputes candidate buckets per retry: a concurrent upsert " +
     "into a previously-no-match bucket is still deleted") {
     import graft.writers.CommitStore
