@@ -491,16 +491,30 @@ object IngestQueries {
          |ON t.n_nationkey = s.n_nationkey
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // PARTIAL-COLUMN merge (round-12): the matched UPDATE mentions only
+    // n_name (an expression over BOTH sides), the explicit INSERT list
+    // mentions only the key — unmentioned columns keep target values on
+    // match and land NULL on insert (HubMergeRule's joined-source rewrite)
+    Seq((3L, 77L), (901L, 88L)).toDF("n_nationkey", "bonus")
+      .createOrReplaceTempView("nation_partial")
+    spark.sql(
+      s"""MERGE INTO $cat.default.nation_m t USING nation_partial s
+         |ON t.n_nationkey = s.n_nationkey
+         |WHEN MATCHED THEN UPDATE SET
+         |  n_name = concat(t.n_name, '+', CAST(s.bonus AS STRING))
+         |WHEN NOT MATCHED THEN INSERT (n_nationkey) VALUES (s.n_nationkey)""".stripMargin)
     spark.sql(s"SELECT n_nationkey, n_name FROM $cat.default.nation_m")
       .orderBy(col("n_nationkey").asc_nulls_first)
   }
 
   private val hubMergeSqlOracle: String =
     """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
-      |  CASE WHEN n_nationkey < 5 THEN n_name || '_m' ELSE n_name END AS n_name
+      |  CASE WHEN n_nationkey = 3 THEN n_name || '_m' || '+77'
+      |       WHEN n_nationkey < 5 THEN n_name || '_m' ELSE n_name END AS n_name
       |FROM nation
       |UNION ALL SELECT 900, 'NEWLAND'
       |UNION ALL SELECT NULL, 'NULLKEY'
+      |UNION ALL SELECT 901, NULL
       |ORDER BY n_nationkey NULLS FIRST""".stripMargin
 
   /** A TPC-H-shaped join/agg run ENTIRELY over hub catalog tables in SQL

@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, AttributeReference, Cast, EqualTo => CatEqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And => CatAnd, AttributeReference, Cast, EqualTo => CatEqualTo, Expression, If, IsNotNull, Literal}
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateStarAction}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graftbridge.GraftMergeCommand
@@ -118,35 +119,107 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         fail("cannot MERGE INTO a VERSION AS OF snapshot")
       val keys = keysOf(m.mergeCondition, m.targetTable, m.sourceTable)
       if (keys.isEmpty) fail("no usable key equalities in ON")
-      m.matchedActions match {
-        case Seq(UpdateStarAction(None)) => ()
-        case Seq(UpdateAction(None, assigns, _))
-            if starLike(assigns, m.targetTable, m.sourceTable) => ()
+      val matchedStar = m.matchedActions match {
+        case Seq(UpdateStarAction(None)) => true
+        case Seq(UpdateAction(None, assigns, _)) =>
+          starLike(assigns, m.targetTable, m.sourceTable)
         case other => fail(s"unsupported WHEN MATCHED actions $other")
       }
-      m.notMatchedActions match {
-        case Seq(InsertStarAction(None)) => ()
-        case Seq(InsertAction(None, assigns))
-            if starLike(assigns, m.targetTable, m.sourceTable) => ()
+      val insertStar = m.notMatchedActions match {
+        case Seq(InsertStarAction(None)) => true
+        case Seq(InsertAction(None, assigns)) =>
+          starLike(assigns, m.targetTable, m.sourceTable)
         case other => fail(s"unsupported WHEN NOT MATCHED actions $other")
       }
       if (m.notMatchedBySourceActions.nonEmpty)
         fail("WHEN NOT MATCHED BY SOURCE is not supported")
-      // the hub merge consumes the source's columns by NAME — align the
-      // source column names to the target's exact casing
-      val tgtNames: Map[String, String] = m.targetTable.output
-        .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a.name).toMap
-      val projected = m.sourceTable.output.map { a =>
-        tgtNames.get(a.name.toLowerCase(java.util.Locale.ROOT)) match {
-          case Some(exact) if exact != a.name =>
-            org.apache.spark.sql.catalyst.expressions.Alias(a, exact)()
-          case _ => a
+      if (matchedStar && insertStar) {
+        // the canonical shape: the hub merge IS this upsert — the source
+        // feeds it directly (columns aligned to the target's exact casing)
+        val tgtNames: Map[String, String] = m.targetTable.output
+          .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a.name).toMap
+        val projected = m.sourceTable.output.map { a =>
+          tgtNames.get(a.name.toLowerCase(java.util.Locale.ROOT)) match {
+            case Some(exact) if exact != a.name => Alias(a, exact)()
+            case _ => a
+          }
         }
+        val src =
+          if (projected.forall(_.isInstanceOf[AttributeReference])) m.sourceTable
+          else Project(projected, m.sourceTable)
+        GraftMergeCommand(path, keys, src)
+      } else {
+        // PARTIAL-COLUMN shape (UPDATE SET c = e and/or explicit INSERT
+        // lists): the hub's keyed upsert replaces whole rows, so the
+        // upsert source is built by LEFT-JOINING the source to the target
+        // snapshot on the keys and computing every target column —
+        // matched rows take the assignment (target values for unmentioned
+        // columns), unmatched rows take the insert expression (NULL for
+        // unmentioned columns). Under a concurrent commit the unmentioned
+        // columns carry the join-time snapshot's values — the same
+        // read-committed race every engine's MERGE has.
+        GraftMergeCommand(path, keys,
+          partialMergeSource(m, keys, matchedStar, insertStar))
       }
-      val src =
-        if (projected.forall(_.isInstanceOf[AttributeReference])) m.sourceTable
-        else org.apache.spark.sql.catalyst.plans.logical.Project(
-          projected, m.sourceTable)
-      GraftMergeCommand(path, keys, src)
+  }
+
+  /** The joined upsert source for the partial-column MERGE shapes — see
+    * the caller's note. Emits exactly the target's columns.
+    */
+  private def partialMergeSource(m: MergeIntoTable, keys: Seq[String],
+      matchedStar: Boolean, insertStar: Boolean): LogicalPlan = {
+    val lcKeys = keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val srcByName = m.sourceTable.output.map(a => lc(a.name) -> a).toMap
+    def assignMap(assigns: Seq[Assignment],
+        what: String): Map[String, Expression] =
+      assigns.map { a =>
+        unwrapCast(a.key) match {
+          case k: AttributeReference if m.targetTable.outputSet.contains(k) =>
+            lc(k.name) -> a.value
+          case other => fail(s"$what assignment target $other is not a " +
+            "top-level target column")
+        }
+      }.toMap
+    val updMap: Map[String, Expression] = m.matchedActions.head match {
+      case UpdateStarAction(_) => Map.empty // resolved per-column to s.c
+      case UpdateAction(_, assigns, _) => assignMap(assigns, "UPDATE")
+      case other => fail(s"unsupported WHEN MATCHED action $other")
+    }
+    if (!matchedStar && updMap.keySet.exists(lcKeys.contains))
+      fail("UPDATE SET on a merge KEY column — the keyed upsert would " +
+        "insert the new key and strand the old row; delete + insert instead")
+    val insMap: Map[String, Expression] = m.notMatchedActions.head match {
+      case InsertStarAction(_) => Map.empty
+      case InsertAction(_, assigns) => assignMap(assigns, "INSERT")
+      case other => fail(s"unsupported WHEN NOT MATCHED action $other")
+    }
+    // matched ⟺ the equi-joined target key is non-null (null keys never
+    // equi-match, so a non-null joined key attr marks a real match)
+    val keyAttr = m.targetTable.output
+      .find(a => lc(a.name) == lc(keys.head))
+      .getOrElse(fail(s"key ${keys.head} missing from the target output"))
+    val matched = IsNotNull(keyAttr)
+    def srcAttr(name: String): Expression = srcByName.getOrElse(lc(name),
+      fail(s"INSERT */UPDATE SET * needs source column $name"))
+    def shaped(e: Expression, dt: org.apache.spark.sql.types.DataType,
+        what: String): Expression =
+      if (e.dataType == dt) e
+      else if (Cast.canUpCast(e.dataType, dt)) Cast(e, dt)
+      else fail(s"$what expression of type ${e.dataType.sql} cannot " +
+        s"losslessly widen to the target column type ${dt.sql}")
+    val cols = m.targetTable.output.map { t =>
+      val upd = shaped(
+        if (matchedStar) srcAttr(t.name)
+        else updMap.getOrElse(lc(t.name), t),
+        t.dataType, s"WHEN MATCHED value for ${t.name}")
+      val ins = shaped(
+        if (insertStar) srcAttr(t.name)
+        else insMap.getOrElse(lc(t.name), Literal(null, t.dataType)),
+        t.dataType, s"WHEN NOT MATCHED value for ${t.name}")
+      Alias(If(matched, upd, ins), t.name)()
+    }
+    Project(cols, Join(m.sourceTable, m.targetTable, LeftOuter,
+      Some(m.mergeCondition), JoinHint.NONE))
   }
 }

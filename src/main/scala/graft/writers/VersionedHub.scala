@@ -68,10 +68,17 @@ object VersionedHub {
       * column that lives only in buckets untouched since a schema
       * evolution is still present here, which is what lets bucket-pruned
       * reads reproduce the full-read schema without touching every dir.
+      *
+      * Always NULLABLE (like Delta's columns and parquet reads): a
+      * `nullable = false` recorded from some writer's DataFrame would make
+      * the V1-bridged scan assert non-null on values that later commits
+      * (a partial-merge insert, an evolved-column pad) legitimately set
+      * to NULL.
       */
     def schema: Option[org.apache.spark.sql.types.StructType] =
-      schemaJson.map(org.apache.spark.sql.types.DataType.fromJson(_)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      schemaJson.map(s => Version.nullable(
+        org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
 
     /** The data dir rels (trailing `/`) this snapshot references — the
       * path space its live files inhabit.
@@ -101,6 +108,26 @@ object VersionedHub {
   object Version {
     private val NoCarried: () => Map[String, FileStats.FileStat] =
       () => Map.empty
+
+    /** Everything-nullable view of a recorded schema (Spark's own
+      * `asNullable` is `private[spark]`).
+      */
+    private def nullableDt(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: org.apache.spark.sql.types.StructType => nullable(s)
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = nullableDt(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = nullableDt(m.keyType),
+          valueType = nullableDt(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+
+    private[writers] def nullable(
+        s: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = nullableDt(f.dataType), nullable = true)))
   }
 
   /** Merge-upsert `df` into the hub at `path` as a new committed version.

@@ -93,10 +93,6 @@ class HubCatalogSpec extends SparkTestBase {
         assert(e.getMessage.contains("graft-hub MERGE INTO supports"),
           s"wrong error for: $sql\n${e.getMessage}")
       }
-      // partial-column update
-      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
-               |WHEN MATCHED THEN UPDATE SET v = s.v
-               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       // conditional matched action
       denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
                |WHEN MATCHED AND s.w > 1.0 THEN UPDATE SET *
@@ -108,6 +104,45 @@ class HubCatalogSpec extends SparkTestBase {
       denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k < s.k
                |WHEN MATCHED THEN UPDATE SET *
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // UPDATE SET on a merge key: the keyed upsert would strand the old row
+      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
+               |WHEN MATCHED THEN UPDATE SET k = s.k + 1
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+  }
+
+  test("partial-column MERGE: unmentioned columns keep target values on match, NULL on insert") {
+    withCatalog("hubpm") { base =>
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+          .toDF("k", "v", "n"),
+        s"$base/t", Seq("k"), 4)
+      Seq((2L, "B!", 999L), (9L, "ins", 90L)).toDF("k", "v", "extra")
+        .createOrReplaceTempView("pm_src")
+      // partial UPDATE (v only — n must keep its target value) with a
+      // star-free INSERT list (n unmentioned — must land NULL)
+      spark.sql("""MERGE INTO hubpm.default.t t USING pm_src s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET v = s.v
+                  |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      val after = spark.sql("SELECT k, v, n FROM hubpm.default.t ORDER BY k")
+        .as[(Long, String, Option[Long])].collect().toSeq
+      assert(after == Seq(
+        (1L, "a", Some(10L)),
+        (2L, "B!", Some(20L)), // v updated, n carried from the target
+        (3L, "c", Some(30L)),
+        (9L, "ins", None)), after.toString) // unmentioned column NULL
+      // expressions over BOTH sides in the assignment
+      spark.sql("""MERGE INTO hubpm.default.t t USING pm_src s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET n = t.n + s.extra
+                  |WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""".stripMargin)
+      val n2 = spark.sql("SELECT k, n FROM hubpm.default.t WHERE k IN (2, 9)")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(n2(2L).contains(20L + 999L), n2.toString)
+      // one ACID version per MERGE, layout intact
+      val hist = VersionedHub.history(spark, s"$base/t")
+      assert(hist.size == 3 && hist.last.nBuckets.contains(4))
     }
   }
 
