@@ -821,6 +821,60 @@ object IngestQueries {
       "ORDER BY o_orderpriority")
   }
 
+  /** MERGE with the full conditional cascade — `WHEN MATCHED AND p THEN
+    * DELETE`, partial `UPDATE SET` fallback, star-free `INSERT` list — in
+    * ONE ACID commit (delete + upsert atomic, in-query version gate). The
+    * oracle reconstructs the cascade as filter + CASE projection.
+    */
+  val qHubMergeDeleteSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_mergedel_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice")),
+      s"$tmp/orders_md", Seq("o_orderkey"), 16)
+    val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_md").last
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .unionByName(
+        spark.range(1, 3).select((-col("id")).as("o_orderkey"),
+          (col("id") * 111.0).as("o_totalprice")))
+      .createOrReplaceTempView("md_src")
+    spark.sql(
+      s"""MERGE INTO $cat.default.orders_md t USING md_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_totalprice >= 150000 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET
+         |  o_orderpriority = concat('M-', t.o_orderpriority)
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
+         |  VALUES (s.o_orderkey, s.o_totalprice)""".stripMargin)
+    val v2 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_md").last
+    require(v2.version == v1.version + 1,
+      "delete + update + insert must land as ONE committed version")
+    spark.sql(s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      s"FROM $cat.default.orders_md GROUP BY o_orderpriority " +
+      "ORDER BY o_orderpriority NULLS FIRST")
+  }
+
+  private val hubMergeDeleteSqlOracle: String =
+    """WITH merged AS (
+      |  SELECT CASE WHEN o_orderkey < 3000 THEN 'M-' || o_orderpriority
+      |              ELSE o_orderpriority END AS o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |  FROM orders
+      |  WHERE NOT (o_orderkey < 3000 AND o_totalprice >= 150000)
+      |  UNION ALL SELECT NULL, 111.0
+      |  UNION ALL SELECT NULL, 222.0)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM merged GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   private val hubUpdateSqlOracle: String =
     """WITH upd AS (
       |  SELECT o_orderkey,
@@ -918,6 +972,7 @@ object IngestQueries {
     "q_hub_overwrite_sql" -> qHubOverwriteSql,
     "q_hub_delete_sql" -> qHubDeleteSql,
     "q_hub_update_sql" -> qHubUpdateSql,
+    "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
     "q_stream_cdf_tail" -> qStreamCdfTail,
     "q_stream_hub_mirror" -> qStreamHubMirror,
     "q_stream_hub_tail" -> qStreamHubTail,
@@ -940,6 +995,7 @@ object IngestQueries {
     "q_hub_overwrite_sql" -> hubOverwriteSqlOracle,
     "q_hub_delete_sql" -> hubDeleteSqlOracle,
     "q_hub_update_sql" -> hubUpdateSqlOracle,
+    "q_hub_merge_delete_sql" -> hubMergeDeleteSqlOracle,
     "q_stream_cdf_tail" -> streamCdfTailOracle,
     "q_stream_hub_mirror" -> streamHubMirrorOracle,
     "q_stream_hub_tail" -> streamHubTailOracle,

@@ -1,9 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And => CatAnd, AttributeReference, Cast, EqualTo => CatEqualTo, Expression, If, IsNotNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And => CatAnd, AttributeReference, CaseWhen, Cast, EqualTo => CatEqualTo, Expression, If, IsNotNull, Literal, Not => CatNot, Or => CatOr}
 import org.apache.spark.sql.catalyst.plans.LeftOuter
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, Filter => LFilter, InsertAction, InsertStarAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateStarAction}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graftbridge.GraftMergeCommand
@@ -22,13 +22,21 @@ import org.apache.spark.sql.graftbridge.GraftMergeCommand
   * rows insert, schema widening — [[graft.writers.HubWriter.merge]]), so
   * the canonical MERGE shape rewrites to one ACID
   * [[graft.writers.VersionedHub.write]] commit with the keys extracted
-  * from the ON equality conjuncts. Shapes the hub cannot express as its
-  * keyed upsert — partial-column updates, conditional actions, DELETE
-  * branches, NOT MATCHED BY SOURCE — are refused loudly rather than
-  * silently approximated. Star actions are accepted both unexpanded
-  * (`UPDATE SET *`) and as the analyzer's expanded full-column
+  * from the ON equality conjuncts. Star actions are accepted both
+  * unexpanded (`UPDATE SET *`) and as the analyzer's expanded full-column
   * name-matched assignment lists (possibly cast-wrapped: the hub widens
   * types on merge, its documented semantics).
+  *
+  * Every other Delta-expressible row shape lowers through
+  * [[generalMergePlans]] onto the SAME single atomic commit: ordered
+  * conditional matched branches (`WHEN MATCHED [AND c] THEN UPDATE SET
+  * col = expr | DELETE`, first applicable wins), partial-column updates
+  * (unmentioned columns keep target values), conditional/partial INSERT
+  * lists (unmentioned columns NULL), insert-only and matched-only merges.
+  * Refused loudly rather than silently approximated: NOT MATCHED BY
+  * SOURCE (an O(table) anti-scan whose null-key delete semantics the
+  * keyed delete cannot express), UPDATE SET on a merge key, and values
+  * that cannot losslessly widen to their column type.
   */
 case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -123,13 +131,13 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Seq(UpdateStarAction(None)) => true
         case Seq(UpdateAction(None, assigns, _)) =>
           starLike(assigns, m.targetTable, m.sourceTable)
-        case other => fail(s"unsupported WHEN MATCHED actions $other")
+        case _ => false
       }
       val insertStar = m.notMatchedActions match {
         case Seq(InsertStarAction(None)) => true
         case Seq(InsertAction(None, assigns)) =>
           starLike(assigns, m.targetTable, m.sourceTable)
-        case other => fail(s"unsupported WHEN NOT MATCHED actions $other")
+        case _ => false
       }
       if (m.notMatchedBySourceActions.nonEmpty)
         fail("WHEN NOT MATCHED BY SOURCE is not supported")
@@ -149,27 +157,36 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           else Project(projected, m.sourceTable)
         GraftMergeCommand(path, keys, src)
       } else {
-        // PARTIAL-COLUMN shape (UPDATE SET c = e and/or explicit INSERT
-        // lists): the hub's keyed upsert replaces whole rows, so the
-        // upsert source is built by LEFT-JOINING the source to the target
-        // snapshot on the keys and computing every target column —
-        // matched rows take the assignment (target values for unmentioned
-        // columns), unmatched rows take the insert expression (NULL for
-        // unmentioned columns). Under a concurrent commit the unmentioned
-        // columns carry the join-time snapshot's values — the same
-        // read-committed race every engine's MERGE has.
-        GraftMergeCommand(path, keys,
-          partialMergeSource(m, keys, matchedStar, insertStar))
+        // GENERAL shape — any ordered cascade of conditional
+        // UPDATE/DELETE matched branches plus conditional/partial INSERT
+        // branches (insert-only and matched-only merges included): the
+        // hub's keyed upsert replaces whole rows, so the source is
+        // LEFT-JOINED to the target snapshot on the keys and every row is
+        // routed by the FIRST branch whose condition holds — update rows
+        // feed the upsert (unmentioned columns keep target values),
+        // delete rows feed the same commit's atomic `deletes`, rows with
+        // no applicable branch are left untouched. Under a concurrent
+        // commit the carried columns hold the join-time snapshot's values
+        // — the same read-committed race every engine's MERGE has.
+        val (src, deletes) = generalMergePlans(m, keys)
+        GraftMergeCommand(path, keys, src, deletes)
       }
   }
 
-  /** The joined upsert source for the partial-column MERGE shapes — see
-    * the caller's note. Emits exactly the target's columns.
+  private sealed trait MatchedKind
+  private case class UpdKind(star: Boolean,
+      assigns: Map[String, Expression]) extends MatchedKind
+  private case object DelKind extends MatchedKind
+
+  /** The joined (upsert source, deletes) plans for every non-canonical
+    * MERGE shape — see the caller's note. The upsert source emits exactly
+    * the target's columns; the deletes plan (present iff a DELETE branch
+    * exists) emits exactly the key columns.
     */
-  private def partialMergeSource(m: MergeIntoTable, keys: Seq[String],
-      matchedStar: Boolean, insertStar: Boolean): LogicalPlan = {
-    val lcKeys = keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+  private def generalMergePlans(m: MergeIntoTable,
+      keys: Seq[String]): (LogicalPlan, Option[LogicalPlan]) = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val lcKeys = keys.map(lc).toSet
     val srcByName = m.sourceTable.output.map(a => lc(a.name) -> a).toMap
     def assignMap(assigns: Seq[Assignment],
         what: String): Map[String, Expression] =
@@ -181,19 +198,26 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "top-level target column")
         }
       }.toMap
-    val updMap: Map[String, Expression] = m.matchedActions.head match {
-      case UpdateStarAction(_) => Map.empty // resolved per-column to s.c
-      case UpdateAction(_, assigns, _) => assignMap(assigns, "UPDATE")
-      case other => fail(s"unsupported WHEN MATCHED action $other")
-    }
-    if (!matchedStar && updMap.keySet.exists(lcKeys.contains))
+    val matchedBranches: Seq[(Option[Expression], MatchedKind)] =
+      m.matchedActions.map {
+        case UpdateStarAction(c) => (c, UpdKind(star = true, Map.empty))
+        case UpdateAction(c, assigns, _) =>
+          (c, UpdKind(star = false, assignMap(assigns, "UPDATE")))
+        case DeleteAction(c) => (c, DelKind)
+        case other => fail(s"unsupported WHEN MATCHED action $other")
+      }
+    for ((_, UpdKind(false, am)) <- matchedBranches
+         if am.keySet.exists(lcKeys.contains))
       fail("UPDATE SET on a merge KEY column — the keyed upsert would " +
         "insert the new key and strand the old row; delete + insert instead")
-    val insMap: Map[String, Expression] = m.notMatchedActions.head match {
-      case InsertStarAction(_) => Map.empty
-      case InsertAction(_, assigns) => assignMap(assigns, "INSERT")
-      case other => fail(s"unsupported WHEN NOT MATCHED action $other")
-    }
+    val insertBranches: Seq[(Option[Expression],
+        (Boolean, Map[String, Expression]))] =
+      m.notMatchedActions.map {
+        case InsertStarAction(c) => (c, (true, Map.empty[String, Expression]))
+        case InsertAction(c, assigns) =>
+          (c, (false, assignMap(assigns, "INSERT")))
+        case other => fail(s"unsupported WHEN NOT MATCHED action $other")
+      }
     // matched ⟺ the equi-joined target key is non-null (null keys never
     // equi-match, so a non-null joined key attr marks a real match)
     val keyAttr = m.targetTable.output
@@ -208,18 +232,56 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else if (Cast.canUpCast(e.dataType, dt)) Cast(e, dt)
       else fail(s"$what expression of type ${e.dataType.sql} cannot " +
         s"losslessly widen to the target column type ${dt.sql}")
-    val cols = m.targetTable.output.map { t =>
-      val upd = shaped(
-        if (matchedStar) srcAttr(t.name)
-        else updMap.getOrElse(lc(t.name), t),
-        t.dataType, s"WHEN MATCHED value for ${t.name}")
-      val ins = shaped(
-        if (insertStar) srcAttr(t.name)
-        else insMap.getOrElse(lc(t.name), Literal(null, t.dataType)),
-        t.dataType, s"WHEN NOT MATCHED value for ${t.name}")
-      Alias(If(matched, upd, ins), t.name)()
+    // SQL MERGE routes each row by the FIRST branch whose condition holds
+    // (a null condition is false); no applicable branch = untouched (or,
+    // for unmatched rows, dropped). CaseWhen encodes exactly that.
+    def firstKindIs(p: MatchedKind => Boolean): Expression =
+      if (matchedBranches.isEmpty) Literal(false)
+      else CaseWhen(matchedBranches.map { case (c, k) =>
+        (c.getOrElse(Literal.TrueLiteral), Literal(p(k))) },
+        Some(Literal(false)))
+    val isUpd = firstKindIs(_.isInstanceOf[UpdKind])
+    val isDel = firstKindIs(_ == DelKind)
+    val isIns: Expression =
+      if (insertBranches.isEmpty) Literal(false)
+      else CaseWhen(insertBranches.map { case (c, _) =>
+        (c.getOrElse(Literal.TrueLiteral), Literal(true)) },
+        Some(Literal(false)))
+    // per-column values: among rows kept by isUpd/isIns, scanning the
+    // branch conditions in order lands on the routing branch — earlier
+    // branches of the OTHER kind have false conditions for these rows
+    def updValue(t: org.apache.spark.sql.catalyst.expressions.Attribute): Expression = {
+      val upds = matchedBranches.collect { case (c, u: UpdKind) => (c, u) }
+      if (upds.isEmpty) t
+      else CaseWhen(upds.map { case (c, u) =>
+        (c.getOrElse(Literal.TrueLiteral), shaped(
+          if (u.star) srcAttr(t.name) else u.assigns.getOrElse(lc(t.name), t),
+          t.dataType, s"WHEN MATCHED value for ${t.name}")) }, Some(t))
     }
-    Project(cols, Join(m.sourceTable, m.targetTable, LeftOuter,
-      Some(m.mergeCondition), JoinHint.NONE))
+    def insValue(t: org.apache.spark.sql.catalyst.expressions.Attribute): Expression =
+      if (insertBranches.isEmpty) Literal(null, t.dataType)
+      else CaseWhen(insertBranches.map { case (c, (star, am)) =>
+        (c.getOrElse(Literal.TrueLiteral), shaped(
+          if (star) srcAttr(t.name)
+          else am.getOrElse(lc(t.name), Literal(null, t.dataType)),
+          t.dataType, s"WHEN NOT MATCHED value for ${t.name}")) },
+        Some(Literal(null, t.dataType)))
+    val join = Join(m.sourceTable, m.targetTable, LeftOuter,
+      Some(m.mergeCondition), JoinHint.NONE)
+    val upsertRows = Project(
+      m.targetTable.output.map(t =>
+        Alias(If(matched, updValue(t), insValue(t)), t.name)()),
+      LFilter(CatOr(CatAnd(matched, isUpd),
+        CatAnd(CatNot(matched), isIns)), join))
+    val deletes =
+      if (!matchedBranches.exists(_._2 == DelKind)) None
+      else Some(Project(
+        keys.map { k =>
+          val t = m.targetTable.output.find(a => lc(a.name) == lc(k))
+            .getOrElse(fail(s"key $k missing from the target output"))
+          Alias(t, k)()
+        },
+        LFilter(CatAnd(matched, isDel), join)))
+    (upsertRows, deletes)
   }
 }

@@ -149,32 +149,46 @@ object VersionedHub {
     * commit a partial snapshot and silently drop every row living in bucket
     * dirs shared from earlier roots. Keyless writes cannot bucket-route and
     * are refused loudly on a bucketed table.
+    *
+    * `deletes` (columns = exactly the merge keys) removes matching target
+    * rows in the same atomic commit, BEFORE the upsert — the primitive a
+    * MERGE with a DELETE branch lowers to (same contract as
+    * [[writeBucketed]]'s `deletes`).
     */
   def write(
       spark: SparkSession,
       df: DataFrame,
       path: String,
       keys: Seq[String],
-      batchId: Option[Long] = None
+      batchId: Option[Long] = None,
+      deletes: Option[DataFrame] = None
   ): Int = latest(spark, path) match {
     case Some(v) if v.nBuckets.isDefined =>
       require(keys.nonEmpty,
         s"hub at $path is bucketed; a keyless write() cannot route rows to " +
           "buckets — provide the hub primary keys")
       writeBucketed(spark, df, path, keys, v.nBuckets.get, batchId,
-        bucketCols = v.bucketCols)
-    case _ => commitLoop(spark, path, batchId) { base =>
+        bucketCols = v.bucketCols, deletes = deletes)
+    case _ =>
+      require(deletes.isEmpty || keys.nonEmpty,
+        "deletes require the hub primary keys")
+      deletes.foreach(d => require(d.columns.sorted.sameElements(keys.sorted),
+        s"deletes must carry exactly the key columns $keys, " +
+          s"got ${d.columns.toSeq}"))
+      commitLoop(spark, path, batchId) { base =>
       base match {
         case None => df
         case Some(v) =>
           // a 0-row base (e.g. a catalog CREATE TABLE's empty v1) may hold
           // no part files at all — parquet cannot infer a schema from an
           // empty dir, but the manifest records it
-          val target =
+          val target0 =
             if (v.rows == 0L) spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               snapshotSchema(spark, path, v))
             else spark.read.parquet(resolve(path, v.dataDir))
+          val target = deletes.fold(target0)(d =>
+            target0.join(d, keys, "left_anti"))
           val (t, s) = HubWriter.reconcileSchemas(target, df)
           if (keys.isEmpty) t.unionByName(s)
           else HubWriter.merge(t, s, keys)

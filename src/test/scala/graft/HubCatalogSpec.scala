@@ -93,17 +93,15 @@ class HubCatalogSpec extends SparkTestBase {
         assert(e.getMessage.contains("graft-hub MERGE INTO supports"),
           s"wrong error for: $sql\n${e.getMessage}")
       }
-      // conditional matched action
-      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
-               |WHEN MATCHED AND s.w > 1.0 THEN UPDATE SET *
-               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      // DELETE branch
-      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
-               |WHEN MATCHED THEN DELETE""".stripMargin)
       // non-equi ON
       denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k < s.k
                |WHEN MATCHED THEN UPDATE SET *
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // NOT MATCHED BY SOURCE (O(table) anti-scan the keyed delete cannot
+      // express for null-key rows)
+      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
       // UPDATE SET on a merge key: the keyed upsert would strand the old row
       denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
                |WHEN MATCHED THEN UPDATE SET k = s.k + 1
@@ -186,6 +184,67 @@ class HubCatalogSpec extends SparkTestBase {
         .as[(Int, Long)].collect().toSeq
       assert(hist.nonEmpty && hist.map(_._1) == hist.map(_._1).sorted &&
         hist.last._2 == VersionedHub.read(spark, s"$base/t").count())
+    }
+  }
+
+  test("MERGE DELETE branches and conditional cascades commit as ONE atomic version") {
+    withCatalog("hubgm") { base =>
+      VersionedHub.writeBucketed(spark,
+        (1L to 10L).map(k => (k, s"v$k", k * 10)).toDF("k", "v", "n"),
+        s"$base/t", Seq("k"), 4)
+      Seq((2L, "two", 5L), (3L, "three", 500L), (11L, "eleven", 1L))
+        .toDF("k", "label", "w").createOrReplaceTempView("gm_src")
+      // cascade: big w deletes, small w partial-updates, new keys insert —
+      // one MERGE, one committed version
+      spark.sql("""MERGE INTO hubgm.default.t t USING gm_src s
+                  |ON t.k = s.k
+                  |WHEN MATCHED AND s.w >= 100 THEN DELETE
+                  |WHEN MATCHED THEN UPDATE SET v = s.label
+                  |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.label)""".stripMargin)
+      val hist = VersionedHub.history(spark, s"$base/t")
+      assert(hist.size == 2, "delete + update + insert must be ONE commit")
+      val after = spark.sql("SELECT k, v, n FROM hubgm.default.t ORDER BY k")
+        .as[(Long, String, Option[Long])].collect().toSeq
+      assert(!after.exists(_._1 == 3L), "matched AND w>=100 row must delete")
+      assert(after.find(_._1 == 2L).contains((2L, "two", Some(20L))),
+        s"matched row must partial-update (n carried): $after")
+      assert(after.find(_._1 == 11L).contains((11L, "eleven", None)),
+        "unmatched row must insert with unmentioned column NULL")
+      assert(after.find(_._1 == 5L).contains((5L, "v5", Some(50L))),
+        "rows with no applicable branch stay untouched")
+      assert(after.size == 10) // 10 - 1 deleted + 1 inserted
+      // insert-only merge: matched rows must NOT be overwritten
+      Seq((2L, "CLOBBER", 0L), (12L, "twelve", 0L)).toDF("k", "v", "n")
+        .createOrReplaceTempView("gm_insonly")
+      spark.sql("""MERGE INTO hubgm.default.t t USING gm_insonly s
+                  |ON t.k = s.k
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val ins = spark.sql("SELECT k, v FROM hubgm.default.t WHERE k IN (2, 12)")
+        .as[(Long, String)].collect().toMap
+      assert(ins(2L) == "two" && ins(12L) == "twelve",
+        s"insert-only merge must leave matched rows untouched: $ins")
+      // delete-only merge (matched-only, no insert branch): unmatched
+      // source rows are dropped, matched ones removed
+      Seq(12L, 999L).toDF("k").createOrReplaceTempView("gm_delonly")
+      spark.sql("""MERGE INTO hubgm.default.t t USING gm_delonly s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN DELETE""".stripMargin)
+      val ks = spark.sql("SELECT k FROM hubgm.default.t").as[Long]
+        .collect().toSet
+      assert(!ks.contains(12L) && ks.size == 10, s"$ks")
+      // FLAT hub: DELETE branch rides the same atomic commit
+      VersionedHub.write(spark,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+        s"$base/flat", Seq("k"))
+      Seq((2L, "B"), (4L, "d")).toDF("k", "v")
+        .createOrReplaceTempView("gm_flat")
+      spark.sql("""MERGE INTO hubgm.default.flat t USING gm_flat s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN DELETE
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql("SELECT k FROM hubgm.default.flat ORDER BY k")
+        .as[Long].collect().toSeq == Seq(1L, 3L, 4L))
+      assert(VersionedHub.history(spark, s"$base/flat").size == 2)
     }
   }
 
