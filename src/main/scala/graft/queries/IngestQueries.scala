@@ -875,6 +875,44 @@ object IngestQueries {
       |FROM merged GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  /** RESTORE (Delta RESTORE parity): mutate a hub (UPDATE + DELETE), then
+    * restore to version 1 — the tip must equal the ORIGINAL content, with
+    * zero data rewritten (pure manifest commit, in-query gate) and all
+    * intermediate versions still time-travelable. The oracle is simply
+    * the original projection.
+    */
+  val qHubRestore: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_restore").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")),
+      s"$tmp/nation_r", Seq("n_nationkey"), 4)
+    spark.sql(s"UPDATE $cat.default.nation_r SET n_name = 'GONE' " +
+      "WHERE n_nationkey < 10")
+    spark.sql(s"DELETE FROM $cat.default.nation_r WHERE n_nationkey >= 20")
+    def dataFiles(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp, "nation_r"))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val filesBefore = dataFiles()
+    val restored = graft.writers.VersionedHub.restore(spark, s"$tmp/nation_r", 1)
+    require(restored == 4, s"expected restore to commit v4, got $restored")
+    require(dataFiles() == filesBefore,
+      "restore must be a pure manifest commit — zero data files written")
+    // intermediate state still time-travelable
+    require(spark.sql(
+      s"SELECT count(*) FROM $cat.default.nation_r VERSION AS OF 3")
+      .head().getLong(0) < 25, "pre-restore DELETE state must survive")
+    spark.sql(s"SELECT n_nationkey, n_name FROM $cat.default.nation_r " +
+      "ORDER BY n_nationkey")
+  }
+
+  private val hubRestoreOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   private val hubUpdateSqlOracle: String =
     """WITH upd AS (
       |  SELECT o_orderkey,
@@ -973,6 +1011,7 @@ object IngestQueries {
     "q_hub_delete_sql" -> qHubDeleteSql,
     "q_hub_update_sql" -> qHubUpdateSql,
     "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
+    "q_hub_restore" -> qHubRestore,
     "q_stream_cdf_tail" -> qStreamCdfTail,
     "q_stream_hub_mirror" -> qStreamHubMirror,
     "q_stream_hub_tail" -> qStreamHubTail,
@@ -996,6 +1035,7 @@ object IngestQueries {
     "q_hub_delete_sql" -> hubDeleteSqlOracle,
     "q_hub_update_sql" -> hubUpdateSqlOracle,
     "q_hub_merge_delete_sql" -> hubMergeDeleteSqlOracle,
+    "q_hub_restore" -> hubRestoreOracle,
     "q_stream_cdf_tail" -> streamCdfTailOracle,
     "q_stream_hub_mirror" -> streamHubMirrorOracle,
     "q_stream_hub_tail" -> streamHubTailOracle,

@@ -731,6 +731,54 @@ object VersionedHub {
       case _ => commitLoop(spark, path, batchId = None)(_ => df)
     }
 
+  /** RESTORE the table to the content of `version` as a NEW committed
+    * version (Delta RESTORE semantics): history is preserved — the
+    * restored state becomes the tip, every intermediate version stays
+    * time-travelable. A bucketed hub restores by MANIFEST ONLY: the new
+    * commit references the old version's data dirs structurally, so ZERO
+    * data is rewritten no matter the table size (and vacuum keeps those
+    * dirs alive exactly because a kept manifest references them). Flat
+    * hubs rewrite the snapshot. Restoring to the current tip is a no-op.
+    */
+  def restore(spark: SparkSession, path: String, version: Int): Int = {
+    val target = versionAt(spark, path, Some(version))
+    if (target.buckets.isEmpty) {
+      if (latest(spark, path).exists(_.version == version)) return version
+      commitLoop(spark, path, batchId = None)(_ =>
+        read(spark, path, Some(version)))
+    } else {
+      val fs = fileSystem(spark, path)
+      var attempt = 0
+      while (attempt < MaxRetries) {
+        attempt += 1
+        val base = latest(spark, path).getOrElse(
+          throw new IllegalStateException(
+            s"hub at $path lost its versions mid-restore"))
+        if (base.version == version) return version
+        require(base.nBuckets == target.nBuckets &&
+            base.bucketCols == target.bucketCols,
+          s"hub at $path changed bucket layout since version $version — " +
+            "cannot restore across a layout change")
+        val next = base.version + 1
+        // SELF-ANCHORING manifest (statsNew = the full map at `version`):
+        // a restore re-references dirs that intermediate commits may have
+        // dropped, so the delta-chain continuity the incremental log
+        // leans on does not hold here — carrying the stats inline keeps
+        // every reader's reconstruction exact. O(files at target) once,
+        // like a checkpoint; no data moves at all.
+        if (commit(fs, path, Version(next, target.dataDir,
+            System.currentTimeMillis(), target.rows, None,
+            target.nBuckets, target.buckets, target.bucketCols,
+            target.bucketRows, schemaJson = target.schemaJson,
+            statsNew = target.fileStats)))
+          return next
+        failIfStuck(spark, path, next)
+      }
+      throw new IllegalStateException(
+        s"hub at $path: lost the commit race $MaxRetries times — giving up")
+    }
+  }
+
   /** DELETE the rows matching `cond` as one committed version (SQL
     * `DELETE FROM ... WHERE` semantics: rows where `cond` is TRUE go; rows
     * where it is FALSE or NULL stay). Flat hubs rewrite the snapshot;

@@ -254,6 +254,57 @@ class VersionedHubSpec extends SparkTestBase {
     assert(del == Set((7, "delete")), s"$del")
   }
 
+  test("restore commits old content as a NEW version without rewriting any data") {
+    import scala.jdk.CollectionConverters._
+    val path = tmpDir("vhub_restore")
+    def dataFiles(): Set[String] = {
+      val root = java.nio.file.Paths.get(path, "data")
+      if (!root.toFile.exists) Set.empty
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+        finally s.close()
+      }
+    }
+    VersionedHub.writeBucketed(spark,
+      (1 to 50).map(i => (i, s"v$i")).toDF("k", "v"), path, Seq("k"), 4)
+    VersionedHub.writeBucketed(spark, kv(1 -> "X", 51 -> "NEW"), path, Seq("k"), 4)
+    VersionedHub.deleteWhere(spark, path, col("k") <= 5)
+    val before = dataFiles()
+    val r = VersionedHub.restore(spark, path, 1)
+    assert(r == 4)
+    // content identical to version 1
+    assert(VersionedHub.read(spark, path).select($"k", $"v")
+      .as[(Int, String)].collect().toMap ==
+      (1 to 50).map(i => i -> s"v$i").toMap)
+    // ZERO data rewritten: the restore is a pure manifest commit
+    assert(dataFiles() == before, "restore must not write data files")
+    // intermediate history preserved and time-travelable
+    assert(VersionedHub.read(spark, path, Some(2))
+      .filter($"k" === 51).count() == 1)
+    // stats reconstruct exactly on the restored tip (self-anchoring)
+    val tip = VersionedHub.history(spark, path).last
+    assert(tip.fileStats.values.map(_.rows).sum == tip.rows)
+    // restore-to-tip is a no-op
+    assert(VersionedHub.restore(spark, path, 4) == 4)
+    assert(VersionedHub.history(spark, path).last.version == 4)
+    // a later upsert folds its carried stats across the restore manifest
+    VersionedHub.writeBucketed(spark, kv(2 -> "after"), path, Seq("k"), 4)
+    val v5 = VersionedHub.history(spark, path).last
+    assert(v5.fileStats.values.map(_.rows).sum == v5.rows)
+    // vacuum keeps the restored tip readable (restored dirs referenced)
+    VersionedHub.vacuum(spark, path, keepVersions = Some(2), retainMs = 0)
+    assert(VersionedHub.read(spark, path).count() == 50)
+    // FLAT hub restore rewrites the snapshot
+    val flat = tmpDir("vhub_restore_flat")
+    VersionedHub.write(spark, kv(1 -> "a", 2 -> "b"), flat, Seq("k"))
+    VersionedHub.write(spark, kv(2 -> "B2"), flat, Seq("k"))
+    assert(VersionedHub.restore(spark, flat, 1) == 3)
+    assert(VersionedHub.read(spark, flat).select($"k", $"v")
+      .as[(Int, String)].collect().toMap == Map(1 -> "a", 2 -> "b"))
+  }
+
   test("incremental log: manifests are O(touched files); checkpoints + deltas reconstruct full stats; vacuum re-anchors") {
     import org.apache.hadoop.fs.{Path => HPath}
     val path = tmpDir("vhub_incr")
