@@ -1566,7 +1566,13 @@ object VersionedHub {
     * would instantiate arbitrary classes are rejected), the JVM analogue of
     * `yaml.safe_load`.
     */
+  /** Instrumentation for the manifest-cache contract (spec-gated): how
+    * many times a manifest file was actually opened and parsed.
+    */
+  private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong
+
   private def parseManifestOnce(fs: FileSystem, manifest: Path): Option[scala.collection.Map[String, AnyRef]] = {
+    manifestParses.incrementAndGet()
     val in = fs.open(manifest)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1621,10 +1627,36 @@ object VersionedHub {
       }.sorted
   }
 
+  /** Parsed-manifest cache: a manifest file is IMMUTABLE once parseable —
+    * the commit point is create-exclusive, `repair` deletes only claims
+    * that never parsed (and those are never cached), and `vacuum` removes
+    * old manifests from the LISTING that gates which versions are
+    * consulted — so a successful parse can be reused for the life of the
+    * JVM. Bounded access-order LRU; caching the `Version` also memoizes
+    * its lazy `fileStats` reconstruction across calls. This turns
+    * `history()` from O(versions) file reads per call into one listing
+    * plus misses only — the snapshot-cache discipline Delta applies to
+    * its log (Armbrust VLDB 2020 §4.2).
+    */
+  private val ManifestCacheMax = 4096
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Version](128, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Version]): Boolean =
+          size() > ManifestCacheMax
+      })
+
   private def readManifest(spark: SparkSession, path: String, n: Int): Option[Version] = {
     val fs = fileSystem(spark, path)
     val manifest = new Path(new Path(path, LogDir), f"$n%08d.json")
+    // existence is checked BEFORE the cache: a vacuumed version must stop
+    // resolving (its data dirs may already be swept) even though its
+    // parse is still cached. One exists() beats open+read+parse.
     if (!fs.exists(manifest)) return None
+    val cacheKey = s"$path#$n"
+    val cached = manifestCache.get(cacheKey)
+    if (cached != null) return Some(cached)
     var m: scala.collection.Map[String, AnyRef] = null
     var attempt = 0
     while (m == null && attempt < ManifestWaitAttempts) {
@@ -1663,7 +1695,7 @@ object VersionedHub {
         Map.empty[String, FileStats.FileStat]),
         () => Map.empty[String, FileStats.FileStat])
     }
-    Some(Version(
+    val parsed = Version(
       version,
       m("dataDir").toString,
       m("ts").toString.toLong,
@@ -1675,7 +1707,9 @@ object VersionedHub {
       bucketRows,
       m.get("schema").map(_.toString),
       statsNew,
-      statsCarried))
+      statsCarried)
+    manifestCache.put(cacheKey, parsed)
+    Some(parsed)
   }
 
   /** Row count of every parquet file under `dir`, summed from the footers

@@ -254,6 +254,32 @@ class VersionedHubSpec extends SparkTestBase {
     assert(del == Set((7, "delete")), s"$del")
   }
 
+  test("manifest cache: repeated history() parses each manifest once; vacuumed versions stop resolving") {
+    val path = tmpDir("vhub_mcache")
+    for (i <- 1 to 6)
+      VersionedHub.write(spark, kv(i -> s"v$i"), path, Seq("k"))
+    val h1 = VersionedHub.history(spark, path)
+    assert(h1.map(_.version) == (1 to 6))
+    val before = VersionedHub.manifestParses.get()
+    // a second listing re-parses NOTHING (manifests are immutable once
+    // parseable — the cache serves them)
+    val h2 = VersionedHub.history(spark, path)
+    assert(h2.map(_.version) == (1 to 6))
+    assert(VersionedHub.manifestParses.get() == before,
+      s"history() must not re-parse cached manifests " +
+        s"(${VersionedHub.manifestParses.get() - before} re-parses)")
+    // reads and version resolution ride the cache too
+    assert(VersionedHub.read(spark, path, Some(3)).count() == 3)
+    assert(VersionedHub.manifestParses.get() == before)
+    // but a vacuumed version must STOP resolving even though its parse is
+    // cached (existence gates the cache)
+    VersionedHub.vacuum(spark, path, keepVersions = Some(2), retainMs = 0)
+    intercept[IllegalArgumentException] {
+      VersionedHub.read(spark, path, Some(1)).count()
+    }
+    assert(VersionedHub.read(spark, path).count() == 6)
+  }
+
   test("restore commits old content as a NEW version without rewriting any data") {
     import scala.jdk.CollectionConverters._
     val path = tmpDir("vhub_restore")
