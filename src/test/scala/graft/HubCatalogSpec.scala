@@ -330,6 +330,38 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("UPDATE recomputes candidate buckets per retry: a concurrent upsert " +
+    "into a previously-no-match bucket is still updated") {
+    import graft.writers.CommitStore
+    withCatalog("hubraceu") { base =>
+      val hub = s"$base/t"
+      VersionedHub.writeBucketed(spark,
+        ((1L to 40L).map(k => (k, k)) :+ (41L, 950L)).toDF("k", "x"),
+        hub, Seq("k"), 8)
+      @volatile var fired = false
+      CommitStore.register("file", new CommitStore {
+        override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path, content: Array[Byte]): Boolean = {
+          if (!fired) {
+            fired = true
+            VersionedHub.write(spark,
+              (42L to 80L).map(k => (k, 999L)).toDF("k", "x"), hub, Seq("k"))
+          }
+          CommitStore.CreateExclusive.putIfAbsent(fs, p, content)
+        }
+      })
+      try spark.sql("UPDATE hubraceu.default.t SET x = 0 WHERE x >= 900")
+      finally CommitStore.unregister("file")
+      assert(fired, "the interceptor never saw the update's commit attempt")
+      val after = VersionedHub.read(spark, hub)
+      assert(after.filter($"x" >= 900).count() == 0L,
+        "rows upserted concurrently into previously-no-match buckets " +
+          "must still be updated")
+      assert(after.count() == 80L)
+      assert(after.filter($"x" === 0).count() == 40L) // 39 race rows + k=41
+    }
+  }
+
   test("DELETE recomputes candidate buckets per retry: a concurrent upsert " +
     "into a previously-no-match bucket is still deleted") {
     import graft.writers.CommitStore
