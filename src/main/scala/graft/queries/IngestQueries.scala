@@ -909,6 +909,37 @@ object IngestQueries {
       "ORDER BY n_nationkey")
   }
 
+  /** SQL maintenance procedures (`CALL cat.system.*` — Iceberg-style
+    * ProcedureCatalog, Spark 4.1): optimize → zorder → restore → vacuum
+    * run from SQL; result = the surviving commit log joined with the
+    * post-maintenance row count. No DuckDB oracle (CALL is not ANSI) —
+    * driver records the rows-only check; in-query requires gate the
+    * semantics (content preserved across the whole maintenance cycle).
+    */
+  val qHubCallMaintenance: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_call").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")),
+      s"$tmp/nation_c", Seq("n_nationkey"), 4)
+    spark.sql(s"UPDATE $cat.default.nation_c SET n_name = lower(n_name) " +
+      "WHERE n_nationkey < 5")
+    spark.sql(s"CALL $cat.system.optimize(`table` => 'nation_c')")
+    spark.sql(s"CALL $cat.system.zorder(`table` => 'nation_c', " +
+      "col_a => 'n_nationkey', col_b => 'n_nationkey')")
+    spark.sql(s"CALL $cat.system.restore(`table` => 'nation_c', version => 1)")
+    spark.sql(s"CALL $cat.system.vacuum(`table` => 'nation_c', " +
+      "keep_versions => 2, retain_ms => 0)")
+    val rows = spark.sql(s"SELECT * FROM $cat.default.nation_c").count()
+    require(rows == 25, s"restored content must survive vacuum, got $rows")
+    require(!spark.sql(s"SELECT n_name FROM $cat.default.nation_c " +
+      "WHERE n_nationkey = 1").head().getString(0).exists(_.isLower),
+      "restore must roll the lowercasing UPDATE back")
+    spark.sql(s"SELECT version, rows FROM $cat.default.`nation_c$$history` " +
+      "ORDER BY version")
+  }
+
   private val hubRestoreOracle: String =
     """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
       |FROM nation ORDER BY n_nationkey""".stripMargin
@@ -1012,6 +1043,7 @@ object IngestQueries {
     "q_hub_update_sql" -> qHubUpdateSql,
     "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
     "q_hub_restore" -> qHubRestore,
+    "q_hub_call_maintenance" -> qHubCallMaintenance,
     "q_stream_cdf_tail" -> qStreamCdfTail,
     "q_stream_hub_mirror" -> qStreamHubMirror,
     "q_stream_hub_tail" -> qStreamHubTail,

@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * guessing merge keys from its routing columns (routing can be a key
   * SUBSET, and merging on a subset would collapse distinct keys).
   */
-class HubCatalog extends TableCatalog {
+class HubCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var base: String = _
@@ -134,6 +135,29 @@ class HubCatalog extends TableCatalog {
     VersionedHub.checkAtomicCommitScheme(p)
     tableExists(ident) && fs(p).delete(new Path(p), true)
   }
+
+  /** `'db.t'`-style table argument of a maintenance procedure → hub path
+    * (same namespace flattening as SQL identifiers).
+    */
+  private[sources] def tablePathOf(table: String): String = {
+    val parts = table.split("\\.").toIndexedSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table argument '$table' — use 't' or 'ns.t'")
+    pathOf(Identifier.of(parts.dropRight(1).toArray, parts.last))
+  }
+
+  /** Iceberg-style SQL maintenance surface:
+    * `CALL <cat>.system.{vacuum,optimize,zorder,restore,repair}(...)` —
+    * see [[HubProcedures]].
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    HubProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else HubProcedures.ProcedureNames
+      .map(Identifier.of(Array("system"), _)).toArray
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)

@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.writers.VersionedHub
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataTypes, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The hub's SQL maintenance surface — Iceberg-style stored procedures
+  * over the DSv2 [[org.apache.spark.sql.connector.catalog
+  * .ProcedureCatalog]] API (Spark 4.1, SPIP SPARK-44167):
+  *
+  * {{{
+  *   CALL hub.system.vacuum(`table` => 'db.t', keep_versions => 4)
+  *   CALL hub.system.optimize(`table` => 't')          -- layout-aware
+  *   CALL hub.system.zorder(`table` => 't', col_a => 'a', col_b => 'b')
+  *   CALL hub.system.restore(`table` => 't', version => 3)
+  *   CALL hub.system.repair(`table` => 't', min_age_ms => 0)
+  * }}}
+  *
+  * Each procedure is the SQL face of the corresponding [[VersionedHub]]
+  * operation (OPTIMIZE/VACUUM/RESTORE in Delta's SQL dialect are
+  * parser-level extensions Spark has no grammar for; `CALL` is the
+  * in-tree route). `optimize` dispatches on the recorded layout: bucketed
+  * hubs compact per bucket (structural sharing), flat hubs rewrite to
+  * target-sized files.
+  */
+private[sources] object HubProcedures {
+
+  private def spark = SparkSession.active
+
+  /** A one-row driver-local result: the LocalScan shape the planner turns
+    * into a LocalTableScanExec — no job, no files.
+    */
+  private final class OneRow(schema: StructType, values: Seq[Any])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] =
+      Array(InternalRow.fromSeq(values.map {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }))
+    override def readSchema(): StructType = schema
+  }
+
+  private final case class Proc(
+      procName: String,
+      params: Array[ProcedureParameter],
+      outSchema: StructType)(body: InternalRow => Seq[Any])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft-hub $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](new OneRow(outSchema, body(input))).iterator()
+  }
+
+  private def p(name: String, dt: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private val versionOut = new StructType().add("version", DataTypes.IntegerType)
+
+  def load(catalog: HubCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"hub procedures live in the 'system' namespace, got $ident")
+    def tablePath(input: InternalRow): String = {
+      val t = input.getUTF8String(0)
+      require(t != null, "table is required")
+      catalog.tablePathOf(t.toString)
+    }
+    ident.name() match {
+      case "vacuum" => Proc("vacuum",
+        Array(p("table", DataTypes.StringType),
+          p("keep_versions", DataTypes.IntegerType, Some("-1")),
+          p("retain_ms", DataTypes.LongType,
+            Some(VersionedHub.DefaultVacuumRetainMs.toString))),
+        new StructType().add("kept_versions", DataTypes.IntegerType)) { in =>
+        val path = tablePath(in)
+        val keep = Some(in.getInt(1)).filter(_ >= 1)
+        VersionedHub.vacuum(spark, path, keep, in.getLong(2))
+        Seq(VersionedHub.history(spark, path).size)
+      }
+      case "optimize" => Proc("optimize",
+        Array(p("table", DataTypes.StringType),
+          p("target_file_rows", DataTypes.LongType, Some((1024L * 1024).toString))),
+        versionOut) { in =>
+        val path = tablePath(in)
+        val bucketed = VersionedHub.history(spark, path)
+          .lastOption.exists(_.nBuckets.isDefined)
+        Seq(if (bucketed) VersionedHub.compactBuckets(spark, path)
+            else VersionedHub.optimize(spark, path, in.getLong(1)))
+      }
+      case "zorder" => Proc("zorder",
+        Array(p("table", DataTypes.StringType),
+          p("col_a", DataTypes.StringType), p("col_b", DataTypes.StringType),
+          p("files_per_bucket", DataTypes.IntegerType, Some("4"))),
+        versionOut) { in =>
+        Seq(VersionedHub.optimizeZOrderBuckets(spark, tablePath(in),
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+          in.getInt(3)))
+      }
+      case "restore" => Proc("restore",
+        Array(p("table", DataTypes.StringType),
+          p("version", DataTypes.IntegerType)),
+        versionOut) { in =>
+        Seq(VersionedHub.restore(spark, tablePath(in), in.getInt(1)))
+      }
+      case "repair" => Proc("repair",
+        Array(p("table", DataTypes.StringType),
+          p("min_age_ms", DataTypes.LongType, Some("600000"))),
+        new StructType().add("reclaimed", DataTypes.IntegerType)) { in =>
+        Seq(VersionedHub.repair(spark, tablePath(in), in.getLong(1)).size)
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown hub procedure system.$other — known: ${ProcedureNames.mkString(", ")}")
+    }
+  }
+
+  val ProcedureNames: Seq[String] =
+    Seq("vacuum", "optimize", "zorder", "restore", "repair")
+}

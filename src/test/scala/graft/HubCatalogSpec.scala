@@ -439,6 +439,49 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CALL procedures: optimize/zorder/restore/vacuum/repair run the maintenance ops from SQL") {
+    withCatalog("hubproc") { base =>
+      VersionedHub.writeBucketed(spark,
+        (1L to 40L).map(k => (k, k * 2, k % 7)).toDF("k", "a", "b"),
+        s"$base/t", Seq("k"), 4)
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, 0L, 0L)).toDF("k", "a", "b"), s"$base/t", Seq("k"), 4)
+      // optimize dispatches on layout: bucketed → per-bucket compaction
+      assert(spark.sql("CALL hubproc.system.optimize(`table` => 't')")
+        .as[Int].head() == 3)
+      assert(spark.sql("CALL hubproc.system.zorder(`table` => 't', " +
+        "col_a => 'a', col_b => 'b')").as[Int].head() == 4)
+      // restore through SQL — content back to version 2, zero data copied
+      assert(spark.sql("CALL hubproc.system.restore(`table` => 't', " +
+        "version => 2)").as[Int].head() == 5)
+      assert(VersionedHub.read(spark, s"$base/t")
+        .filter($"k" === 1 && $"a" === 0).count() == 1)
+      // vacuum with named args; restored dirs survive (manifest-referenced)
+      assert(spark.sql("CALL hubproc.system.vacuum(`table` => 't', " +
+        "keep_versions => 2, retain_ms => 0)").as[Int].head() == 2)
+      assert(VersionedHub.history(spark, s"$base/t").map(_.version) ==
+        Seq(4, 5))
+      assert(VersionedHub.read(spark, s"$base/t").count() == 40)
+      assert(spark.sql("CALL hubproc.system.repair(`table` => 't', " +
+        "min_age_ms => 0)").as[Int].head() == 0)
+      // discovery + unknown-procedure refusal
+      assert(spark.sql("SHOW PROCEDURES IN hubproc.system")
+        .select("procedure_name").as[String].collect().toSet ==
+        Set("vacuum", "optimize", "zorder", "restore", "repair"))
+      val e = intercept[Exception](
+        spark.sql("CALL hubproc.system.nope(`table` => 't')"))
+      assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
+        e.getMessage.contains("unknown hub procedure"), e.getMessage)
+      // flat optimize path through the same procedure
+      VersionedHub.write(spark,
+        (1 to 100).map(i => (i, s"v$i")).toDF("k", "v").repartition(8),
+        s"$base/flat", Seq("k"))
+      assert(spark.sql("CALL hubproc.system.optimize(`table` => 'flat', " +
+        "target_file_rows => 1000)").as[Int].head() == 2)
+      assert(VersionedHub.read(spark, s"$base/flat").count() == 100)
+    }
+  }
+
   test("only the single-element default namespace aliases to the base dir") {
     withCatalog("hubns") { base =>
       spark.sql("CREATE TABLE hubns.default.x (k BIGINT)")
