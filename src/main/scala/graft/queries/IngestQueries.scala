@@ -170,6 +170,75 @@ object IngestQueries {
       .orderBy(col("version"), col("r_regionkey"))
   }
 
+  /** `TIMESTAMP AS OF` time travel (Delta parity): same two-commit setup
+    * as [[qHubTimeTravel]], but each snapshot is resolved by COMMIT
+    * INSTANT — version 1 via the SQL `TIMESTAMP AS OF` literal at v1's
+    * recorded commit ts (session-zone UTC), version 2 via the reader's
+    * `timestampAsOf` epoch-millis option at v2's ts. Hash-green iff
+    * "latest commit at-or-before t" resolution is exact at both
+    * boundaries. The in-query require gates the pre-history refusal.
+    */
+  val qHubTimestampTravel: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_vhub_ts").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    val region = Tables(spark, dir, "region")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+    graft.writers.VersionedHub.write(spark, region, s"$tmp/region_t",
+      Seq("r_regionkey"))
+    Thread.sleep(5) // force distinct commit instants for exact boundaries
+    val batch2 = region.filter(col("r_regionkey") < 3)
+      .withColumn("r_name", concat(col("r_name"), lit("_v2")))
+    graft.writers.VersionedHub.write(spark, batch2, s"$tmp/region_t",
+      Seq("r_regionkey"))
+    val ts = graft.writers.VersionedHub.history(spark, s"$tmp/region_t")
+      .map(_.ts)
+    require(ts(0) < ts(1), "commit instants must be distinct")
+    require(scala.util.Try(spark.sql(
+      s"SELECT * FROM $cat.default.region_t TIMESTAMP AS OF '1999-01-01'"
+    ).collect()).isFailure, "pre-history timestamp must be refused")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val snap1 = spark.sql(
+      s"SELECT * FROM $cat.default.region_t TIMESTAMP AS OF " +
+        s"'${fmt.format(java.time.Instant.ofEpochMilli(ts(0)))}'")
+      .withColumn("version", lit(1))
+    val snap2 = spark.read.format("graft-hub")
+      .option("path", s"$tmp/region_t")
+      .option("timestampAsOf", ts(1).toString).load()
+      .withColumn("version", lit(2))
+    snap1.unionByName(snap2)
+      .select(col("version"), col("r_regionkey"), col("r_name"))
+      .orderBy(col("version"), col("r_regionkey"))
+  }
+
+  /** `t$files` metadata-table correctness: the manifest's per-file stats
+    * must AGGREGATE back to the data's ground truth — sum of recorded
+    * per-file row counts = table count, min/max of the recorded skipping
+    * literals = true key extrema. The oracle recomputes those from the
+    * source table, so a drifted/missing/stale stat breaks the hash. The
+    * scan itself is a driver-local relation (no data file opened).
+    */
+  val qHubFilesMeta: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_vhub_files").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")),
+      s"$tmp/nation_f", Seq("n_nationkey"), 4)
+    spark.sql(
+      s"""SELECT CAST(sum(rows) AS BIGINT) AS total_rows,
+         |  CAST(min(CAST(col_min['n_nationkey'] AS BIGINT)) AS BIGINT) AS min_key,
+         |  CAST(max(CAST(col_max['n_nationkey'] AS BIGINT)) AS BIGINT) AS max_key
+         |FROM $cat.default.`nation_f$$files`""".stripMargin)
+  }
+
+  private val hubFilesMetaOracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+      |  CAST(min(n_nationkey) AS BIGINT) AS min_key,
+      |  CAST(max(n_nationkey) AS BIGINT) AS max_key
+      |FROM nation""".stripMargin
+
   private val hubTimeTravelOracle: String =
     """SELECT 1 AS version, CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
       |FROM region
@@ -1044,6 +1113,8 @@ object IngestQueries {
     "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
     "q_hub_restore" -> qHubRestore,
     "q_hub_call_maintenance" -> qHubCallMaintenance,
+    "q_hub_timestamp_travel" -> qHubTimestampTravel,
+    "q_hub_files_meta" -> qHubFilesMeta,
     "q_stream_cdf_tail" -> qStreamCdfTail,
     "q_stream_hub_mirror" -> qStreamHubMirror,
     "q_stream_hub_tail" -> qStreamHubTail,
@@ -1080,6 +1151,8 @@ object IngestQueries {
     "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
     "q_ingest_versioned_roundtrip" -> ingestVersionedRoundtripOracle,
     "q_hub_time_travel" -> hubTimeTravelOracle,
+    "q_hub_timestamp_travel" -> hubTimeTravelOracle,
+    "q_hub_files_meta" -> hubFilesMetaOracle,
     "q_hub_dsv2_read" -> hubDsv2ReadOracle,
     "q_hub_change_feed" -> hubChangeFeedOracle,
     "q_hub_bucketed_roundtrip" -> hubBucketedRoundtripOracle

@@ -88,13 +88,22 @@ class HubCatalog extends TableCatalog
   }
 
   override def loadTable(ident: Identifier): Table = {
-    // `t$history` exposes the commit log as a read-only metadata table
-    // (DESCRIBE HISTORY analogue)
+    // `t$history` / `t$files` expose the commit log and the tip file
+    // inventory as read-only metadata tables (DESCRIBE HISTORY / Iceberg
+    // `.files` analogues)
     if (ident.name.endsWith("$history")) {
       val base = Identifier.of(ident.namespace,
         ident.name.stripSuffix("$history"))
       if (!tableExists(base)) throw new NoSuchTableException(base)
-      return new HubHistoryTable(pathOf(base))
+      return new HubMetaTable(pathOf(base), "history",
+        (s, p) => VersionedHub.historyDF(s, p))
+    }
+    if (ident.name.endsWith("$files")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$files"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new HubMetaTable(pathOf(base), "files",
+        (s, p) => VersionedHub.filesDF(s, p))
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new HubTable(pathOf(ident), asOf = None)
@@ -104,6 +113,20 @@ class HubCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new HubTable(pathOf(ident), asOf = Some(version.toInt))
+  }
+
+  /** Native `TIMESTAMP AS OF t` time travel. Spark hands the resolved
+    * literal as MICROSECONDS since epoch; resolution to a concrete
+    * version happens here (latest commit ts ≤ t — Delta semantics, see
+    * [[graft.writers.VersionedHub.versionAtTimestamp]]), so the scan is
+    * indistinguishable from a `VERSION AS OF` read.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val p = pathOf(ident)
+    val v = graft.writers.VersionedHub
+      .versionAtTimestamp(spark, p, Math.floorDiv(timestamp, 1000L))
+    new HubTable(p, asOf = Some(v.version))
   }
 
   /** CREATE TABLE commits an EMPTY version 1 with the declared schema

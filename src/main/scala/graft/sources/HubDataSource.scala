@@ -149,7 +149,7 @@ class HubDataSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = HubDataSource.pathOf(options)
-    HubDataSource.versionOf(options) match {
+    HubDataSource.asOfVersion(spark, path, options) match {
       case asOf @ Some(_) => VersionedHub.snapshotSchema(spark, path,
         VersionedHub.versionAt(spark, path, asOf))
       case None => VersionedHub.latest(spark, path) match {
@@ -166,7 +166,9 @@ class HubDataSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new HubTable(HubDataSource.pathOf(options), HubDataSource.versionOf(options))
+    val path = HubDataSource.pathOf(options)
+    new HubTable(path,
+      HubDataSource.asOfVersion(SparkSession.active, path, options))
   }
 }
 
@@ -180,6 +182,39 @@ object HubDataSource {
 
   private[sources] def versionOf(options: CaseInsensitiveStringMap): Option[Int] =
     Option(options.get("versionAsOf")).map(_.toInt)
+
+  /** Resolve either time-travel option to a concrete version number.
+    * `timestampAsOf` accepts epoch millis (digits), a date (`yyyy-MM-dd`,
+    * midnight), or a `yyyy-MM-dd HH:mm:ss[.f]` timestamp interpreted in
+    * `spark.sql.session.timeZone` (the same zone SQL `TIMESTAMP AS OF`
+    * literals resolve in) — Delta's reader-option surface. Resolution
+    * happens ONCE at table construction against the manifest log, so the
+    * scan itself is an ordinary `VERSION AS OF`.
+    */
+  private[sources] def asOfVersion(spark: SparkSession, path: String,
+      options: CaseInsensitiveStringMap): Option[Int] = {
+    val byVersion = versionOf(options)
+    val byTs = Option(options.get("timestampAsOf"))
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    byVersion.orElse(byTs.map { s =>
+      VersionedHub.versionAtTimestamp(spark, path,
+        parseTsMillis(spark, s)).version
+    })
+  }
+
+  private[sources] def parseTsMillis(spark: SparkSession, s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else {
+      val zone = java.time.ZoneId.of(spark.conf.get(
+        "spark.sql.session.timeZone",
+        java.time.ZoneId.systemDefault().getId))
+      val ldt =
+        if (s.matches("\\d{4}-\\d{2}-\\d{2}"))
+          java.time.LocalDate.parse(s).atStartOfDay()
+        else java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+      ldt.atZone(zone).toInstant.toEpochMilli
+    }
 
   /** [[graft.writers.HubWriter.canonicalKey]] rebuilt as a raw Catalyst
     * tree (the Column API produces UnresolvedFunction nodes that cannot
@@ -592,19 +627,22 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
   }
 }
 
-/** Read-only metadata table exposing the commit log (`DESCRIBE HISTORY`
-  * analogue): `SELECT * FROM hub.db.\`t$history\``. One row per committed
-  * version — version, data dir, timestamp, rows, batchId, bucket counts.
+/** Read-only driver-computed metadata tables over the manifest log:
+  * `t$history` (`DESCRIBE HISTORY` analogue — one row per committed
+  * version) and `t$files` (Iceberg `.files` analogue — one row per live
+  * data file of the tip snapshot, with the recorded stats skipping uses).
+  * The row set comes from the cached manifests, so a scan is a local
+  * relation — no data file is opened.
   */
-private[sources] class HubHistoryTable(path: String)
+private[sources] class HubMetaTable(path: String, kind: String,
+    df: (SparkSession, String) => org.apache.spark.sql.DataFrame)
     extends Table with SupportsRead {
 
   private def spark = SparkSession.active
 
-  override def name(): String = s"graft-hub $path history"
+  override def name(): String = s"graft-hub $path $kind"
 
-  override def schema(): StructType =
-    VersionedHub.historyDF(spark, path).schema
+  override def schema(): StructType = df(spark, path).schema
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -614,14 +652,14 @@ private[sources] class HubHistoryTable(path: String)
       override def build(): Scan = new V1Scan {
         private val out = schema()
         override def readSchema(): StructType = out
-        override def description(): String = s"graft-hub $path history"
+        override def description(): String = s"graft-hub $path $kind"
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
           val relation = new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = out
             override def buildScan(): RDD[Row] =
-              VersionedHub.historyDF(context.sparkSession, path).rdd
+              df(context.sparkSession, path).rdd
           }
           relation.asInstanceOf[T]
         }

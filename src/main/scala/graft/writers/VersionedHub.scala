@@ -1291,6 +1291,32 @@ object VersionedHub {
         "n_buckets", "n_bucket_dirs")
   }
 
+  /** The live-file inventory of a snapshot (Iceberg `.files` / Delta
+    * `DESCRIBE DETAIL` analogue): one row per data file the version's
+    * manifest references, with recorded rows/bytes and the per-column
+    * min/max/null-count literals data skipping prunes on — rendered as
+    * strings so one schema serves every table. Driver-side from the
+    * (cached) manifest: no file is opened, no job runs.
+    */
+  def filesDF(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val v = versionAt(spark, path, asOf)
+    val bucketRe = "_bucket=(\\d+)/".r
+    v.fileStats.toSeq.sortBy(_._1).map { case (f, st) =>
+      (v.version, f,
+        bucketRe.findFirstMatchIn(f).map(_.group(1).toInt),
+        st.rows, st.bytes,
+        st.cols.collect { case (c, cs) if cs.min.isDefined =>
+          c -> cs.min.get.toString },
+        st.cols.collect { case (c, cs) if cs.max.isDefined =>
+          c -> cs.max.get.toString },
+        st.cols.collect { case (c, cs) if cs.nullCount.isDefined =>
+          c -> cs.nullCount.get })
+    }.toDF("version", "file", "bucket", "rows", "bytes",
+      "col_min", "col_max", "col_null_count")
+  }
+
   // ---------- log internals ----------
 
   private[graft] def latest(spark: SparkSession, path: String): Option[Version] =
@@ -1305,6 +1331,24 @@ object VersionedHub {
       throw new IllegalArgumentException(s"hub at $path has no version $n"))
     case None => latest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
+  }
+
+  /** `TIMESTAMP AS OF` resolution (Delta semantics): the LATEST version
+    * whose commit timestamp is at or before the requested instant — a
+    * reader asking for "the table as of 3pm" gets the last commit visible
+    * at 3pm, not the first one after. Commit timestamps come from the
+    * committer's clock, so the scan tolerates non-monotone `ts` under
+    * clock skew (it filters, not binary-searches). A request older than
+    * the first commit is refused loudly — there was no table then.
+    */
+  private[graft] def versionAtTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): Version = {
+    val h = history(spark, path)
+    require(h.nonEmpty, s"no committed versions at $path")
+    h.filter(_.ts <= tsMillis).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"hub at $path has no version committed at or before epoch-ms " +
+          s"$tsMillis — first commit was at ${h.head.ts}"))
   }
 
   /** The version's full-snapshot schema: the manifest record when present

@@ -482,6 +482,80 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("t$files lists the tip snapshot's live files with their skipping stats") {
+    withCatalog("hubfiles") { base =>
+      VersionedHub.writeBucketed(spark,
+        (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"), s"$base/t",
+        Seq("k"), 4)
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "upd")).toDF("k", "v"), s"$base/t", Seq("k"), 4)
+      val files = spark.sql("SELECT * FROM hubfiles.default.`t$files`")
+      val rows = files.collect()
+      // tip manifest only: live files, not every file ever written
+      val live = VersionedHub.versionAt(spark, s"$base/t", None)
+        .fileStats.keySet
+      assert(rows.map(_.getAs[String]("file")).toSet == live)
+      assert(rows.map(_.getAs[Long]("rows")).sum == 40)
+      assert(rows.forall(_.getAs[Long]("bytes") > 0))
+      assert(rows.forall(r => !r.isNullAt(r.fieldIndex("bucket"))))
+      // the recorded k min/max literals cover the full key range
+      val mins = rows.map(_.getAs[Map[String, String]]("col_min")("k").toLong)
+      val maxs = rows.map(_.getAs[Map[String, String]]("col_max")("k").toLong)
+      assert(mins.min == 1 && maxs.max == 40)
+      // a metadata scan runs no Spark job over data files (local relation)
+      val plan = files.queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan parquet"), plan)
+      val missing = intercept[Exception](
+        spark.sql("SELECT * FROM hubfiles.default.`nope$files`").collect())
+      assert(missing.getMessage.toLowerCase.contains("table"),
+        missing.getMessage)
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest commit at or before the instant") {
+    withCatalog("hubts") { base =>
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "a")).toDF("k", "v"), s"$base/t", Seq("k"), 4)
+      Thread.sleep(5) // distinct commit instants so the boundaries below exist
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "b")).toDF("k", "v"), s"$base/t", Seq("k"), 4)
+      val ts = VersionedHub.history(spark, s"$base/t").map(_.ts)
+      assert(ts(0) < ts(1))
+      // session zone is UTC (SparkTestBase) — format literals to match
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+      def q(t: Long): String = spark.sql(
+        "SELECT v FROM hubts.default.t TIMESTAMP AS OF " +
+          s"'${fmt.format(java.time.Instant.ofEpochMilli(t))}'")
+        .as[String].head()
+      assert(q(ts(0)) == "a")     // exactly at the v1 commit → v1
+      assert(q(ts(1) - 1) == "a") // just before v2 → still v1
+      assert(q(ts(1)) == "b")     // at v2 → v2
+      val early = intercept[Exception](q(ts(0) - 60000))
+      assert(early.getMessage.contains("no version committed at or before"),
+        early.getMessage)
+      // reader-option forms: epoch millis + session-zone timestamp string
+      def viaOpt(v: String) = spark.read.format("graft-hub")
+        .option("path", s"$base/t").option("timestampAsOf", v).load()
+      assert(viaOpt(ts(0).toString).select("v").as[String].head() == "a")
+      assert(viaOpt(fmt.format(java.time.Instant.ofEpochMilli(ts(1))))
+        .select("v").as[String].head() == "b")
+      val both = intercept[Exception](spark.read.format("graft-hub")
+        .option("path", s"$base/t").option("timestampAsOf", ts(1).toString)
+        .option("versionAsOf", "1").load().collect())
+      assert(both.getMessage.contains("mutually exclusive"), both.getMessage)
+      // a timestamp snapshot is a time-travel table: writes must refuse
+      val wr = intercept[Exception](spark.sql(
+        "INSERT INTO hubts.default.t TIMESTAMP AS OF " +
+          s"'${fmt.format(java.time.Instant.ofEpochMilli(ts(0)))}' " +
+          "VALUES (9, 'x')"))
+      assert(wr.getMessage.toLowerCase.contains("time") ||
+        wr.getMessage.contains("versionAsOf") ||
+        wr.getMessage.toLowerCase.contains("not supported"), wr.getMessage)
+    }
+  }
+
   test("only the single-element default namespace aliases to the base dir") {
     withCatalog("hubns") { base =>
       spark.sql("CREATE TABLE hubns.default.x (k BIGINT)")
