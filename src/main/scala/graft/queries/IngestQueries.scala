@@ -233,6 +233,48 @@ object IngestQueries {
          |FROM $cat.default.`nation_f$$files`""".stripMargin)
   }
 
+  /** Zero-copy DDL schema evolution end-to-end (Delta ALTER TABLE parity):
+    * commit region, ADD COLUMNS (note STRING, pop INT), upsert notes for
+    * keys < 2, widen pop to BIGINT (files untouched — manifest-only
+    * commits throughout), upsert pop for key 0, then read the final
+    * snapshot. The oracle reconstructs the evolved table from the source
+    * in plain SQL: hash-green iff added columns pad NULL on pre-evolution
+    * rows, the widened read upcasts old int32 files, and the upserts
+    * landed on the evolved schema.
+    */
+  val qHubAlterSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_vhub_alter").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    val region = Tables(spark, dir, "region")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+    graft.writers.VersionedHub.writeBucketed(spark, region, s"$tmp/region_a",
+      Seq("r_regionkey"), 4)
+    spark.sql(s"ALTER TABLE $cat.default.region_a " +
+      "ADD COLUMNS (note STRING, pop INT)")
+    graft.writers.VersionedHub.writeBucketed(spark,
+      region.filter(col("r_regionkey") < 2)
+        .withColumn("note", lit("noted"))
+        .withColumn("pop", lit(7).cast("int")),
+      s"$tmp/region_a", Seq("r_regionkey"), 4)
+    spark.sql(s"ALTER TABLE $cat.default.region_a ALTER COLUMN pop TYPE BIGINT")
+    graft.writers.VersionedHub.writeBucketed(spark,
+      region.filter(col("r_regionkey") === 0)
+        .withColumn("note", lit("noted"))
+        .withColumn("pop", lit(100L)),
+      s"$tmp/region_a", Seq("r_regionkey"), 4)
+    spark.table(s"$cat.default.region_a")
+      .select(col("r_regionkey"), col("r_name"), col("note"),
+        col("pop").cast("long").as("pop"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  private val hubAlterSqlOracle: String =
+    """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+      |  CASE WHEN r_regionkey < 2 THEN 'noted' END AS note,
+      |  CAST(CASE WHEN r_regionkey = 0 THEN 100
+      |            WHEN r_regionkey < 2 THEN 7 END AS BIGINT) AS pop
+      |FROM region ORDER BY r_regionkey""".stripMargin
+
   private val hubFilesMetaOracle: String =
     """SELECT CAST(count(*) AS BIGINT) AS total_rows,
       |  CAST(min(n_nationkey) AS BIGINT) AS min_key,
@@ -1115,6 +1157,7 @@ object IngestQueries {
     "q_hub_call_maintenance" -> qHubCallMaintenance,
     "q_hub_timestamp_travel" -> qHubTimestampTravel,
     "q_hub_files_meta" -> qHubFilesMeta,
+    "q_hub_alter_sql" -> qHubAlterSql,
     "q_stream_cdf_tail" -> qStreamCdfTail,
     "q_stream_hub_mirror" -> qStreamHubMirror,
     "q_stream_hub_tail" -> qStreamHubTail,
@@ -1153,6 +1196,7 @@ object IngestQueries {
     "q_hub_time_travel" -> hubTimeTravelOracle,
     "q_hub_timestamp_travel" -> hubTimeTravelOracle,
     "q_hub_files_meta" -> hubFilesMetaOracle,
+    "q_hub_alter_sql" -> hubAlterSqlOracle,
     "q_hub_dsv2_read" -> hubDsv2ReadOracle,
     "q_hub_change_feed" -> hubChangeFeedOracle,
     "q_hub_bucketed_roundtrip" -> hubBucketedRoundtripOracle

@@ -145,9 +145,110 @@ class HubCatalog extends TableCatalog
     new HubTable(p, asOf = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-hub schema evolves through writes (widening merge); ALTER TABLE is not supported")
+  /** Zero-copy DDL schema evolution (Delta parity): ADD COLUMN (with
+    * FIRST/AFTER and comment), DROP COLUMN (IF EXISTS honoured), widening
+    * ALTER COLUMN TYPE, and COMMENT ON COLUMN — all as manifest-only
+    * commits via [[VersionedHub.alterSchema]]; no data file is rewritten.
+    * Everything else (RENAME needs column mapping the hub doesn't have,
+    * NOT NULL contradicts the all-nullable read contract, properties have
+    * no store) is refused loudly. Schema ALSO evolves through widening
+    * writes — DDL is for evolving ahead of the data.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val p = pathOf(ident)
+    VersionedHub.alterSchema(spark, p, schema =>
+      changes.foldLeft(schema)((s, ch) => applyChange(p, s, ch)))
+    new HubTable(p, asOf = None)
+  }
+
+  private def applyChange(path: String, s: StructType,
+      ch: TableChange): StructType = ch match {
+    case add: TableChange.AddColumn =>
+      require(add.fieldNames.length == 1,
+        "graft-hub ALTER TABLE supports top-level columns only, got " +
+          add.fieldNames.mkString("."))
+      val name = add.fieldNames()(0)
+      require(add.isNullable,
+        s"graft-hub columns are always nullable — cannot ADD COLUMN $name NOT NULL")
+      require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists")
+      // Live files may still hold a previously-dropped column's values —
+      // re-adding the name would RESURRECT them (Delta needs column
+      // mapping for this; the hub has none). Refuse if any committed
+      // version's recorded schema ever contained the name.
+      require(!VersionedHub.history(spark, path).flatMap(_.schema)
+          .flatMap(_.fieldNames).exists(_.equalsIgnoreCase(name)),
+        s"column $name existed in an earlier version of this table — " +
+          "re-adding it would resurrect values still present in shared " +
+          "data files (column mapping is not supported)")
+      val meta = Option(add.comment()).map(c =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("comment", c).build())
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      insertAt(s, org.apache.spark.sql.types.StructField(
+        name, add.dataType, nullable = true, meta), Option(add.position()))
+    case del: TableChange.DeleteColumn =>
+      require(del.fieldNames.length == 1,
+        "graft-hub ALTER TABLE supports top-level columns only, got " +
+          del.fieldNames.mkString("."))
+      val name = del.fieldNames()(0)
+      val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      if (idx < 0) {
+        if (del.ifExists()) s
+        else throw new IllegalArgumentException(
+          s"column $name does not exist (use IF EXISTS for a no-op)")
+      } else {
+        for (bc <- VersionedHub.latest(spark, path).flatMap(_.bucketCols))
+          require(!bc.exists(_.equalsIgnoreCase(name)),
+            s"column $name routes this table's buckets — dropping it " +
+              "would orphan the layout")
+        StructType(s.fields.patch(idx, Nil, 1))
+      }
+    case ut: TableChange.UpdateColumnType =>
+      require(ut.fieldNames.length == 1,
+        "graft-hub ALTER TABLE supports top-level columns only")
+      val name = ut.fieldNames()(0)
+      val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"column $name does not exist")
+      val from = s.fields(idx).dataType
+      require(VersionedHub.isZeroCopyWidening(from, ut.newDataType()),
+        s"ALTER COLUMN $name TYPE: only strictly-widening numeric changes " +
+          s"are zero-copy readable over existing files ($from → " +
+          s"${ut.newDataType()} is not); rewrite via a widening write instead")
+      StructType(s.fields.updated(idx,
+        s.fields(idx).copy(dataType = ut.newDataType())))
+    case uc: TableChange.UpdateColumnComment =>
+      require(uc.fieldNames.length == 1,
+        "graft-hub ALTER TABLE supports top-level columns only")
+      val name = uc.fieldNames()(0)
+      val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"column $name does not exist")
+      val f = s.fields(idx)
+      StructType(s.fields.updated(idx, f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString("comment", uc.newComment())
+          .build())))
+    case other =>
+      throw new UnsupportedOperationException(
+        s"graft-hub ALTER TABLE does not support ${other.getClass.getSimpleName}" +
+          " (RENAME needs column mapping; NOT NULL contradicts the " +
+          "all-nullable contract; table properties have no store)")
+  }
+
+  private def insertAt(s: StructType,
+      f: org.apache.spark.sql.types.StructField,
+      pos: Option[org.apache.spark.sql.connector.catalog.TableChange.ColumnPosition])
+      : StructType = pos match {
+    case None => StructType(s.fields :+ f)
+    case Some(_: TableChange.First) => StructType(f +: s.fields)
+    case Some(a: TableChange.After) =>
+      val i = s.fieldNames.indexWhere(_.equalsIgnoreCase(a.column()))
+      require(i >= 0, s"AFTER ${a.column()}: no such column")
+      StructType(s.fields.patch(i + 1, Seq(f), 0))
+    case Some(other) =>
+      throw new UnsupportedOperationException(s"column position $other")
+  }
 
   /** DDL relies on filesystem rename/delete atomicity the same way commits
     * rely on create-exclusive — route it through the same loud scheme guard

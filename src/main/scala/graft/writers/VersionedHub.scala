@@ -779,6 +779,61 @@ object VersionedHub {
     }
   }
 
+  /** Commit a SCHEMA-ONLY new version: same data dirs, same rows, new
+    * recorded snapshot schema — the zero-copy `ALTER TABLE` shape (Delta's
+    * ADD/DROP COLUMN never rewrite a file either). Old files read through
+    * [[readDirs]]'s recorded-schema projection: an added column pads to
+    * NULL, a dropped column is simply not read, a widened column upcasts
+    * in the parquet reader. `alter` receives the FRESH base's snapshot
+    * schema on every commit attempt, so its validation (duplicate names,
+    * dropped bucket columns) races correctly against concurrent writers;
+    * the result is normalized all-nullable like every recorded schema.
+    *
+    * Chain-safety of the incremental log: the commit references exactly
+    * the base's dirs and carries `statsNew = empty`, so readers' carried
+    * fold (checkpoint + deltas) passes through it unchanged.
+    */
+  def alterSchema(spark: SparkSession, path: String,
+      alter: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType): Int = {
+    val fs = fileSystem(spark, path)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      attempt += 1
+      val base = latest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $path"))
+      val newSchema = Version.nullable(alter(snapshotSchema(spark, path, base)))
+      val next = base.version + 1
+      if (commit(fs, path, Version(next, base.dataDir,
+          System.currentTimeMillis(), base.rows, None, base.nBuckets,
+          base.buckets, base.bucketCols, base.bucketRows,
+          schemaJson = Some(newSchema.json),
+          statsCarried = () => base.fileStats)))
+        return next
+      failIfStuck(spark, path, next)
+    }
+    throw new IllegalStateException(
+      s"hub at $path: lost the commit race $MaxRetries times — giving up")
+  }
+
+  /** Is `from → to` a type change the PARQUET READER can apply to existing
+    * files without a rewrite? Strictly-upward moves on the numeric ladder
+    * only (byte→short→int→long→float→double) — empirically the set Spark
+    * 4.1's vectorized reader upcasts in place. Deliberately NARROWER than
+    * the write-side ladder ([[HubWriter.widen]] sends mismatches to
+    * string): a write REWRITES data so any widening is fine there, but an
+    * `ALTER COLUMN TYPE` leaves files untouched, and e.g. an int32 file
+    * under a STRING read schema fails at scan time.
+    */
+  def isZeroCopyWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val ladder: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    val (i, j) = (ladder.indexOf(from), ladder.indexOf(to))
+    i >= 0 && j > i
+  }
+
   /** DELETE the rows matching `cond` as one committed version (SQL
     * `DELETE FROM ... WHERE` semantics: rows where `cond` is TRUE go; rows
     * where it is FALSE or NULL stay). Flat hubs rewrite the snapshot;
@@ -1431,9 +1486,12 @@ object VersionedHub {
     // carried files reconstruct from the checkpoint + delta chain. Min/max
     // travel tag-encoded (see FileStats.encodeScalar) so the YAML-safe
     // parser round-trips them type-exactly.
-    val statsField =
-      if (v.statsNew.isEmpty) ""
-      else s""", "statsDelta": ${encodeStatsMap(v.statsNew)}"""
+    // ALWAYS present, even empty: absence is the LEGACY-manifest marker
+    // (full "fileStats" map, no carried chain), so a zero-new-file commit
+    // (ALTER TABLE, a delete dropping whole buckets) that omitted the
+    // field would read back with NO carried stats at all — skipping and
+    // `t$files` silently blind on that version.
+    val statsField = s""", "statsDelta": ${encodeStatsMap(v.statsNew)}"""
     val content =
       s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields$schemaField$statsField}"""
         .getBytes("UTF-8")

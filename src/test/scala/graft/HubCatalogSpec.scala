@@ -556,6 +556,108 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("ALTER TABLE ADD/DROP/TYPE/COMMENT are zero-copy manifest commits") {
+    withCatalog("hubalt") { base =>
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "n"),
+        s"$base/t", Seq("k"), 4)
+      val filesBefore = VersionedHub.versionAt(spark, s"$base/t", None)
+        .fileStats.keySet
+      spark.sql(
+        "ALTER TABLE hubalt.default.t ADD COLUMNS (note STRING COMMENT 'x')")
+      // zero-copy: same live files, one more version, old rows read NULL
+      val tip = VersionedHub.versionAt(spark, s"$base/t", None)
+      assert(tip.fileStats.keySet == filesBefore)
+      assert(tip.version == 2)
+      val afterAdd = spark.table("hubalt.default.t")
+      assert(afterAdd.columns.toSeq == Seq("k", "v", "n", "note"))
+      assert(afterAdd.schema("note").metadata.getString("comment") == "x")
+      assert(afterAdd.select("note").collect().forall(_.isNullAt(0)))
+      // pre-alter time travel keeps the old schema
+      assert(spark.sql("SELECT * FROM hubalt.default.t VERSION AS OF 1")
+        .columns.toSeq == Seq("k", "v", "n"))
+      // a write fills the evolved column; untouched rows stay NULL
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "a2", 11, "hello")).toDF("k", "v", "n", "note"),
+        s"$base/t", Seq("k"), 4)
+      assert(spark.table("hubalt.default.t").orderBy("k")
+        .select("note").as[Option[String]].collect().toSeq ==
+        Seq(Some("hello"), None))
+      // widening TYPE change upcasts existing files in place
+      spark.sql("ALTER TABLE hubalt.default.t ALTER COLUMN n TYPE BIGINT")
+      assert(spark.table("hubalt.default.t").schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(spark.table("hubalt.default.t").orderBy("k")
+        .select("n").as[Long].collect().toSeq == Seq(11L, 20L))
+      // positioned add + comment update
+      spark.sql("ALTER TABLE hubalt.default.t ADD COLUMNS (z INT AFTER k)")
+      assert(spark.table("hubalt.default.t").columns.toSeq ==
+        Seq("k", "z", "v", "n", "note"))
+      spark.sql("ALTER TABLE hubalt.default.t ALTER COLUMN z COMMENT 'zc'")
+      assert(spark.table("hubalt.default.t").schema("z")
+        .metadata.getString("comment") == "zc")
+      // DROP projects the column out without touching data files
+      spark.sql("ALTER TABLE hubalt.default.t DROP COLUMN note")
+      val afterDrop = spark.table("hubalt.default.t")
+      assert(afterDrop.columns.toSeq == Seq("k", "z", "v", "n"))
+      assert(afterDrop.count() == 2)
+      spark.sql("ALTER TABLE hubalt.default.t DROP COLUMN IF EXISTS ghost")
+      val missing = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalt.default.t DROP COLUMN ghost"))
+      assert(missing.getMessage.contains("does not exist") ||
+        missing.getMessage.toLowerCase.contains("unresolved"),
+        missing.getMessage)
+    }
+  }
+
+  test("ALTER TABLE refuses resurrection, narrowing, key drops and the unsupported") {
+    withCatalog("hubalr") { base =>
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "a", 10)).toDF("k", "v", "n"), s"$base/t", Seq("k"), 4)
+      // dropping the bucket-routing column would orphan the layout
+      val keyDrop = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t DROP COLUMN k"))
+      assert(keyDrop.getMessage.contains("routes this table's buckets"),
+        keyDrop.getMessage)
+      // a dropped name cannot come back: live files may still hold values
+      spark.sql("ALTER TABLE hubalr.default.t DROP COLUMN v")
+      val readd = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t ADD COLUMNS (v STRING)"))
+      assert(readd.getMessage.contains("resurrect"), readd.getMessage)
+      // and indeed the old file still holds v='a' — the guard is not
+      // hypothetical (read it back under the pre-drop schema)
+      assert(spark.sql("SELECT v FROM hubalr.default.t VERSION AS OF 1")
+        .as[String].head() == "a")
+      // narrowing is refused — by Spark's own up-cast analysis before the
+      // catalog even sees it (NOT_SUPPORTED_CHANGE_COLUMN); non-numeric
+      // "up-casts" Spark permits (int→string) hit the catalog's
+      // zero-copy-widening guard instead
+      val narrow = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t ALTER COLUMN n TYPE SMALLINT"))
+      assert(narrow.getMessage.contains("widening") ||
+        narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+        narrow.getMessage)
+      val toStr = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t ALTER COLUMN n TYPE STRING"))
+      assert(toStr.getMessage.contains("widening"), toStr.getMessage)
+      // NOT NULL adds, renames and properties are refused loudly
+      val notNull = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t ADD COLUMNS (m INT NOT NULL)"))
+      assert(notNull.getMessage.contains("always nullable"), notNull.getMessage)
+      val ren = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t RENAME COLUMN n TO m"))
+      assert(ren.getMessage.contains("not support"), ren.getMessage)
+      val prop = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t SET TBLPROPERTIES ('a'='b')"))
+      assert(prop.getMessage.contains("not support"), prop.getMessage)
+      // existing-name add is a straight duplicate error
+      val dup = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t ADD COLUMNS (n INT)"))
+      assert(dup.getMessage.toLowerCase.contains("already exists"),
+        dup.getMessage)
+    }
+  }
+
   test("only the single-element default namespace aliases to the base dir") {
     withCatalog("hubns") { base =>
       spark.sql("CREATE TABLE hubns.default.x (k BIGINT)")
