@@ -817,9 +817,14 @@ object VersionedHub {
   }
 
   /** Is `from → to` a type change the PARQUET READER can apply to existing
-    * files without a rewrite? Strictly-upward moves on the numeric ladder
-    * only (byte→short→int→long→float→double) — empirically the set Spark
-    * 4.1's vectorized reader upcasts in place. Deliberately NARROWER than
+    * files without a rewrite? Exactly the probed support set of Spark
+    * 4.1's vectorized reader: integral→wider-integral, integral→double
+    * (EXCEPT long — an int64 page under a double read schema throws
+    * PARQUET_COLUMN_DATA_TYPE_MISMATCH), and float→double. Nothing
+    * upcasts INTO float (int32 pages under a float schema throw too),
+    * even though Spark's own `Cast.canUpCast` — the check SQL ALTER runs
+    * first — follows the looser SQL numeric-precedence ladder and lets
+    * int→float / long→double through to us. Deliberately NARROWER than
     * the write-side ladder ([[HubWriter.widen]] sends mismatches to
     * string): a write REWRITES data so any widening is fine there, but an
     * `ALTER COLUMN TYPE` leaves files untouched, and e.g. an int32 file
@@ -828,10 +833,12 @@ object VersionedHub {
   def isZeroCopyWidening(from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
-    val ladder: Seq[DataType] =
-      Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
-    val (i, j) = (ladder.indexOf(from), ladder.indexOf(to))
-    i >= 0 && j > i
+    val integrals: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType)
+    val (i, j) = (integrals.indexOf(from), integrals.indexOf(to))
+    (i >= 0 && j > i) ||
+      (i >= 0 && from != LongType && to == DoubleType) ||
+      (from == FloatType && to == DoubleType)
   }
 
   /** DELETE the rows matching `cond` as one committed version (SQL

@@ -640,6 +640,25 @@ class HubCatalogSpec extends SparkTestBase {
       val toStr = intercept[Exception](spark.sql(
         "ALTER TABLE hubalr.default.t ALTER COLUMN n TYPE STRING"))
       assert(toStr.getMessage.contains("widening"), toStr.getMessage)
+      // SQL-precedence "up-casts" the parquet reader can NOT apply in
+      // place (probed: int32 pages under a float schema and int64 pages
+      // under a double schema both throw at scan time) must be refused
+      // at DDL time, not discovered at the next read
+      val toFloat = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t ALTER COLUMN n TYPE FLOAT"))
+      assert(toFloat.getMessage.contains("widening"), toFloat.getMessage)
+      spark.sql("ALTER TABLE hubalr.default.t ALTER COLUMN n TYPE BIGINT")
+      val longToDouble = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t ALTER COLUMN n TYPE DOUBLE"))
+      assert(longToDouble.getMessage.contains("widening"),
+        longToDouble.getMessage)
+      // int→double IS reader-supported — prove the whole chain works
+      spark.sql("ALTER TABLE hubalr.default.t DROP COLUMN IF EXISTS ghost")
+      VersionedHub.writeBucketed(spark,
+        Seq((2L, 30)).toDF("k", "n"), s"$base/t2", Seq("k"), 4)
+      spark.sql("ALTER TABLE hubalr.default.t2 ALTER COLUMN n TYPE DOUBLE")
+      assert(spark.table("hubalr.default.t2").select("n")
+        .as[Double].head() == 30.0)
       // NOT NULL adds, renames and properties are refused loudly
       val notNull = intercept[Exception](spark.sql(
         "ALTER TABLE hubalr.default.t ADD COLUMNS (m INT NOT NULL)"))
