@@ -1023,9 +1023,12 @@ object IngestQueries {
   /** SQL maintenance procedures (`CALL cat.system.*` — Iceberg-style
     * ProcedureCatalog, Spark 4.1): optimize → zorder → restore → vacuum
     * run from SQL; result = the surviving commit log joined with the
-    * post-maintenance row count. No DuckDB oracle (CALL is not ANSI) —
-    * driver records the rows-only check; in-query requires gate the
-    * semantics (content preserved across the whole maintenance cycle).
+    * post-maintenance row count. The maintenance CALLs themselves are not
+    * ANSI, but their observable outcome IS deterministic: vacuum keeps the
+    * last two of five commits (v4 zorder, v5 restore) and both snapshots
+    * hold exactly the nation table's rows — so the oracle derives the row
+    * count from the real table and pins the surviving version numbers;
+    * in-query requires gate content preservation across the cycle.
     */
   val qHubCallMaintenance: Q = (spark, dir) => {
     val tmp = Files.createTempDirectory("graft_call").toFile.getAbsolutePath
@@ -1050,6 +1053,48 @@ object IngestQueries {
     spark.sql(s"SELECT version, rows FROM $cat.default.`nation_c$$history` " +
       "ORDER BY version")
   }
+
+  private val hubCallMaintenanceOracle: String =
+    """SELECT CAST(v.version AS INT) AS version,
+      |  CAST((SELECT count(*) FROM nation) AS BIGINT) AS "rows"
+      |FROM (VALUES (4), (5)) AS v(version)
+      |ORDER BY version""".stripMargin
+
+  /** Zero-copy SHALLOW CLONE (`CALL cat.system.clone` — Delta
+    * `CREATE TABLE ... SHALLOW CLONE` parity): the clone's first version
+    * references the source's data dirs by fully-qualified path, so NO data
+    * file is copied at any table size (in-query gate: the clone's own
+    * `data/` does not exist). The clone then evolves independently — an
+    * UPDATE detaches only its touched buckets while the source snapshot
+    * stays byte-identical (in-query gate). Result = the mutated clone's
+    * content; the DuckDB oracle applies the same mutation to the base
+    * table directly.
+    */
+  val qHubCloneSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_clone_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")),
+      s"$tmp/nation_cl", Seq("n_nationkey"), 4)
+    spark.sql(s"CALL $cat.system.clone(`table` => 'nation_cl', " +
+      "target => 'nation_cl2')")
+    require(!Files.exists(java.nio.file.Paths.get(tmp, "nation_cl2", "data")),
+      "shallow clone must copy ZERO data files")
+    spark.sql(s"UPDATE $cat.default.nation_cl2 SET n_name = lower(n_name) " +
+      "WHERE n_nationkey < 10")
+    require(spark.sql(s"SELECT count(*) FROM $cat.default.nation_cl " +
+      "WHERE n_name <> upper(n_name)").head().getLong(0) == 0,
+      "the clone's UPDATE must not leak into the source")
+    spark.sql(s"SELECT n_nationkey, n_name FROM $cat.default.nation_cl2 " +
+      "ORDER BY n_nationkey")
+  }
+
+  private val hubCloneSqlOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  CASE WHEN n_nationkey < 10 THEN lower(n_name) ELSE n_name END
+      |    AS n_name
+      |FROM nation ORDER BY n_nationkey""".stripMargin
 
   private val hubRestoreOracle: String =
     """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
@@ -1154,6 +1199,7 @@ object IngestQueries {
     "q_hub_update_sql" -> qHubUpdateSql,
     "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
     "q_hub_restore" -> qHubRestore,
+    "q_hub_clone_sql" -> qHubCloneSql,
     "q_hub_call_maintenance" -> qHubCallMaintenance,
     "q_hub_timestamp_travel" -> qHubTimestampTravel,
     "q_hub_files_meta" -> qHubFilesMeta,
@@ -1182,6 +1228,8 @@ object IngestQueries {
     "q_hub_update_sql" -> hubUpdateSqlOracle,
     "q_hub_merge_delete_sql" -> hubMergeDeleteSqlOracle,
     "q_hub_restore" -> hubRestoreOracle,
+    "q_hub_clone_sql" -> hubCloneSqlOracle,
+    "q_hub_call_maintenance" -> hubCallMaintenanceOracle,
     "q_stream_cdf_tail" -> streamCdfTailOracle,
     "q_stream_hub_mirror" -> streamHubMirrorOracle,
     "q_stream_hub_tail" -> streamHubTailOracle,

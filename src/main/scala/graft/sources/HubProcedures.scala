@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL hub.system.zorder(`table` => 't', col_a => 'a', col_b => 'b')
   *   CALL hub.system.restore(`table` => 't', version => 3)
   *   CALL hub.system.repair(`table` => 't', min_age_ms => 0)
+  *   CALL hub.system.clone(`table` => 't', target => 't2')  -- shallow, zero-copy
   * }}}
   *
   * Each procedure is the SQL face of the corresponding [[VersionedHub]]
@@ -114,6 +115,15 @@ private[sources] object HubProcedures {
         versionOut) { in =>
         Seq(VersionedHub.restore(spark, tablePath(in), in.getInt(1)))
       }
+      case "clone" => Proc("clone",
+        Array(p("table", DataTypes.StringType),
+          p("target", DataTypes.StringType)),
+        versionOut) { in =>
+        val target = in.getUTF8String(1)
+        require(target != null, "target is required")
+        Seq(VersionedHub.cloneTable(spark, tablePath(in),
+          catalog.tablePathOf(target.toString)))
+      }
       case "repair" => Proc("repair",
         Array(p("table", DataTypes.StringType),
           p("min_age_ms", DataTypes.LongType, Some("600000"))),
@@ -126,5 +136,5 @@ private[sources] object HubProcedures {
   }
 
   val ProcedureNames: Seq[String] =
-    Seq("vacuum", "optimize", "zorder", "restore", "repair")
+    Seq("vacuum", "optimize", "zorder", "restore", "repair", "clone")
 }

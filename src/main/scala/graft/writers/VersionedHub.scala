@@ -779,6 +779,55 @@ object VersionedHub {
     }
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` parity): commit
+    * the source's tip snapshot as version 1 of a NEW table at `targetPath`
+    * whose manifest references the source's data dirs by FULLY-QUALIFIED
+    * path — zero data copied at any size. The clone then evolves
+    * independently: its writes land under its own `data/`, touched buckets
+    * detach from the source while untouched ones stay shared, and source
+    * writes never affect the clone (they create new roots; the cloned refs
+    * point at the old ones). Every path in the hub resolves refs through
+    * `new Path(tableRoot, ref)`, where a qualified ref wins outright, so
+    * reads, merges, restores and the DSv2 planner all work unchanged; the
+    * clone's vacuum only ever sweeps its OWN `data/` (external refs are
+    * never candidates).
+    *
+    * CAVEAT (exactly Delta's): the source does not know its clones.
+    * Vacuuming the SOURCE can delete dirs a clone still references once
+    * later source commits drop them — run clones on sources whose history
+    * you retain, or OPTIMIZE the clone (rewrites it onto its own files) to
+    * detach fully.
+    *
+    * The manifest is self-anchoring like a restore's (`statsNew` = the
+    * full rekeyed map): there is no prior chain in the target's log to
+    * fold from.
+    */
+  def cloneTable(spark: SparkSession, sourcePath: String,
+      targetPath: String): Int = {
+    val src = latest(spark, sourcePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions at $sourcePath"))
+    val sfs = fileSystem(spark, sourcePath)
+    val tfs = fileSystem(spark, targetPath)
+    require(sfs.makeQualified(new Path(sourcePath)) !=
+        tfs.makeQualified(new Path(targetPath)),
+      "clone target must differ from the source table")
+    require(latest(spark, targetPath).isEmpty,
+      s"clone target $targetPath already has committed versions")
+    def abs(rel: String): String =
+      sfs.makeQualified(new Path(resolve(sourcePath, rel))).toString
+    val v = Version(1, abs(src.dataDir), System.currentTimeMillis(),
+      src.rows, None, src.nBuckets,
+      src.buckets.map { case (b, d) => b -> abs(d) },
+      src.bucketCols, src.bucketRows,
+      schemaJson = src.schemaJson,
+      statsNew = src.fileStats.map { case (f, st) => abs(f) -> st })
+    if (!commit(tfs, targetPath, v))
+      throw new IllegalStateException(
+        s"clone target $targetPath gained a commit concurrently — aborting")
+    1
+  }
+
   /** Commit a SCHEMA-ONLY new version: same data dirs, same rows, new
     * recorded snapshot schema — the zero-copy `ALTER TABLE` shape (Delta's
     * ADD/DROP COLUMN never rewrite a file either). Old files read through

@@ -467,7 +467,7 @@ class HubCatalogSpec extends SparkTestBase {
       // discovery + unknown-procedure refusal
       assert(spark.sql("SHOW PROCEDURES IN hubproc.system")
         .select("procedure_name").as[String].collect().toSet ==
-        Set("vacuum", "optimize", "zorder", "restore", "repair"))
+        Set("vacuum", "optimize", "zorder", "restore", "repair", "clone"))
       val e = intercept[Exception](
         spark.sql("CALL hubproc.system.nope(`table` => 't')"))
       assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
@@ -674,6 +674,75 @@ class HubCatalogSpec extends SparkTestBase {
         "ALTER TABLE hubalr.default.t ADD COLUMNS (n INT)"))
       assert(dup.getMessage.toLowerCase.contains("already exists"),
         dup.getMessage)
+    }
+  }
+
+  test("CALL clone: zero-copy shallow clone that evolves independently") {
+    withCatalog("hubcl") { base =>
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+        s"$base/t", Seq("k"), 4)
+      assert(spark.sql(
+        "CALL hubcl.system.clone(`table` => 't', target => 't2')")
+        .as[Int].head() == 1)
+      // zero-copy: the clone's own data/ holds NO files yet
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/t2/data")))
+      assert(spark.table("hubcl.default.t2").orderBy("k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // planner stats flow through the rekeyed map (count answered by
+      // manifest; min/max skipping keys are the qualified source paths)
+      assert(VersionedHub.versionAt(spark, s"$base/t2", None)
+        .fileStats.nonEmpty)
+      // clone writes detach touched buckets only; the source is untouched
+      VersionedHub.write(spark, Seq((2L, "B!")).toDF("k", "v"),
+        s"$base/t2", Seq("k"))
+      assert(spark.table("hubcl.default.t2").orderBy("k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "B!"), (3L, "c")))
+      assert(spark.table("hubcl.default.t").orderBy("k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // source writes do not leak into the clone (old roots still live)
+      VersionedHub.write(spark, Seq((3L, "C?")).toDF("k", "v"),
+        s"$base/t", Seq("k"))
+      assert(spark.table("hubcl.default.t2").filter($"k" === 3L)
+        .select("v").as[String].head() == "c")
+      // the clone's vacuum never touches source files
+      VersionedHub.vacuum(spark, s"$base/t2", Some(1), retainMs = 0L)
+      assert(spark.table("hubcl.default.t").count() == 3)
+      assert(spark.table("hubcl.default.t2").count() == 3)
+      // clone onto an existing table refuses; self-clone refuses
+      val dup = intercept[Exception](spark.sql(
+        "CALL hubcl.system.clone(`table` => 't', target => 't2')"))
+      assert(dup.getMessage.contains("already has committed versions"),
+        dup.getMessage)
+      val self = intercept[Exception](spark.sql(
+        "CALL hubcl.system.clone(`table` => 't', target => 't')"))
+      assert(self.getMessage.contains("must differ"), self.getMessage)
+    }
+  }
+
+  test("clone of a FLAT hub shares the snapshot dir until its next write") {
+    withCatalog("hubclf") { base =>
+      VersionedHub.write(spark,
+        Seq((1, "x"), (2, "y")).toDF("id", "v"), s"$base/f", Seq("id"))
+      spark.sql("CALL hubclf.system.clone(`table` => 'f', target => 'f2')")
+      assert(spark.table("hubclf.default.f2").orderBy("id")
+        .as[(Int, String)].collect().toSeq == Seq((1, "x"), (2, "y")))
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/f2/data")))
+      // a flat write rewrites the whole snapshot locally — fully detached
+      VersionedHub.write(spark,
+        Seq((2, "Y!")).toDF("id", "v"), s"$base/f2", Seq("id"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/f2/data")))
+      assert(spark.table("hubclf.default.f").orderBy("id")
+        .as[(Int, String)].collect().toSeq == Seq((1, "x"), (2, "y")))
+      assert(spark.table("hubclf.default.f2").orderBy("id")
+        .as[(Int, String)].collect().toSeq == Seq((1, "x"), (2, "Y!")))
     }
   }
 
