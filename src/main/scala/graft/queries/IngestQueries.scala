@@ -1054,6 +1054,38 @@ object IngestQueries {
       "ORDER BY version")
   }
 
+  /** `CREATE TABLE … AS SELECT` + `REPLACE TABLE … AS SELECT` through the
+    * catalog (Spark's non-atomic v2 CTAS/RTAS path: create-empty → merge
+    * write; replace = drop + recreate at the SAME path). The REPLACE leg
+    * regression-gates the manifest-cache invalidation on DROP — before the
+    * fix, the recreated table read the OLD incarnation's cached v1 (stale
+    * schema and dirs). Result = the replaced table's content; the oracle
+    * recomputes both SELECTs directly.
+    */
+  val qHubCtasSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_ctas_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    Tables(spark, dir, "region").createOrReplaceTempView("region_ctas_src")
+    spark.sql(s"CREATE TABLE $cat.default.region_c AS " +
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name " +
+      "FROM region_ctas_src")
+    require(spark.table(s"$cat.default.region_c").count() == 5,
+      "CTAS must land the full source")
+    spark.sql(s"REPLACE TABLE $cat.default.region_c AS " +
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, " +
+      "lower(r_name) AS r_name FROM region_ctas_src WHERE r_regionkey < 3")
+    require(spark.table(s"$cat.default.region_c").schema.fieldNames.toSeq ==
+      Seq("r_regionkey", "r_name"), "REPLACE must carry the NEW schema")
+    spark.sql(s"SELECT r_regionkey, r_name FROM $cat.default.region_c " +
+      "ORDER BY r_regionkey")
+  }
+
+  private val hubCtasSqlOracle: String =
+    """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+      |  lower(r_name) AS r_name
+      |FROM region WHERE r_regionkey < 3
+      |ORDER BY r_regionkey""".stripMargin
+
   private val hubCallMaintenanceOracle: String =
     """SELECT CAST(v.version AS INT) AS version,
       |  CAST((SELECT count(*) FROM nation) AS BIGINT) AS "rows"
@@ -1200,6 +1232,7 @@ object IngestQueries {
     "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
     "q_hub_restore" -> qHubRestore,
     "q_hub_clone_sql" -> qHubCloneSql,
+    "q_hub_ctas_sql" -> qHubCtasSql,
     "q_hub_call_maintenance" -> qHubCallMaintenance,
     "q_hub_timestamp_travel" -> qHubTimestampTravel,
     "q_hub_files_meta" -> qHubFilesMeta,
@@ -1230,6 +1263,7 @@ object IngestQueries {
     "q_hub_restore" -> hubRestoreOracle,
     "q_hub_clone_sql" -> hubCloneSqlOracle,
     "q_hub_call_maintenance" -> hubCallMaintenanceOracle,
+    "q_hub_ctas_sql" -> hubCtasSqlOracle,
     "q_stream_cdf_tail" -> streamCdfTailOracle,
     "q_stream_hub_mirror" -> streamHubMirrorOracle,
     "q_stream_hub_tail" -> streamHubTailOracle,

@@ -257,6 +257,9 @@ class HubCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathOf(ident)
     VersionedHub.checkAtomicCommitScheme(p)
+    // a later CREATE at this path restarts version numbering — stale
+    // cached manifests from this incarnation must not serve it
+    VersionedHub.invalidateCache(p)
     tableExists(ident) && fs(p).delete(new Path(p), true)
   }
 
@@ -291,6 +294,8 @@ class HubCatalog extends TableCatalog
     VersionedHub.checkAtomicCommitScheme(dst.toString)
     val f = fs(src.toString)
     f.mkdirs(dst.getParent)
+    VersionedHub.invalidateCache(src.toString)
+    VersionedHub.invalidateCache(dst.toString)
     require(f.rename(src, dst), s"rename $src -> $dst failed")
   }
 }

@@ -1805,6 +1805,22 @@ object VersionedHub {
           size() > ManifestCacheMax
       })
 
+  /** Drop every cached manifest under `path`. The cache's safety argument
+    * — manifests are immutable once parseable — holds only while the table
+    * LIVES at that path: DROP TABLE + CREATE (or RENAME onto it) restarts
+    * the version numbering, and a cached `path#1` from the old incarnation
+    * would serve the old schema and dirs to the new table (REPLACE TABLE
+    * AS SELECT hits exactly this). Catalog DDL that deletes or moves a
+    * table calls this; out-of-band `rm -rf` of a live table remains
+    * undetectable (as in Delta, whose snapshot cache has the same
+    * contract).
+    */
+  private[graft] def invalidateCache(path: String): Unit =
+    manifestCache.synchronized {
+      val prefix = s"$path#"
+      manifestCache.keySet().removeIf(_.startsWith(prefix))
+    }
+
   private def readManifest(spark: SparkSession, path: String, n: Int): Option[Version] = {
     val fs = fileSystem(spark, path)
     val manifest = new Path(new Path(path, LogDir), f"$n%08d.json")

@@ -746,6 +746,42 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CTAS and REPLACE TABLE AS SELECT; drop/recreate never serves " +
+      "stale cached manifests") {
+    withCatalog("hubctas") { base =>
+      spark.sql("CREATE TABLE hubctas.default.src (k BIGINT, v STRING)")
+      spark.sql("INSERT INTO hubctas.default.src VALUES (1,'a'), (2,'b')")
+      spark.sql("CREATE TABLE hubctas.default.dst AS " +
+        "SELECT k, upper(v) AS v FROM hubctas.default.src")
+      assert(spark.table("hubctas.default.dst").orderBy("k")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "A"), (2L, "B")))
+      // REPLACE = drop + recreate at the SAME path with a NEW schema: the
+      // manifest cache must not serve the old incarnation's v1 (this was
+      // a real bug — the round-12 LRU cache assumed manifest immutability,
+      // which DDL at a reused path violates)
+      spark.sql("REPLACE TABLE hubctas.default.dst AS " +
+        "SELECT k + 10 AS k FROM hubctas.default.src")
+      assert(spark.table("hubctas.default.dst").schema.fieldNames.toSeq ==
+        Seq("k"))
+      assert(spark.table("hubctas.default.dst").orderBy("k")
+        .as[Long].collect().toSeq == Seq(11L, 12L))
+      // version numbering restarted with the new incarnation
+      assert(graft.writers.VersionedHub.history(spark, s"$base/dst")
+        .map(_.version).max <= 2)
+      // DROP + CREATE directly (the primitive REPLACE composes)
+      spark.sql("DROP TABLE hubctas.default.dst")
+      spark.sql("CREATE TABLE hubctas.default.dst (x INT)")
+      assert(spark.table("hubctas.default.dst").schema.fieldNames.toSeq ==
+        Seq("x"))
+      // RENAME onto a previously-cached path must also re-resolve
+      spark.sql("DROP TABLE hubctas.default.dst")
+      // (the new name is resolved WITHIN the catalog — no catalog prefix)
+      spark.sql("ALTER TABLE hubctas.default.src RENAME TO default.dst")
+      assert(spark.table("hubctas.default.dst").orderBy("k")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    }
+  }
+
   test("only the single-element default namespace aliases to the base dir") {
     withCatalog("hubns") { base =>
       spark.sql("CREATE TABLE hubns.default.x (k BIGINT)")
