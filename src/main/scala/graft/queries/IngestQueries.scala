@@ -1054,6 +1054,43 @@ object IngestQueries {
       "ORDER BY version")
   }
 
+  /** `ALTER TABLE RENAME COLUMN` via column mapping (Delta name-mode
+    * parity): each rename is a manifest-only commit — files keep spelling
+    * the column by its frozen physical name; reads alias back; writes,
+    * UPDATE/DELETE stats pruning and bucket routing all follow the logical
+    * name. The lifecycle here renames a data column AND the bucket-routing
+    * column, then runs row-level SQL against the new names; the DuckDB
+    * oracle reconstructs the same content from the base table directly.
+    */
+  val qHubRenameSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_rename_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")),
+      s"$tmp/nation_rn", Seq("n_nationkey"), 4)
+    spark.sql(s"ALTER TABLE $cat.default.nation_rn " +
+      "RENAME COLUMN n_name TO nation_name")
+    spark.sql(s"UPDATE $cat.default.nation_rn " +
+      "SET nation_name = lower(nation_name) WHERE n_nationkey < 5")
+    spark.sql(s"ALTER TABLE $cat.default.nation_rn " +
+      "RENAME COLUMN n_nationkey TO nation_key")
+    spark.sql(s"DELETE FROM $cat.default.nation_rn WHERE nation_key >= 20")
+    require(spark.sql(
+      s"SELECT * FROM $cat.default.nation_rn VERSION AS OF 1")
+      .schema.fieldNames.toSeq == Seq("n_nationkey", "n_name"),
+      "time travel must show the pre-rename names")
+    spark.sql(s"SELECT nation_key, nation_name FROM $cat.default.nation_rn " +
+      "ORDER BY nation_key")
+  }
+
+  private val hubRenameSqlOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+      |  CASE WHEN n_nationkey < 5 THEN lower(n_name) ELSE n_name END
+      |    AS nation_name
+      |FROM nation WHERE n_nationkey < 20
+      |ORDER BY nation_key""".stripMargin
+
   /** `CREATE TABLE … AS SELECT` + `REPLACE TABLE … AS SELECT` through the
     * catalog (Spark's non-atomic v2 CTAS/RTAS path: create-empty → merge
     * write; replace = drop + recreate at the SAME path). The REPLACE leg
@@ -1233,6 +1270,7 @@ object IngestQueries {
     "q_hub_restore" -> qHubRestore,
     "q_hub_clone_sql" -> qHubCloneSql,
     "q_hub_ctas_sql" -> qHubCtasSql,
+    "q_hub_rename_sql" -> qHubRenameSql,
     "q_hub_call_maintenance" -> qHubCallMaintenance,
     "q_hub_timestamp_travel" -> qHubTimestampTravel,
     "q_hub_files_meta" -> qHubFilesMeta,
@@ -1264,6 +1302,7 @@ object IngestQueries {
     "q_hub_clone_sql" -> hubCloneSqlOracle,
     "q_hub_call_maintenance" -> hubCallMaintenanceOracle,
     "q_hub_ctas_sql" -> hubCtasSqlOracle,
+    "q_hub_rename_sql" -> hubRenameSqlOracle,
     "q_stream_cdf_tail" -> streamCdfTailOracle,
     "q_stream_hub_mirror" -> streamHubMirrorOracle,
     "q_stream_hub_tail" -> streamHubTailOracle,

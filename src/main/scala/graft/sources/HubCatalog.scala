@@ -147,18 +147,23 @@ class HubCatalog extends TableCatalog
 
   /** Zero-copy DDL schema evolution (Delta parity): ADD COLUMN (with
     * FIRST/AFTER and comment), DROP COLUMN (IF EXISTS honoured), widening
-    * ALTER COLUMN TYPE, and COMMENT ON COLUMN — all as manifest-only
-    * commits via [[VersionedHub.alterSchema]]; no data file is rewritten.
-    * Everything else (RENAME needs column mapping the hub doesn't have,
-    * NOT NULL contradicts the all-nullable read contract, properties have
-    * no store) is refused loudly. Schema ALSO evolves through widening
-    * writes — DDL is for evolving ahead of the data.
+    * ALTER COLUMN TYPE, RENAME COLUMN (via column mapping — see
+    * [[graft.writers.ColumnMapping]]), and COMMENT ON COLUMN — all as
+    * manifest-only commits via [[VersionedHub.alterSchema]]; no data file
+    * is rewritten. Everything else (NOT NULL contradicts the all-nullable
+    * read contract, properties have no store) is refused loudly. Schema
+    * ALSO evolves through widening writes — DDL is for evolving ahead of
+    * the data.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val p = pathOf(ident)
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        r.fieldNames()(0) -> r.newName()
+    }.toMap
     VersionedHub.alterSchema(spark, p, schema =>
-      changes.foldLeft(schema)((s, ch) => applyChange(p, s, ch)))
+      changes.foldLeft(schema)((s, ch) => applyChange(p, s, ch)), renames)
     new HubTable(p, asOf = None)
   }
 
@@ -229,11 +234,37 @@ class HubCatalog extends TableCatalog
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).putString("comment", uc.newComment())
           .build())))
+    case rn: TableChange.RenameColumn =>
+      // RENAME COLUMN via column mapping (Delta name-mode parity): the
+      // field keeps its frozen PHYSICAL file name in metadata and only the
+      // logical name changes — a manifest-only commit, no file rewritten.
+      // The new name must never have been a logical name of this table:
+      // reusing one would (a) let a later ADD collide with the resurrection
+      // guard's premise and (b) make two live columns traceable to one
+      // creation name, breaking the physical namespace's distinctness.
+      require(rn.fieldNames.length == 1,
+        "graft-hub ALTER TABLE supports top-level columns only, got " +
+          rn.fieldNames.mkString("."))
+      val name = rn.fieldNames()(0)
+      val newName = rn.newName()
+      val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"column $name does not exist")
+      require(!s.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"column $newName already exists")
+      require(!VersionedHub.history(spark, path).flatMap(_.schema)
+          .flatMap(_.fieldNames).exists(_.equalsIgnoreCase(newName)),
+        s"column $newName existed in an earlier version of this table — " +
+          "renaming onto a historical name would break the column " +
+          "mapping's one-creation-name-per-column invariant")
+      val f = s.fields(idx)
+      StructType(s.fields.updated(idx,
+        graft.writers.ColumnMapping.withPhys(f,
+          graft.writers.ColumnMapping.physName(f)).copy(name = newName)))
     case other =>
       throw new UnsupportedOperationException(
         s"graft-hub ALTER TABLE does not support ${other.getClass.getSimpleName}" +
-          " (RENAME needs column mapping; NOT NULL contradicts the " +
-          "all-nullable contract; table properties have no store)")
+          " (NOT NULL contradicts the all-nullable contract; table " +
+          "properties have no store)")
   }
 
   private def insertAt(s: StructType,

@@ -362,23 +362,27 @@ object HubDataSource {
       filter: Filter): Boolean = {
     def dtOf(c: String): Option[DataType] =
       schema.find(_.name == c).map(_.dataType)
-    def stat(c: String): Option[FileStats.ColStat] = f.cols.get(c)
+    // stats are keyed by the FOOTER's column names = the PHYSICAL names
+    // under column mapping; predicates arrive with logical names
+    def phys(c: String): String =
+      graft.writers.ColumnMapping.physOf(schema, c)
+    def stat(c: String): Option[FileStats.ColStat] = f.cols.get(phys(c))
     def coerced(c: String, v: Any): Option[Any] =
       for { dt <- dtOf(c); cv <- coerce(v, dt) } yield cv
     def eqMay(c: String, v: Any): Boolean =
-      if (v == null || f.allNull(c)) false
+      if (v == null || f.allNull(phys(c))) false
       else (for {
         s <- stat(c); mn <- s.min; mx <- s.max; cv <- coerced(c, v)
         lo <- FileStats.compareOpt(mn, cv); hi <- FileStats.compareOpt(cv, mx)
       } yield lo <= 0 && hi <= 0).getOrElse(true)
     def gtMay(c: String, v: Any, strict: Boolean): Boolean =
-      if (v == null || f.allNull(c)) false
+      if (v == null || f.allNull(phys(c))) false
       else (for {
         s <- stat(c); mx <- s.max; cv <- coerced(c, v)
         r <- FileStats.compareOpt(mx, cv)
       } yield if (strict) r > 0 else r >= 0).getOrElse(true)
     def ltMay(c: String, v: Any, strict: Boolean): Boolean =
-      if (v == null || f.allNull(c)) false
+      if (v == null || f.allNull(phys(c))) false
       else (for {
         s <- stat(c); mn <- s.min; cv <- coerced(c, v)
         r <- FileStats.compareOpt(mn, cv)
@@ -396,7 +400,7 @@ object HubDataSource {
       case LessThan(c, v) => ltMay(c, v, strict = true)
       case LessThanOrEqual(c, v) => ltMay(c, v, strict = false)
       case IsNull(c) => stat(c).flatMap(_.nullCount).forall(_ > 0)
-      case IsNotNull(c) => !f.allNull(c)
+      case IsNotNull(c) => !f.allNull(phys(c))
       case _ => true
     }
   }
@@ -695,8 +699,9 @@ private[graft] class HubScanBuilder(path: String,
       v.fileStats.valuesIterator.flatMap(_.cols.keysIterator).toSet
     usedForPruning = perFilter.collect {
       case (f, Some(_)) => f
-      case (f, None)
-          if HubDataSource.statsFilterAttr(f).exists(statCols.contains) => f
+      case (f, None) if HubDataSource.statsFilterAttr(f)
+          .map(graft.writers.ColumnMapping.physOf(fullSchema, _))
+          .exists(statCols.contains) => f
     }
     // dir/file pruning only skips data a matching row cannot live in; rows
     // inside surviving files still need every predicate — return ALL
@@ -844,8 +849,13 @@ private[sources] class HubScan(path: String, v: VersionedHub.Version,
             // the manifest already records the full-snapshot schema —
             // passing it to the reader skips parquet schema INFERENCE (a
             // footer-reading Spark job with mergeSchema) at planning time;
-            // files missing evolved columns read them as null
-            session.read.schema(fullSchema).parquet(scanPaths: _*),
+            // files missing evolved columns read them as null. Under
+            // column mapping the files spell renamed columns by their
+            // frozen physical names — scan with those, alias back
+            graft.writers.ColumnMapping.toLogical(
+              session.read.schema(
+                graft.writers.ColumnMapping.physicalSchema(fullSchema))
+                .parquet(scanPaths: _*), fullSchema),
             fullSchema)
         base.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
       }

@@ -1,0 +1,104 @@
+package graft.writers
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+
+/** Delta-style COLUMN MAPPING, name mode (Delta's
+  * `delta.columnMapping.mode = name`; the reference delegates its hub
+  * tables to Delta, `writer.py:25-29`, where RENAME COLUMN needs exactly
+  * this): every field of a recorded snapshot schema may carry the name the
+  * PARQUET FILES spell it under — its *physical* name — in field metadata.
+  * The physical name is frozen when the column is first written; `ALTER
+  * TABLE RENAME COLUMN` changes only the *logical* name users query by, so
+  * no data file is rewritten at any table size.
+  *
+  * Invariants that keep the mapping sound:
+  *   - physical names are pairwise distinct: a physical name originates as
+  *     the column's creation-time logical name, and the hub refuses to ever
+  *     REUSE a historical logical name (the resurrection guard on ADD and
+  *     the same rule on RENAME targets), so no two live columns can trace
+  *     back to the same creation name;
+  *   - every writer lands files under PHYSICAL names ([[toPhysical]] at the
+  *     write seams) and every reader scans with the physical schema then
+  *     aliases back ([[toLogical]]), so a snapshot's file set stays
+  *     homogeneous across renames — partial rewrites (UPDATE, compaction)
+  *     cannot fork the file-column namespace;
+  *   - per-file skipping stats are keyed by the FOOTER's (= physical)
+  *     names; planners translate predicate attributes logical→physical
+  *     ([[physOf]]) before consulting them.
+  *
+  * Tables that were never renamed carry no metadata and hit the
+  * `hasMapping = false` identity fast paths everywhere — zero plan or
+  * runtime change.
+  */
+private[graft] object ColumnMapping {
+
+  /** Field-metadata key holding the column's immutable file name. */
+  val PhysKey = "graft.physicalName"
+
+  def physName(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  def hasMapping(s: StructType): Boolean =
+    s.fields.exists(f => physName(f) != f.name)
+
+  /** The schema as the parquet files spell it (identity when unmapped). */
+  def physicalSchema(s: StructType): StructType =
+    if (!hasMapping(s)) s
+    else StructType(s.fields.map(f => f.copy(name = physName(f))))
+
+  /** The file-column name a predicate/stat lookup on logical `c` must use.
+    * Unknown columns pass through (a filter on a column the schema does not
+    * carry can never prune anyway).
+    */
+  def physOf(s: StructType, c: String): String =
+    s.find(_.name == c).map(physName).getOrElse(c)
+
+  /** Alias a physically-named scan back to `s`'s logical names, in `s`'s
+    * field order.
+    */
+  def toLogical(df: DataFrame, s: StructType): DataFrame =
+    if (!hasMapping(s)) df
+    else df.select(s.fields.map { f =>
+      val p = physName(f)
+      if (p == f.name) col(f.name) else col(p).as(f.name)
+    }.toIndexedSeq: _*)
+
+  /** Alias a logically-named snapshot to its file names before a write.
+    * Columns absent from `s` (the bucket stamp) pass through untouched.
+    */
+  def toPhysical(df: DataFrame, s: StructType): DataFrame =
+    if (!hasMapping(s)) df
+    else {
+      val l2p = s.fields.map(f => f.name -> physName(f)).toMap
+      df.select(df.columns.toIndexedSeq.map { c =>
+        l2p.get(c).filter(_ != c).fold(col(c))(p => col(c).as(p))
+      }: _*)
+    }
+
+  /** Carry mapping metadata from the base snapshot's schema onto the
+    * same-named fields of a freshly-derived schema about to be recorded
+    * (DataFrame transformations — merges, coalesce projections — may drop
+    * field metadata; the mapping must survive them). Fields already
+    * carrying a mapping keep their own.
+    */
+  def graft(s: StructType, base: Option[StructType]): StructType =
+    base match {
+      case Some(b) if hasMapping(b) =>
+        val byName = b.fields.map(f => f.name -> f).toMap
+        StructType(s.fields.map { f =>
+          if (f.metadata.contains(PhysKey)) f
+          else byName.get(f.name) match {
+            case Some(bf) if physName(bf) != bf.name =>
+              withPhys(f, physName(bf))
+            case _ => f
+          }
+        })
+      case _ => s
+    }
+
+  def withPhys(f: StructField, phys: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysKey, phys).build())
+}

@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 import org.yaml.snakeyaml.{LoaderOptions, Yaml}
 import org.yaml.snakeyaml.constructor.SafeConstructor
 
@@ -186,7 +187,7 @@ object VersionedHub {
             if (v.rows == 0L) spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               snapshotSchema(spark, path, v))
-            else spark.read.parquet(resolve(path, v.dataDir))
+            else readDirs(spark, v, Seq(resolve(path, v.dataDir)))
           val target = deletes.fold(target0)(d =>
             target0.join(d, keys, "left_anti"))
           val (t, s) = HubWriter.reconcileSchemas(target, df)
@@ -222,8 +223,14 @@ object VersionedHub {
         s"hub at $path became bucketed mid-commit; retry the write")
       val next = base.map(_.version).getOrElse(0) + 1
       val merged = mkSnapshot(base)
+      // the recorded schema carries column-mapping metadata forward from
+      // the base (merge projections may have dropped it); files land under
+      // PHYSICAL names so the snapshot stays homogeneous across renames
+      val recSchema = ColumnMapping.graft(merged.schema,
+        base.flatMap(_.schema))
       val dataDir = s"data/$next-${UUID.randomUUID().toString.take(8)}"
-      merged.write.parquet(resolve(path, dataDir))
+      ColumnMapping.toPhysical(merged, recSchema)
+        .write.parquet(resolve(path, dataDir))
       // ONE footer pass over the files just written serves the whole
       // manifest audit: row count, per-file bytes, and per-file column
       // min/max for data skipping. Small snapshots read footers driver-side
@@ -235,7 +242,7 @@ object VersionedHub {
       // snapshot, so the delta equals the full stats map
       if (commit(fs, path,
           Version(next, dataDir, System.currentTimeMillis(), rows, batchId,
-            schemaJson = Some(merged.schema.json), statsNew = fstats)))
+            schemaJson = Some(recSchema.json), statsNew = fstats)))
         return next
       // lost the race: drop the orphan snapshot, recompute against the winner
       fs.delete(new Path(resolve(path, dataDir)), true)
@@ -351,11 +358,19 @@ object VersionedHub {
       // `optimizeWrite = false` opts out for bulk loads whose single-bucket
       // volume wants task-level write parallelism (then compactBuckets is
       // the small-file remedy, as before)
+      // the recorded schema is the UNION of the base's recorded schema and
+      // this commit's merged schema (computed BEFORE the write so the file
+      // layout can follow its column mapping): `merged` covers only the
+      // TOUCHED buckets, so after a schema evolution a column living solely
+      // in untouched buckets would otherwise vanish from the record
+      val snapSchema = unionSchema(spark, path, base,
+        merged.drop(BucketCol).schema)
       val toWrite =
         if (optimizeWrite)
           merged.repartition(org.apache.spark.sql.functions.col(BucketCol))
         else merged
-      toWrite.write.partitionBy(BucketCol).parquet(resolve(path, root))
+      ColumnMapping.toPhysical(toWrite, snapSchema)
+        .write.partitionBy(BucketCol).parquet(resolve(path, root))
       // deletes can empty a bucket entirely; partitionBy writes no dir for
       // it, so map only the bucket dirs that actually materialized and drop
       // the rest from the manifest
@@ -392,13 +407,6 @@ object VersionedHub {
         else // pre-bucketRows manifest underneath: count the legacy dirs once
           newRows ++ carriedDirs.map(b => b -> countDir(newBuckets(b))).toMap
       val rows = bucketRows.values.sum
-      // the recorded schema is the UNION of the base's recorded schema and
-      // this commit's merged schema: `merged` covers only the TOUCHED
-      // buckets, so after a schema evolution a column living solely in
-      // untouched buckets would otherwise vanish from the record (and from
-      // every bucket-pruned read that relies on it)
-      val snapSchema = unionSchema(spark, path, base,
-        merged.drop(BucketCol).schema)
       // the manifest records ONLY this commit's files (statsNew); carried
       // files reconstruct lazily from the base snapshot — manifest size and
       // commit cost stay O(touched buckets), not O(table)
@@ -473,7 +481,12 @@ object VersionedHub {
     */
   private[graft] def readDirs(spark: SparkSession, v: Version,
       dirs: Seq[String]): DataFrame = v.schema match {
-    case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+    case Some(s) =>
+      // column mapping: files spell renamed columns by their frozen
+      // PHYSICAL names — scan with those, alias back to the logical view
+      // (identity when the table was never renamed)
+      ColumnMapping.toLogical(
+        spark.read.schema(ColumnMapping.physicalSchema(s)).parquet(dirs: _*), s)
     case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
@@ -702,7 +715,11 @@ object VersionedHub {
             s"hub at $path changed layout mid-overwrite; retry")
           val next = base.version + 1
           val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
-          stampBuckets(df, bCols, n)
+          // even a full replacement keeps the column mapping: a reader of
+          // an OLD version still needs the physical aliases, and one
+          // namespace per table is simpler than per-version forks
+          val recSchema = ColumnMapping.graft(df.schema, base.schema)
+          ColumnMapping.toPhysical(stampBuckets(df, bCols, n), recSchema)
             .repartition(org.apache.spark.sql.functions.col(BucketCol))
             .write.partitionBy(BucketCol).parquet(resolve(path, root))
           val fstats = FileStats.collect(spark, fs, new Path(path),
@@ -721,7 +738,7 @@ object VersionedHub {
           if (commit(fs, path, Version(next, root,
               System.currentTimeMillis(), bucketRows.values.sum, None,
               Some(n), buckets, Some(bCols), bucketRows,
-              schemaJson = Some(df.schema.json), statsNew = fstats)))
+              schemaJson = Some(recSchema.json), statsNew = fstats)))
             return next
           fs.delete(new Path(resolve(path, root)), true)
           failIfStuck(spark, path, next)
@@ -844,7 +861,8 @@ object VersionedHub {
     */
   def alterSchema(spark: SparkSession, path: String,
       alter: org.apache.spark.sql.types.StructType =>
-        org.apache.spark.sql.types.StructType): Int = {
+        org.apache.spark.sql.types.StructType,
+      renameCols: Map[String, String] = Map.empty): Int = {
     val fs = fileSystem(spark, path)
     var attempt = 0
     while (attempt < MaxRetries) {
@@ -853,9 +871,17 @@ object VersionedHub {
         throw new IllegalArgumentException(s"no committed versions at $path"))
       val newSchema = Version.nullable(alter(snapshotSchema(spark, path, base)))
       val next = base.version + 1
+      // RENAME COLUMN of a bucket-ROUTING column renames the recorded
+      // routing too: routing is by logical name (writers and probes pass
+      // the names users see), and each manifest is self-consistent — time
+      // travel to a pre-rename version shows the old routing names
+      val bucketCols = base.bucketCols.map(_.map(c =>
+        renameCols.collectFirst {
+          case (from, to) if from.equalsIgnoreCase(c) => to
+        }.getOrElse(c)))
       if (commit(fs, path, Version(next, base.dataDir,
           System.currentTimeMillis(), base.rows, None, base.nBuckets,
-          base.buckets, base.bucketCols, base.bucketRows,
+          base.buckets, bucketCols, base.bucketRows,
           schemaJson = Some(newSchema.json),
           statsCarried = () => base.fileStats)))
         return next
@@ -949,9 +975,9 @@ object VersionedHub {
             if (touched.isEmpty) return base.version
             val next = base.version + 1
             val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
-            tagged
+            ColumnMapping.toPhysical(tagged
               .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
-              .filter(keep)
+              .filter(keep), base.schema.getOrElse(new StructType()))
               .repartition(col(BucketCol))
               .write.partitionBy(BucketCol).parquet(resolve(path, root))
             val fstatsNew = FileStats.collect(spark, fs, new Path(path),
@@ -1058,7 +1084,8 @@ object VersionedHub {
             val rewritten = applySets(
               tagged.filter(
                 col(BucketCol).isin(touched.map(Integer.valueOf): _*)))
-            rewritten
+            ColumnMapping.toPhysical(rewritten,
+                base.schema.getOrElse(new StructType()))
               .repartition(col(BucketCol))
               .write.partitionBy(BucketCol).parquet(resolve(path, root))
             val fstatsNew = FileStats.collect(spark, fs, new Path(path),
@@ -1222,7 +1249,7 @@ object VersionedHub {
       targetFileRows: Long = 1024 * 1024
   ): Int = commitLoop(spark, path, batchId = None) { base =>
     val v = requireFlat(base, path, "optimize")
-    val current = spark.read.parquet(resolve(path, v.dataDir))
+    val current = readDirs(spark, v, Seq(resolve(path, v.dataDir)))
     val nFiles = math.max(1,
       math.ceil(v.rows.toDouble / targetFileRows).toInt)
     current.repartition(nFiles)
@@ -1260,16 +1287,22 @@ object VersionedHub {
       val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
       import org.apache.spark.sql.functions.lit
       val merged = chosen.map { b =>
-        spark.read.parquet(resolve(path, base.buckets(b)))
+        // readDirs (not a raw scan): old generations read through the
+        // recorded schema's widening/padding AND its column mapping
+        readDirs(spark, base, Seq(resolve(path, base.buckets(b))))
           .withColumn(BucketCol, lit(b))
       }.reduce { (a, b) =>
         // buckets can carry drifted schemas (only touched buckets see a
-        // widening merge) — reconcile pairwise like the writers do
+        // widening merge; legacy manifests without a recorded schema
+        // mergeSchema-infer per dir) — reconcile pairwise like the writers
         val (x, y) = HubWriter.reconcileSchemas(a, b)
         x.unionByName(y)
       }
+      val snapSchema = unionSchema(spark, path, Some(base),
+        merged.drop(BucketCol).schema)
       // one writer task → one file per bucket dir (the compaction point)
-      merged.coalesce(1).write.partitionBy(BucketCol)
+      ColumnMapping.toPhysical(merged, snapSchema)
+        .coalesce(1).write.partitionBy(BucketCol)
         .parquet(resolve(path, root))
       val newBuckets = base.buckets ++
         chosen.map(b => b -> s"$root/$BucketCol=$b")
@@ -1277,8 +1310,6 @@ object VersionedHub {
       // schema all carry over from the base manifest; per-file stats are
       // re-read for the rewritten dirs (fewer, larger files) and carried
       // for the untouched ones
-      val snapSchema = unionSchema(spark, path, Some(base),
-        merged.drop(BucketCol).schema)
       val fstatsNew = FileStats.collect(spark, fs, new Path(path),
         new Path(resolve(path, root)))
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
@@ -1334,18 +1365,19 @@ object VersionedHub {
         readDirs(spark, base, Seq(resolve(path, base.buckets(b))))
           .withColumn(BucketCol, lit(b))
       }.reduce(_ unionByName _)
-      graft.functions.ZOrder.withBinnedZ(current, colA, colB)
-        .repartitionByRange(chosen.size * filesPerBucket,
-          col(BucketCol), col("_z"))
-        .sortWithinPartitions(col(BucketCol), col("_z"))
-        .drop("_z")
+      val snapSchema = unionSchema(spark, path, Some(base),
+        current.drop(BucketCol).schema)
+      ColumnMapping.toPhysical(
+          graft.functions.ZOrder.withBinnedZ(current, colA, colB)
+            .repartitionByRange(chosen.size * filesPerBucket,
+              col(BucketCol), col("_z"))
+            .sortWithinPartitions(col(BucketCol), col("_z"))
+            .drop("_z"), snapSchema)
         .write.partitionBy(BucketCol).parquet(resolve(path, root))
       val fstats = FileStats.collect(spark, fs, new Path(path),
         new Path(resolve(path, root)))
       val newBuckets = base.buckets ++
         chosen.map(b => b -> s"$root/$BucketCol=$b")
-      val snapSchema = unionSchema(spark, path, Some(base),
-        current.drop(BucketCol).schema)
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
           base.rows, None, base.nBuckets, newBuckets, base.bucketCols,
           base.bucketRows, schemaJson = Some(snapSchema.json),
@@ -1386,7 +1418,7 @@ object VersionedHub {
       targetFileRows: Long = 1024 * 1024
   ): Int = commitLoop(spark, path, batchId = None) { base =>
     val v = requireFlat(base, path, "optimizeZOrder")
-    val current = spark.read.parquet(resolve(path, v.dataDir))
+    val current = readDirs(spark, v, Seq(resolve(path, v.dataDir)))
     val nFiles = math.max(1,
       math.ceil(v.rows.toDouble / targetFileRows).toInt)
     graft.functions.ZOrder.zOrderByBinned(current, colA, colB, nFiles)

@@ -663,9 +663,11 @@ class HubCatalogSpec extends SparkTestBase {
       val notNull = intercept[Exception](spark.sql(
         "ALTER TABLE hubalr.default.t ADD COLUMNS (m INT NOT NULL)"))
       assert(notNull.getMessage.contains("always nullable"), notNull.getMessage)
-      val ren = intercept[Exception](spark.sql(
-        "ALTER TABLE hubalr.default.t RENAME COLUMN n TO m"))
-      assert(ren.getMessage.contains("not support"), ren.getMessage)
+      // RENAME is SUPPORTED since column mapping landed (full matrix in
+      // the dedicated RENAME COLUMN tests)
+      spark.sql("ALTER TABLE hubalr.default.t2 RENAME COLUMN n TO m")
+      assert(spark.table("hubalr.default.t2").select("m")
+        .as[Double].head() == 30.0)
       val prop = intercept[Exception](spark.sql(
         "ALTER TABLE hubalr.default.t SET TBLPROPERTIES ('a'='b')"))
       assert(prop.getMessage.contains("not support"), prop.getMessage)
@@ -779,6 +781,121 @@ class HubCatalogSpec extends SparkTestBase {
       spark.sql("ALTER TABLE hubctas.default.src RENAME TO default.dst")
       assert(spark.table("hubctas.default.dst").orderBy("k")
         .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    }
+  }
+
+  test("RENAME COLUMN via column mapping: zero-copy, full lifecycle") {
+    withCatalog("hubrn") { base =>
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+          .toDF("k", "v", "x"),
+        s"$base/t", Seq("k"), 4)
+      def dataFiles(): Set[String] = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(base, "t"))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSet
+        } finally s.close()
+      }
+      val before = dataFiles()
+      spark.sql("ALTER TABLE hubrn.default.t RENAME COLUMN v TO label")
+      spark.sql("ALTER TABLE hubrn.default.t RENAME COLUMN x TO score")
+      // zero-copy: not one data file touched
+      assert(dataFiles() == before)
+      // old files read under the new logical names
+      assert(spark.table("hubrn.default.t").orderBy("k")
+        .as[(Long, String, Long)].collect().toSeq ==
+        Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+      // time travel shows the pre-rename names
+      assert(spark.sql("SELECT * FROM hubrn.default.t VERSION AS OF 1")
+        .schema.fieldNames.toSeq == Seq("k", "v", "x"))
+      // post-rename upsert speaks the new names; NEW files must spell the
+      // columns by their frozen PHYSICAL names so the snapshot's file set
+      // stays homogeneous
+      VersionedHub.write(spark,
+        Seq((2L, "B!", 200L), (4L, "d", 40L)).toDF("k", "label", "score"),
+        s"$base/t", Seq("k"))
+      assert(spark.table("hubrn.default.t").orderBy("k")
+        .as[(Long, String, Long)].collect().toSeq ==
+        Seq((1L, "a", 10L), (2L, "B!", 200L), (3L, "c", 30L), (4L, "d", 40L)))
+      val newFiles = (dataFiles() -- before).toSeq
+      assert(newFiles.nonEmpty)
+      val raw = spark.read.parquet(newFiles: _*)
+      assert(raw.schema.fieldNames.toSet == Set("k", "v", "x"),
+        s"files must carry PHYSICAL names, got ${raw.schema.fieldNames.toSeq}")
+      // file-skipping stats answer predicates on the renamed column: a
+      // range no file can satisfy plans to zero files
+      val rd = spark.read.format("graft-hub").option("path", s"$base/t")
+        .load().filter($"score" > 10000L)
+      val planStr = rd.queryExecution.executedPlan.toString
+      val m = "files=(\\d+) skipped=(\\d+)".r.findFirstMatchIn(planStr)
+      assert(m.exists(g => g.group(1).toInt == 0 && g.group(2).toInt > 0),
+        s"stats skipping must see through the rename:\n$planStr")
+      // row-level SQL on renamed columns
+      spark.sql("UPDATE hubrn.default.t SET label = upper(label) " +
+        "WHERE score >= 40")
+      spark.sql("DELETE FROM hubrn.default.t WHERE label = 'a'")
+      assert(spark.table("hubrn.default.t").orderBy("k")
+        .as[(Long, String, Long)].collect().toSeq ==
+        Seq((2L, "B!", 200L), (3L, "c", 30L), (4L, "D", 40L)))
+      // compaction rewrites under the same physical namespace
+      VersionedHub.compactBuckets(spark, s"$base/t")
+      assert(spark.table("hubrn.default.t").orderBy("k")
+        .as[(Long, String, Long)].collect().toSeq ==
+        Seq((2L, "B!", 200L), (3L, "c", 30L), (4L, "D", 40L)))
+    }
+  }
+
+  test("RENAME COLUMN of the bucket-routing column renames the routing") {
+    withCatalog("hubrnk") { base =>
+      VersionedHub.writeBucketed(spark,
+        (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"),
+        s"$base/t", Seq("k"), 8)
+      val dirsBefore = VersionedHub.versionAt(spark, s"$base/t", None).buckets
+      spark.sql("ALTER TABLE hubrnk.default.t RENAME COLUMN k TO id")
+      assert(VersionedHub.versionAt(spark, s"$base/t", None)
+        .bucketCols.contains(Seq("id")))
+      // post-rename keyed writes route to the SAME buckets (hashing is by
+      // value; only the recorded routing NAME changed)
+      VersionedHub.write(spark, Seq((41L, "v41")).toDF("id", "v"),
+        s"$base/t", Seq("id"))
+      val after = VersionedHub.versionAt(spark, s"$base/t", None)
+      val touched = after.buckets.filterNot { case (b, d) =>
+        dirsBefore.get(b).contains(d) }.keySet
+      assert(touched.size == 1, s"one touched bucket expected: $touched")
+      assert(spark.table("hubrnk.default.t").count() == 41)
+      // bucket pruning on the renamed routing column still plans
+      val rd = spark.read.format("graft-hub").option("path", s"$base/t")
+        .load().filter($"id" === 41L)
+      val planStr = rd.queryExecution.executedPlan.toString
+      val m = "dirs=(\\d+)/(\\d+)".r.findFirstMatchIn(planStr)
+      assert(m.exists(g => g.group(1).toInt == 1),
+        s"routing-column pruning must survive the rename:\n$planStr")
+    }
+  }
+
+  test("RENAME COLUMN refusal matrix") {
+    withCatalog("hubrnr") { base =>
+      spark.sql("CREATE TABLE hubrnr.default.t (a BIGINT, b STRING, c INT)")
+      spark.sql("ALTER TABLE hubrnr.default.t DROP COLUMN c")
+      val dup = intercept[Exception](spark.sql(
+        "ALTER TABLE hubrnr.default.t RENAME COLUMN a TO b"))
+      assert(dup.getMessage.contains("already exists"), dup.getMessage)
+      val hist = intercept[Exception](spark.sql(
+        "ALTER TABLE hubrnr.default.t RENAME COLUMN a TO c"))
+      assert(hist.getMessage.contains("earlier version"), hist.getMessage)
+      // a missing source column is refused by Spark's own resolver
+      val nope = intercept[Exception](spark.sql(
+        "ALTER TABLE hubrnr.default.t RENAME COLUMN zz TO yy"))
+      assert(nope.getMessage.contains("does not exist") ||
+        nope.getMessage.contains("UNRESOLVED_COLUMN"), nope.getMessage)
+      // a FLAT table renames too (commitLoop's write seam)
+      spark.sql("INSERT INTO hubrnr.default.t VALUES (1, 'x')")
+      spark.sql("ALTER TABLE hubrnr.default.t RENAME COLUMN b TO label")
+      spark.sql("INSERT INTO hubrnr.default.t VALUES (2, 'y')")
+      assert(spark.table("hubrnr.default.t").orderBy("a")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "x"), (2L, "y")))
     }
   }
 
