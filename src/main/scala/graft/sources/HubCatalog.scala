@@ -178,21 +178,34 @@ class HubCatalog extends TableCatalog
         s"graft-hub columns are always nullable — cannot ADD COLUMN $name NOT NULL")
       require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column $name already exists")
-      // Live files may still hold a previously-dropped column's values —
-      // re-adding the name would RESURRECT them (Delta needs column
-      // mapping for this; the hub has none). Refuse if any committed
-      // version's recorded schema ever contained the name.
-      require(!VersionedHub.history(spark, path).flatMap(_.schema)
-          .flatMap(_.fieldNames).exists(_.equalsIgnoreCase(name)),
-        s"column $name existed in an earlier version of this table — " +
-          "re-adding it would resurrect values still present in shared " +
-          "data files (column mapping is not supported)")
+      require(!name.contains('#'),
+        s"column name $name may not contain '#' — reserved for " +
+          "column-mapping physical names")
       val meta = Option(add.comment()).map(c =>
         new org.apache.spark.sql.types.MetadataBuilder()
           .putString("comment", c).build())
         .getOrElse(org.apache.spark.sql.types.Metadata.empty)
-      insertAt(s, org.apache.spark.sql.types.StructField(
-        name, add.dataType, nullable = true, meta), Option(add.position()))
+      val fld = org.apache.spark.sql.types.StructField(
+        name, add.dataType, nullable = true, meta)
+      // Live files may still hold a previously-dropped column's values —
+      // re-adding the bare name would RESURRECT them. With column mapping
+      // the re-added column instead gets a FRESH physical name ('#' is
+      // refused in user names, so it can never collide with a future
+      // logical name): old files record no such column and read NULL, new
+      // writes land under it — Delta's column-mapping re-add semantics.
+      val everFields = VersionedHub.history(spark, path)
+        .flatMap(_.schema).flatMap(_.fields)
+      val mappedFld =
+        if (!everFields.exists(_.name.equalsIgnoreCase(name))) fld
+        else {
+          val everPhys = everFields
+            .map(f => graft.writers.ColumnMapping.physName(f).toLowerCase)
+            .toSet
+          val phys = Iterator.from(2).map(i => s"$name#$i")
+            .dropWhile(p => everPhys.contains(p.toLowerCase)).next()
+          graft.writers.ColumnMapping.withPhys(fld, phys)
+        }
+      insertAt(s, mappedFld, Option(add.position()))
     case del: TableChange.DeleteColumn =>
       require(del.fieldNames.length == 1,
         "graft-hub ALTER TABLE supports top-level columns only, got " +
@@ -251,6 +264,9 @@ class HubCatalog extends TableCatalog
       require(idx >= 0, s"column $name does not exist")
       require(!s.fieldNames.exists(_.equalsIgnoreCase(newName)),
         s"column $newName already exists")
+      require(!newName.contains('#'),
+        s"column name $newName may not contain '#' — reserved for " +
+          "column-mapping physical names")
       require(!VersionedHub.history(spark, path).flatMap(_.schema)
           .flatMap(_.fieldNames).exists(_.equalsIgnoreCase(newName)),
         s"column $newName existed in an earlier version of this table — " +

@@ -14,11 +14,12 @@ import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
   * no data file is rewritten at any table size.
   *
   * Invariants that keep the mapping sound:
-  *   - physical names are pairwise distinct: a physical name originates as
-  *     the column's creation-time logical name, and the hub refuses to ever
-  *     REUSE a historical logical name (the resurrection guard on ADD and
-  *     the same rule on RENAME targets), so no two live columns can trace
-  *     back to the same creation name;
+  *   - physical names are pairwise distinct: a column created under a
+  *     never-before-used name keeps that name physically; RE-ADDING an
+  *     ever-dropped name assigns a fresh `name#N` physical instead ('#' is
+  *     refused in user column names, so the reserved namespace cannot
+  *     collide with any future logical name), and RENAME targets refuse
+  *     historical names — no two live columns can share a file column;
   *   - every writer lands files under PHYSICAL names ([[toPhysical]] at the
   *     write seams) and every reader scans with the physical schema then
   *     aliases back ([[toLogical]]), so a snapshot's file set stays

@@ -610,7 +610,8 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
-  test("ALTER TABLE refuses resurrection, narrowing, key drops and the unsupported") {
+  test("ALTER TABLE: re-add never resurrects; narrowing, key drops and " +
+      "the unsupported refuse") {
     withCatalog("hubalr") { base =>
       VersionedHub.writeBucketed(spark,
         Seq((1L, "a", 10)).toDF("k", "v", "n"), s"$base/t", Seq("k"), 4)
@@ -619,15 +620,28 @@ class HubCatalogSpec extends SparkTestBase {
         "ALTER TABLE hubalr.default.t DROP COLUMN k"))
       assert(keyDrop.getMessage.contains("routes this table's buckets"),
         keyDrop.getMessage)
-      // a dropped name cannot come back: live files may still hold values
+      // a re-added dropped name gets a FRESH physical name via column
+      // mapping: the live file still holds v='a' under the old physical,
+      // but the new column reads NULL — never the resurrected value
       spark.sql("ALTER TABLE hubalr.default.t DROP COLUMN v")
-      val readd = intercept[Exception](spark.sql(
-        "ALTER TABLE hubalr.default.t ADD COLUMNS (v STRING)"))
-      assert(readd.getMessage.contains("resurrect"), readd.getMessage)
-      // and indeed the old file still holds v='a' — the guard is not
-      // hypothetical (read it back under the pre-drop schema)
+      spark.sql("ALTER TABLE hubalr.default.t ADD COLUMNS (v STRING)")
+      assert(spark.table("hubalr.default.t").select("v")
+        .as[Option[String]].head().isEmpty,
+        "a re-added column must read NULL, not the dropped column's values")
+      // the threat was real: the old file DOES still hold v='a'
       assert(spark.sql("SELECT v FROM hubalr.default.t VERSION AS OF 1")
         .as[String].head() == "a")
+      // new writes land under the fresh physical name and read back
+      VersionedHub.write(spark, Seq((1L, "A2")).toDF("k", "v"),
+        s"$base/t", Seq("k"))
+      assert(spark.table("hubalr.default.t").select("v")
+        .as[String].head() == "A2")
+      assert(spark.sql("SELECT v FROM hubalr.default.t VERSION AS OF 1")
+        .as[String].head() == "a", "history is untouched by the re-add")
+      // '#' is reserved for the mapping's physical namespace
+      val hash = intercept[Exception](spark.sql(
+        "ALTER TABLE hubalr.default.t ADD COLUMNS (`a#b` STRING)"))
+      assert(hash.getMessage.contains("reserved"), hash.getMessage)
       // narrowing is refused — by Spark's own up-cast analysis before the
       // catalog even sees it (NOT_SUPPORTED_CHANGE_COLUMN); non-numeric
       // "up-casts" Spark permits (int→string) hit the catalog's
