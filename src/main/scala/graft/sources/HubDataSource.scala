@@ -740,7 +740,7 @@ private[graft] class HubScanBuilder(path: String,
       val dirRels = HubDataSource.scanDirRels(v, pruned)
       val plan = HubDataSource.planFiles(v, dirRels, pushed.toSeq, fullSchema)
       val totalDirs = if (v.buckets.isEmpty) 1 else v.buckets.size
-      new HubScan(path, v, fullSchema, required, plan,
+      new HubScan(path, v, fullSchema, required, plan, pushed.toSeq,
         dirsScanned = dirRels.size, totalDirs = totalDirs)
     }
 }
@@ -775,7 +775,8 @@ private[sources] class HubCountScan(path: String, v: VersionedHub.Version)
 
 private[sources] class HubScan(path: String, v: VersionedHub.Version,
     fullSchema: StructType, required: StructType,
-    plan: HubDataSource.PlannedFiles, dirsScanned: Int, totalDirs: Int)
+    plan: HubDataSource.PlannedFiles, filters: Seq[Filter],
+    dirsScanned: Int, totalDirs: Int)
     extends V1Scan with SupportsReportStatistics {
 
   private def paths: Seq[String] =
@@ -837,29 +838,51 @@ private[sources] class HubScan(path: String, v: VersionedHub.Version,
       // RowDataSourceScan prints the relation's toString — surface the
       // version + dir/file-pruning evidence there (plan-gated in spec)
       override def toString: String = desc
-      override def buildScan(): RDD[Row] = {
-        val session = context.sparkSession
-        val base =
-          // a 0-row snapshot (catalog CREATE TABLE) may hold no part files;
-          // parquet cannot scan an empty dir but the manifest has the schema
-          if (scanPaths.isEmpty || v.rows == 0L)
-            session.createDataFrame(
-              session.sparkContext.emptyRDD[Row], fullSchema)
-          else VersionedHub.alignTo(
-            // the manifest already records the full-snapshot schema —
-            // passing it to the reader skips parquet schema INFERENCE (a
-            // footer-reading Spark job with mergeSchema) at planning time;
-            // files missing evolved columns read them as null. Under
-            // column mapping the files spell renamed columns by their
-            // frozen physical names — scan with those, alias back
-            graft.writers.ColumnMapping.toLogical(
-              session.read.schema(
-                graft.writers.ColumnMapping.physicalSchema(fullSchema))
-                .parquet(scanPaths: _*), fullSchema),
-            fullSchema)
-        base.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
-      }
+      override def buildScan(): RDD[Row] =
+        HubScan.inner(context.sparkSession, scanPaths, v.rows, fullSchema,
+          required, filters).rdd
     }
     relation.asInstanceOf[T]
+  }
+}
+
+private[graft] object HubScan {
+  /** The parquet DataFrame the V1 bridge actually scans. The bridge's
+    * `TableScan.buildScan()` interface cannot carry predicates, so without
+    * help the INNER parquet scan would read every row group of every
+    * surviving file and leave all filtering to the outer plan. Re-applying
+    * the pushed filters here (translated through the same
+    * [[HubDataSource.filterToColumn]] the row-level commands trust) hands
+    * them to Spark's own parquet source — row-group zone maps, dictionary
+    * filtering and parquet bloom filters then prune WITHIN the files the
+    * manifest could not skip, at native speed. Purely an I/O reduction:
+    * the scan builder returns every filter for post-scan evaluation, so
+    * the outer plan re-checks them all regardless (and untranslatable
+    * filters simply stay outer-only).
+    */
+  private[graft] def inner(session: SparkSession, scanPaths: Seq[String],
+      snapshotRows: Long, fullSchema: StructType, required: StructType,
+      filters: Seq[Filter]): org.apache.spark.sql.DataFrame = {
+    val base =
+      // a 0-row snapshot (catalog CREATE TABLE) may hold no part files;
+      // parquet cannot scan an empty dir but the manifest has the schema
+      if (scanPaths.isEmpty || snapshotRows == 0L)
+        session.createDataFrame(
+          session.sparkContext.emptyRDD[Row], fullSchema)
+      else VersionedHub.alignTo(
+        // the manifest already records the full-snapshot schema —
+        // passing it to the reader skips parquet schema INFERENCE (a
+        // footer-reading Spark job with mergeSchema) at planning time;
+        // files missing evolved columns read them as null. Under
+        // column mapping the files spell renamed columns by their
+        // frozen physical names — scan with those, alias back
+        graft.writers.ColumnMapping.toLogical(
+          session.read.schema(
+            graft.writers.ColumnMapping.physicalSchema(fullSchema))
+            .parquet(scanPaths: _*), fullSchema),
+        fullSchema)
+    filters.flatMap(HubDataSource.filterToColumn(_, fullSchema))
+      .foldLeft(base)(_ filter _)
+      .select(required.fieldNames.toIndexedSeq.map(col): _*)
   }
 }

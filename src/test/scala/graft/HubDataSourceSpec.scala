@@ -274,6 +274,30 @@ class HubDataSourceSpec extends SparkTestBase {
     assert(st.sizeInBytes.getAsLong == expected.map(_.bytes).sum)
   }
 
+  test("pushed filters reach the INNER parquet scan (row-group pruning)") {
+    val path = mkHub("dsv2_inner")
+    val v = VersionedHub.versionAt(spark, path, None)
+    val schema = VersionedHub.read(spark, path).schema
+    val dirs = v.buckets.values.map(d =>
+      graft.writers.VersionedHub.resolve(path, d)).toSeq
+    // the exact DataFrame buildScan hands to the V1 bridge: the pushed
+    // predicates must appear as PushedFilters on its FileSourceScan, so
+    // parquet zone-map / dictionary / bloom pruning runs INSIDE the files
+    // the manifest could not skip
+    val inner = graft.sources.HubScan.inner(spark, dirs, v.rows,
+      schema, schema, Seq(IsNotNull("k"), EqualTo("k", 7L)))
+    val scanNode = inner.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scanNode.contains("PushedFilters: [IsNotNull(k), EqualTo(k,7)]"),
+      s"inner scan must push the predicates:\n$scanNode")
+    assert(inner.as[(Long, String)].collect().toSeq == Seq((7L, "v7")))
+    // untranslatable filters degrade to outer-only, never break the scan
+    val loose = graft.sources.HubScan.inner(spark, dirs, v.rows,
+      schema, schema,
+      Seq(org.apache.spark.sql.sources.AlwaysTrue(), EqualTo("k", 31L)))
+    assert(loose.as[(Long, String)].collect().toSeq == Seq((31L, "new")))
+  }
+
   test("a column absent from old files never skips them (schema-evolution no-skip)") {
     val path = mkHub("dsv2_skip_evolve")
     // evolution touches ONLY key 1's bucket; every other bucket's files
