@@ -21,6 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL hub.system.restore(`table` => 't', version => 3)
   *   CALL hub.system.repair(`table` => 't', min_age_ms => 0)
   *   CALL hub.system.clone(`table` => 't', target => 't2')  -- shallow, zero-copy
+  *   CALL hub.system.bloom_index(`table` => 't', cols => 'a,b')  -- parquet blooms
   * }}}
   *
   * Each procedure is the SQL face of the corresponding [[VersionedHub]]
@@ -124,6 +125,19 @@ private[sources] object HubProcedures {
         Seq(VersionedHub.cloneTable(spark, tablePath(in),
           catalog.tablePathOf(target.toString)))
       }
+      case "bloom_index" => Proc("bloom_index",
+        Array(p("table", DataTypes.StringType),
+          p("cols", DataTypes.StringType),
+          p("enable", DataTypes.BooleanType, Some("true"))),
+        versionOut) { in =>
+        val colsArg = in.getUTF8String(1)
+        require(colsArg != null, "cols is required")
+        val cols = colsArg.toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "cols must name at least one column")
+        Seq(VersionedHub.alterSchema(spark, tablePath(in),
+          graft.writers.BloomIndex.flag(_, cols, in.getBoolean(2))))
+      }
       case "repair" => Proc("repair",
         Array(p("table", DataTypes.StringType),
           p("min_age_ms", DataTypes.LongType, Some("600000"))),
@@ -136,5 +150,6 @@ private[sources] object HubProcedures {
   }
 
   val ProcedureNames: Seq[String] =
-    Seq("vacuum", "optimize", "zorder", "restore", "repair", "clone")
+    Seq("vacuum", "optimize", "zorder", "restore", "repair", "clone",
+      "bloom_index")
 }

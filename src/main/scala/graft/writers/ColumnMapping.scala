@@ -78,22 +78,37 @@ private[graft] object ColumnMapping {
       }: _*)
     }
 
-  /** Carry mapping metadata from the base snapshot's schema onto the
+  /** The hub-owned metadata keys a recorded schema must never lose across
+    * a commit: the column mapping and the bloom-index flag.
+    */
+  private def carriedKeys: Seq[String] = Seq(PhysKey, BloomIndex.BloomKey)
+
+  /** Carry hub-owned metadata from the base snapshot's schema onto the
     * same-named fields of a freshly-derived schema about to be recorded
     * (DataFrame transformations — merges, coalesce projections — may drop
-    * field metadata; the mapping must survive them). Fields already
-    * carrying a mapping keep their own.
+    * field metadata; the mapping and index flags must survive them).
+    * Fields already carrying a key keep their own value.
     */
   def graft(s: StructType, base: Option[StructType]): StructType =
     base match {
-      case Some(b) if hasMapping(b) =>
+      case Some(b)
+          if b.fields.exists(f => carriedKeys.exists(f.metadata.contains)) =>
         val byName = b.fields.map(f => f.name -> f).toMap
         StructType(s.fields.map { f =>
-          if (f.metadata.contains(PhysKey)) f
-          else byName.get(f.name) match {
-            case Some(bf) if physName(bf) != bf.name =>
-              withPhys(f, physName(bf))
-            case _ => f
+          byName.get(f.name) match {
+            case Some(bf) =>
+              val missing = carriedKeys.filter(k =>
+                bf.metadata.contains(k) && !f.metadata.contains(k))
+              if (missing.isEmpty) f
+              else {
+                val mb = new MetadataBuilder().withMetadata(f.metadata)
+                missing.foreach {
+                  case k @ PhysKey => mb.putString(k, bf.metadata.getString(k))
+                  case k => mb.putBoolean(k, bf.metadata.getBoolean(k))
+                }
+                f.copy(metadata = mb.build())
+              }
+            case None => f
           }
         })
       case _ => s

@@ -230,7 +230,8 @@ object VersionedHub {
         base.flatMap(_.schema))
       val dataDir = s"data/$next-${UUID.randomUUID().toString.take(8)}"
       ColumnMapping.toPhysical(merged, recSchema)
-        .write.parquet(resolve(path, dataDir))
+        .write.options(BloomIndex.options(recSchema))
+        .parquet(resolve(path, dataDir))
       // ONE footer pass over the files just written serves the whole
       // manifest audit: row count, per-file bytes, and per-file column
       // min/max for data skipping. Small snapshots read footers driver-side
@@ -370,7 +371,8 @@ object VersionedHub {
           merged.repartition(org.apache.spark.sql.functions.col(BucketCol))
         else merged
       ColumnMapping.toPhysical(toWrite, snapSchema)
-        .write.partitionBy(BucketCol).parquet(resolve(path, root))
+        .write.options(BloomIndex.options(snapSchema))
+        .partitionBy(BucketCol).parquet(resolve(path, root))
       // deletes can empty a bucket entirely; partitionBy writes no dir for
       // it, so map only the bucket dirs that actually materialized and drop
       // the rest from the manifest
@@ -721,7 +723,8 @@ object VersionedHub {
           val recSchema = ColumnMapping.graft(df.schema, base.schema)
           ColumnMapping.toPhysical(stampBuckets(df, bCols, n), recSchema)
             .repartition(org.apache.spark.sql.functions.col(BucketCol))
-            .write.partitionBy(BucketCol).parquet(resolve(path, root))
+            .write.options(BloomIndex.options(recSchema))
+            .partitionBy(BucketCol).parquet(resolve(path, root))
           val fstats = FileStats.collect(spark, fs, new Path(path),
             new Path(resolve(path, root)))
           val writtenB = fs.listStatus(new Path(resolve(path, root))).toSeq
@@ -975,11 +978,13 @@ object VersionedHub {
             if (touched.isEmpty) return base.version
             val next = base.version + 1
             val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
+            val bSchema = base.schema.getOrElse(new StructType())
             ColumnMapping.toPhysical(tagged
               .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
-              .filter(keep), base.schema.getOrElse(new StructType()))
+              .filter(keep), bSchema)
               .repartition(col(BucketCol))
-              .write.partitionBy(BucketCol).parquet(resolve(path, root))
+              .write.options(BloomIndex.options(bSchema))
+              .partitionBy(BucketCol).parquet(resolve(path, root))
             val fstatsNew = FileStats.collect(spark, fs, new Path(path),
               new Path(resolve(path, root)))
             val writtenB = fs.listStatus(new Path(resolve(path, root))).toSeq
@@ -1084,10 +1089,11 @@ object VersionedHub {
             val rewritten = applySets(
               tagged.filter(
                 col(BucketCol).isin(touched.map(Integer.valueOf): _*)))
-            ColumnMapping.toPhysical(rewritten,
-                base.schema.getOrElse(new StructType()))
+            val bSchema = base.schema.getOrElse(new StructType())
+            ColumnMapping.toPhysical(rewritten, bSchema)
               .repartition(col(BucketCol))
-              .write.partitionBy(BucketCol).parquet(resolve(path, root))
+              .write.options(BloomIndex.options(bSchema))
+              .partitionBy(BucketCol).parquet(resolve(path, root))
             val fstatsNew = FileStats.collect(spark, fs, new Path(path),
               new Path(resolve(path, root)))
             val newBuckets = (base.buckets -- touched) ++
@@ -1302,7 +1308,8 @@ object VersionedHub {
         merged.drop(BucketCol).schema)
       // one writer task → one file per bucket dir (the compaction point)
       ColumnMapping.toPhysical(merged, snapSchema)
-        .coalesce(1).write.partitionBy(BucketCol)
+        .coalesce(1).write.options(BloomIndex.options(snapSchema))
+        .partitionBy(BucketCol)
         .parquet(resolve(path, root))
       val newBuckets = base.buckets ++
         chosen.map(b => b -> s"$root/$BucketCol=$b")
@@ -1373,7 +1380,8 @@ object VersionedHub {
               col(BucketCol), col("_z"))
             .sortWithinPartitions(col(BucketCol), col("_z"))
             .drop("_z"), snapSchema)
-        .write.partitionBy(BucketCol).parquet(resolve(path, root))
+        .write.options(BloomIndex.options(snapSchema))
+        .partitionBy(BucketCol).parquet(resolve(path, root))
       val fstats = FileStats.collect(spark, fs, new Path(path),
         new Path(resolve(path, root)))
       val newBuckets = base.buckets ++

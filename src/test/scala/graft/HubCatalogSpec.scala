@@ -467,7 +467,8 @@ class HubCatalogSpec extends SparkTestBase {
       // discovery + unknown-procedure refusal
       assert(spark.sql("SHOW PROCEDURES IN hubproc.system")
         .select("procedure_name").as[String].collect().toSet ==
-        Set("vacuum", "optimize", "zorder", "restore", "repair", "clone"))
+        Set("vacuum", "optimize", "zorder", "restore", "repair", "clone",
+          "bloom_index"))
       val e = intercept[Exception](
         spark.sql("CALL hubproc.system.nope(`table` => 't')"))
       assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
@@ -795,6 +796,65 @@ class HubCatalogSpec extends SparkTestBase {
       spark.sql("ALTER TABLE hubctas.default.src RENAME TO default.dst")
       assert(spark.table("hubctas.default.dst").orderBy("k")
         .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    }
+  }
+
+  test("CALL bloom_index: subsequent commits write parquet footer blooms") {
+    withCatalog("hubbl") { base =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val path = s"$base/t"
+      def bloomOffsets(files: Iterable[String]): Map[String, Boolean] = {
+        val conf = spark.sessionState.newHadoopConf()
+        files.flatMap { rel =>
+          val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(
+            graft.writers.VersionedHub.resolve(path, rel)), conf)
+          val r = ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+              .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0))
+          } finally r.close()
+        }.groupBy(_._1).map { case (c, vs) => c -> vs.exists(_._2) }
+      }
+      VersionedHub.writeBucketed(spark,
+        (1L to 200L).map(i => (i, s"val_$i")).toDF("k", "v"),
+        path, Seq("k"), 4)
+      // pre-index files carry no blooms
+      assert(bloomOffsets(VersionedHub.versionAt(spark, path, None)
+        .statsNew.keys).forall(!_._2))
+      assert(spark.sql(
+        "CALL hubbl.system.bloom_index(`table` => 't', cols => 'v')")
+        .as[Int].head() == 2)
+      // the NEXT commit's files bloom exactly the flagged column
+      VersionedHub.write(spark,
+        (201L to 260L).map(i => (i, s"val_$i")).toDF("k", "v"),
+        path, Seq("k"))
+      val offs = bloomOffsets(
+        VersionedHub.versionAt(spark, path, None).statsNew.keys)
+      assert(offs("v") && !offs("k"), s"bloom on v only: $offs")
+      // equality results unchanged (pruning is parquet-native + advisory)
+      assert(spark.table("hubbl.default.t").filter($"v" === "val_42")
+        .as[(Long, String)].collect().toSeq == Seq((42L, "val_42")))
+      // the flag survives a RENAME: options key by the frozen physical name
+      spark.sql("ALTER TABLE hubbl.default.t RENAME COLUMN v TO label")
+      VersionedHub.write(spark, Seq((261L, "val_261")).toDF("k", "label"),
+        path, Seq("k"))
+      val offs2 = bloomOffsets(
+        VersionedHub.versionAt(spark, path, None).statsNew.keys)
+      assert(offs2("v") && !offs2("k"),
+        s"renamed column blooms under its physical name: $offs2")
+      // disable stops new blooms
+      spark.sql("CALL hubbl.system.bloom_index(`table` => 't', " +
+        "cols => 'label', enable => false)")
+      VersionedHub.write(spark, Seq((262L, "val_262")).toDF("k", "label"),
+        path, Seq("k"))
+      assert(bloomOffsets(VersionedHub.versionAt(spark, path, None)
+        .statsNew.keys).forall(!_._2))
+      // unknown column refuses
+      val bad = intercept[Exception](spark.sql(
+        "CALL hubbl.system.bloom_index(`table` => 't', cols => 'zzz')"))
+      assert(bad.getMessage.contains("do not exist"), bad.getMessage)
     }
   }
 
