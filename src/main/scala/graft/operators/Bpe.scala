@@ -151,18 +151,25 @@ object Bpe {
     * silently reintroducing the table-proportional cost the heap apply
     * exists to kill. One slot (not an unbounded cache) because each Spark
     * task deserializes its own `merges` instance: an identity-keyed MAP
-    * would grow per task for the life of the executor.
+    * would grow per task for the life of the executor. The slot is
+    * PER-THREAD (a Spark task runs on one executor thread): a shared
+    * `@volatile` slot would ping-pong between concurrent tasks' distinct
+    * deserialized instances on the same executor, rebuilding the O(V)
+    * hashmap per word again — the exact cost the memo exists to kill.
     */
-  @volatile private var memoTable: (IndexedSeq[(Int, Int, Int)], MergeTable) =
-    (DefaultMerges, DefaultTable)
+  private val memoTable =
+    new ThreadLocal[(IndexedSeq[(Int, Int, Int)], MergeTable)] {
+      override def initialValue(): (IndexedSeq[(Int, Int, Int)], MergeTable) =
+        (DefaultMerges, DefaultTable)
+    }
 
   private def tableFor(merges: IndexedSeq[(Int, Int, Int)]): MergeTable = {
     if (merges eq DefaultMerges) return DefaultTable
-    val m = memoTable
+    val m = memoTable.get()
     if (m._1 eq merges) m._2
     else {
       val t = MergeTable(merges)
-      memoTable = (merges, t)
+      memoTable.set((merges, t))
       t
     }
   }

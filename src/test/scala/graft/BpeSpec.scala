@@ -184,4 +184,36 @@ class BpeSpec extends SparkTestBase {
       "statsOf must reuse the memoized table across rows")
     assert(viaDefault.nonEmpty)
   }
+
+  test("memo holds per thread: concurrent tasks with distinct table " +
+      "instances do not evict each other") {
+    // Each Spark task deserializes its OWN merges instance and runs on its
+    // own executor thread. With a shared single slot, T concurrent tasks
+    // ping-pong it and rebuild O(V) per word; the ThreadLocal slot gives
+    // each thread a standing hit: total builds == one per (thread, table
+    // instance), independent of word count.
+    val rnd = new scala.util.Random(17)
+    val nThreads = 8
+    val wordsPerThread = 400
+    val tables = IndexedSeq.fill(nThreads)(buildTable(128,
+      IndexedSeq.fill(3 * 128 + 2)(rnd.nextInt(Int.MaxValue)), nBase = 26))
+    val words = IndexedSeq.fill(wordsPerThread)(
+      (0 until (3 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val before = Bpe.MergeTable.builds.get()
+    val threads = tables.map { t =>
+      val th = new Thread(() => {
+        start.await()
+        words.foreach(w => Bpe.encodeWord(w, t))
+      })
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join())
+    val built = Bpe.MergeTable.builds.get() - before
+    assert(built == nThreads.toLong,
+      s"expected one build per thread ($nThreads), got $built — the memo " +
+        "is being evicted across concurrent tasks")
+  }
 }
