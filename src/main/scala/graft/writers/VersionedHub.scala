@@ -595,9 +595,12 @@ object VersionedHub {
       // references that predates the anchor is, by structural sharing,
       // referenced continuously since its introduction — so the anchor's
       // map covers it.
+      // FLAT hubs anchor too: a flat tip can be a chain-dependent
+      // schema-only commit (alterSchema / bloom_index carry statsNew =
+      // empty), and dropping the manifests it carries from would blind
+      // `t$files` and skipping stats on a non-empty table.
       val oldest = keep.head
-      if (oldest.buckets.nonEmpty &&
-          readCheckpoint(fs, path, oldest.version).isEmpty)
+      if (readCheckpoint(fs, path, oldest.version).isEmpty)
         writeCheckpoint(fs, path, oldest)
       for (v <- dropped) {
         fs.delete(new Path(new Path(path, LogDir), f"${v.version}%08d.json"),

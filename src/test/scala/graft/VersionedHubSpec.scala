@@ -385,6 +385,30 @@ class VersionedHubSpec extends SparkTestBase {
     assert(v14.fileStats.values.map(_.rows).sum == v14.rows)
   }
 
+  test("vacuum anchors FLAT hubs too: a schema-only tip keeps its stats when the carried-from manifests drop") {
+    // flat-hub shape of the bucketed re-anchor contract: the kept tip is a
+    // chain-dependent schema-only commit (statsNew = empty, stats carried
+    // from the dropped v1 manifest) — without the anchor checkpoint,
+    // vacuum would leave t$files empty and skipping stats blind on a
+    // non-empty table
+    val path = tmpDir("vhub_flat_anchor")
+    VersionedHub.write(spark, kv(1 -> "a", 2 -> "b"), path, Seq("k"))
+    VersionedHub.alterSchema(spark, path, s =>
+      org.apache.spark.sql.types.StructType(s.fields :+
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType)))
+    val pre = VersionedHub.history(spark, path).last.fileStats
+    assert(pre.nonEmpty, "schema-only tip must carry the base's stats")
+    VersionedHub.vacuum(spark, path, keepVersions = Some(1), retainMs = 0)
+    assert(new java.io.File(s"$path/_log/${"%08d".format(2)}.checkpoint.json")
+      .exists(), "vacuum must anchor the flat kept tip")
+    val tip = VersionedHub.history(spark, path).last
+    assert(tip.version == 2)
+    assert(tip.fileStats == pre,
+      "flat schema-only tip must keep per-file stats across vacuum")
+    assert(VersionedHub.read(spark, path).count() == 2L)
+  }
+
   test("executor-side footer stats (>64 files) resolve paths with the DRIVER's hadoop conf") {
     // a filesystem scheme that exists ONLY in the driver's configuration
     // (the spark.hadoop.* / custom-FS deployment shape): if the parallel
