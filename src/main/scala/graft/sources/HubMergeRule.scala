@@ -35,8 +35,14 @@ import org.apache.spark.sql.graftbridge.GraftMergeCommand
   * lists (unmentioned columns NULL), insert-only and matched-only merges.
   * Refused loudly rather than silently approximated: NOT MATCHED BY
   * SOURCE (an O(table) anti-scan whose null-key delete semantics the
-  * keyed delete cannot express), UPDATE SET on a merge key, and values
-  * that cannot losslessly widen to their column type.
+  * keyed delete cannot express), UPDATE SET on a merge key, values
+  * that cannot losslessly widen to their column type, and — in the
+  * general shape — multiple source rows matching one target row with an
+  * UPDATE/DELETE branch applicable (the standard SQL/Delta cardinality
+  * error; see [[GraftMergeCommand]]). The CANONICAL star/star shape is
+  * the hub's native keyed upsert and keeps its documented
+  * last-writer-wins-on-duplicate-source-keys semantics, same as the
+  * programmatic `VersionedHub.write` API.
   */
 case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -168,8 +174,8 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // no applicable branch are left untouched. Under a concurrent
         // commit the carried columns hold the join-time snapshot's values
         // — the same read-committed race every engine's MERGE has.
-        val (src, deletes) = generalMergePlans(m, keys)
-        GraftMergeCommand(path, keys, src, deletes)
+        val (src, deletes, matchedKeys) = generalMergePlans(m, keys)
+        GraftMergeCommand(path, keys, src, deletes, matchedKeys)
       }
   }
 
@@ -178,13 +184,19 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       assigns: Map[String, Expression]) extends MatchedKind
   private case object DelKind extends MatchedKind
 
-  /** The joined (upsert source, deletes) plans for every non-canonical
-    * MERGE shape — see the caller's note. The upsert source emits exactly
-    * the target's columns; the deletes plan (present iff a DELETE branch
-    * exists) emits exactly the key columns.
+  /** The joined (upsert source, deletes, matched-keys) plans for every
+    * non-canonical MERGE shape — see the caller's note. The upsert source
+    * emits exactly the target's columns; the deletes plan (present iff a
+    * DELETE branch exists) emits exactly the key columns; the matched-keys
+    * plan (present iff any UPDATE/DELETE branch exists) emits the key of
+    * every source row routed to modify a matched target row, so the
+    * command can raise the standard multiple-source-rows-matched error —
+    * SQL MERGE and Delta both fail loudly there, because routing one
+    * target row through two source rows (worst case: to `deletes` AND
+    * back in through the upsert) would be nondeterministic.
     */
-  private def generalMergePlans(m: MergeIntoTable,
-      keys: Seq[String]): (LogicalPlan, Option[LogicalPlan]) = {
+  private def generalMergePlans(m: MergeIntoTable, keys: Seq[String])
+      : (LogicalPlan, Option[LogicalPlan], Option[LogicalPlan]) = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val lcKeys = keys.map(lc).toSet
     val srcByName = m.sourceTable.output.map(a => lc(a.name) -> a).toMap
@@ -273,15 +285,19 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(If(matched, updValue(t), insValue(t)), t.name)()),
       LFilter(CatOr(CatAnd(matched, isUpd),
         CatAnd(CatNot(matched), isIns)), join))
+    def keyProject(cond: Expression): LogicalPlan = Project(
+      keys.map { k =>
+        val t = m.targetTable.output.find(a => lc(a.name) == lc(k))
+          .getOrElse(fail(s"key $k missing from the target output"))
+        Alias(t, k)()
+      },
+      LFilter(cond, join))
     val deletes =
       if (!matchedBranches.exists(_._2 == DelKind)) None
-      else Some(Project(
-        keys.map { k =>
-          val t = m.targetTable.output.find(a => lc(a.name) == lc(k))
-            .getOrElse(fail(s"key $k missing from the target output"))
-          Alias(t, k)()
-        },
-        LFilter(CatAnd(matched, isDel), join)))
-    (upsertRows, deletes)
+      else Some(keyProject(CatAnd(matched, isDel)))
+    val matchedKeys =
+      if (matchedBranches.isEmpty) None
+      else Some(keyProject(CatAnd(matched, CatOr(isUpd, isDel))))
+    (upsertRows, deletes, matchedKeys)
   }
 }

@@ -16,10 +16,36 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   */
 case class GraftMergeCommand(path: String, keys: Seq[String],
     source: LogicalPlan,
-    deletes: Option[LogicalPlan] = None) extends LeafRunnableCommand {
+    deletes: Option[LogicalPlan] = None,
+    matchedKeys: Option[LogicalPlan] = None) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // SQL MERGE cardinality contract (general shape only): when several
+    // source rows match ONE target row and any of them routes to an
+    // UPDATE/DELETE branch, the outcome is order-dependent — SQL and Delta
+    // raise instead of picking a winner, and so do we. One aggregate over
+    // the already-planned key projection, shuffled on the same keys the
+    // merge itself shuffles on. (The canonical UPDATE */INSERT * shape is
+    // the hub's native upsert and keeps its DOCUMENTED last-writer-wins
+    // semantics — it routes nothing to deletes, so no row can be deleted
+    // and re-inserted nondeterministically.)
+    matchedKeys.foreach { mk =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val df = org.apache.spark.sql.classic.Dataset.ofRows(classic, mk)
+      val dup = df.groupBy(df.columns.toIndexedSeq.map(col): _*)
+        .agg(count(lit(1)).as("__graft_matches"))
+        .filter(col("__graft_matches") > 1)
+        .limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          s"MERGE INTO hub at $path: multiple source rows matched the " +
+            s"target row with key (${keys.mkString(", ")}) = " +
+            s"(${dup.head.toSeq.dropRight(1).mkString(", ")}) and " +
+            "attempted to UPDATE/DELETE it — the result would be " +
+            "nondeterministic. De-duplicate the source on the merge keys " +
+            "(e.g. aggregate or QUALIFY row_number() = 1) and re-run.")
+    }
     graft.writers.VersionedHub.write(
       session,
       org.apache.spark.sql.classic.Dataset.ofRows(classic, source),

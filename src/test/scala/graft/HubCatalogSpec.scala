@@ -248,6 +248,59 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("MERGE cardinality: multiple source rows matching one target row fail loudly in the general shape") {
+    withCatalog("hubmm") { base =>
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "n"),
+        s"$base/t", Seq("k"), 4)
+      // two source rows hit target key 2 and route to UPDATE/DELETE: the
+      // outcome would be order-dependent (worst case one routes to the
+      // commit's deletes and the other re-inserts the key) — SQL MERGE and
+      // Delta raise a multiple-matches error here, and so do we
+      Seq((2L, "two", 5L), (2L, "TWO", 500L), (9L, "nine", 1L))
+        .toDF("k", "label", "w").createOrReplaceTempView("mm_src")
+      val v1 = VersionedHub.history(spark, s"$base/t").last.version
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO hubmm.default.t t USING mm_src s
+          |ON t.k = s.k
+          |WHEN MATCHED AND s.w >= 100 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.label
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.label)""".stripMargin))
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | "))
+      assert(rootMsg(e).contains("multiple source rows matched"), rootMsg(e))
+      // the failed MERGE must not have committed anything
+      assert(VersionedHub.history(spark, s"$base/t").last.version == v1)
+      assert(spark.sql("SELECT v FROM hubmm.default.t WHERE k = 2")
+        .as[String].head() == "b")
+      // duplicates ONLY among unmatched (insert-routed) rows are fine —
+      // no target row is modified twice
+      Seq((7L, "s1", 1L), (7L, "s2", 2L), (2L, "two", 5L))
+        .toDF("k", "label", "w").createOrReplaceTempView("mm_ins")
+      spark.sql(
+        """MERGE INTO hubmm.default.t t USING mm_ins s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.label
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.label)""".stripMargin)
+      assert(spark.sql("SELECT v FROM hubmm.default.t WHERE k = 2")
+        .as[String].head() == "two")
+      assert(spark.sql("SELECT count(*) FROM hubmm.default.t WHERE k = 7")
+        .as[Long].head() >= 1L)
+      // the CANONICAL star/star shape is the hub's native upsert and keeps
+      // its documented last-writer-wins semantics (no deletes can race)
+      Seq((1L, "x", 1L), (1L, "y", 2L)).toDF("k", "v", "n")
+        .createOrReplaceTempView("mm_star")
+      spark.sql(
+        """MERGE INTO hubmm.default.t t USING mm_star s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM hubmm.default.t WHERE k = 1")
+        .as[Long].head() == 1L)
+    }
+  }
+
   test("UPDATE rewrites only the buckets holding matches; SET sees pre-update rows; misses are a no-op") {
     withCatalog("hubupd") { base =>
       VersionedHub.writeBucketed(spark,
@@ -949,27 +1002,70 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
-  test("RENAME COLUMN refusal matrix") {
+  test("RENAME COLUMN refusal matrix; renaming onto a historical name is safe") {
     withCatalog("hubrnr") { base =>
       spark.sql("CREATE TABLE hubrnr.default.t (a BIGINT, b STRING, c INT)")
+      spark.sql("INSERT INTO hubrnr.default.t VALUES (1, 'x', 7)")
       spark.sql("ALTER TABLE hubrnr.default.t DROP COLUMN c")
       val dup = intercept[Exception](spark.sql(
         "ALTER TABLE hubrnr.default.t RENAME COLUMN a TO b"))
       assert(dup.getMessage.contains("already exists"), dup.getMessage)
-      val hist = intercept[Exception](spark.sql(
-        "ALTER TABLE hubrnr.default.t RENAME COLUMN a TO c"))
-      assert(hist.getMessage.contains("earlier version"), hist.getMessage)
+      // renaming onto a DROPPED (historical) name is allowed, as in
+      // Delta: the live column keeps its frozen physical name, so reads
+      // see ITS values — never the dropped column's file residue
+      spark.sql("ALTER TABLE hubrnr.default.t RENAME COLUMN a TO c")
+      assert(spark.sql("SELECT c FROM hubrnr.default.t").as[Long]
+        .head() == 1L,
+        "renamed-onto-historical column must read its OWN values, not " +
+          "the dropped column's file residue")
+      spark.sql("ALTER TABLE hubrnr.default.t RENAME COLUMN c TO a")
       // a missing source column is refused by Spark's own resolver
       val nope = intercept[Exception](spark.sql(
         "ALTER TABLE hubrnr.default.t RENAME COLUMN zz TO yy"))
       assert(nope.getMessage.contains("does not exist") ||
         nope.getMessage.contains("UNRESOLVED_COLUMN"), nope.getMessage)
       // a FLAT table renames too (commitLoop's write seam)
-      spark.sql("INSERT INTO hubrnr.default.t VALUES (1, 'x')")
       spark.sql("ALTER TABLE hubrnr.default.t RENAME COLUMN b TO label")
       spark.sql("INSERT INTO hubrnr.default.t VALUES (2, 'y')")
       assert(spark.table("hubrnr.default.t").orderBy("a")
+        .select("a", "label")
         .as[(Long, String)].collect().toSeq == Seq((1L, "x"), (2L, "y")))
+    }
+  }
+
+  test("re-add after VACUUM truncates history still reads NULL (no resurrection)") {
+    withCatalog("hubvr") { base =>
+      // the full threat sequence: write v under phys 'v' → DROP v →
+      // enough commits that VACUUM drops every manifest recording 'v'
+      // (the shared data dir survives — kept versions reference it) →
+      // ADD COLUMN v. Any guard that asks the SURVIVING history "was v
+      // ever used?" sees no use, keeps the bare physical name, and
+      // resurrects the dropped values. The always-fresh physical name
+      // makes the question moot.
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, "SECRET", 10L)).toDF("k", "v", "n"), s"$base/t", Seq("k"), 4)
+      spark.sql("ALTER TABLE hubvr.default.t DROP COLUMN v")
+      spark.sql("ALTER TABLE hubvr.default.t ADD COLUMNS (pad STRING)")
+      spark.sql("ALTER TABLE hubvr.default.t DROP COLUMN pad")
+      // keep only the last 2 versions: v1 (schema with 'v') and the DROP
+      // commit's schema both fall out of the surviving log
+      VersionedHub.vacuum(spark, s"$base/t", keepVersions = Some(2),
+        retainMs = 0)
+      assert(!VersionedHub.history(spark, s"$base/t")
+        .flatMap(_.schema).flatMap(_.fieldNames)
+        .exists(_.equalsIgnoreCase("v")),
+        "precondition: no surviving manifest may still record column v")
+      // the live file STILL physically holds v='SECRET' (shared dir kept)
+      spark.sql("ALTER TABLE hubvr.default.t ADD COLUMNS (v STRING)")
+      assert(spark.table("hubvr.default.t").select("v")
+        .as[Option[String]].head().isEmpty,
+        "a re-added column must read NULL even after vacuum truncated " +
+          "the history that recorded the original")
+      // and new writes land + read back under the fresh physical name
+      VersionedHub.write(spark, Seq((1L, "fresh")).toDF("k", "v"),
+        s"$base/t", Seq("k"))
+      assert(spark.table("hubvr.default.t").select("v")
+        .as[String].head() == "fresh")
     }
   }
 
