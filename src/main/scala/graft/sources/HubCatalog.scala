@@ -187,25 +187,28 @@ class HubCatalog extends TableCatalog
         .getOrElse(org.apache.spark.sql.types.Metadata.empty)
       val fld = org.apache.spark.sql.types.StructField(
         name, add.dataType, nullable = true, meta)
-      // Live files may still hold a previously-dropped column's values —
-      // re-adding the bare name would RESURRECT them. With column mapping
-      // the re-added column instead gets a FRESH physical name ('#' is
-      // refused in user names, so it can never collide with a future
-      // logical name): old files record no such column and read NULL, new
-      // writes land under it — Delta's column-mapping re-add semantics.
-      val everFields = VersionedHub.history(spark, path)
-        .flatMap(_.schema).flatMap(_.fields)
-      val mappedFld =
-        if (!everFields.exists(_.name.equalsIgnoreCase(name))) fld
-        else {
-          val everPhys = everFields
-            .map(f => graft.writers.ColumnMapping.physName(f).toLowerCase)
-            .toSet
-          val phys = Iterator.from(2).map(i => s"$name#$i")
-            .dropWhile(p => everPhys.contains(p.toLowerCase)).next()
-          graft.writers.ColumnMapping.withPhys(fld, phys)
-        }
-      insertAt(s, mappedFld, Option(add.position()))
+      // Live files may still hold a previously-dropped column's values
+      // under this name — an unmapped add would RESURRECT them. And
+      // "was this name ever used?" is UNANSWERABLE from the surviving
+      // log: VACUUM truncates the manifests that recorded the column
+      // while the structurally-shared data dirs (and the values in them)
+      // live on. So EVERY added column gets a FRESH random physical name
+      // via column mapping — no history consulted, vacuum-proof: old
+      // files record no such column and read NULL, new writes land under
+      // it (Delta's column-mapping re-add semantics; Delta's id mode
+      // likewise never reuses a file-column name). '#' is refused in
+      // user names, so the reserved namespace can never collide with a
+      // logical name; 64 random bits make collision with any
+      // ever-written physical name negligible, and a collision with a
+      // LIVE physical name is re-rolled outright.
+      val livePhys = s.fields
+        .map(f => graft.writers.ColumnMapping.physName(f).toLowerCase).toSet
+      val phys = Iterator.continually(
+          s"$name#${java.util.UUID.randomUUID().toString
+            .replace("-", "").take(16)}")
+        .dropWhile(p => livePhys.contains(p.toLowerCase)).next()
+      insertAt(s, graft.writers.ColumnMapping.withPhys(fld, phys),
+        Option(add.position()))
     case del: TableChange.DeleteColumn =>
       require(del.fieldNames.length == 1,
         "graft-hub ALTER TABLE supports top-level columns only, got " +
@@ -251,10 +254,12 @@ class HubCatalog extends TableCatalog
       // RENAME COLUMN via column mapping (Delta name-mode parity): the
       // field keeps its frozen PHYSICAL file name in metadata and only the
       // logical name changes — a manifest-only commit, no file rewritten.
-      // The new name must never have been a logical name of this table:
-      // reusing one would (a) let a later ADD collide with the resurrection
-      // guard's premise and (b) make two live columns traceable to one
-      // creation name, breaking the physical namespace's distinctness.
+      // Renaming onto a HISTORICAL name (one a dropped or earlier-renamed
+      // column used) is safe and allowed, as in Delta: logical names are
+      // labels over the frozen physical namespace, every read/write/stat
+      // lookup translates through the mapping, and ADD COLUMN always
+      // mints a fresh physical name — no path ever resolves a column by
+      // its historical logical name.
       require(rn.fieldNames.length == 1,
         "graft-hub ALTER TABLE supports top-level columns only, got " +
           rn.fieldNames.mkString("."))
@@ -267,11 +272,6 @@ class HubCatalog extends TableCatalog
       require(!newName.contains('#'),
         s"column name $newName may not contain '#' — reserved for " +
           "column-mapping physical names")
-      require(!VersionedHub.history(spark, path).flatMap(_.schema)
-          .flatMap(_.fieldNames).exists(_.equalsIgnoreCase(newName)),
-        s"column $newName existed in an earlier version of this table — " +
-          "renaming onto a historical name would break the column " +
-          "mapping's one-creation-name-per-column invariant")
       val f = s.fields(idx)
       StructType(s.fields.updated(idx,
         graft.writers.ColumnMapping.withPhys(f,

@@ -14,12 +14,14 @@ import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
   * no data file is rewritten at any table size.
   *
   * Invariants that keep the mapping sound:
-  *   - physical names are pairwise distinct: a column created under a
-  *     never-before-used name keeps that name physically; RE-ADDING an
-  *     ever-dropped name assigns a fresh `name#N` physical instead ('#' is
+  *   - physical names are pairwise distinct: CREATE TABLE columns keep
+  *     their (schema-distinct) names physically; every `ALTER TABLE ADD
+  *     COLUMN` mints a fresh random `name#<hex>` physical name ('#' is
   *     refused in user column names, so the reserved namespace cannot
-  *     collide with any future logical name), and RENAME targets refuse
-  *     historical names — no two live columns can share a file column;
+  *     collide with any logical name) — "never used before" is
+  *     unanswerable once VACUUM truncates history, so adds never trust
+  *     it; RENAME keeps the frozen physical name, so no two live columns
+  *     can share a file column;
   *   - every writer lands files under PHYSICAL names ([[toPhysical]] at the
   *     write seams) and every reader scans with the physical schema then
   *     aliases back ([[toLogical]]), so a snapshot's file set stays
