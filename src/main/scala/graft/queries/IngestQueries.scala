@@ -972,6 +972,60 @@ object IngestQueries {
       "ORDER BY o_orderpriority NULLS FIRST")
   }
 
+  /** `WHEN NOT MATCHED BY SOURCE` (Delta's sync-to-source branch matrix):
+    * matched rows update, target-only rows conditionally DELETE or
+    * UPDATE — one full-outer-joined routing, one ACID commit (in-query
+    * version gate). Inherently O(target), like every engine's NMBS. The
+    * oracle reconstructs the routing as a CASE over the key-range split.
+    */
+  val qHubMergeNmbsSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_nmbs_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderkey") < 6000)
+        .select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("o_totalprice")),
+      s"$tmp/orders_ns", Seq("o_orderkey"), 16)
+    val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_ns").last
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"))
+      .createOrReplaceTempView("ns_src")
+    spark.sql(
+      s"""MERGE INTO $cat.default.orders_ns t USING ns_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET
+         |  o_orderpriority = concat('M-', t.o_orderpriority)
+         |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 50000 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+         |  o_orderpriority = 'STALE'""".stripMargin)
+    val v2 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_ns").last
+    require(v2.version == v1.version + 1,
+      "NMBS delete + both updates must land as ONE committed version")
+    spark.sql(s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      s"FROM $cat.default.orders_ns GROUP BY o_orderpriority " +
+      "ORDER BY o_orderpriority")
+  }
+
+  private val hubMergeNmbsSqlOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE o_orderkey < 6000),
+      |merged AS (
+      |  SELECT CASE WHEN o_orderkey < 3000 THEN 'M-' || o_orderpriority
+      |              ELSE 'STALE' END AS o_orderpriority, o_totalprice
+      |  FROM base
+      |  WHERE NOT (o_orderkey >= 3000 AND o_totalprice < 50000))
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM merged GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   private val hubMergeDeleteSqlOracle: String =
     """WITH merged AS (
       |  SELECT CASE WHEN o_orderkey < 3000 THEN 'M-' || o_orderpriority
@@ -1267,6 +1321,7 @@ object IngestQueries {
     "q_hub_delete_sql" -> qHubDeleteSql,
     "q_hub_update_sql" -> qHubUpdateSql,
     "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
+    "q_hub_merge_nmbs_sql" -> qHubMergeNmbsSql,
     "q_hub_restore" -> qHubRestore,
     "q_hub_clone_sql" -> qHubCloneSql,
     "q_hub_ctas_sql" -> qHubCtasSql,
@@ -1298,6 +1353,7 @@ object IngestQueries {
     "q_hub_delete_sql" -> hubDeleteSqlOracle,
     "q_hub_update_sql" -> hubUpdateSqlOracle,
     "q_hub_merge_delete_sql" -> hubMergeDeleteSqlOracle,
+    "q_hub_merge_nmbs_sql" -> hubMergeNmbsSqlOracle,
     "q_hub_restore" -> hubRestoreOracle,
     "q_hub_clone_sql" -> hubCloneSqlOracle,
     "q_hub_call_maintenance" -> hubCallMaintenanceOracle,

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And => CatAnd, AttributeReference, CaseWhen, Cast, EqualTo => CatEqualTo, Expression, If, IsNotNull, Literal, Not => CatNot, Or => CatOr}
-import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, Filter => LFilter, InsertAction, InsertStarAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateStarAction}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -32,10 +32,15 @@ import org.apache.spark.sql.graftbridge.GraftMergeCommand
   * conditional matched branches (`WHEN MATCHED [AND c] THEN UPDATE SET
   * col = expr | DELETE`, first applicable wins), partial-column updates
   * (unmentioned columns keep target values), conditional/partial INSERT
-  * lists (unmentioned columns NULL), insert-only and matched-only merges.
+  * lists (unmentioned columns NULL), insert-only and matched-only
+  * merges, and `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE | DELETE`
+  * (a full-outer join supplies the target-only rows; inherently
+  * O(target), as in every engine — the branch's semantics quantify over
+  * the whole target).
   * Refused loudly rather than silently approximated: NOT MATCHED BY
-  * SOURCE (an O(table) anti-scan whose null-key delete semantics the
-  * keyed delete cannot express), UPDATE SET on a merge key, values
+  * SOURCE rows whose merge key is NULL (the keyed upsert/delete cannot
+  * address them — rewrite as DELETE FROM with a predicate), UPDATE SET
+  * on a merge key, values
   * that cannot losslessly widen to their column type, and — in the
   * general shape — multiple source rows matching one target row with an
   * UPDATE/DELETE branch applicable (the standard SQL/Delta cardinality
@@ -145,9 +150,7 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           starLike(assigns, m.targetTable, m.sourceTable)
         case _ => false
       }
-      if (m.notMatchedBySourceActions.nonEmpty)
-        fail("WHEN NOT MATCHED BY SOURCE is not supported")
-      if (matchedStar && insertStar) {
+      if (matchedStar && insertStar && m.notMatchedBySourceActions.isEmpty) {
         // the canonical shape: the hub merge IS this upsert — the source
         // feeds it directly (columns aligned to the target's exact casing)
         val tgtNames: Map[String, String] = m.targetTable.output
@@ -167,15 +170,18 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // UPDATE/DELETE matched branches plus conditional/partial INSERT
         // branches (insert-only and matched-only merges included): the
         // hub's keyed upsert replaces whole rows, so the source is
-        // LEFT-JOINED to the target snapshot on the keys and every row is
-        // routed by the FIRST branch whose condition holds — update rows
-        // feed the upsert (unmentioned columns keep target values),
-        // delete rows feed the same commit's atomic `deletes`, rows with
-        // no applicable branch are left untouched. Under a concurrent
-        // commit the carried columns hold the join-time snapshot's values
-        // — the same read-committed race every engine's MERGE has.
-        val (src, deletes, matchedKeys) = generalMergePlans(m, keys)
-        GraftMergeCommand(path, keys, src, deletes, matchedKeys)
+        // LEFT-JOINED to the target snapshot on the keys (FULL-outer when
+        // NOT MATCHED BY SOURCE branches need the target-only rows too)
+        // and every row is routed by the FIRST branch whose condition
+        // holds — update rows feed the upsert (unmentioned columns keep
+        // target values), delete rows feed the same commit's atomic
+        // `deletes`, rows with no applicable branch are left untouched.
+        // Under a concurrent commit the carried columns hold the
+        // join-time snapshot's values — the same read-committed race
+        // every engine's MERGE has.
+        val plans = generalMergePlans(m, keys)
+        GraftMergeCommand(path, keys, plans.src, plans.deletes,
+          plans.matchedKeys, plans.nmbsNullKeys)
       }
   }
 
@@ -184,19 +190,28 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       assigns: Map[String, Expression]) extends MatchedKind
   private case object DelKind extends MatchedKind
 
-  /** The joined (upsert source, deletes, matched-keys) plans for every
-    * non-canonical MERGE shape — see the caller's note. The upsert source
-    * emits exactly the target's columns; the deletes plan (present iff a
-    * DELETE branch exists) emits exactly the key columns; the matched-keys
-    * plan (present iff any UPDATE/DELETE branch exists) emits the key of
-    * every source row routed to modify a matched target row, so the
-    * command can raise the standard multiple-source-rows-matched error —
-    * SQL MERGE and Delta both fail loudly there, because routing one
-    * target row through two source rows (worst case: to `deletes` AND
-    * back in through the upsert) would be nondeterministic.
+  /** The joined plans for every non-canonical MERGE shape — see the
+    * caller's note. `src` emits exactly the target's columns (update +
+    * insert + not-matched-by-source-update rows); `deletes` (present iff
+    * a DELETE branch exists on either side) emits exactly the key
+    * columns; `matchedKeys` (present iff any matched UPDATE/DELETE branch
+    * exists) emits the key of every source row routed to modify a matched
+    * target row, so the command can raise the standard
+    * multiple-source-rows-matched error — SQL MERGE and Delta both fail
+    * loudly there, because routing one target row through two source rows
+    * (worst case: to `deletes` AND back in through the upsert) would be
+    * nondeterministic; `nmbsNullKeys` (present iff NOT MATCHED BY SOURCE
+    * branches exist) emits one row per NULL-keyed target row those
+    * branches would modify — the keyed upsert/delete cannot address such
+    * rows, so the command refuses loudly instead of silently skipping or
+    * duplicating them.
     */
+  private case class GeneralPlans(src: LogicalPlan,
+      deletes: Option[LogicalPlan], matchedKeys: Option[LogicalPlan],
+      nmbsNullKeys: Option[LogicalPlan])
+
   private def generalMergePlans(m: MergeIntoTable, keys: Seq[String])
-      : (LogicalPlan, Option[LogicalPlan], Option[LogicalPlan]) = {
+      : GeneralPlans = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val lcKeys = keys.map(lc).toSet
     val srcByName = m.sourceTable.output.map(a => lc(a.name) -> a).toMap
@@ -218,7 +233,21 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case DeleteAction(c) => (c, DelKind)
         case other => fail(s"unsupported WHEN MATCHED action $other")
       }
-    for ((_, UpdKind(false, am)) <- matchedBranches
+    // NOT MATCHED BY SOURCE branches act on target rows with no source
+    // match: UPDATE assignments/conditions may reference target columns
+    // only (Spark's analyzer enforces it), DELETE routes the key to the
+    // commit's atomic deletes — Delta's full branch matrix.
+    val nmbsBranches: Seq[(Option[Expression], MatchedKind)] =
+      m.notMatchedBySourceActions.map {
+        case UpdateAction(c, assigns, _) =>
+          (c, UpdKind(star = false,
+            assignMap(assigns, "NOT MATCHED BY SOURCE UPDATE")))
+        case DeleteAction(c) => (c, DelKind)
+        case other =>
+          fail(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
+      }
+    val hasNmbs = nmbsBranches.nonEmpty
+    for ((_, UpdKind(false, am)) <- matchedBranches ++ nmbsBranches
          if am.keySet.exists(lcKeys.contains))
       fail("UPDATE SET on a merge KEY column — the keyed upsert would " +
         "insert the new key and strand the old row; delete + insert instead")
@@ -235,7 +264,6 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val keyAttr = m.targetTable.output
       .find(a => lc(a.name) == lc(keys.head))
       .getOrElse(fail(s"key ${keys.head} missing from the target output"))
-    val matched = IsNotNull(keyAttr)
     def srcAttr(name: String): Expression = srcByName.getOrElse(lc(name),
       fail(s"INSERT */UPDATE SET * needs source column $name"))
     def shaped(e: Expression, dt: org.apache.spark.sql.types.DataType,
@@ -259,6 +287,13 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else CaseWhen(insertBranches.map { case (c, _) =>
         (c.getOrElse(Literal.TrueLiteral), Literal(true)) },
         Some(Literal(false)))
+    def nmbsKindIs(p: MatchedKind => Boolean): Expression =
+      if (nmbsBranches.isEmpty) Literal(false)
+      else CaseWhen(nmbsBranches.map { case (c, k) =>
+        (c.getOrElse(Literal.TrueLiteral), Literal(p(k))) },
+        Some(Literal(false)))
+    val isNmbsUpd = nmbsKindIs(_.isInstanceOf[UpdKind])
+    val isNmbsDel = nmbsKindIs(_ == DelKind)
     // per-column values: among rows kept by isUpd/isIns, scanning the
     // branch conditions in order lands on the routing branch — earlier
     // branches of the OTHER kind have false conditions for these rows
@@ -278,13 +313,50 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           else am.getOrElse(lc(t.name), Literal(null, t.dataType)),
           t.dataType, s"WHEN NOT MATCHED value for ${t.name}")) },
         Some(Literal(null, t.dataType)))
-    val join = Join(m.sourceTable, m.targetTable, LeftOuter,
-      Some(m.mergeCondition), JoinHint.NONE)
+    // join shape: LEFT-outer (source-driven) when only matched/insert
+    // branches exist; FULL-outer when NOT MATCHED BY SOURCE needs the
+    // target-only rows too. Sides are detected by literal-TRUE marker
+    // columns, not value nullability: a legitimately all-NULL row must
+    // still count as present, and after a full-outer join only a column
+    // that cannot be NULL on its own side marks absence reliably.
+    val srcTag = Alias(Literal(true), "__graft_src_present")()
+    val tgtTag = Alias(Literal(true), "__graft_tgt_present")()
+    val (join, matched, sourceOnly, targetOnly) =
+      if (!hasNmbs) {
+        val j = Join(m.sourceTable, m.targetTable, LeftOuter,
+          Some(m.mergeCondition), JoinHint.NONE)
+        (j, IsNotNull(keyAttr): Expression,
+          CatNot(IsNotNull(keyAttr)): Expression, Literal(false): Expression)
+      } else {
+        val j = Join(
+          Project(m.sourceTable.output :+ srcTag, m.sourceTable),
+          Project(m.targetTable.output :+ tgtTag, m.targetTable),
+          FullOuter, Some(m.mergeCondition), JoinHint.NONE)
+        val s = IsNotNull(srcTag.toAttribute)
+        val t = IsNotNull(tgtTag.toAttribute)
+        (j, CatAnd(s, t): Expression, CatAnd(s, CatNot(t)): Expression,
+          CatAnd(CatNot(s), t): Expression)
+      }
+    def nmbsValue(t: org.apache.spark.sql.catalyst.expressions.Attribute): Expression = {
+      val upds = nmbsBranches.collect { case (c, u: UpdKind) => (c, u) }
+      if (upds.isEmpty) t
+      else CaseWhen(upds.map { case (c, u) =>
+        (c.getOrElse(Literal.TrueLiteral), shaped(
+          u.assigns.getOrElse(lc(t.name), t), t.dataType,
+          s"WHEN NOT MATCHED BY SOURCE value for ${t.name}")) }, Some(t))
+    }
+    def rowValue(t: org.apache.spark.sql.catalyst.expressions.Attribute): Expression =
+      if (!hasNmbs) If(matched, updValue(t), insValue(t))
+      else If(matched, updValue(t),
+        If(sourceOnly, insValue(t), nmbsValue(t)))
+    val routeFilter =
+      if (!hasNmbs) CatOr(CatAnd(matched, isUpd),
+        CatAnd(CatNot(matched), isIns))
+      else CatOr(CatOr(CatAnd(matched, isUpd), CatAnd(sourceOnly, isIns)),
+        CatAnd(targetOnly, isNmbsUpd))
     val upsertRows = Project(
-      m.targetTable.output.map(t =>
-        Alias(If(matched, updValue(t), insValue(t)), t.name)()),
-      LFilter(CatOr(CatAnd(matched, isUpd),
-        CatAnd(CatNot(matched), isIns)), join))
+      m.targetTable.output.map(t => Alias(rowValue(t), t.name)()),
+      LFilter(routeFilter, join))
     def keyProject(cond: Expression): LogicalPlan = Project(
       keys.map { k =>
         val t = m.targetTable.output.find(a => lc(a.name) == lc(k))
@@ -293,11 +365,24 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       },
       LFilter(cond, join))
     val deletes =
-      if (!matchedBranches.exists(_._2 == DelKind)) None
-      else Some(keyProject(CatAnd(matched, isDel)))
+      if (!(matchedBranches ++ nmbsBranches).exists(_._2 == DelKind)) None
+      else Some(keyProject(
+        if (!hasNmbs) CatAnd(matched, isDel)
+        else CatOr(CatAnd(matched, isDel), CatAnd(targetOnly, isNmbsDel))))
     val matchedKeys =
       if (matchedBranches.isEmpty) None
       else Some(keyProject(CatAnd(matched, CatOr(isUpd, isDel))))
-    (upsertRows, deletes, matchedKeys)
+    val nmbsNullKeys =
+      if (!hasNmbs) None
+      else {
+        val anyKeyNull = keys.map { k =>
+          val t = m.targetTable.output.find(a => lc(a.name) == lc(k))
+            .getOrElse(fail(s"key $k missing from the target output"))
+          org.apache.spark.sql.catalyst.expressions.IsNull(t): Expression
+        }.reduce(CatOr)
+        Some(keyProject(CatAnd(
+          CatAnd(targetOnly, CatOr(isNmbsUpd, isNmbsDel)), anyKeyNull)))
+      }
+    GeneralPlans(upsertRows, deletes, matchedKeys, nmbsNullKeys)
   }
 }

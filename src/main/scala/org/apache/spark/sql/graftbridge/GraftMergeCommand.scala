@@ -17,7 +17,8 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 case class GraftMergeCommand(path: String, keys: Seq[String],
     source: LogicalPlan,
     deletes: Option[LogicalPlan] = None,
-    matchedKeys: Option[LogicalPlan] = None) extends LeafRunnableCommand {
+    matchedKeys: Option[LogicalPlan] = None,
+    nmbsNullKeys: Option[LogicalPlan] = None) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -30,6 +31,23 @@ case class GraftMergeCommand(path: String, keys: Seq[String],
     // the hub's native upsert and keeps its DOCUMENTED last-writer-wins
     // semantics — it routes nothing to deletes, so no row can be deleted
     // and re-inserted nondeterministically.)
+    // NOT MATCHED BY SOURCE refusal: a NULL-keyed target row routed to an
+    // UPDATE/DELETE branch cannot be addressed by the keyed upsert/delete
+    // (NULL never equi-matches) — silently skipping it would diverge from
+    // the branch's semantics, and "updating" it through the upsert would
+    // insert a duplicate. Fail loudly with the remedy instead.
+    nmbsNullKeys.foreach { nk =>
+      val hit = org.apache.spark.sql.classic.Dataset.ofRows(classic, nk)
+        .limit(1).collect()
+      if (hit.nonEmpty)
+        throw new IllegalStateException(
+          s"MERGE INTO hub at $path: a WHEN NOT MATCHED BY SOURCE branch " +
+            s"applies to a target row whose merge key " +
+            s"(${keys.mkString(", ")}) is NULL — the keyed commit cannot " +
+            "address that row. Remove NULL-keyed rows first (DELETE FROM " +
+            "with an IS NULL predicate) or exclude them via the branch " +
+            "condition.")
+    }
     matchedKeys.foreach { mk =>
       import org.apache.spark.sql.functions.{col, count, lit}
       val df = org.apache.spark.sql.classic.Dataset.ofRows(classic, mk)

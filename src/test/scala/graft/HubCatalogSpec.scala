@@ -97,15 +97,13 @@ class HubCatalogSpec extends SparkTestBase {
       denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k < s.k
                |WHEN MATCHED THEN UPDATE SET *
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      // NOT MATCHED BY SOURCE (O(table) anti-scan the keyed delete cannot
-      // express for null-key rows)
-      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
-               |WHEN MATCHED THEN UPDATE SET *
-               |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
       // UPDATE SET on a merge key: the keyed upsert would strand the old row
       denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
                |WHEN MATCHED THEN UPDATE SET k = s.k + 1
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // ... and on a NOT MATCHED BY SOURCE branch too
+      denied("""MERGE INTO hubx.default.t t USING bad_src s ON t.k = s.k
+               |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = t.k + 1""".stripMargin)
     }
   }
 
@@ -245,6 +243,62 @@ class HubCatalogSpec extends SparkTestBase {
       assert(spark.sql("SELECT k FROM hubgm.default.flat ORDER BY k")
         .as[Long].collect().toSeq == Seq(1L, 3L, 4L))
       assert(VersionedHub.history(spark, s"$base/flat").size == 2)
+    }
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: conditional UPDATE/DELETE of target-only rows, one atomic commit") {
+    withCatalog("hubnmbs") { base =>
+      VersionedHub.writeBucketed(spark,
+        (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+        s"$base/t", Seq("k"), 4)
+      Seq((2L, "TWO"), (3L, "THREE"), (11L, "eleven")).toDF("k", "label")
+        .createOrReplaceTempView("nmbs_src")
+      // full branch matrix in one statement: matched update, unmatched
+      // insert, target-only rows conditionally deleted or stamped
+      spark.sql("""MERGE INTO hubnmbs.default.t t USING nmbs_src s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET v = s.label
+                  |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.label)
+                  |WHEN NOT MATCHED BY SOURCE AND t.k > 8 THEN DELETE
+                  |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '-stale')""".stripMargin)
+      assert(VersionedHub.history(spark, s"$base/t").size == 2,
+        "all four branch kinds must land as ONE commit")
+      val after = spark.sql("SELECT k, v FROM hubnmbs.default.t ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+      assert(after == Seq(
+        (1L, "v1-stale"), (2L, "TWO"), (3L, "THREE"), (4L, "v4-stale"),
+        (5L, "v5-stale"), (6L, "v6-stale"), (7L, "v7-stale"),
+        (8L, "v8-stale"), (11L, "eleven")), after.toString)
+      // NMBS-only sync-to-source: delete everything the source lacks
+      Seq(2L, 3L, 11L).toDF("k").createOrReplaceTempView("nmbs_keep")
+      spark.sql("""MERGE INTO hubnmbs.default.t t USING nmbs_keep s
+                  |ON t.k = s.k
+                  |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(spark.sql("SELECT k FROM hubnmbs.default.t ORDER BY k")
+        .as[Long].collect().toSeq == Seq(2L, 3L, 11L))
+      // NULL-keyed target rows cannot be addressed by the keyed commit:
+      // refused loudly, not silently skipped or duplicated
+      VersionedHub.write(spark,
+        Seq((Option.empty[Long], "nullkey")).toDF("k", "v"),
+        s"$base/t", Seq("k"))
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO hubnmbs.default.t t USING nmbs_keep s
+          |ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      assert(rootMsg(e).contains("NULL"), rootMsg(e))
+      // excluding the NULL-keyed rows via the branch condition works:
+      // target-only rows are now {3, 11, NULL}; the condition spares NULL
+      Seq(2L).toDF("k").createOrReplaceTempView("nmbs_keep2")
+      spark.sql("""MERGE INTO hubnmbs.default.t t USING nmbs_keep2 s
+                  |ON t.k = s.k
+                  |WHEN NOT MATCHED BY SOURCE AND t.k IS NOT NULL
+                  |  THEN DELETE""".stripMargin)
+      val ks = spark.sql("SELECT k FROM hubnmbs.default.t")
+        .as[Option[Long]].collect().toSet
+      assert(ks == Set(Some(2L), None), ks.toString)
     }
   }
 
