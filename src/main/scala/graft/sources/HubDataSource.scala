@@ -807,8 +807,15 @@ private[sources] class HubScan(path: String, v: VersionedHub.Version,
           dirToBucket.get(d).flatMap(v.bucketRows.get))
         if (rs.forall(_.isDefined)) Some(rs.flatten.sum) else None
       }
+    // per-file stats count PHYSICAL rows; subtract the files' deletion
+    // vectors so the planner sees live cardinality (uncovered dirs come
+    // from bucketRows, which DV commits already decrement)
+    val coveredDvRows: Long =
+      if (v.dvs.isEmpty) 0L
+      else plan.survivors.map(s =>
+        v.dvs.get(s._1).map(_.size.toLong).getOrElse(0L)).sum
     val rowsOpt: Option[Long] =
-      uncoveredRows.map(_ + plan.survivors.map(_._2.rows).sum)
+      uncoveredRows.map(_ + plan.survivors.map(_._2.rows).sum - coveredDvRows)
     val coveredBytes = plan.survivors.map(_._2.bytes).sum
     val bytes: Long =
       if (plan.uncoveredDirs.isEmpty) coveredBytes
@@ -832,6 +839,7 @@ private[sources] class HubScan(path: String, v: VersionedHub.Version,
       context: SQLContext): T = {
     val desc = description()
     val scanPaths = paths
+    val dvs = v.dvs
     val relation = new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = required
@@ -840,7 +848,7 @@ private[sources] class HubScan(path: String, v: VersionedHub.Version,
       override def toString: String = desc
       override def buildScan(): RDD[Row] =
         HubScan.inner(context.sparkSession, scanPaths, v.rows, fullSchema,
-          required, filters).rdd
+          required, filters, dvs).rdd
     }
     relation.asInstanceOf[T]
   }
@@ -862,7 +870,8 @@ private[graft] object HubScan {
     */
   private[graft] def inner(session: SparkSession, scanPaths: Seq[String],
       snapshotRows: Long, fullSchema: StructType, required: StructType,
-      filters: Seq[Filter]): org.apache.spark.sql.DataFrame = {
+      filters: Seq[Filter],
+      dvs: Map[String, Seq[Long]] = Map.empty): org.apache.spark.sql.DataFrame = {
     val base =
       // a 0-row snapshot (catalog CREATE TABLE) may hold no part files;
       // parquet cannot scan an empty dir but the manifest has the schema
@@ -875,11 +884,15 @@ private[graft] object HubScan {
         // footer-reading Spark job with mergeSchema) at planning time;
         // files missing evolved columns read them as null. Under
         // column mapping the files spell renamed columns by their
-        // frozen physical names — scan with those, alias back
+        // frozen physical names — scan with those, alias back. The
+        // snapshot's DELETION VECTORS filter right behind the scan
+        // (broadcast anti-join on (file, row index); identity when none)
         graft.writers.ColumnMapping.toLogical(
-          session.read.schema(
-            graft.writers.ColumnMapping.physicalSchema(fullSchema))
-            .parquet(scanPaths: _*), fullSchema),
+          VersionedHub.applyDv(session,
+            session.read.schema(
+              graft.writers.ColumnMapping.physicalSchema(fullSchema))
+              .parquet(scanPaths: _*), dvs),
+          fullSchema),
         fullSchema)
     filters.flatMap(HubDataSource.filterToColumn(_, fullSchema))
       .foldLeft(base)(_ filter _)

@@ -63,7 +63,9 @@ object VersionedHub {
       bucketRows: Map[Int, Long] = Map.empty,
       schemaJson: Option[String] = None,
       statsNew: Map[String, FileStats.FileStat] = Map.empty,
-      statsCarried: () => Map[String, FileStats.FileStat] = Version.NoCarried) {
+      statsCarried: () => Map[String, FileStats.FileStat] = Version.NoCarried,
+      dvNew: Map[String, Seq[Long]] = Map.empty,
+      dvCarried: () => Map[String, Seq[Long]] = Version.NoDvCarried) {
     /** The version's full-snapshot schema, when the manifest records one.
       * On a bucketed hub this is the UNION across all bucket dirs — a
       * column that lives only in buckets untouched since a schema
@@ -104,10 +106,37 @@ object VersionedHub {
         dirs.exists(p.startsWith) }
       carried ++ statsNew
     }
+
+    /** FULL-snapshot positional DELETION VECTORS: file path (same key
+      * space as [[fileStats]]) → sorted physical row indices deleted from
+      * it (Delta DV / Iceberg positional-delete shape). Reconstructed
+      * lazily exactly like [[fileStats]] — manifests carry only the files
+      * whose DV CHANGED this commit (`dvNew`, each entry the file's full
+      * updated vector — later commits replace, not union), carried files
+      * fold from the checkpoint + delta chain, and restriction to the
+      * dirs this snapshot still references drops vectors for files a
+      * rewrite replaced (the rewrite materialized the deletions). Empty
+      * for every hub that never took a DV delete — all read paths take
+      * their identity fast path then.
+      */
+    lazy val dvs: Map[String, Seq[Long]] = {
+      val dirs = referencedDirRels
+      val carried = dvCarried().filter { case (p, _) =>
+        dirs.exists(p.startsWith) }
+      (carried ++ dvNew).filter(_._2.nonEmpty)
+    }
+
+    /** Live (post-DV) row count of the snapshot — [[rows]] already
+      * accounts for DV deletions at commit time, so this is just `rows`;
+      * kept as a named accessor to document the invariant.
+      */
+    def liveRows: Long = rows
   }
 
   object Version {
     private val NoCarried: () => Map[String, FileStats.FileStat] =
+      () => Map.empty
+    private[VersionedHub] val NoDvCarried: () => Map[String, Seq[Long]] =
       () => Map.empty
 
     /** Everything-nullable view of a recorded schema (Spark's own
@@ -417,7 +446,9 @@ object VersionedHub {
           bucketRows, schemaJson = Some(snapSchema.json),
           statsNew = fstatsNew,
           statsCarried = () => base.fold(
-            Map.empty[String, FileStats.FileStat])(_.fileStats))))
+            Map.empty[String, FileStats.FileStat])(_.fileStats),
+          dvCarried = () => base.fold(
+            Map.empty[String, Seq[Long]])(_.dvs))))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -482,14 +513,101 @@ object VersionedHub {
     * without a recorded schema fall back to mergeSchema inference.
     */
   private[graft] def readDirs(spark: SparkSession, v: Version,
-      dirs: Seq[String]): DataFrame = v.schema match {
-    case Some(s) =>
-      // column mapping: files spell renamed columns by their frozen
-      // PHYSICAL names — scan with those, alias back to the logical view
-      // (identity when the table was never renamed)
-      ColumnMapping.toLogical(
-        spark.read.schema(ColumnMapping.physicalSchema(s)).parquet(dirs: _*), s)
-    case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      dirs: Seq[String]): DataFrame = {
+    val raw = v.schema match {
+      case Some(s) =>
+        // column mapping: files spell renamed columns by their frozen
+        // PHYSICAL names — scan with those, alias back to the logical view
+        // (identity when the table was never renamed)
+        ColumnMapping.toLogical(applyDv(spark,
+          spark.read.schema(ColumnMapping.physicalSchema(s)).parquet(dirs: _*),
+          v.dvs), s)
+      case None => applyDv(spark,
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*), v.dvs)
+    }
+    raw
+  }
+
+  /** Columns [[applyDv]] and the DV writer key deletions by. */
+  private[graft] val DvFileCol = "__graft_dv_file"
+  private[graft] val DvPosCol = "__graft_dv_pos"
+
+  /** The DV join key of a file path: its last two segments,
+    * `<parent-dir>/<basename>`. The basename alone is NOT unique — one
+    * write job stamps every file with the same job UUID, so a task
+    * holding two buckets emits `bucket=3/part-00007-<uuid>` AND
+    * `bucket=5/part-00007-<uuid>`. Adding the immediate parent dir
+    * disambiguates within a job (one file per (dir, split)), and the
+    * per-job UUID disambiguates across jobs/roots — while still
+    * sidestepping URI-qualification mismatches between the manifest's
+    * relative paths and `_metadata.file_path`. [[deleteWhere]] asserts
+    * key uniqueness over the live file set before ever committing a DV.
+    */
+  private def dvKeyOf(p: String): String = {
+    val i = p.lastIndexOf('/')
+    val j = if (i <= 0) -1 else p.lastIndexOf('/', i - 1)
+    p.substring(j + 1)
+  }
+
+  /** Filter a parquet scan through the snapshot's DELETION VECTORS:
+    * a broadcast LEFT-ANTI join on (file key, physical row index) —
+    * whole-stage-codegen'd BroadcastHashJoin, no UDF, no shuffle, and an
+    * identity no-op for the (overwhelmingly common) DV-free snapshot.
+    */
+  private[graft] def applyDv(spark: SparkSession, df: DataFrame,
+      dvs: Map[String, Seq[Long]]): DataFrame =
+    if (dvs.isEmpty) df
+    else applyDvTagged(spark, tagDvAddress(df), dvs)
+      .drop(DvFileCol, DvPosCol)
+
+  /** Stamp every scanned row with its DV address: (file basename,
+    * physical row index), from the parquet source's `_metadata` column.
+    */
+  private def tagDvAddress(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat_ws, element_at, split}
+    val segs = split(col("_metadata.file_path"), "/")
+    df.withColumn(DvFileCol,
+        concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+  }
+
+  /** The anti-join itself — expects [[tagDvAddress]]'d input and keeps
+    * the address columns (callers drop or reuse them).
+    */
+  private def applyDvTagged(spark: SparkSession, df: DataFrame,
+      dvs: Map[String, Seq[Long]]): DataFrame = {
+    if (dvs.isEmpty) return df
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val pairs = dvs.toSeq.flatMap { case (p, ps) =>
+      val key = dvKeyOf(p)
+      ps.map(pos => (key, pos))
+    }
+    import spark.implicits._
+    val dvDf = pairs.toDF(DvFileCol + "_r", DvPosCol + "_r")
+    df.join(broadcast(dvDf),
+      col(DvFileCol) === col(DvFileCol + "_r") &&
+        col(DvPosCol) === col(DvPosCol + "_r"),
+      "left_anti")
+  }
+
+  /** [[readDirs]] variant for the DV WRITER: same live-row view (existing
+    * DVs applied), plus the (basename, physical row index) address of
+    * every row — what a new deletion vector records.
+    */
+  private[graft] def readDirsWithPos(spark: SparkSession, v: Version,
+      dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val s = v.schema.getOrElse(throw new IllegalStateException(
+      "DV writes need a recorded snapshot schema"))
+    val raw = tagDvAddress(
+      spark.read.schema(ColumnMapping.physicalSchema(s)).parquet(dirs: _*))
+    val live = applyDvTagged(spark, raw, v.dvs)
+    // logical aliasing with the address columns carried through
+    val l2p = s.fields.map(f => f.name -> ColumnMapping.physName(f)).toMap
+    live.select(s.fields.toIndexedSeq.map { f =>
+      val p = l2p(f.name)
+      if (p == f.name) col(f.name) else col(p).as(f.name)
+    } ++ Seq(col(DvFileCol), col(DvPosCol)): _*)
   }
 
   /** Shared bucket-routing stamp: `pmod(xxhash64(canonical cols), n)`. */
@@ -673,8 +791,16 @@ object VersionedHub {
       (read(spark, path, Some(fromVersion)), read(spark, path, Some(toVersion)))
     else {
       val (sa, sb) = (a.schema.get, b.schema.get)
+      // a bucket differs when its DIR changed — or, same dir, when its
+      // DELETION VECTORS changed: a DV commit rewrites nothing yet still
+      // changes the live rows the dir contributes
+      def dvOf(ver: Version, k: Int): Map[String, Seq[Long]] =
+        ver.buckets.get(k)
+          .map(d => ver.dvs.filter(_._1.startsWith(d + "/")))
+          .getOrElse(Map.empty)
       val diff = (a.buckets.keySet ++ b.buckets.keySet)
-        .filter(k => a.buckets.get(k) != b.buckets.get(k)).toSeq.sorted
+        .filter(k => a.buckets.get(k) != b.buckets.get(k) ||
+          dvOf(a, k) != dvOf(b, k)).toSeq.sorted
       def dirs(ver: Version): Seq[String] =
         diff.flatMap(ver.buckets.get).map(resolve(path, _))
       def rd(ver: Version, ds: Seq[String]): DataFrame =
@@ -793,7 +919,15 @@ object VersionedHub {
             System.currentTimeMillis(), target.rows, None,
             target.nBuckets, target.buckets, target.bucketCols,
             target.bucketRows, schemaJson = target.schemaJson,
-            statsNew = target.fileStats)))
+            statsNew = target.fileStats,
+            // DVs are REPLACED wholesale, with explicit empty-vector
+            // tombstones for files the current tip has vectors on but the
+            // target does not: the reader's fold carries dvDelta entries
+            // forward by file, and a restore re-references the very dirs
+            // those vectors point into — without the tombstone the
+            // restored snapshot would keep deleting the target's rows
+            dvNew = base.dvs.map { case (f, _) => f -> (Seq.empty: Seq[Long]) } ++
+              target.dvs)))
           return next
         failIfStuck(spark, path, next)
       }
@@ -844,7 +978,8 @@ object VersionedHub {
       src.buckets.map { case (b, d) => b -> abs(d) },
       src.bucketCols, src.bucketRows,
       schemaJson = src.schemaJson,
-      statsNew = src.fileStats.map { case (f, st) => abs(f) -> st })
+      statsNew = src.fileStats.map { case (f, st) => abs(f) -> st },
+      dvNew = src.dvs.map { case (f, ps) => abs(f) -> ps })
     if (!commit(tfs, targetPath, v))
       throw new IllegalStateException(
         s"clone target $targetPath gained a commit concurrently — aborting")
@@ -889,7 +1024,8 @@ object VersionedHub {
           System.currentTimeMillis(), base.rows, None, base.nBuckets,
           base.buckets, bucketCols, base.bucketRows,
           schemaJson = Some(newSchema.json),
-          statsCarried = () => base.fileStats)))
+          statsCarried = () => base.fileStats,
+          dvCarried = () => base.dvs)))
         return next
       failIfStuck(spark, path, next)
     }
@@ -968,6 +1104,23 @@ object VersionedHub {
             .map(_(base).toSeq.filter(base.buckets.contains).sorted)
             .getOrElse(base.buckets.keys.toSeq.sorted)
           if (cand.isEmpty) return base.version
+          // DELETION-VECTOR fast path (Delta DV shape): when the matches
+          // are FEW, record their (file, row index) addresses in the
+          // manifest instead of rewriting whole buckets — a surgical
+          // delete of k rows from a 100 TB table becomes a manifest-only
+          // commit, O(k) bytes, zero data files written. Larger deletes
+          // (and any snapshot the addressing cannot be proven sound for)
+          // fall through to the bucket rewrite below; losing the commit
+          // race costs nothing (no files to clean up).
+          val dvOutcome = dvDeleteAttempt(spark, fs, path, base, cand, cond)
+          dvOutcome match {
+            case DvCommitted(n) => return n
+            case DvNoMatches => return base.version
+            case DvLostRace => // fresh base next loop iteration
+              failIfStuck(spark, path, base.version + 1)
+            case DvFallThrough => // too many matches / unprovable: rewrite
+          }
+          if (dvOutcome == DvFallThrough) {
           // one tagged read of the candidate dirs serves both the
           // touched-bucket detection and the rewrite
           val tagged = graft.operators.Dedup.persistForReuse(
@@ -1008,15 +1161,113 @@ object VersionedHub {
                 base.nBuckets, newBuckets, base.bucketCols, bucketRows,
                 schemaJson = base.schemaJson,
                 statsNew = fstatsNew,
-                statsCarried = () => base.fileStats)))
+                statsCarried = () => base.fileStats,
+                dvCarried = () => base.dvs)))
               return next
             fs.delete(new Path(resolve(path, root)), true)
             failIfStuck(spark, path, next)
           } finally tagged.unpersist()
+          }
         }
         throw new IllegalStateException(
           s"hub at $path: lost the commit race $MaxRetries times — giving up")
     }
+  }
+
+  /** The bucket values a rewrite job actually materialized under `root` —
+    * a partitionBy write emits NO dir for an empty partition, so a bucket
+    * whose live content vanished (e.g. fully deletion-vector-deleted)
+    * must be detected and dropped from the map rather than dangle.
+    */
+  private def materializedBuckets(fs: FileSystem, path: String,
+      root: String): Set[Int] =
+    fs.listStatus(new Path(resolve(path, root))).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$BucketCol=") =>
+        n.stripPrefix(s"$BucketCol=").toInt }.toSet
+
+  private sealed trait DvOutcome
+  private case class DvCommitted(version: Int) extends DvOutcome
+  private case object DvNoMatches extends DvOutcome
+  private case object DvLostRace extends DvOutcome
+  private case object DvFallThrough extends DvOutcome
+
+  /** DV commits are capped at this many positions (per commit) by
+    * default: beyond it, rewriting the touched buckets amortizes better
+    * than letting manifests and checkpoints carry ever-larger vectors.
+    * Tune with `spark.graft.hub.dv.maxPositions`; disable DVs entirely
+    * with `spark.graft.hub.dv.enabled = false`.
+    */
+  private[graft] val DvMaxPositions = 50000
+
+  /** One attempt at the manifest-only DV delete against `base`. Sound
+    * only when every matched file resolves through a GLOBALLY UNIQUE
+    * basename (the [[applyDv]] join key) in the snapshot's file-stats key
+    * space — Spark part files embed a per-job UUID, so this holds for
+    * every file the hub's own writers produced; anything unprovable
+    * (legacy manifests without stats, a colliding basename) falls back
+    * to the rewrite, never guesses.
+    */
+  private def dvDeleteAttempt(spark: SparkSession, fs: FileSystem,
+      path: String, base: Version, cand: Seq[Int],
+      cond: org.apache.spark.sql.Column): DvOutcome = {
+    if (base.schema.isEmpty ||
+        !spark.conf.get("spark.graft.hub.dv.enabled", "true").toBoolean)
+      return DvFallThrough
+    // surgical deletes only: beyond an absolute position cap AND a small
+    // fraction of the live table, rewriting amortizes better than letting
+    // every manifest/checkpoint carry the vectors — and a delete that
+    // empties whole buckets (TRUNCATE-like) should DROP their dirs, which
+    // only the rewrite can express
+    val dvMax = math.min(
+      spark.conf.get("spark.graft.hub.dv.maxPositions",
+        DvMaxPositions.toString).toLong,
+      base.rows / 10).toInt
+    if (dvMax <= 0) return DvFallThrough
+    val hits = readDirsWithPos(spark, base,
+        cand.map(b => resolve(path, base.buckets(b))))
+      .filter(cond)
+      .select(DvFileCol, DvPosCol)
+      .limit(dvMax + 1)
+      .collect()
+    if (hits.isEmpty) return DvNoMatches
+    if (hits.length > dvMax) return DvFallThrough
+    // DV key → live rel path, provably unique table-wide
+    val live = base.fileStats.keySet
+    if (live.isEmpty) return DvFallThrough
+    val byKey = live.groupBy(dvKeyOf)
+    if (byKey.exists(_._2.size > 1)) return DvFallThrough
+    val matched = hits.groupBy(_.getString(0)).map { case (n, rows) =>
+      n -> rows.map(_.getLong(1)).toIndexedSeq.sorted
+    }
+    if (!matched.keys.forall(byKey.contains)) return DvFallThrough
+    val dvNewEntries: Map[String, Seq[Long]] = matched.map { case (n, ps) =>
+      val rel = byKey(n).head
+      // existing DV rows never re-match (the position read is DV-applied),
+      // so old ∪ new is a disjoint union
+      rel -> ((base.dvs.getOrElse(rel, Seq.empty) ++ ps).sorted: Seq[Long])
+    }
+    val newlyDeleted = hits.length.toLong
+    val decByBucket: Map[Int, Long] = matched.toSeq.flatMap { case (n, ps) =>
+      val rel = byKey(n).head
+      base.buckets.collectFirst {
+        case (b, d) if rel.startsWith(d + "/") => b -> ps.size.toLong }
+    }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val bucketRows =
+      if (base.bucketRows.isEmpty) base.bucketRows
+      else base.bucketRows.map { case (b, r) =>
+        b -> (r - decByBucket.getOrElse(b, 0L)) }
+    val next = base.version + 1
+    if (commit(fs, path, Version(next, base.dataDir,
+        System.currentTimeMillis(), base.rows - newlyDeleted, None,
+        base.nBuckets, base.buckets, base.bucketCols, bucketRows,
+        schemaJson = base.schemaJson,
+        statsNew = Map.empty,
+        statsCarried = () => base.fileStats,
+        dvNew = dvNewEntries,
+        dvCarried = () => base.dvs)))
+      DvCommitted(next)
+    else DvLostRace
   }
 
   /** UPDATE the rows matching `cond` as one committed version (SQL
@@ -1117,7 +1368,8 @@ object VersionedHub {
                 base.nBuckets, newBuckets, base.bucketCols, bucketRows,
                 schemaJson = Some(snapSchema.json),
                 statsNew = fstatsNew,
-                statsCarried = () => base.fileStats)))
+                statsCarried = () => base.fileStats,
+                dvCarried = () => base.dvs)))
               return next
             fs.delete(new Path(resolve(path, root)), true)
             failIfStuck(spark, path, next)
@@ -1314,18 +1566,24 @@ object VersionedHub {
         .coalesce(1).write.options(BloomIndex.options(snapSchema))
         .partitionBy(BucketCol)
         .parquet(resolve(path, root))
-      val newBuckets = base.buckets ++
-        chosen.map(b => b -> s"$root/$BucketCol=$b")
-      // content unchanged: row counts, routing and the recorded snapshot
-      // schema all carry over from the base manifest; per-file stats are
-      // re-read for the rewritten dirs (fewer, larger files) and carried
-      // for the untouched ones
+      // a chosen bucket whose LIVE content is empty (every row DV-deleted)
+      // writes no dir — it must drop from the map, not dangle
+      val writtenB = materializedBuckets(fs, path, root)
+      val newBuckets = (base.buckets -- chosen) ++
+        chosen.filter(writtenB).map(b => b -> s"$root/$BucketCol=$b")
+      // content unchanged: LIVE row counts, routing and the recorded
+      // snapshot schema all carry over from the base manifest (the
+      // rewrite materializes deletion vectors, which [[rows]] already
+      // excludes); per-file stats are re-read for the rewritten dirs
+      // (fewer, larger files) and carried for the untouched ones
       val fstatsNew = FileStats.collect(spark, fs, new Path(path),
         new Path(resolve(path, root)))
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
           base.rows, None, base.nBuckets, newBuckets, base.bucketCols,
-          base.bucketRows, schemaJson = Some(snapSchema.json),
-          statsNew = fstatsNew, statsCarried = () => base.fileStats)))
+          base.bucketRows -- chosen.filterNot(writtenB),
+          schemaJson = Some(snapSchema.json),
+          statsNew = fstatsNew, statsCarried = () => base.fileStats,
+          dvCarried = () => base.dvs)))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -1387,12 +1645,15 @@ object VersionedHub {
         .partitionBy(BucketCol).parquet(resolve(path, root))
       val fstats = FileStats.collect(spark, fs, new Path(path),
         new Path(resolve(path, root)))
-      val newBuckets = base.buckets ++
-        chosen.map(b => b -> s"$root/$BucketCol=$b")
+      val writtenB = materializedBuckets(fs, path, root)
+      val newBuckets = (base.buckets -- chosen) ++
+        chosen.filter(writtenB).map(b => b -> s"$root/$BucketCol=$b")
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
           base.rows, None, base.nBuckets, newBuckets, base.bucketCols,
-          base.bucketRows, schemaJson = Some(snapSchema.json),
-          statsNew = fstats, statsCarried = () => base.fileStats)))
+          base.bucketRows -- chosen.filterNot(writtenB),
+          schemaJson = Some(snapSchema.json),
+          statsNew = fstats, statsCarried = () => base.fileStats,
+          dvCarried = () => base.dvs)))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -1591,8 +1852,14 @@ object VersionedHub {
     // field would read back with NO carried stats at all — skipping and
     // `t$files` silently blind on that version.
     val statsField = s""", "statsDelta": ${encodeStatsMap(v.statsNew)}"""
+    // deletion-vector delta: only the files whose DV changed THIS commit
+    // (full updated vector each — replace-on-fold). Absent = no DV change
+    // (no legacy ambiguity: DVs never had a full-map encoding).
+    val dvField =
+      if (v.dvNew.isEmpty) ""
+      else s""", "dvDelta": ${encodeDvMap(v.dvNew)}"""
     val content =
-      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields$schemaField$statsField}"""
+      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields$schemaField$statsField$dvField}"""
         .getBytes("UTF-8")
     val won = CommitStore.forScheme(schemeOf(path)).putIfAbsent(
       fs, manifest, content)
@@ -1626,7 +1893,7 @@ object VersionedHub {
     val tmp = new Path(target.getParent,
       s"${target.getName}.tmp-${UUID.randomUUID().toString.take(8)}")
     val content =
-      s"""{"version": ${v.version}, "fileStats": ${encodeStatsMap(v.fileStats)}}"""
+      s"""{"version": ${v.version}, "fileStats": ${encodeStatsMap(v.fileStats)}, "dvs": ${encodeDvMap(v.dvs)}}"""
         .getBytes("UTF-8")
     val out = fs.create(tmp, /* overwrite = */ true)
     try out.write(content) finally out.close()
@@ -1637,11 +1904,13 @@ object VersionedHub {
     }
   }
 
-  /** The checkpointed full stats map at `version`, or None when absent or
-    * unparseable (readers then fold a longer delta chain — never an error).
+  /** The checkpointed full (stats, dvs) maps at `version`, or None when
+    * absent or unparseable (readers then fold a longer delta chain —
+    * never an error). Pre-DV checkpoints parse with empty dvs (DVs did
+    * not exist when they were written, so empty is exact, not lossy).
     */
-  private def readCheckpoint(fs: FileSystem, path: String,
-      version: Int): Option[Map[String, FileStats.FileStat]] = {
+  private def readCheckpoint(fs: FileSystem, path: String, version: Int)
+      : Option[(Map[String, FileStats.FileStat], Map[String, Seq[Long]])] = {
     val p = checkpointPath(path, version)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -1653,7 +1922,10 @@ object VersionedHub {
         .load[java.util.Map[String, AnyRef]](text)
       catch { case _: Exception => null }
     if (parsed == null) None
-    else Option(parsed.get("fileStats")).map(decodeStatsMap)
+    else Option(parsed.get("fileStats")).map(raw =>
+      (decodeStatsMap(raw),
+        Option(parsed.get("dvs")).map(decodeDvMap)
+          .getOrElse(Map.empty[String, Seq[Long]])))
   }
 
   /** Carried-file stats for version `n` as READERS reconstruct them: the
@@ -1665,28 +1937,36 @@ object VersionedHub {
     * (full `fileStats` field) parse into `statsNew` wholesale, so they act
     * as natural anchors inside the fold.
     */
+  private case class Carried(stats: Map[String, FileStats.FileStat],
+      dvs: Map[String, Seq[Long]])
+
   private def loadCarried(spark: SparkSession, path: String,
-      n: Int): Map[String, FileStats.FileStat] = {
+      n: Int): Carried = {
     val fs = fileSystem(spark, path)
     val log = new Path(path, LogDir)
-    if (!fs.exists(log)) return Map.empty
+    if (!fs.exists(log)) return Carried(Map.empty, Map.empty)
     val names = fs.listStatus(log).map(_.getPath.getName)
     val ckVersions = names.collect {
       case CheckpointName(v) if v.toInt <= n => v.toInt }.sorted.reverse
     var anchor = 0
     var acc = Map.empty[String, FileStats.FileStat]
+    var dvAcc = Map.empty[String, Seq[Long]]
     // newest parseable checkpoint wins; a torn/corrupt one falls through
     ckVersions.iterator
       .map(c => c -> readCheckpoint(fs, path, c))
       .collectFirst { case (c, Some(m)) => (c, m) }
-      .foreach { case (c, m) => anchor = c; acc = m }
-    if (anchor == n) return acc
+      .foreach { case (c, (m, d)) => anchor = c; acc = m; dvAcc = d }
+    if (anchor == n) return Carried(acc, dvAcc)
     val manifestVersions = names.collect {
       case ManifestName(v) if v.toInt > anchor && v.toInt < n => v.toInt
     }.sorted
-    for (i <- manifestVersions; m <- readManifest(spark, path, i))
+    for (i <- manifestVersions; m <- readManifest(spark, path, i)) {
       acc = acc ++ m.statsNew
-    acc
+      // whole-vector replacement per file: a commit that deepens a file's
+      // DV writes the file's FULL updated vector, so last-writer-wins
+      dvAcc = dvAcc ++ m.dvNew
+    }
+    Carried(acc, dvAcc)
   }
 
   private val ManifestName = """(\d+)\.json""".r
@@ -1709,6 +1989,28 @@ object VersionedHub {
       }.mkString("{", ", ", "}")
       s""""${jsonEscape(p)}": {"rows": ${f.rows}, "bytes": ${f.bytes}, "cols": $cols}"""
     }.mkString("{", ", ", "}")
+
+  /** `{path: [pos, pos, ...]}` — ascending physical row indices deleted
+    * from the file. Plain JSON longs: a DV commit is capped at
+    * [[DvMaxPositions]] positions (larger deletes rewrite), so the field
+    * stays small by construction.
+    */
+  private def encodeDvMap(dvs: Map[String, Seq[Long]]): String =
+    dvs.toSeq.sortBy(_._1).map { case (p, ps) =>
+      s""""${jsonEscape(p)}": ${ps.mkString("[", ", ", "]")}"""
+    }.mkString("{", ", ", "}")
+
+  private def decodeDvMap(raw: AnyRef): Map[String, Seq[Long]] = raw match {
+    case fm: java.util.Map[_, _] =>
+      fm.asScala.map { case (k, v0) =>
+        k.toString -> (v0 match {
+          case l: java.util.List[_] =>
+            l.asScala.map(_.toString.toLong).toIndexedSeq: Seq[Long]
+          case _ => Seq.empty[Long]
+        })
+      }.toMap
+    case _ => Map.empty
+  }
 
   private def decodeStatsMap(raw: AnyRef): Map[String, FileStats.FileStat] =
     raw match {
@@ -1904,13 +2206,18 @@ object VersionedHub {
     // commit's files, carried files fold lazily from checkpoint + chain)
     // and legacy "fileStats" (a full snapshot map per manifest — parses as
     // statsNew wholesale and needs no carried chain, acting as an anchor)
-    val (statsNew, statsCarried) = m.get("statsDelta") match {
+    // ONE lazy fold serves both carried thunks — stats and dvs come out
+    // of the same checkpoint + delta-chain walk
+    lazy val carriedState = loadCarried(spark, path, version)
+    val (statsNew, statsCarried, dvCarried) = m.get("statsDelta") match {
       case Some(raw) =>
         (decodeStatsMap(raw),
-          () => loadCarried(spark, path, version))
+          () => carriedState.stats,
+          () => carriedState.dvs)
       case None => (m.get("fileStats").map(decodeStatsMap).getOrElse(
         Map.empty[String, FileStats.FileStat]),
-        () => Map.empty[String, FileStats.FileStat])
+        () => Map.empty[String, FileStats.FileStat],
+        Version.NoDvCarried)
     }
     val parsed = Version(
       version,
@@ -1924,7 +2231,9 @@ object VersionedHub {
       bucketRows,
       m.get("schema").map(_.toString),
       statsNew,
-      statsCarried)
+      statsCarried,
+      m.get("dvDelta").map(decodeDvMap).getOrElse(Map.empty),
+      dvCarried)
     manifestCache.put(cacheKey, parsed)
     Some(parsed)
   }

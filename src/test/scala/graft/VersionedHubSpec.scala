@@ -385,6 +385,92 @@ class VersionedHubSpec extends SparkTestBase {
     assert(v14.fileStats.values.map(_.rows).sum == v14.rows)
   }
 
+  private def parquetFiles(path: String): Long = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+    try s.filter(p => p.toString.endsWith(".parquet")).count()
+    finally s.close()
+  }
+
+  test("deletion vectors: a small delete is a manifest-only commit; reads, travel, upsert, compaction agree") {
+    val path = tmpDir("vhub_dv")
+    VersionedHub.writeBucketed(spark,
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"), path, Seq("k"), 8)
+    val files1 = parquetFiles(path)
+    // surgical delete → DV commit: ZERO data files written
+    val v2 = VersionedHub.deleteWhere(spark, path,
+      col("k").isin(5L, 17L, 333L, 900L))
+    assert(v2 == 2)
+    assert(parquetFiles(path) == files1,
+      "a DV delete must not write or rewrite any data file")
+    val tip = VersionedHub.history(spark, path).last
+    assert(tip.rows == 996L)
+    assert(tip.dvs.values.map(_.size).sum == 4, tip.dvs.toString)
+    assert(tip.bucketRows.values.sum == 996L)
+    val live = VersionedHub.read(spark, path).select("k").as[Long]
+      .collect().toSet
+    assert(live.size == 996 && !live.contains(5L) && !live.contains(900L))
+    // time travel BEFORE the DV still sees the rows
+    assert(VersionedHub.read(spark, path, Some(1)).count() == 1000L)
+    // a second DV delete DEEPENS vectors (old ∪ new per file)
+    val v3 = VersionedHub.deleteWhere(spark, path, col("k") === 6L)
+    assert(v3 == 3 && parquetFiles(path) == files1)
+    val tip3 = VersionedHub.history(spark, path).last
+    assert(tip3.rows == 995L && tip3.dvs.values.map(_.size).sum == 5)
+    // re-upserting a DV-deleted key: the bucket rewrite materializes the
+    // deletion and the key comes back with the NEW value only
+    VersionedHub.write(spark, Seq((5L, "back")).toDF("k", "v"),
+      path, Seq("k"))
+    val after = VersionedHub.read(spark, path)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(after(5L) == "back" && after.size == 996 && !after.contains(6L))
+    // the rewritten bucket dropped its vectors; other buckets keep theirs
+    val tip4 = VersionedHub.history(spark, path).last
+    assert(tip4.dvs.values.map(_.size).sum < 5)
+    // compaction materializes every remaining vector
+    VersionedHub.compactBuckets(spark, path)
+    val tip5 = VersionedHub.history(spark, path).last
+    assert(tip5.dvs.isEmpty, "compaction must clear deletion vectors")
+    assert(VersionedHub.read(spark, path).count() == 996L)
+    // restore to the DV version reads through its vectors again
+    VersionedHub.restore(spark, path, 3)
+    val restored = VersionedHub.read(spark, path).select("k").as[Long]
+      .collect().toSet
+    assert(restored.size == 995 && !restored.contains(5L) &&
+      !restored.contains(6L))
+  }
+
+  test("deletion vectors: change feed emits DV deletes; checkpoint + vacuum carry vectors; kill-switch rewrites") {
+    val path = tmpDir("vhub_dv2")
+    VersionedHub.writeBucketed(spark,
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v"), path, Seq("k"), 4)
+    VersionedHub.deleteWhere(spark, path, col("k") === 42L)
+    // CDF between the snapshots: exactly one delete row, despite ZERO
+    // dirs differing between the manifests
+    val cdf = VersionedHub.changesCDF(spark, path, Seq("k"), 1, 2)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(cdf == Seq((42L, "delete")), cdf.toString)
+    // DSv2 read path applies vectors too (count + value check)
+    val dsv2 = spark.read.format("graft-hub").option("path", path).load()
+    assert(dsv2.count() == 199L)
+    assert(dsv2.filter($"k" === 42L).count() == 0L)
+    // vectors survive vacuum via the anchor checkpoint
+    VersionedHub.deleteWhere(spark, path, col("k") === 43L)
+    VersionedHub.vacuum(spark, path, keepVersions = Some(1), retainMs = 0)
+    val tipAfter = VersionedHub.history(spark, path).last
+    assert(tipAfter.dvs.values.map(_.size).sum == 2,
+      s"vectors lost across vacuum: ${tipAfter.dvs}")
+    assert(VersionedHub.read(spark, path).count() == 198L)
+    // kill-switch: DV disabled falls back to the bucket rewrite
+    val filesBefore = parquetFiles(path)
+    spark.conf.set("spark.graft.hub.dv.enabled", "false")
+    try {
+      VersionedHub.deleteWhere(spark, path, col("k") === 44L)
+      assert(parquetFiles(path) > filesBefore,
+        "dv.enabled=false must rewrite the touched bucket")
+      assert(VersionedHub.read(spark, path).count() == 197L)
+    } finally spark.conf.set("spark.graft.hub.dv.enabled", "true")
+  }
+
   test("vacuum anchors FLAT hubs too: a schema-only tip keeps its stats when the carried-from manifests drop") {
     // flat-hub shape of the bucketed re-anchor contract: the kept tip is a
     // chain-dependent schema-only commit (statsNew = empty, stats carried
