@@ -972,6 +972,52 @@ object IngestQueries {
       "ORDER BY o_orderpriority NULLS FIRST")
   }
 
+  /** Surgical DELETE through DELETION VECTORS (Delta DV shape): removing
+    * a handful of rows from a bucketed hub must be a MANIFEST-ONLY commit
+    * — the in-query gate counts parquet files before/after and requires
+    * zero new ones — while every read path (catalog SQL here) sees the
+    * rows gone. A second, larger delete exercises DV-over-DV
+    * accumulation. The oracle is the equivalent anti-filter.
+    */
+  val qHubDvDelete: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_dv_del").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice")),
+      s"$tmp/orders_dv", Seq("o_orderkey"), 16)
+    def dataFiles(): Long = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(tmp, "orders_dv"))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val before = dataFiles()
+    spark.sql(s"DELETE FROM $cat.default.orders_dv " +
+      "WHERE o_orderkey IN (1, 7, 4000, 12345)")
+    require(dataFiles() == before,
+      "a surgical DELETE must be a deletion-vector (manifest-only) " +
+        "commit — data files were written")
+    val v2 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_dv").last
+    require(v2.dvs.nonEmpty, "the commit must carry deletion vectors")
+    // DV-over-DV: a second surgical delete deepens the vectors
+    spark.sql(s"DELETE FROM $cat.default.orders_dv WHERE o_orderkey = 2")
+    require(dataFiles() == before, "the second delete must be DV too")
+    spark.sql(s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      s"FROM $cat.default.orders_dv GROUP BY o_orderpriority " +
+      "ORDER BY o_orderpriority")
+  }
+
+  private val hubDvDeleteOracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders WHERE o_orderkey NOT IN (1, 2, 7, 4000, 12345)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** `WHEN NOT MATCHED BY SOURCE` (Delta's sync-to-source branch matrix):
     * matched rows update, target-only rows conditionally DELETE or
     * UPDATE — one full-outer-joined routing, one ACID commit (in-query
@@ -1322,6 +1368,7 @@ object IngestQueries {
     "q_hub_update_sql" -> qHubUpdateSql,
     "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
     "q_hub_merge_nmbs_sql" -> qHubMergeNmbsSql,
+    "q_hub_dv_delete" -> qHubDvDelete,
     "q_hub_restore" -> qHubRestore,
     "q_hub_clone_sql" -> qHubCloneSql,
     "q_hub_ctas_sql" -> qHubCtasSql,
@@ -1354,6 +1401,7 @@ object IngestQueries {
     "q_hub_update_sql" -> hubUpdateSqlOracle,
     "q_hub_merge_delete_sql" -> hubMergeDeleteSqlOracle,
     "q_hub_merge_nmbs_sql" -> hubMergeNmbsSqlOracle,
+    "q_hub_dv_delete" -> hubDvDeleteOracle,
     "q_hub_restore" -> hubRestoreOracle,
     "q_hub_clone_sql" -> hubCloneSqlOracle,
     "q_hub_call_maintenance" -> hubCallMaintenanceOracle,
