@@ -972,6 +972,38 @@ object IngestQueries {
       "ORDER BY o_orderpriority NULLS FIRST")
   }
 
+  /** Column DEFAULT values (Delta/ANSI parity): `ADD COLUMN ... DEFAULT`
+    * back-fills pre-existing rows through the reader's EXISTENCE default
+    * (no file rewritten), later INSERTs omitting the column take the
+    * CURRENT default, and `SET DEFAULT` re-points future inserts without
+    * touching history. The oracle reconstructs the tiering as a CASE over
+    * the insert order.
+    */
+  val qHubDefaultSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_def_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    spark.sql(s"CREATE TABLE $cat.default.nation_def " +
+      "(n_nationkey BIGINT, n_name STRING)")
+    Tables(spark, dir, "nation").createOrReplaceTempView("nd_src")
+    spark.sql(s"INSERT INTO $cat.default.nation_def " +
+      "SELECT CAST(n_nationkey AS BIGINT), n_name FROM nd_src " +
+      "WHERE n_nationkey < 15")
+    spark.sql(s"ALTER TABLE $cat.default.nation_def " +
+      "ADD COLUMNS (tier STRING DEFAULT 'bronze')")
+    spark.sql(s"ALTER TABLE $cat.default.nation_def " +
+      "ALTER COLUMN tier SET DEFAULT 'silver'")
+    spark.sql(s"INSERT INTO $cat.default.nation_def (n_nationkey, n_name) " +
+      "SELECT CAST(n_nationkey AS BIGINT), n_name FROM nd_src " +
+      "WHERE n_nationkey >= 15")
+    spark.sql(s"SELECT n_nationkey, n_name, tier " +
+      s"FROM $cat.default.nation_def ORDER BY n_nationkey")
+  }
+
+  private val hubDefaultSqlOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CASE WHEN n_nationkey < 15 THEN 'bronze' ELSE 'silver' END AS tier
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** Surgical DELETE through DELETION VECTORS (Delta DV shape): removing
     * a handful of rows from a bucketed hub must be a MANIFEST-ONLY commit
     * — the in-query gate counts parquet files before/after and requires
@@ -1369,6 +1401,7 @@ object IngestQueries {
     "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
     "q_hub_merge_nmbs_sql" -> qHubMergeNmbsSql,
     "q_hub_dv_delete" -> qHubDvDelete,
+    "q_hub_default_sql" -> qHubDefaultSql,
     "q_hub_restore" -> qHubRestore,
     "q_hub_clone_sql" -> qHubCloneSql,
     "q_hub_ctas_sql" -> qHubCtasSql,
@@ -1402,6 +1435,7 @@ object IngestQueries {
     "q_hub_merge_delete_sql" -> hubMergeDeleteSqlOracle,
     "q_hub_merge_nmbs_sql" -> hubMergeNmbsSqlOracle,
     "q_hub_dv_delete" -> hubDvDeleteOracle,
+    "q_hub_default_sql" -> hubDefaultSqlOracle,
     "q_hub_restore" -> hubRestoreOracle,
     "q_hub_clone_sql" -> hubCloneSqlOracle,
     "q_hub_call_maintenance" -> hubCallMaintenanceOracle,

@@ -53,6 +53,25 @@ class HubCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
+  /** Column DEFAULT values are supported (Delta parity): Spark encodes a
+    * column's current/existence defaults into StructField metadata
+    * (`CURRENT_DEFAULT` / `EXISTS_DEFAULT`), which rides the hub's
+    * recorded snapshot schema for free — every commit already carries it,
+    * schema merges preserve base-field metadata, and Spark's parquet
+    * reader fills the EXISTENCE default for files that predate the
+    * column. INSERTs omitting the column (or saying `DEFAULT`) resolve
+    * through the analyzer. NOTE the existence default is FILE-level —
+    * Spark's reader fills it for ANY file not physically carrying the
+    * column, including files a narrower library upsert writes after the
+    * ADD; a library writer that wants NULL must write the column
+    * explicitly.
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** Only the conventional single-element ["default"] namespace aliases to
     * the base dir; "default" at any deeper position is a real directory
     * segment — stripping it at depth would silently collapse
@@ -181,12 +200,23 @@ class HubCatalog extends TableCatalog
       require(!name.contains('#'),
         s"column name $name may not contain '#' — reserved for " +
           "column-mapping physical names")
-      val meta = Option(add.comment()).map(c =>
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .putString("comment", c).build())
-        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(add.comment()).foreach(mb.putString("comment", _))
+      // ADD COLUMN ... DEFAULT <expr>: the CURRENT default governs future
+      // INSERTs; the EXISTENCE default is the expression's value FROZEN
+      // NOW, applied by the parquet reader to every file predating the
+      // column (Spark's column-default contract; Delta behaves the same)
+      Option(add.defaultValue()).foreach { dv =>
+        val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+          dv.getValue.value, dv.getValue.dataType)
+        mb.putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+          Option(dv.getSql).getOrElse(lit.sql))
+        mb.putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .EXISTS_DEFAULT_COLUMN_METADATA_KEY, lit.sql)
+      }
       val fld = org.apache.spark.sql.types.StructField(
-        name, add.dataType, nullable = true, meta)
+        name, add.dataType, nullable = true, mb.build())
       // Live files may still hold a previously-dropped column's values
       // under this name — an unmapped add would RESURRECT them. And
       // "was this name ever used?" is UNANSWERABLE from the surviving
@@ -239,6 +269,28 @@ class HubCatalog extends TableCatalog
           s"${ut.newDataType()} is not); rewrite via a widening write instead")
       StructType(s.fields.updated(idx,
         s.fields(idx).copy(dataType = ut.newDataType())))
+    case ud: TableChange.UpdateColumnDefaultValue =>
+      // SET DEFAULT changes the CURRENT default only — future INSERTs.
+      // The EXISTENCE default (what old files read) stays frozen at ADD
+      // time, and DROP DEFAULT clears the current one without touching
+      // it — exactly Delta/Spark semantics.
+      require(ud.fieldNames.length == 1,
+        "graft-hub ALTER TABLE supports top-level columns only")
+      val name = ud.fieldNames()(0)
+      val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"column $name does not exist")
+      val f = s.fields(idx)
+      val curKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+      val nb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      val newSql = Option(ud.newCurrentDefault()).map(_.getSql)
+        .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
+      newSql match {
+        case Some(sql) if sql != null && sql.nonEmpty => nb.putString(curKey, sql)
+        case _ => nb.remove(curKey)
+      }
+      StructType(s.fields.updated(idx, f.copy(metadata = nb.build())))
     case uc: TableChange.UpdateColumnComment =>
       require(uc.fieldNames.length == 1,
         "graft-hub ALTER TABLE supports top-level columns only")

@@ -1123,6 +1123,60 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("column DEFAULT values: existence default fills old rows, current default fills INSERTs, SET/DROP evolve") {
+    withCatalog("hubdef") { base =>
+      spark.sql("CREATE TABLE hubdef.default.t (k BIGINT, v STRING)")
+      spark.sql("INSERT INTO hubdef.default.t VALUES (1, 'a')")
+      spark.sql("ALTER TABLE hubdef.default.t " +
+        "ADD COLUMNS (status STRING DEFAULT 'active')")
+      def statusOf(k: Long): Option[String] =
+        spark.sql(s"SELECT status FROM hubdef.default.t WHERE k = $k")
+          .as[Option[String]].head()
+      // EXISTENCE default: the pre-alter row reads the frozen value, not
+      // NULL — the parquet reader fills it for files predating the column
+      assert(statusOf(1) == Some("active"),
+        "old rows must read the existence default")
+      // CURRENT default: INSERTs omitting the column (or saying DEFAULT)
+      spark.sql("INSERT INTO hubdef.default.t (k, v) VALUES (2, 'b')")
+      spark.sql("INSERT INTO hubdef.default.t VALUES (3, 'c', DEFAULT)")
+      assert(statusOf(2) == Some("active") && statusOf(3) == Some("active"))
+      // explicit values always win
+      spark.sql("INSERT INTO hubdef.default.t VALUES (9, 'x', 'manual')")
+      assert(statusOf(9) == Some("manual"))
+      // SET DEFAULT governs future INSERTs only; the existence default
+      // (what pre-column files read) stays frozen at ADD time
+      spark.sql("ALTER TABLE hubdef.default.t " +
+        "ALTER COLUMN status SET DEFAULT 'fresh'")
+      spark.sql("INSERT INTO hubdef.default.t (k, v) VALUES (4, 'd')")
+      assert(statusOf(4) == Some("fresh"))
+      assert(statusOf(1) == Some("active"),
+        "SET DEFAULT must not rewrite history")
+      // DROP DEFAULT: omitted column goes back to NULL
+      spark.sql("ALTER TABLE hubdef.default.t ALTER COLUMN status DROP DEFAULT")
+      spark.sql("INSERT INTO hubdef.default.t (k, v) VALUES (5, 'e')")
+      assert(statusOf(5).isEmpty)
+      // defaults survive an unrelated keyed upsert's schema merge, and the
+      // BUCKETED write path honors the existence default too
+      VersionedHub.writeBucketed(spark,
+        Seq((10L, "j")).toDF("k", "v"), s"$base/b", Seq("k"), 4)
+      spark.sql("ALTER TABLE hubdef.default.b " +
+        "ADD COLUMNS (score BIGINT DEFAULT 7)")
+      VersionedHub.write(spark, Seq((11L, "k2")).toDF("k", "v"),
+        s"$base/b", Seq("k"))
+      val scores = spark.sql("SELECT k, score FROM hubdef.default.b")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(scores(10L) == Some(7L),
+        "bucketed old rows must read the existence default")
+      // existence defaults are FILE-level (Spark's mechanism): ANY file
+      // not physically carrying the column reads the default — including
+      // a fresh bucket file a narrower library upsert wrote. The reader
+      // cannot (and does not try to) distinguish "file predates the
+      // column" from "writer omitted it".
+      assert(scores(11L) == Some(7L),
+        "a file missing the column reads the existence default")
+    }
+  }
+
   test("only the single-element default namespace aliases to the base dir") {
     withCatalog("hubns") { base =>
       spark.sql("CREATE TABLE hubns.default.x (k BIGINT)")
