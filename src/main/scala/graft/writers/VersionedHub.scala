@@ -65,7 +65,12 @@ object VersionedHub {
       statsNew: Map[String, FileStats.FileStat] = Map.empty,
       statsCarried: () => Map[String, FileStats.FileStat] = Version.NoCarried,
       dvNew: Map[String, Seq[Long]] = Map.empty,
-      dvCarried: () => Map[String, Seq[Long]] = Version.NoDvCarried) {
+      dvCarried: () => Map[String, Seq[Long]] = Version.NoDvCarried,
+      // CHECK constraints (name → predicate SQL) in force at this
+      // version. NO default on purpose: every commit site must decide
+      // explicitly what it carries — a forgotten pass-through would
+      // silently drop the table's constraints.
+      checks: Map[String, String]) {
     /** The version's full-snapshot schema, when the manifest records one.
       * On a bucketed hub this is the UNION across all bucket dirs — a
       * column that lives only in buckets untouched since a schema
@@ -272,7 +277,8 @@ object VersionedHub {
       // snapshot, so the delta equals the full stats map
       if (commit(fs, path,
           Version(next, dataDir, System.currentTimeMillis(), rows, batchId,
-            schemaJson = Some(recSchema.json), statsNew = fstats)))
+            schemaJson = Some(recSchema.json), statsNew = fstats,
+            checks = base.fold(Map.empty[String, String])(_.checks))))
         return next
       // lost the race: drop the orphan snapshot, recompute against the winner
       fs.delete(new Path(resolve(path, dataDir)), true)
@@ -448,7 +454,8 @@ object VersionedHub {
           statsCarried = () => base.fold(
             Map.empty[String, FileStats.FileStat])(_.fileStats),
           dvCarried = () => base.fold(
-            Map.empty[String, Seq[Long]])(_.dvs))))
+            Map.empty[String, Seq[Long]])(_.dvs),
+          checks = base.fold(Map.empty[String, String])(_.checks))))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -870,7 +877,8 @@ object VersionedHub {
           if (commit(fs, path, Version(next, root,
               System.currentTimeMillis(), bucketRows.values.sum, None,
               Some(n), buckets, Some(bCols), bucketRows,
-              schemaJson = Some(recSchema.json), statsNew = fstats)))
+              schemaJson = Some(recSchema.json), statsNew = fstats,
+              checks = base.checks)))
             return next
           fs.delete(new Path(resolve(path, root)), true)
           failIfStuck(spark, path, next)
@@ -927,7 +935,8 @@ object VersionedHub {
             // those vectors point into — without the tombstone the
             // restored snapshot would keep deleting the target's rows
             dvNew = base.dvs.map { case (f, _) => f -> (Seq.empty: Seq[Long]) } ++
-              target.dvs)))
+              target.dvs,
+            checks = target.checks)))
           return next
         failIfStuck(spark, path, next)
       }
@@ -979,7 +988,8 @@ object VersionedHub {
       src.bucketCols, src.bucketRows,
       schemaJson = src.schemaJson,
       statsNew = src.fileStats.map { case (f, st) => abs(f) -> st },
-      dvNew = src.dvs.map { case (f, ps) => abs(f) -> ps })
+      dvNew = src.dvs.map { case (f, ps) => abs(f) -> ps },
+      checks = src.checks)
     if (!commit(tfs, targetPath, v))
       throw new IllegalStateException(
         s"clone target $targetPath gained a commit concurrently — aborting")
@@ -1003,7 +1013,9 @@ object VersionedHub {
   def alterSchema(spark: SparkSession, path: String,
       alter: org.apache.spark.sql.types.StructType =>
         org.apache.spark.sql.types.StructType,
-      renameCols: Map[String, String] = Map.empty): Int = {
+      renameCols: Map[String, String] = Map.empty,
+      alterChecks: Map[String, String] => Map[String, String] = identity)
+      : Int = {
     val fs = fileSystem(spark, path)
     var attempt = 0
     while (attempt < MaxRetries) {
@@ -1025,7 +1037,8 @@ object VersionedHub {
           base.buckets, bucketCols, base.bucketRows,
           schemaJson = Some(newSchema.json),
           statsCarried = () => base.fileStats,
-          dvCarried = () => base.dvs)))
+          dvCarried = () => base.dvs,
+          checks = alterChecks(base.checks))))
         return next
       failIfStuck(spark, path, next)
     }
@@ -1162,7 +1175,8 @@ object VersionedHub {
                 schemaJson = base.schemaJson,
                 statsNew = fstatsNew,
                 statsCarried = () => base.fileStats,
-                dvCarried = () => base.dvs)))
+                dvCarried = () => base.dvs,
+                checks = base.checks)))
               return next
             fs.delete(new Path(resolve(path, root)), true)
             failIfStuck(spark, path, next)
@@ -1265,7 +1279,8 @@ object VersionedHub {
         statsNew = Map.empty,
         statsCarried = () => base.fileStats,
         dvNew = dvNewEntries,
-        dvCarried = () => base.dvs)))
+        dvCarried = () => base.dvs,
+        checks = base.checks)))
       DvCommitted(next)
     else DvLostRace
   }
@@ -1369,7 +1384,8 @@ object VersionedHub {
                 schemaJson = Some(snapSchema.json),
                 statsNew = fstatsNew,
                 statsCarried = () => base.fileStats,
-                dvCarried = () => base.dvs)))
+                dvCarried = () => base.dvs,
+                checks = base.checks)))
               return next
             fs.delete(new Path(resolve(path, root)), true)
             failIfStuck(spark, path, next)
@@ -1583,7 +1599,8 @@ object VersionedHub {
           base.bucketRows -- chosen.filterNot(writtenB),
           schemaJson = Some(snapSchema.json),
           statsNew = fstatsNew, statsCarried = () => base.fileStats,
-          dvCarried = () => base.dvs)))
+          dvCarried = () => base.dvs,
+          checks = base.checks)))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -1653,7 +1670,8 @@ object VersionedHub {
           base.bucketRows -- chosen.filterNot(writtenB),
           schemaJson = Some(snapSchema.json),
           statsNew = fstats, statsCarried = () => base.fileStats,
-          dvCarried = () => base.dvs)))
+          dvCarried = () => base.dvs,
+          checks = base.checks)))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)
@@ -1858,8 +1876,15 @@ object VersionedHub {
     val dvField =
       if (v.dvNew.isEmpty) ""
       else s""", "dvDelta": ${encodeDvMap(v.dvNew)}"""
+    // CHECK constraints in force at this version (name -> predicate SQL)
+    val checksField =
+      if (v.checks.isEmpty) ""
+      else v.checks.toSeq.sortBy(_._1)
+        .map { case (n, sql) =>
+          s""""${jsonEscape(n)}": "${jsonEscape(sql)}"""" }
+        .mkString(""", "checks": {""", ", ", "}")
     val content =
-      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields$schemaField$statsField$dvField}"""
+      s"""{"version": ${v.version}, "dataDir": "${v.dataDir}", "ts": ${v.ts}, "rows": ${v.rows}$batchField$bucketFields$schemaField$statsField$dvField$checksField}"""
         .getBytes("UTF-8")
     val won = CommitStore.forScheme(schemeOf(path)).putIfAbsent(
       fs, manifest, content)
@@ -2233,7 +2258,12 @@ object VersionedHub {
       statsNew,
       statsCarried,
       m.get("dvDelta").map(decodeDvMap).getOrElse(Map.empty),
-      dvCarried)
+      dvCarried,
+      m.get("checks") match {
+        case Some(cm: java.util.Map[_, _]) =>
+          cm.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+        case _ => Map.empty[String, String]
+      })
     manifestCache.put(cacheKey, parsed)
     Some(parsed)
   }
