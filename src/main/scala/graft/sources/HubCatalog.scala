@@ -157,6 +157,7 @@ class HubCatalog extends TableCatalog
     require(partitions.isEmpty,
       "graft-hub tables bucket by key hash; PARTITIONED BY is not supported")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    schema.fieldNames.foreach(graft.writers.ColumnMapping.requireLegalName)
     val p = pathOf(ident)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -197,9 +198,7 @@ class HubCatalog extends TableCatalog
         s"graft-hub columns are always nullable — cannot ADD COLUMN $name NOT NULL")
       require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column $name already exists")
-      require(!name.contains('#'),
-        s"column name $name may not contain '#' — reserved for " +
-          "column-mapping physical names")
+      graft.writers.ColumnMapping.requireLegalName(name)
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
       Option(add.comment()).foreach(mb.putString("comment", _))
       // ADD COLUMN ... DEFAULT <expr>: the CURRENT default governs future
@@ -284,11 +283,23 @@ class HubCatalog extends TableCatalog
         .CURRENT_DEFAULT_COLUMN_METADATA_KEY
       val nb = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
-      val newSql = Option(ud.newCurrentDefault()).map(_.getSql)
+      // flatMap the SQL text through Option: a DefaultValue carrying an
+      // expression but no SQL form yields getSql == null, and a bare
+      // .map would produce Some(null) — "defined", so the legacy-string
+      // fallback never ran and SET DEFAULT silently behaved as DROP
+      val newSql = Option(ud.newCurrentDefault())
+        .flatMap(dv => Option(dv.getSql).filter(_.nonEmpty))
         .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
       newSql match {
-        case Some(sql) if sql != null && sql.nonEmpty => nb.putString(curKey, sql)
-        case _ => nb.remove(curKey)
+        case Some(sql) => nb.putString(curKey, sql)
+        case None =>
+          // only an explicit DROP DEFAULT (no DefaultValue at all) may
+          // clear the current default; a SET that provides neither SQL
+          // form is unrecordable and must fail loudly, not drop
+          require(ud.newCurrentDefault() == null,
+            s"SET DEFAULT for column $name carries a DefaultValue with " +
+              "no SQL text — provide the default as a SQL expression")
+          nb.remove(curKey)
       }
       StructType(s.fields.updated(idx, f.copy(metadata = nb.build())))
     case uc: TableChange.UpdateColumnComment =>
@@ -321,9 +332,7 @@ class HubCatalog extends TableCatalog
       require(idx >= 0, s"column $name does not exist")
       require(!s.fieldNames.exists(_.equalsIgnoreCase(newName)),
         s"column $newName already exists")
-      require(!newName.contains('#'),
-        s"column name $newName may not contain '#' — reserved for " +
-          "column-mapping physical names")
+      graft.writers.ColumnMapping.requireLegalName(newName)
       val f = s.fields(idx)
       StructType(s.fields.updated(idx,
         graft.writers.ColumnMapping.withPhys(f,

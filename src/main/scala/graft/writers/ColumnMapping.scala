@@ -40,6 +40,24 @@ private[graft] object ColumnMapping {
   /** Field-metadata key holding the column's immutable file name. */
   val PhysKey = "graft.physicalName"
 
+  /** Refuse column names the engine reserves: '#' separates logical from
+    * physical in column-mapping names, and `__graft_*` is the internal
+    * plan-column namespace (DV addresses `__graft_dv_file`/`_pos`, merge
+    * routing tags, …) — a user column under either would be silently
+    * replaced by `withColumn` on the internal paths and then dropped.
+    * Enforced at every column-creation point (CREATE TABLE, ADD COLUMN,
+    * RENAME COLUMN); tables that predate the guard fall back to rewrite
+    * paths instead of DV overlays (see `VersionedHub.dvDeleteAttempt`).
+    */
+  def requireLegalName(name: String): Unit = {
+    require(!name.contains('#'),
+      s"column name $name may not contain '#' — reserved for " +
+        "column-mapping physical names")
+    require(!name.toLowerCase(java.util.Locale.ROOT).startsWith("__graft_"),
+      s"column name $name collides with the engine's reserved " +
+        "__graft_* internal namespace")
+  }
+
   def physName(f: StructField): String =
     if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
 

@@ -923,18 +923,25 @@ object VersionedHub {
         // leans on does not hold here — carrying the stats inline keeps
         // every reader's reconstruction exact. O(files at target) once,
         // like a checkpoint; no data moves at all.
+        //
+        // DV tombstones must cover every file key a reader's carried fold
+        // can still contain — NOT just base.dvs: Version.dvs restricts to
+        // the base's referenced dirs, so a vector on a file whose bucket
+        // dir a later rewrite dropped (the rewrite materialized the
+        // delete) has left base.dvs yet still rides the dvDelta fold. A
+        // restore to a version that re-references that dir would re-apply
+        // the stale vector and silently hide rows the target contained.
+        // loadCarried(next) IS the fold a reader of the restored version
+        // reconstructs (pre-restriction), so tombstoning its full key set
+        // minus the target's live vectors is exact.
+        val foldKeys = loadCarried(spark, path, next).dvs.keySet
         if (commit(fs, path, Version(next, target.dataDir,
             System.currentTimeMillis(), target.rows, None,
             target.nBuckets, target.buckets, target.bucketCols,
             target.bucketRows, schemaJson = target.schemaJson,
             statsNew = target.fileStats,
-            // DVs are REPLACED wholesale, with explicit empty-vector
-            // tombstones for files the current tip has vectors on but the
-            // target does not: the reader's fold carries dvDelta entries
-            // forward by file, and a restore re-references the very dirs
-            // those vectors point into — without the tombstone the
-            // restored snapshot would keep deleting the target's rows
-            dvNew = base.dvs.map { case (f, _) => f -> (Seq.empty: Seq[Long]) } ++
+            dvNew = (foldKeys -- target.dvs.keySet).iterator
+              .map(f => f -> (Seq.empty: Seq[Long])).toMap ++
               target.dvs,
             checks = target.checks)))
           return next
@@ -1227,6 +1234,13 @@ object VersionedHub {
       cond: org.apache.spark.sql.Column): DvOutcome = {
     if (base.schema.isEmpty ||
         !spark.conf.get("spark.graft.hub.dv.enabled", "true").toBoolean)
+      return DvFallThrough
+    // tables created before the reserved-name guard may carry a column
+    // in the internal __graft_* namespace the DV address columns live in;
+    // the rewrite path never tags rows, so fall back rather than let
+    // withColumn silently replace (and applyDv later drop) user data
+    if (base.schema.exists(_.fieldNames.exists(
+        _.toLowerCase(java.util.Locale.ROOT).startsWith("__graft_"))))
       return DvFallThrough
     // surgical deletes only: beyond an absolute position cap AND a small
     // fraction of the live table, rewriting amortizes better than letting

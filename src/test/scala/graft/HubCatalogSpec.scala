@@ -1194,6 +1194,81 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("reserved column names (__graft_*, '#') refused at every creation point; legacy collisions fall back off the DV path") {
+    withCatalog("hubres") { base =>
+      // CREATE TABLE
+      val c = intercept[Exception](spark.sql(
+        "CREATE TABLE hubres.default.bad (k BIGINT, __graft_dv_file STRING)"))
+      assert(c.getMessage.contains("__graft_"))
+      spark.sql("CREATE TABLE hubres.default.t (k BIGINT, v STRING)")
+      // ADD COLUMN
+      val a = intercept[Exception](spark.sql(
+        "ALTER TABLE hubres.default.t ADD COLUMNS (__graft_dv_pos BIGINT)"))
+      assert(a.getMessage.contains("__graft_"))
+      // RENAME COLUMN (case-insensitive)
+      val r = intercept[Exception](spark.sql(
+        "ALTER TABLE hubres.default.t RENAME COLUMN v TO __GRAFT_DV_FILE"))
+      assert(r.getMessage.contains("__graft_"))
+      // '#' still refused (column-mapping physical namespace)
+      val h = intercept[Exception](spark.sql(
+        "ALTER TABLE hubres.default.t ADD COLUMNS (`a#b` STRING)"))
+      assert(h.getMessage.contains("#"))
+      // a LEGACY table that predates the guard (API-written, colliding
+      // column) must never take the DV overlay path — the rewrite delete
+      // neither tags nor drops the user's column
+      val p = s"$base/legacy"
+      VersionedHub.writeBucketed(spark,
+        (1 to 100).map(i => (i, s"f$i")).toDF("k", "__graft_dv_file"),
+        p, Seq("k"), 2)
+      VersionedHub.deleteWhere(spark, p, col("k") <= 3)
+      val tip = VersionedHub.history(spark, p).last
+      assert(tip.dvs.isEmpty, "colliding schema must fall back to rewrite")
+      val left = VersionedHub.read(spark, p)
+        .select($"k", $"__graft_dv_file").as[(Int, String)].collect().toMap
+      assert(left == (4 to 100).map(i => i -> s"f$i").toMap)
+    }
+  }
+
+  test("SET DEFAULT with a DefaultValue carrying no SQL text fails loudly instead of dropping the default") {
+    import org.apache.spark.sql.connector.catalog.{DefaultValue, Identifier, TableChange}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val base = tmpDir("cat_nulldefault")
+    val cat = new graft.sources.HubCatalog
+    cat.initialize("hubnd", new CaseInsensitiveStringMap(
+      java.util.Map.of("base", base)))
+    val ident = Identifier.of(Array("default"), "t")
+    cat.createTable(ident,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING"),
+      Array.empty, java.util.Map.of())
+    // seed a current default the buggy path would have silently removed
+    cat.alterTable(ident, TableChange.updateColumnDefaultValue(
+      Array("s"), "'seeded'"))
+    val curKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    def currentDefault(): Option[String] = {
+      val s = VersionedHub.latest(spark, s"$base/t").get.schema.get
+      val f = s.fields.find(_.name == "s").get
+      if (f.metadata.contains(curKey)) Some(f.metadata.getString(curKey))
+      else None
+    }
+    assert(currentDefault().contains("'seeded'"))
+    // expression-only DefaultValue: getSql == null — must raise, not drop
+    val e = intercept[Exception](cat.alterTable(ident,
+      TableChange.updateColumnDefaultValue(Array("s"),
+        new DefaultValue(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .literal("x")))))
+    assert(e.getMessage.contains("no SQL text"))
+    assert(currentDefault().contains("'seeded'"),
+      "failed SET DEFAULT must leave the current default untouched")
+    // a DefaultValue WITH SQL text still sets normally
+    cat.alterTable(ident, TableChange.updateColumnDefaultValue(Array("s"),
+      new DefaultValue("'v2'",
+        org.apache.spark.sql.connector.expressions.Expressions
+          .literal("v2"))))
+    assert(currentDefault().contains("'v2'"))
+  }
+
   test("catalog DDL refuses object-store schemes like commits do") {
     import org.apache.spark.sql.connector.catalog.Identifier
     import org.apache.spark.sql.util.CaseInsensitiveStringMap

@@ -331,6 +331,39 @@ class VersionedHubSpec extends SparkTestBase {
       .as[(Int, String)].collect().toMap == Map(1 -> "a", 2 -> "b"))
   }
 
+  test("restore tombstones DVs on dirs a later rewrite dropped (no stale vector re-applies)") {
+    val path = tmpDir("vhub_restore_staledv")
+    // v1: 100 rows, bucketed
+    VersionedHub.writeBucketed(spark,
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "v"), path, Seq("k"), 2)
+    // v2: a surgical delete small enough for the DV path (3 ≤ rows/10)
+    VersionedHub.deleteWhere(spark, path, col("k") <= 3)
+    val afterDv = VersionedHub.history(spark, path).last
+    assert(afterDv.dvs.nonEmpty, "delete must have taken the DV path")
+    assert(afterDv.rows == 97)
+    // v3: an upsert touching EVERY bucket rewrites the DV'd dirs — the
+    // rewrite materializes the deletions and the vectors leave the
+    // snapshot's dvs (their dirs are no longer referenced)...
+    VersionedHub.writeBucketed(spark,
+      (1 to 100).map(i => (i, s"w$i")).toDF("k", "v"), path, Seq("k"), 2)
+    val tip = VersionedHub.history(spark, path).last
+    assert(tip.dvs.isEmpty, "rewrite must drop the materialized vectors")
+    // ...but they still ride the carried dvDelta fold. Restoring to v1
+    // re-references the very dirs those stale vectors point into: the
+    // restore manifest must tombstone them from the UNRESTRICTED fold,
+    // not just from base.dvs (which the dir restriction already emptied).
+    val r = VersionedHub.restore(spark, path, 1)
+    val restored = VersionedHub.read(spark, path)
+      .select($"k", $"v").as[(Int, String)].collect().toMap
+    assert(restored == (1 to 100).map(i => i -> s"v$i").toMap,
+      s"restored snapshot lost ${100 - restored.size} rows to stale DVs")
+    // the recorded row count agrees with actual reads
+    assert(VersionedHub.history(spark, path).last.rows == 100)
+    // and the intermediate DV'd version still time-travels exactly
+    assert(VersionedHub.read(spark, path, Some(2)).count() == 97)
+    assert(r == 4)
+  }
+
   test("incremental log: manifests are O(touched files); checkpoints + deltas reconstruct full stats; vacuum re-anchors") {
     import org.apache.hadoop.fs.{Path => HPath}
     val path = tmpDir("vhub_incr")
