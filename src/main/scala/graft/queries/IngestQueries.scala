@@ -1104,6 +1104,89 @@ object IngestQueries {
       |FROM merged GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** MERGE with EXTRA non-key ON conjuncts (Delta's partition-restricting
+    * idiom `ON t.k = s.k AND <pred>`): the extra predicate restricts the
+    * MATCHED set — rows it excludes route to the NOT MATCHED / NOT
+    * MATCHED BY SOURCE branches, exactly Delta's semantics. In-query
+    * gates: everything lands as ONE commit, and the one shape the keyed
+    * hub cannot represent (an unconditioned INSERT landing on a key whose
+    * match the extra conjunct excluded — Delta would store a duplicate
+    * key) is refused loudly without committing. The oracle reconstructs
+    * the routing as a CASE over (key-range, price) in DuckDB.
+    */
+  val qHubMergeOnSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_on_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderkey") < 6000)
+        .select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("o_totalprice")),
+      s"$tmp/orders_on", Seq("o_orderkey"), 16)
+    val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_on").last
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") < 3000 ||
+        (col("o_orderkey") >= 6000 && col("o_orderkey") < 6500))
+      .select(col("o_orderkey").cast("long").as("o_orderkey"))
+      .createOrReplaceTempView("on_src")
+    // the unconditioned INSERT would land on keys whose match the extra
+    // conjunct excluded — the keyed hub refuses rather than silently
+    // replacing the surviving row (Delta stores two rows there)
+    val refused = scala.util.Try(spark.sql(
+      s"""MERGE INTO $cat.default.orders_on t USING on_src s
+         |ON t.o_orderkey = s.o_orderkey AND t.o_totalprice < 100000
+         |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'HIT'
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority,
+         |  o_totalprice) VALUES (s.o_orderkey, 'NEW',
+         |  CAST(1.0 AS DOUBLE))""".stripMargin))
+    require(refused.isFailure && refused.failed.get.getMessage != null &&
+        refused.failed.get.getMessage.contains("already exists"),
+      "INSERT onto an extra-conjunct-excluded key must be refused: " +
+        refused.toString)
+    require(graft.writers.VersionedHub.history(spark, s"$tmp/orders_on")
+      .last.version == v1.version, "a refused MERGE must not commit")
+    // conditioning the INSERT to the genuinely-absent key range is legal;
+    // excluded matches fall through untouched, target-only rows route NMBS
+    spark.sql(
+      s"""MERGE INTO $cat.default.orders_on t USING on_src s
+         |ON t.o_orderkey = s.o_orderkey AND t.o_totalprice < 100000
+         |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'HIT'
+         |WHEN NOT MATCHED AND s.o_orderkey >= 6000 THEN INSERT
+         |  (o_orderkey, o_orderpriority, o_totalprice)
+         |  VALUES (s.o_orderkey, 'NEW', CAST(1.0 AS DOUBLE))
+         |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice >= 150000 THEN
+         |  UPDATE SET o_orderpriority = 'BIG'""".stripMargin)
+    val v2 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_on").last
+    require(v2.version == v1.version + 1,
+      "extra-ON routing + inserts + NMBS must land as ONE committed version")
+    spark.sql(s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      s"FROM $cat.default.orders_on GROUP BY o_orderpriority " +
+      "ORDER BY o_orderpriority")
+  }
+
+  private val hubMergeOnSqlOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE o_orderkey < 6000),
+      |merged AS (
+      |  SELECT CASE WHEN o_orderkey < 3000 AND o_totalprice < 100000
+      |              THEN 'HIT'
+      |              WHEN o_totalprice >= 150000 THEN 'BIG'
+      |              ELSE o_orderpriority END AS o_orderpriority,
+      |    o_totalprice
+      |  FROM base
+      |  UNION ALL
+      |  SELECT 'NEW', 1.0 FROM orders
+      |  WHERE o_orderkey >= 6000 AND o_orderkey < 6500)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM merged GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   private val hubMergeDeleteSqlOracle: String =
     """WITH merged AS (
       |  SELECT CASE WHEN o_orderkey < 3000 THEN 'M-' || o_orderpriority
@@ -1400,6 +1483,7 @@ object IngestQueries {
     "q_hub_update_sql" -> qHubUpdateSql,
     "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
     "q_hub_merge_nmbs_sql" -> qHubMergeNmbsSql,
+    "q_hub_merge_on_sql" -> qHubMergeOnSql,
     "q_hub_dv_delete" -> qHubDvDelete,
     "q_hub_default_sql" -> qHubDefaultSql,
     "q_hub_restore" -> qHubRestore,
@@ -1434,6 +1518,7 @@ object IngestQueries {
     "q_hub_update_sql" -> hubUpdateSqlOracle,
     "q_hub_merge_delete_sql" -> hubMergeDeleteSqlOracle,
     "q_hub_merge_nmbs_sql" -> hubMergeNmbsSqlOracle,
+    "q_hub_merge_on_sql" -> hubMergeOnSqlOracle,
     "q_hub_dv_delete" -> hubDvDeleteOracle,
     "q_hub_default_sql" -> hubDefaultSqlOracle,
     "q_hub_restore" -> hubRestoreOracle,

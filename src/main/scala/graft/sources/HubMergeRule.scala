@@ -36,7 +36,13 @@ import org.apache.spark.sql.graftbridge.GraftMergeCommand
   * merges, and `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE | DELETE`
   * (a full-outer join supplies the target-only rows; inherently
   * O(target), as in every engine — the branch's semantics quantify over
-  * the whole target).
+  * the whole target). The ON condition may carry EXTRA non-key
+  * conjuncts (`ON t.k = s.k AND t.date = …`, Delta's standard
+  * partition-restricting idiom): they restrict the MATCHED set, rows
+  * they exclude route to the NOT MATCHED / NOT MATCHED BY SOURCE
+  * branches, and an INSERT that would land on a key still occupied by
+  * a surviving excluded target row is refused (the keyed hub cannot
+  * store Delta's duplicate).
   * Refused loudly rather than silently approximated: NOT MATCHED BY
   * SOURCE rows whose merge key is NULL (the keyed upsert/delete cannot
   * address them — rewrite as DELETE FROM with a predicate), UPDATE SET
@@ -79,33 +85,44 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "columns, WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED " +
             "THEN INSERT *")))
 
-  /** ON conjuncts → merge keys: every conjunct must equate a target column
-    * with an identically-named source column.
+  /** ON conjuncts, split two ways: conjuncts equating a target column
+    * with an identically-named source column become merge KEYS; every
+    * other deterministic conjunct is an EXTRA match predicate (Delta's
+    * standard partition-restricting idiom `ON t.k = s.k AND t.date = …`).
+    * Extras restrict the MATCHED set only: rows they exclude route to
+    * the NOT MATCHED / NOT MATCHED BY SOURCE branches, exactly as in
+    * Delta — the join in [[generalMergePlans]] consumes the full ON
+    * condition verbatim, so nothing further is needed to route them
+    * (and Catalyst pushes single-side extras into the target scan,
+    * where the hub's per-file stats prune). At least one key equality
+    * is still required — the hub's commit is keyed.
     */
-  private def keysOf(cond: Expression, target: LogicalPlan,
-      source: LogicalPlan): Seq[String] = {
+  private def splitOn(cond: Expression, target: LogicalPlan,
+      source: LogicalPlan): (Seq[String], Seq[Expression]) = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case CatAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    conjuncts(cond).map(c => (c, c match {
+    val (keys, extras) = conjuncts(cond).map(c => (c, c match {
       case CatEqualTo(l, r) => (unwrapCast(l), unwrapCast(r))
       case other => (other, other)
     })).map {
-      case (_, (a: AttributeReference, b: AttributeReference)) =>
-        val (t, s) =
-          if (target.outputSet.contains(a) && source.outputSet.contains(b))
-            (a, b)
-          else if (target.outputSet.contains(b) && source.outputSet.contains(a))
-            (b, a)
-          else fail(s"ON condition term $a = $b does not equate a target " +
-            "column with a source column")
-        if (!t.name.equalsIgnoreCase(s.name))
-          fail(s"ON equates differently-named columns ${t.name} and " +
-            s"${s.name}; the hub merge keys by column NAME")
-        t.name
-      case (orig, _) => fail(s"unsupported ON condition term $orig")
-    }.distinct
+      case (_, (a: AttributeReference, b: AttributeReference))
+          if (target.outputSet.contains(a) && source.outputSet.contains(b) &&
+            a.name.equalsIgnoreCase(b.name)) ||
+            (target.outputSet.contains(b) && source.outputSet.contains(a) &&
+              a.name.equalsIgnoreCase(b.name)) =>
+        val t = if (target.outputSet.contains(a)) a else b
+        Left(t.name)
+      case (orig, _) =>
+        if (!orig.deterministic)
+          fail(s"non-deterministic ON condition term $orig")
+        if (orig.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+          fail(s"subquery in ON condition term $orig")
+        Right(orig)
+    }.partitionMap(identity)
+    (keys.distinct, extras)
   }
 
   /** An expanded assignment list is "star-like" when it covers every target
@@ -136,7 +153,8 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val path = table.hubPath
       if (table.isTimeTravel)
         fail("cannot MERGE INTO a VERSION AS OF snapshot")
-      val keys = keysOf(m.mergeCondition, m.targetTable, m.sourceTable)
+      val (keys, extras) = splitOn(m.mergeCondition, m.targetTable,
+        m.sourceTable)
       if (keys.isEmpty) fail("no usable key equalities in ON")
       val matchedStar = m.matchedActions match {
         case Seq(UpdateStarAction(None)) => true
@@ -150,7 +168,8 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           starLike(assigns, m.targetTable, m.sourceTable)
         case _ => false
       }
-      if (matchedStar && insertStar && m.notMatchedBySourceActions.isEmpty) {
+      if (matchedStar && insertStar && m.notMatchedBySourceActions.isEmpty &&
+          extras.isEmpty) {
         // the canonical shape: the hub merge IS this upsert — the source
         // feeds it directly (columns aligned to the target's exact casing)
         val tgtNames: Map[String, String] = m.targetTable.output
@@ -179,9 +198,10 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // Under a concurrent commit the carried columns hold the
         // join-time snapshot's values — the same read-committed race
         // every engine's MERGE has.
-        val plans = generalMergePlans(m, keys)
+        val plans = generalMergePlans(m, keys, hasExtras = extras.nonEmpty)
         GraftMergeCommand(path, keys, plans.src, plans.deletes,
-          plans.matchedKeys, plans.nmbsNullKeys)
+          plans.matchedKeys, plans.nmbsNullKeys, plans.insertKeys,
+          plans.targetKeys)
       }
   }
 
@@ -204,14 +224,22 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * branches exist) emits one row per NULL-keyed target row those
     * branches would modify — the keyed upsert/delete cannot address such
     * rows, so the command refuses loudly instead of silently skipping or
-    * duplicating them.
+    * duplicating them; `insertKeys`/`targetKeys` (present iff the ON
+    * carries EXTRA non-key conjuncts and an INSERT branch exists) let the
+    * command refuse the one shape the keyed hub cannot represent — an
+    * INSERT-routed source row whose key already exists on a surviving
+    * target row (its match was excluded by the extra conjunct; Delta
+    * would store two rows under that key, the hub's upsert would silently
+    * replace one).
     */
   private case class GeneralPlans(src: LogicalPlan,
       deletes: Option[LogicalPlan], matchedKeys: Option[LogicalPlan],
-      nmbsNullKeys: Option[LogicalPlan])
+      nmbsNullKeys: Option[LogicalPlan],
+      insertKeys: Option[LogicalPlan] = None,
+      targetKeys: Option[LogicalPlan] = None)
 
-  private def generalMergePlans(m: MergeIntoTable, keys: Seq[String])
-      : GeneralPlans = {
+  private def generalMergePlans(m: MergeIntoTable, keys: Seq[String],
+      hasExtras: Boolean): GeneralPlans = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val lcKeys = keys.map(lc).toSet
     val srcByName = m.sourceTable.output.map(a => lc(a.name) -> a).toMap
@@ -247,7 +275,20 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           fail(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
       }
     val hasNmbs = nmbsBranches.nonEmpty
-    for ((_, UpdKind(false, am)) <- matchedBranches ++ nmbsBranches
+    // a MATCHED-branch assignment of a key to the identically-named
+    // source column is an identity under the equi-join (the analyzer's
+    // star expansion emits exactly that) — any other key assignment
+    // would insert the new key and strand the old row
+    def keyIdentity(k: String, v: Expression): Boolean = unwrapCast(v) match {
+      case a: AttributeReference => lc(a.name) == k &&
+        m.sourceTable.outputSet.contains(a)
+      case _ => false
+    }
+    for ((_, UpdKind(false, am)) <- matchedBranches
+         if am.exists { case (k, v) => lcKeys.contains(k) && !keyIdentity(k, v) })
+      fail("UPDATE SET on a merge KEY column — the keyed upsert would " +
+        "insert the new key and strand the old row; delete + insert instead")
+    for ((_, UpdKind(false, am)) <- nmbsBranches
          if am.keySet.exists(lcKeys.contains))
       fail("UPDATE SET on a merge KEY column — the keyed upsert would " +
         "insert the new key and strand the old row; delete + insert instead")
@@ -383,6 +424,33 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(keyProject(CatAnd(
           CatAnd(targetOnly, CatOr(isNmbsUpd, isNmbsDel)), anyKeyNull)))
       }
-    GeneralPlans(upsertRows, deletes, matchedKeys, nmbsNullKeys)
+    // With extra ON conjuncts, "source-only" no longer implies the key is
+    // absent from the target — the match may have been excluded by the
+    // extra predicate. An INSERT routed onto such a key would collide
+    // with the surviving target row (Delta stores both; the keyed upsert
+    // would silently replace) — emit the insert-routed SOURCE keys plus
+    // the target key projection so the command can refuse, sparing rows
+    // whose conflicting target row this same commit deletes.
+    val (insertKeys, targetKeys) =
+      if (!hasExtras || insertBranches.isEmpty) (None, None)
+      else {
+        val ik = Project(
+          keys.map { k =>
+            val s = srcByName.getOrElse(lc(k),
+              fail(s"key $k missing from the source output"))
+            Alias(s, k)()
+          },
+          LFilter(CatAnd(sourceOnly, isIns), join))
+        val tk = Project(
+          keys.map { k =>
+            val t = m.targetTable.output.find(a => lc(a.name) == lc(k))
+              .getOrElse(fail(s"key $k missing from the target output"))
+            Alias(t, k)()
+          },
+          m.targetTable)
+        (Some(ik), Some(tk))
+      }
+    GeneralPlans(upsertRows, deletes, matchedKeys, nmbsNullKeys,
+      insertKeys, targetKeys)
   }
 }

@@ -18,7 +18,9 @@ case class GraftMergeCommand(path: String, keys: Seq[String],
     source: LogicalPlan,
     deletes: Option[LogicalPlan] = None,
     matchedKeys: Option[LogicalPlan] = None,
-    nmbsNullKeys: Option[LogicalPlan] = None) extends LeafRunnableCommand {
+    nmbsNullKeys: Option[LogicalPlan] = None,
+    insertKeys: Option[LogicalPlan] = None,
+    targetKeys: Option[LogicalPlan] = None) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -63,6 +65,33 @@ case class GraftMergeCommand(path: String, keys: Seq[String],
             "attempted to UPDATE/DELETE it — the result would be " +
             "nondeterministic. De-duplicate the source on the merge keys " +
             "(e.g. aggregate or QUALIFY row_number() = 1) and re-run.")
+    }
+    // Extra-ON-conjunct refusal: a source row routed to INSERT because
+    // its key match was EXCLUDED by an extra ON predicate collides with
+    // the surviving target row under that key — Delta stores both rows,
+    // the keyed upsert would silently replace one. Refuse loudly, unless
+    // this same commit deletes the conflicting target row (then the net
+    // state matches Delta's: old row gone, new row in). One name-keyed
+    // semi/anti join pair on the merge keys, limit-1 early exit.
+    for (ik <- insertKeys; tk <- targetKeys) {
+      val ins = org.apache.spark.sql.classic.Dataset.ofRows(classic, ik)
+      val tgt = org.apache.spark.sql.classic.Dataset.ofRows(classic, tk)
+      var conflict = ins.na.drop(keys).join(tgt, keys.toSeq, "left_semi")
+      for (d <- deletes)
+        conflict = conflict.join(
+          org.apache.spark.sql.classic.Dataset.ofRows(classic, d),
+          keys.toSeq, "left_anti")
+      val hit = conflict.limit(1).collect()
+      if (hit.nonEmpty)
+        throw new IllegalStateException(
+          s"MERGE INTO hub at $path: a WHEN NOT MATCHED INSERT row " +
+            s"carries key (${keys.mkString(", ")}) = " +
+            s"(${hit.head.toSeq.mkString(", ")}), which already exists " +
+            "on a target row this merge leaves in place (the match was " +
+            "excluded by an extra ON condition) — the keyed hub cannot " +
+            "store two rows under one key, and upserting would silently " +
+            "replace the existing row. Restrict the source to the same " +
+            "predicate, or DELETE the conflicting rows in this MERGE.")
     }
     graft.writers.VersionedHub.write(
       session,

@@ -302,6 +302,95 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("MERGE with extra non-key ON conjuncts: excluded rows route to NOT MATCHED branches, Delta-style") {
+    withCatalog("hubon") { base =>
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      // target: k 1..8, tier old for k<=4, new above
+      def seed(name: String): Unit = VersionedHub.writeBucketed(spark,
+        (1L to 8L).map(k =>
+          (k, if (k <= 4) "old" else "new", s"v$k")).toDF("k", "tier", "v"),
+        s"$base/$name", Seq("k"), 4)
+      seed("t1")
+      Seq((2L, "U2"), (6L, "U6"), (9L, "U9")).toDF("k", "label")
+        .createOrReplaceTempView("on_src")
+      // matched-only merge: the extra target-side conjunct restricts the
+      // matched set — k=6 key-matches but tier='new' excludes it, and with
+      // no INSERT branch it is simply untouched (Delta semantics)
+      spark.sql("""MERGE INTO hubon.default.t1 t USING on_src s
+                  |ON t.k = s.k AND t.tier = 'old'
+                  |WHEN MATCHED THEN UPDATE SET v = s.label""".stripMargin)
+      val after1 = spark.sql("SELECT k, v FROM hubon.default.t1 ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+      assert(after1 == (1L to 8L).map(k =>
+        (k, if (k == 2) "U2" else s"v$k")), after1.toString)
+      // INSERT onto a key whose match the extra conjunct excluded is the
+      // one shape the keyed hub cannot store (Delta would hold two rows
+      // under k=6) — refused loudly, and the failed MERGE commits nothing
+      val v1 = VersionedHub.history(spark, s"$base/t1").size
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO hubon.default.t1 t USING on_src s
+          |ON t.k = s.k AND t.tier = 'old'
+          |WHEN MATCHED THEN UPDATE SET v = s.label
+          |WHEN NOT MATCHED THEN INSERT (k, tier, v) VALUES (s.k, 'ins', s.label)""".stripMargin))
+      assert(rootMsg(e).contains("already exists"), rootMsg(e))
+      assert(VersionedHub.history(spark, s"$base/t1").size == v1,
+        "a refused MERGE must not commit")
+      // restricting the source the same way makes it legal: k=9 (truly
+      // absent) inserts, k=2 updates, k=6 drops out of the source
+      spark.sql("""MERGE INTO hubon.default.t1 t USING
+                  |  (SELECT * FROM on_src WHERE k != 6) s
+                  |ON t.k = s.k AND t.tier = 'old'
+                  |WHEN MATCHED THEN UPDATE SET v = s.label
+                  |WHEN NOT MATCHED THEN INSERT (k, tier, v) VALUES (s.k, 'ins', s.label)""".stripMargin)
+      assert(spark.sql(
+        "SELECT v FROM hubon.default.t1 WHERE k = 9").as[String].head() == "U9")
+      // NMBS interaction (Delta semantics): a target row whose key match
+      // the extra conjunct excluded is NOT MATCHED BY SOURCE — and when
+      // the NMBS branch DELETEs it, the same-key INSERT becomes legal in
+      // the same commit (net state = Delta's: old row out, new row in)
+      seed("t2")
+      spark.sql("""MERGE INTO hubon.default.t2 t USING on_src s
+                  |ON t.k = s.k AND t.tier = 'old'
+                  |WHEN MATCHED THEN UPDATE SET v = s.label
+                  |WHEN NOT MATCHED THEN INSERT (k, tier, v) VALUES (s.k, 'ins', s.label)
+                  |WHEN NOT MATCHED BY SOURCE AND t.tier = 'new' THEN DELETE""".stripMargin)
+      val after2 = spark.sql(
+        "SELECT k, tier, v FROM hubon.default.t2 ORDER BY k")
+        .as[(Long, String, String)].collect().toSeq
+      // k=2 updated; k=1,3,4 old + source-absent stay (NMBS cond false);
+      // k=5,7,8 tier=new target-only → deleted; k=6 excluded match
+      // deleted by NMBS, re-inserted as 'ins'; k=9 inserted
+      assert(after2 == Seq(
+        (1L, "old", "v1"), (2L, "old", "U2"), (3L, "old", "v3"),
+        (4L, "old", "v4"), (6L, "ins", "U6"), (9L, "ins", "U9")),
+        after2.toString)
+      assert(VersionedHub.history(spark, s"$base/t2").size == 2,
+        "routing + deletes + inserts must land as ONE commit")
+      // source-side extra conjuncts work too, and the canonical star/star
+      // shape with extras routes through the general path (the shortcut
+      // would ignore the predicate)
+      seed("t3")
+      Seq((3L, "old", "S3"), (7L, "new", "S7"), (10L, "new", "S10"))
+        .toDF("k", "tier", "v").createOrReplaceTempView("on_src3")
+      spark.sql("""MERGE INTO hubon.default.t3 t USING on_src3 s
+                  |ON t.k = s.k AND s.tier = 'new'
+                  |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      val after3 = spark.sql("SELECT k, v FROM hubon.default.t3 ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+      assert(after3 == (1L to 8L).map(k =>
+        (k, if (k == 7) "S7" else s"v$k")), after3.toString)
+      // non-deterministic extras refused loudly
+      val nd = intercept[Exception](spark.sql(
+        """MERGE INTO hubon.default.t3 t USING on_src3 s
+          |ON t.k = s.k AND rand() < 0.5
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin))
+      assert(rootMsg(nd).toLowerCase.contains("non-deterministic"),
+        rootMsg(nd))
+    }
+  }
+
   test("MERGE cardinality: multiple source rows matching one target row fail loudly in the general shape") {
     withCatalog("hubmm") { base =>
       VersionedHub.writeBucketed(spark,
