@@ -1187,6 +1187,61 @@ object IngestQueries {
       |FROM merged GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** CHECK constraints (Delta `ALTER TABLE … ADD CONSTRAINT` parity):
+    * ADD validates standing data and refuses on violation; every write
+    * path enforces via the codegen'd CheckInvariant (violating UPDATE
+    * refused, nothing committed — in-query version gates); conforming
+    * writes proceed. The oracle replays the conforming lifecycle.
+    */
+  val qHubCheckSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_check_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderkey") < 6000)
+        .select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("o_totalprice")),
+      s"$tmp/orders_ck", Seq("o_orderkey"), 16)
+    spark.sql(s"ALTER TABLE $cat.default.orders_ck " +
+      "ADD CONSTRAINT price_pos CHECK (o_totalprice > 0)")
+    val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_ck").last
+    require(v1.checks == Map("price_pos" -> "o_totalprice > 0"),
+      s"constraint must be recorded in the manifest, got ${v1.checks}")
+    // ADD that standing data violates must refuse without committing
+    val badAdd = scala.util.Try(spark.sql(s"ALTER TABLE $cat.default.orders_ck " +
+      "ADD CONSTRAINT low_keys CHECK (o_orderkey < 100)"))
+    require(badAdd.isFailure, "ADD CONSTRAINT over violating data must fail")
+    // violating UPDATE refused by the write-path enforcement, no commit
+    val badUpd = scala.util.Try(spark.sql(
+      s"UPDATE $cat.default.orders_ck SET o_totalprice = -1.0 " +
+        "WHERE o_orderkey = 1"))
+    require(badUpd.isFailure, "an UPDATE violating a CHECK must fail")
+    val after = graft.writers.VersionedHub.history(spark, s"$tmp/orders_ck").last
+    require(after.version == v1.version && after.checks == v1.checks,
+      "refused writes must not commit")
+    // conforming UPDATE proceeds under the constraint
+    spark.sql(s"UPDATE $cat.default.orders_ck " +
+      "SET o_totalprice = o_totalprice + 10.0 WHERE o_orderkey < 1000")
+    spark.sql(s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      s"FROM $cat.default.orders_ck GROUP BY o_orderpriority " +
+      "ORDER BY o_orderpriority")
+  }
+
+  private val hubCheckSqlOracle: String =
+    """WITH merged AS (
+      |  SELECT o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) +
+      |      CASE WHEN o_orderkey < 1000 THEN 10.0 ELSE 0.0 END
+      |      AS o_totalprice
+      |  FROM orders WHERE o_orderkey < 6000)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM merged GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   private val hubMergeDeleteSqlOracle: String =
     """WITH merged AS (
       |  SELECT CASE WHEN o_orderkey < 3000 THEN 'M-' || o_orderpriority
@@ -1484,6 +1539,7 @@ object IngestQueries {
     "q_hub_merge_delete_sql" -> qHubMergeDeleteSql,
     "q_hub_merge_nmbs_sql" -> qHubMergeNmbsSql,
     "q_hub_merge_on_sql" -> qHubMergeOnSql,
+    "q_hub_check_sql" -> qHubCheckSql,
     "q_hub_dv_delete" -> qHubDvDelete,
     "q_hub_default_sql" -> qHubDefaultSql,
     "q_hub_restore" -> qHubRestore,
@@ -1519,6 +1575,7 @@ object IngestQueries {
     "q_hub_merge_delete_sql" -> hubMergeDeleteSqlOracle,
     "q_hub_merge_nmbs_sql" -> hubMergeNmbsSqlOracle,
     "q_hub_merge_on_sql" -> hubMergeOnSqlOracle,
+    "q_hub_check_sql" -> hubCheckSqlOracle,
     "q_hub_dv_delete" -> hubDvDeleteOracle,
     "q_hub_default_sql" -> hubDefaultSqlOracle,
     "q_hub_restore" -> hubRestoreOracle,

@@ -70,7 +70,9 @@ class HubCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   /** Only the conventional single-element ["default"] namespace aliases to
     * the base dir; "default" at any deeper position is a real directory
@@ -165,6 +167,26 @@ class HubCatalog extends TableCatalog
     new HubTable(p, asOf = None)
   }
 
+  /** The [[TableInfo]] CREATE path (how the parser delivers `CREATE TABLE
+    * … CONSTRAINT c CHECK (…)`): the interface DEFAULT silently DROPS the
+    * constraints on its way to the schema overload — store them instead
+    * (a second, checks-only manifest commit on the fresh table; the empty
+    * v1 trivially satisfies them, no validation scan needed).
+    */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val t = createTable(ident, info.schema(),
+      info.partitions(), info.properties())
+    if (info.constraints().nonEmpty) {
+      val p = pathOf(ident)
+      VersionedHub.alterSchema(spark, p, identity,
+        alterChecks = checks => info.constraints().foldLeft(checks) {
+          (m, c) => applyConstraint(p, m, TableChange.addConstraint(c, null))
+        })
+    }
+    t
+  }
+
   /** Zero-copy DDL schema evolution (Delta parity): ADD COLUMN (with
     * FIRST/AFTER and comment), DROP COLUMN (IF EXISTS honoured), widening
     * ALTER COLUMN TYPE, RENAME COLUMN (via column mapping — see
@@ -182,9 +204,81 @@ class HubCatalog extends TableCatalog
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
         r.fieldNames()(0) -> r.newName()
     }.toMap
+    val (constraintChanges, schemaChanges) = changes.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _ => false
+    }
     VersionedHub.alterSchema(spark, p, schema =>
-      changes.foldLeft(schema)((s, ch) => applyChange(p, s, ch)), renames)
+      schemaChanges.foldLeft(schema)((s, ch) => applyChange(p, s, ch)),
+      renames,
+      alterChecks = { baseChecks =>
+        // dropping or renaming a column a stored CHECK references would
+        // orphan the predicate (Delta refuses the drop too) — evaluated
+        // against the FRESH base's checks on every commit attempt, so a
+        // concurrent ADD CONSTRAINT races correctly
+        val touched = schemaChanges.collect {
+          case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+            d.fieldNames()(0)
+          case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+            r.fieldNames()(0)
+        }
+        for (c <- touched; (n, sql) <- baseChecks
+             if VersionedHub.checkReferences(spark, sql)
+               .contains(c.toLowerCase(java.util.Locale.ROOT)))
+          throw new IllegalArgumentException(
+            s"column $c is referenced by CHECK constraint $n ($sql) — " +
+              s"DROP CONSTRAINT $n first")
+        constraintChanges.foldLeft(baseChecks)((m, ch) =>
+          applyConstraint(p, m, ch))
+      })
     new HubTable(p, asOf = None)
+  }
+
+  /** Fold one ADD/DROP CONSTRAINT into the stored check map. Only CHECK
+    * constraints are accepted: they are the only kind this engine
+    * ENFORCES (at every write path, via the codegen'd CheckInvariant —
+    * see [[VersionedHub]]), and advertising an unenforced PRIMARY
+    * KEY/UNIQUE/FOREIGN KEY would let the optimizer draw wrong
+    * conclusions. ADD validates EXISTING rows first (one pruned scan,
+    * exactly Delta's ADD CONSTRAINT contract); Spark's own SQL path
+    * (AddCheckConstraintExec) validates too — the probe here also covers
+    * direct API callers, preserving the invariant every write path leans
+    * on: committed data always satisfies the stored checks.
+    */
+  private def applyConstraint(path: String, checks: Map[String, String],
+      ch: TableChange): Map[String, String] = ch match {
+    case add: TableChange.AddConstraint =>
+      add.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          val name = c.name()
+          require(!checks.keys.exists(_.equalsIgnoreCase(name)),
+            s"constraint $name already exists on $path")
+          val sql = Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+            throw new UnsupportedOperationException(
+              s"CHECK constraint $name carries no SQL predicate"))
+          import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+          val bad = VersionedHub.read(spark, path)
+            .filter(not(coalesce(expr(sql), lit(true)))).limit(1).collect()
+          if (bad.nonEmpty)
+            throw new IllegalStateException(
+              s"cannot ADD CONSTRAINT $name CHECK ($sql): existing row " +
+                s"violates it — ${bad.head.toString}")
+          checks + (name -> sql)
+        case other => throw new UnsupportedOperationException(
+          s"graft-hub enforces CHECK constraints only; " +
+            s"${other.getClass.getSimpleName} would be recorded but never " +
+            "enforced — refusing")
+      }
+    case drop: TableChange.DropConstraint =>
+      checks.keys.find(_.equalsIgnoreCase(drop.name())) match {
+        case Some(n) => checks - n
+        case None if drop.ifExists() => checks
+        case None => throw new IllegalArgumentException(
+          s"constraint ${drop.name()} does not exist on $path " +
+            "(use IF EXISTS for a no-op)")
+      }
+    case other => throw new IllegalStateException(
+      s"not a constraint change: $other")
   }
 
   private def applyChange(path: String, s: StructType,

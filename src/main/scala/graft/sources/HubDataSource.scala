@@ -581,6 +581,23 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
 
   override def schema(): StructType = fullSchema
 
+  /** The stored CHECK constraints, reported enforced + valid: every
+    * write path validates rows (the hub's CheckInvariant filter), and
+    * ADD CONSTRAINT validated the standing data — so Spark's own
+    * ResolveTableConstraints may also fold them into its v2 write
+    * validation, and DESCRIBE shows them.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    v.checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+      Constraint.check(n).predicateSql(sql)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .build(): Constraint
+    }.toArray
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,

@@ -231,6 +231,49 @@ object VersionedHub {
     }
   }
 
+  /** Wrap `df` in the table's CHECK constraints via Spark's codegen'd
+    * [[org.apache.spark.sql.catalyst.expressions.CheckInvariant]] (the
+    * expression behind ANSI CHECK and Delta invariants): one Filter that
+    * evaluates every active constraint per row INSIDE the write's own
+    * pass — whole-stage codegen, zero extra job or shuffle — and throws
+    * Spark's standard CHECK_CONSTRAINT_VIOLATION error naming the
+    * constraint and the violating row's values. NULL predicates pass,
+    * per the SQL standard. Identity for the (overwhelmingly common)
+    * check-free table. Applied to the rows a commit WRITES (the merged
+    * snapshot / touched buckets): committed data is invariantly valid
+    * (ADD CONSTRAINT validates existing rows first), so layout-only
+    * rewrites (compaction, z-order) and deletes skip re-validation.
+    */
+  private def enforceChecks(df: DataFrame,
+      checks: Map[String, String]): DataFrame =
+    if (checks.isEmpty) df
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{CheckInvariant, Expression}
+      checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+        // resolve the predicate against d by planting it in a filter and
+        // lifting the analyzed condition (exprIds match d's plan — the
+        // analyzer is idempotent on the already-analyzed child)
+        val cond = d.filter(org.apache.spark.sql.functions.expr(sql))
+          .queryExecution.analyzed
+          .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
+          .condition
+        val extractors = cond.references.toSeq.sortBy(_.name)
+          .map(a => a.name -> (a: Expression))
+        d.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          CheckInvariant(cond, extractors, name, sql)))
+      }
+    }
+
+  /** The column names (lower-cased, top-level) a stored CHECK predicate
+    * references — the DROP/RENAME COLUMN guard's view of a constraint.
+    */
+  private[graft] def checkReferences(spark: SparkSession,
+      sql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        ua.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+
   /** The shared optimistic-commit loop: recompute the snapshot-to-commit
     * from the CURRENT base on every attempt (a retry after losing the race
     * must fold in the winner's rows — recompacting/remerging a stale base
@@ -256,7 +299,8 @@ object VersionedHub {
       require(base.forall(_.nBuckets.isEmpty),
         s"hub at $path became bucketed mid-commit; retry the write")
       val next = base.map(_.version).getOrElse(0) + 1
-      val merged = mkSnapshot(base)
+      val merged = enforceChecks(mkSnapshot(base),
+        base.fold(Map.empty[String, String])(_.checks))
       // the recorded schema carries column-mapping metadata forward from
       // the base (merge projections may have dropped it); files land under
       // PHYSICAL names so the snapshot stays homogeneous across renames
@@ -401,10 +445,11 @@ object VersionedHub {
       // in untouched buckets would otherwise vanish from the record
       val snapSchema = unionSchema(spark, path, base,
         merged.drop(BucketCol).schema)
-      val toWrite =
+      val toWrite = enforceChecks(
         if (optimizeWrite)
           merged.repartition(org.apache.spark.sql.functions.col(BucketCol))
-        else merged
+        else merged,
+        base.fold(Map.empty[String, String])(_.checks))
       ColumnMapping.toPhysical(toWrite, snapSchema)
         .write.options(BloomIndex.options(snapSchema))
         .partitionBy(BucketCol).parquet(resolve(path, root))
@@ -857,7 +902,8 @@ object VersionedHub {
           // an OLD version still needs the physical aliases, and one
           // namespace per table is simpler than per-version forks
           val recSchema = ColumnMapping.graft(df.schema, base.schema)
-          ColumnMapping.toPhysical(stampBuckets(df, bCols, n), recSchema)
+          ColumnMapping.toPhysical(
+            enforceChecks(stampBuckets(df, bCols, n), base.checks), recSchema)
             .repartition(org.apache.spark.sql.functions.col(BucketCol))
             .write.options(BloomIndex.options(recSchema))
             .partitionBy(BucketCol).parquet(resolve(path, root))
@@ -1369,9 +1415,10 @@ object VersionedHub {
             if (touched.isEmpty) return base.version
             val next = base.version + 1
             val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
-            val rewritten = applySets(
+            val rewritten = enforceChecks(applySets(
               tagged.filter(
-                col(BucketCol).isin(touched.map(Integer.valueOf): _*)))
+                col(BucketCol).isin(touched.map(Integer.valueOf): _*))),
+              base.checks)
             val bSchema = base.schema.getOrElse(new StructType())
             ColumnMapping.toPhysical(rewritten, bSchema)
               .repartition(col(BucketCol))

@@ -1358,6 +1358,95 @@ class HubCatalogSpec extends SparkTestBase {
     assert(currentDefault().contains("'v2'"))
   }
 
+  test("CHECK constraints: ADD validates standing data, every write path enforces, DROP lifts") {
+    withCatalog("hubck") { base =>
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      VersionedHub.writeBucketed(spark,
+        Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "price", "v"),
+        s"$base/t", Seq("k"), 4)
+      // ADD CONSTRAINT refuses when standing data violates
+      val bad = intercept[Exception](spark.sql(
+        "ALTER TABLE hubck.default.t ADD CONSTRAINT pos CHECK (price > 15)"))
+      assert(rootMsg(bad).toLowerCase.contains("violat"), rootMsg(bad))
+      // a satisfiable constraint lands as a manifest-only commit
+      spark.sql(
+        "ALTER TABLE hubck.default.t ADD CONSTRAINT pos CHECK (price > 0)")
+      assert(VersionedHub.latest(spark, s"$base/t").get.checks ==
+        Map("pos" -> "price > 0"))
+      // library upsert path enforces (violating row fails the commit)...
+      val e1 = intercept[Exception](VersionedHub.write(spark,
+        Seq((3L, -1.0, "c")).toDF("k", "price", "v"), s"$base/t", Seq("k")))
+      assert(rootMsg(e1).contains("pos"), rootMsg(e1))
+      // ...and nothing committed
+      assert(VersionedHub.read(spark, s"$base/t").count() == 2)
+      // SQL INSERT enforces
+      val e2 = intercept[Exception](spark.sql(
+        "INSERT INTO hubck.default.t VALUES (3, -5.0, 'c')"))
+      assert(rootMsg(e2).contains("pos"), rootMsg(e2))
+      // SQL UPDATE enforces (SET would violate)
+      val e3 = intercept[Exception](spark.sql(
+        "UPDATE hubck.default.t SET price = -2.0 WHERE k = 1"))
+      assert(rootMsg(e3).contains("pos"), rootMsg(e3))
+      // MERGE enforces
+      Seq((2L, -9.0, "z")).toDF("k", "price", "v")
+        .createOrReplaceTempView("ck_src")
+      val e4 = intercept[Exception](spark.sql(
+        """MERGE INTO hubck.default.t t USING ck_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+      assert(rootMsg(e4).contains("pos"), rootMsg(e4))
+      // NULL predicate passes (SQL standard) — a NULL price is accepted
+      VersionedHub.write(spark,
+        Seq((4L, Option.empty[Double], "d"), (5L, Some(5.5), "e"))
+          .toDF("k", "price", "v"), s"$base/t", Seq("k"))
+      assert(VersionedHub.read(spark, s"$base/t").count() == 4)
+      // second constraint; name collisions refused; non-CHECK refused
+      spark.sql("ALTER TABLE hubck.default.t ADD CONSTRAINT vlen " +
+        "CHECK (length(v) <= 4)")
+      val dup = intercept[Exception](spark.sql(
+        "ALTER TABLE hubck.default.t ADD CONSTRAINT pos CHECK (price < 1e9)"))
+      assert(rootMsg(dup).toLowerCase.contains("exists") ||
+        rootMsg(dup).toLowerCase.contains("already"), rootMsg(dup))
+      val e5 = intercept[Exception](spark.sql(
+        "INSERT INTO hubck.default.t VALUES (6, 1.0, 'toolong')"))
+      assert(rootMsg(e5).contains("vlen"), rootMsg(e5))
+      // DROP COLUMN under a referencing check refused; DROP CONSTRAINT
+      // lifts the check and unblocks both the drop and the write
+      val e6 = intercept[Exception](spark.sql(
+        "ALTER TABLE hubck.default.t DROP COLUMN v"))
+      assert(rootMsg(e6).contains("vlen"), rootMsg(e6))
+      spark.sql("ALTER TABLE hubck.default.t DROP CONSTRAINT vlen")
+      VersionedHub.write(spark,
+        Seq((6L, 1.0, "toolong")).toDF("k", "price", "v"),
+        s"$base/t", Seq("k"))
+      assert(VersionedHub.latest(spark, s"$base/t").get.checks.keySet ==
+        Set("pos"))
+      // DROP of a missing constraint: IF EXISTS no-ops, bare form fails
+      spark.sql("ALTER TABLE hubck.default.t DROP CONSTRAINT IF EXISTS nope")
+      val e7 = intercept[Exception](spark.sql(
+        "ALTER TABLE hubck.default.t DROP CONSTRAINT nope"))
+      assert(rootMsg(e7).toLowerCase.contains("not exist") ||
+        rootMsg(e7).toLowerCase.contains("nope"), rootMsg(e7))
+      // checks survive restore/time-travel manifests and keep enforcing
+      val eAfter = intercept[Exception](spark.sql(
+        "INSERT INTO hubck.default.t VALUES (9, -1.0, 'x')"))
+      assert(rootMsg(eAfter).contains("pos"), rootMsg(eAfter))
+      // CREATE TABLE with an inline CHECK stores it (the TableInfo path —
+      // the interface default would silently drop it) and enforces
+      spark.sql("CREATE TABLE hubck.default.c (k BIGINT, n BIGINT, " +
+        "CONSTRAINT nn CHECK (n >= 0))")
+      assert(VersionedHub.latest(spark, s"$base/c").get.checks
+        .keySet == Set("nn"))
+      val eC = intercept[Exception](spark.sql(
+        "INSERT INTO hubck.default.c VALUES (1, -1)"))
+      assert(rootMsg(eC).contains("nn"), rootMsg(eC))
+      spark.sql("INSERT INTO hubck.default.c VALUES (1, 1)")
+      assert(spark.sql("SELECT count(*) FROM hubck.default.c")
+        .as[Long].head() == 1L)
+    }
+  }
+
   test("catalog DDL refuses object-store schemes like commits do") {
     import org.apache.spark.sql.connector.catalog.Identifier
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
