@@ -10,8 +10,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * One operation matters: `putIfAbsent` — atomically claim a manifest path
   * and write its content, failing (false) iff another writer already
   * claimed it. The default implementation is the filesystem's own
-  * create-exclusive (atomic on HDFS/local, refused LOUDLY on known
-  * object-store schemes); registering a store for a scheme — e.g. a
+  * create-exclusive (atomic on HDFS; an atomic hard-link claim on the
+  * local scheme, whose Hadoop create-exclusive is only check-then-act;
+  * refused LOUDLY on known object-store schemes); registering a store
+  * for a scheme — e.g. a
   * DynamoDB/conditional-PUT coordinator for `s3a` — lifts that refusal,
   * because mutual exclusion no longer rests on the filesystem.
   */
@@ -33,12 +35,37 @@ object CommitStore {
     */
   object CreateExclusive extends CommitStore {
     override def putIfAbsent(fs: FileSystem, path: Path,
-        content: Array[Byte]): Boolean = {
-      val out =
-        try fs.create(path, /* overwrite = */ false)
-        catch { case _: java.io.IOException => return false }
-      try out.write(content) finally out.close()
-      true
+        content: Array[Byte]): Boolean =
+      if (fs.getScheme == "file") putIfAbsentLocal(path, content)
+      else {
+        val out =
+          try fs.create(path, /* overwrite = */ false)
+          catch { case _: java.io.IOException => return false }
+        try out.write(content) finally out.close()
+        true
+      }
+
+    /** Hadoop's RawLocalFileSystem.create(overwrite = false) is
+      * check-then-act, NOT O_EXCL: two racers can both pass the exists()
+      * probe, both "win" the same version number, and their interleaved
+      * data/.crc writes can leave the manifest permanently unreadable —
+      * a silent lost update. On the local scheme, claim via an atomic
+      * hard link of the FULLY-WRITTEN content instead: exactly one racer
+      * links the name, and the manifest appears atomically with its
+      * content (no claim-to-content torn window at all, and no .crc
+      * sibling to tear — ChecksumFileSystem reads checksum-less files
+      * fine).
+      */
+    private def putIfAbsentLocal(path: Path, content: Array[Byte]): Boolean = {
+      val f = new java.io.File(path.toUri.getPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val tmp = new java.io.File(f.getParentFile,
+        s".${f.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      try {
+        java.nio.file.Files.write(tmp.toPath, content)
+        try { java.nio.file.Files.createLink(f.toPath, tmp.toPath); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally tmp.delete()
     }
   }
 

@@ -2162,10 +2162,18 @@ object VersionedHub {
 
   private def parseManifestOnce(fs: FileSystem, manifest: Path): Option[scala.collection.Map[String, AnyRef]] = {
     manifestParses.incrementAndGet()
-    val in = fs.open(manifest)
+    // the commit point is create-exclusive on the FILE; content (and on
+    // checksummed filesystems its .crc sibling) lands just after, so a
+    // racing reader can hit a torn read — an IO failure (EOF, checksum
+    // mismatch) here means "in-flight or dead", exactly None's meaning
+    // (readManifest waits out the in-flight window, failIfStuck/repair
+    // handle the dead-writer case)
     val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+      try {
+        val in = fs.open(manifest)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: java.io.IOException => return None }
     val parsed =
       try new Yaml(new SafeConstructor(new LoaderOptions()))
         .load[java.util.Map[String, AnyRef]](text)
