@@ -72,7 +72,9 @@ class HubCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_TABLE_CONSTRAINT)
+        .SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** Only the conventional single-element ["default"] namespace aliases to
     * the base dir; "default" at any deeper position is a real directory
@@ -175,7 +177,23 @@ class HubCatalog extends TableCatalog
     */
   override def createTable(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
-    val t = createTable(ident, info.schema(),
+    // re-attach GENERATED ALWAYS AS expressions: the v2 Column carries
+    // them in a dedicated field, and TableInfo.schema() drops them on the
+    // way back to StructType — store them under Spark's own
+    // generation-expression metadata key so the recorded schema (and
+    // every write path reading it) sees them
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val byName = info.columns().map(c => c.name() -> c).toMap
+    val schema = StructType(info.schema().fields.map { f =>
+      byName.get(f.name).flatMap(c => Option(c.generationExpression())) match {
+        case Some(expr) if expr.nonEmpty =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(genKey, expr).build())
+        case _ => f
+      }
+    })
+    val t = createTable(ident, schema,
       info.partitions(), info.properties())
     if (info.constraints().nonEmpty) {
       val p = pathOf(ident)
@@ -233,6 +251,23 @@ class HubCatalog extends TableCatalog
       })
     new HubTable(p, asOf = None)
   }
+
+  /** DROP/RENAME of a column a GENERATED ALWAYS AS expression reads
+    * would break every subsequent write's recompute — refused, like the
+    * CHECK-reference guard (drop the generated column itself first).
+    */
+  private def requireNotGenerationSource(s: StructType, name: String,
+      what: String): Unit =
+    for (f <- s.fields;
+         sql <- org.apache.spark.sql.catalyst.util.GeneratedColumn
+           .getGenerationExpression(f)
+         if !f.name.equalsIgnoreCase(name) &&
+           VersionedHub.checkReferences(spark, sql)
+             .contains(name.toLowerCase(java.util.Locale.ROOT)))
+      throw new IllegalArgumentException(
+        s"column $name is read by generated column ${f.name} " +
+          s"(GENERATED ALWAYS AS ($sql)) — cannot $what it; drop " +
+          s"${f.name} first")
 
   /** Fold one ADD/DROP CONSTRAINT into the stored check map. Only CHECK
     * constraints are accepted: they are the only kind this engine
@@ -347,6 +382,7 @@ class HubCatalog extends TableCatalog
           require(!bc.exists(_.equalsIgnoreCase(name)),
             s"column $name routes this table's buckets — dropping it " +
               "would orphan the layout")
+        requireNotGenerationSource(s, name, "DROP")
         StructType(s.fields.patch(idx, Nil, 1))
       }
     case ut: TableChange.UpdateColumnType =>
@@ -427,6 +463,7 @@ class HubCatalog extends TableCatalog
       require(!s.fieldNames.exists(_.equalsIgnoreCase(newName)),
         s"column $newName already exists")
       graft.writers.ColumnMapping.requireLegalName(newName)
+      requireNotGenerationSource(s, name, "RENAME")
       val f = s.fields(idx)
       StructType(s.fields.updated(idx,
         graft.writers.ColumnMapping.withPhys(f,

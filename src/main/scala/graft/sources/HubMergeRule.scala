@@ -198,7 +198,14 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // Under a concurrent commit the carried columns hold the
         // join-time snapshot's values — the same read-committed race
         // every engine's MERGE has.
-        val plans = generalMergePlans(m, keys, hasExtras = extras.nonEmpty)
+        // generated columns from the RECORDED schema (DSv2 relation
+        // attributes do not carry field metadata)
+        val genCols = table.schema().fields.toSeq
+          .filter(org.apache.spark.sql.catalyst.util.GeneratedColumn
+            .isGeneratedColumn)
+          .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+        val plans = generalMergePlans(m, keys, hasExtras = extras.nonEmpty,
+          genCols)
         GraftMergeCommand(path, keys, plans.src, plans.deletes,
           plans.matchedKeys, plans.nmbsNullKeys, plans.insertKeys,
           plans.targetKeys)
@@ -239,7 +246,7 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       targetKeys: Option[LogicalPlan] = None)
 
   private def generalMergePlans(m: MergeIntoTable, keys: Seq[String],
-      hasExtras: Boolean): GeneralPlans = {
+      hasExtras: Boolean, genCols: Set[String]): GeneralPlans = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val lcKeys = keys.map(lc).toSet
     val srcByName = m.sourceTable.output.map(a => lc(a.name) -> a).toMap
@@ -248,6 +255,21 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       assigns.map { a =>
         unwrapCast(a.key) match {
           case k: AttributeReference if m.targetTable.outputSet.contains(k) =>
+            // UPDATE on a GENERATED ALWAYS AS column is refused unless it
+            // is the analyzer's star-expansion identity (g = s.g) — the
+            // column recomputes from its expression at write time, and the
+            // write path validates any explicitly provided value anyway
+            if (what.contains("UPDATE") && genCols.contains(lc(k.name))) {
+              val identity = unwrapCast(a.value) match {
+                case v: AttributeReference =>
+                  v.name.equalsIgnoreCase(k.name) &&
+                    m.sourceTable.outputSet.contains(v)
+                case _ => false
+              }
+              if (!identity)
+                fail(s"$what SET on generated column ${k.name} — it " +
+                  "recomputes from its GENERATED ALWAYS AS expression")
+            }
             lc(k.name) -> a.value
           case other => fail(s"$what assignment target $other is not a " +
             "top-level target column")
@@ -338,12 +360,20 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // per-column values: among rows kept by isUpd/isIns, scanning the
     // branch conditions in order lands on the routing branch — earlier
     // branches of the OTHER kind have false conditions for these rows
+    // an UPDATE-routed row's carried GENERATED ALWAYS AS value reflects
+    // the PRE-update row: emit NULL for it unless explicitly assigned, so
+    // the write path recomputes it from the post-update values (NULL =
+    // "fill from the expression" there)
+    def isGenerated(t: org.apache.spark.sql.catalyst.expressions.Attribute): Boolean =
+      genCols.contains(lc(t.name))
     def updValue(t: org.apache.spark.sql.catalyst.expressions.Attribute): Expression = {
       val upds = matchedBranches.collect { case (c, u: UpdKind) => (c, u) }
       if (upds.isEmpty) t
       else CaseWhen(upds.map { case (c, u) =>
         (c.getOrElse(Literal.TrueLiteral), shaped(
-          if (u.star) srcAttr(t.name) else u.assigns.getOrElse(lc(t.name), t),
+          if (u.star) srcAttr(t.name)
+          else u.assigns.getOrElse(lc(t.name),
+            if (isGenerated(t)) Literal(null, t.dataType) else t),
           t.dataType, s"WHEN MATCHED value for ${t.name}")) }, Some(t))
     }
     def insValue(t: org.apache.spark.sql.catalyst.expressions.Attribute): Expression =
@@ -383,7 +413,9 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (upds.isEmpty) t
       else CaseWhen(upds.map { case (c, u) =>
         (c.getOrElse(Literal.TrueLiteral), shaped(
-          u.assigns.getOrElse(lc(t.name), t), t.dataType,
+          u.assigns.getOrElse(lc(t.name),
+            if (isGenerated(t)) Literal(null, t.dataType) else t),
+          t.dataType,
           s"WHEN NOT MATCHED BY SOURCE value for ${t.name}")) }, Some(t))
     }
     def rowValue(t: org.apache.spark.sql.catalyst.expressions.Attribute): Expression =

@@ -264,6 +264,69 @@ object VersionedHub {
       }
     }
 
+  /** Materialize GENERATED ALWAYS AS columns (Delta parity, via Spark's
+    * own generation-expression field metadata, so the recorded schema
+    * carries them for free): for every generated column the written rows
+    * carry, (1) a provided NON-NULL value must equal the expression —
+    * enforced by the same codegen'd CheckInvariant the CHECK constraints
+    * use, so a mismatched explicit value fails loudly instead of being
+    * silently replaced — and (2) the stored value IS the expression,
+    * computed over the row being written (a NULL/omitted value is simply
+    * filled; after an UPDATE of a source column the generated column
+    * recomputes automatically because this runs on the post-update
+    * rows). Zero extra pass: one filter + one projection inside the
+    * write's own whole-stage-codegen span. Identity for tables without
+    * generated columns. Declared at CREATE TABLE only, like Delta.
+    */
+  private def applyGenerated(df: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    import org.apache.spark.sql.functions.{col, expr}
+    val gens: Seq[(org.apache.spark.sql.types.StructField, String)] =
+      schema.map(_.fields.toSeq).getOrElse(Seq.empty)
+        .flatMap(f => GeneratedColumn.getGenerationExpression(f).map(f -> _))
+        .filter { case (f, _) => df.columns.exists(_.equalsIgnoreCase(f.name)) }
+    if (gens.isEmpty) df
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{CheckInvariant, Expression}
+      val guarded = gens.foldLeft(df) { case (d, (f, sql)) =>
+        val okCol = col(f.name).isNull ||
+          (col(f.name) <=> expr(sql).cast(f.dataType))
+        val cond = d.filter(okCol).queryExecution.analyzed
+          .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
+          .condition
+        val extractors = cond.references.toSeq.sortBy(_.name)
+          .map(a => a.name -> (a: Expression))
+        d.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          CheckInvariant(cond, extractors,
+            s"${f.name} GENERATED ALWAYS AS ($sql)",
+            s"${f.name} IS NULL OR ${f.name} <=> ($sql)")))
+      }
+      guarded.select(df.columns.toIndexedSeq.map { c =>
+        gens.find(_._1.name.equalsIgnoreCase(c)) match {
+          // alias WITH the field's metadata: the recorded schema derives
+          // from this projection, and a bare alias would drop the
+          // generation expression (and any column-mapping key) from it
+          case Some((f, sql)) => expr(sql).cast(f.dataType).as(c, f.metadata)
+          case None => col(c)
+        }
+      }: _*)
+    }
+  }
+
+  /** Generated columns + CHECK constraints, in that order (a CHECK may
+    * reference a generated column and must see its materialized value).
+    */
+  private def enforceChecks(df: DataFrame, base: Option[Version]): DataFrame =
+    base.fold(df)(v => enforceChecks(applyGenerated(df, v.schema), v.checks))
+
+  /** The generated-column names of a snapshot schema (lower-cased). */
+  private[graft] def generatedCols(v: Version): Set[String] =
+    v.schema.map(_.fields.toSeq).getOrElse(Seq.empty)
+      .filter(f => org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .isGeneratedColumn(f))
+      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+
   /** The column names (lower-cased, top-level) a stored CHECK predicate
     * references — the DROP/RENAME COLUMN guard's view of a constraint.
     */
@@ -299,8 +362,7 @@ object VersionedHub {
       require(base.forall(_.nBuckets.isEmpty),
         s"hub at $path became bucketed mid-commit; retry the write")
       val next = base.map(_.version).getOrElse(0) + 1
-      val merged = enforceChecks(mkSnapshot(base),
-        base.fold(Map.empty[String, String])(_.checks))
+      val merged = enforceChecks(mkSnapshot(base), base)
       // the recorded schema carries column-mapping metadata forward from
       // the base (merge projections may have dropped it); files land under
       // PHYSICAL names so the snapshot stays homogeneous across renames
@@ -449,7 +511,7 @@ object VersionedHub {
         if (optimizeWrite)
           merged.repartition(org.apache.spark.sql.functions.col(BucketCol))
         else merged,
-        base.fold(Map.empty[String, String])(_.checks))
+        base)
       ColumnMapping.toPhysical(toWrite, snapSchema)
         .write.options(BloomIndex.options(snapSchema))
         .partitionBy(BucketCol).parquet(resolve(path, root))
@@ -903,7 +965,7 @@ object VersionedHub {
           // namespace per table is simpler than per-version forks
           val recSchema = ColumnMapping.graft(df.schema, base.schema)
           ColumnMapping.toPhysical(
-            enforceChecks(stampBuckets(df, bCols, n), base.checks), recSchema)
+            enforceChecks(stampBuckets(df, bCols, n), Some(base)), recSchema)
             .repartition(org.apache.spark.sql.functions.col(BucketCol))
             .write.options(BloomIndex.options(recSchema))
             .partitionBy(BucketCol).parquet(resolve(path, root))
@@ -1365,15 +1427,40 @@ object VersionedHub {
   ): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(sets.nonEmpty, "UPDATE requires at least one SET assignment")
+    // generated columns recompute from their expression over the
+    // post-update row — a direct SET is refused, as in Delta. The
+    // generated set is CREATE-frozen (no ALTER can add one), so one
+    // entry-time probe races with nothing.
+    for (v0 <- latest(spark, path)) {
+      val gen = generatedCols(v0)
+      val hit = sets.map(_._1).filter(c =>
+        gen.contains(c.toLowerCase(java.util.Locale.ROOT)))
+      require(hit.isEmpty,
+        s"cannot UPDATE generated column(s) ${hit.mkString(", ")} — they " +
+          "recompute from their GENERATED ALWAYS AS expression; update the " +
+          "source columns instead")
+    }
     val hit = coalesce(cond, lit(false))
     val setMap = sets.toMap
     require(setMap.size == sets.size,
       s"duplicate SET column among ${sets.map(_._1)}")
+    val genSet = latest(spark, path).map(generatedCols).getOrElse(Set.empty)
     def applySets(df: DataFrame): DataFrame = {
       val missing = setMap.keySet -- df.columns
       require(missing.isEmpty, s"SET columns $missing not in the snapshot")
       df.select(df.columns.toIndexedSeq.map { c =>
-        setMap.get(c).fold(col(c))(v => when(hit, v).otherwise(col(c)).as(c))
+        setMap.get(c) match {
+          case Some(v) => when(hit, v).otherwise(col(c)).as(c)
+          // a generated column on an updated row goes NULL here so the
+          // write path recomputes it from the POST-update values (its
+          // carried value reflects the pre-update row); un-hit rows keep
+          // their (still valid) materialized value
+          case None if genSet.contains(
+              c.toLowerCase(java.util.Locale.ROOT)) =>
+            when(hit, lit(null).cast(df.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
       }: _*)
     }
     latest(spark, path) match {
@@ -1418,7 +1505,7 @@ object VersionedHub {
             val rewritten = enforceChecks(applySets(
               tagged.filter(
                 col(BucketCol).isin(touched.map(Integer.valueOf): _*))),
-              base.checks)
+              Some(base))
             val bSchema = base.schema.getOrElse(new StructType())
             ColumnMapping.toPhysical(rewritten, bSchema)
               .repartition(col(BucketCol))

@@ -1447,6 +1447,65 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("GENERATED ALWAYS AS columns: computed at write, refused on direct assignment, recomputed on UPDATE") {
+    withCatalog("hubgen") { base =>
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      spark.sql("CREATE TABLE hubgen.default.t (k BIGINT, n BIGINT, " +
+        "twice BIGINT GENERATED ALWAYS AS (n * 2))")
+      // omitted generated column fills from the expression
+      spark.sql("INSERT INTO hubgen.default.t (k, n) VALUES (1, 10), (2, 20)")
+      assert(spark.sql("SELECT k, twice FROM hubgen.default.t ORDER BY k")
+        .as[(Long, Long)].collect().toSeq == Seq((1L, 20L), (2L, 40L)))
+      // a provided MATCHING value is accepted (Delta semantics)...
+      spark.sql("INSERT INTO hubgen.default.t VALUES (3, 30, 60)")
+      // ...a mismatched one is refused loudly, nothing committed
+      val rows = spark.sql("SELECT count(*) FROM hubgen.default.t")
+        .as[Long].head()
+      val bad = intercept[Exception](spark.sql(
+        "INSERT INTO hubgen.default.t VALUES (4, 40, 999)"))
+      assert(rootMsg(bad).contains("GENERATED ALWAYS AS"), rootMsg(bad))
+      assert(spark.sql("SELECT count(*) FROM hubgen.default.t")
+        .as[Long].head() == rows)
+      // UPDATE of a source column RECOMPUTES the generated column;
+      // direct SET on it is refused
+      spark.sql("UPDATE hubgen.default.t SET n = 100 WHERE k = 1")
+      assert(spark.sql("SELECT twice FROM hubgen.default.t WHERE k = 1")
+        .as[Long].head() == 200L)
+      val e1 = intercept[Exception](spark.sql(
+        "UPDATE hubgen.default.t SET twice = 5 WHERE k = 1"))
+      assert(rootMsg(e1).toLowerCase.contains("generated"), rootMsg(e1))
+      // MERGE: explicit UPDATE SET on the generated column refused; star
+      // and source-column updates recompute
+      Seq((2L, 7L)).toDF("k", "n").createOrReplaceTempView("gen_src")
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO hubgen.default.t t USING gen_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET twice = s.n""".stripMargin))
+      assert(rootMsg(e2).toLowerCase.contains("generated"), rootMsg(e2))
+      spark.sql("""MERGE INTO hubgen.default.t t USING gen_src s ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin)
+      assert(spark.sql("SELECT twice FROM hubgen.default.t WHERE k = 2")
+        .as[Long].head() == 14L)
+      // library upsert fills the omitted generated column too
+      VersionedHub.write(spark,
+        Seq((5L, 50L)).toDF("k", "n"), s"$base/t", Seq("k"))
+      assert(spark.sql("SELECT twice FROM hubgen.default.t WHERE k = 5")
+        .as[Long].head() == 100L)
+      // DROP/RENAME of the generation SOURCE column refused; dropping the
+      // generated column itself is fine
+      val e3 = intercept[Exception](spark.sql(
+        "ALTER TABLE hubgen.default.t DROP COLUMN n"))
+      assert(rootMsg(e3).contains("twice"), rootMsg(e3))
+      val e4 = intercept[Exception](spark.sql(
+        "ALTER TABLE hubgen.default.t RENAME COLUMN n TO m"))
+      assert(rootMsg(e4).contains("twice"), rootMsg(e4))
+      spark.sql("ALTER TABLE hubgen.default.t DROP COLUMN twice")
+      spark.sql("ALTER TABLE hubgen.default.t DROP COLUMN n")
+      assert(spark.table("hubgen.default.t").columns.toSeq == Seq("k"))
+    }
+  }
+
   test("catalog DDL refuses object-store schemes like commits do") {
     import org.apache.spark.sql.connector.catalog.Identifier
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
