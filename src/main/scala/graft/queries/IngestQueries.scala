@@ -1004,6 +1004,50 @@ object IngestQueries {
       |  CASE WHEN n_nationkey < 15 THEN 'bronze' ELSE 'silver' END AS tier
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** GENERATED ALWAYS AS columns (Delta parity): omitted on INSERT the
+    * column fills from its expression; a mismatched explicit value is
+    * refused loudly (in-query gate); a direct SET is refused (in-query
+    * gate); and an UPDATE of a source column RECOMPUTES it. The oracle
+    * replays the expression arithmetic over the surviving rows.
+    */
+  val qHubGeneratedSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_gen_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    spark.sql(s"CREATE TABLE $cat.default.orders_gen " +
+      "(o_orderkey BIGINT, o_totalprice DOUBLE, cents BIGINT " +
+      "GENERATED ALWAYS AS (CAST(round(o_totalprice * 100) AS BIGINT)))")
+    Tables(spark, dir, "orders").createOrReplaceTempView("gen_src")
+    spark.sql(s"INSERT INTO $cat.default.orders_gen (o_orderkey, o_totalprice) " +
+      "SELECT CAST(o_orderkey AS BIGINT), CAST(o_totalprice AS DOUBLE) " +
+      "FROM gen_src WHERE o_orderkey < 4000")
+    // gate 1: an explicit value that CONTRADICTS the expression is refused
+    // and nothing commits
+    val before = spark.sql(s"SELECT count(*) FROM $cat.default.orders_gen")
+      .collect()(0).getLong(0)
+    val bad = try { spark.sql(s"INSERT INTO $cat.default.orders_gen " +
+      "VALUES (-1, 1.0, 999)"); false } catch { case _: Exception => true }
+    require(bad, "a mismatched explicit generated value must be refused")
+    require(spark.sql(s"SELECT count(*) FROM $cat.default.orders_gen")
+      .collect()(0).getLong(0) == before, "the refused insert must not commit")
+    // gate 2: direct SET on the generated column is refused
+    val badSet = try { spark.sql(s"UPDATE $cat.default.orders_gen " +
+      "SET cents = 0 WHERE o_orderkey = 1"); false }
+      catch { case _: Exception => true }
+    require(badSet, "direct SET on a generated column must be refused")
+    // UPDATE of the SOURCE column recomputes the generated one
+    spark.sql(s"UPDATE $cat.default.orders_gen " +
+      "SET o_totalprice = o_totalprice + 1 WHERE o_orderkey < 100")
+    spark.sql(s"SELECT o_orderkey, cents FROM $cat.default.orders_gen " +
+      "ORDER BY o_orderkey")
+  }
+
+  private val hubGeneratedSqlOracle: String =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(round((CAST(o_totalprice AS DOUBLE) +
+      |    CASE WHEN o_orderkey < 100 THEN 1 ELSE 0 END) * 100) AS BIGINT)
+      |    AS cents
+      |FROM orders WHERE o_orderkey < 4000 ORDER BY o_orderkey""".stripMargin
+
   /** Surgical DELETE through DELETION VECTORS (Delta DV shape): removing
     * a handful of rows from a bucketed hub must be a MANIFEST-ONLY commit
     * — the in-query gate counts parquet files before/after and requires
@@ -1540,6 +1584,7 @@ object IngestQueries {
     "q_hub_merge_nmbs_sql" -> qHubMergeNmbsSql,
     "q_hub_merge_on_sql" -> qHubMergeOnSql,
     "q_hub_check_sql" -> qHubCheckSql,
+    "q_hub_generated_sql" -> qHubGeneratedSql,
     "q_hub_dv_delete" -> qHubDvDelete,
     "q_hub_default_sql" -> qHubDefaultSql,
     "q_hub_restore" -> qHubRestore,
@@ -1576,6 +1621,7 @@ object IngestQueries {
     "q_hub_merge_nmbs_sql" -> hubMergeNmbsSqlOracle,
     "q_hub_merge_on_sql" -> hubMergeOnSqlOracle,
     "q_hub_check_sql" -> hubCheckSqlOracle,
+    "q_hub_generated_sql" -> hubGeneratedSqlOracle,
     "q_hub_dv_delete" -> hubDvDeleteOracle,
     "q_hub_default_sql" -> hubDefaultSqlOracle,
     "q_hub_restore" -> hubRestoreOracle,
