@@ -1081,6 +1081,24 @@ object IngestQueries {
     // DV-over-DV: a second surgical delete deepens the vectors
     spark.sql(s"DELETE FROM $cat.default.orders_dv WHERE o_orderkey = 2")
     require(dataFiles() == before, "the second delete must be DV too")
+    // `t$files.dv_rows` accounts for every hidden position: physical rows
+    // minus live rows must equal the summed vector sizes
+    val Array(physical, dead) = spark.sql(
+      s"SELECT CAST(sum(rows) AS BIGINT), CAST(sum(dv_rows) AS BIGINT) " +
+        s"FROM $cat.default.`orders_dv$$files`")
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val live = spark.sql(s"SELECT count(*) FROM $cat.default.orders_dv")
+      .collect()(0).getLong(0)
+    require(dead > 0 && physical - dead == live,
+      s"t\\$$files DV accounting broken: physical=$physical dead=$dead live=$live")
+    // CALL purge materializes the vectors: only DV'd buckets rewrite,
+    // the vectors clear, and the table content is unchanged (the final
+    // SELECT below is the oracle-checked proof)
+    spark.sql(s"CALL $cat.system.purge(`table` => 'orders_dv')")
+    val v3 = graft.writers.VersionedHub.history(spark, s"$tmp/orders_dv").last
+    require(v3.dvs.isEmpty, "purge must clear all deletion vectors")
+    require(v3.buckets.exists { case (b, d) => v2.buckets.get(b).contains(d) },
+      "purge must keep untouched buckets' existing dirs (O(dv'd buckets))")
     spark.sql(s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
       s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
       s"FROM $cat.default.orders_dv GROUP BY o_orderpriority " +

@@ -138,6 +138,11 @@ private[sources] object HubProcedures {
         Seq(VersionedHub.alterSchema(spark, tablePath(in),
           graft.writers.BloomIndex.flag(_, cols, in.getBoolean(2))))
       }
+      case "purge" => Proc("purge",
+        Array(p("table", DataTypes.StringType)),
+        versionOut) { in =>
+        Seq(VersionedHub.purge(spark, tablePath(in)))
+      }
       case "repair" => Proc("repair",
         Array(p("table", DataTypes.StringType),
           p("min_age_ms", DataTypes.LongType, Some("600000"))),
@@ -151,5 +156,5 @@ private[sources] object HubProcedures {
 
   val ProcedureNames: Seq[String] =
     Seq("vacuum", "optimize", "zorder", "restore", "repair", "clone",
-      "bloom_index")
+      "bloom_index", "purge")
 }

@@ -1757,6 +1757,32 @@ object VersionedHub {
       s"hub at $path: lost the commit race $MaxRetries times — giving up")
   }
 
+  /** Materialize accumulated deletion vectors — Delta's
+    * `REORG TABLE ... APPLY (PURGE)` shape: rewrite ONLY the buckets whose
+    * live files carry vectors (the rewrite drops the dead rows, and the
+    * new manifest's DV map no longer references the replaced files), while
+    * every untouched bucket keeps its existing dir (structural sharing —
+    * O(dv'd buckets), not O(table)). The complement of the surgical DV
+    * DELETE: vectors make the delete O(k), purge amortizes them away once
+    * enough accumulate (`t$files.dv_rows` shows where). No-op returning
+    * the current version when no vectors exist. Best-effort under races
+    * like Delta REORG: vectors committed after the snapshot probe survive
+    * until the next purge.
+    */
+  def purge(spark: SparkSession, path: String): Int = {
+    val base = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions at $path to purge"))
+    val dvKeys = base.dvs.keySet
+    if (dvKeys.isEmpty) return base.version
+    // DVs are minted only on bucketed hubs (dvDeleteAttempt); a flat
+    // snapshot rewrite materializes them wholesale anyway
+    val chosen = base.buckets.collect {
+      case (b, dir) if dvKeys.exists(_.startsWith(dir + "/")) => b
+    }.toSeq.sorted
+    compactBuckets(spark, path, Some(chosen))
+  }
+
   /** Z-order compaction for BUCKETED hubs — [[optimizeZOrder]]'s
     * counterpart: rewrite every (or the chosen) bucket's current content
     * along the Morton curve of (colA, colB), `filesPerBucket` contiguous
@@ -1884,17 +1910,22 @@ object VersionedHub {
     import spark.implicits._
     val v = versionAt(spark, path, asOf)
     val bucketRe = "_bucket=(\\d+)/".r
+    val dvs = v.dvs
     v.fileStats.toSeq.sortBy(_._1).map { case (f, st) =>
       (v.version, f,
         bucketRe.findFirstMatchIn(f).map(_.group(1).toInt),
         st.rows, st.bytes,
+        // dead rows this file's deletion vector hides — `rows` is the
+        // PHYSICAL count, so live = rows - dv_rows; `CALL purge` rewrites
+        // exactly the files where this is non-zero
+        dvs.get(f).map(_.size.toLong).getOrElse(0L),
         st.cols.collect { case (c, cs) if cs.min.isDefined =>
           c -> cs.min.get.toString },
         st.cols.collect { case (c, cs) if cs.max.isDefined =>
           c -> cs.max.get.toString },
         st.cols.collect { case (c, cs) if cs.nullCount.isDefined =>
           c -> cs.nullCount.get })
-    }.toDF("version", "file", "bucket", "rows", "bytes",
+    }.toDF("version", "file", "bucket", "rows", "bytes", "dv_rows",
       "col_min", "col_max", "col_null_count")
   }
 

@@ -664,7 +664,7 @@ class HubCatalogSpec extends SparkTestBase {
       assert(spark.sql("SHOW PROCEDURES IN hubproc.system")
         .select("procedure_name").as[String].collect().toSet ==
         Set("vacuum", "optimize", "zorder", "restore", "repair", "clone",
-          "bloom_index"))
+          "bloom_index", "purge"))
       val e = intercept[Exception](
         spark.sql("CALL hubproc.system.nope(`table` => 't')"))
       assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||

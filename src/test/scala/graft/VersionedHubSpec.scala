@@ -472,6 +472,36 @@ class VersionedHubSpec extends SparkTestBase {
       !restored.contains(6L))
   }
 
+  test("purge materializes DVs for exactly the dv'd buckets; filesDF exposes dv_rows") {
+    val path = tmpDir("vhub_purge")
+    VersionedHub.writeBucketed(spark,
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"), path, Seq("k"), 8)
+    // no vectors: purge is a version-preserving no-op
+    assert(VersionedHub.purge(spark, path) == 1)
+    VersionedHub.deleteWhere(spark, path, col("k").isin(5L, 17L, 333L))
+    val tip = VersionedHub.history(spark, path).last
+    assert(tip.dvs.nonEmpty)
+    // filesDF accounting: physical - dv_rows == live
+    val fdf = VersionedHub.filesDF(spark, path)
+      .agg(sum("rows"), sum("dv_rows")).as[(Long, Long)].head()
+    assert(fdf._2 == 3L && fdf._1 - fdf._2 == 997L, fdf.toString)
+    val dvDirs = tip.buckets.filter { case (_, d) =>
+      tip.dvs.keySet.exists(_.startsWith(d + "/")) }.keySet
+    val untouched = tip.buckets -- dvDirs
+    assert(VersionedHub.purge(spark, path) == 3)
+    val after = VersionedHub.history(spark, path).last
+    assert(after.dvs.isEmpty, "purge must clear every vector")
+    // structural sharing: every non-dv'd bucket keeps its existing dir
+    assert(untouched.forall { case (b, d) => after.buckets.get(b).contains(d) })
+    // dv'd buckets were rewritten (new dirs)
+    assert(dvDirs.forall(b => after.buckets(b) != tip.buckets(b)))
+    assert(VersionedHub.filesDF(spark, path)
+      .agg(sum("dv_rows")).as[Long].head() == 0L)
+    val live = VersionedHub.read(spark, path).select("k").as[Long]
+      .collect().toSet
+    assert(live.size == 997 && !live.contains(5L) && !live.contains(333L))
+  }
+
   test("deletion vectors: change feed emits DV deletes; checkpoint + vacuum carry vectors; kill-switch rewrites") {
     val path = tmpDir("vhub_dv2")
     VersionedHub.writeBucketed(spark,
