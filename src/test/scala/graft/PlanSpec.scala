@@ -414,4 +414,29 @@ class PlanSpec extends SparkTestBase {
       s"partition filter must reach the scan (directory pruning):\n$scanLine")
     assert(read.count() == 50)
   }
+
+  test("deletion vectors apply as a broadcast anti-join — never a shuffled join of the table") {
+    val ss = spark
+    import ss.implicits._
+    val path = java.nio.file.Files.createTempDirectory("plan_dv")
+      .toFile.getAbsolutePath + "/t"
+    graft.writers.VersionedHub.writeBucketed(spark,
+      (1L to 2000L).map(k => (k, s"v$k")).toDF("k", "v"), path, Seq("k"), 8)
+    graft.writers.VersionedHub.deleteWhere(spark, path,
+      org.apache.spark.sql.functions.col("k").isin(3L, 700L, 1500L))
+    assert(graft.writers.VersionedHub.history(spark, path).last.dvs.nonEmpty,
+      "precondition: the delete must have committed deletion vectors")
+    val read = graft.writers.VersionedHub.read(spark, path)
+    read.collect()
+    val p = read.queryExecution.executedPlan.toString
+    // the vectors are tiny and driver-resident: subtracting them must ride
+    // a broadcast (anti) join, not shuffle the 100 TB table by (file, pos)
+    assert(p.contains("LeftAnti, BuildRight") ||
+      p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"DV apply must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"DV apply must not sort-merge the table:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"DV apply must not shuffle the table:\n$p")
+  }
 }
