@@ -82,24 +82,42 @@ object Bench {
     val calibFirst = calibrate()
     val loadFirst = loadAvg()
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to reps; name <- names) {
-      System.gc()
-      Thread.sleep(50)
-      val t0 = System.nanoTime()
-      try execute(selected(name)(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // normalized best: each rep's timings scaled by THAT REP's calibration
+    // drift (calibRep / calibBest), so a rep run during a co-tenant load
+    // spike is corrected toward what it would have cost on the quiet box —
+    // `value_norm` is the figure to compare round-over-round when the
+    // raw calib_first/last disagree (the r13 verdict's 1.93× problem).
+    val bestNorm = scala.collection.mutable.Map.empty[String, Double]
+    val calibReps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (r <- 1 to reps) {
+      calibReps += calibrate()
+      for (name <- names) {
+        System.gc()
+        Thread.sleep(50)
+        val t0 = System.nanoTime()
+        try execute(selected(name)(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
+        bestNorm.updateWith(name)(prev =>
+          Some(prev.fold(sec / calibReps(r - 1))(
+            math.min(_, sec / calibReps(r - 1)))))
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
     }
     val calibLast = calibrate()
     val loadLast = loadAvg()
+    val calibBest = (calibReps :+ calibFirst :+ calibLast).min
     val results = names.map(n => n -> best(n))
+    val resultsNorm = names.map(n => n -> bestNorm(n) * calibBest)
     def fmt(v: Double): String = "%.4f".format(v)
     val total = results.map(_._2).sum
+    val totalNorm = resultsNorm.map(_._2).sum
     val calibJson = s""""calib_first_sec":${fmt(calibFirst)},""" +
       s""""calib_last_sec":${fmt(calibLast)},""" +
+      s""""calib_reps":[${calibReps.map(fmt).mkString(",")}],""" +
+      s""""value_norm":${fmt(totalNorm)},""" +
       s""""load_avg_first":${fmt(loadFirst)},"load_avg_last":${fmt(loadLast)}"""
 
     // Full per-query record as a FILE: the driver keeps only the tail of
