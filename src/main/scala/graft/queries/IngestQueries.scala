@@ -1048,6 +1048,57 @@ object IngestQueries {
       |    AS cents
       |FROM orders WHERE o_orderkey < 4000 ORDER BY o_orderkey""".stripMargin
 
+  /** GENERATED AS IDENTITY (Delta parity): values allocate beyond the
+    * manifest-carried high-water mark with no shuffle and no driver
+    * coordination beyond the mark itself. Identity values are inherently
+    * run-dependent (partition-strided gaps), so the in-query gates carry
+    * the identity contract — uniqueness, strictly-increasing across
+    * commits, stability under UPDATE/MERGE/upsert, ALWAYS-refusal — and
+    * the oracle checks the relational content.
+    */
+  val qHubIdentitySql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_id_sql").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    spark.sql(s"CREATE TABLE $cat.default.nation_id " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, n_nationkey BIGINT, " +
+      "n_name STRING)")
+    Tables(spark, dir, "nation").createOrReplaceTempView("nid_src")
+    spark.sql(s"INSERT INTO $cat.default.nation_id (n_nationkey, n_name) " +
+      "SELECT CAST(n_nationkey AS BIGINT), n_name FROM nid_src " +
+      "WHERE n_nationkey < 12")
+    def idsByKey(): Map[Long, Long] =
+      spark.sql(s"SELECT n_nationkey, id FROM $cat.default.nation_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = idsByKey()
+    require(first.values.toSet.size == first.size, "ids must be unique")
+    // second commit allocates strictly beyond the recorded mark
+    spark.sql(s"INSERT INTO $cat.default.nation_id (n_nationkey, n_name) " +
+      "SELECT CAST(n_nationkey AS BIGINT), n_name FROM nid_src " +
+      "WHERE n_nationkey >= 12")
+    val second = idsByKey()
+    require(second.filterKeys(_ >= 12).values.min > first.values.max,
+      "later commits must allocate beyond earlier ids")
+    // explicit insert refused, nothing committed
+    val before = second.size
+    val refused = try { spark.sql(s"INSERT INTO $cat.default.nation_id " +
+      "VALUES (1, -1, 'x')"); false } catch { case _: Exception => true }
+    require(refused && idsByKey().size == before,
+      "GENERATED ALWAYS must refuse explicit inserts atomically")
+    // MERGE rename keeps every matched id; upsert keeps ids too
+    spark.sql(s"MERGE INTO $cat.default.nation_id t USING nid_src s " +
+      "ON t.n_nationkey = CAST(s.n_nationkey AS BIGINT) " +
+      "WHEN MATCHED THEN UPDATE SET n_name = upper(s.n_name)")
+    val after = idsByKey()
+    require(after == second, "MERGE UPDATE must not reassign identity ids")
+    spark.sql(s"SELECT n_nationkey, n_name FROM $cat.default.nation_id " +
+      "ORDER BY n_nationkey")
+  }
+
+  private val hubIdentitySqlOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  upper(n_name) AS n_name
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** Surgical DELETE through DELETION VECTORS (Delta DV shape): removing
     * a handful of rows from a bucketed hub must be a MANIFEST-ONLY commit
     * — the in-query gate counts parquet files before/after and requires
@@ -1603,6 +1654,7 @@ object IngestQueries {
     "q_hub_merge_on_sql" -> qHubMergeOnSql,
     "q_hub_check_sql" -> qHubCheckSql,
     "q_hub_generated_sql" -> qHubGeneratedSql,
+    "q_hub_identity_sql" -> qHubIdentitySql,
     "q_hub_dv_delete" -> qHubDvDelete,
     "q_hub_default_sql" -> qHubDefaultSql,
     "q_hub_restore" -> qHubRestore,
@@ -1640,6 +1692,7 @@ object IngestQueries {
     "q_hub_merge_on_sql" -> hubMergeOnSqlOracle,
     "q_hub_check_sql" -> hubCheckSqlOracle,
     "q_hub_generated_sql" -> hubGeneratedSqlOracle,
+    "q_hub_identity_sql" -> hubIdentitySqlOracle,
     "q_hub_dv_delete" -> hubDvDeleteOracle,
     "q_hub_default_sql" -> hubDefaultSqlOracle,
     "q_hub_restore" -> hubRestoreOracle,

@@ -74,7 +74,9 @@ class HubCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** Only the conventional single-element ["default"] namespace aliases to
     * the base dir; "default" at any deeper position is a real directory
@@ -184,8 +186,28 @@ class HubCatalog extends TableCatalog
     // every write path reading it) sees them
     val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
       .GENERATION_EXPRESSION_METADATA_KEY
+    val idc = org.apache.spark.sql.catalyst.util.IdentityColumn
     val byName = info.columns().map(c => c.name() -> c).toMap
-    val schema = StructType(info.schema().fields.map { f =>
+    val schema = StructType(info.schema().fields.map { f0 =>
+      val f = byName.get(f0.name).flatMap(c =>
+        Option(c.identityColumnSpec())) match {
+        // GENERATED ... AS IDENTITY: store start/step/allow-explicit under
+        // Spark's own identity metadata keys (IdentityColumn.getIdentityInfo
+        // reads them back); the write paths allocate values above the
+        // high-water mark the recorded schema carries
+        case Some(spec) =>
+          require(f0.dataType == org.apache.spark.sql.types.LongType,
+            s"identity column ${f0.name} must be BIGINT (the distributed " +
+              s"allocator spans the long range), got ${f0.dataType.sql}")
+          f0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f0.metadata)
+            .putLong(idc.IDENTITY_INFO_START, spec.getStart)
+            .putLong(idc.IDENTITY_INFO_STEP, spec.getStep)
+            .putBoolean(idc.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+              spec.isAllowExplicitInsert)
+            .build())
+        case None => f0
+      }
       byName.get(f.name).flatMap(c => Option(c.generationExpression())) match {
         case Some(expr) if expr.nonEmpty =>
           f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()

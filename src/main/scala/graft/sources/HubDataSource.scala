@@ -638,9 +638,14 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              // every appended row is user-provided: explicit values in a
+              // GENERATED ALWAYS AS IDENTITY column are refused here (the
+              // merge/update paths, whose carried rows hold allocated
+              // values, do not take this guard)
+              val guarded = VersionedHub.refuseExplicitIdentity(data, path)
               if (overwrite || replaceAll)
-                VersionedHub.overwrite(data.sparkSession, data, path)
-              else VersionedHub.write(data.sparkSession, data, path, keys)
+                VersionedHub.overwrite(data.sparkSession, guarded, path)
+              else VersionedHub.write(data.sparkSession, guarded, path, keys)
               ()
             }
         }

@@ -170,6 +170,19 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       if (matchedStar && insertStar && m.notMatchedBySourceActions.isEmpty &&
           extras.isEmpty) {
+        // a GENERATED ALWAYS AS IDENTITY column accepts no explicit
+        // values: the star shape feeds the source straight to the upsert,
+        // so a source carrying the column would smuggle them in — refuse,
+        // Delta-style (list the insert columns explicitly and omit it)
+        val strict = graft.writers.VersionedHub
+          .identitySpecs(Some(table.schema()))
+          .filterNot(_._2.allowExplicit).map(_._1.name)
+        val carried = strict.filter(n =>
+          m.sourceTable.output.exists(_.name.equalsIgnoreCase(n)))
+        if (carried.nonEmpty)
+          fail(s"MERGE */star source provides identity column(s) " +
+            s"${carried.mkString(", ")} — GENERATED ALWAYS AS IDENTITY " +
+            "accepts no explicit values; drop the column from the source")
         // the canonical shape: the hub merge IS this upsert — the source
         // feeds it directly (columns aligned to the target's exact casing)
         val tgtNames: Map[String, String] = m.targetTable.output
@@ -204,8 +217,14 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .filter(org.apache.spark.sql.catalyst.util.GeneratedColumn
             .isGeneratedColumn)
           .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+        val idSpecs = graft.writers.VersionedHub
+          .identitySpecs(Some(table.schema()))
+        val idAll = idSpecs.map(_._1.name.toLowerCase(java.util.Locale.ROOT))
+          .toSet
+        val idStrict = idSpecs.filterNot(_._2.allowExplicit)
+          .map(_._1.name.toLowerCase(java.util.Locale.ROOT)).toSet
         val plans = generalMergePlans(m, keys, hasExtras = extras.nonEmpty,
-          genCols)
+          genCols, idAll, idStrict)
         GraftMergeCommand(path, keys, plans.src, plans.deletes,
           plans.matchedKeys, plans.nmbsNullKeys, plans.insertKeys,
           plans.targetKeys)
@@ -246,31 +265,49 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       targetKeys: Option[LogicalPlan] = None)
 
   private def generalMergePlans(m: MergeIntoTable, keys: Seq[String],
-      hasExtras: Boolean, genCols: Set[String]): GeneralPlans = {
+      hasExtras: Boolean, genCols: Set[String],
+      idAll: Set[String] = Set.empty,
+      idStrict: Set[String] = Set.empty): GeneralPlans = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val lcKeys = keys.map(lc).toSet
     val srcByName = m.sourceTable.output.map(a => lc(a.name) -> a).toMap
     def assignMap(assigns: Seq[Assignment],
         what: String): Map[String, Expression] =
-      assigns.map { a =>
+      assigns.flatMap { a =>
         unwrapCast(a.key) match {
           case k: AttributeReference if m.targetTable.outputSet.contains(k) =>
-            // UPDATE on a GENERATED ALWAYS AS column is refused unless it
-            // is the analyzer's star-expansion identity (g = s.g) — the
-            // column recomputes from its expression at write time, and the
-            // write path validates any explicitly provided value anyway
-            if (what.contains("UPDATE") && genCols.contains(lc(k.name))) {
-              val identity = unwrapCast(a.value) match {
-                case v: AttributeReference =>
-                  v.name.equalsIgnoreCase(k.name) &&
-                    m.sourceTable.outputSet.contains(v)
-                case _ => false
-              }
-              if (!identity)
-                fail(s"$what SET on generated column ${k.name} — it " +
-                  "recomputes from its GENERATED ALWAYS AS expression")
+            // is this the analyzer's star-expansion identity form
+            // (col = s.col)?
+            def mirrorsSource: Boolean = unwrapCast(a.value) match {
+              case v: AttributeReference =>
+                v.name.equalsIgnoreCase(k.name) &&
+                  m.sourceTable.outputSet.contains(v)
+              case _ => false
             }
-            lc(k.name) -> a.value
+            // UPDATE on a GENERATED ALWAYS AS column is refused unless it
+            // is the star-expansion form — the column recomputes from its
+            // expression at write time, and the write path validates any
+            // explicitly provided value anyway
+            if (what.contains("UPDATE") && genCols.contains(lc(k.name)) &&
+                !mirrorsSource)
+              fail(s"$what SET on generated column ${k.name} — it " +
+                "recomputes from its GENERATED ALWAYS AS expression")
+            // identity values are birth-assigned and immutable on UPDATE;
+            // the star-expansion form is DROPPED from the map so the
+            // matched row keeps its target value
+            if (what.contains("UPDATE") && idAll.contains(lc(k.name))) {
+              if (!mirrorsSource)
+                fail(s"$what SET on identity column ${k.name} — " +
+                  "GENERATED AS IDENTITY values are assigned at insert " +
+                  "and immutable")
+              None
+            } else if (!what.contains("UPDATE") &&
+                idStrict.contains(lc(k.name))) {
+              // INSERT providing a GENERATED ALWAYS AS IDENTITY value
+              fail(s"$what assigns identity column ${k.name} — GENERATED " +
+                "ALWAYS AS IDENTITY accepts no explicit values; omit it " +
+                "and the write allocates one")
+            } else Some(lc(k.name) -> a.value)
           case other => fail(s"$what assignment target $other is not a " +
             "top-level target column")
         }
@@ -371,8 +408,11 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (upds.isEmpty) t
       else CaseWhen(upds.map { case (c, u) =>
         (c.getOrElse(Literal.TrueLiteral), shaped(
-          if (u.star) srcAttr(t.name)
-          else u.assigns.getOrElse(lc(t.name),
+          // identity columns are immutable: star updates keep the TARGET's
+          // value (the matched row's birth-assigned id)
+          if (u.star) {
+            if (idAll.contains(lc(t.name))) t else srcAttr(t.name)
+          } else u.assigns.getOrElse(lc(t.name),
             if (isGenerated(t)) Literal(null, t.dataType) else t),
           t.dataType, s"WHEN MATCHED value for ${t.name}")) }, Some(t))
     }
@@ -380,8 +420,18 @@ case class HubMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (insertBranches.isEmpty) Literal(null, t.dataType)
       else CaseWhen(insertBranches.map { case (c, (star, am)) =>
         (c.getOrElse(Literal.TrueLiteral), shaped(
-          if (star) srcAttr(t.name)
-          else am.getOrElse(lc(t.name), Literal(null, t.dataType)),
+          if (star) {
+            if (idStrict.contains(lc(t.name)) &&
+                srcByName.contains(lc(t.name)))
+              fail(s"INSERT * provides identity column ${t.name} — " +
+                "GENERATED ALWAYS AS IDENTITY accepts no explicit values; " +
+                "list the insert columns and omit it")
+            // star insert on an identity table whose source omits the
+            // column: allocate at write (NULL here)
+            if (idAll.contains(lc(t.name)) && !srcByName.contains(lc(t.name)))
+              Literal(null, t.dataType)
+            else srcAttr(t.name)
+          } else am.getOrElse(lc(t.name), Literal(null, t.dataType)),
           t.dataType, s"WHEN NOT MATCHED value for ${t.name}")) },
         Some(Literal(null, t.dataType)))
     // join shape: LEFT-outer (source-driven) when only matched/insert

@@ -239,7 +239,8 @@ object HubWriter {
   private[writers] def merge(
       target: DataFrame,
       source: DataFrame,
-      keys: Seq[String]
+      keys: Seq[String],
+      identityCols: Seq[String] = Seq.empty
   ): DataFrame = {
     val tagged = target
       .withColumn("_is_new", lit(0))
@@ -250,7 +251,20 @@ object HubWriter {
         Seq(desc("_is_new"), desc("_ingest_ts_utc"))
       else Seq(desc("_is_new"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
-    tagged
+    // identity values are birth-assigned PER KEY: a batch row replacing an
+    // existing key inherits the replaced row's identity value (the batch
+    // side carries NULL there) — max over the key's window group, same
+    // partitioning as the dedup window, so no extra shuffle. NULL-keyed
+    // rows never match and keep their own (to-be-allocated) NULL.
+    val idFill = identityCols.filter(c =>
+      tagged.columns.exists(_.equalsIgnoreCase(c)))
+    val wFull = Window.partitionBy(keys.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val inherited = idFill.foldLeft(tagged)((d, c) =>
+      d.withColumn(c,
+        when(anyNullKey, col(c))
+          .otherwise(coalesce(col(c), max(col(c)).over(wFull)))))
+    inherited
       .withColumn(
         "_rn",
         when(anyNullKey, lit(1)).otherwise(row_number().over(w))

@@ -226,7 +226,8 @@ object VersionedHub {
             target0.join(d, keys, "left_anti"))
           val (t, s) = HubWriter.reconcileSchemas(target, df)
           if (keys.isEmpty) t.unionByName(s)
-          else HubWriter.merge(t, s, keys)
+          else HubWriter.merge(t, s, keys,
+            identitySpecs(v.schema).map(_._1.name))
       }
     }
   }
@@ -314,11 +315,135 @@ object VersionedHub {
     }
   }
 
-  /** Generated columns + CHECK constraints, in that order (a CHECK may
-    * reference a generated column and must see its materialized value).
+  /** High-water mark of an identity column: the most-extreme value (in
+    * step direction) any commit has allocated or observed, stored IN the
+    * recorded schema's field metadata — every commit site already carries
+    * the schema forward, so the mark survives compaction / ALTER / clone
+    * for free, and time travel / restore see the mark AS OF that version.
+    */
+  private[graft] val IdentityHighKey = "graft.identity.high"
+
+  private[graft] final case class IdSpec(start: Long, step: Long,
+      allowExplicit: Boolean, high: Option[Long])
+
+  /** The identity columns of a recorded schema (field + parsed spec),
+    * via Spark's own identity metadata keys.
+    */
+  private[graft] def identitySpecs(schema: Option[
+      org.apache.spark.sql.types.StructType])
+      : Seq[(org.apache.spark.sql.types.StructField, IdSpec)] = {
+    import org.apache.spark.sql.catalyst.util.IdentityColumn
+    schema.map(_.fields.toSeq).getOrElse(Seq.empty).flatMap { f =>
+      IdentityColumn.getIdentityInfo(f).map { spec =>
+        f -> IdSpec(spec.getStart, spec.getStep, spec.isAllowExplicitInsert,
+          if (f.metadata.contains(IdentityHighKey))
+            Some(f.metadata.getLong(IdentityHighKey)) else None)
+      }
+    }
+  }
+
+  /** Allocate identity values (Delta GENERATED AS IDENTITY parity): rows
+    * carrying NULL in an identity column get a fresh value strictly beyond
+    * the recorded high-water mark, in one codegen'd projection with NO
+    * shuffle — value = base + step * monotonically_increasing_id(), unique
+    * per partition slot (the 33-bit partition stride leaves gaps, which
+    * identity explicitly permits; uniqueness and step-direction
+    * monotonicity vs. all prior commits are the contract). Rows already
+    * holding a value (carried snapshot rows, explicit BY DEFAULT inserts)
+    * keep it. The new mark is recovered from the written files' own
+    * min/max stats at commit ([[stampIdentityHigh]]) — no second pass.
+    */
+  private def applyIdentity(df: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, when}
+    val ids = identitySpecs(schema)
+      .filter { case (f, _) => df.columns.exists(_.equalsIgnoreCase(f.name)) }
+    if (ids.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      ids.find(_._1.name.equalsIgnoreCase(c)) match {
+        case Some((f, s)) =>
+          // next progression point beyond the mark: allocated values stay
+          // on start + k*step even after an explicit BY DEFAULT insert
+          // moved the mark off-progression (Delta watermark rounding)
+          val base = s.high.fold(s.start)(h =>
+            s.start + (Math.floorDiv(h - s.start, s.step) + 1) * s.step)
+          when(col(c).isNull,
+            lit(base) + lit(s.step) * monotonically_increasing_id())
+            .otherwise(col(c)).as(c, f.metadata)
+        case None => col(c)
+      }
+    }: _*)
+  }
+
+  /** Fold the identity high-water marks observed in a commit's NEW files
+    * (their per-column min/max stats — already collected for data
+    * skipping, so the mark costs nothing) into the recorded schema. The
+    * old mark participates, so an overwrite/upsert that drops the extreme
+    * row never lowers the mark (ids are never reused).
+    */
+  private def stampIdentityHigh(rec: org.apache.spark.sql.types.StructType,
+      fstats: Map[String, FileStats.FileStat])
+      : org.apache.spark.sql.types.StructType = {
+    val ids = identitySpecs(Some(rec))
+    if (ids.isEmpty) return rec
+    def num(v: Any): Long = v match {
+      case n: Number => n.longValue()
+      case other => other.toString.toLong
+    }
+    val updated = ids.flatMap { case (f, s) =>
+      val phys = ColumnMapping.physName(f)
+      val observed = fstats.values.flatMap { st =>
+        st.cols.get(phys).flatMap(cs => if (s.step > 0) cs.max else cs.min)
+      }.map(num)
+      val mark = (observed ++ s.high).reduceOption((a, b) =>
+        if (s.step > 0) math.max(a, b) else math.min(a, b))
+      mark.map(m => f.name -> m)
+    }.toMap
+    if (updated.isEmpty) rec
+    else org.apache.spark.sql.types.StructType(rec.fields.map { f =>
+      updated.get(f.name).fold(f)(m =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(IdentityHighKey, m).build()))
+    })
+  }
+
+  /** V2 INSERT/OVERWRITE guard: every row of an append is user-provided,
+    * so a non-NULL value in a GENERATED ALWAYS AS IDENTITY column is an
+    * explicit insert — refused through the same codegen'd CheckInvariant
+    * the CHECK constraints use (loud, row-valued, zero extra pass). NOT
+    * applied on merge/update paths, whose carried target rows legitimately
+    * hold allocated values.
+    */
+  private[graft] def refuseExplicitIdentity(df: DataFrame,
+      path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val strict = latest(df.sparkSession, path).toSeq
+      .flatMap(v => identitySpecs(v.schema))
+      .filterNot(_._2.allowExplicit)
+      .filter { case (f, _) =>
+        df.columns.exists(_.equalsIgnoreCase(f.name)) }
+    strict.foldLeft(df) { case (d, (f, _)) =>
+      import org.apache.spark.sql.catalyst.expressions.{CheckInvariant, Expression}
+      val cond = d.filter(col(f.name).isNull).queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
+        .condition
+      val extractors = cond.references.toSeq.sortBy(_.name)
+        .map(a => a.name -> (a: Expression))
+      d.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        CheckInvariant(cond, extractors,
+          s"${f.name} GENERATED ALWAYS AS IDENTITY accepts no explicit " +
+            "values (omit the column and the write allocates one)",
+          s"${f.name} IS NULL")))
+    }
+  }
+
+  /** Identity allocation, then generated columns, then CHECK constraints
+    * (a generation expression or CHECK may reference the identity value
+    * and must see it filled).
     */
   private def enforceChecks(df: DataFrame, base: Option[Version]): DataFrame =
-    base.fold(df)(v => enforceChecks(applyGenerated(df, v.schema), v.checks))
+    base.fold(df)(v => enforceChecks(
+      applyGenerated(applyIdentity(df, v.schema), v.schema), v.checks))
 
   /** The generated-column names of a snapshot schema (lower-cased). */
   private[graft] def generatedCols(v: Version): Set[String] =
@@ -383,7 +508,8 @@ object VersionedHub {
       // snapshot, so the delta equals the full stats map
       if (commit(fs, path,
           Version(next, dataDir, System.currentTimeMillis(), rows, batchId,
-            schemaJson = Some(recSchema.json), statsNew = fstats,
+            schemaJson = Some(stampIdentityHigh(recSchema, fstats).json),
+            statsNew = fstats,
             checks = base.fold(Map.empty[String, String])(_.checks))))
         return next
       // lost the race: drop the orphan snapshot, recompute against the winner
@@ -485,7 +611,8 @@ object VersionedHub {
             }
             val (t, s) = HubWriter.reconcileSchemas(
               target, stamped.drop(BucketCol))
-            stamp(HubWriter.merge(t, s, keys))
+            stamp(HubWriter.merge(t, s, keys,
+              identitySpecs(v.schema).map(_._1.name)))
           }
       }
       val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
@@ -556,7 +683,8 @@ object VersionedHub {
       // commit cost stay O(touched buckets), not O(table)
       if (commit(fs, path, Version(next, root, System.currentTimeMillis(),
           rows, batchId, Some(nBuckets), newBuckets, Some(bCols),
-          bucketRows, schemaJson = Some(snapSchema.json),
+          bucketRows,
+          schemaJson = Some(stampIdentityHigh(snapSchema, fstatsNew).json),
           statsNew = fstatsNew,
           statsCarried = () => base.fold(
             Map.empty[String, FileStats.FileStat])(_.fileStats),
@@ -985,7 +1113,8 @@ object VersionedHub {
           if (commit(fs, path, Version(next, root,
               System.currentTimeMillis(), bucketRows.values.sum, None,
               Some(n), buckets, Some(bCols), bucketRows,
-              schemaJson = Some(recSchema.json), statsNew = fstats,
+              schemaJson = Some(stampIdentityHigh(recSchema, fstats).json),
+              statsNew = fstats,
               checks = base.checks)))
             return next
           fs.delete(new Path(resolve(path, root)), true)
@@ -1439,6 +1568,14 @@ object VersionedHub {
         s"cannot UPDATE generated column(s) ${hit.mkString(", ")} — they " +
           "recompute from their GENERATED ALWAYS AS expression; update the " +
           "source columns instead")
+      // identity values are birth-assigned and immutable (Delta parity)
+      val idCols = identitySpecs(v0.schema)
+        .map(_._1.name.toLowerCase(java.util.Locale.ROOT)).toSet
+      val idHit = sets.map(_._1).filter(c =>
+        idCols.contains(c.toLowerCase(java.util.Locale.ROOT)))
+      require(idHit.isEmpty,
+        s"cannot UPDATE identity column(s) ${idHit.mkString(", ")} — " +
+          "GENERATED AS IDENTITY values are assigned at insert and immutable")
     }
     val hit = coalesce(cond, lit(false))
     val setMap = sets.toMap

@@ -1506,6 +1506,83 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("GENERATED AS IDENTITY: allocated beyond the high-water mark, immutable, explicit insert gated by ALWAYS/BY DEFAULT") {
+    withCatalog("hubid") { base =>
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      spark.sql("CREATE TABLE hubid.default.t (id BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY, k BIGINT, name STRING)")
+      spark.sql("INSERT INTO hubid.default.t (k, name) " +
+        "VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      val ids1 = spark.sql("SELECT k, id FROM hubid.default.t")
+        .as[(Long, Long)].collect().toMap
+      assert(ids1.size == 3 && ids1.values.toSet.size == 3,
+        s"ids must be unique: $ids1")
+      assert(ids1.values.forall(_ >= 1), s"ids start at START WITH: $ids1")
+      // explicit value refused (ALWAYS), nothing committed
+      val n0 = spark.sql("SELECT count(*) FROM hubid.default.t")
+        .as[Long].head()
+      val e1 = intercept[Exception](spark.sql(
+        "INSERT INTO hubid.default.t VALUES (999, 4, 'x')"))
+      assert(rootMsg(e1).contains("IDENTITY"), rootMsg(e1))
+      assert(spark.sql("SELECT count(*) FROM hubid.default.t")
+        .as[Long].head() == n0)
+      // a second insert allocates strictly beyond every existing id
+      spark.sql("INSERT INTO hubid.default.t (k, name) VALUES (4, 'd')")
+      val ids2 = spark.sql("SELECT k, id FROM hubid.default.t")
+        .as[(Long, Long)].collect().toMap
+      assert(ids2(4L) > ids1.values.max,
+        s"new id must exceed the high-water mark: $ids2")
+      // UPDATE SET on the identity column refused; other updates keep it
+      val e2 = intercept[Exception](spark.sql(
+        "UPDATE hubid.default.t SET id = 1 WHERE k = 2"))
+      assert(rootMsg(e2).toLowerCase.contains("identity"), rootMsg(e2))
+      spark.sql("UPDATE hubid.default.t SET name = 'B' WHERE k = 2")
+      assert(spark.sql("SELECT id FROM hubid.default.t WHERE k = 2")
+        .as[Long].head() == ids1(2L), "UPDATE must not reassign the id")
+      // MERGE: matched rows keep their id, inserted rows allocate fresh
+      Seq((2L, "m2"), (9L, "m9")).toDF("k", "name")
+        .createOrReplaceTempView("id_src")
+      spark.sql(
+        """MERGE INTO hubid.default.t t USING id_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET name = s.name
+          |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)"""
+          .stripMargin)
+      val ids3 = spark.sql("SELECT k, id FROM hubid.default.t")
+        .as[(Long, Long)].collect().toMap
+      assert(ids3(2L) == ids1(2L), "MERGE UPDATE must keep the matched id")
+      assert(ids3(9L) > ids2.values.max, "MERGE INSERT must allocate fresh")
+      assert(ids3.values.toSet.size == ids3.size, s"ids unique: $ids3")
+      // MERGE INSERT explicitly assigning the ALWAYS identity → refused
+      val e3 = intercept[Exception](spark.sql(
+        """MERGE INTO hubid.default.t t USING id_src s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (id, k) VALUES (1, s.k)"""
+          .stripMargin))
+      assert(rootMsg(e3).contains("IDENTITY"), rootMsg(e3))
+      // library upsert: matched key inherits its id, new key allocates
+      VersionedHub.write(spark,
+        Seq((2L, "lib2"), (50L, "lib50")).toDF("k", "name"),
+        s"$base/t", Seq("k"))
+      val ids4 = spark.sql("SELECT k, id FROM hubid.default.t")
+        .as[(Long, Long)].collect().toMap
+      assert(ids4(2L) == ids1(2L), "library upsert must keep the matched id")
+      assert(ids4(50L) > ids3.values.max)
+      assert(ids4.values.toSet.size == ids4.size)
+      // BY DEFAULT + START/STEP: explicit values allowed, allocation stays
+      // on the start + k*step progression above everything observed
+      spark.sql("CREATE TABLE hubid.default.d (id BIGINT GENERATED BY " +
+        "DEFAULT AS IDENTITY (START WITH 100 INCREMENT BY 10), v STRING)")
+      spark.sql("INSERT INTO hubid.default.d VALUES (7, 'explicit')")
+      spark.sql("INSERT INTO hubid.default.d (v) VALUES ('auto')")
+      val d = spark.sql("SELECT v, id FROM hubid.default.d")
+        .as[(String, Long)].collect().toMap
+      assert(d("explicit") == 7L)
+      assert(d("auto") > 7L && (d("auto") - 100L) % 10L == 0L,
+        s"allocated id must sit on the START+k*STEP progression: $d")
+    }
+  }
+
   test("catalog DDL refuses object-store schemes like commits do") {
     import org.apache.spark.sql.connector.catalog.Identifier
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
