@@ -493,8 +493,9 @@ class HubCatalog extends TableCatalog
     case other =>
       throw new UnsupportedOperationException(
         s"graft-hub ALTER TABLE does not support ${other.getClass.getSimpleName}" +
-          " (NOT NULL contradicts the all-nullable contract; table " +
-          "properties have no store)")
+          " (NOT NULL contradicts the all-nullable contract — use ALTER " +
+          "TABLE … ADD CONSTRAINT … CHECK (col IS NOT NULL) for write-time " +
+          "enforcement; table properties have no store)")
   }
 
   private def insertAt(s: StructType,
