@@ -2473,8 +2473,16 @@ object VersionedHub {
         st.getModificationTime < cutoff)
       .flatMap { st =>
         val n = st.getPath.getName.stripSuffix(".json").toInt
-        if (parseManifestOnce(fs, st.getPath).isEmpty && fs.delete(st.getPath, false))
-          Some(n)
+        // deletion is irreversible: parseManifestOnce treats TRANSIENT IO
+        // failures as None (the in-flight contract), so insist the claim
+        // stays unparseable across several spaced attempts before
+        // reclaiming the number
+        def deadClaim: Boolean = (1 to 3).forall { i =>
+          val unreadable = parseManifestOnce(fs, st.getPath).isEmpty
+          if (unreadable && i < 3) Thread.sleep(ManifestWaitMs)
+          unreadable
+        }
+        if (deadClaim && fs.delete(st.getPath, false)) Some(n)
         else None
       }.sorted
   }

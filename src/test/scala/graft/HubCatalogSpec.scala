@@ -1583,6 +1583,21 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("generation expressions and CHECKs may read identity columns (fill order: identity → generated → checks)") {
+    withCatalog("hubord") { _ =>
+      spark.sql("CREATE TABLE hubord.default.t (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 5), " +
+        "tag STRING GENERATED ALWAYS AS (concat('row-', CAST(id AS STRING))), " +
+        "v STRING, " +
+        "CONSTRAINT id_pos CHECK (id >= 5))")
+      spark.sql("INSERT INTO hubord.default.t (v) VALUES ('a'), ('b'), ('c')")
+      val rows = spark.sql("SELECT id, tag FROM hubord.default.t")
+        .as[(Long, String)].collect().toSeq
+      assert(rows.nonEmpty && rows.forall { case (id, tag) =>
+        id >= 5 && tag == s"row-$id" }, rows.toString)
+    }
+  }
+
   test("catalog DDL refuses object-store schemes like commits do") {
     import org.apache.spark.sql.connector.catalog.Identifier
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
