@@ -1426,8 +1426,20 @@ object IngestQueries {
     spark.sql(s"CALL $cat.system.zorder(`table` => 'nation_c', " +
       "col_a => 'n_nationkey', col_b => 'n_nationkey')")
     spark.sql(s"CALL $cat.system.restore(`table` => 'nation_c', version => 1)")
-    spark.sql(s"CALL $cat.system.vacuum(`table` => 'nation_c', " +
-      "keep_versions => 2, retain_ms => 0)")
+    // DRY RUN predicts, deletes nothing; the real vacuum then matches it
+    def nVersions(): Long = spark.sql(
+      s"SELECT count(*) FROM $cat.default.`nation_c$$history`")
+      .head().getLong(0)
+    val beforeDry = nVersions()
+    val dry = spark.sql(s"CALL $cat.system.vacuum(`table` => 'nation_c', " +
+      "keep_versions => 2, retain_ms => 0, dry_run => true)").head()
+    require(nVersions() == beforeDry, "dry run must not drop versions")
+    require(dry.getInt(1) == (beforeDry - 2).toInt,
+      s"dry run must report keep_versions-excess versions: $dry")
+    val real = spark.sql(s"CALL $cat.system.vacuum(`table` => 'nation_c', " +
+      "keep_versions => 2, retain_ms => 0)").head()
+    require(real.getInt(1) == dry.getInt(1),
+      s"real vacuum must drop what the dry run reported: $dry vs $real")
     val rows = spark.sql(s"SELECT * FROM $cat.default.nation_c").count()
     require(rows == 25, s"restored content must survive vacuum, got $rows")
     require(!spark.sql(s"SELECT n_name FROM $cat.default.nation_c " +

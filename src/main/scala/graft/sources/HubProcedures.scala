@@ -84,12 +84,19 @@ private[sources] object HubProcedures {
         Array(p("table", DataTypes.StringType),
           p("keep_versions", DataTypes.IntegerType, Some("-1")),
           p("retain_ms", DataTypes.LongType,
-            Some(VersionedHub.DefaultVacuumRetainMs.toString))),
-        new StructType().add("kept_versions", DataTypes.IntegerType)) { in =>
+            Some(VersionedHub.DefaultVacuumRetainMs.toString)),
+          p("dry_run", DataTypes.BooleanType, Some("false"))),
+        new StructType().add("kept_versions", DataTypes.IntegerType)
+          .add("dropped_versions", DataTypes.IntegerType)
+          .add("swept_data_roots", DataTypes.IntegerType)) { in =>
         val path = tablePath(in)
         val keep = Some(in.getInt(1)).filter(_ >= 1)
-        VersionedHub.vacuum(spark, path, keep, in.getLong(2))
-        Seq(VersionedHub.history(spark, path).size)
+        val (droppedV, sweptRoots) =
+          if (in.getBoolean(3))
+            VersionedHub.vacuumDryRun(spark, path, keep, in.getLong(2))
+          else VersionedHub.vacuum(spark, path, keep, in.getLong(2))
+        Seq(VersionedHub.history(spark, path).size, droppedV.size,
+          sweptRoots.size)
       }
       case "optimize" => Proc("optimize",
         Array(p("table", DataTypes.StringType),

@@ -938,16 +938,32 @@ object VersionedHub {
     * [[DefaultVacuumRetainMs]]); pass 0 only when no writer can be active.
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Option[Int] = None,
-      retainMs: Long = DefaultVacuumRetainMs): Unit = {
+      retainMs: Long = DefaultVacuumRetainMs): (Seq[Int], Seq[String]) =
+    vacuumImpl(spark, path, keepVersions, retainMs, dryRun = false)
+
+  /** Delta `VACUUM ... DRY RUN` parity: report every manifest version and
+    * data root a real vacuum with the same arguments would remove, deleting
+    * NOTHING — (droppedVersions, sweptDataRoots relative to `path`/data).
+    * The probe applies the same retention clock, so an in-flight writer's
+    * young orphan is not listed either.
+    */
+  def vacuumDryRun(spark: SparkSession, path: String,
+      keepVersions: Option[Int] = None,
+      retainMs: Long = DefaultVacuumRetainMs): (Seq[Int], Seq[String]) =
+    vacuumImpl(spark, path, keepVersions, retainMs, dryRun = true)
+
+  private def vacuumImpl(spark: SparkSession, path: String,
+      keepVersions: Option[Int],
+      retainMs: Long, dryRun: Boolean): (Seq[Int], Seq[String]) = {
     val fs = fileSystem(spark, path)
     val all = history(spark, path)
-    if (all.isEmpty) return
+    if (all.isEmpty) return (Nil, Nil)
     val keep = keepVersions match {
       case Some(k) if k >= 1 => all.takeRight(k)
       case _ => all
     }
     val dropped = all.filterNot(v => keep.exists(_.version == v.version))
-    if (dropped.nonEmpty) {
+    if (dropped.nonEmpty && !dryRun) {
       // the oldest KEPT version may reconstruct its carried file stats
       // from manifests about to be dropped — anchor it with a full
       // checkpoint FIRST (computed while the chain is still readable).
@@ -976,11 +992,15 @@ object VersionedHub {
     }.toSet
     val dataRoot = new Path(path, "data")
     val sweepBefore = System.currentTimeMillis() - math.max(retainMs, 0L)
+    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
     if (fs.exists(dataRoot))
       for (st <- fs.listStatus(dataRoot)
            if !referencedRoots.contains(st.getPath.getName)
-           if st.getModificationTime < sweepBefore)
-        fs.delete(st.getPath, true)
+           if st.getModificationTime < sweepBefore) {
+        swept += st.getPath.getName
+        if (!dryRun) fs.delete(st.getPath, true)
+      }
+    (dropped.map(_.version), swept.toSeq.sorted)
   }
 
   /** "data/<root>[/...]" → "<root>" */

@@ -652,9 +652,19 @@ class HubCatalogSpec extends SparkTestBase {
         "version => 2)").as[Int].head() == 5)
       assert(VersionedHub.read(spark, s"$base/t")
         .filter($"k" === 1 && $"a" === 0).count() == 1)
+      // DRY RUN first: reports what a real vacuum would drop, deletes
+      // nothing (history intact)
+      val dry = spark.sql("CALL hubproc.system.vacuum(`table` => 't', " +
+        "keep_versions => 2, retain_ms => 0, dry_run => true)")
+        .as[(Int, Int, Int)].head()
+      assert(dry._2 == 3, s"dry run must report 3 droppable versions: $dry")
+      assert(VersionedHub.history(spark, s"$base/t").map(_.version) ==
+        Seq(1, 2, 3, 4, 5), "dry run must delete nothing")
       // vacuum with named args; restored dirs survive (manifest-referenced)
-      assert(spark.sql("CALL hubproc.system.vacuum(`table` => 't', " +
-        "keep_versions => 2, retain_ms => 0)").as[Int].head() == 2)
+      val vac = spark.sql("CALL hubproc.system.vacuum(`table` => 't', " +
+        "keep_versions => 2, retain_ms => 0)").as[(Int, Int, Int)].head()
+      assert(vac._1 == 2 && vac._2 == dry._2,
+        s"real vacuum must drop what the dry run reported: dry=$dry vac=$vac")
       assert(VersionedHub.history(spark, s"$base/t").map(_.version) ==
         Seq(4, 5))
       assert(VersionedHub.read(spark, s"$base/t").count() == 40)
