@@ -159,7 +159,12 @@ class HubCatalog extends TableCatalog
     * base to merge against.
     */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+      partitions: Array[Transform], properties: JMap[String, String]): Table =
+    createTable(ident, schema, partitions, properties, Map.empty)
+
+  private def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String],
+      checks0: Map[String, String]): Table = {
     require(partitions.isEmpty,
       "graft-hub tables bucket by key hash; PARTITIONED BY is not supported")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -167,7 +172,7 @@ class HubCatalog extends TableCatalog
     val p = pathOf(ident)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    VersionedHub.write(spark, empty, p, Seq.empty)
+    VersionedHub.write(spark, empty, p, Seq.empty, checks0 = checks0)
     new HubTable(p, asOf = None)
   }
 
@@ -215,16 +220,51 @@ class HubCatalog extends TableCatalog
         case _ => f
       }
     })
-    val t = createTable(ident, schema,
-      info.partitions(), info.properties())
-    if (info.constraints().nonEmpty) {
-      val p = pathOf(ident)
-      VersionedHub.alterSchema(spark, p, identity,
-        alterChecks = checks => info.constraints().foldLeft(checks) {
-          (m, c) => applyConstraint(p, m, TableChange.addConstraint(c, null))
-        })
+    // a generation expression reading ANOTHER generated column would see
+    // that column's pre-fill NULL (all expressions compute over the same
+    // input row in one projection) and silently store NULL — refuse at
+    // CREATE, like Delta
+    locally {
+      val genNames = schema.fields
+        .filter(f => org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .isGeneratedColumn(f))
+        .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+      for (f <- schema.fields;
+           sql <- org.apache.spark.sql.catalyst.util.GeneratedColumn
+             .getGenerationExpression(f)) {
+        val refs = VersionedHub.checkReferences(spark, sql)
+        val chained = refs.intersect(
+          genNames - f.name.toLowerCase(java.util.Locale.ROOT))
+        require(chained.isEmpty,
+          s"generated column ${f.name} reads generated column(s) " +
+            s"${chained.mkString(", ")} — generation expressions may " +
+            "reference only regular and identity columns")
+      }
     }
-    t
+    // validate + collect the declared constraints BEFORE any commit, then
+    // record them IN the table-creating commit itself — one atomic CREATE
+    // (a rejected constraint must not orphan a half-created table, and a
+    // crash can never leave the table silently unconstrained)
+    val checks0 = info.constraints().foldLeft(Map.empty[String, String]) {
+      case (m, c: org.apache.spark.sql.connector.catalog.constraints.Check) =>
+        require(!m.keys.exists(_.equalsIgnoreCase(c.name())),
+          s"duplicate constraint ${c.name()}")
+        val sql = Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+          throw new UnsupportedOperationException(
+            s"CHECK constraint ${c.name()} carries no SQL predicate"))
+        val unknown = VersionedHub.checkReferences(spark, sql) --
+          schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
+        require(unknown.isEmpty,
+          s"CHECK constraint ${c.name()} references unknown column(s) " +
+            unknown.mkString(", "))
+        m + (c.name() -> sql)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft-hub enforces CHECK constraints only; " +
+          s"${other.getClass.getSimpleName} would be recorded but never " +
+          "enforced — refusing")
+    }
+    createTable(ident, schema, info.partitions(), info.properties(),
+      checks0)
   }
 
   /** Zero-copy DDL schema evolution (Delta parity): ADD COLUMN (with

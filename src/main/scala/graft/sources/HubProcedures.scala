@@ -95,8 +95,10 @@ private[sources] object HubProcedures {
           if (in.getBoolean(3))
             VersionedHub.vacuumDryRun(spark, path, keep, in.getLong(2))
           else VersionedHub.vacuum(spark, path, keep, in.getLong(2))
-        Seq(VersionedHub.history(spark, path).size, droppedV.size,
-          sweptRoots.size)
+        // kept_versions is the same number either way: the dry run
+        // PREDICTS what the real vacuum would leave behind
+        Seq(VersionedHub.history(spark, path).size - (if (in.getBoolean(3))
+          droppedV.size else 0), droppedV.size, sweptRoots.size)
       }
       case "optimize" => Proc("optimize",
         Array(p("table", DataTypes.StringType),

@@ -49,13 +49,25 @@ private[graft] object ColumnMapping {
     * RENAME COLUMN); tables that predate the guard fall back to rewrite
     * paths instead of DV overlays (see `VersionedHub.dvDeleteAttempt`).
     */
+  /** Internal columns the write plans mint with `withColumn` and later
+    * drop — a user column by one of these names would be silently
+    * clobbered by the first keyed upsert ("_is_new"/"_rn" in the merge
+    * window) or bucket stamp ("_bucket").
+    */
+  private val ReservedPlanCols =
+    Set(HubWriter.BucketCol, "_is_new", "_rn")
+
   def requireLegalName(name: String): Unit = {
     require(!name.contains('#'),
       s"column name $name may not contain '#' — reserved for " +
         "column-mapping physical names")
-    require(!name.toLowerCase(java.util.Locale.ROOT).startsWith("__graft_"),
+    val lc = name.toLowerCase(java.util.Locale.ROOT)
+    require(!lc.startsWith("__graft_"),
       s"column name $name collides with the engine's reserved " +
         "__graft_* internal namespace")
+    require(!ReservedPlanCols.contains(lc),
+      s"column name $name collides with an internal write-plan column " +
+        s"(reserved: ${ReservedPlanCols.mkString(", ")})")
   }
 
   def physName(f: StructField): String =

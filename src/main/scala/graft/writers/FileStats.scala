@@ -58,7 +58,7 @@ object FileStats {
     * file — metadata only, no data pages.
     */
   def collect(spark: SparkSession, fs: FileSystem, tableRoot: Path,
-      dir: Path): Map[String, FileStat] = {
+      dir: Path, mustIndex: Set[String] = Set.empty): Map[String, FileStat] = {
     if (!fs.exists(dir)) return Map.empty
     val rootStr = fs.makeQualified(tableRoot).toString
     val it = fs.listFiles(dir, /* recursive = */ true)
@@ -75,7 +75,8 @@ object FileStats {
     }
     if (files.length <= DriverFooterBudget) {
       val conf = fs.getConf
-      files.map { case (p, len) => rel(p) -> ofFile(p, len, conf) }.toMap
+      files.map { case (p, len) =>
+        rel(p) -> ofFile(p, len, conf, mustIndex) }.toMap
     } else {
       // executor-side footer reads resolve the absolute URIs (scheme +
       // authority travel in the path string) with the DRIVER's hadoop conf,
@@ -87,7 +88,8 @@ object FileStats {
         new org.apache.spark.util.SerializableConfiguration(fs.getConf))
       try spark.sparkContext
         .parallelize(files.toSeq, math.max(1, math.min(files.length, 64)))
-        .map { case (p, len) => p -> ofFile(p, len, bcConf.value.value) }
+        .map { case (p, len) =>
+          p -> ofFile(p, len, bcConf.value.value, mustIndex) }
         .collect().map { case (p, st) => rel(p) -> st }.toMap
       finally bcConf.destroy()
     }
@@ -97,14 +99,16 @@ object FileStats {
     * column that cannot be summarized just records no stat.
     */
   private def ofFile(pathStr: String, bytes: Long,
-      conf: Configuration): FileStat = {
+      conf: Configuration, mustIndex: Set[String] = Set.empty): FileStat = {
     val fr = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(pathStr), conf))
     try {
       val md = fr.getFooter
       val rows = fr.getRecordCount
+      // mustIndex columns (identity high-water recovery depends on their
+      // min/max) are indexed regardless of the width cap
       val indexed: Set[String] = md.getFileMetaData.getSchema.getFields
-        .asScala.take(MaxIndexedCols).map(_.getName).toSet
+        .asScala.take(MaxIndexedCols).map(_.getName).toSet ++ mustIndex
       // accumulator: min, max, nullCount, valuesPoisoned, nullsPoisoned
       final case class Acc(min: Option[Any], max: Option[Any],
           nulls: Long, vBad: Boolean, nBad: Boolean)

@@ -196,7 +196,10 @@ object VersionedHub {
       path: String,
       keys: Seq[String],
       batchId: Option[Long] = None,
-      deletes: Option[DataFrame] = None
+      deletes: Option[DataFrame] = None,
+      // CHECK constraints for a TABLE-CREATING commit (atomic CREATE TABLE
+      // ... CHECK); ignored once the table exists (the base's checks rule)
+      checks0: Map[String, String] = Map.empty
   ): Int = latest(spark, path) match {
     case Some(v) if v.nBuckets.isDefined =>
       require(keys.nonEmpty,
@@ -210,7 +213,7 @@ object VersionedHub {
       deletes.foreach(d => require(d.columns.sorted.sameElements(keys.sorted),
         s"deletes must carry exactly the key columns $keys, " +
           s"got ${d.columns.toSeq}"))
-      commitLoop(spark, path, batchId) { base =>
+      commitLoop(spark, path, batchId, checks0) { base =>
       base match {
         case None => df
         case Some(v) =>
@@ -232,6 +235,26 @@ object VersionedHub {
     }
   }
 
+  /** Plant a codegen'd [[CheckInvariant]] over `ok` resolved against `df`
+    * (the predicate is planted in a throwaway filter and its ANALYZED
+    * condition lifted, so exprIds match df's plan — the analyzer is
+    * idempotent on the already-analyzed child). One Filter inside the
+    * write's own whole-stage-codegen span; throws Spark's standard
+    * CHECK_CONSTRAINT_VIOLATION naming `name` and the violating row.
+    */
+  private def invariantFilter(df: DataFrame,
+      ok: org.apache.spark.sql.Column, name: String,
+      sqlText: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{CheckInvariant, Expression}
+    val cond = df.filter(ok).queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
+      .condition
+    val extractors = cond.references.toSeq.sortBy(_.name)
+      .map(a => a.name -> (a: Expression))
+    df.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CheckInvariant(cond, extractors, name, sqlText)))
+  }
+
   /** Wrap `df` in the table's CHECK constraints via Spark's codegen'd
     * [[org.apache.spark.sql.catalyst.expressions.CheckInvariant]] (the
     * expression behind ANSI CHECK and Delta invariants): one Filter that
@@ -247,22 +270,8 @@ object VersionedHub {
     */
   private def enforceChecks(df: DataFrame,
       checks: Map[String, String]): DataFrame =
-    if (checks.isEmpty) df
-    else {
-      import org.apache.spark.sql.catalyst.expressions.{CheckInvariant, Expression}
-      checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
-        // resolve the predicate against d by planting it in a filter and
-        // lifting the analyzed condition (exprIds match d's plan — the
-        // analyzer is idempotent on the already-analyzed child)
-        val cond = d.filter(org.apache.spark.sql.functions.expr(sql))
-          .queryExecution.analyzed
-          .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
-          .condition
-        val extractors = cond.references.toSeq.sortBy(_.name)
-          .map(a => a.name -> (a: Expression))
-        d.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          CheckInvariant(cond, extractors, name, sql)))
-      }
+    checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      invariantFilter(d, org.apache.spark.sql.functions.expr(sql), name, sql)
     }
 
   /** Materialize GENERATED ALWAYS AS columns (Delta parity, via Spark's
@@ -289,19 +298,11 @@ object VersionedHub {
         .filter { case (f, _) => df.columns.exists(_.equalsIgnoreCase(f.name)) }
     if (gens.isEmpty) df
     else {
-      import org.apache.spark.sql.catalyst.expressions.{CheckInvariant, Expression}
       val guarded = gens.foldLeft(df) { case (d, (f, sql)) =>
-        val okCol = col(f.name).isNull ||
-          (col(f.name) <=> expr(sql).cast(f.dataType))
-        val cond = d.filter(okCol).queryExecution.analyzed
-          .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
-          .condition
-        val extractors = cond.references.toSeq.sortBy(_.name)
-          .map(a => a.name -> (a: Expression))
-        d.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          CheckInvariant(cond, extractors,
-            s"${f.name} GENERATED ALWAYS AS ($sql)",
-            s"${f.name} IS NULL OR ${f.name} <=> ($sql)")))
+        invariantFilter(d,
+          col(f.name).isNull || (col(f.name) <=> expr(sql).cast(f.dataType)),
+          s"${f.name} GENERATED ALWAYS AS ($sql)",
+          s"${f.name} IS NULL OR ${f.name} <=> ($sql)")
       }
       guarded.select(df.columns.toIndexedSeq.map { c =>
         gens.find(_._1.name.equalsIgnoreCase(c)) match {
@@ -375,6 +376,16 @@ object VersionedHub {
     }: _*)
   }
 
+  /** The physical column names whose footer min/max the identity
+    * high-water recovery depends on — passed to [[FileStats.collect]] so
+    * they are indexed even beyond the stats width cap (an identity column
+    * declared after the 32nd column would otherwise never advance its
+    * mark, and later commits would re-allocate from START).
+    */
+  private def identityPhys(
+      s: org.apache.spark.sql.types.StructType): Set[String] =
+    identitySpecs(Some(s)).map(t => ColumnMapping.physName(t._1)).toSet
+
   /** Fold the identity high-water marks observed in a commit's NEW files
     * (their per-column min/max stats — already collected for data
     * skipping, so the mark costs nothing) into the recorded schema. The
@@ -423,17 +434,10 @@ object VersionedHub {
       .filter { case (f, _) =>
         df.columns.exists(_.equalsIgnoreCase(f.name)) }
     strict.foldLeft(df) { case (d, (f, _)) =>
-      import org.apache.spark.sql.catalyst.expressions.{CheckInvariant, Expression}
-      val cond = d.filter(col(f.name).isNull).queryExecution.analyzed
-        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
-        .condition
-      val extractors = cond.references.toSeq.sortBy(_.name)
-        .map(a => a.name -> (a: Expression))
-      d.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        CheckInvariant(cond, extractors,
-          s"${f.name} GENERATED ALWAYS AS IDENTITY accepts no explicit " +
-            "values (omit the column and the write allocates one)",
-          s"${f.name} IS NULL")))
+      invariantFilter(d, col(f.name).isNull,
+        s"${f.name} GENERATED ALWAYS AS IDENTITY accepts no explicit " +
+          "values (omit the column and the write allocates one)",
+        s"${f.name} IS NULL")
     }
   }
 
@@ -471,7 +475,11 @@ object VersionedHub {
   private def commitLoop(
       spark: SparkSession,
       path: String,
-      batchId: Option[Long]
+      batchId: Option[Long],
+      // CHECK constraints for the TABLE-CREATING commit only (an atomic
+      // CREATE TABLE ... CHECK); commits on an existing table always carry
+      // the base's
+      checks0: Map[String, String] = Map.empty
   )(mkSnapshot: Option[Version] => DataFrame): Int = {
     val fs = fileSystem(spark, path)
     var attempt = 0
@@ -502,7 +510,7 @@ object VersionedHub {
       // min/max for data skipping. Small snapshots read footers driver-side
       // with no Spark job at all; large ones run one metadata-only job.
       val fstats = FileStats.collect(spark, fs, new Path(path),
-        new Path(resolve(path, dataDir)))
+        new Path(resolve(path, dataDir)), identityPhys(recSchema))
       val rows = fstats.values.map(_.rows).sum
       // flat snapshots are self-anchoring: the new dataDir IS the whole
       // snapshot, so the delta equals the full stats map
@@ -510,7 +518,7 @@ object VersionedHub {
           Version(next, dataDir, System.currentTimeMillis(), rows, batchId,
             schemaJson = Some(stampIdentityHigh(recSchema, fstats).json),
             statsNew = fstats,
-            checks = base.fold(Map.empty[String, String])(_.checks))))
+            checks = base.fold(checks0)(_.checks))))
         return next
       // lost the race: drop the orphan snapshot, recompute against the winner
       fs.delete(new Path(resolve(path, dataDir)), true)
@@ -667,7 +675,7 @@ object VersionedHub {
         footerRows(fs, p).getOrElse(spark.read.parquet(p.toString).count())
       }
       val fstatsNew = FileStats.collect(spark, fs, new Path(path),
-        new Path(resolve(path, root)))
+        new Path(resolve(path, root)), identityPhys(snapSchema))
       val newRows: Map[Int, Long] = writtenBSeq.map { b =>
         val prefix = s"$root/$BucketCol=$b/"
         b -> fstatsNew.iterator
@@ -1118,7 +1126,7 @@ object VersionedHub {
             .write.options(BloomIndex.options(recSchema))
             .partitionBy(BucketCol).parquet(resolve(path, root))
           val fstats = FileStats.collect(spark, fs, new Path(path),
-            new Path(resolve(path, root)))
+            new Path(resolve(path, root)), identityPhys(recSchema))
           val writtenB = fs.listStatus(new Path(resolve(path, root))).toSeq
             .map(_.getPath.getName)
             .collect { case nm if nm.startsWith(s"$BucketCol=") =>
@@ -2435,27 +2443,33 @@ object VersionedHub {
     */
   private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong
 
-  private def parseManifestOnce(fs: FileSystem, manifest: Path): Option[scala.collection.Map[String, AnyRef]] = {
+  /** One read+parse attempt. `Left(io)` = the READ failed (on schemes with
+    * a claim-then-content window this can be a torn in-flight read, on any
+    * scheme a transient fault — retried, but NEVER silently treated as
+    * "version absent" once retries exhaust: a persistent IO failure must
+    * surface loudly, or readers would serve stale snapshots and repair
+    * could delete a live manifest). `Right(None)` = the content read fine
+    * but does not parse — the claimed-not-committed / dead-writer state.
+    */
+  private def parseManifestAttempt(fs: FileSystem, manifest: Path)
+      : Either[java.io.IOException, Option[scala.collection.Map[String, AnyRef]]] = {
     manifestParses.incrementAndGet()
-    // the commit point is create-exclusive on the FILE; content (and on
-    // checksummed filesystems its .crc sibling) lands just after, so a
-    // racing reader can hit a torn read — an IO failure (EOF, checksum
-    // mismatch) here means "in-flight or dead", exactly None's meaning
-    // (readManifest waits out the in-flight window, failIfStuck/repair
-    // handle the dead-writer case)
     val text =
       try {
         val in = fs.open(manifest)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      } catch { case _: java.io.IOException => return None }
+      } catch { case e: java.io.IOException => return Left(e) }
     val parsed =
       try new Yaml(new SafeConstructor(new LoaderOptions()))
         .load[java.util.Map[String, AnyRef]](text)
       catch { case _: Exception => null }
-    if (parsed != null && parsed.containsKey("version")) Some(parsed.asScala)
-    else None
+    if (parsed != null && parsed.containsKey("version")) Right(Some(parsed.asScala))
+    else Right(None)
   }
+
+  private def parseManifestOnce(fs: FileSystem, manifest: Path): Option[scala.collection.Map[String, AnyRef]] =
+    parseManifestAttempt(fs, manifest).getOrElse(None)
 
   /** A commit loser whose winning version number has an UNREADABLE manifest
     * is racing a ghost: the winner crashed between the create-exclusive
@@ -2493,14 +2507,14 @@ object VersionedHub {
         st.getModificationTime < cutoff)
       .flatMap { st =>
         val n = st.getPath.getName.stripSuffix(".json").toInt
-        // deletion is irreversible: parseManifestOnce treats TRANSIENT IO
-        // failures as None (the in-flight contract), so insist the claim
-        // stays unparseable across several spaced attempts before
-        // reclaiming the number
+        // deletion is irreversible: reclaim ONLY a claim whose content
+        // reads fine and stays unparseable across spaced attempts — an IO
+        // failure (Left) is an infrastructure fault, never grounds to
+        // delete (the blip could be hiding a live committed manifest)
         def deadClaim: Boolean = (1 to 3).forall { i =>
-          val unreadable = parseManifestOnce(fs, st.getPath).isEmpty
-          if (unreadable && i < 3) Thread.sleep(ManifestWaitMs)
-          unreadable
+          val dead = parseManifestAttempt(fs, st.getPath) == Right(None)
+          if (dead && i < 3) Thread.sleep(500L)
+          dead
         }
         if (deadClaim && fs.delete(st.getPath, false)) Some(n)
         else None
@@ -2555,13 +2569,18 @@ object VersionedHub {
     if (cached != null) return Some(cached)
     var m: scala.collection.Map[String, AnyRef] = null
     var attempt = 0
+    var lastIo: Option[java.io.IOException] = None
     while (m == null && attempt < ManifestWaitAttempts) {
       attempt += 1
-      parseManifestOnce(fs, manifest) match {
-        case Some(parsed) => m = parsed
-        case None => Thread.sleep(ManifestWaitMs)
+      parseManifestAttempt(fs, manifest) match {
+        case Right(Some(parsed)) => m = parsed
+        case Right(None) => lastIo = None; Thread.sleep(ManifestWaitMs)
+        case Left(io) => lastIo = Some(io); Thread.sleep(ManifestWaitMs)
       }
     }
+    // a read still FAILING (not merely unparseable) after the whole wait
+    // window is an infrastructure fault, not an in-flight commit — loud
+    for (io <- lastIo if m == null) throw io
     if (m == null) return None // in-flight too long or corrupt: treat as absent
     val buckets = m.get("buckets") match {
       case Some(bm: java.util.Map[_, _]) =>

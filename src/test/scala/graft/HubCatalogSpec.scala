@@ -658,6 +658,8 @@ class HubCatalogSpec extends SparkTestBase {
         "keep_versions => 2, retain_ms => 0, dry_run => true)")
         .as[(Int, Int, Int)].head()
       assert(dry._2 == 3, s"dry run must report 3 droppable versions: $dry")
+      assert(dry._1 == 2,
+        s"dry-run kept_versions must PREDICT the post-vacuum count: $dry")
       assert(VersionedHub.history(spark, s"$base/t").map(_.version) ==
         Seq(1, 2, 3, 4, 5), "dry run must delete nothing")
       // vacuum with named args; restored dirs survive (manifest-referenced)
@@ -1605,6 +1607,71 @@ class HubCatalogSpec extends SparkTestBase {
         .as[(Long, String)].collect().toSeq
       assert(rows.nonEmpty && rows.forall { case (id, tag) =>
         id >= 5 && tag == s"row-$id" }, rows.toString)
+    }
+  }
+
+  test("identity high-water mark advances even when the column sits beyond the stats width cap") {
+    withCatalog("hubwide") { _ =>
+      // 34 regular columns, identity declared LAST (beyond the 32-column
+      // footer-stats cap) — the mark must still be recovered from stats
+      val pads = (1 to 34).map(i => s"c$i INT").mkString(", ")
+      spark.sql(s"CREATE TABLE hubwide.default.t ($pads, " +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY)")
+      spark.sql("INSERT INTO hubwide.default.t (c1) VALUES (1), (2)")
+      val first = spark.sql("SELECT id FROM hubwide.default.t")
+        .as[Long].collect().toSet
+      spark.sql("INSERT INTO hubwide.default.t (c1) VALUES (3)")
+      val all = spark.sql("SELECT id FROM hubwide.default.t")
+        .as[Long].collect().toSet
+      assert(all.size == 3, s"ids must stay unique across commits: $all")
+      assert((all -- first).head > first.max,
+        "the second commit must allocate beyond the first's mark")
+    }
+  }
+
+  test("chained generation expressions are refused at CREATE") {
+    withCatalog("hubchain") { _ =>
+      val e = intercept[Exception](spark.sql(
+        "CREATE TABLE hubchain.default.t (n BIGINT, " +
+          "c1 BIGINT GENERATED ALWAYS AS (n * 2), " +
+          "c2 BIGINT GENERATED ALWAYS AS (c1 + 1))"))
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      assert(rootMsg(e).contains("c1"), rootMsg(e))
+      assert(!spark.catalog.tableExists("hubchain.default.t"))
+    }
+  }
+
+  test("internal write-plan column names are reserved at creation") {
+    withCatalog("hubres") { _ =>
+      for (bad <- Seq("_bucket", "_is_new", "_rn")) {
+        val e = intercept[Exception](spark.sql(
+          s"CREATE TABLE hubres.default.t$bad (k BIGINT, `$bad` INT)"))
+        assert(e.getMessage.contains(bad), e.getMessage)
+      }
+      spark.sql("CREATE TABLE hubres.default.ok (k BIGINT)")
+      val e2 = intercept[Exception](spark.sql(
+        "ALTER TABLE hubres.default.ok ADD COLUMNS (_is_new INT)"))
+      assert(e2.getMessage.contains("_is_new"), e2.getMessage)
+    }
+  }
+
+  test("CREATE TABLE with a rejected constraint is atomic — no orphaned table") {
+    withCatalog("hubatom") { _ =>
+      val e = intercept[Exception](spark.sql(
+        "CREATE TABLE hubatom.default.t (k BIGINT, " +
+          "CONSTRAINT bad CHECK (no_such_col > 0))"))
+      assert(e.getMessage.contains("no_such_col"), e.getMessage)
+      assert(!spark.catalog.tableExists("hubatom.default.t"),
+        "a failed CREATE must not leave a half-created table")
+      // the corrected statement succeeds and the check is live from v1
+      spark.sql("CREATE TABLE hubatom.default.t (k BIGINT, " +
+        "CONSTRAINT pos CHECK (k > 0))")
+      val e2 = intercept[Exception](spark.sql(
+        "INSERT INTO hubatom.default.t VALUES (-1)"))
+      assert(e2.getMessage.contains("pos") ||
+        e2.getMessage.contains("CHECK"), e2.getMessage)
     }
   }
 
