@@ -108,7 +108,12 @@ object Bench {
     }
     val calibLast = calibrate()
     val loadLast = loadAvg()
-    val calibBest = (calibReps :+ calibFirst :+ calibLast).min
+    // MEDIAN, not min: a single anomalously-fast calibration probe (warm
+    // JIT + idle instant) would make every normalized figure jumpy
+    val calibBest = {
+      val all = (calibReps :+ calibFirst :+ calibLast).sorted
+      all(all.size / 2)
+    }
     val results = names.map(n => n -> best(n))
     val resultsNorm = names.map(n => n -> bestNorm(n) * calibBest)
     def fmt(v: Double): String = "%.4f".format(v)

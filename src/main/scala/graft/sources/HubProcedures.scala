@@ -102,12 +102,21 @@ private[sources] object HubProcedures {
       }
       case "optimize" => Proc("optimize",
         Array(p("table", DataTypes.StringType),
-          p("target_file_rows", DataTypes.LongType, Some((1024L * 1024).toString))),
+          p("target_file_rows", DataTypes.LongType, Some((1024L * 1024).toString)),
+          // comma-separated bucket ids: compact ONLY these (Delta's
+          // `OPTIMIZE ... WHERE` shape — a targeted maintenance pass
+          // over the hot buckets instead of O(table)); bucketed hubs only
+          p("buckets", DataTypes.StringType, Some("''"))),
         versionOut) { in =>
         val path = tablePath(in)
         val bucketed = VersionedHub.history(spark, path)
           .lastOption.exists(_.nBuckets.isDefined)
-        Seq(if (bucketed) VersionedHub.compactBuckets(spark, path)
+        val chosen = Option(in.getUTF8String(2)).map(_.toString.trim)
+          .filter(_.nonEmpty)
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+        require(chosen.isEmpty || bucketed,
+          s"buckets => ... targets a BUCKETED hub; $path is flat")
+        Seq(if (bucketed) VersionedHub.compactBuckets(spark, path, chosen)
             else VersionedHub.optimize(spark, path, in.getLong(1)))
       }
       case "zorder" => Proc("zorder",

@@ -1610,6 +1610,29 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CALL optimize(buckets => ...) compacts only the chosen buckets (OPTIMIZE WHERE shape)") {
+    withCatalog("hubsel") { base =>
+      VersionedHub.writeBucketed(spark,
+        (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v").repartition(8),
+        s"$base/t", Seq("k"), 4)
+      val before = VersionedHub.history(spark, s"$base/t").last.buckets
+      val hot = before.keys.min
+      assert(spark.sql("CALL hubsel.system.optimize(`table` => 't', " +
+        s"buckets => '$hot')").as[Int].head() == 2)
+      val after = VersionedHub.history(spark, s"$base/t").last.buckets
+      assert(after(hot) != before(hot), "the chosen bucket must rewrite")
+      assert((before - hot).forall { case (b, d) => after.get(b).contains(d) },
+        "untouched buckets must keep their dirs (structural sharing)")
+      assert(VersionedHub.read(spark, s"$base/t").count() == 400)
+      // flat hubs refuse the bucket filter loudly
+      VersionedHub.write(spark, Seq((1L, "a")).toDF("k", "v"),
+        s"$base/flat", Seq("k"))
+      val e = intercept[Exception](spark.sql(
+        "CALL hubsel.system.optimize(`table` => 'flat', buckets => '0')"))
+      assert(e.getMessage.contains("BUCKETED"), e.getMessage)
+    }
+  }
+
   test("identity high-water mark advances even when the column sits beyond the stats width cap") {
     withCatalog("hubwide") { _ =>
       // 34 regular columns, identity declared LAST (beyond the 32-column
