@@ -130,18 +130,33 @@ private[sources] object HubProcedures {
       }
       case "restore" => Proc("restore",
         Array(p("table", DataTypes.StringType),
-          p("version", DataTypes.IntegerType)),
+          // one of the two: a version number, or a timestamp (epoch ms /
+          // yyyy-MM-dd / session-zone timestamp — Delta's RESTORE ... TO
+          // TIMESTAMP AS OF) resolved to the latest commit at-or-before
+          p("version", DataTypes.IntegerType, Some("-1")),
+          p("timestamp", DataTypes.StringType, Some("''"))),
         versionOut) { in =>
-        Seq(VersionedHub.restore(spark, tablePath(in), in.getInt(1)))
+        val path = tablePath(in)
+        val byV = Some(in.getInt(1)).filter(_ >= 0)
+        val byTs = Option(in.getUTF8String(2)).map(_.toString.trim)
+          .filter(_.nonEmpty)
+        require(byV.isEmpty != byTs.isEmpty,
+          "restore needs exactly one of version => N, timestamp => '...'")
+        val v = byV.getOrElse(VersionedHub.versionAtTimestamp(spark, path,
+          HubDataSource.parseTsMillis(spark, byTs.get)).version)
+        Seq(VersionedHub.restore(spark, path, v))
       }
       case "clone" => Proc("clone",
         Array(p("table", DataTypes.StringType),
-          p("target", DataTypes.StringType)),
+          p("target", DataTypes.StringType),
+          // CLONE ... VERSION AS OF: clone a historical snapshot
+          p("version", DataTypes.IntegerType, Some("-1"))),
         versionOut) { in =>
         val target = in.getUTF8String(1)
         require(target != null, "target is required")
         Seq(VersionedHub.cloneTable(spark, tablePath(in),
-          catalog.tablePathOf(target.toString)))
+          catalog.tablePathOf(target.toString),
+          Some(in.getInt(2)).filter(_ >= 0)))
       }
       case "bloom_index" => Proc("bloom_index",
         Array(p("table", DataTypes.StringType),

@@ -1241,10 +1241,11 @@ object VersionedHub {
     * fold from.
     */
   def cloneTable(spark: SparkSession, sourcePath: String,
-      targetPath: String): Int = {
-    val src = latest(spark, sourcePath).getOrElse(
-      throw new IllegalArgumentException(
-        s"no committed versions at $sourcePath"))
+      targetPath: String,
+      // CLONE ... VERSION AS OF (Delta parity): clone a historical
+      // snapshot instead of the tip — same zero-copy manifest reference
+      asOf: Option[Int] = None): Int = {
+    val src = versionAt(spark, sourcePath, asOf)
     val sfs = fileSystem(spark, sourcePath)
     val tfs = fileSystem(spark, targetPath)
     require(sfs.makeQualified(new Path(sourcePath)) !=

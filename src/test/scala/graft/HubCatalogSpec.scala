@@ -1595,6 +1595,44 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("streaming graft-hub sink allocates identity ids exactly once (idempotent batch replay, stable on upsert)") {
+    withCatalog("hubsid") { base =>
+      spark.sql("CREATE TABLE hubsid.default.t (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, v STRING)")
+      val lake = tmpDir("hub_sid")
+      val src = s"$lake/in"
+      new java.io.File(src).mkdirs()
+      def run(): Unit = {
+        val q = graft.streaming.StreamingIngest.parquetStream(spark, src,
+          Seq((0L, "x")).toDF("k", "v"))
+          .writeStream.format("graft-hub")
+          .option("path", s"$base/t").option("keys", "k")
+          .option("checkpointLocation", s"$lake/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("append").parquet(src)
+      run()
+      def ids(): Map[Long, Long] =
+        spark.sql("SELECT k, id FROM hubsid.default.t")
+          .as[(Long, Long)].collect().toMap
+      val first = ids()
+      assert(first.size == 2 && first.values.toSet.size == 2)
+      // update + insert batch: matched key keeps its id, new key allocates
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v").write.mode("append").parquet(src)
+      run()
+      val second = ids()
+      assert(second(1L) == first(1L) && second(2L) == first(2L),
+        s"upserted keys must keep their birth ids: $first -> $second")
+      assert(second(3L) > first.values.max)
+      assert(second.values.toSet.size == 3)
+      // idle restart: batchId idempotence — nothing reallocates
+      run()
+      assert(ids() == second)
+    }
+  }
+
   test("generation expressions and CHECKs may read identity columns (fill order: identity → generated → checks)") {
     withCatalog("hubord") { _ =>
       spark.sql("CREATE TABLE hubord.default.t (" +
@@ -1630,6 +1668,18 @@ class HubCatalogSpec extends SparkTestBase {
       val e = intercept[Exception](spark.sql(
         "CALL hubsel.system.optimize(`table` => 'flat', buckets => '0')"))
       assert(e.getMessage.contains("BUCKETED"), e.getMessage)
+      // RESTORE TO TIMESTAMP AS OF: resolve the latest commit at-or-before
+      val v1ts = VersionedHub.history(spark, s"$base/t").head.ts
+      assert(spark.sql("CALL hubsel.system.restore(`table` => 't', " +
+        s"timestamp => '$v1ts')").as[Int].head() == 3)
+      val eBoth = intercept[Exception](spark.sql(
+        "CALL hubsel.system.restore(`table` => 't', version => 1, " +
+          "timestamp => '1')"))
+      assert(eBoth.getMessage.contains("exactly one"), eBoth.getMessage)
+      // CLONE VERSION AS OF: historical snapshot, zero copy
+      assert(spark.sql("CALL hubsel.system.clone(`table` => 't', " +
+        "target => 'tclone', version => 1)").as[Int].head() == 1)
+      assert(spark.table("hubsel.default.tclone").count() == 400)
     }
   }
 
