@@ -83,7 +83,7 @@ object Bench {
     val loadFirst = loadAvg()
     val best = scala.collection.mutable.Map.empty[String, Double]
     // normalized best: each rep's timings scaled by THAT REP's calibration
-    // drift (calibRep / calibBest), so a rep run during a co-tenant load
+    // drift (calibRep / calibMedian), so a rep run during a co-tenant load
     // spike is corrected toward what it would have cost on the quiet box —
     // `value_norm` is the figure to compare round-over-round when the
     // raw calib_first/last disagree (the r13 verdict's 1.93× problem).
@@ -110,12 +110,12 @@ object Bench {
     val loadLast = loadAvg()
     // MEDIAN, not min: a single anomalously-fast calibration probe (warm
     // JIT + idle instant) would make every normalized figure jumpy
-    val calibBest = {
+    val calibMedian = {
       val all = (calibReps :+ calibFirst :+ calibLast).sorted
       all(all.size / 2)
     }
     val results = names.map(n => n -> best(n))
-    val resultsNorm = names.map(n => n -> bestNorm(n) * calibBest)
+    val resultsNorm = names.map(n => n -> bestNorm(n) * calibMedian)
     def fmt(v: Double): String = "%.4f".format(v)
     val total = results.map(_._2).sum
     val totalNorm = resultsNorm.map(_._2).sum

@@ -137,13 +137,19 @@ private[sources] object HubProcedures {
           p("timestamp", DataTypes.StringType, Some("''"))),
         versionOut) { in =>
         val path = tablePath(in)
-        val byV = Some(in.getInt(1)).filter(_ >= 0)
+        // NULL int args unbox to 0 through InternalRow.getInt — versions
+        // start at 1, so >= 1 is the "provided" test (as vacuum does)
+        val byV = Some(in.getInt(1)).filter(_ >= 1)
         val byTs = Option(in.getUTF8String(2)).map(_.toString.trim)
           .filter(_.nonEmpty)
         require(byV.isEmpty != byTs.isEmpty,
           "restore needs exactly one of version => N, timestamp => '...'")
-        val v = byV.getOrElse(VersionedHub.versionAtTimestamp(spark, path,
-          HubDataSource.parseTsMillis(spark, byTs.get)).version)
+        // one resolution rule for every time-travel surface (reader
+        // options, SQL literals, and this procedure)
+        val v = HubDataSource.asOfVersion(spark, path,
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            byV.map(n => java.util.Map.of("versionAsOf", n.toString))
+              .getOrElse(java.util.Map.of("timestampAsOf", byTs.get)))).get
         Seq(VersionedHub.restore(spark, path, v))
       }
       case "clone" => Proc("clone",
@@ -156,7 +162,7 @@ private[sources] object HubProcedures {
         require(target != null, "target is required")
         Seq(VersionedHub.cloneTable(spark, tablePath(in),
           catalog.tablePathOf(target.toString),
-          Some(in.getInt(2)).filter(_ >= 0)))
+          Some(in.getInt(2)).filter(_ >= 1)))
       }
       case "bloom_index" => Proc("bloom_index",
         Array(p("table", DataTypes.StringType),

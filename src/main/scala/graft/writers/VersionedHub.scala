@@ -1869,10 +1869,18 @@ object VersionedHub {
       val base = history(spark, path).lastOption.getOrElse(
         throw new IllegalArgumentException(
           s"no committed versions at $path to compact"))
-      require(base.buckets.nonEmpty,
+      require(base.nBuckets.isDefined,
         s"compactBuckets serves bucketed hubs; $path is flat — use optimize")
+      // an explicitly requested bucket that does not exist is a caller
+      // error (a typo'd maintenance target must not report clean success);
+      // an empty LIVE map (all rows deleted) is a legitimate no-op
+      for (req <- buckets) {
+        val unknown = req.filterNot(base.buckets.contains)
+        require(unknown.isEmpty,
+          s"bucket(s) ${unknown.mkString(", ")} do not exist on $path " +
+            s"(live buckets: ${base.buckets.keys.toSeq.sorted.mkString(", ")})")
+      }
       val chosen = buckets.getOrElse(base.buckets.keys.toSeq.sorted)
-        .filter(base.buckets.contains)
       if (chosen.isEmpty) return base.version
       val next = base.version + 1
       val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"

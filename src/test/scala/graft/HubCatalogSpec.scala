@@ -1668,6 +1668,10 @@ class HubCatalogSpec extends SparkTestBase {
       val e = intercept[Exception](spark.sql(
         "CALL hubsel.system.optimize(`table` => 'flat', buckets => '0')"))
       assert(e.getMessage.contains("BUCKETED"), e.getMessage)
+      // a typo'd bucket id must fail loudly, not report clean success
+      val e2 = intercept[Exception](spark.sql(
+        "CALL hubsel.system.optimize(`table` => 't', buckets => '99')"))
+      assert(e2.getMessage.contains("99"), e2.getMessage)
       // RESTORE TO TIMESTAMP AS OF: resolve the latest commit at-or-before
       val v1ts = VersionedHub.history(spark, s"$base/t").head.ts
       assert(spark.sql("CALL hubsel.system.restore(`table` => 't', " +
