@@ -167,6 +167,47 @@ class HubDataSource extends TableProvider with DataSourceRegister
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val path = HubDataSource.pathOf(options)
+    // BATCH change feed (Delta's readChangeFeed + startingVersion /
+    // endingVersion parity): one row per net row-change per commit step,
+    // tagged _change_type + _commit_version. Each step's diff reads only
+    // the bucket dirs that DIFFER between the two manifests (structural
+    // sharing), so the feed costs O(changed buckets per step), not
+    // O(table × steps). Version 1 emits the initial snapshot as inserts;
+    // a vacuumed step fails loudly (a hole re-delivered as inserts would
+    // corrupt a delta-applying consumer).
+    if (options.getBoolean("readChangeFeed", false)) {
+      val keys = Option(options.get("keys"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed requires option(\"keys\", <hub primary keys>)"))
+      val from = Option(options.get("startingVersion")).map(_.toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed requires option(\"startingVersion\", N)"))
+      val toOpt = Option(options.get("endingVersion")).map(_.toInt)
+      return new HubMetaTable(path, "changes", (s, p) => {
+        import org.apache.spark.sql.functions.lit
+        val live = VersionedHub.history(s, p).map(_.version)
+        require(live.nonEmpty, s"no committed versions at $p")
+        val to = toOpt.getOrElse(live.max)
+        require(from >= 1 && to >= from,
+          s"readChangeFeed needs 1 <= startingVersion <= endingVersion, " +
+            s"got $from..$to")
+        (from to to).map { v =>
+          val step =
+            if (v == 1)
+              VersionedHub.read(s, p, Some(1))
+                .withColumn("_change_type", lit("insert"))
+            else {
+              require(live.contains(v - 1) && live.contains(v),
+                s"hub at $p no longer has version ${v - 1} or $v " +
+                  "(vacuumed?) — the change feed cannot be reconstructed")
+              VersionedHub.changesCDF(s, p, keys, v - 1, v)
+            }
+          step.withColumn("_commit_version", lit(v))
+        }.reduce(_ unionByName _)
+      })
+    }
     new HubTable(path,
       HubDataSource.asOfVersion(SparkSession.active, path, options))
   }

@@ -336,4 +336,44 @@ class HubDataSourceSpec extends SparkTestBase {
         .option("versionAsOf", "9").load().collect()
     }
   }
+
+  test("batch readChangeFeed serves per-commit changes with pre/post images (Delta CDF parity)") {
+    import graft.writers.VersionedHub
+    val path = tmpDir("dsv2_cdf")
+    VersionedHub.writeBucketed(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, Seq("k"), 4)
+    VersionedHub.write(spark,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), path, Seq("k"))
+    VersionedHub.deleteWhere(spark, path,
+      org.apache.spark.sql.functions.col("k") === 1L)
+    def feed(opts: (String, String)*): Seq[(Long, String, String, Int)] = {
+      val r = opts.foldLeft(spark.read.format("graft-hub")
+          .option("path", path).option("readChangeFeed", "true")
+          .option("keys", "k"))((b, o) => b.option(o._1, o._2))
+        .load()
+      r.select($"k", $"v", $"_change_type", $"_commit_version")
+        .as[(Long, String, String, Int)].collect().toSeq
+        .sortBy(t => (t._4, t._1, t._3))
+    }
+    // full feed: v1 snapshot-as-inserts, v2 pre/post images + insert,
+    // v3 the DV delete
+    assert(feed("startingVersion" -> "1") == Seq(
+      (1L, "a", "insert", 1), (2L, "b", "insert", 1),
+      (2L, "B", "update_postimage", 2), (2L, "b", "update_preimage", 2),
+      (3L, "c", "insert", 2),
+      (1L, "a", "delete", 3)))
+    // bounded range: only the middle commit
+    assert(feed("startingVersion" -> "2", "endingVersion" -> "2") == Seq(
+      (2L, "B", "update_postimage", 2), (2L, "b", "update_preimage", 2),
+      (3L, "c", "insert", 2)))
+    // keys are mandatory; a vacuumed step fails loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-hub").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load().collect()
+    }
+    VersionedHub.vacuum(spark, path, keepVersions = Some(1), retainMs = 0L)
+    val e = intercept[Exception](feed("startingVersion" -> "2"))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
 }
