@@ -175,15 +175,20 @@ class HubDataSource extends TableProvider with DataSourceRegister
     // O(table × steps). Version 1 emits the initial snapshot as inserts;
     // a vacuumed step fails loudly (a hole re-delivered as inserts would
     // corrupt a delta-applying consumer).
-    if (options.getBoolean("readChangeFeed", false)) {
+    // startingVersion marks the BATCH feed: a readStream with
+    // readChangeFeed resolves through getTable too (Spark probes the
+    // provider before falling back to the V1 StreamSourceProvider), and
+    // must reach the plain HubTable below; a BATCH read that forgot
+    // startingVersion is refused at newScanBuilder (streaming never
+    // builds a batch scan)
+    if (options.getBoolean("readChangeFeed", false) &&
+        options.containsKey("startingVersion")) {
       val keys = Option(options.get("keys"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty)
         .getOrElse(throw new IllegalArgumentException(
           "readChangeFeed requires option(\"keys\", <hub primary keys>)"))
-      val from = Option(options.get("startingVersion")).map(_.toInt)
-        .getOrElse(throw new IllegalArgumentException(
-          "readChangeFeed requires option(\"startingVersion\", N)"))
+      val from = options.get("startingVersion").toInt
       val toOpt = Option(options.get("endingVersion")).map(_.toInt)
       return new HubMetaTable(path, "changes", (s, p) => {
         import org.apache.spark.sql.functions.lit
@@ -644,8 +649,12 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(!options.getBoolean("readChangeFeed", false),
+      "batch readChangeFeed requires option(\"startingVersion\", N) " +
+        "(streaming feeds go through readStream)")
     new HubScanBuilder(path, v, fullSchema)
+  }
 
   /** WRITE path (`df.write.format("graft-hub").option("path", hub)
     * .option("keys", "k").mode("append").save()`): an "append" lands as one
