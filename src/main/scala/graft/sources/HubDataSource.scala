@@ -91,7 +91,13 @@ class HubDataSource extends TableProvider with DataSourceRegister
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
-      : org.apache.spark.sql.execution.streaming.Source =
+      : org.apache.spark.sql.execution.streaming.Source = {
+    // the stream always starts from the initial snapshot (checkpoint
+    // offsets govern the rest); silently ignoring a batch-only option
+    // would diverge from what the batch feed honors
+    require(!parameters.keys.exists(_.equalsIgnoreCase("startingVersion")),
+      "startingVersion is a BATCH readChangeFeed option — a stream " +
+        "starts from the initial snapshot and resumes from its checkpoint")
     new HubStreamSource(sqlContext, streamPathOf(parameters),
       cdfKeysOf(parameters),
       parameters.collectFirst {
@@ -100,6 +106,7 @@ class HubDataSource extends TableProvider with DataSourceRegister
           require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
           n
       })
+  }
 
   /** `readChangeFeed=true` switches the stream to row-level CDF batches;
     * `keys` (the hub primary keys) are required then — the feed is a keyed
@@ -112,8 +119,7 @@ class HubDataSource extends TableProvider with DataSourceRegister
     if (!cdf) None
     else Some(parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("keys") => v
-    }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty)
+    }.flatMap(HubDataSource.parseKeys)
       .getOrElse(throw new IllegalArgumentException(
         "readChangeFeed requires option(\"keys\", <hub primary keys>)")))
   }
@@ -183,35 +189,47 @@ class HubDataSource extends TableProvider with DataSourceRegister
     // builds a batch scan)
     if (options.getBoolean("readChangeFeed", false) &&
         options.containsKey("startingVersion")) {
-      val keys = Option(options.get("keys"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .filter(_.nonEmpty)
+      val keys = HubDataSource.parseKeys(options.get("keys"))
         .getOrElse(throw new IllegalArgumentException(
           "readChangeFeed requires option(\"keys\", <hub primary keys>)"))
       val from = options.get("startingVersion").toInt
       val toOpt = Option(options.get("endingVersion")).map(_.toInt)
-      return new HubMetaTable(path, "changes", (s, p) => {
+      // the feed is resolved and planned ONCE, eagerly: HubMetaTable calls
+      // its df function from schema()/build()/buildScan() separately, and
+      // re-resolving `to = latest` per call could union a step committed
+      // mid-planning (rows diverging from the declared read schema)
+      val spark = SparkSession.active
+      val feed = {
         import org.apache.spark.sql.functions.lit
-        val live = VersionedHub.history(s, p).map(_.version)
-        require(live.nonEmpty, s"no committed versions at $p")
+        val live = VersionedHub.history(spark, path).map(_.version)
+        require(live.nonEmpty, s"no committed versions at $path")
         val to = toOpt.getOrElse(live.max)
         require(from >= 1 && to >= from,
           s"readChangeFeed needs 1 <= startingVersion <= endingVersion, " +
             s"got $from..$to")
+        require(to <= live.max,
+          s"endingVersion $to is beyond the latest committed version " +
+            s"${live.max} of $path")
         (from to to).map { v =>
           val step =
             if (v == 1)
-              VersionedHub.read(s, p, Some(1))
+              VersionedHub.read(spark, path, Some(1))
                 .withColumn("_change_type", lit("insert"))
             else {
               require(live.contains(v - 1) && live.contains(v),
-                s"hub at $p no longer has version ${v - 1} or $v " +
+                s"hub at $path no longer has version ${v - 1} or $v " +
                   "(vacuumed?) — the change feed cannot be reconstructed")
-              VersionedHub.changesCDF(s, p, keys, v - 1, v)
+              VersionedHub.changesCDF(spark, path, keys, v - 1, v)
             }
           step.withColumn("_commit_version", lit(v))
-        }.reduce(_ unionByName _)
-      })
+        }.reduce { (a, b) =>
+          // a step crossing a schema evolution carries the wider schema:
+          // reconcile pairwise (pad + widen) like every hub union does
+          val (x, y) = graft.writers.HubWriter.reconcileSchemas(a, b)
+          x.unionByName(y)
+        }
+      }
+      return new HubMetaTable(path, "changes", (_, _) => feed)
     }
     new HubTable(path,
       HubDataSource.asOfVersion(SparkSession.active, path, options))
@@ -219,6 +237,11 @@ class HubDataSource extends TableProvider with DataSourceRegister
 }
 
 object HubDataSource {
+
+  /** "a, b ,c" → Some(Seq(a,b,c)); null/blank → None. */
+  private[sources] def parseKeys(raw: String): Option[Seq[String]] =
+    Option(raw).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
 
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")

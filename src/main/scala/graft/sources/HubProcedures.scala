@@ -137,8 +137,11 @@ private[sources] object HubProcedures {
           p("timestamp", DataTypes.StringType, Some("''"))),
         versionOut) { in =>
         val path = tablePath(in)
-        // NULL int args unbox to 0 through InternalRow.getInt — versions
-        // start at 1, so >= 1 is the "provided" test (as vacuum does)
+        // NULL int args unbox to 0 through InternalRow.getInt; versions
+        // start at 1 and the default is -1 — anything else non-positive is
+        // an explicit bad version, refused rather than treated as absent
+        require(in.getInt(1) == -1 || in.getInt(1) >= 1 || in.getInt(1) == 0,
+          s"version must be >= 1, got ${in.getInt(1)}")
         val byV = Some(in.getInt(1)).filter(_ >= 1)
         val byTs = Option(in.getUTF8String(2)).map(_.toString.trim)
           .filter(_.nonEmpty)
@@ -160,6 +163,11 @@ private[sources] object HubProcedures {
         versionOut) { in =>
         val target = in.getUTF8String(1)
         require(target != null, "target is required")
+        // an EXPLICIT version 0 / negative must fail, not clone the tip
+        // (-1 is the "clone the tip" default; NULL unboxes to 0, which
+        // versions never use)
+        require(in.getInt(2) == -1 || in.getInt(2) == 0 || in.getInt(2) >= 1,
+          s"version must be >= 1, got ${in.getInt(2)}")
         Seq(VersionedHub.cloneTable(spark, tablePath(in),
           catalog.tablePathOf(target.toString),
           Some(in.getInt(2)).filter(_ >= 1)))

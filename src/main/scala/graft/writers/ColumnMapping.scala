@@ -55,7 +55,9 @@ private[graft] object ColumnMapping {
     * window) or bucket stamp ("_bucket").
     */
   private val ReservedPlanCols =
-    Set(HubWriter.BucketCol, "_is_new", "_rn")
+    Set(HubWriter.BucketCol, "_is_new", "_rn",
+      // the change feed mints these over the data columns
+      "_change_type", "_commit_version")
 
   def requireLegalName(name: String): Unit = {
     require(!name.contains('#'),

@@ -278,7 +278,7 @@ object HubWriter {
     * Widening ladder: identical → keep; both numeric → wider numeric;
     * date/timestamp → timestamp; anything vs string → string.
     */
-  private[writers] def reconcileSchemas(
+  private[graft] def reconcileSchemas(
       a: DataFrame,
       b: DataFrame
   ): (DataFrame, DataFrame) = {

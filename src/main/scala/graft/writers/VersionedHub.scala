@@ -1871,16 +1871,18 @@ object VersionedHub {
           s"no committed versions at $path to compact"))
       require(base.nBuckets.isDefined,
         s"compactBuckets serves bucketed hubs; $path is flat — use optimize")
-      // an explicitly requested bucket that does not exist is a caller
+      // an explicitly requested id outside the LAYOUT's range is a caller
       // error (a typo'd maintenance target must not report clean success);
-      // an empty LIVE map (all rows deleted) is a legitimate no-op
+      // a valid id whose bucket holds no live rows is a legitimate no-op
+      val n = base.nBuckets.get
       for (req <- buckets) {
-        val unknown = req.filterNot(base.buckets.contains)
+        val unknown = req.filterNot(b => b >= 0 && b < n)
         require(unknown.isEmpty,
-          s"bucket(s) ${unknown.mkString(", ")} do not exist on $path " +
-            s"(live buckets: ${base.buckets.keys.toSeq.sorted.mkString(", ")})")
+          s"bucket(s) ${unknown.mkString(", ")} are outside the layout of " +
+            s"$path (nBuckets = $n)")
       }
       val chosen = buckets.getOrElse(base.buckets.keys.toSeq.sorted)
+        .filter(base.buckets.contains)
       if (chosen.isEmpty) return base.version
       val next = base.version + 1
       val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
