@@ -1449,6 +1449,52 @@ object IngestQueries {
       "ORDER BY version")
   }
 
+  /** BATCH change feed (Delta `readChangeFeed` parity): v1 loads nation,
+    * v2 uppercases a slice and inserts sentinels, v3 DV-deletes two keys —
+    * then ONE batch read of versions 2..3 serves the per-commit feed with
+    * pre/post images and `_commit_version`. The oracle reconstructs the
+    * same change rows from the base table in plain SQL.
+    */
+  val qHubBatchCdf: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_bcdf").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    graft.writers.VersionedHub.writeBucketed(spark,
+      Tables(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")),
+      s"$tmp/nation_cf", Seq("n_nationkey"), 4)
+    Tables(spark, dir, "nation").createOrReplaceTempView("nation_cf_src")
+    spark.sql(s"MERGE INTO $cat.default.nation_cf t USING " +
+      "(SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name " +
+      "FROM nation_cf_src) s ON t.n_nationkey = s.n_nationkey " +
+      "WHEN MATCHED AND s.n_nationkey < 5 THEN UPDATE SET " +
+      "n_name = upper(concat(s.n_name, '!'))")
+    spark.sql(s"DELETE FROM $cat.default.nation_cf " +
+      "WHERE n_nationkey IN (20, 21)")
+    val feed = spark.read.format("graft-hub")
+      .option("path", s"$tmp/nation_cf")
+      .option("readChangeFeed", "true").option("keys", "n_nationkey")
+      .option("startingVersion", "2").load()
+    feed.select(col("n_nationkey"), col("n_name"), col("_change_type"),
+        col("_commit_version").cast("long").as("commit_version"))
+      .orderBy(col("commit_version"), col("n_nationkey"),
+        col("_change_type"))
+  }
+
+  private val hubBatchCdfOracle: String =
+    """WITH pre AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |    n_name FROM nation WHERE n_nationkey < 5),
+      |  v2 AS (
+      |    SELECT n_nationkey, n_name, 'update_preimage' AS _change_type,
+      |      CAST(2 AS BIGINT) AS commit_version FROM pre
+      |    UNION ALL
+      |    SELECT n_nationkey, upper(n_name || '!'), 'update_postimage',
+      |      CAST(2 AS BIGINT) FROM pre),
+      |  v3 AS (
+      |    SELECT CAST(n_nationkey AS BIGINT), n_name, 'delete',
+      |      CAST(3 AS BIGINT) FROM nation WHERE n_nationkey IN (20, 21))
+      |SELECT * FROM (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+      |ORDER BY commit_version, n_nationkey, _change_type""".stripMargin
+
   /** `ALTER TABLE RENAME COLUMN` via column mapping (Delta name-mode
     * parity): each rename is a manifest-only commit — files keep spelling
     * the column by its frozen physical name; reads alias back; writes,
@@ -1667,6 +1713,7 @@ object IngestQueries {
     "q_hub_check_sql" -> qHubCheckSql,
     "q_hub_generated_sql" -> qHubGeneratedSql,
     "q_hub_identity_sql" -> qHubIdentitySql,
+    "q_hub_batch_cdf" -> qHubBatchCdf,
     "q_hub_dv_delete" -> qHubDvDelete,
     "q_hub_default_sql" -> qHubDefaultSql,
     "q_hub_restore" -> qHubRestore,
@@ -1705,6 +1752,7 @@ object IngestQueries {
     "q_hub_check_sql" -> hubCheckSqlOracle,
     "q_hub_generated_sql" -> hubGeneratedSqlOracle,
     "q_hub_identity_sql" -> hubIdentitySqlOracle,
+    "q_hub_batch_cdf" -> hubBatchCdfOracle,
     "q_hub_dv_delete" -> hubDvDeleteOracle,
     "q_hub_default_sql" -> hubDefaultSqlOracle,
     "q_hub_restore" -> hubRestoreOracle,
