@@ -1495,6 +1495,53 @@ object IngestQueries {
       |SELECT * FROM (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
       |ORDER BY commit_version, n_nationkey, _change_type""".stripMargin
 
+  /** `CREATE TABLE ... CLUSTERED BY (keys) INTO n BUCKETS`: the CREATE-time
+    * feature set (identity, CHECK) riding the bucketed scale layout from
+    * version 1. INSERT keeps the hub's keyed-upsert semantics; the oracle
+    * reconstructs the surviving content, and in-query gates pin the layout
+    * (nBuckets recorded at CREATE, buckets materialized by the insert) and
+    * the identity/constraint contracts.
+    */
+  val qHubClusteredSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_clb").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    spark.sql(s"CREATE TABLE $cat.default.nation_clb (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, n_nationkey BIGINT, " +
+      "n_name STRING, CONSTRAINT key_pos CHECK (n_nationkey >= 0)) " +
+      "CLUSTERED BY (n_nationkey) INTO 4 BUCKETS")
+    val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/nation_clb").last
+    require(v1.nBuckets.contains(4) && v1.rows == 0L,
+      "CREATE ... CLUSTERED BY must record the bucketed layout at v1")
+    Tables(spark, dir, "nation").createOrReplaceTempView("clb_src")
+    spark.sql(s"INSERT INTO $cat.default.nation_clb (n_nationkey, n_name) " +
+      "SELECT CAST(n_nationkey AS BIGINT), n_name FROM clb_src")
+    val v2 = graft.writers.VersionedHub.history(spark, s"$tmp/nation_clb").last
+    require(v2.buckets.nonEmpty, "the insert must materialize bucket dirs")
+    val ids1 = spark.sql(s"SELECT n_nationkey, id FROM $cat.default.nation_clb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(ids1.values.toSet.size == ids1.size, "identity ids must be unique")
+    // keyed-upsert INSERT: the re-sent slice updates in place, ids stable
+    spark.sql(s"INSERT INTO $cat.default.nation_clb (n_nationkey, n_name) " +
+      "SELECT CAST(n_nationkey AS BIGINT), lower(n_name) FROM clb_src " +
+      "WHERE n_nationkey < 10")
+    val ids2 = spark.sql(s"SELECT n_nationkey, id FROM $cat.default.nation_clb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(ids2 == ids1, "upserted keys must keep their birth ids")
+    val refused = try { spark.sql(s"INSERT INTO $cat.default.nation_clb " +
+      "(n_nationkey, n_name) VALUES (-1, 'bad')"); false }
+      catch { case _: Exception => true }
+    require(refused, "the CREATE-time CHECK must fire on the clustered table")
+    spark.sql(s"DELETE FROM $cat.default.nation_clb WHERE n_nationkey >= 20")
+    spark.sql(s"SELECT n_nationkey, n_name FROM $cat.default.nation_clb " +
+      "ORDER BY n_nationkey")
+  }
+
+  private val hubClusteredSqlOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  CASE WHEN n_nationkey < 10 THEN lower(n_name) ELSE n_name END
+      |    AS n_name
+      |FROM nation WHERE n_nationkey < 20 ORDER BY n_nationkey""".stripMargin
+
   /** `ALTER TABLE RENAME COLUMN` via column mapping (Delta name-mode
     * parity): each rename is a manifest-only commit — files keep spelling
     * the column by its frozen physical name; reads alias back; writes,
@@ -1714,6 +1761,7 @@ object IngestQueries {
     "q_hub_generated_sql" -> qHubGeneratedSql,
     "q_hub_identity_sql" -> qHubIdentitySql,
     "q_hub_batch_cdf" -> qHubBatchCdf,
+    "q_hub_clustered_sql" -> qHubClusteredSql,
     "q_hub_dv_delete" -> qHubDvDelete,
     "q_hub_default_sql" -> qHubDefaultSql,
     "q_hub_restore" -> qHubRestore,
@@ -1753,6 +1801,7 @@ object IngestQueries {
     "q_hub_generated_sql" -> hubGeneratedSqlOracle,
     "q_hub_identity_sql" -> hubIdentitySqlOracle,
     "q_hub_batch_cdf" -> hubBatchCdfOracle,
+    "q_hub_clustered_sql" -> hubClusteredSqlOracle,
     "q_hub_dv_delete" -> hubDvDeleteOracle,
     "q_hub_default_sql" -> hubDefaultSqlOracle,
     "q_hub_restore" -> hubRestoreOracle,

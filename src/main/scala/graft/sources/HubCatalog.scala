@@ -165,14 +165,48 @@ class HubCatalog extends TableCatalog
   private def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String],
       checks0: Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-hub tables bucket by key hash; PARTITIONED BY is not supported")
+    // `CLUSTERED BY (keys...) INTO n BUCKETS` declares the hub's keyed
+    // bucketed layout at CREATE — the 100 TB shape (O(touched buckets)
+    // upserts, DV deletes, structural sharing) combined with every
+    // CREATE-time feature (identity, generated, DEFAULT, CHECK). The
+    // bucket columns ARE the table's primary keys: INSERT keeps the hub's
+    // keyed-upsert semantics (last writer wins per key), like every hub
+    // write. PARTITIONED BY stays refused (the hub routes by key hash).
+    val bucketSpec: Option[(Seq[String], Int)] = partitions match {
+      case Array() => None
+      case Array(t) if t.name == "bucket" =>
+        import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+        val n = t.arguments.collectFirst {
+          case l: VLit[_] => l.value.asInstanceOf[Number].intValue }
+          .getOrElse(throw new IllegalArgumentException(
+            s"bucket transform carries no bucket count: $t"))
+        require(n >= 1, s"INTO n BUCKETS needs n >= 1, got $n")
+        val cols = t.arguments.toSeq.collect { case r: NamedReference =>
+          require(r.fieldNames.length == 1,
+            s"bucket column ${r.describe} must be a top-level column")
+          val name = r.fieldNames()(0)
+          require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+            s"bucket column $name is not in the schema")
+          schema.fieldNames.find(_.equalsIgnoreCase(name)).get
+        }
+        require(cols.nonEmpty, s"CLUSTERED BY names no columns: $t")
+        Some((cols, n))
+      case other => throw new UnsupportedOperationException(
+        "graft-hub tables bucket by key hash: use CLUSTERED BY (keys) " +
+          s"INTO n BUCKETS; got ${other.mkString(", ")}")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     schema.fieldNames.foreach(graft.writers.ColumnMapping.requireLegalName)
     val p = pathOf(ident)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    VersionedHub.write(spark, empty, p, Seq.empty, checks0 = checks0)
+    bucketSpec match {
+      case Some((cols, n)) =>
+        VersionedHub.writeBucketed(spark, empty, p, cols, n,
+          checks0 = checks0)
+      case None =>
+        VersionedHub.write(spark, empty, p, Seq.empty, checks0 = checks0)
+    }
     new HubTable(p, asOf = None)
   }
 

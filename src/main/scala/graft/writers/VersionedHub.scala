@@ -202,10 +202,15 @@ object VersionedHub {
       checks0: Map[String, String] = Map.empty
   ): Int = latest(spark, path) match {
     case Some(v) if v.nBuckets.isDefined =>
-      require(keys.nonEmpty,
+      // a keyless write on a bucketed hub routes (and merges) by the
+      // RECORDED bucket columns — the layout declared them the table's
+      // keys (CLUSTERED BY), so SQL INSERT keeps the hub's keyed-upsert
+      // semantics without re-stating the keys
+      val ks = if (keys.nonEmpty) keys else v.bucketCols.getOrElse(Seq.empty)
+      require(ks.nonEmpty,
         s"hub at $path is bucketed; a keyless write() cannot route rows to " +
           "buckets — provide the hub primary keys")
-      writeBucketed(spark, df, path, keys, v.nBuckets.get, batchId,
+      writeBucketed(spark, df, path, ks, v.nBuckets.get, batchId,
         bucketCols = v.bucketCols, deletes = deletes)
     case _ =>
       require(deletes.isEmpty || keys.nonEmpty,
@@ -560,7 +565,10 @@ object VersionedHub {
       batchId: Option[Long] = None,
       bucketCols: Option[Seq[String]] = None,
       deletes: Option[DataFrame] = None,
-      optimizeWrite: Boolean = true
+      optimizeWrite: Boolean = true,
+      // CHECK constraints for a TABLE-CREATING commit (atomic CREATE TABLE
+      // ... CLUSTERED BY ... CHECK); ignored once the table has versions
+      checks0: Map[String, String] = Map.empty
   ): Int = {
     require(keys.nonEmpty, "bucketed versioned hub requires primary keys")
     val bCols = bucketCols.getOrElse(keys)
@@ -591,8 +599,13 @@ object VersionedHub {
         require(bc == bCols,
           s"hub at $path is bucketed by $bc; got $bCols — bucket routing " +
             "is immutable once written")
-      require(base.forall(_.nBuckets.isDefined),
-        s"hub at $path has non-bucketed versions — cannot mix layouts")
+      // a FLAT base that never held a row (a catalog CREATE TABLE's empty
+      // v1) may adopt the bucketed layout — there is no data to mix, and
+      // its recorded schema/checks (identity, generated, defaults) carry
+      // into the bucketed lineage; a flat base WITH rows stays refused
+      require(base.forall(v => v.nBuckets.isDefined || v.rows == 0L),
+        s"hub at $path has non-bucketed versions with rows — cannot mix " +
+          "layouts")
       val next = base.map(_.version).getOrElse(0) + 1
       // the touched-bucket set gates which BASE dirs the merge reads; a
       // base-less first commit reads nothing, so the collect (one full
@@ -698,7 +711,7 @@ object VersionedHub {
             Map.empty[String, FileStats.FileStat])(_.fileStats),
           dvCarried = () => base.fold(
             Map.empty[String, Seq[Long]])(_.dvs),
-          checks = base.fold(Map.empty[String, String])(_.checks))))
+          checks = base.fold(checks0)(_.checks))))
         return next
       fs.delete(new Path(resolve(path, root)), true)
       failIfStuck(spark, path, next)

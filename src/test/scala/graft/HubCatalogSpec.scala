@@ -1687,6 +1687,50 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CREATE TABLE CLUSTERED BY INTO BUCKETS creates a bucketed hub; CREATE-time features ride the scale layout") {
+    withCatalog("hubclb") { base =>
+      spark.sql("CREATE TABLE hubclb.default.t (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, v STRING, " +
+        "CONSTRAINT kpos CHECK (k > 0)) CLUSTERED BY (k) INTO 8 BUCKETS")
+      val v1 = VersionedHub.history(spark, s"$base/t").last
+      assert(v1.nBuckets.contains(8) && v1.bucketCols.contains(Seq("k")) &&
+        v1.checks == Map("kpos" -> "k > 0") && v1.rows == 0L)
+      spark.sql("INSERT INTO hubclb.default.t (k, v) " +
+        "VALUES (1,'a'), (2,'b'), (3,'c')")
+      def rows(): Map[Long, (Long, String)] =
+        spark.sql("SELECT k, id, v FROM hubclb.default.t")
+          .as[(Long, Long, String)].collect()
+          .map(t => t._1 -> (t._2, t._3)).toMap
+      val r1 = rows()
+      assert(r1.size == 3 && r1.values.map(_._1).toSet.size == 3)
+      // INSERT keeps the hub's keyed-upsert semantics: k=2 updates in
+      // place and KEEPS its birth id; new keys allocate fresh ids
+      spark.sql("INSERT INTO hubclb.default.t (k, v) VALUES (2,'B'), (4,'d')")
+      val r2 = rows()
+      assert(r2(2L)._2 == "B" && r2(2L)._1 == r1(2L)._1 && r2.size == 4)
+      assert(r2(4L)._1 > r1.values.map(_._1).max)
+      // still bucketed; row-level SQL works on the clustered table
+      assert(VersionedHub.history(spark, s"$base/t").last.nBuckets
+        .contains(8))
+      spark.sql("DELETE FROM hubclb.default.t WHERE k = 1")
+      assert(rows().size == 3 && !rows().contains(1L))
+      // CREATE-time CHECK is live from v1
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO hubclb.default.t (k, v) VALUES (-5,'x')"))
+      assert(e.getMessage.contains("kpos"), e.getMessage)
+      // PARTITIONED BY stays refused
+      val e2 = intercept[Exception](spark.sql(
+        "CREATE TABLE hubclb.default.p (k BIGINT) PARTITIONED BY (k)"))
+      assert(e2.getMessage.contains("CLUSTERED BY"), e2.getMessage)
+      // a flat table that ever held rows cannot adopt the layout
+      spark.sql("CREATE TABLE hubclb.default.f (k BIGINT)")
+      spark.sql("INSERT INTO hubclb.default.f VALUES (1)")
+      val e3 = intercept[Exception](VersionedHub.writeBucketed(spark,
+        Seq((2L, "x")).toDF("k", "v"), s"$base/f", Seq("k"), 4))
+      assert(e3.getMessage.contains("cannot mix"), e3.getMessage)
+    }
+  }
+
   test("identity high-water mark advances even when the column sits beyond the stats width cap") {
     withCatalog("hubwide") { _ =>
       // 34 regular columns, identity declared LAST (beyond the 32-column
