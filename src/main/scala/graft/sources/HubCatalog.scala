@@ -202,7 +202,22 @@ class HubCatalog extends TableCatalog
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     bucketSpec match {
       case Some((cols, n)) =>
-        VersionedHub.writeBucketed(spark, empty, p, cols, n,
+        // CLUSTERED BY declares the bucket columns as the TABLE'S KEYS —
+        // marked in their field metadata (carried by every commit, like
+        // the identity mark) so keyless writes may safely merge on them;
+        // library tables routed by a key SUBSET never carry the marker
+        // and keep the loud keyless refusal (merging on the routing
+        // column alone would collapse multi-row keys)
+        val marked = StructType(schema.fields.map { f =>
+          if (cols.exists(_.equalsIgnoreCase(f.name)))
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putBoolean(VersionedHub.ClusteredKeyKey, true).build())
+          else f
+        })
+        val emptyMarked = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], marked)
+        VersionedHub.writeBucketed(spark, emptyMarked, p, cols, n,
           checks0 = checks0)
       case None =>
         VersionedHub.write(spark, empty, p, Seq.empty, checks0 = checks0)

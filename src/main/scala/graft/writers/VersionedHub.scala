@@ -202,11 +202,20 @@ object VersionedHub {
       checks0: Map[String, String] = Map.empty
   ): Int = latest(spark, path) match {
     case Some(v) if v.nBuckets.isDefined =>
-      // a keyless write on a bucketed hub routes (and merges) by the
-      // RECORDED bucket columns — the layout declared them the table's
-      // keys (CLUSTERED BY), so SQL INSERT keeps the hub's keyed-upsert
-      // semantics without re-stating the keys
-      val ks = if (keys.nonEmpty) keys else v.bucketCols.getOrElse(Seq.empty)
+      // a keyless write on a bucketed hub may route (and merge) by the
+      // RECORDED bucket columns iff a catalog CLUSTERED BY declared them
+      // the table's keys (schema-metadata marker) — SQL INSERT then keeps
+      // the hub's keyed-upsert semantics without re-stating the keys.
+      // Tables routed by a key SUBSET (interval tables) never carry the
+      // marker: merging on the routing column alone would collapse
+      // multi-row keys, so the keyless refusal stays loud for them.
+      def declaredKeys: Seq[String] = v.bucketCols.filter(cols =>
+        v.schema.exists(sch => cols.forall(c => sch.fields.exists(f =>
+          f.name.equalsIgnoreCase(c) &&
+            f.metadata.contains(ClusteredKeyKey) &&
+            f.metadata.getBoolean(ClusteredKeyKey)))))
+        .getOrElse(Seq.empty)
+      val ks = if (keys.nonEmpty) keys else declaredKeys
       require(ks.nonEmpty,
         s"hub at $path is bucketed; a keyless write() cannot route rows to " +
           "buckets — provide the hub primary keys")
@@ -328,6 +337,12 @@ object VersionedHub {
     * for free, and time travel / restore see the mark AS OF that version.
     */
   private[graft] val IdentityHighKey = "graft.identity.high"
+
+  /** Field-metadata marker on bucket columns a catalog `CLUSTERED BY`
+    * declared as the TABLE'S KEYS — the license for keyless writes to
+    * merge on them. Carried by every commit like all schema metadata.
+    */
+  private[graft] val ClusteredKeyKey = "graft.clusteredKey"
 
   private[graft] final case class IdSpec(start: Long, step: Long,
       allowExplicit: Boolean, high: Option[Long])

@@ -684,7 +684,11 @@ class VersionedHubSpec extends SparkTestBase {
       .select($"k", $"v").as[(Int, String)].collect().toMap
     assert(end.size == 100 && end(1) == "ONE" && end(50) == "v50")
     assert(VersionedHub.history(spark, path).last.buckets.size == 8)
-    // keyless write() cannot route rows to buckets — refused loudly
+    // keyless write() stays refused on LIBRARY-created bucketed tables:
+    // only a catalog CLUSTERED BY (which declares the bucket columns as
+    // the table's keys, schema-metadata marker) licenses the fallback —
+    // a subset-routed interval table must never merge on its routing
+    // column alone
     intercept[IllegalArgumentException] {
       VersionedHub.write(spark, kv(3 -> "x"), path, Seq.empty)
     }
