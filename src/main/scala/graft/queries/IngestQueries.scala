@@ -145,6 +145,82 @@ object IngestQueries {
       |  TRUE AS v1_readable, TRUE AS bucketed
       |FROM region ORDER BY r_regionkey""".stripMargin
 
+  /** §2.1 jdbc_reader, end-to-end and driver-proven. The reference ships its
+    * JDBC source DISABLED behind a sqlite file it never creates
+    * (sources.yaml:33-46 + contoso_sqlite_instructions.sql) — here the same
+    * 3-row `products` fixture is materialized in embedded Derby (the one
+    * JDBC engine whose jars ship with Spark) and ingested TWICE through the
+    * full read→stamp→RAW→HUB pipeline via [[graft.readers.Readers.jdbc]]:
+    * `url`+`dbtable` required, `driver` set, `user`/`password` EMPTY so the
+    * truthy-only credential guard (base_reader.py:16-29) is on the executed
+    * path — Derby would reject a forwarded empty user. The oracle predicts
+    * HUB = the 3 products exactly once (keyed upsert idempotent) and
+    * RAW = every row exactly twice (append-only), plus the audit stamp.
+    */
+  val qJdbcIngest: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_jdbc").toFile.getAbsolutePath
+    val dbPath = s"$tmp/contoso_derby"
+    // Derby writes its engine log to user.dir unless redirected.
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+    val conn =
+      java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath;create=true")
+    try {
+      val st = conn.createStatement()
+      // Quoted identifiers keep the reference fixture's lowercase columns
+      // (contoso_sqlite_instructions.sql:3-4); unquoted `products` resolves
+      // case-insensitively so `dbtable: products` works verbatim.
+      st.executeUpdate("""CREATE TABLE products
+        |("product_id" INT PRIMARY KEY, "name" VARCHAR(64), "price" DOUBLE)"""
+        .stripMargin)
+      st.executeUpdate("""INSERT INTO products VALUES
+        |(10,'Phone',699.0),(20,'Headphones',199.0),(30,'Tablet',499.0)"""
+        .stripMargin)
+      st.close()
+    } finally conn.close()
+    val system = SourceSystem(
+      version = 1,
+      defaults = Map(
+        "raw_base" -> s"$tmp/raw",
+        "hub_base" -> s"$tmp/hub",
+        "checkpoint_base" -> s"$tmp/cp"),
+      sources = Seq(
+        Source(
+          id = "products_jdbc",
+          `type` = "jdbc",
+          domain = "sales",
+          entity = "products",
+          options = Map(
+            "url" -> s"jdbc:derby:$dbPath",
+            "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+            "dbtable" -> "products",
+            "user" -> "",
+            "password" -> ""),
+          hubPrimaryKeys = Seq("product_id"))))
+    Ingest.runCatalog(spark, system)
+    Ingest.runCatalog(spark, system) // idempotence: HUB upsert, RAW append
+    val hub = Ingest.readHub(spark, s"$tmp/hub/sales/products")
+    val raw = spark.read.parquet(s"$tmp/raw/sales/products")
+    hub
+      .select(col("product_id"), col("name"), col("price"), col("_source_id"))
+      .join(
+        raw.groupBy(col("product_id"))
+          .agg(count(lit(1)).as("raw_copies")),
+        Seq("product_id"))
+      .orderBy(col("product_id"))
+  }
+
+  private val jdbcIngestOracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(10 AS INTEGER), 'Phone',      CAST(699.0 AS DOUBLE),
+      |   'products_jdbc', CAST(2 AS BIGINT)),
+      |  (CAST(20 AS INTEGER), 'Headphones', CAST(199.0 AS DOUBLE),
+      |   'products_jdbc', CAST(2 AS BIGINT)),
+      |  (CAST(30 AS INTEGER), 'Tablet',     CAST(499.0 AS DOUBLE),
+      |   'products_jdbc', CAST(2 AS BIGINT))
+      |) AS t(product_id, name, price, _source_id, raw_copies)
+      |ORDER BY product_id""".stripMargin
+
   /** ACID-log time travel, driver-proven: commit region as hub version 1,
     * upsert a mutated batch (keys < 3 renamed) as version 2, then read BOTH
     * snapshots back through the manifest log. The oracle reconstructs each
@@ -1783,6 +1859,7 @@ object IngestQueries {
     "q_zorder_prune" -> qZorderPrune,
     "q_ingest_hub_roundtrip" -> qIngestHubRoundtrip,
     "q_ingest_versioned_roundtrip" -> qIngestVersionedRoundtrip,
+    "q_jdbc_ingest" -> qJdbcIngest,
     "q_hub_time_travel" -> qHubTimeTravel,
     "q_hub_change_feed" -> qHubChangeFeed,
     "q_hub_bucketed_roundtrip" -> qHubBucketedRoundtrip,
@@ -1820,6 +1897,7 @@ object IngestQueries {
     "q_zorder_prune" -> zorderPruneOracle,
     "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
     "q_ingest_versioned_roundtrip" -> ingestVersionedRoundtripOracle,
+    "q_jdbc_ingest" -> jdbcIngestOracle,
     "q_hub_time_travel" -> hubTimeTravelOracle,
     "q_hub_timestamp_travel" -> hubTimeTravelOracle,
     "q_hub_files_meta" -> hubFilesMetaOracle,

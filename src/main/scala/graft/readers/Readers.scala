@@ -68,6 +68,14 @@ object Readers {
 
   /** base_reader.py:16-29 — url + dbtable required; driver/user/password only
     * set when non-empty (the reference guards with `if truthy`).
+    *
+    * Extension beyond the reference's 5-key surface: every OTHER option is
+    * passed verbatim to Spark's JDBC source, so a large table can be read in
+    * parallel slices (`partitionColumn`/`lowerBound`/`upperBound`/
+    * `numPartitions`) with a tuned `fetchsize` — without that a 100 TB-era
+    * source table funnels through one executor connection. The truthy guard
+    * stays authoritative for the credential trio: empty driver/user/password
+    * are dropped, never forwarded.
     */
   val jdbc: Reader = (spark, opts) => {
     val url = required(opts, "url", "jdbc")
@@ -75,6 +83,8 @@ object Readers {
     var r = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
     for (k <- Seq("driver", "user", "password"); v <- opts.get(k) if v.nonEmpty)
       r = r.option(k, v)
+    val consumed = Set("url", "dbtable", "driver", "user", "password")
+    r = r.options(opts.view.filterKeys(k => !consumed.contains(k)).toMap)
     r.load()
   }
 

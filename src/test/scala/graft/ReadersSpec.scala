@@ -79,6 +79,40 @@ class ReadersSpec extends SparkTestBase {
       s"pruned query must not fetch unused columns: $dataSql")
   }
 
+  test("jdbc reader against embedded Derby: creds guard + parallel slices") {
+    // A REAL JDBC engine (Derby ships in /opt/spark/jars), exercising what
+    // FakeJdbc cannot: genuine SQL parsing of the schema probe and the
+    // per-partition WHERE slices, and the truthy-only credential guard
+    // against an engine that would reject a forwarded empty user.
+    val db = tmpDir("derby") + "/db"
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file", tmpDir("derbylog") + "/derby.log")
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("""CREATE TABLE products
+        ("product_id" INT PRIMARY KEY, "name" VARCHAR(64), "price" DOUBLE)""")
+      st.executeUpdate("""INSERT INTO products VALUES
+        (10,'Phone',699.0),(20,'Headphones',199.0),(30,'Tablet',499.0)""")
+      st.close()
+    } finally conn.close()
+    val df = Readers.jdbc(spark, Map(
+      "url" -> s"jdbc:derby:$db",
+      "dbtable" -> "products",
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "user" -> "", "password" -> "", // truthy guard: must NOT be forwarded
+      // scale passthrough: slice the read on the key
+      "partitionColumn" -> "product_id",
+      "lowerBound" -> "0", "upperBound" -> "40", "numPartitions" -> "2"))
+    assert(df.rdd.getNumPartitions == 2,
+      "partitionColumn/numPartitions must pass through to the JDBC source")
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (10, "Phone", 699.0), (20, "Headphones", 199.0), (30, "Tablet", 499.0)),
+      "partition slices must cover every row exactly once")
+  }
+
   test("orc reader round-trips a written orc table") {
     val dir = tmpDir("orc") + "/t"
     spark.read.parquet("/root/testdata/sf0.001/region.parquet")
