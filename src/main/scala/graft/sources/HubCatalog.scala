@@ -227,9 +227,9 @@ class HubCatalog extends TableCatalog
 
   /** The [[TableInfo]] CREATE path (how the parser delivers `CREATE TABLE
     * … CONSTRAINT c CHECK (…)`): the interface DEFAULT silently DROPS the
-    * constraints on its way to the schema overload — store them instead
-    * (a second, checks-only manifest commit on the fresh table; the empty
-    * v1 trivially satisfies them, no validation scan needed).
+    * constraints on its way to the schema overload — store them instead,
+    * recorded atomically inside the single table-creating commit (the
+    * empty v1 trivially satisfies them, no validation scan needed).
     */
   override def createTable(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {

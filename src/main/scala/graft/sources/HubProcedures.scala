@@ -137,12 +137,14 @@ private[sources] object HubProcedures {
           p("timestamp", DataTypes.StringType, Some("''"))),
         versionOut) { in =>
         val path = tablePath(in)
-        // NULL int args unbox to 0 through InternalRow.getInt; versions
-        // start at 1 and the default is -1 — anything else non-positive is
-        // an explicit bad version, refused rather than treated as absent
-        require(in.getInt(1) == -1 || in.getInt(1) >= 1 || in.getInt(1) == 0,
-          s"version must be >= 1, got ${in.getInt(1)}")
-        val byV = Some(in.getInt(1)).filter(_ >= 1)
+        // isNullAt disambiguates a NULL arg (absent → the -1 default) from
+        // an EXPLICIT 0, which InternalRow.getInt would otherwise unbox
+        // identically; versions start at 1, so explicit 0/negative is
+        // refused rather than silently treated as absent
+        val vArg = if (in.isNullAt(1)) -1 else in.getInt(1)
+        require(vArg == -1 || vArg >= 1,
+          s"version must be >= 1 (or omitted), got $vArg")
+        val byV = Some(vArg).filter(_ >= 1)
         val byTs = Option(in.getUTF8String(2)).map(_.toString.trim)
           .filter(_.nonEmpty)
         require(byV.isEmpty != byTs.isEmpty,
@@ -163,14 +165,15 @@ private[sources] object HubProcedures {
         versionOut) { in =>
         val target = in.getUTF8String(1)
         require(target != null, "target is required")
-        // an EXPLICIT version 0 / negative must fail, not clone the tip
-        // (-1 is the "clone the tip" default; NULL unboxes to 0, which
-        // versions never use)
-        require(in.getInt(2) == -1 || in.getInt(2) == 0 || in.getInt(2) >= 1,
-          s"version must be >= 1, got ${in.getInt(2)}")
+        // an EXPLICIT version 0 / negative must fail, not clone the tip;
+        // isNullAt separates NULL (absent → -1 default → tip) from the
+        // explicit 0 that InternalRow.getInt would unbox identically
+        val vArg = if (in.isNullAt(2)) -1 else in.getInt(2)
+        require(vArg == -1 || vArg >= 1,
+          s"version must be >= 1 (or omitted for the tip), got $vArg")
         Seq(VersionedHub.cloneTable(spark, tablePath(in),
           catalog.tablePathOf(target.toString),
-          Some(in.getInt(2)).filter(_ >= 1)))
+          Some(vArg).filter(_ >= 1)))
       }
       case "bloom_index" => Proc("bloom_index",
         Array(p("table", DataTypes.StringType),

@@ -463,11 +463,22 @@ object VersionedHub {
 
   /** Identity allocation, then generated columns, then CHECK constraints
     * (a generation expression or CHECK may reference the identity value
-    * and must see it filled).
+    * and must see it filled). A base-less (table-CREATING) commit is not
+    * constraint-less: `checks0` is validated over the rows the commit
+    * itself carries, and identity/generated metadata in df's OWN schema
+    * is honored — a no-op for the catalog's empty-v1 caller, but a direct
+    * first write carrying data plus checks0 fails loudly on violating
+    * rows instead of stamping them valid.
     */
-  private def enforceChecks(df: DataFrame, base: Option[Version]): DataFrame =
-    base.fold(df)(v => enforceChecks(
-      applyGenerated(applyIdentity(df, v.schema), v.schema), v.checks))
+  private def enforceChecks(df: DataFrame, base: Option[Version],
+      checks0: Map[String, String] = Map.empty): DataFrame =
+    base match {
+      case Some(v) => enforceChecks(
+        applyGenerated(applyIdentity(df, v.schema), v.schema), v.checks)
+      case None =>
+        val own = Some(df.schema)
+        enforceChecks(applyGenerated(applyIdentity(df, own), own), checks0)
+    }
 
   /** The generated-column names of a snapshot schema (lower-cased). */
   private[graft] def generatedCols(v: Version): Set[String] =
@@ -515,7 +526,7 @@ object VersionedHub {
       require(base.forall(_.nBuckets.isEmpty),
         s"hub at $path became bucketed mid-commit; retry the write")
       val next = base.map(_.version).getOrElse(0) + 1
-      val merged = enforceChecks(mkSnapshot(base), base)
+      val merged = enforceChecks(mkSnapshot(base), base, checks0)
       // the recorded schema carries column-mapping metadata forward from
       // the base (merge projections may have dropped it); files land under
       // PHYSICAL names so the snapshot stays homogeneous across renames
@@ -614,11 +625,16 @@ object VersionedHub {
         require(bc == bCols,
           s"hub at $path is bucketed by $bc; got $bCols — bucket routing " +
             "is immutable once written")
-      // a FLAT base that never held a row (a catalog CREATE TABLE's empty
-      // v1) may adopt the bucketed layout — there is no data to mix, and
-      // its recorded schema/checks (identity, generated, defaults) carry
-      // into the bucketed lineage; a flat base WITH rows stays refused
-      require(base.forall(v => v.nBuckets.isDefined || v.rows == 0L),
+      // a FLAT base whose ENTIRE history never held a row (a catalog
+      // CREATE TABLE's empty v1) may adopt the bucketed layout — there is
+      // no data to mix at ANY version, so time travel/restore across the
+      // flip only ever sees empty flat snapshots, and the recorded
+      // schema/checks (identity, generated, defaults) carry into the
+      // bucketed lineage. A flat lineage with any row-bearing version —
+      // even one later emptied by a delete-all — stays refused: restoring
+      // past the flip would resurrect data under the wrong layout
+      require(base.forall(v => v.nBuckets.isDefined ||
+          committed.forall(_.rows == 0L)),
         s"hub at $path has non-bucketed versions with rows — cannot mix " +
           "layouts")
       val next = base.map(_.version).getOrElse(0) + 1
@@ -674,7 +690,7 @@ object VersionedHub {
         if (optimizeWrite)
           merged.repartition(org.apache.spark.sql.functions.col(BucketCol))
         else merged,
-        base)
+        base, checks0)
       ColumnMapping.toPhysical(toWrite, snapSchema)
         .write.options(BloomIndex.options(snapSchema))
         .partitionBy(BucketCol).parquet(resolve(path, root))

@@ -1684,6 +1684,17 @@ class HubCatalogSpec extends SparkTestBase {
       assert(spark.sql("CALL hubsel.system.clone(`table` => 't', " +
         "target => 'tclone', version => 1)").as[Int].head() == 1)
       assert(spark.table("hubsel.default.tclone").count() == 400)
+      // an EXPLICIT version => 0 must fail loudly, not act on the tip
+      // (versions start at 1; only an omitted/NULL version means "tip")
+      val eZeroR = intercept[Exception](spark.sql(
+        "CALL hubsel.system.restore(`table` => 't', version => 0)"))
+      assert(eZeroR.getMessage.contains("version must be >= 1"),
+        eZeroR.getMessage)
+      val eZeroC = intercept[Exception](spark.sql(
+        "CALL hubsel.system.clone(`table` => 't', target => 'tz', " +
+          "version => 0)"))
+      assert(eZeroC.getMessage.contains("version must be >= 1"),
+        eZeroC.getMessage)
     }
   }
 
@@ -1728,6 +1739,15 @@ class HubCatalogSpec extends SparkTestBase {
       val e3 = intercept[Exception](VersionedHub.writeBucketed(spark,
         Seq((2L, "x")).toDF("k", "v"), s"$base/f", Seq("k"), 4))
       assert(e3.getMessage.contains("cannot mix"), e3.getMessage)
+      // ...and stays refused after a delete-all empties the LATEST version:
+      // history still holds a row-bearing flat snapshot, and restore/time
+      // travel across a layout flip would resurrect it under the wrong
+      // layout
+      spark.sql("DELETE FROM hubclb.default.f WHERE k = 1")
+      assert(spark.table("hubclb.default.f").count() == 0)
+      val e4 = intercept[Exception](VersionedHub.writeBucketed(spark,
+        Seq((2L, "x")).toDF("k", "v"), s"$base/f", Seq("k"), 4))
+      assert(e4.getMessage.contains("cannot mix"), e4.getMessage)
     }
   }
 

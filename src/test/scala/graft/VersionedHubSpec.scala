@@ -15,6 +15,29 @@ class VersionedHubSpec extends SparkTestBase {
   private def kv(pairs: (Int, String)*) =
     pairs.toSeq.toDF("k", "v")
 
+  test("a table-creating commit with data validates checks0 (base-less is not constraint-less)") {
+    val bad = tmpDir("vhub_chk0_bad")
+    val e = intercept[Exception](VersionedHub.write(spark,
+      kv(1 -> "a", -2 -> "b"), bad, Seq("k"),
+      checks0 = Map("kpos" -> "k > 0")))
+    assert(e.getMessage.contains("kpos"), e.getMessage)
+    val good = tmpDir("vhub_chk0_good")
+    VersionedHub.write(spark, kv(1 -> "a"), good, Seq("k"),
+      checks0 = Map("kpos" -> "k > 0"))
+    assert(VersionedHub.history(spark, good).last.checks ==
+      Map("kpos" -> "k > 0"))
+    // the recorded constraint stays live for the next commit
+    val e2 = intercept[Exception](
+      VersionedHub.write(spark, kv(-1 -> "z"), good, Seq("k")))
+    assert(e2.getMessage.contains("kpos"), e2.getMessage)
+    // the bucketed table-creating commit enforces checks0 identically
+    val badB = tmpDir("vhub_chk0_badb")
+    val eB = intercept[Exception](VersionedHub.writeBucketed(spark,
+      kv(1 -> "a", -2 -> "b"), badB, Seq("k"), 4,
+      checks0 = Map("kpos" -> "k > 0")))
+    assert(eB.getMessage.contains("kpos"), eB.getMessage)
+  }
+
   test("sequential upserts commit as versions; time travel reads any snapshot") {
     val path = tmpDir("vhub_seq")
     val v1 = VersionedHub.write(spark, kv(1 -> "a", 2 -> "b"), path, Seq("k"))
