@@ -1550,6 +1550,34 @@ object IngestQueries {
       .option("path", s"$tmp/nation_cf")
       .option("readChangeFeed", "true").option("keys", "n_nationkey")
       .option("startingVersion", "2").load()
+    // TIMESTAMP bounds (Delta's startingTimestamp/endingTimestamp) resolve
+    // through the same manifest log: the window [v2.ts, v3.ts] must serve
+    // the IDENTICAL feed, and out-of-history bounds are refused loudly
+    val hist = graft.writers.VersionedHub.history(spark, s"$tmp/nation_cf")
+    val Seq(ts1, ts2, ts3) = hist.sortBy(_.version).map(_.ts)
+    require(ts1 < ts2 && ts2 <= ts3,
+      s"commit instants must be ordered for the ts-window gate: $ts1 $ts2 $ts3")
+    val feedTs = spark.read.format("graft-hub")
+      .option("path", s"$tmp/nation_cf")
+      .option("readChangeFeed", "true").option("keys", "n_nationkey")
+      .option("startingTimestamp", ts2.toString)
+      .option("endingTimestamp", ts3.toString).load()
+    require(feedTs.exceptAll(feed).isEmpty && feed.exceptAll(feedTs).isEmpty,
+      "the [v2.ts, v3.ts] timestamp window must serve the same change feed " +
+        "as startingVersion=2")
+    def refused(f: => Unit): Boolean =
+      try { f; false } catch { case _: Exception => true }
+    require(refused(spark.read.format("graft-hub")
+        .option("path", s"$tmp/nation_cf")
+        .option("readChangeFeed", "true").option("keys", "n_nationkey")
+        .option("startingVersion", "1")
+        .option("endingTimestamp", (ts1 - 1).toString).load()),
+      "a pre-history endingTimestamp must be refused, not served empty")
+    require(refused(spark.read.format("graft-hub")
+        .option("path", s"$tmp/nation_cf")
+        .option("readChangeFeed", "true").option("keys", "n_nationkey")
+        .option("startingTimestamp", (ts3 + 1).toString).load()),
+      "a post-history startingTimestamp must be refused, not served empty")
     feed.select(col("n_nationkey"), col("n_name"), col("_change_type"),
         col("_commit_version").cast("long").as("commit_version"))
       .orderBy(col("commit_version"), col("n_nationkey"),

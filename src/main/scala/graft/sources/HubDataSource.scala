@@ -92,20 +92,41 @@ class HubDataSource extends TableProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
-    // the stream always starts from the initial snapshot (checkpoint
-    // offsets govern the rest); silently ignoring a batch-only option
-    // would diverge from what the batch feed honors
-    require(!parameters.keys.exists(_.equalsIgnoreCase("startingVersion")),
-      "startingVersion is a BATCH readChangeFeed option — a stream " +
-        "starts from the initial snapshot and resumes from its checkpoint")
-    new HubStreamSource(sqlContext, streamPathOf(parameters),
+    // endingVersion/endingTimestamp are batch-only: a stream has no end —
+    // silently ignoring them would diverge from what the batch feed honors
+    require(!parameters.keys.exists(k => k.equalsIgnoreCase("endingVersion")
+        || k.equalsIgnoreCase("endingTimestamp")),
+      "endingVersion/endingTimestamp are BATCH readChangeFeed options — " +
+        "a stream is unbounded; bound a drain with Trigger.AvailableNow")
+    // Delta parity: startingVersion / startingTimestamp start the stream
+    // at that commit's CHANGES, skipping the initial-snapshot catch-up
+    // batch; startingTimestamp resolves to the first commit at or after
+    // the instant through the same resolver the batch feed uses. The
+    // options only seed a FRESH stream — a checkpoint-resumed stream
+    // keeps its offsets, like Delta.
+    val path = streamPathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val byV = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingVersion") => v.toInt
+    }
+    val byTs = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingTimestamp") =>
+        VersionedHub.versionAtOrAfterTimestamp(spark, path,
+          HubDataSource.parseTsMillis(spark, v)).version
+    }
+    require(byV.isEmpty || byTs.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    byV.foreach(v => require(v >= 1,
+      s"startingVersion must be >= 1, got $v"))
+    new HubStreamSource(sqlContext, path,
       cdfKeysOf(parameters),
       parameters.collectFirst {
         case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") =>
           val n = v.toInt
           require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
           n
-      })
+      },
+      startingVersion = byV.orElse(byTs))
   }
 
   /** `readChangeFeed=true` switches the stream to row-level CDF batches;
@@ -188,12 +209,31 @@ class HubDataSource extends TableProvider with DataSourceRegister
     // startingVersion is refused at newScanBuilder (streaming never
     // builds a batch scan)
     if (options.getBoolean("readChangeFeed", false) &&
-        options.containsKey("startingVersion")) {
+        (options.containsKey("startingVersion") ||
+          options.containsKey("startingTimestamp"))) {
       val keys = HubDataSource.parseKeys(options.get("keys"))
         .getOrElse(throw new IllegalArgumentException(
           "readChangeFeed requires option(\"keys\", <hub primary keys>)"))
-      val from = options.get("startingVersion").toInt
+      // timestamp bounds (Delta parity): startingTimestamp = the first
+      // commit AT OR AFTER the instant, endingTimestamp = the last commit
+      // AT OR BEFORE it — both resolved once against the manifest log via
+      // the same parser TIMESTAMP AS OF uses; pre-history endingTimestamp
+      // and post-history startingTimestamp are refused in the resolvers
+      require(!(options.containsKey("startingVersion") &&
+          options.containsKey("startingTimestamp")),
+        "startingVersion and startingTimestamp are mutually exclusive")
+      require(!(options.containsKey("endingVersion") &&
+          options.containsKey("endingTimestamp")),
+        "endingVersion and endingTimestamp are mutually exclusive")
+      val sparkTs = SparkSession.active
+      val from = Option(options.get("startingVersion")).map(_.toInt)
+        .getOrElse(VersionedHub.versionAtOrAfterTimestamp(sparkTs, path,
+          HubDataSource.parseTsMillis(sparkTs,
+            options.get("startingTimestamp"))).version)
       val toOpt = Option(options.get("endingVersion")).map(_.toInt)
+        .orElse(Option(options.get("endingTimestamp")).map(s =>
+          VersionedHub.versionAtTimestamp(sparkTs, path,
+            HubDataSource.parseTsMillis(sparkTs, s)).version))
       // the feed is resolved and planned ONCE, eagerly: HubMetaTable calls
       // its df function from schema()/build()/buildScan() separately, and
       // re-resolving `to = latest` per call could union a step committed
@@ -674,7 +714,8 @@ private[sources] class HubTable(path: String, asOf: Option[Int])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(!options.getBoolean("readChangeFeed", false),
-      "batch readChangeFeed requires option(\"startingVersion\", N) " +
+      "batch readChangeFeed requires option(\"startingVersion\", N) or " +
+        "option(\"startingTimestamp\", ts) " +
         "(streaming feeds go through readStream)")
     new HubScanBuilder(path, v, fullSchema)
   }

@@ -67,7 +67,14 @@ object HubSourceOffset {
   */
 class HubStreamSource(sqlContext: SQLContext, path: String,
     cdfKeys: Option[Seq[String]] = None,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source
+    maxVersionsPerTrigger: Option[Int] = None,
+    /** Delta's streaming `startingVersion`/`startingTimestamp` (the latter
+      * pre-resolved by the provider): a FRESH stream starts at this
+      * commit's CHANGES instead of the initial-snapshot catch-up batch —
+      * the seed offset is `v - 1`, so the first micro-batch delivers the
+      * v..latest step. Checkpoint offsets always win on resume.
+      */
+    startingVersion: Option[Int] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
@@ -100,7 +107,8 @@ class HubStreamSource(sqlContext: SQLContext, path: String,
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val latest = VersionedHub.latest(spark, path).map(_.version).getOrElse(0)
     val bounded = availableNowTarget.fold(latest)(math.min(latest, _))
-    val start = Option(startOffset).map(HubSourceOffset.versionOf).getOrElse(0)
+    val start = Option(startOffset).map(HubSourceOffset.versionOf)
+      .getOrElse(seedStart)
     val end = maxVersionsPerTrigger match {
       case Some(m) if start > 0 => math.min(bounded, start + m)
       case _ => bounded
@@ -125,10 +133,16 @@ class HubStreamSource(sqlContext: SQLContext, path: String,
   override def getOffset: Option[OffsetV1] =
     VersionedHub.latest(spark, path).map(v => HubSourceOffset(v.version))
 
+  /** The implicit start of a FRESH stream (no checkpointed offset yet):
+    * 0 = initial-snapshot catch-up; with `startingVersion` = v it is v-1,
+    * so the first batch is the v..latest change step.
+    */
+  private def seedStart: Int = startingVersion.map(_ - 1).getOrElse(0)
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val endV = HubSourceOffset.versionOf(end)
-    val startV = start.map(HubSourceOffset.versionOf).getOrElse(0)
+    val startV = start.map(HubSourceOffset.versionOf).getOrElse(seedStart)
     val batch = cdfKeys match {
       case None => VersionedHub.changedDirsRead(spark, path, startV, endV)
       case Some(keys) =>

@@ -2183,6 +2183,24 @@ object VersionedHub {
           s"$tsMillis — first commit was at ${h.head.ts}"))
   }
 
+  /** CDF `startingTimestamp` resolution (Delta semantics, the mirror of
+    * [[versionAtTimestamp]]): the EARLIEST version whose commit timestamp
+    * is at or after the requested instant — "changes since 3pm" begins
+    * with the first commit that happened after 3pm. A request beyond the
+    * last commit is refused loudly (Delta's "timestamp is after the
+    * latest commit" error): silently serving an empty feed would hide a
+    * mis-typed bound from a delta-applying consumer.
+    */
+  private[graft] def versionAtOrAfterTimestamp(spark: SparkSession,
+      path: String, tsMillis: Long): Version = {
+    val h = history(spark, path)
+    require(h.nonEmpty, s"no committed versions at $path")
+    h.find(_.ts >= tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"hub at $path has no version committed at or after epoch-ms " +
+          s"$tsMillis — the latest commit was at ${h.last.ts}"))
+  }
+
   /** The version's full-snapshot schema: the manifest record when present
     * (round-9 manifests onward), else one mergeSchema read.
     */

@@ -321,6 +321,59 @@ class StreamingSpec extends SparkTestBase {
       "replayed batch short-circuits on its batchId (no duplicate version)")
   }
 
+  test("streaming startingVersion/startingTimestamp skip the catch-up snapshot (Delta parity)") {
+    import graft.writers.VersionedHub
+    import org.apache.spark.sql.DataFrame
+    val lake = tmpDir("hub_startv")
+    val hub = s"$lake/hub"
+    VersionedHub.writeBucketed(spark,
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), hub, Seq("k"), 4) // v1
+    VersionedHub.writeBucketed(spark,
+      Seq((2L, "V2"), (21L, "new")).toDF("k", "v"), hub, Seq("k"), 4) // v2
+    val ts2 = VersionedHub.history(spark, hub).last.ts
+    def drain(opts: Map[String, String], cp: String)
+        : Seq[org.apache.spark.sql.Row] = {
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var r = spark.readStream.format("graft-hub").option("path", hub)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) => got ++= b.collect(); () }
+        .option("checkpointLocation", s"$lake/$cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.toSeq
+    }
+    // startingVersion=2: the fresh stream's first batch is v2's change
+    // step (touched buckets only), NOT the 21-row catch-up snapshot
+    val byV = drain(Map("startingVersion" -> "2"), "cp_v")
+    val byVSet = byV.map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(byV.size < 21 && Set((2L, "V2"), (21L, "new")).subsetOf(byVSet),
+      s"expected v2's touched-bucket rows, got $byVSet")
+    // startingTimestamp at v2's commit instant resolves to the same start
+    val byTs = drain(Map("startingTimestamp" -> ts2.toString), "cp_ts")
+    assert(byTs.map(r => (r.getLong(0), r.getString(1))).toSet == byVSet)
+    // CDF mode from v2: row-level net changes, no snapshot
+    val byCdf = drain(Map("startingVersion" -> "2",
+      "readChangeFeed" -> "true", "keys" -> "k"), "cp_cdf")
+    assert(byCdf.map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((2L, "v2", "update_preimage"), (2L, "V2", "update_postimage"),
+        (21L, "new", "insert")))
+    // refusal matrix: ending bounds are batch-only; the start options are
+    // mutually exclusive; a post-history startingTimestamp is refused
+    def startFails(opts: Map[String, String], cp: String): String =
+      intercept[Exception](drain(opts, cp)).getMessage
+    assert(startFails(Map("endingVersion" -> "2"), "cp_e1")
+      .contains("BATCH"))
+    assert(startFails(Map("startingVersion" -> "2",
+      "startingTimestamp" -> ts2.toString), "cp_e2")
+      .contains("mutually exclusive"))
+    assert(startFails(Map("startingTimestamp" -> (ts2 + 100000).toString),
+      "cp_e3").contains("at or after"))
+  }
+
   test("span-trim replay never probes its own index entries (index-committed, trim-lost crash)") {
     import graft.operators.Dedup
     import graft.writers.VersionedHub
