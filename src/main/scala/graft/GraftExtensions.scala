@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // UPDATE <hub table> SET ... WHERE ... — one ACID commit rewriting
     // only the candidate buckets (manifest-stat bounded, per-retry)
     ext.injectResolutionRule(graft.sources.HubUpdateRule.apply)
+    // ALTER COLUMN ... SET NOT NULL <hub table> — intercepted before
+    // CheckAnalysis's blanket nullable→non-nullable refusal and lowered
+    // onto the synthetic notnull_<col> CHECK
+    ext.injectResolutionRule(graft.sources.HubNotNullRule.apply)
     // restore SupportsReportStatistics across Spark's V1ScanWrapper so the
     // connector's manifest-backed sizes reach the join planner (broadcast
     // decisions) instead of degrading to defaultSizeInBytes. The wrapper

@@ -1445,6 +1445,69 @@ object IngestQueries {
       |FROM merged GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Native NOT NULL (Delta schema-constraint parity, lowered onto the
+    * CHECK machinery): CREATE-time `NOT NULL` records a synthetic
+    * `notnull_<col>` check in the table-creating commit (stored schema
+    * stays physically all-nullable); `ALTER COLUMN … SET NOT NULL`
+    * validates standing data first and refuses over existing NULLs;
+    * write-path enforcement refuses a NULL insert without committing;
+    * `DROP NOT NULL` lifts it. The oracle replays the surviving
+    * lifecycle over `nation`.
+    */
+  val qHubNotNullSql: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_notnull").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    spark.sql(s"CREATE TABLE $cat.default.nation_nn (" +
+      "n_nationkey BIGINT NOT NULL, n_name STRING, tag STRING) " +
+      "CLUSTERED BY (n_nationkey) INTO 4 BUCKETS")
+    val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/nation_nn").last
+    require(v1.checks == Map(
+      "notnull_n_nationkey" -> "n_nationkey IS NOT NULL"),
+      s"CREATE-time NOT NULL must lower onto a named check: ${v1.checks}")
+    require(v1.schema.exists(_.fields.forall(_.nullable)),
+      "the stored schema must stay physically all-nullable")
+    Tables(spark, dir, "nation").createOrReplaceTempView("nn_src")
+    // tag is NULL for keys < 10, populated otherwise
+    spark.sql(s"INSERT INTO $cat.default.nation_nn " +
+      "SELECT CAST(n_nationkey AS BIGINT), n_name, " +
+      "CASE WHEN n_nationkey < 10 THEN NULL ELSE 'ok' END FROM nn_src")
+    def refused(f: => Any): Boolean =
+      try { f; false } catch { case _: Exception => true }
+    // write-path enforcement: a NULL key is refused, nothing committed
+    val vBefore = graft.writers.VersionedHub
+      .history(spark, s"$tmp/nation_nn").last.version
+    require(refused(spark.sql(s"INSERT INTO $cat.default.nation_nn " +
+      "VALUES (NULL, 'bad', 'x')")),
+      "INSERT of a NULL into a NOT NULL column must fail")
+    require(graft.writers.VersionedHub.history(spark, s"$tmp/nation_nn")
+      .last.version == vBefore, "the refused insert must not commit")
+    // SET NOT NULL over existing NULLs is refused (validation scan)
+    require(refused(spark.sql(s"ALTER TABLE $cat.default.nation_nn " +
+      "ALTER COLUMN tag SET NOT NULL")),
+      "SET NOT NULL over standing NULLs must fail")
+    // backfill, then SET NOT NULL succeeds and enforces
+    spark.sql(s"UPDATE $cat.default.nation_nn SET tag = 'filled' " +
+      "WHERE tag IS NULL")
+    spark.sql(s"ALTER TABLE $cat.default.nation_nn " +
+      "ALTER COLUMN tag SET NOT NULL")
+    require(refused(spark.sql(s"INSERT INTO $cat.default.nation_nn " +
+      "VALUES (99, 'x', NULL)")), "the new NOT NULL must enforce")
+    // DROP NOT NULL lifts enforcement
+    spark.sql(s"ALTER TABLE $cat.default.nation_nn " +
+      "ALTER COLUMN tag DROP NOT NULL")
+    spark.sql(s"INSERT INTO $cat.default.nation_nn " +
+      "VALUES (99, 'zzz', NULL)")
+    spark.sql(s"SELECT n_nationkey, n_name, tag " +
+      s"FROM $cat.default.nation_nn ORDER BY n_nationkey")
+  }
+
+  private val hubNotNullSqlOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CASE WHEN n_nationkey < 10 THEN 'filled' ELSE 'ok' END AS tag
+      |FROM nation
+      |UNION ALL SELECT CAST(99 AS BIGINT), 'zzz', NULL
+      |ORDER BY n_nationkey""".stripMargin
+
   /** RESTORE (Delta RESTORE parity): mutate a hub (UPDATE + DELETE), then
     * restore to version 1 — the tip must equal the ORIGINAL content, with
     * zero data rewritten (pure manifest commit, in-query gate) and all
@@ -1862,6 +1925,7 @@ object IngestQueries {
     "q_hub_merge_nmbs_sql" -> qHubMergeNmbsSql,
     "q_hub_merge_on_sql" -> qHubMergeOnSql,
     "q_hub_check_sql" -> qHubCheckSql,
+    "q_hub_notnull_sql" -> qHubNotNullSql,
     "q_hub_generated_sql" -> qHubGeneratedSql,
     "q_hub_identity_sql" -> qHubIdentitySql,
     "q_hub_batch_cdf" -> qHubBatchCdf,
@@ -1903,6 +1967,7 @@ object IngestQueries {
     "q_hub_merge_nmbs_sql" -> hubMergeNmbsSqlOracle,
     "q_hub_merge_on_sql" -> hubMergeOnSqlOracle,
     "q_hub_check_sql" -> hubCheckSqlOracle,
+    "q_hub_notnull_sql" -> hubNotNullSqlOracle,
     "q_hub_generated_sql" -> hubGeneratedSqlOracle,
     "q_hub_identity_sql" -> hubIdentitySqlOracle,
     "q_hub_batch_cdf" -> hubBatchCdfOracle,

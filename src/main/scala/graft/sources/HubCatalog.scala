@@ -198,8 +198,28 @@ class HubCatalog extends TableCatalog
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     schema.fieldNames.foreach(graft.writers.ColumnMapping.requireLegalName)
     val p = pathOf(ident)
+    // CREATE-time NOT NULL lowers onto the CHECK machinery: a synthetic
+    // `notnull_<col>` check gives write-time enforcement identical to
+    // Delta's schema-level NOT NULL, while the STORED schema stays
+    // physically all-nullable (files never record the constraint, so a
+    // later DROP NOT NULL is a pure manifest commit and old files stay
+    // readable). Identity/generated columns are skipped — their values
+    // are engine-filled before checks run, never null by construction.
+    val nnChecks: Map[String, String] = schema.fields.toSeq
+      .filter(f => !f.nullable &&
+        !org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .isGeneratedColumn(f) &&
+        !f.metadata.contains(org.apache.spark.sql.catalyst.util
+          .IdentityColumn.IDENTITY_INFO_START))
+      .map(f => HubCatalog.notNullName(f.name) -> s"${f.name} IS NOT NULL")
+      .toMap
+    nnChecks.keys.foreach(n =>
+      require(!checks0.keys.exists(_.equalsIgnoreCase(n)),
+        s"constraint name $n is reserved for its column's NOT NULL lowering"))
+    val allChecks0 = checks0 ++ nnChecks
+    val schemaN = StructType(schema.fields.map(_.copy(nullable = true)))
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaN)
     bucketSpec match {
       case Some((cols, n)) =>
         // CLUSTERED BY declares the bucket columns as the TABLE'S KEYS —
@@ -208,7 +228,7 @@ class HubCatalog extends TableCatalog
         // library tables routed by a key SUBSET never carry the marker
         // and keep the loud keyless refusal (merging on the routing
         // column alone would collapse multi-row keys)
-        val marked = StructType(schema.fields.map { f =>
+        val marked = StructType(schemaN.fields.map { f =>
           if (cols.exists(_.equalsIgnoreCase(f.name)))
             f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
@@ -218,9 +238,9 @@ class HubCatalog extends TableCatalog
         val emptyMarked = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], marked)
         VersionedHub.writeBucketed(spark, emptyMarked, p, cols, n,
-          checks0 = checks0)
+          checks0 = allChecks0)
       case None =>
-        VersionedHub.write(spark, empty, p, Seq.empty, checks0 = checks0)
+        VersionedHub.write(spark, empty, p, Seq.empty, checks0 = allChecks0)
     }
     new HubTable(p, asOf = None)
   }
@@ -321,10 +341,11 @@ class HubCatalog extends TableCatalog
     * ALTER COLUMN TYPE, RENAME COLUMN (via column mapping — see
     * [[graft.writers.ColumnMapping]]), and COMMENT ON COLUMN — all as
     * manifest-only commits via [[VersionedHub.alterSchema]]; no data file
-    * is rewritten. Everything else (NOT NULL contradicts the all-nullable
-    * read contract, properties have no store) is refused loudly. Schema
-    * ALSO evolves through widening writes — DDL is for evolving ahead of
-    * the data.
+    * is rewritten. `ALTER COLUMN … SET/DROP NOT NULL` lowers onto the
+    * synthetic notnull_<col> CHECK (see [[applyConstraint]]) — the stored
+    * schema stays physically all-nullable. Everything else (table
+    * properties have no store) is refused loudly. Schema ALSO evolves
+    * through widening writes — DDL is for evolving ahead of the data.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -335,6 +356,9 @@ class HubCatalog extends TableCatalog
     }.toMap
     val (constraintChanges, schemaChanges) = changes.partition {
       case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      // SET/DROP NOT NULL is a constraint change here: it lowers onto the
+      // synthetic notnull_<col> CHECK, never onto stored-schema nullability
+      case _: TableChange.UpdateColumnNullability => true
       case _ => false
     }
     VersionedHub.alterSchema(spark, p, schema =>
@@ -423,6 +447,17 @@ class HubCatalog extends TableCatalog
           s"constraint ${drop.name()} does not exist on $path " +
             "(use IF EXISTS for a no-op)")
       }
+    // ALTER COLUMN … SET NOT NULL / DROP NOT NULL (Delta parity): SET
+    // validates standing data like ADD CONSTRAINT (one pruned scan), then
+    // records the synthetic notnull_<col> check; DROP removes it. Both
+    // are idempotent, per SQL semantics. The stored schema never flips —
+    // enforcement lives entirely in the check machinery.
+    case u: TableChange.UpdateColumnNullability =>
+      require(u.fieldNames.length == 1,
+        "graft-hub NOT NULL supports top-level columns only, got " +
+          u.fieldNames.mkString("."))
+      HubCatalog.foldNotNull(spark, path, checks, u.fieldNames()(0),
+        u.nullable)
     case other => throw new IllegalStateException(
       s"not a constraint change: $other")
   }
@@ -582,9 +617,7 @@ class HubCatalog extends TableCatalog
     case other =>
       throw new UnsupportedOperationException(
         s"graft-hub ALTER TABLE does not support ${other.getClass.getSimpleName}" +
-          " (NOT NULL contradicts the all-nullable contract — use ALTER " +
-          "TABLE … ADD CONSTRAINT … CHECK (col IS NOT NULL) for write-time " +
-          "enforcement; table properties have no store)")
+          " (table properties have no store)")
   }
 
   private def insertAt(s: StructType,
@@ -648,5 +681,41 @@ class HubCatalog extends TableCatalog
     VersionedHub.invalidateCache(src.toString)
     VersionedHub.invalidateCache(dst.toString)
     require(f.rename(src, dst), s"rename $src -> $dst failed")
+  }
+}
+
+object HubCatalog {
+  /** The deterministic name of the synthetic CHECK a column's NOT NULL
+    * lowers onto — CREATE-time NOT NULL, `ALTER COLUMN … SET NOT NULL`
+    * and `DROP NOT NULL` all resolve through it, so the three surfaces
+    * manage one constraint.
+    */
+  private[sources] def notNullName(col: String): String =
+    "notnull_" + col.toLowerCase(java.util.Locale.ROOT)
+
+  /** Fold SET/DROP NOT NULL into a stored check map — shared by the
+    * catalog's TableChange path and the SQL rule's
+    * [[GraftSetNotNullCommand]]. SET validates standing data first (one
+    * pruned NULL-probe scan, Delta's ADD CONSTRAINT contract); both
+    * directions are idempotent per SQL semantics.
+    */
+  private[sources] def foldNotNull(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      checks: Map[String, String], col: String, nullable: Boolean)
+      : Map[String, String] = {
+    val name = notNullName(col)
+    if (nullable)
+      checks.keys.find(_.equalsIgnoreCase(name)).fold(checks)(checks - _)
+    else if (checks.keys.exists(_.equalsIgnoreCase(name))) checks
+    else {
+      val bad = graft.writers.VersionedHub.read(spark, path)
+        .filter(org.apache.spark.sql.functions.col(col).isNull)
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot SET NOT NULL on $col: an existing row is NULL — " +
+            s"${bad.head.toString}")
+      checks + (name -> s"$col IS NOT NULL")
+    }
   }
 }

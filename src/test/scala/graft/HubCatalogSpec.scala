@@ -1751,6 +1751,57 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("NOT NULL lowers onto the check machinery: CREATE-time, SET/DROP NOT NULL, refusal matrix") {
+    withCatalog("hubnn") { base =>
+      spark.sql("CREATE TABLE hubnn.default.t (k BIGINT NOT NULL, v STRING)")
+      val v1 = VersionedHub.history(spark, s"$base/t").last
+      assert(v1.checks == Map("notnull_k" -> "k IS NOT NULL"))
+      assert(v1.schema.exists(_.fields.forall(_.nullable)),
+        "stored schema stays physically all-nullable")
+      spark.sql("INSERT INTO hubnn.default.t VALUES (1, NULL), (2, 'b')")
+      // enforcement via the lowered check
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO hubnn.default.t VALUES (NULL, 'x')"))
+      assert(e.getMessage.contains("notnull_k"), e.getMessage)
+      // SET NOT NULL over standing NULLs refused; after backfill it takes
+      val e2 = intercept[Exception](spark.sql(
+        "ALTER TABLE hubnn.default.t ALTER COLUMN v SET NOT NULL"))
+      assert(e2.getMessage.contains("existing row is NULL"), e2.getMessage)
+      spark.sql("UPDATE hubnn.default.t SET v = 'a' WHERE v IS NULL")
+      spark.sql("ALTER TABLE hubnn.default.t ALTER COLUMN v SET NOT NULL")
+      assert(VersionedHub.history(spark, s"$base/t").last.checks
+        .contains("notnull_v"))
+      // idempotent re-SET commits nothing new
+      val nv = VersionedHub.history(spark, s"$base/t").size
+      spark.sql("ALTER TABLE hubnn.default.t ALTER COLUMN v SET NOT NULL")
+      assert(VersionedHub.history(spark, s"$base/t").size == nv,
+        "re-SET NOT NULL must be a no-op")
+      val e3 = intercept[Exception](spark.sql(
+        "INSERT INTO hubnn.default.t VALUES (3, NULL)"))
+      assert(e3.getMessage.contains("notnull_v"), e3.getMessage)
+      // DROP NOT NULL lifts; the synthetic check can also be dropped by name
+      spark.sql("ALTER TABLE hubnn.default.t ALTER COLUMN v DROP NOT NULL")
+      spark.sql("INSERT INTO hubnn.default.t VALUES (3, NULL)")
+      spark.sql("ALTER TABLE hubnn.default.t DROP CONSTRAINT notnull_k")
+      spark.sql("INSERT INTO hubnn.default.t VALUES (NULL, 'ok')")
+      assert(spark.table("hubnn.default.t").count() == 4)
+      // ADD COLUMN ... NOT NULL stays refused (Delta refuses it too)
+      val e4 = intercept[Exception](spark.sql(
+        "ALTER TABLE hubnn.default.t ADD COLUMN w STRING NOT NULL"))
+      assert(e4.getMessage.contains("NOT NULL"), e4.getMessage)
+      // a user constraint colliding with the reserved lowering name is
+      // refused at CREATE
+      val e5 = intercept[Exception](spark.sql(
+        "CREATE TABLE hubnn.default.clash (k BIGINT NOT NULL, " +
+          "CONSTRAINT notnull_k CHECK (k > 0))"))
+      assert(e5.getMessage.contains("reserved"), e5.getMessage)
+      // identity columns skip the lowering (engine-filled, never null)
+      spark.sql("CREATE TABLE hubnn.default.ids (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+      assert(VersionedHub.history(spark, s"$base/ids").last.checks.isEmpty)
+    }
+  }
+
   test("identity high-water mark advances even when the column sits beyond the stats width cap") {
     withCatalog("hubwide") { _ =>
       // 34 regular columns, identity declared LAST (beyond the 32-column
