@@ -103,10 +103,16 @@ private[sources] object HubProcedures {
       case "optimize" => Proc("optimize",
         Array(p("table", DataTypes.StringType),
           p("target_file_rows", DataTypes.LongType, Some((1024L * 1024).toString)),
-          // comma-separated bucket ids: compact ONLY these (Delta's
-          // `OPTIMIZE ... WHERE` shape — a targeted maintenance pass
-          // over the hot buckets instead of O(table)); bucketed hubs only
-          p("buckets", DataTypes.StringType, Some("''"))),
+          // comma-separated bucket ids: compact ONLY these (a targeted
+          // maintenance pass over the hot buckets instead of O(table));
+          // bucketed hubs only
+          p("buckets", DataTypes.StringType, Some("''")),
+          // OPTIMIZE ... WHERE '<pred>' (Delta parity): compact only the
+          // buckets the predicate can touch, resolved from the manifest's
+          // per-file stats + bucket hashing — the SAME candidate logic
+          // DELETE/UPDATE use, so "compact what I just churned" needs no
+          // bucket-id arithmetic from the caller; bucketed hubs only
+          p("where", DataTypes.StringType, Some("''"))),
         versionOut) { in =>
         val path = tablePath(in)
         val bucketed = VersionedHub.history(spark, path)
@@ -116,7 +122,41 @@ private[sources] object HubProcedures {
           .map(_.split(",").map(_.trim.toInt).toSeq)
         require(chosen.isEmpty || bucketed,
           s"buckets => ... targets a BUCKETED hub; $path is flat")
-        Seq(if (bucketed) VersionedHub.compactBuckets(spark, path, chosen)
+        val whereSql = Option(in.getUTF8String(3)).map(_.toString.trim)
+          .filter(_.nonEmpty)
+        require(chosen.isEmpty || whereSql.isEmpty,
+          "optimize takes buckets => ... OR where => ..., not both")
+        require(whereSql.isEmpty || bucketed,
+          s"where => ... targets a BUCKETED hub; $path is flat")
+        val byWhere: Option[Seq[Int]] = whereSql.map { sql =>
+          // resolve the predicate against the tip snapshot (one
+          // plan-only pass, no job) — the OPTIMIZED plan so literal casts
+          // are folded (`k = 7` → a bigint literal the DSv1 translator
+          // accepts), falling back to the analyzed plan if the optimizer
+          // collapsed the Filter node away
+          val qe = VersionedHub.read(spark, path)
+            .filter(org.apache.spark.sql.functions.expr(sql))
+            .queryExecution
+          val cond = qe.optimizedPlan.collectFirst {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                f.condition
+            }.orElse(qe.analyzed.collectFirst {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                f.condition
+            }).getOrElse(throw new IllegalArgumentException(
+              s"where => '$sql' did not analyze to a filter"))
+          // untranslatable conjuncts only WIDEN the candidate set (the
+          // DELETE/UPDATE contract): a predicate with no pruning power
+          // degrades soundly to a full compaction, never to a miss
+          val filters = PredicateHelperObj.splitConjunctivePredicates(cond)
+            .flatMap(org.apache.spark.sql.graftbridge.FilterBridge.translate)
+          val tip = VersionedHub.versionAt(spark, path, None)
+          HubDataSource.rowLevelCandidates(spark, path, filters)
+            .map(_(tip).toSeq.sorted)
+            .getOrElse(tip.buckets.keys.toSeq.sorted)
+        }
+        Seq(if (bucketed)
+              VersionedHub.compactBuckets(spark, path, chosen.orElse(byWhere))
             else VersionedHub.optimize(spark, path, in.getLong(1)))
       }
       case "zorder" => Proc("zorder",

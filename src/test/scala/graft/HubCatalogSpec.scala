@@ -1672,10 +1672,34 @@ class HubCatalogSpec extends SparkTestBase {
       val e2 = intercept[Exception](spark.sql(
         "CALL hubsel.system.optimize(`table` => 't', buckets => '99')"))
       assert(e2.getMessage.contains("99"), e2.getMessage)
+      // OPTIMIZE ... WHERE '<pred>': the predicate resolves to candidate
+      // buckets through manifest stats + bucket hashing (the DELETE/UPDATE
+      // pruner) — an equality on the bucket key rewrites exactly one bucket
+      val pre = VersionedHub.history(spark, s"$base/t").last.buckets
+      assert(spark.sql("CALL hubsel.system.optimize(`table` => 't', " +
+        "where => 'k = 7')").as[Int].head() == 3)
+      val postW = VersionedHub.history(spark, s"$base/t").last.buckets
+      val changed = pre.keys.filter(b => postW.get(b) != pre.get(b)).toSeq
+      assert(changed.size == 1,
+        s"a bucket-key equality must compact exactly one bucket: $changed")
+      assert(VersionedHub.read(spark, s"$base/t").count() == 400)
+      // selector refusals: both at once; where on a flat hub; opaque pred
+      val eBothSel = intercept[Exception](spark.sql(
+        "CALL hubsel.system.optimize(`table` => 't', buckets => '0', " +
+          "where => 'k = 7')"))
+      assert(eBothSel.getMessage.contains("not both"), eBothSel.getMessage)
+      val eFlatW = intercept[Exception](spark.sql(
+        "CALL hubsel.system.optimize(`table` => 'flat', where => 'k = 1')"))
+      assert(eFlatW.getMessage.contains("BUCKETED"), eFlatW.getMessage)
+      // a predicate with no pruning power degrades SOUNDLY to a full
+      // compaction (the DELETE/UPDATE widening contract), never to a miss
+      assert(spark.sql("CALL hubsel.system.optimize(`table` => 't', " +
+        "where => 'length(v) - length(v) = 0')").as[Int].head() == 4)
+      assert(VersionedHub.read(spark, s"$base/t").count() == 400)
       // RESTORE TO TIMESTAMP AS OF: resolve the latest commit at-or-before
       val v1ts = VersionedHub.history(spark, s"$base/t").head.ts
       assert(spark.sql("CALL hubsel.system.restore(`table` => 't', " +
-        s"timestamp => '$v1ts')").as[Int].head() == 3)
+        s"timestamp => '$v1ts')").as[Int].head() == 5)
       val eBoth = intercept[Exception](spark.sql(
         "CALL hubsel.system.restore(`table` => 't', version => 1, " +
           "timestamp => '1')"))
