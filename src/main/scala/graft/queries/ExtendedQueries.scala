@@ -451,16 +451,19 @@ object ExtendedQueries {
     */
   val qVariantExtract: Q = (spark, dir) => {
     Tables(spark, dir, "events").createOrReplaceTempView("var_events")
+    // parse_json ONCE into a variant column, then typed gets — the
+    // multi-use alias survives CollapseProject (non-cheap, >1 reference),
+    // so each row parses once instead of once per aggregate
     spark.sql(
-      """SELECT event_type,
+      """WITH v AS (SELECT event_type, parse_json(props) AS pv
+        |           FROM var_events)
+        |SELECT event_type,
         |  count(*) AS n,
-        |  CAST(sum(variant_get(parse_json(props), '$.k', 'bigint'))
-        |    AS BIGINT) AS sum_k,
-        |  CAST(max(variant_get(parse_json(props), '$.k', 'bigint'))
-        |    AS BIGINT) AS max_k,
-        |  CAST(count(try_variant_get(parse_json(props), '$.missing',
-        |    'bigint')) AS BIGINT) AS n_missing_field
-        |FROM var_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |  CAST(sum(variant_get(pv, '$.k', 'bigint')) AS BIGINT) AS sum_k,
+        |  CAST(max(variant_get(pv, '$.k', 'bigint')) AS BIGINT) AS max_k,
+        |  CAST(count(try_variant_get(pv, '$.missing', 'bigint'))
+        |    AS BIGINT) AS n_missing_field
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
   // ---------- string collations (Spark 4 COLLATE) ----------
