@@ -128,9 +128,15 @@ object Bench {
     // Full per-query record as a FILE: the driver keeps only the tail of
     // stdout, which truncated the front half of the single-line map in
     // rounds ≤6. The file survives whole (committed alongside BENCH_r{N}).
+    // Each query carries BOTH figures: `sec` = raw min over reps, `norm` =
+    // min over calibration-scaled reps (rescaled by the median probe) —
+    // the round-over-round regression table reads `norm` directly, no
+    // manual drift correction needed (round-14 verdict task 8).
     val byCost = results.sortBy(_._2)
+    val normByName = resultsNorm.toMap
     val fileJson = byCost.reverse
-      .map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
+      .map { case (k, v) =>
+        s"""  "$k": {"sec": ${fmt(v)}, "norm": ${fmt(normByName(k))}}""" }
       .mkString(
         s"""{\n  "_total_sec": ${fmt(total)}, "_reps": $reps, "_nqueries": ${results.size}, "_sf": "$sfDir",\n""" +
           s"""  $calibJson,\n""",

@@ -33,17 +33,8 @@ object IngestQueries {
     * relative. Invariant: no cloned query may VACUUM (a sweep could
     * reclaim files the seed still serves to other clones).
     */
-  private val seedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def seedPath(dir: String, sig: String)(build: String => Unit)
-      : String =
-    seedCache.computeIfAbsent(s"$dir#$sig", _ => {
-      val p = Files.createTempDirectory(s"graft_seed_$sig").toFile
-        .getAbsolutePath + "/hub"
-      build(p)
-      p
-    })
+      : String = FixtureCache.path(dir, sig)(build)
 
   private def cloneSeed(spark: SparkSession, dir: String, sig: String,
       target: String)(build: String => Unit): Unit =

@@ -2,6 +2,26 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Process-wide cache of READ-ONLY (or clone-only) query fixtures keyed
+  * by (sfDir, tag): bench reps and sibling queries re-deriving the same
+  * expensive input — a staged source dir, a seeded hub — build it once
+  * per JVM instead of once per invocation. Only fixtures that are never
+  * mutated in place (hubs may be CLONED and the clones mutated) may live
+  * here; nothing here may be vacuumed.
+  */
+object FixtureCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def path(dir: String, tag: String)(build: String => Unit): String =
+    cache.computeIfAbsent(s"$dir#$tag", _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_fix_$tag")
+        .toFile.getAbsolutePath + "/fix"
+      build(p)
+      p
+    })
+}
+
 /** Loads the driver-generated test tables
   * (`/root/testdata/sf{0.001,0.01,0.1}/name.parquet`, see TESTDATA.md). Plain
   * parquet scans: Catalyst gets predicate pushdown + column pruning for free.

@@ -49,6 +49,26 @@ object StressGen {
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // orders/nation (round-14 verdict task 3: extend the 10x stress to the
+    // row-level SQL family): keys offset per copy so every copy's key space
+    // is disjoint — UPDATE/MERGE/DELETE lifecycle queries then mutate the
+    // same FIXED number of rows against a 10x bigger target, isolating the
+    // commit machinery's O(touched buckets) claim from batch-size effects
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val maxOk = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1L
+    (0 until copies).map { i =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOk))
+    }.reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val nation = spark.read.parquet(s"$base/nation.parquet")
+    val maxNk = nation.agg(max(col("n_nationkey"))).collect()(0).getLong(0) + 1L
+    (0 until copies).map { i =>
+      nation.withColumn("n_nationkey", col("n_nationkey") + lit(i * maxNk))
+    }.reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val maxVid = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
     val d = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
