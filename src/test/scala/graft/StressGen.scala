@@ -55,14 +55,16 @@ object StressGen {
     // same FIXED number of rows against a 10x bigger target, isolating the
     // commit machinery's O(touched buckets) claim from batch-size effects
     val orders = spark.read.parquet(s"$base/orders.parquet")
-    val maxOk = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1L
+    val maxOk = orders.agg(max(col("o_orderkey").cast("long")))
+      .collect()(0).getLong(0) + 1L
     (0 until copies).map { i =>
       orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOk))
     }.reduce(_ unionByName _)
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     val nation = spark.read.parquet(s"$base/nation.parquet")
-    val maxNk = nation.agg(max(col("n_nationkey"))).collect()(0).getLong(0) + 1L
+    val maxNk = nation.agg(max(col("n_nationkey").cast("long")))
+      .collect()(0).getLong(0) + 1L
     (0 until copies).map { i =>
       nation.withColumn("n_nationkey", col("n_nationkey") + lit(i * maxNk))
     }.reduce(_ unionByName _)
