@@ -328,6 +328,52 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fp_md5", fingerprint(t))
   }
+
+  /** DSIR-style importance scoring over hashed n-gram features (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling", the hashed-ngram variant): every document in the RAW
+    * pool is scored by how target-like its word-bigram distribution is —
+    * the quality/domain filter a pretraining mix is built from.
+    *
+    *   c_b(x)  = x's count of bigrams hashing to bucket b (hash60 % B)
+    *   r_b     = ((t_b + 1) * scale) DIV (q_b + 1) — Laplace-smoothed
+    *             target/raw bucket ratio as a SCALED INTEGER
+    *   score(x)= Σ_b c_b(x) · r_b
+    *
+    * Log-free integer form by design: DSIR's log-ratio sum needs libm's
+    * `ln`, which is not bit-identical across engines — the same
+    * discipline that keeps [[tfidfTopTerms]] on the N/df proxy. What the
+    * 100 TB pipeline needs from the score is a deterministic,
+    * reproducible ORDERING to resample by, and integer arithmetic keeps
+    * that exactly (ties broken by id downstream).
+    *
+    * Scale shape: both count tables aggregate to ≤ `buckets` rows
+    * (map-side partial combine → a bucket-bounded shuffle), the ratio
+    * table BROADCASTS, and scoring is one hash aggregate over the
+    * exploded bigrams — no all-pairs, no unpartitioned window, no driver
+    * state. Overflow-safe: target ⊆ raw keeps r_b ≤ scale, so a score is
+    * bounded by scale × the document's bigram count.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 4096,
+      scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    def hits(df: DataFrame): DataFrame = df
+      .select(col(idCol), explode(
+        graft.functions.WordShingles.wordShingles(col(textCol), 2)).as("bg"))
+      .select(col(idCol), (Shingles.hash60(col("bg")) % lit(buckets.toLong)).as("b"))
+    val rawHits = graft.operators.Dedup.persistForReuse(hits(raw))
+    val tC = hits(target).groupBy(col("b")).agg(count(lit(1)).as("t_b"))
+    val qC = rawHits.groupBy(col("b")).agg(count(lit(1)).as("q_b"))
+    val ratio = qC.join(tC, Seq("b"), "left_outer")
+      .select(col("b"), expr(s"((coalesce(t_b, 0L) + 1L) * ${scale}L) " +
+        "DIV (q_b + 1L)").as("r_b"))
+    rawHits
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c_b"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c_b") * col("r_b")).as("importance"))
+  }
 }
 
 /** Shared shingle + hash machinery for dedup/fingerprint operators; the
@@ -363,6 +409,7 @@ object Shingles {
     * string or conv parse).
     */
   def hash60(s: Column): Column = graft.functions.TextHashExprs.md5Hash60(s)
+
 
   /** Fold to 31 bits for overflow-safe (a·h+b) mod p permutations. */
   def hash31(s: Column): Column = hash60(s) % lit(2147483647L)

@@ -46,6 +46,43 @@ object CorpusQueries {
        |ORDER BY w.doc_id""".stripMargin
   }
 
+  /** DSIR-style data selection (hashed-bigram importance resampling,
+    * Xie et al. 2023): target = the English slice, raw = the whole
+    * corpus; output = the 100 most target-like documents by the
+    * integer importance score (Laplace-smoothed target/raw bucket
+    * ratios, scaled-integer DIV — see
+    * [[graft.operators.TextAnalysis.importanceWeights]]), ties broken
+    * by doc_id. The oracle replays the identical hash/ratio/score
+    * arithmetic relationally in DuckDB.
+    */
+  val qDsirImportance: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    TextAnalysis.importanceWeights(docs,
+      docs.filter(col("lang") === "en"), "text", "doc_id",
+      buckets = 4096)
+      .select(col("doc_id"), col("importance"))
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  private val dsirImportanceOracle: String = {
+    import PipelineQueries.{WS, h60}
+    s"""WITH t AS (SELECT doc_id, lang, $WS ws FROM documents),
+       |bg AS (SELECT doc_id, lang, concat_ws(' ', ws[i], ws[i+1]) AS bg
+       |       FROM t, UNNEST(range(1, greatest(len(ws)-1, 1)+1)) AS u(i)),
+       |hb AS (SELECT doc_id, lang, ${h60("bg")} % 4096 AS b FROM bg),
+       |tc AS (SELECT b, count(*) AS t_b FROM hb WHERE lang = 'en'
+       |       GROUP BY b),
+       |qc AS (SELECT b, count(*) AS q_b FROM hb GROUP BY b),
+       |r AS (SELECT qc.b,
+       |        ((coalesce(t_b, 0) + 1) * 1000000) // (q_b + 1) AS r_b
+       |      FROM qc LEFT JOIN tc ON qc.b = tc.b),
+       |cb AS (SELECT doc_id, b, count(*) AS c_b FROM hb GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(c_b * r_b) AS BIGINT) AS importance
+       |FROM cb JOIN r USING (b) GROUP BY doc_id
+       |ORDER BY importance DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   /** Top-3 salient terms per doc by the tf·(N/df) rational score. */
   val qTfidfTopTerms: Q = (spark, dir) =>
     TextAnalysis.tfidfTopTerms(Tables(spark, dir, "documents"),
@@ -514,6 +551,7 @@ object CorpusQueries {
     "q_vocab_oov" -> qVocabOov,
     "q_token_commonality" -> qTokenCommonality,
     "q_repetition_signals" -> qRepetitionSignals,
+    "q_dsir_importance" -> qDsirImportance,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_source_overlap" -> qSourceOverlap,
     "q_shared_windows" -> qSharedWindows,
@@ -529,6 +567,7 @@ object CorpusQueries {
     "q_vocab_oov" -> vocabOovOracle,
     "q_token_commonality" -> tokenCommonalityOracle,
     "q_repetition_signals" -> repetitionOracle,
+    "q_dsir_importance" -> dsirImportanceOracle,
     "q_tfidf_top_terms" -> tfidfOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_shared_windows" -> sharedWindowsOracle,

@@ -9,6 +9,26 @@ class TextAnalysisSpec extends SparkTestBase {
   def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
     Seq(text).toDF("text").select(c(col("text"))).collect().head.get(0)
 
+  test("importanceWeights: target-like docs outrank, ratio table broadcasts") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the rug"),
+      (3L, "xx", "zorp blee glarg wibble"),
+      (4L, "xx", "the cat sat on the mat") // target-like text in the raw pool
+    ).toDF("doc_id", "lang", "text")
+    val w = TextAnalysis.importanceWeights(docs,
+      docs.filter(col("lang") === "en"), "text", "doc_id", buckets = 256)
+    val scores = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(4L) == scores(1L),
+      s"identical text must score identically regardless of label: $scores")
+    assert(scores(4L) > scores(3L) && scores(2L) > scores(3L),
+      s"target-like bigrams must outrank unseen ones: $scores")
+    // scale shape: the <= buckets-row ratio table must broadcast
+    val plan = w.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bucket-ratio table must broadcast:\n$plan")
+  }
+
   test("token counts") {
     assert(one("a b  c", TextAnalysis.tokenCount) == 3)
     assert(one("hello, world42!", TextAnalysis.bpeishTokenCount) == 5)
