@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CheckAnalysis's blanket nullable→non-nullable refusal and lowered
     // onto the synthetic notnull_<col> CHECK
     ext.injectResolutionRule(graft.sources.HubNotNullRule.apply)
+    // Delta-dialect maintenance STATEMENTS (OPTIMIZE / VACUUM / RESTORE /
+    // DESCRIBE HISTORY) — rewritten to the CALL-procedure / metadata-table
+    // forms; every other statement takes the zero-cost delegate path
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
     // restore SupportsReportStatistics across Spark's V1ScanWrapper so the
     // connector's manifest-backed sizes reach the join planner (broadcast
     // decisions) instead of degrading to defaultSizeInBytes. The wrapper

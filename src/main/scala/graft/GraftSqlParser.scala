@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delta-dialect maintenance STATEMENTS for graft-hub tables, as a parser
+  * extension (registered by [[GraftExtensions]]):
+  *
+  * {{{
+  *   OPTIMIZE cat.db.t [WHERE <pred> | ZORDER BY (a, b)]
+  *   VACUUM cat.db.t [RETAIN <n> HOURS] [DRY RUN]
+  *   RESTORE [TABLE] cat.db.t TO VERSION AS OF <n>
+  *   RESTORE [TABLE] cat.db.t TO TIMESTAMP AS OF '<ts>'
+  *   DESCRIBE HISTORY cat.db.t
+  *   CONVERT TO HUB cat.db.t    -- Delta's CONVERT TO DELTA analogue
+  * }}}
+  *
+  * Spark's grammar has none of these (Delta ships its own ANTLR extension
+  * for exactly this reason); each statement is REWRITTEN to the CALL
+  * procedure / metadata-table form the engine already implements and then
+  * parsed by the delegate — one semantics, two spellings. The rewrite
+  * fires only when the statement's FIRST keyword matches (and `DESCRIBE`
+  * only with `HISTORY` after it), so every normal statement takes the
+  * zero-cost delegate path; a malformed maintenance statement falls
+  * through to Spark's parser, whose PARSE_SYNTAX_ERROR names the bad
+  * token.
+  *
+  * An unqualified table name resolves in the session's CURRENT catalog —
+  * the same resolution the statement's SELECT/CALL spelling would get.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(
+      GraftSqlParser.rewrite(session, sqlText).getOrElse(sqlText))
+  override def parseExpression(s: String): Expression =
+    delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+  override def parseTableSchema(s: String): StructType =
+    delegate.parseTableSchema(s)
+}
+
+object GraftSqlParser {
+
+  private val Part = "(?:[\\w$]+|`[^`]+`)"
+  private val Id = s"$Part(?:[.]$Part)*"
+
+  private val OptimizeRe =
+    ("(?is)^\\s*OPTIMIZE\\s+(" + Id + ")" +
+      "(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(" + Part + ")\\s*,\\s*(" + Part +
+      ")\\s*\\))?\\s*;?\\s*$").r
+  private val VacuumRe =
+    ("(?is)^\\s*VACUUM\\s+(" + Id + ")" +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
+  private val RestoreVRe =
+    ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?(" + Id +
+      ")\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+  private val RestoreTsRe =
+    ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?(" + Id +
+      ")\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$").r
+  private val HistoryRe =
+    ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+(" + Id + ")\\s*;?\\s*$").r
+  private val ConvertRe =
+    ("(?is)^\\s*CONVERT\\s+TO\\s+HUB\\s+(" + Id + ")\\s*;?\\s*$").r
+
+  /** Split a (possibly backquoted) multipart identifier; parts come back
+    * WITHOUT backticks (the CALL argument is a plain 'db.t' string).
+    */
+  private def parts(ident: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inTick = false
+    ident.foreach {
+      case '`' => inTick = !inTick
+      case '.' if !inTick => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** (catalog, table-within-catalog) — unqualified names use the session's
+    * current catalog, like any other single-part statement would.
+    */
+  private def catTable(session: SparkSession, ident: String)
+      : (String, String) = {
+    val ps = parts(ident)
+    if (ps.length >= 2) (ps.head, ps.tail.mkString("."))
+    else (session.catalog.currentCatalog(), ps.head)
+  }
+
+  private def q(s: String): String = "'" + s.replace("'", "\\'") + "'"
+
+  private[graft] def rewrite(session: SparkSession, sql: String)
+      : Option[String] = {
+    val head = sql.trim.takeWhile(!_.isWhitespace)
+      .toUpperCase(java.util.Locale.ROOT)
+    head match {
+      case "OPTIMIZE" => sql match {
+        case OptimizeRe(ident, where, za, zb) =>
+          val (cat, t) = catTable(session, ident)
+          require(where == null || za == null,
+            "OPTIMIZE ... WHERE and ZORDER BY are not supported together " +
+              "— z-order rewrites whole buckets, a predicate scope would " +
+              "be ignored; run them as two statements")
+          if (za != null)
+            Some(s"CALL $cat.system.zorder(`table` => ${q(t)}, " +
+              s"col_a => ${q(za.stripPrefix("`").stripSuffix("`"))}, " +
+              s"col_b => ${q(zb.stripPrefix("`").stripSuffix("`"))})")
+          else if (where != null)
+            Some(s"CALL $cat.system.optimize(`table` => ${q(t)}, " +
+              s"where => ${q(where.trim)})")
+          else Some(s"CALL $cat.system.optimize(`table` => ${q(t)})")
+        case _ => None
+      }
+      case "VACUUM" => sql match {
+        case VacuumRe(ident, hours, dry) =>
+          val (cat, t) = catTable(session, ident)
+          val retain = Option(hours)
+            .map(h => s", retain_ms => ${h.toLong * 3600000L}L")
+            .getOrElse("")
+          val dryRun =
+            if (dry != null) ", dry_run => true" else ""
+          Some(s"CALL $cat.system.vacuum(`table` => ${q(t)}$retain$dryRun)")
+        case _ => None
+      }
+      case "RESTORE" => sql match {
+        case RestoreVRe(ident, v) =>
+          val (cat, t) = catTable(session, ident)
+          Some(s"CALL $cat.system.restore(`table` => ${q(t)}, version => $v)")
+        case RestoreTsRe(ident, ts) =>
+          val (cat, t) = catTable(session, ident)
+          Some(s"CALL $cat.system.restore(`table` => ${q(t)}, " +
+            s"timestamp => ${q(ts)})")
+        case _ => None
+      }
+      case "CONVERT" => sql match {
+        case ConvertRe(ident) =>
+          val (cat, t) = catTable(session, ident)
+          Some(s"CALL $cat.system.convert(`table` => ${q(t)})")
+        case _ => None
+      }
+      case "DESC" | "DESCRIBE" => sql match {
+        case HistoryRe(ident) =>
+          val ps = parts(ident)
+          val hist = (ps.init :+ s"`${ps.last}$$history`").mkString(".")
+          Some(s"SELECT * FROM $hist ORDER BY version DESC")
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+}

@@ -1517,6 +1517,50 @@ object IngestQueries {
       |UNION ALL SELECT CAST(99 AS BIGINT), 'zzz', NULL
       |ORDER BY n_nationkey""".stripMargin
 
+  /** CONVERT TO HUB (Delta `CONVERT TO DELTA` parity): a plain-parquet
+    * `nation` dir — the pre-log lake some other pipeline wrote — is
+    * adopted ZERO-COPY as hub version 1 (files renamed into the log's
+    * data root, one footer pass for the manifest; in-query gates pin the
+    * adopted row count and that the v1 snapshot stays time-travelable),
+    * then the full lifecycle runs on it immediately: a keyed upsert
+    * mutates a slice and inserts a sentinel. The oracle reconstructs the
+    * post-upsert content from the source table.
+    */
+  val qHubConvert: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_convert").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"))
+      .repartition(3).write.parquet(s"$tmp/nation_cv")
+    spark.sql(s"CONVERT TO HUB $cat.default.nation_cv")
+    val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/nation_cv").last
+    val n = Tables(spark, dir, "nation").count()
+    require(v1.version == 1 && v1.rows == n,
+      s"adoption must commit the dir as a full v1 snapshot: $v1")
+    Tables(spark, dir, "nation").createOrReplaceTempView("cv_src")
+    spark.sql(s"MERGE INTO $cat.default.nation_cv t USING " +
+      "(SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, " +
+      "upper(n_name) AS n_name FROM cv_src WHERE n_nationkey < 5 " +
+      "UNION ALL SELECT CAST(99 AS BIGINT), 'sentinel') s " +
+      "ON t.n_nationkey = s.n_nationkey " +
+      "WHEN MATCHED THEN UPDATE SET n_name = s.n_name " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    require(spark.sql(s"SELECT count(*) FROM $cat.default.nation_cv " +
+      "VERSION AS OF 1").head().getLong(0) == n,
+      "the adopted snapshot must stay time-travelable under later commits")
+    spark.sql(s"SELECT n_nationkey, n_name FROM $cat.default.nation_cv " +
+      "ORDER BY n_nationkey")
+  }
+
+  private val hubConvertOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  CASE WHEN n_nationkey < 5 THEN upper(n_name) ELSE n_name END
+      |    AS n_name
+      |FROM nation
+      |UNION ALL SELECT CAST(99 AS BIGINT), 'sentinel'
+      |ORDER BY n_nationkey""".stripMargin
+
   /** RESTORE (Delta RESTORE parity): mutate a hub (UPDATE + DELETE), then
     * restore to version 1 — the tip must equal the ORIGINAL content, with
     * zero data rewritten (pure manifest commit, in-query gate) and all
@@ -1946,6 +1990,7 @@ object IngestQueries {
     "q_hub_default_sql" -> qHubDefaultSql,
     "q_hub_restore" -> qHubRestore,
     "q_hub_clone_sql" -> qHubCloneSql,
+    "q_hub_convert" -> qHubConvert,
     "q_hub_ctas_sql" -> qHubCtasSql,
     "q_hub_rename_sql" -> qHubRenameSql,
     "q_hub_call_maintenance" -> qHubCallMaintenance,
@@ -1988,6 +2033,7 @@ object IngestQueries {
     "q_hub_default_sql" -> hubDefaultSqlOracle,
     "q_hub_restore" -> hubRestoreOracle,
     "q_hub_clone_sql" -> hubCloneSqlOracle,
+    "q_hub_convert" -> hubConvertOracle,
     "q_hub_call_maintenance" -> hubCallMaintenanceOracle,
     "q_hub_ctas_sql" -> hubCtasSqlOracle,
     "q_hub_rename_sql" -> hubRenameSqlOracle,

@@ -233,6 +233,11 @@ private[sources] object HubProcedures {
         versionOut) { in =>
         Seq(VersionedHub.purge(spark, tablePath(in)))
       }
+      case "convert" => Proc("convert",
+        Array(p("table", DataTypes.StringType)),
+        versionOut) { in =>
+        Seq(VersionedHub.convert(spark, tablePath(in)))
+      }
       case "repair" => Proc("repair",
         Array(p("table", DataTypes.StringType),
           p("min_age_ms", DataTypes.LongType, Some("600000"))),
@@ -246,5 +251,5 @@ private[sources] object HubProcedures {
 
   val ProcedureNames: Seq[String] =
     Seq("vacuum", "optimize", "zorder", "restore", "repair", "clone",
-      "bloom_index", "purge")
+      "bloom_index", "purge", "convert")
 }

@@ -1284,6 +1284,56 @@ object VersionedHub {
     * full rekeyed map): there is no prior chain in the target's log to
     * fold from.
     */
+  /** Adopt an existing plain-parquet directory as version 1 of a FLAT
+    * versioned hub — Delta's `CONVERT TO DELTA` analogue, the migration
+    * on-ramp for a lake that predates the log. The data files are RENAMED
+    * into the log's `data/1-<uuid>` root (a metadata-only move on any
+    * real filesystem — zero bytes copied at any table size), one footer
+    * pass collects the manifest's row counts and per-file skipping stats,
+    * and the table-creating commit lands like any other; every subsequent
+    * operation (upsert, time travel, DELETE, OPTIMIZE, the DSv2
+    * connector) works immediately. Scope guards: refused if a log already
+    * exists, if the dir holds non-parquet data files, or if it holds
+    * subdirectories (a hive-partitioned source should be read and
+    * re-landed through the normal write path — adopting partition dirs
+    * flat would silently drop the partition columns). NOT concurrent-safe
+    * with writers to the source dir — stop the old pipeline first
+    * (Delta's CONVERT carries the same caveat).
+    */
+  def convert(spark: SparkSession, path: String): Int = {
+    val fs = fileSystem(spark, path)
+    checkAtomicCommitScheme(path)
+    require(history(spark, path).isEmpty,
+      s"$path is already a versioned hub")
+    val root = new Path(path)
+    require(fs.exists(root), s"$path does not exist")
+    val entries = fs.listStatus(root).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+    require(entries.forall(_.isFile),
+      s"$path holds subdirectories — convert adopts FLAT parquet dirs " +
+        "only (re-land partitioned sources through the write path)")
+    val files = entries.map(_.getPath)
+    require(files.nonEmpty, s"$path holds no data files to adopt")
+    val stray = files.filterNot(_.getName.endsWith(".parquet"))
+    require(stray.isEmpty,
+      s"$path holds non-parquet data files: ${stray.take(3).mkString(", ")}")
+    val dataDir = s"data/1-${UUID.randomUUID().toString.take(8)}"
+    val dst = new Path(resolve(path, dataDir))
+    fs.mkdirs(dst)
+    files.foreach(f =>
+      require(fs.rename(f, new Path(dst, f.getName)), s"rename $f failed"))
+    val fstats = FileStats.collect(spark, fs, root, dst)
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(resolve(path, dataDir)).schema
+    require(commit(fs, path, Version(1, dataDir,
+        System.currentTimeMillis(), fstats.values.map(_.rows).sum,
+        schemaJson = Some(Version.nullable(schema).json),
+        statsNew = fstats, checks = Map.empty)),
+      s"convert lost a commit race at $path — was a writer still active?")
+    1
+  }
+
   def cloneTable(spark: SparkSession, sourcePath: String,
       targetPath: String,
       // CLONE ... VERSION AS OF (Delta parity): clone a historical

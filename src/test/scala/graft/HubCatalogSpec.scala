@@ -1775,6 +1775,89 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("Delta-dialect statements: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY") {
+    withCatalog("hubstmt") { base =>
+      VersionedHub.writeBucketed(spark,
+        (1L to 100L).map(k => (k, k % 50, s"v$k")).toDF("k", "a", "v"),
+        s"$base/t", Seq("k"), 4)
+      spark.sql("UPDATE hubstmt.default.t SET v = 'X' WHERE k <= 10") // v2
+      // OPTIMIZE ... ZORDER BY -> zorder procedure
+      assert(spark.sql("OPTIMIZE hubstmt.default.t ZORDER BY (a, k)")
+        .as[Int].head() == 3)
+      // OPTIMIZE ... WHERE -> predicate-scoped compaction (one bucket)
+      val pre = VersionedHub.history(spark, s"$base/t").last.buckets
+      assert(spark.sql("OPTIMIZE hubstmt.default.t WHERE k = 7")
+        .as[Int].head() == 4)
+      val post = VersionedHub.history(spark, s"$base/t").last.buckets
+      assert(pre.keys.count(b => post.get(b) != pre.get(b)) == 1)
+      // RESTORE TABLE ... TO VERSION AS OF rolls the UPDATE back
+      assert(spark.sql(
+        "RESTORE TABLE hubstmt.default.t TO VERSION AS OF 1")
+        .as[Int].head() == 5)
+      assert(spark.sql("SELECT count(*) FROM hubstmt.default.t " +
+        "WHERE v = 'X'").head().getLong(0) == 0)
+      // DESCRIBE HISTORY: every version, newest first
+      val versions = spark.sql("DESCRIBE HISTORY hubstmt.default.t")
+        .select("version").as[Int].collect().toSeq
+      assert(versions.head == 5 && versions == versions.sorted.reverse,
+        versions.toString)
+      // VACUUM ... RETAIN 0 HOURS DRY RUN predicts, drops nothing
+      val before = VersionedHub.history(spark, s"$base/t").size
+      val dry = spark.sql(
+        "VACUUM hubstmt.default.t RETAIN 0 HOURS DRY RUN").head()
+      assert(VersionedHub.history(spark, s"$base/t").size == before)
+      val real = spark.sql("VACUUM hubstmt.default.t RETAIN 0 HOURS").head()
+      assert(real.getInt(1) == dry.getInt(1),
+        s"real vacuum must match the dry run: $dry vs $real")
+      assert(spark.table("hubstmt.default.t").count() == 100)
+      // WHERE + ZORDER together refused loudly
+      val e = intercept[Exception](spark.sql(
+        "OPTIMIZE hubstmt.default.t WHERE k = 1 ZORDER BY (a, k)"))
+      assert(e.getMessage.contains("two statements"), e.getMessage)
+      // ordinary statements are untouched by the parser extension
+      assert(spark.sql("DESCRIBE hubstmt.default.t").count() > 0)
+      // an unqualified name resolves in the CURRENT catalog
+      spark.sql("USE hubstmt")
+      try assert(spark.sql("DESCRIBE HISTORY default.t").count() >= 1)
+      finally spark.sql("USE spark_catalog")
+    }
+  }
+
+  test("CONVERT TO HUB adopts a plain parquet dir zero-copy; refusal matrix") {
+    withCatalog("hubconv") { base =>
+      // a pre-log lake: plain parquet written by some other pipeline
+      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartition(3).write.parquet(s"$base/t")
+      val beforeNames = new java.io.File(s"$base/t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(spark.sql("CONVERT TO HUB hubconv.default.t").as[Int].head() == 1)
+      val v1 = VersionedHub.history(spark, s"$base/t").last
+      assert(v1.rows == 50L && v1.nBuckets.isEmpty)
+      // zero-copy: the adopted files are the SAME files, renamed in place
+      val afterNames = new java.io.File(
+        s"$base/t/${v1.dataDir}").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(afterNames == beforeNames, "adoption must rename, not rewrite")
+      // the full lifecycle works immediately on the adopted table
+      assert(spark.table("hubconv.default.t").count() == 50)
+      VersionedHub.write(spark,
+        Seq((1L, "V1"), (51L, "new")).toDF("k", "v"), s"$base/t", Seq("k"))
+      assert(spark.table("hubconv.default.t").count() == 51)
+      assert(spark.sql("SELECT count(*) FROM hubconv.default.t " +
+        "VERSION AS OF 1").head().getLong(0) == 50,
+        "the adopted snapshot must stay time-travelable")
+      // refusals: double-convert; partitioned (subdir) sources
+      val e = intercept[Exception](spark.sql(
+        "CONVERT TO HUB hubconv.default.t"))
+      assert(e.getMessage.contains("already"), e.getMessage)
+      (1L to 10L).map(k => (k, k % 2)).toDF("k", "p")
+        .write.partitionBy("p").parquet(s"$base/part")
+      val e2 = intercept[Exception](spark.sql(
+        "CONVERT TO HUB hubconv.default.part"))
+      assert(e2.getMessage.contains("subdirectories"), e2.getMessage)
+    }
+  }
+
   test("NOT NULL lowers onto the check machinery: CREATE-time, SET/DROP NOT NULL, refusal matrix") {
     withCatalog("hubnn") { base =>
       spark.sql("CREATE TABLE hubnn.default.t (k BIGINT NOT NULL, v STRING)")
