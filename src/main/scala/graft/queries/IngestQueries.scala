@@ -172,6 +172,67 @@ object IngestQueries {
       |  TRUE AS v1_readable, TRUE AS bucketed
       |FROM region ORDER BY r_regionkey""".stripMargin
 
+  /** §2.1 json_reader + olap_reader(CSV-fallback), end-to-end and
+    * driver-proven (previously spec-only): region lands once as JSON
+    * Lines (the reference's orders_json shape, sources.yaml:22-31) and
+    * once as a header-only CSV served through the OLAP reader's permanent
+    * XMLA fallback (sources.yaml:48-57 — all columns arrive as STRINGS,
+    * normalized by the query's cast like any consumer must). Both ingest
+    * TWICE through the full spine; the oracle predicts idempotent HUBs
+    * and double RAW copies for each source.
+    */
+  val qIngestMultiSource: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_ingest_ms").toFile.getAbsolutePath
+    val region = Tables(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val srcJson = s"$tmp/src/region_json"
+    region.coalesce(1).write.json(srcJson)
+    val srcCube = s"$tmp/src/cube"
+    region.coalesce(1).write.option("header", "true").csv(srcCube)
+    val system = SourceSystem(
+      version = 1,
+      defaults = Map(
+        "raw_base" -> s"$tmp/raw",
+        "hub_base" -> s"$tmp/hub",
+        "checkpoint_base" -> s"$tmp/cp"),
+      sources = Seq(
+        Source(
+          id = "region_json",
+          `type` = "json",
+          domain = "ref",
+          entity = "region_j",
+          options = Map("path" -> srcJson, "multiline" -> "false"),
+          hubPrimaryKeys = Seq("r_regionkey")),
+        Source(
+          id = "cube_olap",
+          `type` = "olap",
+          domain = "ref",
+          entity = "cube",
+          options = Map(
+            "xmla_endpoint" -> "powerbi://api.powerbi.com/v1.0/myorg/X",
+            "fallback_csv_path" -> srcCube),
+          hubPrimaryKeys = Seq("r_regionkey"))))
+    Ingest.runCatalog(spark, system)
+    Ingest.runCatalog(spark, system) // idempotence: HUB upsert, RAW append
+    def withRaw(entity: String): DataFrame =
+      Ingest.readHub(spark, s"$tmp/hub/ref/$entity")
+        .select(col("r_regionkey").cast("long").as("r_regionkey"),
+          col("r_name"), col("_source_id"))
+        .join(
+          spark.read.parquet(s"$tmp/raw/ref/$entity")
+            .groupBy(col("r_regionkey").cast("long").as("r_regionkey"))
+            .agg(count(lit(1)).as("raw_copies")),
+          Seq("r_regionkey"))
+    withRaw("region_j").unionByName(withRaw("cube"))
+      .orderBy(col("_source_id"), col("r_regionkey"))
+  }
+
+  private val ingestMultiSourceOracle: String =
+    """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+      |  _source_id, CAST(2 AS BIGINT) AS raw_copies
+      |FROM region, (VALUES ('cube_olap'), ('region_json')) AS s(_source_id)
+      |ORDER BY _source_id, r_regionkey""".stripMargin
+
   /** §2.1 jdbc_reader, end-to-end and driver-proven. The reference ships its
     * JDBC source DISABLED behind a sqlite file it never creates
     * (sources.yaml:33-46 + contoso_sqlite_instructions.sql) — here the same
@@ -2009,6 +2070,7 @@ object IngestQueries {
     "q_ingest_hub_roundtrip" -> qIngestHubRoundtrip,
     "q_ingest_versioned_roundtrip" -> qIngestVersionedRoundtrip,
     "q_jdbc_ingest" -> qJdbcIngest,
+    "q_ingest_multi_source" -> qIngestMultiSource,
     "q_hub_time_travel" -> qHubTimeTravel,
     "q_hub_change_feed" -> qHubChangeFeed,
     "q_hub_bucketed_roundtrip" -> qHubBucketedRoundtrip,
@@ -2049,6 +2111,7 @@ object IngestQueries {
     "q_ingest_hub_roundtrip" -> ingestHubRoundtripOracle,
     "q_ingest_versioned_roundtrip" -> ingestVersionedRoundtripOracle,
     "q_jdbc_ingest" -> jdbcIngestOracle,
+    "q_ingest_multi_source" -> ingestMultiSourceOracle,
     "q_hub_time_travel" -> hubTimeTravelOracle,
     "q_hub_timestamp_travel" -> hubTimeTravelOracle,
     "q_hub_files_meta" -> hubFilesMetaOracle,
