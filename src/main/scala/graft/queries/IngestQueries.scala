@@ -202,7 +202,10 @@ object IngestQueries {
           domain = "ref",
           entity = "region_j",
           options = Map("path" -> srcJson, "multiline" -> "false"),
-          hubPrimaryKeys = Seq("r_regionkey")),
+          hubPrimaryKeys = Seq("r_regionkey"),
+          // 5-row fixture: the default 16 buckets would just multiply
+          // per-commit fixed costs (files, footer passes) by 8
+          hubBuckets = Some(2)),
         Source(
           id = "cube_olap",
           `type` = "olap",
@@ -211,7 +214,8 @@ object IngestQueries {
           options = Map(
             "xmla_endpoint" -> "powerbi://api.powerbi.com/v1.0/myorg/X",
             "fallback_csv_path" -> srcCube),
-          hubPrimaryKeys = Seq("r_regionkey"))))
+          hubPrimaryKeys = Seq("r_regionkey"),
+          hubBuckets = Some(2))))
     Ingest.runCatalog(spark, system)
     Ingest.runCatalog(spark, system) // idempotence: HUB upsert, RAW append
     def withRaw(entity: String): DataFrame =
