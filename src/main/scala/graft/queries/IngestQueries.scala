@@ -666,14 +666,17 @@ object IngestQueries {
     */
   val qStreamMvEquiv: Q = (spark, dir) => {
     val tmp = Files.createTempDirectory("graft_stream_mv").toFile.getAbsolutePath
-    val src = s"$tmp/src"
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"),
         floor(col("value") * 100).cast("long").as("cents"))
     // one scan, three files → three micro-batches; WHICH events share a
     // file is irrelevant to the equivalence (every event is an insert of a
-    // distinct key), so round-robin beats three filtered re-scans
-    ev.repartition(3).write.parquet(src)
+    // distinct key), so round-robin beats three filtered re-scans. The
+    // staged dir is a READ-ONLY fixture — memoized; the stream lifecycle
+    // below (checkpoint, hub, MV) stays fresh per run
+    val src = FixtureCache.path(dir, "mv_stream_src") { p =>
+      ev.repartition(3).write.parquet(p)
+    }
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     // flat hub layout: these batches are a uniform hash-spread of event_ids,
