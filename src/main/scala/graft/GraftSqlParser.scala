@@ -36,7 +36,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(
-      GraftSqlParser.rewrite(session, sqlText).getOrElse(sqlText))
+      GraftSqlParser.rewrite(session, delegate, sqlText).getOrElse(sqlText))
   override def parseExpression(s: String): Expression =
     delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
@@ -77,87 +77,88 @@ object GraftSqlParser {
   private val ConvertRe =
     ("(?is)^\\s*CONVERT\\s+TO\\s+HUB\\s+(" + Id + ")\\s*;?\\s*$").r
 
-  /** Split a (possibly backquoted) multipart identifier; parts come back
-    * WITHOUT backticks (the CALL argument is a plain 'db.t' string).
+  /** Re-quote one identifier part for SQL output (the delegate's
+    * multipart parser strips backticks and unescapes doubled ones).
     */
-  private def parts(ident: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var inTick = false
-    ident.foreach {
-      case '`' => inTick = !inTick
-      case '.' if !inTick => out += cur.result(); cur.clear()
-      case c => cur += c
-    }
-    out += cur.result()
-    out.result()
-  }
+  private def qid(p: String): String =
+    if (p.matches("[A-Za-z0-9_]+")) p
+    else "`" + p.replace("`", "``") + "`"
 
-  /** (catalog, table-within-catalog) — unqualified names use the session's
-    * current catalog, like any other single-part statement would.
+  /** (catalog, table-within-catalog) with SPARK'S resolution rule: the
+    * leading part names a catalog only if one is REGISTERED under it —
+    * otherwise the whole identifier resolves inside the session's current
+    * catalog (so `OPTIMIZE default.t` under `USE hubcat` reaches hubcat's
+    * table, exactly like the SELECT/CALL spelling would). Splitting uses
+    * the delegate's multipart parser (correct backtick/escape handling).
     */
-  private def catTable(session: SparkSession, ident: String)
-      : (String, String) = {
-    val ps = parts(ident)
-    if (ps.length >= 2) (ps.head, ps.tail.mkString("."))
-    else (session.catalog.currentCatalog(), ps.head)
+  private def catTable(session: SparkSession, delegate: ParserInterface,
+      ident: String): (String, String) = {
+    val ps = delegate.parseMultipartIdentifier(ident)
+    def isCatalog(name: String): Boolean =
+      name == "spark_catalog" ||
+        session.conf.getOption(s"spark.sql.catalog.$name").isDefined
+    if (ps.length >= 2 && isCatalog(ps.head))
+      (ps.head, ps.tail.mkString("."))
+    else (session.catalog.currentCatalog(), ps.mkString("."))
   }
 
   private def q(s: String): String = "'" + s.replace("'", "\\'") + "'"
 
-  private[graft] def rewrite(session: SparkSession, sql: String)
+  private[graft] def rewrite(session: SparkSession,
+      delegate: ParserInterface, sql: String)
       : Option[String] = {
     val head = sql.trim.takeWhile(!_.isWhitespace)
       .toUpperCase(java.util.Locale.ROOT)
     head match {
       case "OPTIMIZE" => sql match {
         case OptimizeRe(ident, where, za, zb) =>
-          val (cat, t) = catTable(session, ident)
+          val (cat, t) = catTable(session, delegate, ident)
           require(where == null || za == null,
             "OPTIMIZE ... WHERE and ZORDER BY are not supported together " +
               "— z-order rewrites whole buckets, a predicate scope would " +
               "be ignored; run them as two statements")
           if (za != null)
-            Some(s"CALL $cat.system.zorder(`table` => ${q(t)}, " +
+            Some(s"CALL ${qid(cat)}.system.zorder(`table` => ${q(t)}, " +
               s"col_a => ${q(za.stripPrefix("`").stripSuffix("`"))}, " +
               s"col_b => ${q(zb.stripPrefix("`").stripSuffix("`"))})")
           else if (where != null)
-            Some(s"CALL $cat.system.optimize(`table` => ${q(t)}, " +
+            Some(s"CALL ${qid(cat)}.system.optimize(`table` => ${q(t)}, " +
               s"where => ${q(where.trim)})")
-          else Some(s"CALL $cat.system.optimize(`table` => ${q(t)})")
+          else Some(s"CALL ${qid(cat)}.system.optimize(`table` => ${q(t)})")
         case _ => None
       }
       case "VACUUM" => sql match {
         case VacuumRe(ident, hours, dry) =>
-          val (cat, t) = catTable(session, ident)
+          val (cat, t) = catTable(session, delegate, ident)
           val retain = Option(hours)
             .map(h => s", retain_ms => ${h.toLong * 3600000L}L")
             .getOrElse("")
           val dryRun =
             if (dry != null) ", dry_run => true" else ""
-          Some(s"CALL $cat.system.vacuum(`table` => ${q(t)}$retain$dryRun)")
+          Some(s"CALL ${qid(cat)}.system.vacuum(`table` => ${q(t)}$retain$dryRun)")
         case _ => None
       }
       case "RESTORE" => sql match {
         case RestoreVRe(ident, v) =>
-          val (cat, t) = catTable(session, ident)
-          Some(s"CALL $cat.system.restore(`table` => ${q(t)}, version => $v)")
+          val (cat, t) = catTable(session, delegate, ident)
+          Some(s"CALL ${qid(cat)}.system.restore(`table` => ${q(t)}, version => $v)")
         case RestoreTsRe(ident, ts) =>
-          val (cat, t) = catTable(session, ident)
-          Some(s"CALL $cat.system.restore(`table` => ${q(t)}, " +
+          val (cat, t) = catTable(session, delegate, ident)
+          Some(s"CALL ${qid(cat)}.system.restore(`table` => ${q(t)}, " +
             s"timestamp => ${q(ts)})")
         case _ => None
       }
       case "CONVERT" => sql match {
         case ConvertRe(ident) =>
-          val (cat, t) = catTable(session, ident)
-          Some(s"CALL $cat.system.convert(`table` => ${q(t)})")
+          val (cat, t) = catTable(session, delegate, ident)
+          Some(s"CALL ${qid(cat)}.system.convert(`table` => ${q(t)})")
         case _ => None
       }
       case "DESC" | "DESCRIBE" => sql match {
         case HistoryRe(ident) =>
-          val ps = parts(ident)
-          val hist = (ps.init :+ s"`${ps.last}$$history`").mkString(".")
+          val ps = delegate.parseMultipartIdentifier(ident)
+          val hist = (ps.init.map(qid) :+
+            qid(ps.last + "$history")).mkString(".")
           Some(s"SELECT * FROM $hist ORDER BY version DESC")
         case _ => None
       }

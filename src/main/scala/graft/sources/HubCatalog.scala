@@ -205,6 +205,12 @@ class HubCatalog extends TableCatalog
     // later DROP NOT NULL is a pure manifest commit and old files stay
     // readable). Identity/generated columns are skipped — their values
     // are engine-filled before checks run, never null by construction.
+    // TOP-LEVEL columns only: nested nullability flags are NOT a
+    // constraint surface here — CTAS and API schemas carry incidental
+    // non-nullable struct fields (a `struct(1 AS a)` literal, a case-class
+    // encoder) that no one means as constraints, so they deep-nullify
+    // into the all-nullable stored schema like every read path already
+    // does; enforce a nested field with CHECK (s.a IS NOT NULL).
     val nnChecks: Map[String, String] = schema.fields.toSeq
       .filter(f => !f.nullable &&
         !org.apache.spark.sql.catalyst.util.GeneratedColumn
@@ -213,11 +219,18 @@ class HubCatalog extends TableCatalog
           .IdentityColumn.IDENTITY_INFO_START))
       .map(f => HubCatalog.notNullName(f.name) -> s"${f.name} IS NOT NULL")
       .toMap
-    nnChecks.keys.foreach(n =>
-      require(!checks0.keys.exists(_.equalsIgnoreCase(n)),
-        s"constraint name $n is reserved for its column's NOT NULL lowering"))
+    // the notnull_ prefix is the lowering's NAMESPACE: a user check named
+    // into it would make foldNotNull's name-based idempotence lie (SET
+    // NOT NULL silently skipped, DROP NOT NULL deleting the user's
+    // unrelated predicate) — reserved outright
+    checks0.keys.find(_.toLowerCase(java.util.Locale.ROOT)
+        .startsWith("notnull_")).foreach(n =>
+      throw new IllegalArgumentException(
+        s"constraint name $n is reserved: the notnull_ prefix belongs to " +
+          "the NOT NULL lowering — declare the column NOT NULL (or pick " +
+          "another name)"))
     val allChecks0 = checks0 ++ nnChecks
-    val schemaN = StructType(schema.fields.map(_.copy(nullable = true)))
+    val schemaN = graft.writers.VersionedHub.Version.nullable(schema)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaN)
     bucketSpec match {
@@ -423,6 +436,14 @@ class HubCatalog extends TableCatalog
           val name = c.name()
           require(!checks.keys.exists(_.equalsIgnoreCase(name)),
             s"constraint $name already exists on $path")
+          // the notnull_ prefix is the NOT NULL lowering's namespace —
+          // a user check squatting on it would corrupt SET/DROP NOT
+          // NULL's name-based resolution (see foldNotNull)
+          require(!name.toLowerCase(java.util.Locale.ROOT)
+              .startsWith("notnull_"),
+            s"constraint name $name is reserved: the notnull_ prefix " +
+              "belongs to the NOT NULL lowering — use ALTER COLUMN … SET " +
+              "NOT NULL, or pick another name")
           val sql = Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
             throw new UnsupportedOperationException(
               s"CHECK constraint $name carries no SQL predicate"))

@@ -116,8 +116,18 @@ class HubDataSource extends TableProvider with DataSourceRegister
     }
     require(byV.isEmpty || byTs.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
-    byV.foreach(v => require(v >= 1,
-      s"startingVersion must be >= 1, got $v"))
+    byV.foreach { v =>
+      require(v >= 1, s"startingVersion must be >= 1, got $v")
+      // a bound beyond latest+1 is a typo, not a future subscription —
+      // refuse loudly like the post-history startingTimestamp does
+      // (latest+1 itself is the legitimate "changes from now on" form)
+      val latest = VersionedHub.latest(spark, path)
+        .map(_.version).getOrElse(0)
+      require(v <= latest + 1,
+        s"startingVersion $v is beyond the latest committed version " +
+          s"$latest of $path (use ${latest + 1} to start at the next " +
+          "commit)")
+    }
     new HubStreamSource(sqlContext, path,
       cdfKeysOf(parameters),
       parameters.collectFirst {

@@ -158,7 +158,7 @@ object VersionedHub {
       case other => other
     }
 
-    private[writers] def nullable(
+    private[graft] def nullable(
         s: org.apache.spark.sql.types.StructType)
         : org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType(s.fields.map(f =>
@@ -1318,19 +1318,40 @@ object VersionedHub {
     val stray = files.filterNot(_.getName.endsWith(".parquet"))
     require(stray.isEmpty,
       s"$path holds non-parquet data files: ${stray.take(3).mkString(", ")}")
+    // validate every footer BEFORE moving anything: a *.parquet file with
+    // a corrupt/truncated footer must fail while the source dir is still
+    // intact (mergeSchema parses each file's footer)
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(path).schema
     val dataDir = s"data/1-${UUID.randomUUID().toString.take(8)}"
     val dst = new Path(resolve(path, dataDir))
     fs.mkdirs(dst)
-    files.foreach(f =>
-      require(fs.rename(f, new Path(dst, f.getName)), s"rename $f failed"))
-    val fstats = FileStats.collect(spark, fs, root, dst)
-    val schema = spark.read.option("mergeSchema", "true")
-      .parquet(resolve(path, dataDir)).schema
-    require(commit(fs, path, Version(1, dataDir,
-        System.currentTimeMillis(), fstats.values.map(_.rows).sum,
-        schemaJson = Some(Version.nullable(schema).json),
-        statsNew = fstats, checks = Map.empty)),
-      s"convert lost a commit race at $path — was a writer still active?")
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    // any failure past the first rename restores the original flat layout
+    // — a failed/raced CONVERT must leave the dir retryable, not gutted
+    def rollback(): Unit = {
+      moved.foreach(f => fs.rename(new Path(dst, f.getName), f))
+      fs.delete(dst, true)
+      fs.delete(new Path(resolve(path, "data")), false) // only if emptied
+    }
+    try {
+      files.foreach { f =>
+        require(fs.rename(f, new Path(dst, f.getName)), s"rename $f failed")
+        moved += f
+      }
+      val fstats = FileStats.collect(spark, fs, root, dst)
+      if (!commit(fs, path, Version(1, dataDir,
+          System.currentTimeMillis(), fstats.values.map(_.rows).sum,
+          schemaJson = Some(Version.nullable(schema).json),
+          statsNew = fstats, checks = Map.empty))) {
+        rollback()
+        throw new IllegalStateException(
+          s"convert lost a commit race at $path — was a writer still active?")
+      }
+    } catch {
+      case e: IllegalStateException => throw e // already rolled back
+      case scala.util.control.NonFatal(e) => rollback(); throw e
+    }
     1
   }
 

@@ -676,7 +676,7 @@ class HubCatalogSpec extends SparkTestBase {
       assert(spark.sql("SHOW PROCEDURES IN hubproc.system")
         .select("procedure_name").as[String].collect().toSet ==
         Set("vacuum", "optimize", "zorder", "restore", "repair", "clone",
-          "bloom_index", "purge"))
+          "bloom_index", "purge", "convert"))
       val e = intercept[Exception](
         spark.sql("CALL hubproc.system.nope(`table` => 't')"))
       assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
@@ -1816,10 +1816,13 @@ class HubCatalogSpec extends SparkTestBase {
       assert(e.getMessage.contains("two statements"), e.getMessage)
       // ordinary statements are untouched by the parser extension
       assert(spark.sql("DESCRIBE hubstmt.default.t").count() > 0)
-      // an unqualified name resolves in the CURRENT catalog
+      // unqualified and schema-qualified (db.t) names both resolve in the
+      // CURRENT catalog — 'default' is a namespace, not a catalog
       spark.sql("USE hubstmt")
-      try assert(spark.sql("DESCRIBE HISTORY default.t").count() >= 1)
-      finally spark.sql("USE spark_catalog")
+      try {
+        assert(spark.sql("DESCRIBE HISTORY default.t").count() >= 1)
+        assert(spark.sql("OPTIMIZE default.t").as[Int].head() >= 6)
+      } finally spark.sql("USE spark_catalog")
     }
   }
 
@@ -1855,6 +1858,23 @@ class HubCatalogSpec extends SparkTestBase {
       val e2 = intercept[Exception](spark.sql(
         "CONVERT TO HUB hubconv.default.part"))
       assert(e2.getMessage.contains("subdirectories"), e2.getMessage)
+      // a corrupt footer fails BEFORE any file moves — the dir stays
+      // intact and a retry after removing the junk succeeds
+      (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v")
+        .write.parquet(s"$base/bad")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/bad/junk.parquet"),
+        Array[Byte](1, 2, 3))
+      intercept[Exception](spark.sql("CONVERT TO HUB hubconv.default.bad"))
+      assert(!new java.io.File(s"$base/bad/data").exists(),
+        "a failed convert must not leave a data/ root behind")
+      assert(new java.io.File(s"$base/bad").listFiles()
+        .count(_.getName.endsWith(".parquet")) >= 2,
+        "a failed convert must leave the source files in place")
+      assert(new java.io.File(s"$base/bad/junk.parquet").delete())
+      assert(spark.sql("CONVERT TO HUB hubconv.default.bad")
+        .as[Int].head() == 1)
+      assert(spark.table("hubconv.default.bad").count() == 5)
     }
   }
 
@@ -1906,6 +1926,18 @@ class HubCatalogSpec extends SparkTestBase {
       spark.sql("CREATE TABLE hubnn.default.ids (" +
         "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
       assert(VersionedHub.history(spark, s"$base/ids").last.checks.isEmpty)
+      // the notnull_ prefix is reserved at ADD CONSTRAINT too — a user
+      // check squatting on it would corrupt SET/DROP NOT NULL resolution
+      val e6 = intercept[Exception](spark.sql(
+        "ALTER TABLE hubnn.default.t ADD CONSTRAINT notnull_z CHECK (k > 0)"))
+      assert(e6.getMessage.contains("reserved"), e6.getMessage)
+      // nested nullability is NOT a constraint surface: incidental
+      // non-nullable struct fields (struct literals, encoders) CTAS/create
+      // fine and deep-nullify into the stored schema
+      spark.sql("CREATE TABLE hubnn.default.nested AS " +
+        "SELECT 1L AS k, struct(1L AS a) AS s FROM range(1)")
+      assert(VersionedHub.history(spark, s"$base/nested").last.schema
+        .exists(_.fields.forall(_.nullable)))
     }
   }
 

@@ -372,6 +372,10 @@ class StreamingSpec extends SparkTestBase {
       .contains("mutually exclusive"))
     assert(startFails(Map("startingTimestamp" -> (ts2 + 100000).toString),
       "cp_e3").contains("at or after"))
+    // a version bound beyond latest+1 is a typo, refused like the
+    // post-history timestamp (latest+1 = "changes from now on" is fine)
+    assert(startFails(Map("startingVersion" -> "30"), "cp_e4")
+      .contains("beyond the latest"))
   }
 
   test("span-trim replay never probes its own index entries (index-committed, trim-lost crash)") {
