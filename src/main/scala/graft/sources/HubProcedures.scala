@@ -164,9 +164,18 @@ private[sources] object HubProcedures {
           p("col_a", DataTypes.StringType), p("col_b", DataTypes.StringType),
           p("files_per_bucket", DataTypes.IntegerType, Some("4"))),
         versionOut) { in =>
-        Seq(VersionedHub.optimizeZOrderBuckets(spark, tablePath(in),
-          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-          in.getInt(3)))
+        // layout-aware like `optimize`: bucketed hubs z-order per bucket
+        // (file skipping on non-routing columns inside every dir), flat
+        // hubs rewrite the snapshot along the curve
+        val path = tablePath(in)
+        val bucketed = VersionedHub.history(spark, path)
+          .lastOption.exists(_.nBuckets.isDefined)
+        Seq(if (bucketed)
+            VersionedHub.optimizeZOrderBuckets(spark, path,
+              in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+              in.getInt(3))
+          else VersionedHub.optimizeZOrder(spark, path,
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString))
       }
       case "restore" => Proc("restore",
         Array(p("table", DataTypes.StringType),

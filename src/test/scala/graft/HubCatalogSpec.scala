@@ -1816,6 +1816,14 @@ class HubCatalogSpec extends SparkTestBase {
       assert(e.getMessage.contains("two statements"), e.getMessage)
       // ordinary statements are untouched by the parser extension
       assert(spark.sql("DESCRIBE hubstmt.default.t").count() > 0)
+      // zorder is layout-aware: a FLAT hub z-orders via the snapshot
+      // rewrite instead of refusing
+      VersionedHub.write(spark,
+        (1L to 40L).map(k => (k, k % 7)).toDF("a", "b"), s"$base/flat",
+        Seq.empty)
+      assert(spark.sql("OPTIMIZE hubstmt.default.flat ZORDER BY (a, b)")
+        .as[Int].head() == 2)
+      assert(spark.table("hubstmt.default.flat").count() == 40)
       // unqualified and schema-qualified (db.t) names both resolve in the
       // CURRENT catalog — 'default' is a namespace, not a catalog
       spark.sql("USE hubstmt")
