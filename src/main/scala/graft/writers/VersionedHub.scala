@@ -1326,19 +1326,35 @@ object VersionedHub {
     val dataDir = s"data/1-${UUID.randomUUID().toString.take(8)}"
     val dst = new Path(resolve(path, dataDir))
     fs.mkdirs(dst)
-    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val moved = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
     // any failure past the first rename restores the original flat layout
-    // — a failed/raced CONVERT must leave the dir retryable, not gutted
-    def rollback(): Unit = {
-      moved.foreach(f => fs.rename(new Path(dst, f.getName), f))
-      fs.delete(dst, true)
-      fs.delete(new Path(resolve(path, "data")), false) // only if emptied
-    }
+    // — a failed/raced CONVERT must leave the dir retryable, not gutted.
+    // Best-effort: a secondary failure during restore must not mask the
+    // original exception.
+    def rollback(): Unit =
+      try {
+        moved.forEach(f => fs.rename(new Path(dst, f.getName), f))
+        fs.delete(dst, true)
+        fs.delete(new Path(resolve(path, "data")), false) // only if emptied
+      } catch { case scala.util.control.NonFatal(_) => () }
     try {
-      files.foreach { f =>
-        require(fs.rename(f, new Path(dst, f.getName)), s"rename $f failed")
-        moved += f
-      }
+      // renames are metadata-only but SEQUENTIAL RPCs would bound a
+      // 100k-file adoption at minutes against a DFS namenode — issue them
+      // from a bounded driver-side pool (the namenode serializes
+      // internally; the pool just hides the round-trips)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(files.map(f =>
+          scala.concurrent.Future {
+            require(fs.rename(f, new Path(dst, f.getName)),
+              s"rename $f failed")
+            moved.add(f)
+          })),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
       val fstats = FileStats.collect(spark, fs, root, dst)
       if (!commit(fs, path, Version(1, dataDir,
           System.currentTimeMillis(), fstats.values.map(_.rows).sum,
