@@ -55,7 +55,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
 object GraftSqlParser {
 
-  private val Part = "(?:[\\w$]+|`[^`]+`)"
+  // a quoted part admits doubled backticks (the lexer's escape for a
+  // literal backtick inside an identifier)
+  private val Part = "(?:[\\w$]+|`(?:[^`]|``)+`)"
   private val Id = s"$Part(?:[.]$Part)*"
 
   private val OptimizeRe =
@@ -102,7 +104,13 @@ object GraftSqlParser {
     else (session.catalog.currentCatalog(), ps.mkString("."))
   }
 
-  private def q(s: String): String = "'" + s.replace("'", "\\'") + "'"
+  /** Single-quote a string literal by DOUBLING embedded quotes — the one
+    * escape Spark's lexer honors in both escape modes. A backslash escape
+    * would be read literally under
+    * `spark.sql.parser.escapedStringLiterals=true` (a supported conf,
+    * common in regex-heavy workloads) and corrupt the rewritten predicate.
+    */
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
 
   private[graft] def rewrite(session: SparkSession,
       delegate: ParserInterface, sql: String)
@@ -117,10 +125,16 @@ object GraftSqlParser {
             "OPTIMIZE ... WHERE and ZORDER BY are not supported together " +
               "— z-order rewrites whole buckets, a predicate scope would " +
               "be ignored; run them as two statements")
-          if (za != null)
+          if (za != null) {
+            // unwrap via the delegate's identifier parser so doubled
+            // backticks unescape exactly as Spark's lexer would —
+            // stripPrefix/stripSuffix would pass `a``b` through literally
+            def unq(p: String): String =
+              delegate.parseMultipartIdentifier(p).head
             Some(s"CALL ${qid(cat)}.system.zorder(`table` => ${q(t)}, " +
-              s"col_a => ${q(za.stripPrefix("`").stripSuffix("`"))}, " +
-              s"col_b => ${q(zb.stripPrefix("`").stripSuffix("`"))})")
+              s"col_a => ${q(unq(za))}, " +
+              s"col_b => ${q(unq(zb))})")
+          }
           else if (where != null)
             Some(s"CALL ${qid(cat)}.system.optimize(`table` => ${q(t)}, " +
               s"where => ${q(where.trim)})")

@@ -1539,7 +1539,7 @@ object IngestQueries {
       "CLUSTERED BY (n_nationkey) INTO 4 BUCKETS")
     val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/nation_nn").last
     require(v1.checks == Map(
-      "notnull_n_nationkey" -> "n_nationkey IS NOT NULL"),
+      "notnull_n_nationkey" -> "`n_nationkey` IS NOT NULL"),
       s"CREATE-time NOT NULL must lower onto a named check: ${v1.checks}")
     require(v1.schema.exists(_.fields.forall(_.nullable)),
       "the stored schema must stay physically all-nullable")

@@ -83,8 +83,12 @@ object Readers {
     var r = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
     for (k <- Seq("driver", "user", "password"); v <- opts.get(k) if v.nonEmpty)
       r = r.option(k, v)
+    // DataFrameReader/JDBCOptions treat option keys case-insensitively, so
+    // the consumed set must too — otherwise "User" -> "" bypasses the
+    // truthy guard above and "Url" overrides the required url
     val consumed = Set("url", "dbtable", "driver", "user", "password")
-    r = r.options(opts.view.filterKeys(k => !consumed.contains(k)).toMap)
+    r = r.options(opts.view.filterKeys(k =>
+      !consumed.contains(k.toLowerCase(java.util.Locale.ROOT))).toMap)
     r.load()
   }
 

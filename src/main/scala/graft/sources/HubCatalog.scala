@@ -217,7 +217,8 @@ class HubCatalog extends TableCatalog
           .isGeneratedColumn(f) &&
         !f.metadata.contains(org.apache.spark.sql.catalyst.util
           .IdentityColumn.IDENTITY_INFO_START))
-      .map(f => HubCatalog.notNullName(f.name) -> s"${f.name} IS NOT NULL")
+      .map(f => HubCatalog.notNullName(f.name) ->
+        s"${HubCatalog.quoteIdent(f.name)} IS NOT NULL")
       .toMap
     // the notnull_ prefix is the lowering's NAMESPACE: a user check named
     // into it would make foldNotNull's name-based idempotence lie (SET
@@ -714,6 +715,16 @@ object HubCatalog {
   private[sources] def notNullName(col: String): String =
     "notnull_" + col.toLowerCase(java.util.Locale.ROOT)
 
+  /** Backtick-quote an identifier for embedding in a synthetic check
+    * predicate. requireLegalName admits reserved words and characters
+    * that are operator/comment tokens when unquoted (`order`, `a--b`,
+    * `x OR true`); an unquoted embedding would either fail expr() at
+    * every commit or silently change the predicate's meaning. Delta
+    * quotes identifiers in its lowered constraints for the same reason.
+    */
+  private[sources] def quoteIdent(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** Fold SET/DROP NOT NULL into a stored check map — shared by the
     * catalog's TableChange path and the SQL rule's
     * [[GraftSetNotNullCommand]]. SET validates standing data first (one
@@ -730,13 +741,14 @@ object HubCatalog {
     else if (checks.keys.exists(_.equalsIgnoreCase(name))) checks
     else {
       val bad = graft.writers.VersionedHub.read(spark, path)
-        .filter(org.apache.spark.sql.functions.col(col).isNull)
+        .filter(org.apache.spark.sql.functions.expr(
+          s"${quoteIdent(col)} IS NULL"))
         .limit(1).collect()
       if (bad.nonEmpty)
         throw new IllegalStateException(
           s"cannot SET NOT NULL on $col: an existing row is NULL — " +
             s"${bad.head.toString}")
-      checks + (name -> s"$col IS NOT NULL")
+      checks + (name -> s"${quoteIdent(col)} IS NOT NULL")
     }
   }
 }

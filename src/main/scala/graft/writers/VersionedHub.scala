@@ -1330,12 +1330,20 @@ object VersionedHub {
     // any failure past the first rename restores the original flat layout
     // — a failed/raced CONVERT must leave the dir retryable, not gutted.
     // Best-effort: a secondary failure during restore must not mask the
-    // original exception.
+    // original exception. Every rename-back return is CHECKED, and dst is
+    // deleted non-recursively only once fully emptied — if even one file
+    // could not be restored, dst (and the file in it) survives for manual
+    // recovery rather than being gutted by a recursive delete.
     def rollback(): Unit =
       try {
-        moved.forEach(f => fs.rename(new Path(dst, f.getName), f))
-        fs.delete(dst, true)
-        fs.delete(new Path(resolve(path, "data")), false) // only if emptied
+        var allBack = true
+        moved.forEach { f =>
+          if (!fs.rename(new Path(dst, f.getName), f)) allBack = false
+        }
+        if (allBack) {
+          fs.delete(dst, false) // non-recursive: refuses unless emptied
+          fs.delete(new Path(resolve(path, "data")), false)
+        }
       } catch { case scala.util.control.NonFatal(_) => () }
     try {
       // renames are metadata-only but SEQUENTIAL RPCs would bound a
@@ -1346,6 +1354,12 @@ object VersionedHub {
         math.min(16, files.size))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // Await.result throws on the FIRST failed future while siblings may
+      // still be renaming; rollback must not run concurrently with them
+      // (it would snapshot `moved` mid-flight and then delete dst under a
+      // straggler's landing file), so the finally block BLOCKS until every
+      // in-flight rename has finished before the exception reaches the
+      // rollback path below.
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(files.map(f =>
           scala.concurrent.Future {
@@ -1354,7 +1368,10 @@ object VersionedHub {
             moved.add(f)
           })),
         scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      finally {
+        pool.shutdown()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+      }
       val fstats = FileStats.collect(spark, fs, root, dst)
       if (!commit(fs, path, Version(1, dataDir,
           System.currentTimeMillis(), fstats.values.map(_.rows).sum,

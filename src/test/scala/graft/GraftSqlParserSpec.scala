@@ -56,6 +56,18 @@ class GraftSqlParserSpec extends SparkTestBase {
         assert(rw("DESCRIBE HISTORY `my db`.t").contains(
           "SELECT * FROM `my db`.`t$history` ORDER BY version DESC"))
       } finally spark.conf.unset("spark.sql.catalog.my-cat")
+      // embedded quotes in rewritten literals DOUBLE (the one escape
+      // Spark's lexer honors in both escapedStringLiterals modes)
+      assert(rw("OPTIMIZE pcat.t WHERE name = 'O''Brien'").contains(
+        "CALL pcat.system.optimize(`table` => 't', " +
+          "where => 'name = ''O''''Brien''')"))
+      assert(rw("RESTORE pcat.t TO TIMESTAMP AS OF '2026-01-01'")
+        .forall(!_.contains("\\")))
+      // doubled backticks in ZORDER column names unescape via the
+      // delegate's identifier parser (literal a`b reaches the procedure)
+      assert(rw("OPTIMIZE pcat.t ZORDER BY (`a``b`, c)").contains(
+        "CALL pcat.system.zorder(`table` => 't', col_a => 'a`b', " +
+          "col_b => 'c')"))
     } finally {
       spark.conf.unset("spark.sql.catalog.pcat")
       spark.conf.unset("spark.sql.catalog.pcat.base")

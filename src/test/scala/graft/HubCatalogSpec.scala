@@ -1890,7 +1890,7 @@ class HubCatalogSpec extends SparkTestBase {
     withCatalog("hubnn") { base =>
       spark.sql("CREATE TABLE hubnn.default.t (k BIGINT NOT NULL, v STRING)")
       val v1 = VersionedHub.history(spark, s"$base/t").last
-      assert(v1.checks == Map("notnull_k" -> "k IS NOT NULL"))
+      assert(v1.checks == Map("notnull_k" -> "`k` IS NOT NULL"))
       assert(v1.schema.exists(_.fields.forall(_.nullable)),
         "stored schema stays physically all-nullable")
       spark.sql("INSERT INTO hubnn.default.t VALUES (1, NULL), (2, 'b')")
@@ -1946,6 +1946,29 @@ class HubCatalogSpec extends SparkTestBase {
         "SELECT 1L AS k, struct(1L AS a) AS s FROM range(1)")
       assert(VersionedHub.history(spark, s"$base/nested").last.schema
         .exists(_.fields.forall(_.nullable)))
+      // reserved-word / operator-token column names survive the lowering:
+      // the synthetic predicate quotes identifiers, so `order` parses at
+      // commit time and `x OR true` cannot rewrite the predicate's meaning
+      spark.sql("CREATE TABLE hubnn.default.rsv (" +
+        "`order` BIGINT NOT NULL, `x OR true` STRING)")
+      assert(VersionedHub.history(spark, s"$base/rsv").last.checks ==
+        Map("notnull_order" -> "`order` IS NOT NULL"))
+      spark.sql("INSERT INTO hubnn.default.rsv VALUES (1, NULL)")
+      val e7 = intercept[Exception](spark.sql(
+        "INSERT INTO hubnn.default.rsv VALUES (NULL, 'x')"))
+      assert(e7.getMessage.contains("notnull_order"), e7.getMessage)
+      // SET NOT NULL on an operator-token name: the quoted predicate must
+      // bind the COLUMN (all-NULL -> refused), not parse `x OR true` as a
+      // vacuous boolean expression
+      val e8 = intercept[Exception](spark.sql(
+        "ALTER TABLE hubnn.default.rsv ALTER COLUMN `x OR true` SET NOT NULL"))
+      assert(e8.getMessage.contains("existing row is NULL"), e8.getMessage)
+      spark.sql("UPDATE hubnn.default.rsv SET `x OR true` = 'a'")
+      spark.sql(
+        "ALTER TABLE hubnn.default.rsv ALTER COLUMN `x OR true` SET NOT NULL")
+      val e9 = intercept[Exception](spark.sql(
+        "INSERT INTO hubnn.default.rsv VALUES (2, NULL)"))
+      assert(e9.getMessage.contains("notnull_x or true"), e9.getMessage)
     }
   }
 

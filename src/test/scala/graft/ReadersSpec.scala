@@ -59,8 +59,11 @@ class ReadersSpec extends SparkTestBase {
       "url" -> FakeJdbc.Url,
       "dbtable" -> "products",
       "driver" -> FakeJdbc.DriverClass,
-      "user" -> "", // empty creds must NOT be forwarded (reference's truthy guard)
-      "password" -> ""))
+      // empty creds must NOT be forwarded (reference's truthy guard), and
+      // the guard holds CASE-INSENSITIVELY — JDBC option keys are
+      // case-insensitive, so "User"/"PASSWORD" spellings must not slip an
+      // empty credential (or a second Url) past the filter
+      "User" -> "", "PASSWORD" -> ""))
     assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
       Seq(("product_id", "integer"), ("name", "string"), ("price", "double")))
     val got = df.collect().map(r =>
@@ -100,7 +103,10 @@ class ReadersSpec extends SparkTestBase {
       "url" -> s"jdbc:derby:$db",
       "dbtable" -> "products",
       "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
-      "user" -> "", "password" -> "", // truthy guard: must NOT be forwarded
+      // truthy guard: must NOT be forwarded, in ANY key case (JDBC option
+      // keys are case-insensitive — Derby rejects an empty user if one
+      // slips through the consumed-set filter)
+      "User" -> "", "Password" -> "",
       // scale passthrough: slice the read on the key
       "partitionColumn" -> "product_id",
       "lowerBound" -> "0", "upperBound" -> "40", "numPartitions" -> "2"))
