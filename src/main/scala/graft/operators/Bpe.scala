@@ -345,4 +345,238 @@ object Bpe {
     merges.foldLeft(textExpr) { case (acc, (l, r, o)) =>
       s"replace($acc, chr($l) || chr($r), chr($o))"
     }
+
+  // ------------------------------------------------------------------
+  // MERGE-TABLE LEARNING (Sennrich §3.2's learner, distributed)
+  // ------------------------------------------------------------------
+
+  /** Adjacent-codepoint pairs of one symbol string — Sennrich's
+    * `get_stats` adjacency: OVERLAPPING (a word "aaa" contributes (a,a)
+    * twice), while the APPLY is leftmost non-overlapping. Both engines
+    * (this learner and the DuckDB oracle's substring walk) count the same
+    * way.
+    */
+  private def adjacentPairs(w: String): Array[(Int, Int)] = {
+    val cps = w.codePoints().toArray
+    if (cps.length < 2) Array.empty
+    else Array.tabulate(cps.length - 1)(i => (cps(i), cps(i + 1)))
+  }
+
+  private def cpStr(cp: Int): String = new String(Character.toChars(cp))
+
+  /** Select the longest batch of merges provably equal to applying the
+    * sequential greedy recurrence one merge at a time. `cand` is the
+    * round's pair counts in greedy order — (count DESC, left ASC, right
+    * ASC), the tie-break both engines share — and `complete` says whether
+    * `cand` is the FULL candidate list or a top-K truncation.
+    *
+    * The batch is the contiguous prefix of `cand` up to (exclusive) the
+    * first candidate q sharing a symbol with an earlier-accepted pair,
+    * further truncated to counts STRICTLY above a bound B, where B =
+    * count(q) (or, for a truncated list with no in-prefix conflict, the
+    * last collected count; for a complete conflict-free list, no bound).
+    * The head is always safe alone — it IS the sequential argmax.
+    *
+    * Why this equals one-at-a-time greedy:
+    *   - accepted pairs are pairwise symbol-disjoint, so applying any of
+    *     them leaves the others' occurrence counts untouched (a merge
+    *     only consumes adjacencies overlapping its own occurrences);
+    *   - applying a merge (x,y)→o can INCREASE no existing pair — every
+    *     new adjacency involves the fresh symbol o — and each new pair's
+    *     count is bounded by an existing NEIGHBOR pair's count: every
+    *     (w,o) occurrence was a (w,x,y) triple, i.e. a distinct (w,x)
+    *     occurrence (leftmost non-overlapping application makes the
+    *     mapping injective), so count(w,o) ≤ count(w,x); likewise
+    *     (o,z) ≤ count(y,z) and (o,o') ≤ count(y,x'). Each such neighbor
+    *     shares a symbol with an accepted pair, so it either IS q (count
+    *     = B) or sorts at/after q or beyond the collected list (count ≤
+    *     B). Accepted counts are > B, so at every intermediate step the
+    *     next accepted pair still beats every pair a prior application
+    *     created, and ties among surviving originals resolve in list
+    *     order — exactly the sequential pick.
+    */
+  private[graft] def selectBatch(cand: IndexedSeq[(Int, Int, Long)],
+      complete: Boolean, maxBatch: Int): IndexedSeq[(Int, Int, Long)] = {
+    if (cand.isEmpty || maxBatch <= 0) return IndexedSeq.empty
+    val used = scala.collection.mutable.HashSet.empty[Int]
+    val prefix = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    var qi = -1
+    var i = 0
+    while (qi < 0 && i < cand.length) {
+      val (l, r, _) = cand(i)
+      if (used.contains(l) || used.contains(r)) qi = i
+      else { prefix += cand(i); used += l; used += r; i += 1 }
+    }
+    val bound: Long =
+      if (qi >= 0) cand(qi)._3
+      else if (!complete) cand.last._3
+      else Long.MinValue
+    val strict = prefix.takeWhile(_._3 > bound)
+    val base = if (strict.isEmpty) prefix.take(1) else strict
+    // A SELF-pair (x,x) ends the batch: applied to a run "xxx…" it creates
+    // (o,x)/(o,o) adjacencies whose counts are bounded only by count(x,x)
+    // itself — the one case where a new pair's neighbor bound is the
+    // ACCEPTED pair rather than a conflict candidate, so the `bound`
+    // argument above cannot protect anything accepted after it. (A
+    // non-self pair (x,y) can't hit this: its new pairs' neighbors (w,x)/
+    // (y,z) always share exactly one symbol with it and would have
+    // terminated the conflict walk.) Alone, or last, a self-pair is safe —
+    // everything before it was picked under the intact bound.
+    val selfIdx = base.indexWhere(p => p._1 == p._2)
+    val batch = if (selfIdx >= 0) base.take(selfIdx + 1) else base
+    batch.take(maxBatch).toIndexedSeq
+  }
+
+  /** Sequential single-node Sennrich learner over a (word → freq) vocab —
+    * the executable SPEC the distributed/batched learners are
+    * property-checked against (BpeSpec), and the literal recurrence the
+    * DuckDB oracle replays CTE-by-CTE. One merge per iteration: count all
+    * adjacent pairs weighted by freq, take the (count DESC, left ASC,
+    * right ASC) argmax, rewrite leftmost-non-overlapping, repeat.
+    */
+  def learnLocal(vocab0: Iterable[(String, Long)],
+      nMerges: Int): IndexedSeq[(Int, Int, Int)] = {
+    var vocab = vocab0.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var exhausted = false
+    while (!exhausted && out.size < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+      vocab.foreach { case (w, f) =>
+        adjacentPairs(w).foreach(p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f))
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val o = MergeBase + out.size
+        out += ((l, r, o))
+        val (ps, os) = (cpStr(l) + cpStr(r), cpStr(o))
+        vocab = vocab.map { case (w, f) => (w.replace(ps, os), f) }
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Local learner running the SAME batched recurrence as [[learn]] —
+    * identical candidate sort, top-K truncation, [[selectBatch]] call, and
+    * rewrite — so selectBatch's sequential-equivalence argument is
+    * property-checkable against [[learnLocal]] over thousands of random
+    * corpora/batch widths/truncations without a Spark round per case
+    * (BpeSpec).
+    */
+  private[graft] def learnLocalBatched(vocab0: Iterable[(String, Long)],
+      nMerges: Int, maxBatch: Int, topK: Int): IndexedSeq[(Int, Int, Int)] = {
+    var vocab = vocab0.toSeq
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var exhausted = false
+    while (!exhausted && merges.size < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+      vocab.foreach { case (w, f) =>
+        adjacentPairs(w).foreach(p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f))
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val sorted = counts.iterator
+          .map { case ((l, r), c) => (l, r, c) }.toIndexedSeq
+          .sortBy { case (l, r, c) => (-c, l, r) }
+        val cand = sorted.take(topK)
+        val batch = selectBatch(cand, cand.size < topK,
+          math.min(maxBatch, nMerges - merges.size))
+        val base = merges.size // capture BEFORE appending: size grows below
+        val reps = batch.zipWithIndex.map { case ((l, r, _), i) =>
+          val o = MergeBase + base + i
+          merges += ((l, r, o))
+          (cpStr(l) + cpStr(r), cpStr(o))
+        }
+        vocab = vocab.map { case (w, f) =>
+          (reps.foldLeft(w)((acc, p) => acc.replace(p._1, p._2)), f)
+        }
+      }
+    }
+    merges.toIndexedSeq
+  }
+
+  /** Distributed merge-table learning over a text corpus — the missing
+    * first step of the tokenizer workflow (the apply half is
+    * [[encodeWord]]): learn `nMerges` merges from `df`'s `textCol`,
+    * whitespace-split into words exactly like [[statsOf]]/the oracle's
+    * `string_split_regex(trim(text), '\\s+')`.
+    *
+    * 100 TB shape: the corpus collapses to a (word, freq) vocab in ONE
+    * partial-agg shuffle (unique words, orders of magnitude smaller than
+    * the corpus — the corpus itself is never read again); each round is
+    * one partial-agg pair count over the vocab with a driver collect
+    * bounded at `topK` rows, and [[selectBatch]] accepts up to `maxBatch`
+    * provably-sequential merges per round, dividing the number of Spark
+    * rounds by the batch width. Vocab lineage is truncated per round via
+    * [[Dedup.materialize]] (the CC-round pattern); driver state is the
+    * merge table itself — O(nMerges), never corpus- or vocab-sized.
+    *
+    * Symbols must stay single codepoints, so input text must not contain
+    * the private-use outputs [U+E000, U+E000+nMerges) — the same PUA
+    * convention [[DefaultMerges]] documents for the apply side.
+    *
+    * Returns (left, right, output) codepoint triples in rank order —
+    * directly usable by [[encodeWord]]/[[tokenStats]], well-formed by
+    * construction (every pair references base chars or earlier outputs).
+    */
+  def learn(df: DataFrame, textCol: String, nMerges: Int,
+      maxBatch: Int = 64, topK: Int = 256): IndexedSeq[(Int, Int, Int)] =
+    learnWithCounts(df, textCol, nMerges, maxBatch, topK)
+      .map { case (l, r, o, _) => (l, r, o) }
+
+  /** [[learn]] plus each merge's pair count AT SELECTION TIME — for a
+    * batched round this equals the count the sequential recurrence would
+    * have seen (batch members are symbol-disjoint from every earlier batch
+    * member, so earlier applications leave their counts untouched). The
+    * oracle pins these counts rank by rank.
+    */
+  def learnWithCounts(df: DataFrame, textCol: String, nMerges: Int,
+      maxBatch: Int = 64, topK: Int = 256)
+      : IndexedSeq[(Int, Int, Int, Long)] = {
+    require(maxBatch >= 1, "maxBatch must be >= 1")
+    require(topK >= 2, "topK must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // single-symbol words can never participate in a merge — drop them
+    // here and after every rewrite (pure pruning: they contribute no pairs)
+    var vocab = Dedup.materialize(
+      df.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).cast("long").as("freq")))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+    var exhausted = false
+    while (!exhausted && merges.size < nMerges) {
+      val cand = vocab.as[(String, Long)]
+        .flatMap { case (w, f) =>
+          adjacentPairs(w).iterator.map(p => (p._1, p._2, f))
+        }
+        .toDF("l", "r", "freq")
+        .groupBy("l", "r").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(topK)
+        .as[(Int, Int, Long)].collect().toIndexedSeq
+      if (cand.isEmpty) exhausted = true
+      else {
+        val batch = selectBatch(cand, cand.size < topK,
+          math.min(maxBatch, nMerges - merges.size))
+        val base = merges.size // capture BEFORE appending: size grows below
+        val reps = batch.zipWithIndex.map { case ((l, r, c), i) =>
+          val o = MergeBase + base + i
+          merges += ((l, r, o, c))
+          (cpStr(l) + cpStr(r), cpStr(o))
+        }
+        vocab = Dedup.materialize(
+          vocab.as[(String, Long)]
+            .map { case (w, f) =>
+              (reps.foldLeft(w)((acc, p) => acc.replace(p._1, p._2)), f)
+            }
+            .filter(_._1.length >= 2)
+            .toDF("word", "freq"))
+      }
+    }
+    merges.toIndexedSeq
+  }
 }

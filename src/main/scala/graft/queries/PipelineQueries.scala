@@ -150,6 +150,108 @@ object PipelineQueries {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** Number of merges the BPE LEARNING queries learn — deep enough that
+    * merged symbols feed later merges (ranks past ~10 reference earlier
+    * outputs on this corpus), small enough that the DuckDB oracle's
+    * unrolled CTE chain stays cheap.
+    */
+  val BpeLearnN = 24
+
+  /** The DuckDB replay of the greedy learning recurrence, UNROLLED: one
+    * (vK → pair-count pK → argmax mK → rewrite vK+1) CTE triple per rank.
+    * Inductively sound with zero circularity: mK is computed by DuckDB
+    * from the corpus alone given v0..vK, so a wrong Spark merge at ANY
+    * rank k mismatches at row k — nothing learned by Spark is embedded.
+    * MATERIALIZED is load-bearing: vK/mK are each referenced twice and
+    * DuckDB would otherwise inline them, doubling work per rank —
+    * exponential over the chain.
+    */
+  private def bpeLearnCtes(n: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) freq
+         |  FROM (SELECT unnest($WS) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word)""".stripMargin
+    for (k <- 0 until n) {
+      b ++= s""",
+         |p$k AS (SELECT substring(word, i, 1) l, substring(word, i+1, 1) r,
+         |  sum(freq) c
+         |  FROM (SELECT word, freq, unnest(range(1, length(word))) i FROM v$k)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT l, r, c FROM p$k
+         |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |v${k + 1} AS MATERIALIZED (SELECT
+         |  replace(v.word, m.l || m.r, chr(${0xE000 + k})) word, v.freq
+         |  FROM v$k v, m$k m)""".stripMargin
+    }
+    b.result()
+  }
+
+  /** Distributed BPE merge-table LEARNING ([[graft.operators.Bpe.learn]])
+    * — the missing first step of the tokenizer workflow: learn
+    * [[BpeLearnN]] merges from the documents corpus and emit the table in
+    * rank order with each merge's selection-time pair count. The oracle
+    * replays the identical greedy recurrence (count → argmax with the
+    * (count DESC, left ASC, right ASC) tie-break → leftmost-non-
+    * overlapping rewrite) rank by rank in DuckDB, so a hash match pins
+    * every merge AND its count. Scale shape: one vocab shuffle total,
+    * then per-round partial-agg pair counts with a top-K driver collect;
+    * provably-sequential merge batches divide the round count.
+    */
+  val qBpeLearn: Q = (spark, dir) => {
+    import spark.implicits._
+    val m = graft.operators.Bpe.learnWithCounts(
+      Tables(spark, dir, "documents"), "text", BpeLearnN)
+    require(m.size == BpeLearnN,
+      s"corpus exhausted after ${m.size} of $BpeLearnN merges")
+    m.zipWithIndex
+      .map { case ((l, r, o, c), k) => (k, l, r, o, c) }
+      .toDF("rank", "l_cp", "r_cp", "out_cp", "cnt")
+      .orderBy(col("rank"))
+  }
+
+  private val bpeLearnOracle: String = {
+    val rows = (0 until BpeLearnN).map(k =>
+      s"""SELECT CAST($k AS INT) rank, CAST(ord(l) AS INT) l_cp,
+         |  CAST(ord(r) AS INT) r_cp, CAST(${0xE000 + k} AS INT) out_cp,
+         |  CAST(c AS BIGINT) cnt FROM m$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeLearnCtes(BpeLearnN)}
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** Learn → apply composition: the [[BpeLearnN]]-merge table learned from
+    * the corpus drives [[graft.operators.Bpe.tokenStats]] over the SAME
+    * corpus (the custom-table mapPartitions encode path). The oracle
+    * re-learns via the same unrolled recurrence, then re-encodes each
+    * document as a replace chain whose pair strings come from its own
+    * m0..mN rows — end to end, nothing Spark computed is embedded.
+    */
+  val qBpeLearnTokens: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val merges = graft.operators.Bpe.learn(docs, "text", BpeLearnN)
+    graft.operators.Bpe.tokenStats(docs, "text", "doc_id", merges)
+      .orderBy(col("doc_id"))
+  }
+
+  private val bpeLearnTokensOracle: String = {
+    val encs = (0 until BpeLearnN).map(k =>
+      s"""e${k + 1} AS (SELECT doc_id, nw,
+         |  replace(enc, m.l || m.r, chr(${0xE000 + k})) enc
+         |  FROM e$k, m$k m)""".stripMargin).mkString(",\n")
+    s"""WITH ${bpeLearnCtes(BpeLearnN)},
+       |e0 AS (SELECT doc_id, len($WS) AS nw, text AS enc FROM documents),
+       |$encs,
+       |e AS (SELECT doc_id, nw,
+       |  regexp_replace(enc, '\\s', '', 'g') AS enc FROM e$BpeLearnN)
+       |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+       |  CAST(length(enc) AS BIGINT) AS n_tokens_bpe,
+       |  CAST(coalesce(list_sum(list_transform(range(1, length(enc) + 1),
+       |    i -> ord(substring(enc, i, 1)))), 0) AS BIGINT) AS sum_token_ids
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source quality-percentile curation — the "drop the bottom half of
     * every domain" filter: percent_rank of the composite quality score
     * inside each source, ordered by (score, doc_id) so ties have a total
@@ -1723,6 +1825,8 @@ object PipelineQueries {
     "q_token_budget" -> qTokenBudget,
     "q_token_budget_scaled" -> qTokenBudgetScaled,
     "q_bpe_tokens" -> qBpeTokens,
+    "q_bpe_learn" -> qBpeLearn,
+    "q_bpe_learn_tokens" -> qBpeLearnTokens,
     "q_quality_model" -> qQualityModel,
     "q_curation_model" -> qCurationModel,
     "q_train_val_test" -> qTrainValTest,
@@ -1776,6 +1880,8 @@ object PipelineQueries {
     // — it shares the oracle verbatim
     "q_token_budget_scaled" -> tokenBudgetOracle,
     "q_bpe_tokens" -> bpeTokensOracle,
+    "q_bpe_learn" -> bpeLearnOracle,
+    "q_bpe_learn_tokens" -> bpeLearnTokensOracle,
     "q_quality_model" -> qualityModelOracle,
     "q_curation_model" -> curationModelOracle,
     "q_train_val_test" -> trainValTestOracle,

@@ -216,4 +216,84 @@ class BpeSpec extends SparkTestBase {
       s"expected one build per thread ($nThreads), got $built — the memo " +
         "is being evicted across concurrent tasks")
   }
+
+  // ---------------- merge-table LEARNING ----------------
+
+  test("learnLocal runs Sennrich's greedy recurrence (hand-checked)") {
+    // counts: (a,a)=3, (a,b)=6, (b,c)=1 → merge 0 = (a,b)→E
+    // vocab: aE×3, E×2, Ec×1 → (a,E)=3, (E,c)=1 → merge 1 = (a,E)→E+1
+    // vocab: F×3, E×2, Ec×1 → (E,c)=1 → merge 2 = (E,c)→E+2; then exhausted
+    val vocab = Map("aab" -> 3L, "ab" -> 2L, "abc" -> 1L)
+    assert(Bpe.learnLocal(vocab, 5) == IndexedSeq(
+      ('a'.toInt, 'b'.toInt, E), ('a'.toInt, E, E + 1), (E, 'c'.toInt, E + 2)))
+    // tie-break: equal counts resolve (left ASC, right ASC)
+    assert(Bpe.learnLocal(Map("ba" -> 1L, "ab" -> 1L), 1) ==
+      IndexedSeq(('a'.toInt, 'b'.toInt, E)))
+    // overlapping adjacency counting: "aaa" counts (a,a) twice, and the
+    // leftmost-non-overlapping rewrite yields Ea
+    // merge 1 is then a count tie between (E,a) and (b,c), won by (b,c)
+    // on the left-ASC tie-break (b=98 < E=0xE000)
+    assert(Bpe.learnLocal(Map("aaa" -> 1L, "bc" -> 1L), 3) ==
+      IndexedSeq(('a'.toInt, 'a'.toInt, E), ('b'.toInt, 'c'.toInt, E + 1),
+        (E, 'a'.toInt, E + 2)))
+  }
+
+  test("property: batched learner == sequential learner over random corpora, widths, truncations") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny alphabet forces heavy symbol sharing (conflicts) and count ties
+    // — exactly the regimes selectBatch's truncation rules exist for
+    val genWord = for {
+      len <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(len, Gen.choose('a', 'd'))
+    } yield cs.mkString
+    val genVocab = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, genWord)
+      fs <- Gen.listOfN(n, Gen.choose(1L, 9L))
+    } yield ws.zip(fs)
+    val prop = Prop.forAll(genVocab, Gen.choose(0, 12), Gen.choose(1, 8),
+        Gen.choose(2, 6)) { (vocab, nMerges, maxBatch, topK) =>
+      val seq = Bpe.learnLocal(vocab, nMerges)
+      val bat = Bpe.learnLocalBatched(vocab, nMerges, maxBatch, topK)
+      if (seq != bat)
+        System.err.println(s"MISMATCH vocab=$vocab n=$nMerges " +
+          s"maxBatch=$maxBatch topK=$topK seq=$seq bat=$bat")
+      seq == bat
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("distributed learn == sequential learner, and the learned table round-trips the apply") {
+    val docs = Seq(
+      "the merge table learns the pairs the corpus repeats",
+      "fast scans merge fast batches fast",
+      "the the the scan scans scan",
+      "a ab abc abcd repeated ab ab abc").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val vocab = docs.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    for ((n, mb, tk) <- Seq((16, 4, 4), (12, 64, 256), (8, 1, 2))) {
+      val seq = Bpe.learnLocal(vocab, n)
+      val dist = Bpe.learn(df, "text", n, maxBatch = mb, topK = tk)
+      assert(dist == seq, s"n=$n maxBatch=$mb topK=$tk")
+    }
+    // the learned table is well-formed (each pair references base chars or
+    // earlier outputs), so the heap apply provably equals rank order on it
+    val learned = Bpe.learn(df, "text", 16, maxBatch = 8, topK = 16)
+    learned.zipWithIndex.foreach { case ((l, r, o), i) =>
+      assert(o == E + i)
+      for (s <- Seq(l, r) if s >= E) assert(s - E < i)
+    }
+    for (w <- Seq("the", "fast", "scans", "abcd", "merge", "zzz", ""))
+      assert(Bpe.encodeWord(w, learned).toSeq ==
+        Bpe.encodeWordRankOrder(w, learned).toSeq, s"word $w")
+    // exhaustion: a corpus with fewer possible merges than requested stops
+    // early with exactly the sequential prefix
+    val tiny = Seq((0L, "ab ab b a")).toDF("doc_id", "text")
+    assert(Bpe.learn(tiny, "text", 10) ==
+      Bpe.learnLocal(Map("ab" -> 2L, "b" -> 1L, "a" -> 1L), 10))
+  }
 }
