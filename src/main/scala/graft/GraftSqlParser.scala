@@ -78,6 +78,12 @@ object GraftSqlParser {
     ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+(" + Id + ")\\s*;?\\s*$").r
   private val ConvertRe =
     ("(?is)^\\s*CONVERT\\s+TO\\s+HUB\\s+(" + Id + ")\\s*;?\\s*$").r
+  // Delta's CONVERT TO DELTA ... PARTITIONED BY parity; types are
+  // inferred from the hive layout, so the declaration carries names only
+  private val ConvertPartRe =
+    ("(?is)^\\s*CONVERT\\s+TO\\s+HUB\\s+(" + Id +
+      ")\\s+PARTITIONED\\s+BY\\s*\\(\\s*(" + Part +
+      "(?:\\s*,\\s*" + Part + ")*)\\s*\\)\\s*;?\\s*$").r
 
   /** Re-quote one identifier part for SQL output (the delegate's
     * multipart parser strips backticks and unescapes doubled ones).
@@ -163,6 +169,14 @@ object GraftSqlParser {
         case _ => None
       }
       case "CONVERT" => sql match {
+        case ConvertPartRe(ident, cols) =>
+          val (cat, t) = catTable(session, delegate, ident)
+          // unwrap each declared column through the delegate's identifier
+          // parser so backtick unescaping matches Spark's lexer
+          val names = cols.split(",").map(c =>
+            delegate.parseMultipartIdentifier(c.trim).head)
+          Some(s"CALL ${qid(cat)}.system.convert_partitioned(" +
+            s"`table` => ${q(t)}, cols => ${q(names.mkString(","))})")
         case ConvertRe(ident) =>
           val (cat, t) = catTable(session, delegate, ident)
           Some(s"CALL ${qid(cat)}.system.convert(`table` => ${q(t)})")

@@ -1629,6 +1629,75 @@ object IngestQueries {
       |UNION ALL SELECT CAST(99 AS BIGINT), 'sentinel'
       |ORDER BY n_nationkey""".stripMargin
 
+  /** CONVERT TO HUB ... PARTITIONED BY (Delta `CONVERT TO DELTA ...
+    * PARTITIONED BY` parity) on the engine's OWN RAW zone: [[RawWriter]]
+    * lands an `ingest_date=`-partitioned parquet dir (writer.py:9-16's
+    * layout — the single most likely adoption source), which the flat
+    * CONVERT refuses. The partitioned adoption renames every leaf file
+    * zero-copy with its partition value folded into the file name,
+    * records min=max manifest stats for `ingest_date` (in-query gate: a
+    * one-date predicate must SKIP files at planning time, from the
+    * manifest alone), and re-materializes per-row values on every read.
+    * Then the normal lifecycle: a keyed MERGE mutates a slice onto a new
+    * ingest_date and inserts a sentinel; v1 stays time-travelable. The
+    * oracle reconstructs the final content from the source table.
+    */
+  val qHubConvertPartitioned: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_convp").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    val src = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        when(col("n_nationkey") < 12, lit(java.sql.Date.valueOf("2024-03-01")))
+          .otherwise(lit(java.sql.Date.valueOf("2024-03-02")))
+          .as("ingest_date"))
+    graft.writers.RawWriter.write(src.repartition(2), s"$tmp/raw_np",
+      Seq("ingest_date"))
+    spark.sql(s"CONVERT TO HUB $cat.default.raw_np " +
+      "PARTITIONED BY (ingest_date)")
+    val v1 = graft.writers.VersionedHub.history(spark, s"$tmp/raw_np").last
+    val n = Tables(spark, dir, "nation").count()
+    require(v1.version == 1 && v1.rows == n,
+      s"partitioned adoption must commit the dir as a full v1 snapshot: $v1")
+    // partition-predicate SKIP gate: the manifest's injected min=max
+    // stats must prune whole files at planning time
+    val pruned = spark.read.format("graft-hub").option("path", s"$tmp/raw_np")
+      .load().filter(col("ingest_date") === lit(java.sql.Date.valueOf("2024-03-01")))
+    val planStr = pruned.queryExecution.executedPlan.toString
+    val gate = "files=(\\d+) skipped=(\\d+)".r.findFirstMatchIn(planStr)
+    require(gate.exists(_.group(2).toInt > 0),
+      s"a one-partition predicate must skip files from the manifest:\n$planStr")
+    require(pruned.count() ==
+      src.filter(col("ingest_date") === lit(java.sql.Date.valueOf("2024-03-01"))).count(),
+      "the pruned read must still return every matching row")
+    Tables(spark, dir, "nation").createOrReplaceTempView("convp_src")
+    spark.sql(s"MERGE INTO $cat.default.raw_np t USING " +
+      "(SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, " +
+      "upper(n_name) AS n_name, DATE '2024-03-09' AS ingest_date " +
+      "FROM convp_src WHERE n_nationkey < 5 " +
+      "UNION ALL SELECT CAST(99 AS BIGINT), 'sentinel', DATE '2024-03-09') s " +
+      "ON t.n_nationkey = s.n_nationkey " +
+      "WHEN MATCHED THEN UPDATE SET n_name = s.n_name, " +
+      "ingest_date = s.ingest_date " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    require(spark.sql(s"SELECT count(*) FROM $cat.default.raw_np " +
+      "VERSION AS OF 1").head().getLong(0) == n,
+      "the adopted snapshot must stay time-travelable under later commits")
+    spark.sql(s"SELECT n_nationkey, n_name, ingest_date " +
+      s"FROM $cat.default.raw_np ORDER BY n_nationkey")
+  }
+
+  private val hubConvertPartitionedOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  CASE WHEN n_nationkey < 5 THEN upper(n_name) ELSE n_name END
+      |    AS n_name,
+      |  CASE WHEN n_nationkey < 5 THEN DATE '2024-03-09'
+      |       WHEN n_nationkey < 12 THEN DATE '2024-03-01'
+      |       ELSE DATE '2024-03-02' END AS ingest_date
+      |FROM nation
+      |UNION ALL SELECT CAST(99 AS BIGINT), 'sentinel', DATE '2024-03-09'
+      |ORDER BY n_nationkey""".stripMargin
+
   /** RESTORE (Delta RESTORE parity): mutate a hub (UPDATE + DELETE), then
     * restore to version 1 — the tip must equal the ORIGINAL content, with
     * zero data rewritten (pure manifest commit, in-query gate) and all
@@ -2059,6 +2128,7 @@ object IngestQueries {
     "q_hub_restore" -> qHubRestore,
     "q_hub_clone_sql" -> qHubCloneSql,
     "q_hub_convert" -> qHubConvert,
+    "q_hub_convert_partitioned" -> qHubConvertPartitioned,
     "q_hub_ctas_sql" -> qHubCtasSql,
     "q_hub_rename_sql" -> qHubRenameSql,
     "q_hub_call_maintenance" -> qHubCallMaintenance,
@@ -2103,6 +2173,7 @@ object IngestQueries {
     "q_hub_restore" -> hubRestoreOracle,
     "q_hub_clone_sql" -> hubCloneSqlOracle,
     "q_hub_convert" -> hubConvertOracle,
+    "q_hub_convert_partitioned" -> hubConvertPartitionedOracle,
     "q_hub_call_maintenance" -> hubCallMaintenanceOracle,
     "q_hub_ctas_sql" -> hubCtasSqlOracle,
     "q_hub_rename_sql" -> hubRenameSqlOracle,

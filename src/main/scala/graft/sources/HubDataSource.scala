@@ -1033,12 +1033,18 @@ private[graft] object HubScan {
         // frozen physical names — scan with those, alias back. The
         // snapshot's DELETION VECTORS filter right behind the scan
         // (broadcast anti-join on (file, row index); identity when none)
-        graft.writers.ColumnMapping.toLogical(
-          VersionedHub.applyDv(session,
-            session.read.schema(
-              graft.writers.ColumnMapping.physicalSchema(fullSchema))
-              .parquet(scanPaths: _*), dvs),
-          fullSchema),
+        {
+          // convertPartitioned adoptions spell partition values in file
+          // NAMES — re-materialize them behind the scan (identity when
+          // the schema carries no path-column marker)
+          val phys = graft.writers.ColumnMapping.physicalSchema(fullSchema)
+          graft.writers.ColumnMapping.toLogical(
+            VersionedHub.applyDv(session,
+              VersionedHub.injectPathCols(
+                session.read.schema(phys).parquet(scanPaths: _*), phys),
+              dvs),
+            fullSchema)
+        },
         fullSchema)
     filters.flatMap(HubDataSource.filterToColumn(_, fullSchema))
       .foldLeft(base)(_ filter _)

@@ -247,6 +247,18 @@ private[sources] object HubProcedures {
         versionOut) { in =>
         Seq(VersionedHub.convert(spark, tablePath(in)))
       }
+      case "convert_partitioned" => Proc("convert_partitioned",
+        Array(p("table", DataTypes.StringType),
+          p("cols", DataTypes.StringType)),
+        versionOut) { in =>
+        val colsArg = in.getUTF8String(1)
+        require(colsArg != null, "cols is required")
+        val cols = colsArg.toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "cols must name at least one column")
+        Seq(VersionedHub.convertPartitioned(spark, tablePath(in),
+          expectCols = Some(cols)))
+      }
       case "repair" => Proc("repair",
         Array(p("table", DataTypes.StringType),
           p("min_age_ms", DataTypes.LongType, Some("600000"))),
@@ -260,5 +272,5 @@ private[sources] object HubProcedures {
 
   val ProcedureNames: Seq[String] =
     Seq("vacuum", "optimize", "zorder", "restore", "repair", "clone",
-      "bloom_index", "purge", "convert")
+      "bloom_index", "purge", "convert", "convert_partitioned")
 }

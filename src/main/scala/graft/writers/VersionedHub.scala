@@ -813,13 +813,53 @@ object VersionedHub {
         // column mapping: files spell renamed columns by their frozen
         // PHYSICAL names — scan with those, alias back to the logical view
         // (identity when the table was never renamed)
+        val phys = ColumnMapping.physicalSchema(s)
         ColumnMapping.toLogical(applyDv(spark,
-          spark.read.schema(ColumnMapping.physicalSchema(s)).parquet(dirs: _*),
+          injectPathCols(spark.read.schema(phys).parquet(dirs: _*), phys),
           v.dvs), s)
       case None => applyDv(spark,
         spark.read.option("mergeSchema", "true").parquet(dirs: _*), v.dvs)
     }
     raw
+  }
+
+  /** Schema-metadata marker on columns a [[convertPartitioned]] adoption
+    * materialized into FILE NAMES instead of file contents: the adopted
+    * parquet files never held the hive partition column, so its per-row
+    * value is parsed back out of the scan's `_metadata.file_path`
+    * (`<col>=<value>;` basename prefix) by [[injectPathCols]]. Travels in
+    * `schemaJson` like [[ClusteredKeyKey]], so every commit site carries
+    * it for free and later rewrites (OPTIMIZE, DELETE, merge) — whose
+    * output files DO hold the column physically — stay correct: the
+    * injection is a `coalesce(physical, parsed)` and physical wins.
+    */
+  private[graft] val PathColKey = "graft.pathCol"
+
+  private[graft] def hasPathCols(
+      s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => f.metadata.contains(PathColKey) &&
+      f.metadata.getBoolean(PathColKey))
+
+  /** Fill every [[PathColKey]]-marked column from the scanned file's NAME
+    * when the file does not carry it physically (adopted hive-partition
+    * files read it as null; files written after the adoption hold real
+    * values and win the coalesce). Pure codegen'd expressions — a regexp
+    * over `_metadata.file_path` plus a cast — so the scan stays inside
+    * whole-stage codegen; identity (zero plan nodes) for the
+    * overwhelmingly common unmarked schema.
+    */
+  private[graft] def injectPathCols(df: DataFrame,
+      phys: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, nullif, regexp_extract}
+    val pcs = phys.fields.filter(f => f.metadata.contains(PathColKey) &&
+      f.metadata.getBoolean(PathColKey))
+    if (pcs.isEmpty) df
+    else pcs.foldLeft(df) { (d, f) =>
+      val pat = "[/;]" + java.util.regex.Pattern.quote(f.name) + "=([^;/]*);"
+      d.withColumn(f.name, coalesce(col(f.name),
+        nullif(regexp_extract(col("_metadata.file_path"), pat, 1), lit(""))
+          .cast(f.dataType)))
+    }
   }
 
   /** Columns [[applyDv]] and the DV writer key deletions by. */
@@ -893,8 +933,9 @@ object VersionedHub {
     import org.apache.spark.sql.functions.col
     val s = v.schema.getOrElse(throw new IllegalStateException(
       "DV writes need a recorded snapshot schema"))
+    val phys = ColumnMapping.physicalSchema(s)
     val raw = tagDvAddress(
-      spark.read.schema(ColumnMapping.physicalSchema(s)).parquet(dirs: _*))
+      injectPathCols(spark.read.schema(phys).parquet(dirs: _*), phys))
     val live = applyDvTagged(spark, raw, v.dvs)
     // logical aliasing with the address columns carried through
     val l2p = s.fields.map(f => f.name -> ColumnMapping.physName(f)).toMap
@@ -1385,6 +1426,195 @@ object VersionedHub {
       case e: IllegalStateException => throw e // already rolled back
       case scala.util.control.NonFatal(e) => rollback(); throw e
     }
+    1
+  }
+
+  /** [[convert]] for HIVE-PARTITIONED parquet dirs — Delta's
+    * `CONVERT TO DELTA ... PARTITIONED BY` parity, and the adoption
+    * on-ramp for the engine's own RAW zone ([[RawWriter]] writes
+    * `ingest_date=`-partitioned dirs). Zero bytes copied at any table
+    * size: each leaf file is RENAMED into the flat `data/1-<uuid>` root
+    * with its partition values folded into the FILE NAME
+    * (`ingest_date=2024-01-02;part-0.parquet`), because the files
+    * themselves never held the partition columns. Three things make the
+    * adopted table a first-class hub immediately:
+    *
+    *  - the recorded snapshot schema carries the partition columns (types
+    *    from Spark's own partition inference) marked [[PathColKey]], so
+    *    every read path re-materializes per-row values from the file name
+    *    via [[injectPathCols]] — codegen'd, no discovery, no layout
+    *    special cases (a hive layout KEPT under the data root would
+    *    poison every mixed-dir snapshot read with Spark's
+    *    CONFLICTING_DIRECTORY_STRUCTURES);
+    *  - the commit manifest records min=max=value skipping stats for the
+    *    partition columns per file, so partition-predicate pruning works
+    *    from the manifest alone — same strength the hive dirs gave;
+    *  - later rewrites (OPTIMIZE, DELETE, merge) read injected values and
+    *    write them physically, so the table converges to ordinary files.
+    *
+    * Scope guards: refuses non-`col=value` layouts, inconsistent
+    * partition keys across levels, `__HIVE_DEFAULT_PARTITION__` (a null
+    * partition value cannot round-trip through a name), and values
+    * carrying the name-encoding's own delimiters (`;`) or hive percent
+    * escapes (`%` — an escaped value would need unescaping the read path
+    * deliberately does not do). Same caveats as [[convert]]: not
+    * concurrent-safe with writers to the source dir.
+    */
+  def convertPartitioned(spark: SparkSession, path: String,
+      // SQL `PARTITIONED BY (...)` declaration: when present, the
+      // DISCOVERED partition columns must match it exactly (order
+      // included) — a mis-declared layout fails fast, source intact
+      expectCols: Option[Seq[String]] = None): Int = {
+    val fs = fileSystem(spark, path)
+    checkAtomicCommitScheme(path)
+    require(history(spark, path).isEmpty,
+      s"$path is already a versioned hub")
+    val root = new Path(path)
+    require(fs.exists(root), s"$path does not exist")
+    def visible(ss: Seq[org.apache.hadoop.fs.FileStatus]) =
+      ss.filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+    val top = visible(fs.listStatus(root).toSeq)
+    require(top.nonEmpty, s"$path holds nothing to adopt")
+    require(top.forall(_.isDirectory),
+      s"$path holds top-level data files — convertPartitioned adopts " +
+        "hive-layout dirs only (use convert for flat dirs)")
+    def kv(name: String): (String, String) = {
+      val i = name.indexOf('=')
+      require(i > 0, s"$name is not a col=value partition directory")
+      val (c, v) = (name.substring(0, i), name.substring(i + 1))
+      require(v != "__HIVE_DEFAULT_PARTITION__",
+        s"$path has a null partition value under $name — a name-encoded " +
+          "column cannot represent null; re-land through the write path")
+      for (bad <- Seq(';', '%'))
+        require(!c.contains(bad) && !v.contains(bad),
+          s"partition segment $name contains '$bad' — unsupported by the " +
+            "file-name encoding (hive-escaped values need a re-land)")
+      (c, v)
+    }
+    // walk to the leaves: every level all-dirs with ONE consistent key,
+    // leaf dirs all-files
+    def walk(dir: Path, spec: List[(String, String)])
+        : Seq[(org.apache.hadoop.fs.FileStatus, List[(String, String)])] = {
+      val entries = visible(fs.listStatus(dir).toSeq)
+      val (ds, fls) = entries.partition(_.isDirectory)
+      require(ds.isEmpty || fls.isEmpty,
+        s"$dir mixes files and partition subdirectories")
+      if (ds.nonEmpty) {
+        val kvs = ds.map(d => kv(d.getPath.getName))
+        require(kvs.map(_._1).distinct.size == 1,
+          s"$dir mixes partition keys: ${kvs.map(_._1).distinct.mkString(", ")}")
+        ds.zip(kvs).flatMap { case (d, p) => walk(d.getPath, spec :+ p) }
+      } else fls.map(f => (f, spec))
+    }
+    val leaves = walk(root, Nil)
+    require(leaves.nonEmpty, s"$path holds no data files to adopt")
+    val keyChains = leaves.map(_._2.map(_._1)).distinct
+    require(keyChains.size == 1,
+      s"$path has inconsistent partition depths/keys: $keyChains")
+    val partCols = keyChains.head
+    for (exp <- expectCols) require(partCols == exp,
+      s"$path is partitioned by (${partCols.mkString(", ")}), " +
+        s"declared PARTITIONED BY (${exp.mkString(", ")})")
+    val stray = leaves.map(_._1.getPath)
+      .filterNot(_.getName.endsWith(".parquet"))
+    require(stray.isEmpty,
+      s"$path holds non-parquet data files: ${stray.take(3).mkString(", ")}")
+    // full schema WITH partition columns and their inferred types, from
+    // Spark's own discovery over the still-intact source layout — this
+    // also validates every footer BEFORE anything moves
+    val full = spark.read.option("mergeSchema", "true").parquet(path).schema
+    for (c <- partCols) require(full.fieldNames.contains(c),
+      s"partition column $c missing from the discovered schema")
+    val schema = org.apache.spark.sql.types.StructType(full.fields.map(f =>
+      if (partCols.contains(f.name)) f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putBoolean(PathColKey, true).build())
+      else f))
+    // partition value → the manifest stats value space (FileStats header:
+    // dates as epoch days, integrals widened to Long); None = no stat
+    // for that column (never prunes, still injects)
+    import org.apache.spark.sql.types._
+    def statValue(dt: DataType, raw: String): Option[Any] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(raw.toLong)
+      case FloatType | DoubleType => Some(raw.toDouble)
+      case DateType => Some(java.time.LocalDate.parse(raw).toEpochDay)
+      case StringType => Some(raw)
+      case BooleanType => Some(raw.toBoolean)
+      case _ => None
+    }
+    val dataDir = s"data/1-${UUID.randomUUID().toString.take(8)}"
+    val dst = new Path(resolve(path, dataDir))
+    fs.mkdirs(dst)
+    // (source file, adopted name, partition spec)
+    val planned = leaves.map { case (f, spec) =>
+      val name = spec.map { case (c, v) => s"$c=$v;" }.mkString +
+        f.getPath.getName
+      (f.getPath, name, spec)
+    }
+    require(planned.map(_._2).distinct.size == planned.size,
+      s"$path partition layout folds two files onto one adopted name")
+    val moved = new java.util.concurrent.ConcurrentLinkedQueue[(Path, String)]()
+    def rollback(): Unit =
+      try {
+        var allBack = true
+        moved.forEach { case (src, name) =>
+          if (!fs.rename(new Path(dst, name), src)) allBack = false
+        }
+        if (allBack) {
+          fs.delete(dst, false)
+          fs.delete(new Path(resolve(path, "data")), false)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, planned.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(planned.map { case (src, name, _) =>
+          scala.concurrent.Future {
+            require(fs.rename(src, new Path(dst, name)),
+              s"rename $src failed")
+            moved.add((src, name))
+          }
+        }),
+        scala.concurrent.duration.Duration.Inf)
+      finally {
+        pool.shutdown()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+      }
+      val typeOf = partCols.map(c => c -> full(c).dataType).toMap
+      val partStats = planned.map { case (_, name, spec) =>
+        name -> spec.flatMap { case (c, v) =>
+          statValue(typeOf(c), v).map(sv =>
+            c -> FileStats.ColStat(Some(sv), Some(sv), Some(0L)))
+        }.toMap
+      }.toMap
+      val fstats = FileStats.collect(spark, fs, root, dst).map {
+        case (rel, st) =>
+          val name = rel.substring(rel.lastIndexOf('/') + 1)
+          rel -> st.copy(cols = st.cols ++ partStats.getOrElse(name, Map.empty))
+      }
+      if (!commit(fs, path, Version(1, dataDir,
+          System.currentTimeMillis(), fstats.values.map(_.rows).sum,
+          schemaJson = Some(Version.nullable(schema).json),
+          statsNew = fstats, checks = Map.empty))) {
+        rollback()
+        throw new IllegalStateException(
+          s"convertPartitioned lost a commit race at $path — was a writer " +
+            "still active?")
+      }
+    } catch {
+      case e: IllegalStateException => throw e // already rolled back
+      case scala.util.control.NonFatal(e) => rollback(); throw e
+    }
+    // the empty partition-dir husks are metadata left behind by design
+    // (renames moved only leaf files); sweep them so the adopted root
+    // holds exactly the log + data layout every other hub has
+    for (d <- top) try fs.delete(d.getPath, true)
+    catch { case scala.util.control.NonFatal(_) => () }
     1
   }
 

@@ -42,6 +42,12 @@ class GraftSqlParserSpec extends SparkTestBase {
           "timestamp => '2026-01-01')"))
       assert(rw("CONVERT TO HUB pcat.t").contains(
         "CALL pcat.system.convert(`table` => 't')"))
+      assert(rw("CONVERT TO HUB pcat.t PARTITIONED BY (ingest_date)")
+        .contains("CALL pcat.system.convert_partitioned(`table` => 't', " +
+          "cols => 'ingest_date')"))
+      assert(rw("CONVERT TO HUB pcat.t PARTITIONED BY (`a``b`, c)")
+        .contains("CALL pcat.system.convert_partitioned(`table` => 't', " +
+          "cols => 'a`b,c')"))
       assert(rw("DESCRIBE HISTORY pcat.default.t").contains(
         "SELECT * FROM pcat.default.`t$history` ORDER BY version DESC"))
       // a leading part that is NOT a registered catalog resolves in the

@@ -1886,6 +1886,107 @@ class HubCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CONVERT TO HUB ... PARTITIONED BY adopts hive layouts zero-copy; full lifecycle + refusals") {
+    withCatalog("hubcp") { base =>
+      // the motivating source: a RawWriter-shaped ingest_date-partitioned
+      // lake (writer.py:9-16 analogue) with files the partition column
+      // never physically entered
+      val src = (1L to 60L).map(k => (k, s"v$k",
+        java.sql.Date.valueOf(f"2024-01-${k % 3 + 1}%02d")))
+        .toDF("k", "v", "ingest_date")
+      src.repartition(2).write.partitionBy("ingest_date")
+        .parquet(s"$base/t")
+      val beforeNames = new java.io.File(s"$base/t").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(spark.sql("CONVERT TO HUB hubcp.default.t " +
+        "PARTITIONED BY (ingest_date)").as[Int].head() == 1)
+      val v1 = VersionedHub.history(spark, s"$base/t").last
+      assert(v1.rows == 60L)
+      // zero-copy: same files, renamed with the value-folding prefix
+      val adopted = new java.io.File(s"$base/t/${v1.dataDir}").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet"))
+        .filterNot(_.startsWith(".")).toSet
+      assert(adopted.map(_.replaceFirst("^ingest_date=[^;]*;", ""))
+        == beforeNames, "adoption must rename, not rewrite")
+      assert(adopted.forall(_.matches("ingest_date=2024-01-0[123];.*")))
+      // per-row partition values round-trip exactly
+      assert(spark.table("hubcp.default.t").orderBy("k")
+        .as[(Long, String, java.sql.Date)].collect().toSeq ==
+        src.orderBy("k").as[(Long, String, java.sql.Date)].collect().toSeq)
+      // manifest min=max stats prune partition predicates file-level
+      val rd = spark.read.format("graft-hub").option("path", s"$base/t")
+        .load().filter($"ingest_date" === "2024-01-02")
+      val planStr = rd.queryExecution.executedPlan.toString
+      val m = "files=(\\d+) skipped=(\\d+)".r.findFirstMatchIn(planStr)
+      assert(m.exists(g => g.group(1).toInt < g.group(1).toInt +
+        g.group(2).toInt && g.group(2).toInt > 0),
+        s"partition predicate must skip files from the manifest:\n$planStr")
+      assert(rd.count() == src.filter($"ingest_date" === "2024-01-02").count())
+      // upsert: new files carry the column physically; coalesce keeps both
+      // regimes correct in one snapshot
+      VersionedHub.write(spark, Seq((1L, "V1",
+        java.sql.Date.valueOf("2024-02-09")), (61L, "new",
+        java.sql.Date.valueOf("2024-02-09"))).toDF("k", "v", "ingest_date"),
+        s"$base/t", Seq("k"))
+      assert(spark.table("hubcp.default.t").count() == 61)
+      assert(spark.table("hubcp.default.t").filter($"k" === 1L)
+        .select("ingest_date").as[java.sql.Date].head() ==
+        java.sql.Date.valueOf("2024-02-09"))
+      assert(spark.sql("SELECT count(*) FROM hubcp.default.t " +
+        "VERSION AS OF 1").head().getLong(0) == 60,
+        "the adopted snapshot must stay time-travelable")
+      // DV delete exercises readDirsWithPos' injection (double _metadata
+      // use: path-column parse + DV address tag) on adopted files
+      spark.sql("DELETE FROM hubcp.default.t WHERE k = 2")
+      assert(spark.table("hubcp.default.t").count() == 60)
+      assert(spark.table("hubcp.default.t")
+        .filter($"ingest_date" === "2024-01-03").count() ==
+        src.filter($"ingest_date" === "2024-01-03").count() - 1)
+      // OPTIMIZE rewrites adopted files with the column physical; values
+      // survive the convergence
+      spark.sql("OPTIMIZE hubcp.default.t")
+      val afterOpt = spark.table("hubcp.default.t")
+        .groupBy("ingest_date").count().orderBy("ingest_date")
+        .as[(java.sql.Date, Long)].collect().toSeq
+      assert(afterOpt.map(_._2).sum == 60 && afterOpt.length == 4)
+      // multi-level layouts adopt too
+      (1L to 12L).map(k => (k, (k % 2).toInt, s"r${k % 3}"))
+        .toDF("k", "half", "region")
+        .write.partitionBy("half", "region").parquet(s"$base/ml")
+      assert(spark.sql("CONVERT TO HUB hubcp.default.ml " +
+        "PARTITIONED BY (half, region)").as[Int].head() == 1)
+      assert(spark.table("hubcp.default.ml")
+        .filter($"half" === 1 && $"region" === "r2").count() ==
+        (1L to 12L).count(k => k % 2 == 1 && k % 3 == 2))
+      // refusal matrix: declared-columns mismatch (source intact after),
+      // flat source, null partition value
+      val e1 = intercept[Exception](spark.sql(
+        "CONVERT TO HUB hubcp.default.ml PARTITIONED BY (region)"))
+      assert(e1.getMessage.contains("already"), e1.getMessage)
+      (1L to 6L).map(k => (k, s"d${k % 2}")).toDF("k", "d")
+        .write.partitionBy("d").parquet(s"$base/mm")
+      val e2 = intercept[Exception](spark.sql(
+        "CONVERT TO HUB hubcp.default.mm PARTITIONED BY (wrong)"))
+      assert(e2.getMessage.contains("declared"), e2.getMessage)
+      assert(!new java.io.File(s"$base/mm/data").exists(),
+        "a refused convert must not touch the source")
+      assert(spark.sql("CONVERT TO HUB hubcp.default.mm " +
+        "PARTITIONED BY (d)").as[Int].head() == 1)
+      (1L to 4L).map(k => (k, s"x$k")).toDF("k", "x")
+        .write.parquet(s"$base/flat2")
+      val e3 = intercept[Exception](spark.sql(
+        "CONVERT TO HUB hubcp.default.flat2 PARTITIONED BY (x)"))
+      assert(e3.getMessage.contains("top-level data files"), e3.getMessage)
+      val nulled = Seq((1L, Option.empty[String]), (2L, Some("ok")))
+        .toDF("k", "p")
+      nulled.write.partitionBy("p").parquet(s"$base/np")
+      val e4 = intercept[Exception](spark.sql(
+        "CONVERT TO HUB hubcp.default.np PARTITIONED BY (p)"))
+      assert(e4.getMessage.contains("null partition value"), e4.getMessage)
+    }
+  }
+
   test("NOT NULL lowers onto the check machinery: CREATE-time, SET/DROP NOT NULL, refusal matrix") {
     withCatalog("hubnn") { base =>
       spark.sql("CREATE TABLE hubnn.default.t (k BIGINT NOT NULL, v STRING)")
