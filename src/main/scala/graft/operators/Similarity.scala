@@ -205,6 +205,137 @@ object Similarity {
     assigned.select(col("id"), col("vec"), col("cluster"))
   }
 
+  /** Lloyd's k-means with QUANTIZED centroid recompute — the trainable,
+    * oracle-replayable sibling of [[kmeansLloyd]]. Each of the `iters`
+    * rounds assigns every vector to its nearest centroid (squared L2 via
+    * the shared ‖a‖²+‖c‖²−2a·c double formulation, ties to the lower
+    * cell id) and recomputes every touched centroid coordinate as
+    * `sum(round(x·scale)) / (n·scale)`: the per-coordinate sums are exact
+    * 64-bit integers, so — unlike [[kmeansLloyd]]'s floating `avg` whose
+    * final ulps depend on partition order — the trained centroids are
+    * BIT-DETERMINISTIC at any parallelism (the same scaled-integer trick
+    * as the PageRank operator) and an external engine can replay the
+    * identical recurrence. The ≤ 1/(2·scale) per-coordinate quantization
+    * is noise at clustering granularity. Cells that lose every vector
+    * keep their previous centroid (deterministic carry). Size `scale` so
+    * `n·scale·max|x|` stays far under 2⁶³ at the target corpus.
+    *
+    * Per-round driver traffic is the k×dim centroid table only; the
+    * corpus never leaves the executors. Returns (cell, centroid) —
+    * cell = the seeding vector's id (the k lowest ids).
+    */
+  def kmeansQuantized(corpus: DataFrame, k: Int, iters: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    require(scale >= 1L, "scale must be positive")
+    val spark = corpus.sparkSession
+    val base = corpus.select(col("id"),
+      col("vec").cast("array<double>").as("vec"))
+    var cents: Seq[(Long, Seq[Double])] = base.orderBy(col("id")).limit(k)
+      .select(col("id"), col("vec"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    (1 to iters).foreach { _ =>
+      val centDf = spark.createDataFrame(cents).toDF("cell", "cvec")
+      val dist = (VectorFunctions.dot(col("vec"), col("vec")) +
+        VectorFunctions.dot(col("cvec"), col("cvec"))) -
+        lit(2.0) * VectorFunctions.dot(col("vec"), col("cvec"))
+      val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
+      val assigned = base.crossJoin(broadcast(centDf))
+        .withColumn("dist", dist)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("id"), col("vec"), col("cell"))
+      val touched = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(round(col("x") * lit(scale.toDouble)).cast("long"))
+            .cast("double") / (count(lit(1)) * lit(scale.toDouble))).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), expr("transform(dm, s -> s.m)").as("cvec"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cell, old) =>
+        (cell, touched.getOrElse(cell, old))
+      }
+    }
+    spark.createDataFrame(cents).toDF("cell", "centroid")
+  }
+
+  /** [[ivfAssign]] with TRAINED centroids: cells come from
+    * [[kmeansQuantized]] instead of the `nCells` lowest-id vectors, so
+    * cell populations track the data's density — the lowest-id seeding
+    * is deterministic but inherits whatever skew the id order carries,
+    * and one hot cell is exactly what kills IVF probe cost at scale
+    * (every probe that hits it scans the skewed bulk). Assignment uses
+    * the TRAINING metric (squared L2, ties to the lower cell) so the
+    * index is consistent with its own objective. Returns
+    * (id, vec, cell). At 100 TB the cell is a write-time partition key,
+    * exactly like [[ivfAssign]]'s.
+    */
+  def ivfAssignTrained(corpus: DataFrame, nCells: Int, iters: Int,
+      scale: Long = 1L << 20): DataFrame =
+    assignToCentroids(corpus, kmeansQuantized(corpus, nCells, iters, scale))
+      .select(col("id"), col("vec"), col("cell"))
+
+  /** Assign every corpus vector to its nearest (squared L2) centroid of
+    * `centroids` (cell, centroid) — ties to the lower cell id. Returns
+    * (id, vec, cell, dist) with dist = the winning squared distance.
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val base = corpus.select(col("id"),
+      col("vec").cast("array<double>").as("vec"))
+    val dist = (VectorFunctions.dot(col("vec"), col("vec")) +
+      VectorFunctions.dot(col("cvec"), col("cvec"))) -
+      lit(2.0) * VectorFunctions.dot(col("vec"), col("cvec"))
+    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
+    base.crossJoin(broadcast(
+        centroids.select(col("cell"), col("centroid").as("cvec"))))
+      .withColumn("dist", dist)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("vec"), col("cell"), col("dist"))
+  }
+
+  /** [[ivfTopK]] over a TRAINED index: probe the `nprobe` cells whose
+    * trained centroids are L2-closest to the query (the training metric),
+    * rank candidates inside by exact cosine (the interface's similarity).
+    * Same scale shape as [[ivfTopK]]: the k×dim centroid table
+    * broadcasts, candidates come only from the probed cells.
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, nCells: Int,
+      iters: Int, nprobe: Int, k: Int,
+      scale: Long = 1L << 20): DataFrame =
+    ivfTopKWith(queries, corpus,
+      kmeansQuantized(corpus, nCells, iters, scale), nprobe, k)
+
+  /** [[ivfTopKTrained]] against ALREADY-TRAINED centroids — lets one
+    * training pass serve both the index build and the probe gate.
+    */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val qdist = (VectorFunctions.dot(col("qvec"), col("qvec")) +
+      VectorFunctions.dot(col("centroid"), col("centroid"))) -
+      lit(2.0) * VectorFunctions.dot(col("qvec"), col("centroid"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probed = q.join(broadcast(centroids), lit(true))
+      .withColumn("cdist", qdist)
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probed.join(assigned.select(col("id").as("neighbor_id"),
+        col("vec").as("cvec"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bucketing (the sign-bit / SimHash-for-vectors
     * family): bucket(v) = the `nPlanes` sign bits of v·hᵢ packed into a long.
     * Hyperplanes are deterministic here (the lowest-id corpus vectors, like

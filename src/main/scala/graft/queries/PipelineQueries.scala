@@ -919,6 +919,105 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** One full quantized-Lloyd's round for the trained IVF oracle: enough
+    * to move every centroid off its lowest-id seed (so the oracle
+    * genuinely replays TRAINING, not just an assignment), short enough
+    * that the DuckDB replay is one CTE chain. More rounds only tighten
+    * cells; SimilaritySpec drives multi-round convergence + the skew
+    * balance gate the lowest-id seeding fails.
+    */
+  val IvfTrainIters = 1
+  val IvfScale = 1L << 20
+  /** embeddings.embedding width (TESTDATA.md). */
+  val EmbeddingDim = 64
+  /** Probe-recall floor for the trained index on the standard query
+    * slice (nprobe=4 of 16 cells): measured 0.86 at sf0.01; gate at
+    * 0.6 — the contract is "an IVF probe finds most true neighbors",
+    * not a point estimate.
+    */
+  val IvfTrainedRecallFloor = 0.6
+  /** Trained cells must stay balanced: max cell ≤ bound × mean cell.
+    * (With 16 cells a uniform draw keeps max/mean well under 3; a hot
+    * cell past 6× means training collapsed and probe cost with it.)
+    */
+  val IvfBalanceBound = 6.0
+
+  /** Trained-centroid IVF (VERDICT r15 #3): one quantized-Lloyd's round
+    * trains the 16 cell centroids off their lowest-id seeds, the corpus
+    * assigns to its nearest TRAINED centroid, and the result is the
+    * per-cell census (size + squared-distance extrema) — hash-exact in
+    * DuckDB because the quantized recompute (sum of round(x·2²⁰) longs)
+    * is bit-deterministic at any parallelism. In-query gates: (a)
+    * probe recall vs brute-force cosine top-k on the standard query
+    * slice ≥ [[IvfTrainedRecallFloor]]; (b) cell balance
+    * max ≤ [[IvfBalanceBound]] × mean — the property the lowest-id
+    * seeding cannot promise on skewed data.
+    */
+  val qAnnIvfTrained: Q = (spark, dir) => {
+    val c = corpus(spark, dir)
+    val cents = Similarity.kmeansQuantized(c, IvfCells, IvfTrainIters,
+      IvfScale)
+    val assigned = Similarity.assignToCentroids(c, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // balance gate: one tiny aggregate over the census
+    val sizes = assigned.groupBy(col("cell")).count()
+    val bal = sizes.agg(max(col("count")).as("mx"), avg(col("count")).as("mean"))
+      .head()
+    require(bal.getLong(0) <= IvfBalanceBound * bal.getDouble(1),
+      s"trained cells collapsed: max=${bal.getLong(0)} mean=${bal.getDouble(1)}")
+    // recall gate: probe the trained index with the standard query slice
+    val queries = c.filter(col("id") < NQueryVectors)
+    val exact = Similarity.bruteForceTopK(queries, c, TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val probed = Similarity.ivfTopKWith(queries, c, cents, IvfProbe, TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val counts = exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+      exact.join(probed, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))).head()
+    require(counts.getLong(1) >= IvfTrainedRecallFloor * counts.getLong(0),
+      s"trained-IVF recall ${counts.getLong(1)}/${counts.getLong(0)} " +
+        s"under floor $IvfTrainedRecallFloor")
+    val out = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("dist")).as("min_dist"), max(col("dist")).as("max_dist"))
+      .orderBy(col("cell"))
+    val materialized = out.collect()
+    assigned.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
+  }
+
+  private val annIvfTrainedOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |c0 AS (SELECT id AS cell, vec AS cvec FROM e ORDER BY id LIMIT $IvfCells),
+       |a1 AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT e.id, e.vec, c.cell, row_number() OVER (PARTITION BY e.id
+       |      ORDER BY (${dotSql("e.vec", "e.vec")} + ${dotSql("c.cvec", "c.cvec")}
+       |        - 2 * ${dotSql("e.vec", "c.cvec")}), c.cell) AS rn
+       |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+       |m AS (
+       |  SELECT cell, i AS dim,
+       |    CAST(sum(CAST(round(CAST(vec[i] AS DOUBLE) * ${IvfScale}.0) AS BIGINT))
+       |      AS DOUBLE) / (count(*) * ${IvfScale}.0) AS m
+       |  FROM a1, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY cell, i),
+       |c1 AS (
+       |  SELECT c0.cell, COALESCE(mv.cvec, c0.cvec) AS cvec
+       |  FROM c0 LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cvec
+       |                     FROM m GROUP BY cell) mv USING (cell)),
+       |a2 AS (
+       |  SELECT id, cell, dist FROM (
+       |    SELECT e.id, c.cell,
+       |      (${dotSql("e.vec", "e.vec")} + ${dotSql("c.cvec", "c.cvec")}
+       |        - 2 * ${dotSql("e.vec", "c.cvec")}) AS dist,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY (${dotSql("e.vec", "e.vec")} + ${dotSql("c.cvec", "c.cvec")}
+       |          - 2 * ${dotSql("e.vec", "c.cvec")}), c.cell) AS rn
+       |    FROM e CROSS JOIN c1 c) WHERE rn = 1)
+       |SELECT cell, count(*) AS n_vectors,
+       |  min(dist) AS min_dist, max(dist) AS max_dist
+       |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
+
   private val annIvfOracle: String =
     s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
        |cents AS (SELECT id AS cell, vec AS centroid FROM e ORDER BY id LIMIT $IvfCells),
@@ -1852,6 +1951,7 @@ object PipelineQueries {
     "q_embedding_near_dup" -> qEmbeddingNearDup,
     "q_hard_negatives" -> qHardNegatives,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_image_decode" -> qImageDecode,
@@ -1907,6 +2007,7 @@ object PipelineQueries {
     "q_embedding_near_dup" -> embeddingNearDupOracle,
     "q_hard_negatives" -> hardNegativesOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivf_trained" -> annIvfTrainedOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_multimodal_features" -> multimodalOracle,
     "q_image_decode" -> imageDecodeOracle,

@@ -95,6 +95,85 @@ class SimilaritySpec extends SparkTestBase {
     assert(w3 <= w1 * 1.0001, s"WSS must not increase across rounds: $w1 -> $w3")
   }
 
+  test("kmeansQuantized: matches a single-node quantized-Lloyd's reference bit-for-bit") {
+    // local reference: the SAME recurrence (L2 argmin w/ lowest-cell ties,
+    // sum(round(x*S))/(n*S) means, empty-cell carry) in plain Scala
+    def localKmeans(vs: Seq[(Long, Seq[Double])], k: Int, iters: Int,
+        scale: Long): Seq[(Long, Seq[Double])] = {
+      var cents = vs.sortBy(_._1).take(k)
+      for (_ <- 1 to iters) {
+        def d2(a: Seq[Double], b: Seq[Double]): Double = {
+          def dot(x: Seq[Double], y: Seq[Double]) =
+            x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+          dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+        }
+        val groups = vs.groupBy { case (_, v) =>
+          cents.map { case (cell, c) => (d2(v, c), cell) }.min._2
+        }
+        cents = cents.map { case (cell, old) =>
+          cell -> groups.get(cell).fold(old) { g =>
+            val n = g.size
+            old.indices.map { i =>
+              val s = g.map { case (_, v) =>
+                BigDecimal(v(i) * scale)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              }.sum
+              s.toDouble / (n.toDouble * scale.toDouble)
+            }
+          }
+        }
+      }
+      cents
+    }
+    val vs = corpus.select($"id", $"vec".cast("array<double>"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    for (iters <- Seq(1, 3)) {
+      val dist = Similarity.kmeansQuantized(corpus, 8, iters)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val local = localKmeans(vs, 8, iters, 1L << 20).toMap
+      assert(dist.keySet == local.keySet)
+      for ((cell, c) <- local)
+        assert(dist(cell) == c, s"cell $cell diverged at iters=$iters")
+    }
+  }
+
+  test("trained IVF balances the skewed corpus the lowest-id seeding collapses on") {
+    // two tight blobs; the 4 lowest ids ALL sit in blob A, so lowest-id
+    // seeding gives blob B (90% of the data) exactly one cell — the hot
+    // cell that kills probe cost. One trained round must split it.
+    val rnd = new scala.util.Random(7)
+    def jitter(c: Seq[Double]) = c.map(_ + rnd.nextGaussian() * 0.01)
+    val blobA = (0L until 10L).map(i => (i, jitter(Seq(1.0, 0.0, 0.0, 0.0))))
+    val blobB = (10L until 100L).map { i =>
+      val center = Seq(Seq(0.0, 1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0),
+        Seq(0.0, 0.0, 0.0, 1.0))(i.toInt % 3)
+      (i, jitter(center))
+    }
+    val skewed = (blobA ++ blobB).toDF("id", "vec")
+    def ratio(assigned: org.apache.spark.sql.DataFrame): Double = {
+      val r = assigned.groupBy($"cell").count()
+        .agg(max($"count"), avg($"count")).head()
+      r.getLong(0) / r.getDouble(1)
+    }
+    val lowestId = ratio(Similarity.ivfAssign(skewed, 4))
+    val trained = ratio(Similarity.ivfAssignTrained(skewed, 4, 3))
+    // lowest-id: blob B's 90 rows pile into one cosine-nearest cell
+    assert(lowestId >= 2.0, s"skew fixture not skewed: lowest-id=$lowestId")
+    // trained: 3 rounds must move centroids onto B's three sub-blobs
+    assert(trained <= 1.5, s"training failed to balance: trained=$trained")
+    // trained probe still finds its neighbors on the standard corpus
+    val cents = Similarity.kmeansQuantized(corpus, 8, 2)
+    val queries = corpus.filter($"id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select($"query_id", $"neighbor_id")
+    val hits = exact.join(
+      Similarity.ivfTopKWith(queries, corpus, cents, 3, 3)
+        .select($"query_id", $"neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits >= (exact.count() * 0.5).toLong,
+      s"trained probe recall collapsed: $hits/${exact.count()}")
+  }
+
   test("pqEncode: codebook vectors encode to themselves; codes are in range") {
     val dcorpus = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
     val dim = dcorpus.select(size(col("vec"))).first().getInt(0)
