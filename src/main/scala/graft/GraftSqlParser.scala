@@ -76,6 +76,8 @@ object GraftSqlParser {
       ")\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+(" + Id + ")\\s*;?\\s*$").r
+  private val DetailRe =
+    ("(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+(" + Id + ")\\s*;?\\s*$").r
   private val ConvertRe =
     ("(?is)^\\s*CONVERT\\s+TO\\s+HUB\\s+(" + Id + ")\\s*;?\\s*$").r
   // Delta's CONVERT TO DELTA ... PARTITIONED BY parity; types are
@@ -188,6 +190,11 @@ object GraftSqlParser {
           val hist = (ps.init.map(qid) :+
             qid(ps.last + "$history")).mkString(".")
           Some(s"SELECT * FROM $hist ORDER BY version DESC")
+        case DetailRe(ident) =>
+          val ps = delegate.parseMultipartIdentifier(ident)
+          val det = (ps.init.map(qid) :+
+            qid(ps.last + "$detail")).mkString(".")
+          Some(s"SELECT * FROM $det")
         case _ => None
       }
       case _ => None

@@ -130,6 +130,16 @@ class HubCatalog extends TableCatalog
       return new HubMetaTable(pathOf(base), "files",
         (s, p) => VersionedHub.filesDF(s, p))
     }
+    // `t$detail` — Delta `DESCRIBE DETAIL` analogue: ONE driver-local row
+    // (format, location, version, sizes, layout, constraint/mapping
+    // flags) from the cached manifest
+    if (ident.name.endsWith("$detail")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$detail"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new HubMetaTable(pathOf(base), "detail",
+        (s, p) => VersionedHub.detailDF(s, p))
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new HubTable(pathOf(ident), asOf = None)
   }

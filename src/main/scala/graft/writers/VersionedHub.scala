@@ -1069,12 +1069,13 @@ object VersionedHub {
       // empty), and dropping the manifests it carries from would blind
       // `t$files` and skipping stats on a non-empty table.
       val oldest = keep.head
-      if (readCheckpoint(fs, path, oldest.version).isEmpty)
+      if (readCheckpoint(spark, fs, path, oldest.version).isEmpty)
         writeCheckpoint(fs, path, oldest)
       for (v <- dropped) {
         fs.delete(new Path(new Path(path, LogDir), f"${v.version}%08d.json"),
           false)
         fs.delete(checkpointPath(path, v.version), false)
+        fs.delete(checkpointParquetPath(path, v.version), true)
       }
     }
     // roots still referenced: a plain version references its dataDir; a
@@ -2483,6 +2484,42 @@ object VersionedHub {
       "col_min", "col_max", "col_null_count")
   }
 
+  /** ONE-ROW operational summary of the table — Delta's `DESCRIBE DETAIL`
+    * analogue, the "what is this table" query an operator runs first.
+    * Everything comes from the (cached) manifest log: no file is opened,
+    * no job runs — the same driver-local contract as [[historyDF]] /
+    * [[filesDF]]. `size_in_bytes`/`num_files` are the LIVE tip set
+    * (what a full scan would read), `num_dv_rows` the deletions the tip's
+    * deletion vectors hide, `path_cols` the hive-partition columns a
+    * [[convertPartitioned]] adoption materialized into file names.
+    */
+  def detailDF(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val hist = history(spark, path)
+    require(hist.nonEmpty, s"no committed versions at $path")
+    val v = hist.last
+    val stats = v.fileStats
+    val schema = v.schema
+    val pathCols = schema.toSeq.flatMap(_.fields.collect {
+      case f if f.metadata.contains(PathColKey) &&
+        f.metadata.getBoolean(PathColKey) => f.name
+    })
+    Seq((
+      "graft-hub", path, v.version, hist.head.ts, v.ts, hist.size,
+      v.rows, stats.size.toLong,
+      stats.valuesIterator.map(_.bytes).sum,
+      v.nBuckets, v.bucketCols.map(_.mkString(",")),
+      v.checks.size.toLong,
+      schema.exists(ColumnMapping.hasMapping),
+      pathCols,
+      v.dvs.size.toLong,
+      v.dvs.valuesIterator.map(_.size.toLong).sum
+    )).toDF("format", "location", "version", "created_at",
+      "last_commit_at", "num_versions", "rows", "num_files",
+      "size_in_bytes", "n_buckets", "bucket_cols", "num_checks",
+      "column_mapping", "path_cols", "num_dv_files", "num_dv_rows")
+  }
+
   // ---------- log internals ----------
 
   private[graft] def latest(spark: SparkSession, path: String): Option[Version] =
@@ -2656,20 +2693,75 @@ object VersionedHub {
   /** Full checkpoints land every this-many versions on bucketed hubs. */
   private[graft] val CheckpointInterval = 10
 
+  /** Above this many live files, checkpoints are written as PARQUET
+    * (Delta §4.2's columnar checkpoint) instead of JSON. Measured at the
+    * boundary (ProfileManifestScale, SCALE.md §8j): SnakeYAML's object
+    * graph costs ~1 KB of driver heap per entry and parses ~100k entries
+    * in seconds — a 1M-file JSON checkpoint OOMs a default driver — while
+    * the parquet form collects the same maps in bounded batches. Below
+    * the threshold JSON wins: zero Spark jobs on the small-commit path.
+    */
+  private[graft] val CheckpointParquetThreshold = 20000
+
   private def checkpointPath(path: String, version: Int): Path =
     new Path(new Path(path, LogDir), f"$version%08d.checkpoint.json")
 
+  private def checkpointParquetPath(path: String, version: Int): Path =
+    new Path(new Path(path, LogDir), f"$version%08d.checkpoint.parquet")
+
+  /** Parquet-checkpoint row: one per file carrying its skipping stats
+    * and/or deletion vector. `rows` absent = the file has a DV but no
+    * recorded stats (kept distinct so the fold reconstructs exactly the
+    * two maps the JSON form writes).
+    */
+  private[graft] case class CkCol(c: String, mn: Option[String],
+      mx: Option[String], nc: Option[Long])
+  private[graft] case class CkRow(path: String, rows: Option[Long],
+      bytes: Option[Long], cols: Seq[CkCol], dv: Option[Seq[Long]])
+
   /** Write the FULL per-file stats snapshot of `v` as a checkpoint —
     * overwrite-idempotent (content is deterministic for a committed
-    * version) via temp-file + rename so readers never parse a torn write.
+    * version) via temp + rename so readers never parse a torn write.
+    * Format is size-versioned: JSON below [[CheckpointParquetThreshold]]
+    * live files (driver-local, zero jobs), parquet at or above it
+    * (one write job; the driver already holds the map it serializes).
+    * Readers probe parquet first and fall back to JSON, so both formats
+    * interoperate in one log across the threshold.
     */
-  private[writers] def writeCheckpoint(fs: FileSystem, path: String,
+  private[graft] def writeCheckpoint(fs: FileSystem, path: String,
       v: Version): Unit = {
+    val stats = v.fileStats
+    val dvs = v.dvs
+    if (stats.size + dvs.size >= CheckpointParquetThreshold) {
+      val spark = SparkSession.active
+      import spark.implicits._
+      val paths = (stats.keySet ++ dvs.keySet).toSeq.sorted
+      val rows = paths.map { p =>
+        val st = stats.get(p)
+        CkRow(p, st.map(_.rows), st.map(_.bytes),
+          st.fold(Seq.empty[CkCol])(_.cols.toSeq.sortBy(_._1).map {
+            case (c, s) => CkCol(c, s.min.map(FileStats.encodeScalar),
+              s.max.map(FileStats.encodeScalar), s.nullCount)
+          }),
+          dvs.get(p))
+      }
+      val target = checkpointParquetPath(path, v.version)
+      val tmp = new Path(target.getParent,
+        s"${target.getName}.tmp-${UUID.randomUUID().toString.take(8)}")
+      spark.createDataset(rows)
+        .repartition(math.max(1, rows.size / 500000))
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, target)) {
+        fs.delete(target, true)
+        if (!fs.rename(tmp, target)) fs.delete(tmp, true)
+      }
+      return
+    }
     val target = checkpointPath(path, v.version)
     val tmp = new Path(target.getParent,
       s"${target.getName}.tmp-${UUID.randomUUID().toString.take(8)}")
     val content =
-      s"""{"version": ${v.version}, "fileStats": ${encodeStatsMap(v.fileStats)}, "dvs": ${encodeDvMap(v.dvs)}}"""
+      s"""{"version": ${v.version}, "fileStats": ${encodeStatsMap(stats)}, "dvs": ${encodeDvMap(dvs)}}"""
         .getBytes("UTF-8")
     val out = fs.create(tmp, /* overwrite = */ true)
     try out.write(content) finally out.close()
@@ -2682,11 +2774,30 @@ object VersionedHub {
 
   /** The checkpointed full (stats, dvs) maps at `version`, or None when
     * absent or unparseable (readers then fold a longer delta chain —
-    * never an error). Pre-DV checkpoints parse with empty dvs (DVs did
+    * never an error). The parquet form is probed first, legacy/small
+    * JSON second. Pre-DV checkpoints parse with empty dvs (DVs did
     * not exist when they were written, so empty is exact, not lossy).
     */
-  private def readCheckpoint(fs: FileSystem, path: String, version: Int)
+  private def readCheckpoint(spark: SparkSession, fs: FileSystem,
+      path: String, version: Int)
       : Option[(Map[String, FileStats.FileStat], Map[String, Seq[Long]])] = {
+    val pq = checkpointParquetPath(path, version)
+    val fromParquet: Option[(Map[String, FileStats.FileStat], Map[String, Seq[Long]])] =
+      if (!fs.exists(pq)) None
+      else try {
+        import spark.implicits._
+        val rows = spark.read.parquet(pq.toString).as[CkRow].collect()
+        val stats = rows.iterator.filter(_.rows.isDefined).map { r =>
+          r.path -> FileStats.FileStat(r.rows.get, r.bytes.getOrElse(0L),
+            r.cols.map(c => c.c -> FileStats.ColStat(
+              c.mn.flatMap(FileStats.decodeScalar),
+              c.mx.flatMap(FileStats.decodeScalar), c.nc)).toMap)
+        }.toMap
+        val dvm = rows.iterator.filter(_.dv.exists(_.nonEmpty))
+          .map(r => r.path -> r.dv.get).toMap
+        Some((stats, dvm))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (fromParquet.isDefined) return fromParquet
     val p = checkpointPath(path, version)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -2694,7 +2805,7 @@ object VersionedHub {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val parsed =
-      try new Yaml(new SafeConstructor(new LoaderOptions()))
+      try new Yaml(new SafeConstructor(logLoaderOptions()))
         .load[java.util.Map[String, AnyRef]](text)
       catch { case _: Exception => null }
     if (parsed == null) None
@@ -2713,23 +2824,25 @@ object VersionedHub {
     * (full `fileStats` field) parse into `statsNew` wholesale, so they act
     * as natural anchors inside the fold.
     */
-  private case class Carried(stats: Map[String, FileStats.FileStat],
+  private[graft] case class Carried(stats: Map[String, FileStats.FileStat],
       dvs: Map[String, Seq[Long]])
 
-  private def loadCarried(spark: SparkSession, path: String,
+  private[graft] def loadCarried(spark: SparkSession, path: String,
       n: Int): Carried = {
     val fs = fileSystem(spark, path)
     val log = new Path(path, LogDir)
     if (!fs.exists(log)) return Carried(Map.empty, Map.empty)
     val names = fs.listStatus(log).map(_.getPath.getName)
     val ckVersions = names.collect {
-      case CheckpointName(v) if v.toInt <= n => v.toInt }.sorted.reverse
+      case CheckpointName(v) if v.toInt <= n => v.toInt
+      case CheckpointParquetName(v) if v.toInt <= n => v.toInt
+    }.distinct.sorted.reverse
     var anchor = 0
     var acc = Map.empty[String, FileStats.FileStat]
     var dvAcc = Map.empty[String, Seq[Long]]
     // newest parseable checkpoint wins; a torn/corrupt one falls through
     ckVersions.iterator
-      .map(c => c -> readCheckpoint(fs, path, c))
+      .map(c => c -> readCheckpoint(spark, fs, path, c))
       .collectFirst { case (c, Some(m)) => (c, m) }
       .foreach { case (c, (m, d)) => anchor = c; acc = m; dvAcc = d }
     if (anchor == n) return Carried(acc, dvAcc)
@@ -2747,6 +2860,7 @@ object VersionedHub {
 
   private val ManifestName = """(\d+)\.json""".r
   private val CheckpointName = """(\d+)\.checkpoint\.json""".r
+  private val CheckpointParquetName = """(\d+)\.checkpoint\.parquet""".r
 
   /** `{path: {rows, bytes, cols: {c: {mn, mx, nc}}}}` as manifest JSON —
     * shared by the per-commit `statsDelta` field and the checkpoint file.
@@ -2858,6 +2972,20 @@ object VersionedHub {
     * could delete a live manifest). `Right(None)` = the content read fine
     * but does not parse — the claimed-not-committed / dead-writer state.
     */
+  /** SafeConstructor options for OUR OWN log files. SnakeYAML's default
+    * code-point limit (3 MB, a YAML-bomb guard for untrusted input)
+    * would silently null-parse any manifest/checkpoint past ~15k files —
+    * a BULK initial load of a large table writes exactly that, and a
+    * "parsed null" manifest reads as ABSENT, so the version would look
+    * stuck/corrupt. The log is trusted engine-written content; bound it
+    * at 1 GiB instead (a true runaway still fails closed).
+    */
+  private def logLoaderOptions(): LoaderOptions = {
+    val o = new LoaderOptions()
+    o.setCodePointLimit(1 << 30)
+    o
+  }
+
   private def parseManifestAttempt(fs: FileSystem, manifest: Path)
       : Either[java.io.IOException, Option[scala.collection.Map[String, AnyRef]]] = {
     manifestParses.incrementAndGet()
@@ -2868,7 +2996,7 @@ object VersionedHub {
         finally in.close()
       } catch { case e: java.io.IOException => return Left(e) }
     val parsed =
-      try new Yaml(new SafeConstructor(new LoaderOptions()))
+      try new Yaml(new SafeConstructor(logLoaderOptions()))
         .load[java.util.Map[String, AnyRef]](text)
       catch { case _: Exception => null }
     if (parsed != null && parsed.containsKey("version")) Right(Some(parsed.asScala))

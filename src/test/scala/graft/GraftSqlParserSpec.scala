@@ -50,6 +50,8 @@ class GraftSqlParserSpec extends SparkTestBase {
           "cols => 'a`b,c')"))
       assert(rw("DESCRIBE HISTORY pcat.default.t").contains(
         "SELECT * FROM pcat.default.`t$history` ORDER BY version DESC"))
+      assert(rw("DESCRIBE DETAIL pcat.default.t").contains(
+        "SELECT * FROM pcat.default.`t$detail`"))
       // a leading part that is NOT a registered catalog resolves in the
       // session's current catalog (spark_catalog here)
       assert(rw("OPTIMIZE default.t").contains(

@@ -676,7 +676,7 @@ class HubCatalogSpec extends SparkTestBase {
       assert(spark.sql("SHOW PROCEDURES IN hubproc.system")
         .select("procedure_name").as[String].collect().toSet ==
         Set("vacuum", "optimize", "zorder", "restore", "repair", "clone",
-          "bloom_index", "purge", "convert"))
+          "bloom_index", "purge", "convert", "convert_partitioned"))
       val e = intercept[Exception](
         spark.sql("CALL hubproc.system.nope(`table` => 't')"))
       assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
@@ -716,6 +716,50 @@ class HubCatalogSpec extends SparkTestBase {
       assert(!plan.contains("FileScan parquet"), plan)
       val missing = intercept[Exception](
         spark.sql("SELECT * FROM hubfiles.default.`nope$files`").collect())
+      assert(missing.getMessage.toLowerCase.contains("table"),
+        missing.getMessage)
+    }
+  }
+
+  test("DESCRIBE DETAIL / t$detail: one driver-local operational row from the manifest") {
+    withCatalog("hubdet") { base =>
+      spark.sql("CREATE TABLE hubdet.default.t " +
+        "(k BIGINT NOT NULL, v STRING) " +
+        "CLUSTERED BY (k) INTO 4 BUCKETS")
+      spark.sql("INSERT INTO hubdet.default.t " +
+        "SELECT id, concat('v', id) FROM range(1, 41)")
+      spark.sql("DELETE FROM hubdet.default.t WHERE k IN (2, 3)")
+      spark.sql("ALTER TABLE hubdet.default.t RENAME COLUMN v TO label")
+      val d = spark.sql("DESCRIBE DETAIL hubdet.default.t").collect()
+      assert(d.length == 1)
+      val r = d.head
+      assert(r.getAs[String]("format") == "graft-hub")
+      assert(r.getAs[String]("location").contains(base))
+      assert(r.getAs[Int]("version") == 4 &&
+        r.getAs[Int]("num_versions") == 4)
+      assert(r.getAs[Long]("rows") == 38)
+      assert(r.getAs[Int]("n_buckets") == 4 &&
+        r.getAs[String]("bucket_cols") == "k")
+      assert(r.getAs[Long]("num_checks") == 1, "NOT NULL lowers to a check")
+      assert(r.getAs[Boolean]("column_mapping"), "rename freezes a mapping")
+      assert(r.getSeq[String](r.fieldIndex("path_cols")).isEmpty)
+      assert(r.getAs[Long]("num_dv_files") >= 1 &&
+        r.getAs[Long]("num_dv_rows") == 2)
+      assert(r.getAs[Long]("num_files") > 0 &&
+        r.getAs[Long]("size_in_bytes") > 0)
+      assert(r.getAs[Long]("created_at") <= r.getAs[Long]("last_commit_at"))
+      // driver-local: no data-file scan in the plan
+      val plan = spark.sql("SELECT * FROM hubdet.default.`t$detail`")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan parquet"), plan)
+      // a partitioned adoption surfaces its path columns here
+      (1L to 6L).map(k => (k, s"d${k % 2}")).toDF("k", "d")
+        .write.partitionBy("d").parquet(s"$base/padopt")
+      spark.sql("CONVERT TO HUB hubdet.default.padopt PARTITIONED BY (d)")
+      val pd = spark.sql("DESCRIBE DETAIL hubdet.default.padopt").head()
+      assert(pd.getSeq[String](pd.fieldIndex("path_cols")) == Seq("d"))
+      val missing = intercept[Exception](
+        spark.sql("SELECT * FROM hubdet.default.`nope$detail`").collect())
       assert(missing.getMessage.toLowerCase.contains("table"),
         missing.getMessage)
     }

@@ -441,6 +441,57 @@ class VersionedHubSpec extends SparkTestBase {
     assert(v14.fileStats.values.map(_.rows).sum == v14.rows)
   }
 
+  test("parquet checkpoints: format switches on size, round-trips exactly, falls back to JSON") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import graft.writers.FileStats
+    def synth(n: Int): Map[String, FileStats.FileStat] =
+      (1 to n).map { i =>
+        f"data/$i%d-aa/bucket=${i % 4}%d/part-$i%05d.parquet" ->
+          FileStats.FileStat(10L + i, 100L + i, Map(
+            "k" -> FileStats.ColStat(Some(i.toLong), Some(i + 9L), Some(0L)),
+            "v" -> FileStats.ColStat(Some(s"a$i"), Some(s"z$i"), None)))
+      }.toMap
+    val fs = new HPath("/tmp").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // small map -> JSON file; big map -> parquet dir; both reload exactly
+    val small = tmpDir("vhub_ck_small")
+    val sStats = synth(50)
+    val sDvs = Map(sStats.keys.head -> Seq(1L, 5L, 9L))
+    VersionedHub.writeCheckpoint(fs, small, VersionedHub.Version(
+      10, "data", 0L, 0L, statsNew = sStats, dvNew = sDvs, checks = Map.empty))
+    assert(new java.io.File(s"$small/_log/00000010.checkpoint.json").isFile)
+    val sBack = VersionedHub.loadCarried(spark, small, 10)
+    assert(sBack.stats == sStats && sBack.dvs == sDvs)
+    val big = tmpDir("vhub_ck_big")
+    val bStats = synth(VersionedHub.CheckpointParquetThreshold + 5)
+    val bDvs = Map(bStats.keys.head -> Seq(2L, 3L),
+      // a DV on a file with NO recorded stats must survive the round-trip
+      "data/9-zz/bucket=0/ghost.parquet" -> Seq(7L))
+    VersionedHub.writeCheckpoint(fs, big, VersionedHub.Version(
+      10, "data", 0L, 0L, statsNew = bStats, dvNew = bDvs, checks = Map.empty))
+    assert(new java.io.File(s"$big/_log/00000010.checkpoint.parquet")
+      .isDirectory, "a big checkpoint must land as a parquet dir")
+    val bBack = VersionedHub.loadCarried(spark, big, 10)
+    assert(bBack.stats == bStats && bBack.dvs == bDvs)
+    // a corrupt/torn parquet checkpoint falls back to a JSON sibling...
+    val mixed = tmpDir("vhub_ck_mixed")
+    VersionedHub.writeCheckpoint(fs, mixed, VersionedHub.Version(
+      10, "data", 0L, 0L, statsNew = sStats, checks = Map.empty))
+    val junk = new java.io.File(s"$mixed/_log/00000010.checkpoint.parquet")
+    assert(junk.mkdirs())
+    java.nio.file.Files.write(
+      junk.toPath.resolve("part-junk.parquet"), Array[Byte](9, 9, 9))
+    val mBack = VersionedHub.loadCarried(spark, mixed, 10)
+    assert(mBack.stats == sStats,
+      "an unreadable parquet checkpoint must fall back to the JSON one")
+    // ...and with no parseable checkpoint at all, the fold yields empty
+    // (readers then walk the manifest chain — proven by the incremental
+    // log test above)
+    val none = tmpDir("vhub_ck_none")
+    fs.mkdirs(new HPath(s"$none/_log"))
+    assert(VersionedHub.loadCarried(spark, none, 10).stats.isEmpty)
+  }
+
   private def parquetFiles(path: String): Long = {
     val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
     try s.filter(p => p.toString.endsWith(".parquet")).count()
