@@ -136,6 +136,12 @@ class HubDataSource extends TableProvider with DataSourceRegister
           require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
           n
       },
+      maxBytesPerTrigger = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("maxBytesPerTrigger") =>
+          val n = v.toLong
+          require(n >= 1L, s"maxBytesPerTrigger must be >= 1, got $n")
+          n
+      },
       startingVersion = byV.orElse(byTs))
   }
 

@@ -68,6 +68,19 @@ object HubSourceOffset {
 class HubStreamSource(sqlContext: SQLContext, path: String,
     cdfKeys: Option[Seq[String]] = None,
     maxVersionsPerTrigger: Option[Int] = None,
+    /** Delta's `maxBytesPerTrigger`: one trigger admits versions past the
+      * start only while their summed manifest byte counts (each commit's
+      * `statsNew` bytes — recorded at write time, no file I/O) stay
+      * within the cap, always admitting AT LEAST one version so a single
+      * oversized commit (a compaction can be 100× a normal one) throttles
+      * the stream without wedging it — Delta's soft-cap contract. Like
+      * the version cap, it does not split the initial-snapshot catch-up
+      * batch (one version's content, not a backlog). Mutually exclusive
+      * with `maxVersionsPerTrigger` (refused at construction): versions
+      * are uneven, so a caller who bounds both is asking for two
+      * different clocks on one stream.
+      */
+    maxBytesPerTrigger: Option[Long] = None,
     /** Delta's streaming `startingVersion`/`startingTimestamp` (the latter
       * pre-resolved by the provider): a FRESH stream starts at this
       * commit's CHANGES instead of the initial-snapshot catch-up batch —
@@ -104,13 +117,27 @@ class HubStreamSource(sqlContext: SQLContext, path: String,
     * delivers the whole catch-up snapshot: the snapshot is one version's
     * content, not a backlog.
     */
+  require(maxVersionsPerTrigger.isEmpty || maxBytesPerTrigger.isEmpty,
+    "maxVersionsPerTrigger and maxBytesPerTrigger are mutually exclusive " +
+      "— versions are uneven, pick ONE admission clock")
+
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val latest = VersionedHub.latest(spark, path).map(_.version).getOrElse(0)
     val bounded = availableNowTarget.fold(latest)(math.min(latest, _))
     val start = Option(startOffset).map(HubSourceOffset.versionOf)
       .getOrElse(seedStart)
-    val end = maxVersionsPerTrigger match {
-      case Some(m) if start > 0 => math.min(bounded, start + m)
+    val end = (maxVersionsPerTrigger, maxBytesPerTrigger) match {
+      case (Some(m), _) if start > 0 => math.min(bounded, start + m)
+      case (_, Some(cap)) if start > 0 =>
+        // admit versions while their summed commit bytes fit the cap;
+        // the first one is unconditional (soft cap — progress guarantee)
+        var v = start + 1
+        var budget = cap - VersionedHub.commitBytes(spark, path, v)
+        while (v < bounded && {
+          val next = VersionedHub.commitBytes(spark, path, v + 1)
+          if (next <= budget) { budget -= next; true } else false
+        }) v += 1
+        math.min(bounded, v)
       case _ => bounded
     }
     if (end <= start) startOffset else HubSourceOffset(end)

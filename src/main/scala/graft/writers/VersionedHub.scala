@@ -2525,6 +2525,17 @@ object VersionedHub {
   private[graft] def latest(spark: SparkSession, path: String): Option[Version] =
     history(spark, path).lastOption
 
+  /** Bytes of the files NEW in version `n`'s commit (`statsNew` sum) —
+    * the admission-control cost of replaying that commit in a stream.
+    * Manifest-cached: repeated trigger planning never re-reads the log.
+    * 0 for schema-only commits and legacy manifests without stats (they
+    * admit freely — no information means no grounds to throttle).
+    */
+  private[graft] def commitBytes(spark: SparkSession, path: String,
+      n: Int): Long =
+    readManifest(spark, path, n)
+      .map(_.statsNew.valuesIterator.map(_.bytes).sum).getOrElse(0L)
+
   /** Resolve an optional time-travel request to its manifest — shared by
     * the DataSource V2 connector ([[graft.sources.HubDataSource]]).
     */

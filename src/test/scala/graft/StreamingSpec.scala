@@ -261,6 +261,59 @@ class StreamingSpec extends SparkTestBase {
     assert(ends.drop(1).forall(_ < 9), s"capped batches re-delivered too much: $ends")
   }
 
+  test("maxBytesPerTrigger bounds admitted versions by manifest bytes; caps are mutually exclusive") {
+    import graft.writers.VersionedHub
+    import org.apache.spark.sql.DataFrame
+    val lake = tmpDir("hub_byterate")
+    val hub = s"$lake/hub"
+    VersionedHub.writeBucketed(spark,
+      (1L to 9L).map(k => (k, s"v$k")).toDF("k", "v"), hub, Seq("k"), 4)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(cap: Long): Unit = {
+      val q = spark.readStream.format("graft-hub").option("path", hub)
+        .option("maxBytesPerTrigger", cap.toString).load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) => steps += b.count(); () }
+        .option("checkpointLocation", s"$lake/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(1L) // fresh stream: the catch-up snapshot is never split
+    assert(steps == Seq(9L), s"catch-up delivers the snapshot whole: $steps")
+    // three pending small commits + a compaction-sized one: a 1-byte cap
+    // degrades to one version per trigger (soft cap admits the first)...
+    for (k <- Seq(1L, 2L, 3L))
+      VersionedHub.writeBucketed(spark, Seq((k, s"B$k")).toDF("k", "v"),
+        hub, Seq("k"), 4)
+    steps.clear()
+    run(1L)
+    assert(steps.length == 3,
+      s"a tiny byte cap must step one version at a time: $steps")
+    // ...while a generous cap drains a multi-commit backlog in one batch
+    for (k <- Seq(4L, 5L))
+      VersionedHub.writeBucketed(spark, Seq((k, s"C$k")).toDF("k", "v"),
+        hub, Seq("k"), 4)
+    steps.clear()
+    run(1L << 40)
+    assert(steps.length == 1,
+      s"a generous byte cap must drain the backlog in one step: $steps")
+    // both admission clocks at once are refused loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-hub").option("path", hub)
+        .option("maxBytesPerTrigger", "1000")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (_: DataFrame, _: Long) => () }
+        .option("checkpointLocation", s"$lake/cp2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getMessage.contains("mutually exclusive") ||
+      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")),
+      s"got: ${e.getMessage}")
+  }
+
   test("graft-hub streaming source tails commits incrementally, exactly-once across restarts and replays") {
     import graft.writers.VersionedHub
     import org.apache.spark.sql.DataFrame
