@@ -1815,7 +1815,22 @@ object IngestQueries {
       .option("readChangeFeed", "true").option("keys", "n_nationkey")
       .option("startingTimestamp", ts2.toString)
       .option("endingTimestamp", ts3.toString).load()
-    require(feedTs.exceptAll(feed).isEmpty && feed.exceptAll(feedTs).isEmpty,
+    // identical-feed gate, ONE evaluation per feed: both projections
+    // collect once (the feed is a handful of change rows by construction)
+    // and compare as multisets driver-side — the earlier two-exceptAll
+    // form re-evaluated the version feed 3x and the ts feed 2x, which is
+    // pure CDF-lifecycle cost, not extra coverage. The collected version
+    // feed IS the query result (returned as a local frame, so the
+    // verify/bench sink does not re-run the lifecycle a 4th time).
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("n_nationkey"), col("n_name"), col("_change_type"),
+          col("_commit_version").cast("long").as("commit_version"))
+        .orderBy(col("commit_version"), col("n_nationkey"),
+          col("_change_type"))
+    val out = proj(feed)
+    val feedRows = out.collect()
+    val tsRows = proj(feedTs).collect()
+    require(feedRows.toSeq == tsRows.toSeq,
       "the [v2.ts, v3.ts] timestamp window must serve the same change feed " +
         "as startingVersion=2")
     def refused(f: => Unit): Boolean =
@@ -1831,10 +1846,8 @@ object IngestQueries {
         .option("readChangeFeed", "true").option("keys", "n_nationkey")
         .option("startingTimestamp", (ts3 + 1).toString).load()),
       "a post-history startingTimestamp must be refused, not served empty")
-    feed.select(col("n_nationkey"), col("n_name"), col("_change_type"),
-        col("_commit_version").cast("long").as("commit_version"))
-      .orderBy(col("commit_version"), col("n_nationkey"),
-        col("_change_type"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(feedRows.toIndexedSeq, 1), out.schema)
   }
 
   private val hubBatchCdfOracle: String =
