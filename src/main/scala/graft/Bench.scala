@@ -77,6 +77,16 @@ object Bench {
     // after an explicit GC + settle so it doesn't pay the previous query's
     // garbage.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Measured ONCE per run instead of `reps` times: documented
+    // scale-path VARIANTS whose default-fixture cost is by-design
+    // unfavorable, with the sibling that serves as the family's timing
+    // sentinel. q_ngram_jaccard_prefix is the Zipf-corpus path (prefix
+    // AllPairs) benched on a near-uniform corpus where it loses ~2x to
+    // the inverted index BY DESIGN (NOTES r5; DedupSpec proves its >=70%
+    // prune under Zipf) — it stays oracle-green and bench-visible, but
+    // does not buy two extra reps of the suite's most expensive row.
+    val singleRep: Map[String, String] = Map(
+      "q_ngram_jaccard_prefix" -> "q_ngram_jaccard_pairs")
     val names = selected.keys.toSeq.sorted
     calibrate() // warm the calibration plan itself
     val calibFirst = calibrate()
@@ -91,7 +101,7 @@ object Bench {
     val calibReps = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (r <- 1 to reps) {
       calibReps += calibrate()
-      for (name <- names) {
+      for (name <- names if r == 1 || !singleRep.contains(name)) {
         System.gc()
         Thread.sleep(50)
         val t0 = System.nanoTime()
