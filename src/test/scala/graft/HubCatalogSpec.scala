@@ -1994,6 +1994,13 @@ class HubCatalogSpec extends SparkTestBase {
         .groupBy("ingest_date").count().orderBy("ingest_date")
         .as[(java.sql.Date, Long)].collect().toSeq
       assert(afterOpt.map(_._2).sum == 60 && afterOpt.length == 4)
+      // CLONE rekeys data dirs to absolute refs; the path-column regex
+      // matches `[/;]col=...;` on absolute paths too, so a clone of an
+      // adopted table keeps materializing partition values
+      graft.writers.VersionedHub.cloneTable(spark, s"$base/t", s"$base/tc")
+      assert(spark.read.format("graft-hub").option("path", s"$base/tc")
+        .load().filter($"ingest_date" === "2024-01-03").count() ==
+        src.filter($"ingest_date" === "2024-01-03").count() - 1)
       // multi-level layouts adopt too
       (1L to 12L).map(k => (k, (k % 2).toInt, s"r${k % 3}"))
         .toDF("k", "half", "region")

@@ -261,6 +261,39 @@ class StreamingSpec extends SparkTestBase {
     assert(ends.drop(1).forall(_ < 9), s"capped batches re-delivered too much: $ends")
   }
 
+  test("streaming tails a CONVERT-PARTITIONED hub with path columns materialized") {
+    import graft.writers.VersionedHub
+    import org.apache.spark.sql.DataFrame
+    val lake = tmpDir("hub_padopt_stream")
+    val hub = s"$lake/hub"
+    (1L to 8L).map(k => (k, java.sql.Date.valueOf(f"2024-05-0${k % 2 + 1}%d")))
+      .toDF("k", "ingest_date")
+      .write.partitionBy("ingest_date").parquet(hub)
+    assert(VersionedHub.convertPartitioned(spark, hub) == 1)
+    VersionedHub.write(spark,
+      Seq((9L, java.sql.Date.valueOf("2024-05-09"))).toDF("k", "ingest_date"),
+      hub, Seq("k"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft-hub").option("path", hub).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen ++= b.collect().map(r =>
+          (r.getAs[Long]("k"), String.valueOf(r.getAs[java.sql.Date]("ingest_date"))))
+        ()
+      }
+      .option("checkpointLocation", s"$lake/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // catch-up snapshot + the upsert step: every adopted row carries its
+    // name-encoded partition value, the new row its physical one
+    assert(seen.size == 9, s"got $seen")
+    assert(seen.toMap.apply(1L) == "2024-05-02" &&
+      seen.toMap.apply(2L) == "2024-05-01" &&
+      seen.toMap.apply(9L) == "2024-05-09", s"got $seen")
+    assert(seen.forall(_._2 != "null"), s"path column lost in stream: $seen")
+  }
+
   test("maxBytesPerTrigger bounds admitted versions by manifest bytes; caps are mutually exclusive") {
     import graft.writers.VersionedHub
     import org.apache.spark.sql.DataFrame
