@@ -1687,6 +1687,63 @@ object IngestQueries {
       s"FROM $cat.default.raw_np ORDER BY n_nationkey")
   }
 
+  /** Dedup-IN-PLACE: the pipeline's dedup operators composed with the
+    * hub's row-level machinery. Fingerprint duplicates over a documents
+    * hub (key = the 200-char text prefix — the corpus plants near-dups
+    * as shared-prefix variants, full texts are all distinct; survivor =
+    * min doc_id per fingerprint) are removed with ONE surgical DV
+    * DELETE — zero data files rewritten at any table size (in-query
+    * gate), the pre-dedup corpus stays time-travelable for audit, and
+    * `t$files` accounts for every hidden row. This is THE 100 TB dedup
+    * shape: mark rows via deletion vectors, let OPTIMIZE/purge
+    * materialize on its own schedule, never rewrite the corpus to dedup
+    * it. Oracle = the survivor set in plain SQL.
+    */
+  val qHubDedupInplace: Q = (spark, dir) => {
+    val tmp = Files.createTempDirectory("graft_ddip").toFile.getAbsolutePath
+    val cat = tempCatalog(spark, tmp)
+    cloneSeed(spark, dir, "docs_dd", s"$tmp/docs_dd")(p =>
+      graft.writers.VersionedHub.writeBucketed(spark,
+        Tables(spark, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang"), col("n_chars").cast("long").as("n_chars")),
+        p, Seq("doc_id"), 8))
+    val table = s"$cat.default.docs_dd"
+    val total = spark.table(table).count()
+    // duplicate ids, found ON the hub through the connector: everyone but
+    // the min-doc_id exemplar of each text group (DV cap is 50k — a
+    // 10×-scale run's dup count still takes the manifest-only path)
+    val dupIds = spark.sql(s"SELECT doc_id FROM $table WHERE doc_id NOT IN " +
+        s"(SELECT min(doc_id) FROM $table GROUP BY substring(text, 1, 200))")
+      .collect().map(_.getLong(0)).sorted
+    require(dupIds.nonEmpty, "the documents corpus plants prefix duplicates")
+    def dataFiles(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp, "docs_dd"))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val before = dataFiles()
+    spark.sql(s"DELETE FROM $table WHERE doc_id IN (${dupIds.mkString(", ")})")
+    require(dataFiles() == before,
+      "in-place dedup must be a deletion-vector (manifest-only) commit")
+    val tip = graft.writers.VersionedHub.history(spark, s"$tmp/docs_dd").last
+    require(tip.dvs.nonEmpty, "the dedup commit must carry deletion vectors")
+    require(spark.sql(s"SELECT count(*) FROM $table VERSION AS OF 1")
+      .head().getLong(0) == total,
+      "the pre-dedup corpus must stay time-travelable")
+    require(spark.table(table).count() == total - dupIds.length,
+      "live count must drop by exactly the duplicate count")
+    spark.sql(s"SELECT doc_id, lang, n_chars FROM $table ORDER BY doc_id")
+  }
+
+  private val hubDedupInplaceOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents
+      |WHERE doc_id IN (SELECT min(doc_id) FROM documents
+      |                 GROUP BY substr(text, 1, 200))
+      |ORDER BY doc_id""".stripMargin
+
   private val hubConvertPartitionedOracle: String =
     """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
       |  CASE WHEN n_nationkey < 5 THEN upper(n_name) ELSE n_name END
@@ -2142,6 +2199,7 @@ object IngestQueries {
     "q_hub_clone_sql" -> qHubCloneSql,
     "q_hub_convert" -> qHubConvert,
     "q_hub_convert_partitioned" -> qHubConvertPartitioned,
+    "q_hub_dedup_inplace" -> qHubDedupInplace,
     "q_hub_ctas_sql" -> qHubCtasSql,
     "q_hub_rename_sql" -> qHubRenameSql,
     "q_hub_call_maintenance" -> qHubCallMaintenance,
@@ -2187,6 +2245,7 @@ object IngestQueries {
     "q_hub_clone_sql" -> hubCloneSqlOracle,
     "q_hub_convert" -> hubConvertOracle,
     "q_hub_convert_partitioned" -> hubConvertPartitionedOracle,
+    "q_hub_dedup_inplace" -> hubDedupInplaceOracle,
     "q_hub_call_maintenance" -> hubCallMaintenanceOracle,
     "q_hub_ctas_sql" -> hubCtasSqlOracle,
     "q_hub_rename_sql" -> hubRenameSqlOracle,
