@@ -120,6 +120,21 @@ object GraftSqlParser {
     */
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Unwrap ONE already-regex-matched identifier part: backtick-quoted
+    * parts unescape doubled backticks exactly like Spark's lexer; bare
+    * parts pass through verbatim. NOT routed through
+    * `parseMultipartIdentifier` — the `Part` charset (`[\w$]`) accepts
+    * `$` in bare identifiers, which Spark's PARSER refuses, so the parser
+    * route would reject statements these regexes matched (and handled
+    * fine before the round-15 quoting hardening).
+    */
+  private def unquotePart(p: String): String =
+    if (p.length >= 2 && p.head == '`' && p.last == '`')
+      p.substring(1, p.length - 1).replace("``", "`")
+    else p
+
+  private val PartRe = Part.r
+
   private[graft] def rewrite(session: SparkSession,
       delegate: ParserInterface, sql: String)
       : Option[String] = {
@@ -134,14 +149,11 @@ object GraftSqlParser {
               "— z-order rewrites whole buckets, a predicate scope would " +
               "be ignored; run them as two statements")
           if (za != null) {
-            // unwrap via the delegate's identifier parser so doubled
-            // backticks unescape exactly as Spark's lexer would —
+            // unwrap doubled backticks exactly as Spark's lexer would —
             // stripPrefix/stripSuffix would pass `a``b` through literally
-            def unq(p: String): String =
-              delegate.parseMultipartIdentifier(p).head
             Some(s"CALL ${qid(cat)}.system.zorder(`table` => ${q(t)}, " +
-              s"col_a => ${q(unq(za))}, " +
-              s"col_b => ${q(unq(zb))})")
+              s"col_a => ${q(unquotePart(za))}, " +
+              s"col_b => ${q(unquotePart(zb))})")
           }
           else if (where != null)
             Some(s"CALL ${qid(cat)}.system.optimize(`table` => ${q(t)}, " +
@@ -173,10 +185,16 @@ object GraftSqlParser {
       case "CONVERT" => sql match {
         case ConvertPartRe(ident, cols) =>
           val (cat, t) = catTable(session, delegate, ident)
-          // unwrap each declared column through the delegate's identifier
-          // parser so backtick unescaping matches Spark's lexer
-          val names = cols.split(",").map(c =>
-            delegate.parseMultipartIdentifier(c.trim).head)
+          // tokenize with the SAME Part pattern the statement regex
+          // matched (a naive split(",") would cut inside a backticked
+          // name containing a comma), then unwrap doubled backticks
+          val names = PartRe.findAllIn(cols).toSeq.map(unquotePart)
+          // the procedure channel is a comma-joined string — a name
+          // carrying a comma cannot survive it; refuse loudly instead of
+          // silently mis-splitting downstream
+          require(names.forall(!_.contains(",")),
+            "partition column names containing ',' are not supported by " +
+              "CONVERT TO HUB ... PARTITIONED BY")
           Some(s"CALL ${qid(cat)}.system.convert_partitioned(" +
             s"`table` => ${q(t)}, cols => ${q(names.mkString(","))})")
         case ConvertRe(ident) =>

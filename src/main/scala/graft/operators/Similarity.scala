@@ -312,8 +312,17 @@ object Similarity {
     * training pass serve both the index build and the probe gate.
     */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, nprobe: Int, k: Int): DataFrame =
+    ivfProbe(queries, assignToCentroids(corpus, centroids), centroids,
+      nprobe, k)
+
+  /** Probe an ALREADY-ASSIGNED index (`assigned` = (id, vec, cell), e.g.
+    * a persisted [[assignToCentroids]] result or an index hub): callers
+    * that already hold the assignment avoid recomputing the corpus ×
+    * centroids argmin — the most expensive stage of an IVF build.
+    */
+  def ivfProbe(queries: DataFrame, assigned: DataFrame,
       centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val assigned = assignToCentroids(corpus, centroids)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
     val qdist = (VectorFunctions.dot(col("qvec"), col("qvec")) +
       VectorFunctions.dot(col("centroid"), col("centroid"))) -

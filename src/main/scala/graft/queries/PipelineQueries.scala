@@ -969,7 +969,7 @@ object PipelineQueries {
     val queries = c.filter(col("id") < NQueryVectors)
     val exact = Similarity.bruteForceTopK(queries, c, TopK)
       .select(col("query_id"), col("neighbor_id"))
-    val probed = Similarity.ivfTopKWith(queries, c, cents, IvfProbe, TopK)
+    val probed = Similarity.ivfProbe(queries, assigned, cents, IvfProbe, TopK)
       .select(col("query_id"), col("neighbor_id"))
     val counts = exact.agg(count(lit(1)).as("n_exact")).crossJoin(
       exact.join(probed, Seq("query_id", "neighbor_id"), "left_semi")

@@ -81,14 +81,19 @@ object Readers {
     val url = required(opts, "url", "jdbc")
     val dbtable = required(opts, "dbtable", "jdbc")
     var r = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
-    for (k <- Seq("driver", "user", "password"); v <- opts.get(k) if v.nonEmpty)
-      r = r.option(k, v)
     // DataFrameReader/JDBCOptions treat option keys case-insensitively, so
-    // the consumed set must too — otherwise "User" -> "" bypasses the
-    // truthy guard above and "Url" overrides the required url
+    // BOTH the credential lookup and the consumed-set filter must too —
+    // a lookup that only matched exact-lowercase would silently DROP a
+    // "Driver"/"User"/"Password" spelling (the filter below consumes it),
+    // and an exact-case filter would let "User" -> "" bypass the truthy
+    // guard or "Url" override the required url
+    def lc(k: String): String = k.toLowerCase(java.util.Locale.ROOT)
+    for (k <- Seq("driver", "user", "password");
+         v <- opts.collectFirst { case (ok, ov) if lc(ok) == k => ov }
+         if v.nonEmpty)
+      r = r.option(k, v)
     val consumed = Set("url", "dbtable", "driver", "user", "password")
-    r = r.options(opts.view.filterKeys(k =>
-      !consumed.contains(k.toLowerCase(java.util.Locale.ROOT))).toMap)
+    r = r.options(opts.view.filterKeys(k => !consumed.contains(lc(k))).toMap)
     r.load()
   }
 

@@ -70,7 +70,13 @@ object VersionedHub {
       // version. NO default on purpose: every commit site must decide
       // explicitly what it carries — a forgotten pass-through would
       // silently drop the table's constraints.
-      checks: Map[String, String]) {
+      checks: Map[String, String],
+      // true iff this manifest predates the incremental `statsDelta`
+      // encoding and `statsNew` is actually the FULL snapshot map parsed
+      // wholesale — consumers that treat statsNew as "this commit's
+      // delta" (streaming byte admission) must not bill the whole table
+      // to one version
+      legacyStats: Boolean = false) {
     /** The version's full-snapshot schema, when the manifest records one.
       * On a bucketed hub this is the UNION across all bucket dirs — a
       * column that lives only in buckets untouched since a schema
@@ -1365,22 +1371,46 @@ object VersionedHub {
     // intact (mergeSchema parses each file's footer)
     val schema = spark.read.option("mergeSchema", "true")
       .parquet(path).schema
+    adoptAsV1(spark, fs, path, files.map(f => (f, f.getName)), schema,
+      identity, "convert")
+  }
+
+  /** Shared adoption tail of [[convert]]/[[convertPartitioned]]: rename
+    * `planned` (source file → adopted basename) into a fresh v1 data
+    * root, collect footer stats (caller may `augment` them, e.g. with
+    * name-encoded partition values), and land the table-creating commit.
+    *
+    * Renames are metadata-only but SEQUENTIAL RPCs would bound a
+    * 100k-file adoption at minutes against a DFS namenode — they issue
+    * from a bounded driver-side pool (the namenode serializes internally;
+    * the pool just hides round-trips). Any failure restores the original
+    * layout: `Await.result` throws on the FIRST failed future while
+    * siblings may still be renaming, and rollback must not run
+    * concurrently with them (it would snapshot `moved` mid-flight and
+    * then sweep dst under a straggler's landing file), so the finally
+    * block BLOCKS on pool termination before the exception reaches the
+    * rollback path. Rollback itself is best-effort but CHECKED: every
+    * rename-back return is tested and dst is deleted non-recursively
+    * only once fully emptied — if even one file could not be restored,
+    * dst (and the file in it) survives for manual recovery rather than
+    * being gutted by a recursive delete.
+    */
+  private def adoptAsV1(spark: SparkSession, fs: FileSystem, path: String,
+      planned: Seq[(Path, String)],
+      schema: org.apache.spark.sql.types.StructType,
+      augment: Map[String, FileStats.FileStat] =>
+        Map[String, FileStats.FileStat],
+      label: String): Int = {
+    val root = new Path(path)
     val dataDir = s"data/1-${UUID.randomUUID().toString.take(8)}"
     val dst = new Path(resolve(path, dataDir))
     fs.mkdirs(dst)
-    val moved = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
-    // any failure past the first rename restores the original flat layout
-    // — a failed/raced CONVERT must leave the dir retryable, not gutted.
-    // Best-effort: a secondary failure during restore must not mask the
-    // original exception. Every rename-back return is CHECKED, and dst is
-    // deleted non-recursively only once fully emptied — if even one file
-    // could not be restored, dst (and the file in it) survives for manual
-    // recovery rather than being gutted by a recursive delete.
+    val moved = new java.util.concurrent.ConcurrentLinkedQueue[(Path, String)]()
     def rollback(): Unit =
       try {
         var allBack = true
-        moved.forEach { f =>
-          if (!fs.rename(new Path(dst, f.getName), f)) allBack = false
+        moved.forEach { case (src, name) =>
+          if (!fs.rename(new Path(dst, name), src)) allBack = false
         }
         if (allBack) {
           fs.delete(dst, false) // non-recursive: refuses unless emptied
@@ -1388,40 +1418,31 @@ object VersionedHub {
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     try {
-      // renames are metadata-only but SEQUENTIAL RPCs would bound a
-      // 100k-file adoption at minutes against a DFS namenode — issue them
-      // from a bounded driver-side pool (the namenode serializes
-      // internally; the pool just hides the round-trips)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, files.size))
+        math.min(16, planned.size))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
-      // Await.result throws on the FIRST failed future while siblings may
-      // still be renaming; rollback must not run concurrently with them
-      // (it would snapshot `moved` mid-flight and then delete dst under a
-      // straggler's landing file), so the finally block BLOCKS until every
-      // in-flight rename has finished before the exception reaches the
-      // rollback path below.
       try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(files.map(f =>
+        scala.concurrent.Future.sequence(planned.map { case (src, name) =>
           scala.concurrent.Future {
-            require(fs.rename(f, new Path(dst, f.getName)),
-              s"rename $f failed")
-            moved.add(f)
-          })),
+            require(fs.rename(src, new Path(dst, name)),
+              s"rename $src failed")
+            moved.add((src, name))
+          }
+        }),
         scala.concurrent.duration.Duration.Inf)
       finally {
         pool.shutdown()
         pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
       }
-      val fstats = FileStats.collect(spark, fs, root, dst)
+      val fstats = augment(FileStats.collect(spark, fs, root, dst))
       if (!commit(fs, path, Version(1, dataDir,
           System.currentTimeMillis(), fstats.values.map(_.rows).sum,
           schemaJson = Some(Version.nullable(schema).json),
           statsNew = fstats, checks = Map.empty))) {
         rollback()
         throw new IllegalStateException(
-          s"convert lost a commit race at $path — was a writer still active?")
+          s"$label lost a commit race at $path — was a writer still active?")
       }
     } catch {
       case e: IllegalStateException => throw e // already rolled back
@@ -1487,6 +1508,13 @@ object VersionedHub {
       require(v != "__HIVE_DEFAULT_PARTITION__",
         s"$path has a null partition value under $name — a name-encoded " +
           "column cannot represent null; re-land through the write path")
+      // an empty value is indistinguishable from "no token" to the
+      // reader's regexp (nullif(extract, '')) — adopting it would read
+      // every row of the partition as NULL, silent row loss under
+      // `col = ''` predicates
+      require(v.nonEmpty,
+        s"$path has an empty partition value under $name — the file-name " +
+          "encoding cannot represent it; re-land through the write path")
       for (bad <- Seq(';', '%'))
         require(!c.contains(bad) && !v.contains(bad),
           s"partition segment $name contains '$bad' — unsupported by the " +
@@ -1534,21 +1562,24 @@ object VersionedHub {
       else f))
     // partition value → the manifest stats value space (FileStats header:
     // dates as epoch days, integrals widened to Long); None = no stat
-    // for that column (never prunes, still injects)
+    // for that column (never prunes, still injects). Conversions are
+    // Try-wrapped: Spark's partition INFERENCE is laxer than these
+    // parsers (e.g. it accepts non-padded dates `dt=2024-3-1` that strict
+    // LocalDate.parse refuses), and an unconvertible value must degrade
+    // to "no skipping stat" — the read-side cast still materializes it —
+    // never abort a conversion whose files have already moved
     import org.apache.spark.sql.types._
-    def statValue(dt: DataType, raw: String): Option[Any] = dt match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        Some(raw.toLong)
-      case FloatType | DoubleType => Some(raw.toDouble)
-      case DateType => Some(java.time.LocalDate.parse(raw).toEpochDay)
-      case StringType => Some(raw)
-      case BooleanType => Some(raw.toBoolean)
-      case _ => None
-    }
-    val dataDir = s"data/1-${UUID.randomUUID().toString.take(8)}"
-    val dst = new Path(resolve(path, dataDir))
-    fs.mkdirs(dst)
-    // (source file, adopted name, partition spec)
+    def statValue(dt: DataType, raw: String): Option[Any] =
+      scala.util.Try[Any](dt match {
+        case ByteType | ShortType | IntegerType | LongType => raw.toLong
+        case FloatType | DoubleType => raw.toDouble
+        case DateType =>
+          java.sql.Date.valueOf(raw).toLocalDate.toEpochDay
+        case StringType => raw
+        case BooleanType => raw.toBoolean
+        case _ => throw new IllegalArgumentException(dt.toString)
+      }).toOption
+    // (source file, adopted name folding the partition values)
     val planned = leaves.map { case (f, spec) =>
       val name = spec.map { case (c, v) => s"$c=$v;" }.mkString +
         f.getPath.getName
@@ -1556,67 +1587,28 @@ object VersionedHub {
     }
     require(planned.map(_._2).distinct.size == planned.size,
       s"$path partition layout folds two files onto one adopted name")
-    val moved = new java.util.concurrent.ConcurrentLinkedQueue[(Path, String)]()
-    def rollback(): Unit =
-      try {
-        var allBack = true
-        moved.forEach { case (src, name) =>
-          if (!fs.rename(new Path(dst, name), src)) allBack = false
-        }
-        if (allBack) {
-          fs.delete(dst, false)
-          fs.delete(new Path(resolve(path, "data")), false)
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
-    try {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, planned.size))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(planned.map { case (src, name, _) =>
-          scala.concurrent.Future {
-            require(fs.rename(src, new Path(dst, name)),
-              s"rename $src failed")
-            moved.add((src, name))
-          }
-        }),
-        scala.concurrent.duration.Duration.Inf)
-      finally {
-        pool.shutdown()
-        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
-      }
-      val typeOf = partCols.map(c => c -> full(c).dataType).toMap
-      val partStats = planned.map { case (_, name, spec) =>
-        name -> spec.flatMap { case (c, v) =>
-          statValue(typeOf(c), v).map(sv =>
-            c -> FileStats.ColStat(Some(sv), Some(sv), Some(0L)))
-        }.toMap
+    val typeOf = partCols.map(c => c -> full(c).dataType).toMap
+    val partStats = planned.map { case (_, name, spec) =>
+      name -> spec.flatMap { case (c, v) =>
+        statValue(typeOf(c), v).map(sv =>
+          c -> FileStats.ColStat(Some(sv), Some(sv), Some(0L)))
       }.toMap
-      val fstats = FileStats.collect(spark, fs, root, dst).map {
-        case (rel, st) =>
-          val name = rel.substring(rel.lastIndexOf('/') + 1)
-          rel -> st.copy(cols = st.cols ++ partStats.getOrElse(name, Map.empty))
-      }
-      if (!commit(fs, path, Version(1, dataDir,
-          System.currentTimeMillis(), fstats.values.map(_.rows).sum,
-          schemaJson = Some(Version.nullable(schema).json),
-          statsNew = fstats, checks = Map.empty))) {
-        rollback()
-        throw new IllegalStateException(
-          s"convertPartitioned lost a commit race at $path — was a writer " +
-            "still active?")
-      }
-    } catch {
-      case e: IllegalStateException => throw e // already rolled back
-      case scala.util.control.NonFatal(e) => rollback(); throw e
-    }
+    }.toMap
+    val committed = adoptAsV1(spark, fs, path,
+      planned.map { case (src, name, _) => (src, name) }, schema,
+      // fold each file's name-encoded partition values into its footer
+      // stats as min=max (⇒ manifest skipping on partition predicates)
+      fstats => fstats.map { case (rel, st) =>
+        val name = rel.substring(rel.lastIndexOf('/') + 1)
+        rel -> st.copy(cols = st.cols ++ partStats.getOrElse(name, Map.empty))
+      },
+      "convertPartitioned")
     // the empty partition-dir husks are metadata left behind by design
     // (renames moved only leaf files); sweep them so the adopted root
     // holds exactly the log + data layout every other hub has
     for (d <- top) try fs.delete(d.getPath, true)
     catch { case scala.util.control.NonFatal(_) => () }
-    1
+    committed
   }
 
   def cloneTable(spark: SparkSession, sourcePath: String,
@@ -2534,6 +2526,10 @@ object VersionedHub {
   private[graft] def commitBytes(spark: SparkSession, path: String,
       n: Int): Long =
     readManifest(spark, path, n)
+      // a legacy full-snapshot manifest's statsNew is the WHOLE table,
+      // not this commit's delta — billing it would collapse a byte-capped
+      // stream to one version per trigger on legacy logs
+      .filterNot(_.legacyStats)
       .map(_.statsNew.valuesIterator.map(_.bytes).sum).getOrElse(0L)
 
   /** Resolve an optional time-travel request to its manifest — shared by
@@ -2762,10 +2758,15 @@ object VersionedHub {
       spark.createDataset(rows)
         .repartition(math.max(1, rows.size / 500000))
         .write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, target)) {
-        fs.delete(target, true)
-        if (!fs.rename(tmp, target)) fs.delete(tmp, true)
-      }
+      // delete any stale target BEFORE renaming: HDFS rename(dir,
+      // existingDir) "succeeds" by NESTING src inside dst, so a torn
+      // checkpoint left by a crashed writer would never be repaired (the
+      // local-FS failure-then-retry shape hides this). Content is
+      // deterministic for a committed version and the checkpoint is
+      // best-effort — a reader probing mid-replace falls back to the
+      // JSON sibling or the delta fold, never errors.
+      if (fs.exists(target)) fs.delete(target, true)
+      if (!fs.rename(tmp, target)) fs.delete(tmp, true)
       return
     }
     val target = checkpointPath(path, v.version)
@@ -3180,7 +3181,8 @@ object VersionedHub {
         case Some(cm: java.util.Map[_, _]) =>
           cm.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
         case _ => Map.empty[String, String]
-      })
+      },
+      legacyStats = m.get("statsDelta").isEmpty)
     manifestCache.put(cacheKey, parsed)
     Some(parsed)
   }

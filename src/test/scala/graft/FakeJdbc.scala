@@ -36,6 +36,11 @@ object FakeJdbc {
   /** Record of every SQL Spark actually executed (assertable in specs). */
   val executed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** Last connection Properties Spark handed to connect() — lets specs
+    * assert which credentials actually reached the driver.
+    */
+  @volatile var lastConnectProps: java.util.Properties = new java.util.Properties()
+
   private def defaultFor(t: Class[_]): AnyRef = t match {
     case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
     case java.lang.Integer.TYPE => Integer.valueOf(0)
@@ -148,7 +153,10 @@ object FakeJdbc {
   */
 class FakeJdbcDriver extends java.sql.Driver {
   override def connect(url: String, info: java.util.Properties): java.sql.Connection =
-    if (acceptsURL(url)) FakeJdbc.connection() else null
+    if (acceptsURL(url)) {
+      FakeJdbc.lastConnectProps = info
+      FakeJdbc.connection()
+    } else null
   override def acceptsURL(url: String): Boolean = url.startsWith("jdbc:graftfake:")
   override def getPropertyInfo(url: String, info: java.util.Properties) =
     Array.empty[java.sql.DriverPropertyInfo]

@@ -48,6 +48,16 @@ class GraftSqlParserSpec extends SparkTestBase {
       assert(rw("CONVERT TO HUB pcat.t PARTITIONED BY (`a``b`, c)")
         .contains("CALL pcat.system.convert_partitioned(`table` => 't', " +
           "cols => 'a`b,c')"))
+      // bare identifiers with '$' (legal in the Part charset) must not be
+      // routed through Spark's identifier parser, which rejects them
+      assert(rw("OPTIMIZE pcat.t ZORDER BY (a$b, c)").contains(
+        "CALL pcat.system.zorder(`table` => 't', " +
+          "col_a => 'a$b', col_b => 'c')"))
+      // a backticked name CONTAINING a comma cannot survive the
+      // comma-joined cols channel — refused loudly, never mis-split
+      val commaName = intercept[Exception](
+        rw("CONVERT TO HUB pcat.t PARTITIONED BY (`a,b`)"))
+      assert(commaName.getMessage.contains("','"), commaName.getMessage)
       assert(rw("DESCRIBE HISTORY pcat.default.t").contains(
         "SELECT * FROM pcat.default.`t$history` ORDER BY version DESC"))
       assert(rw("DESCRIBE DETAIL pcat.default.t").contains(

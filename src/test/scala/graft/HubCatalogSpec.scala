@@ -2035,6 +2035,24 @@ class HubCatalogSpec extends SparkTestBase {
       val e4 = intercept[Exception](spark.sql(
         "CONVERT TO HUB hubcp.default.np PARTITIONED BY (p)"))
       assert(e4.getMessage.contains("null partition value"), e4.getMessage)
+      // empty partition value: indistinguishable from "no token" to the
+      // reader — refused, source intact
+      Seq((1L, "", "x")).toDF("k", "p", "v").write.partitionBy("p")
+        .parquet(s"$base/ep")
+      val e5 = intercept[Exception](spark.sql(
+        "CONVERT TO HUB hubcp.default.ep PARTITIONED BY (p)"))
+      assert(e5.getMessage.contains("empty partition value") ||
+        e5.getMessage.contains("null partition value"), e5.getMessage)
+      // non-padded date values (external writers): Spark's inference
+      // accepts them, so adoption must too — the strict-ISO stat parser
+      // degrades to no-stat, the read-side cast still materializes values
+      (1L to 4L).map(k => (k, s"v$k")).toDF("k", "v")
+        .write.parquet(s"$base/nd/dt=2024-3-1")
+      assert(spark.sql("CONVERT TO HUB hubcp.default.nd " +
+        "PARTITIONED BY (dt)").as[Int].head() == 1)
+      assert(spark.table("hubcp.default.nd")
+        .filter($"dt" === lit(java.sql.Date.valueOf("2024-03-01")))
+        .count() == 4, "non-padded date partition values must read back")
     }
   }
 

@@ -82,6 +82,24 @@ class ReadersSpec extends SparkTestBase {
       s"pruned query must not fetch unused columns: $dataSql")
   }
 
+  test("jdbc reader forwards NON-empty credentials regardless of key case") {
+    // the inverse of the truthy guard: a mixed-case "Driver"/"User"/
+    // "PASSWORD" spelling with a REAL value must reach the driver — an
+    // exact-case lookup would consume the key in the filter but never
+    // forward it (silent credential drop)
+    FakeJdbc.lastConnectProps = new java.util.Properties()
+    val df = Readers.jdbc(spark, Map(
+      "url" -> FakeJdbc.Url,
+      "dbtable" -> "products",
+      "Driver" -> FakeJdbc.DriverClass,
+      "User" -> "alice", "PASSWORD" -> "s3cret"))
+    assert(df.count() == 3)
+    val p = FakeJdbc.lastConnectProps
+    assert(p.getProperty("user") == "alice" &&
+      p.getProperty("password") == "s3cret",
+      s"mixed-case credentials must be forwarded, got $p")
+  }
+
   test("jdbc reader against embedded Derby: creds guard + parallel slices") {
     // A REAL JDBC engine (Derby ships in /opt/spark/jars), exercising what
     // FakeJdbc cannot: genuine SQL parsing of the schema probe and the

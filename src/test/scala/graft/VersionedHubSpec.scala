@@ -490,6 +490,38 @@ class VersionedHubSpec extends SparkTestBase {
     val none = tmpDir("vhub_ck_none")
     fs.mkdirs(new HPath(s"$none/_log"))
     assert(VersionedHub.loadCarried(spark, none, 10).stats.isEmpty)
+    // a REPAIR over a torn parquet checkpoint must REPLACE it, not nest
+    // the fresh dir inside it (HDFS rename(dir, existingDir) semantics):
+    // re-writing the mixed fixture's checkpoint makes the parquet form
+    // parse again, superseding the JSON fallback
+    VersionedHub.writeCheckpoint(fs, mixed, VersionedHub.Version(
+      10, "data", 0L, 0L, statsNew = bStats, checks = Map.empty))
+    val repaired = VersionedHub.loadCarried(spark, mixed, 10)
+    assert(repaired.stats == bStats,
+      "re-writing a checkpoint over a torn one must replace it cleanly")
+  }
+
+  test("commitBytes bills statsNew deltas, never a legacy full-snapshot manifest") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val path = tmpDir("vhub_legacy_bytes")
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // handcraft a LEGACY manifest (pre-statsDelta encoding: full
+    // `fileStats` map, no `statsDelta` field)
+    fs.mkdirs(new HPath(s"$path/_log"))
+    val legacy =
+      """{"version": 1, "dataDir": "data/1-aa", "ts": 1, "rows": 4,
+        | "fileStats": {"data/1-aa/f.parquet":
+        |   {"rows": 4, "bytes": 123456, "cols": {}}}}""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_log/00000001.json"),
+      legacy.getBytes("UTF-8"))
+    val v = VersionedHub.history(spark, path).last
+    assert(v.legacyStats && v.fileStats.nonEmpty,
+      "the legacy manifest must parse with its full stats map")
+    assert(VersionedHub.commitBytes(spark, path, 1) == 0L,
+      "a legacy full-map manifest must admit freely (bytes = 0), not " +
+        "bill the whole table to one version")
   }
 
   private def parquetFiles(path: String): Long = {
