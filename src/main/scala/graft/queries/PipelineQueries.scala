@@ -987,6 +987,81 @@ object PipelineQueries {
       spark.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
   }
 
+  /** Trained-IVF index AS a versioned hub — the steady-state ANN
+    * lifecycle at 100 TB: train centroids ONCE on the standing corpus,
+    * persist the (tiny) centroid table and the (id → cell) assignment as
+    * ACID hub tables, then maintain the index INCREMENTALLY — each new
+    * batch reads the persisted centroids back from the hub (k×dim,
+    * broadcast), assigns only its OWN vectors (O(batch) — the standing
+    * corpus is never re-read or re-assigned), and lands one keyed upsert
+    * commit. A replayed batch is absorbed by the upsert (idempotence
+    * gate). Output = the final index's per-cell census — hash-exact in
+    * DuckDB because the quantized training recurrence is
+    * bit-deterministic.
+    */
+  val qIvfIndexHub: Q = (spark, dir) => {
+    import graft.writers.VersionedHub
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_hub")
+      .toFile.getAbsolutePath
+    val c = corpus(spark, dir)
+    val standing = c.filter(col("id") % 4 =!= 0)
+    val batch = c.filter(col("id") % 4 === 0)
+    val cents = Similarity.kmeansQuantized(standing, IvfCells,
+      IvfTrainIters, IvfScale)
+    VersionedHub.write(spark, cents, s"$tmp/centroids", Seq("cell"))
+    VersionedHub.writeBucketed(spark,
+      Similarity.assignToCentroids(standing, cents)
+        .select(col("id"), col("cell")),
+      s"$tmp/index", Seq("id"), 4)
+    // incremental maintenance reads the centroids FROM the hub — the
+    // training pass is never repeated
+    val hubCents = VersionedHub.read(spark, s"$tmp/centroids")
+      .select(col("cell"), col("centroid"))
+    val batchAssigned = Similarity.assignToCentroids(batch, hubCents)
+      .select(col("id"), col("cell"))
+    VersionedHub.writeBucketed(spark, batchAssigned, s"$tmp/index",
+      Seq("id"), 4)
+    // a replayed batch must be absorbed, not duplicated
+    VersionedHub.writeBucketed(spark, batchAssigned, s"$tmp/index",
+      Seq("id"), 4)
+    val hist = VersionedHub.history(spark, s"$tmp/index").sortBy(_.version)
+    val total = c.count()
+    require(hist.size == 3 && hist(0).rows == standing.count() &&
+      hist(1).rows == total && hist(2).rows == total,
+      s"index hub lifecycle drifted: ${hist.map(h => (h.version, h.rows))}")
+    VersionedHub.read(spark, s"$tmp/index")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell"))
+  }
+
+  private val ivfIndexHubOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |st AS (SELECT * FROM e WHERE id % 4 <> 0),
+       |c0 AS (SELECT id AS cell, vec AS cvec FROM st ORDER BY id LIMIT $IvfCells),
+       |a1 AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT st.id, st.vec, c.cell, row_number() OVER (PARTITION BY st.id
+       |      ORDER BY (${dotSql("st.vec", "st.vec")} + ${dotSql("c.cvec", "c.cvec")}
+       |        - 2 * ${dotSql("st.vec", "c.cvec")}), c.cell) AS rn
+       |    FROM st CROSS JOIN c0 c) WHERE rn = 1),
+       |m AS (
+       |  SELECT cell, i AS dim,
+       |    CAST(sum(CAST(round(CAST(vec[i] AS DOUBLE) * ${IvfScale}.0) AS BIGINT))
+       |      AS DOUBLE) / (count(*) * ${IvfScale}.0) AS m
+       |  FROM a1, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY cell, i),
+       |c1 AS (
+       |  SELECT c0.cell, COALESCE(mv.cvec, c0.cvec) AS cvec
+       |  FROM c0 LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cvec
+       |                     FROM m GROUP BY cell) mv USING (cell)),
+       |a2 AS (
+       |  SELECT id, cell FROM (
+       |    SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
+       |      ORDER BY (${dotSql("e.vec", "e.vec")} + ${dotSql("c.cvec", "c.cvec")}
+       |        - 2 * ${dotSql("e.vec", "c.cvec")}), c.cell) AS rn
+       |    FROM e CROSS JOIN c1 c) WHERE rn = 1)
+       |SELECT cell, count(*) AS n_vectors
+       |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
+
   private val annIvfTrainedOracle: String =
     s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
        |c0 AS (SELECT id AS cell, vec AS cvec FROM e ORDER BY id LIMIT $IvfCells),
@@ -1952,6 +2027,7 @@ object PipelineQueries {
     "q_hard_negatives" -> qHardNegatives,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
+    "q_ivf_index_hub" -> qIvfIndexHub,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_image_decode" -> qImageDecode,
@@ -2008,6 +2084,7 @@ object PipelineQueries {
     "q_hard_negatives" -> hardNegativesOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_trained" -> annIvfTrainedOracle,
+    "q_ivf_index_hub" -> ivfIndexHubOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_multimodal_features" -> multimodalOracle,
     "q_image_decode" -> imageDecodeOracle,
