@@ -540,6 +540,65 @@ object Similarity {
       .select(col("id"), col("block"), col("cid"))
   }
 
+  /** IVF-ADC top-k (Jégou et al., TPAMI 2011 §III — the billion-scale
+    * composition): a TRAINED coarse quantizer ([[kmeansQuantized]])
+    * prunes the corpus to the query's `nprobe` nearest cells, and PQ
+    * asymmetric distances rank ONLY the surviving candidates from their
+    * m-byte codes — neither the full corpus nor any raw candidate vector
+    * is touched at query time. At 100 TB: cells are write-time
+    * partitions (probe = partition-pruned scan), codes are ~1.5 TB of
+    * in-memory residue, and the per-query cost is
+    * O(nprobe/nCells × codes) table lookups. Deterministic end-to-end
+    * (quantized training + fixed-order ADC sums + id tie-breaks), so the
+    * whole pipeline is oracle-replayable.
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, nCells: Int,
+      iters: Int, nprobe: Int, dim: Int, m: Int, kCentroids: Int, k: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cents = kmeansQuantized(corpus, nCells, iters, scale)
+    val assigned = assignToCentroids(corpus, cents)
+      .select(col("id"), col("cell"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val qdist = (VectorFunctions.dot(col("qvec"), col("qvec")) +
+      VectorFunctions.dot(col("centroid"), col("centroid"))) -
+      lit(2.0) * VectorFunctions.dot(col("qvec"), col("centroid"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probed = q.join(broadcast(cents), lit(true))
+      .withColumn("cdist", qdist)
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val cand = probed.join(assigned, Seq("cell"))
+      .select(col("query_id"), col("id"))
+      .join(pqEncode(corpus, dim, m, kCentroids), Seq("id"))
+    val cb = pqCodebook(corpus, dim, m, kCentroids)
+    val lut = q.join(broadcast(cb), lit(true))
+      .select(col("query_id"), col("block"), col("cid"),
+        sqDist(slice(col("qvec"), col("block") * lit(dim / m) + lit(1),
+          lit(dim / m)), col("csub")).as("d"))
+    val joined = (0 until m).foldLeft(cand) { case (acc, j) =>
+      acc.join(
+        broadcast(lut.filter(col("block") === j)
+          .select(col("query_id").as(s"_q$j"), col("cid").as(s"_c$j"),
+            col("d").as(s"_d$j"))),
+        col("query_id") === col(s"_q$j") && col(s"code$j") === col(s"_c$j"))
+    }
+    val adcSum = (1 until m).foldLeft(col("_d0")) { case (acc, j) =>
+      acc + col(s"_d$j")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    joined
+      .withColumn("adc_dist", adcSum)
+      .withColumnRenamed("id", "neighbor_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes — the query side of the
     * PQ index: each query builds an m×k lookup table of exact sub-distances
     * to the codebook, and every corpus vector's approximate distance is the

@@ -283,6 +283,97 @@ object SketchQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  val AdcCells = 16
+  val AdcProbe = 4
+  val AdcIters = 1
+  val AdcScale = 1L << 20
+
+  /** IVF-ADC (Similarity.ivfAdcTopK — Jégou et al. §III): a trained
+    * coarse quantizer prunes each query to 4 of 16 cells, then PQ
+    * asymmetric distances rank only those cells' candidates from their
+    * codes. Every stage is deterministic (quantized training,
+    * fixed-order ADC sums, id tie-breaks), so the oracle replays the
+    * ENTIRE pipeline — train → assign → probe → encode → ADC → rank —
+    * exactly, not as a recall bound.
+    */
+  val qIvfAdcTopK: Q = (spark, dir) => {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    graft.operators.Similarity.ivfAdcTopK(emb.filter(col("id") < PqNQueries),
+      emb, AdcCells, AdcIters, AdcProbe, EmbeddingDim, PqBlocks, PqK,
+      PqTopK, AdcScale)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val ivfAdcTopKOracle: String = {
+    val d = EmbeddingDim / PqBlocks
+    def sub(l: String) = s"$l[j*$d+1 : j*$d+$d]"
+    val dist = s"(${dotSql(sub("e.embedding"), sub("e.embedding"))} + " +
+      s"${dotSql(sub("c.cvec"), sub("c.cvec"))}) - " +
+      s"2 * ${dotSql(sub("e.embedding"), sub("c.cvec"))}"
+    val lutDist = s"(${dotSql(sub("q.qvec"), sub("q.qvec"))} + " +
+      s"${dotSql(sub("c.cvec"), sub("c.cvec"))}) - " +
+      s"2 * ${dotSql(sub("q.qvec"), sub("c.cvec"))}"
+    def l2(a: String, b: String) =
+      s"(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)})"
+    val codeCols = (0 until PqBlocks)
+      .map(j => s"max(CASE WHEN j = $j THEN cid END) AS code$j").mkString(", ")
+    val lutJoins = (0 until PqBlocks).map(j =>
+      s"JOIN lut l$j ON l$j.query_id = cand.query_id AND l$j.j = $j " +
+        s"AND l$j.cid = codes.code$j").mkString("\n      ")
+    val adc = (0 until PqBlocks).map(j => s"l$j.d").mkString(" + ")
+    s"""WITH ev AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |ivf0 AS (SELECT id AS cell, vec AS ivfc FROM ev ORDER BY id LIMIT $AdcCells),
+       |ia1 AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT ev.id, ev.vec, c.cell, row_number() OVER (PARTITION BY ev.id
+       |      ORDER BY ${l2("ev.vec", "c.ivfc")}, c.cell) AS rn
+       |    FROM ev CROSS JOIN ivf0 c(cell, ivfc)) WHERE rn = 1),
+       |im AS (
+       |  SELECT cell, i AS dim,
+       |    CAST(sum(CAST(round(CAST(vec[i] AS DOUBLE) * ${AdcScale}.0) AS BIGINT))
+       |      AS DOUBLE) / (count(*) * ${AdcScale}.0) AS m
+       |  FROM ia1, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY cell, i),
+       |ivf1 AS (
+       |  SELECT ivf0.cell, COALESCE(mv.ivfc, ivf0.ivfc) AS ivfc
+       |  FROM ivf0 LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS ivfc
+       |                       FROM im GROUP BY cell) mv USING (cell)),
+       |asg AS (
+       |  SELECT id, cell FROM (
+       |    SELECT ev.id, c.cell, row_number() OVER (PARTITION BY ev.id
+       |      ORDER BY ${l2("ev.vec", "c.ivfc")}, c.cell) AS rn
+       |    FROM ev CROSS JOIN ivf1 c) WHERE rn = 1),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |       WHERE vec_id < $PqNQueries),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT qv.query_id, c.cell, row_number() OVER (PARTITION BY qv.query_id
+       |      ORDER BY ${l2("qv.qvec", "c.ivfc")}, c.cell) AS rn
+       |    FROM qv CROSS JOIN ivf1 c) WHERE rn <= $AdcProbe),
+       |cand AS (
+       |  SELECT probed.query_id, asg.id FROM probed JOIN asg USING (cell)),
+       |c AS (SELECT vec_id AS cid, embedding AS cvec
+       |      FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |dd AS (SELECT e.vec_id, u.j, c.cid, $dist AS dist
+       |       FROM embeddings e CROSS JOIN c,
+       |            UNNEST(range(0, $PqBlocks)) AS u(j)),
+       |a AS (SELECT vec_id, j, cid FROM dd
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id, j
+       |                                 ORDER BY dist, cid) = 1),
+       |codes AS (SELECT vec_id, $codeCols FROM a GROUP BY vec_id),
+       |lut AS (SELECT q.query_id, u.j, c.cid, $lutDist AS d
+       |        FROM qv q CROSS JOIN c, UNNEST(range(0, $PqBlocks)) AS u(j)),
+       |s AS (SELECT cand.query_id, codes.vec_id AS neighbor_id, $adc AS adc_dist
+       |      FROM cand JOIN codes ON codes.vec_id = cand.id
+       |      $lutJoins
+       |      WHERE codes.vec_id <> cand.query_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+  }
+
   private val pqTopKOracle: String = {
     val d = EmbeddingDim / PqBlocks
     def sub(l: String) = s"$l[j*$d+1 : j*$d+$d]"
@@ -360,7 +451,8 @@ object SketchQueries {
     "q_approx_quantile" -> qApproxQuantile,
     "q_kmeans_assign" -> qKmeansAssign,
     "q_pq_encode" -> qPqEncode,
-    "q_pq_topk" -> qPqTopK
+    "q_pq_topk" -> qPqTopK,
+    "q_ivf_adc_topk" -> qIvfAdcTopK
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,6 +464,7 @@ object SketchQueries {
     "q_approx_quantile" -> approxQuantileOracle,
     "q_kmeans_assign" -> kmeansAssignOracle,
     "q_pq_encode" -> pqEncodeOracle,
-    "q_pq_topk" -> pqTopKOracle
+    "q_pq_topk" -> pqTopKOracle,
+    "q_ivf_adc_topk" -> ivfAdcTopKOracle
   )
 }
