@@ -47,15 +47,101 @@ object QualityModel {
     * inlining the tokenizer into the lambda would re-split per element
     * access under interpreted HOF evaluation).
     */
-  def scoreOfTokens(toks: Column): (Column, Column) = {
+  def scoreOfTokens(toks: Column): (Column, Column) =
+    scoreOfTokensWith(toks, Weights)
+
+  /** [[scoreOfTokens]] against an arbitrary (e.g. [[train]]ed) integer
+    * weight vector of length [[HashBuckets]].
+    */
+  def scoreOfTokensWith(toks: Column,
+      weights: IndexedSeq[Long]): (Column, Column) = {
+    require(weights.length == HashBuckets,
+      s"weight vector must have $HashBuckets entries, got ${weights.length}")
+    def wOf(term: Column): Column =
+      element_at(typedLit(weights), (bucket(term) + 1L).cast("int"))
     val bigrams = zip_with(
       slice(toks, lit(1), size(toks) - 1),
       slice(toks, lit(2), size(toks) - 1),
       (a, b) => concat(a, lit(" "), b))
     val sumW = (terms: Column) => aggregate(
-      terms, lit(0L), (acc, t) => acc + weightOf(t))
+      terms, lit(0L), (acc, t) => acc + wOf(t))
     val n = size(toks).cast("long") +
       greatest(size(toks) - 1, lit(0)).cast("long")
     (n, sumW(toks) + sumW(bigrams))
+  }
+
+  /** A trained model: bucket weights + the decision bias —
+    * classify +1 iff `2 · (Σ_b x[b]·w[b]) · nPos · nNeg ≥ bias`.
+    * Kept with the class sizes so the (overflow-prone at extreme
+    * corpus sizes) comparison can run in exact decimal arithmetic.
+    */
+  final case class Trained(weights: IndexedSeq[Long], bias: BigInt,
+      nPos: Long, nNeg: Long)
+
+  /** Distributed NEAREST-CENTROID training of the hashed linear
+    * classifier (Rocchio's method over hashed unigram+bigram counts) —
+    * the learn half of the apply above, closing the same gap
+    * [[Bpe.learn]] closed for the tokenizer: an engine that scores with
+    * "a trained vector" must be able to train one on its own corpus.
+    *
+    * Closest-centroid classification `‖x−μ⁺‖² ≤ ‖x−μ⁻‖²` rearranges to
+    * `2·x·(μ⁺−μ⁻) ≥ ‖μ⁺‖²−‖μ⁻‖²`; multiplying through by `N⁺²N⁻²`
+    * clears every denominator, so the model is EXACT INTEGERS:
+    * `w[b] = c⁺[b]·N⁻ − c⁻[b]·N⁺` (per-class bucket count totals × the
+    * other class's doc count) and
+    * `bias = ‖c⁺‖²·N⁻² − ‖c⁻‖²·N⁺²` — order-free sums, bit-identical at
+    * any parallelism, replayable by an external engine (the
+    * [[graft.operators.Similarity.kmeansQuantized]] discipline; a batch
+    * perceptron was rejected here — its bulk updates oscillate without
+    * converging on dense shared-vocabulary corpora).
+    *
+    * Scale shape: ONE narrow explode + one partial-agg groupBy over
+    * (class, bucket) — a single pass at any corpus size; only
+    * 2×[[HashBuckets]] longs reach the driver. `labelCol` must be ±1;
+    * both classes must be non-empty.
+    */
+  def train(df: org.apache.spark.sql.DataFrame, toksCol: Column,
+      labelCol: Column): Trained = {
+    val base = df.select(labelCol.cast("long").as("_y"), toksCol.as("_t"))
+    val bigrams = zip_with(
+      slice(col("_t"), lit(1), size(col("_t")) - 1),
+      slice(col("_t"), lit(2), size(col("_t")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val counts = base
+      .select(col("_y"), explode(concat(col("_t"), bigrams)).as("_term"))
+      .select(col("_y"), bucket(col("_term")).as("_b"))
+      .groupBy(col("_y"), col("_b")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap // ≤ 2×HashBuckets entries
+    val docs = base.groupBy(col("_y")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (nPos, nNeg) = (docs.getOrElse(1L, 0L), docs.getOrElse(-1L, 0L))
+    require(nPos > 0L && nNeg > 0L,
+      s"both classes must be present: +1 → $nPos docs, -1 → $nNeg docs")
+    require(docs.keySet.subsetOf(Set(1L, -1L)),
+      s"labels must be ±1, got ${docs.keySet}")
+    def c(y: Long, b: Int): Long = counts.getOrElse((y, b.toLong), 0L)
+    val w = (0 until HashBuckets).map(b =>
+      c(1L, b) * nNeg - c(-1L, b) * nPos)
+    // driver-side exact arithmetic: ‖c‖²·N² exceeds Long at extreme
+    // corpus sizes, so the bias accumulates in BigInt
+    val bias = (0 until HashBuckets).map { b =>
+      val (p, n) = (BigInt(c(1L, b)), BigInt(c(-1L, b)))
+      p * p * nNeg * nNeg - n * n * nPos * nPos
+    }.sum
+    Trained(w, bias, nPos, nNeg)
+  }
+
+  /** Per-row +1/−1 prediction of a [[Trained]] model over an aliased
+    * token-array column — the bias comparison runs in DecimalType so the
+    * `2·score·N⁺·N⁻` product cannot overflow at any corpus size.
+    */
+  def predictWith(toks: Column, m: Trained): Column = {
+    val (_, score) = scoreOfTokensWith(toks, m.weights)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val twoN = new java.math.BigDecimal((BigInt(2L) * m.nPos * m.nNeg).bigInteger)
+    when(score.cast(dec) * lit(twoN).cast(dec) >=
+      lit(new java.math.BigDecimal(m.bias.bigInteger)).cast(dec),
+      lit(1L)).otherwise(lit(-1L))
   }
 }

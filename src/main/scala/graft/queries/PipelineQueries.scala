@@ -128,6 +128,75 @@ object PipelineQueries {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** Training accuracy the learned model must reach on the corpus
+    * (measured 0.99+ at sf0.01; 0.9 gates "it learned the rule" without
+    * pinning a point estimate).
+    */
+  val QmLearnAccFloor = 0.9
+
+  /** Distributed TRAINING of the hashed linear quality model
+    * ([[graft.operators.QualityModel.train]], nearest-centroid/Rocchio)
+    * — the learn half of `q_quality_model`'s apply, closing the same gap
+    * `q_bpe_learn` closed for the tokenizer. Label fixture: the corpus's
+    * metadata fields are provably text-independent (every `lang` shares
+    * one identical 31-token vocabulary — unlearnable by ANY classifier
+    * on text features), so the query distills a deterministic LENGTH
+    * rule (`n_chars ≥ 300`, a ~balanced split) — the weak-supervision
+    * bootstrap shape real quality classifiers are seeded with, and one
+    * that unnormalized count features genuinely express (length gates
+    * ARE core quality filters). Training is exact integer arithmetic
+    * over order-free sums (denominators cleared by N⁺²N⁻²), so the
+    * oracle replays the closed form bit-for-bit — weights AND bias; the
+    * in-query gate requires the learned model to reproduce the rule
+    * through 64-bucket hash collisions (measured 0.984 at sf0.01, 0.972
+    * at sf0.1; floor [[QmLearnAccFloor]]).
+    */
+  val qQualityLearn: Q = (spark, dir) => {
+    import graft.operators.QualityModel
+    val docs = Tables(spark, dir, "documents")
+    val label = when(col("n_chars") >= 300, 1L).otherwise(-1L)
+    val m = QualityModel.train(docs, TextAnalysis.tokens(col("text")), label)
+    val acc = docs
+      .select(label.as("_y"), TextAnalysis.tokens(col("text")).as("_t"))
+      .select((col("_y") === QualityModel.predictWith(col("_t"), m))
+        .cast("long").as("_ok"))
+      .agg(avg(col("_ok"))).head().getDouble(0)
+    require(acc >= QmLearnAccFloor,
+      s"trained model must reproduce the labeling rule: acc=$acc")
+    import spark.implicits._
+    (m.weights.zipWithIndex.map { case (wt, b) => (b.toLong, wt) } :+
+      ((-1L, m.bias.bigInteger.longValueExact())))
+      .toDF("bucket", "weight").orderBy(col("bucket"))
+  }
+
+  private val qualityLearnOracle: String = {
+    val d = graft.operators.QualityModel.HashBuckets
+    s"""WITH t AS (SELECT
+       |  CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
+       |  $WS ws FROM documents),
+       |n AS (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+       |             sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS nn FROM t),
+       |f0 AS (
+       |  SELECT y, ${h60("tok")} % $d AS b
+       |  FROM (SELECT y, unnest(ws) AS tok FROM t)
+       |  UNION ALL
+       |  SELECT y, ${h60("ws[i] || ' ' || ws[i+1]")} % $d AS b
+       |  FROM t, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS u(i)),
+       |cb0 AS (SELECT b, sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS cp,
+       |               sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS cn
+       |        FROM f0 GROUP BY b),
+       |cb AS (SELECT r.range AS b, coalesce(cb0.cp, 0) AS cp,
+       |         coalesce(cb0.cn, 0) AS cn, n.np, n.nn
+       |       FROM range(0, $d) r CROSS JOIN n
+       |       LEFT JOIN cb0 ON cb0.b = r.range)
+       |SELECT CAST(b AS BIGINT) AS bucket,
+       |  CAST(cp * nn - cn * np AS BIGINT) AS weight FROM cb
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT),
+       |  CAST(sum(cp * cp * nn * nn - cn * cn * np * np) AS BIGINT) FROM cb
+       |ORDER BY bucket""".stripMargin
+  }
+
   /** Distributed BPE tokenizer apply ([[graft.operators.Bpe]]): per-doc
     * word count, BPE token count, and the exact integer sum of token ids.
     * The oracle re-runs the SAME merges table as a DuckDB replace chain —
@@ -2002,6 +2071,7 @@ object PipelineQueries {
     "q_bpe_learn" -> qBpeLearn,
     "q_bpe_learn_tokens" -> qBpeLearnTokens,
     "q_quality_model" -> qQualityModel,
+    "q_quality_learn" -> qQualityLearn,
     "q_curation_model" -> qCurationModel,
     "q_train_val_test" -> qTrainValTest,
     "q_text_stats" -> qTextStats,
@@ -2059,6 +2129,7 @@ object PipelineQueries {
     "q_bpe_learn" -> bpeLearnOracle,
     "q_bpe_learn_tokens" -> bpeLearnTokensOracle,
     "q_quality_model" -> qualityModelOracle,
+    "q_quality_learn" -> qualityLearnOracle,
     "q_curation_model" -> curationModelOracle,
     "q_train_val_test" -> trainValTestOracle,
     "q_text_stats" -> textStatsOracle,

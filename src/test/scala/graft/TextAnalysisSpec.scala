@@ -92,6 +92,53 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(labels == Set(true, false), s"degenerate gate: $labels")
   }
 
+  test("quality-model training matches a local nearest-centroid reference; refusals") {
+    import graft.operators.{QualityModel, Shingles}
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val label = when(col("n_chars") >= 300, 1L).otherwise(-1L)
+    val m = QualityModel.train(docs, TextAnalysis.tokens(col("text")), label)
+    // local reference: same closed form over locally-computed features
+    val rows = docs.select(label.as("y"), col("text"))
+      .as[(Long, String)].collect()
+    def bucketOf(term: String): Int = {
+      // mirror Shingles.hash60 via the engine (one tiny local frame)
+      val df = Seq(term).toDF("t")
+      df.select(pmod(Shingles.hash60(col("t")),
+        lit(QualityModel.HashBuckets.toLong))).head().getLong(0).toInt
+    }
+    val cache = scala.collection.mutable.Map.empty[String, Int]
+    def b(t: String) = cache.getOrElseUpdate(t, bucketOf(t))
+    val cPos = Array.fill(QualityModel.HashBuckets)(0L)
+    val cNeg = Array.fill(QualityModel.HashBuckets)(0L)
+    var (nPos, nNeg) = (0L, 0L)
+    for ((y, text) <- rows) {
+      val toks = text.trim.split("\\s+").toSeq
+      val terms = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val tgt = if (y == 1L) { nPos += 1; cPos } else { nNeg += 1; cNeg }
+      for (t <- terms) tgt(b(t)) += 1
+    }
+    val wRef = (0 until QualityModel.HashBuckets).map(i =>
+      cPos(i) * nNeg - cNeg(i) * nPos)
+    val biasRef = (0 until QualityModel.HashBuckets).map { i =>
+      BigInt(cPos(i)) * cPos(i) * nNeg * nNeg -
+        BigInt(cNeg(i)) * cNeg(i) * nPos * nPos
+    }.sum
+    assert(m.weights == wRef && m.bias == biasRef &&
+      m.nPos == nPos && m.nNeg == nNeg)
+    // predictions reproduce the rule well above chance on the train set
+    val acc = docs.select(label.as("_y"),
+        TextAnalysis.tokens(col("text")).as("_t"))
+      .select((col("_y") === QualityModel.predictWith(col("_t"), m))
+        .cast("long").as("ok"))
+      .agg(avg(col("ok"))).head().getDouble(0)
+    assert(acc >= 0.9, s"learned model must reproduce the length rule: $acc")
+    // refusal: a single-class corpus cannot train
+    val oneClass = intercept[IllegalArgumentException](
+      QualityModel.train(docs, TextAnalysis.tokens(col("text")), lit(1L)))
+    assert(oneClass.getMessage.contains("both classes"))
+  }
+
   test("compression stats: deflate round-trips and repetition compresses harder") {
     import spark.implicits._
     val prose = "the quick brown fox jumps over the lazy dog and keeps " +
