@@ -235,16 +235,16 @@ object Similarity {
       .select(col("id"), col("vec"))
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
     (1 to iters).foreach { _ =>
+      // same map-side-combining argmin shape as [[assignToCentroids]]
       val centDf = spark.createDataFrame(cents).toDF("cell", "cvec")
       val dist = (VectorFunctions.dot(col("vec"), col("vec")) +
         VectorFunctions.dot(col("cvec"), col("cvec"))) -
         lit(2.0) * VectorFunctions.dot(col("vec"), col("cvec"))
-      val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
       val assigned = base.crossJoin(broadcast(centDf))
         .withColumn("dist", dist)
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("id"), col("vec"), col("cell"))
+        .groupBy(col("id"))
+        .agg(min(struct(col("dist"), col("cell"), col("vec"))).as("_m"))
+        .select(col("id"), col("_m.vec").as("vec"), col("_m.cell").as("cell"))
       val touched = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
@@ -280,6 +280,13 @@ object Similarity {
   /** Assign every corpus vector to its nearest (squared L2) centroid of
     * `centroids` (cell, centroid) — ties to the lower cell id. Returns
     * (id, vec, cell, dist) with dist = the winning squared distance.
+    *
+    * The argmin is a `min(struct(dist, cell, vec))` AGGREGATE, not a
+    * per-id window: struct ordering compares (dist, cell) first — the
+    * exact (dist ASC, cell ASC) tie-break, and (dist, cell) is unique
+    * per id so the trailing vec never participates — and the aggregate
+    * combines MAP-SIDE, so the shuffle carries one candidate per id per
+    * partition instead of all k, with no per-id sort.
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val base = corpus.select(col("id"),
@@ -287,13 +294,13 @@ object Similarity {
     val dist = (VectorFunctions.dot(col("vec"), col("vec")) +
       VectorFunctions.dot(col("cvec"), col("cvec"))) -
       lit(2.0) * VectorFunctions.dot(col("vec"), col("cvec"))
-    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
     base.crossJoin(broadcast(
         centroids.select(col("cell"), col("centroid").as("cvec"))))
       .withColumn("dist", dist)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("id"), col("vec"), col("cell"), col("dist"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("cell"), col("vec"))).as("_m"))
+      .select(col("id"), col("_m.vec").as("vec"),
+        col("_m.cell").as("cell"), col("_m.dist").as("dist"))
   }
 
   /** [[ivfTopK]] over a TRAINED index: probe the `nprobe` cells whose
