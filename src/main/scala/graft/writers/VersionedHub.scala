@@ -2683,11 +2683,15 @@ object VersionedHub {
         .getBytes("UTF-8")
     val won = CommitStore.forScheme(schemeOf(path)).putIfAbsent(
       fs, manifest, content)
-    // periodic FULL-stats checkpoint (Delta §4.1's parquet checkpoint,
-    // JSON here): bounds every reader's delta-chain fold to the
-    // checkpoint interval. Best-effort and NOT the commit point — a lost
-    // or torn checkpoint only lengthens the fold, never loses data.
-    if (won && v.buckets.nonEmpty && v.version % CheckpointInterval == 0) {
+    // periodic FULL-stats checkpoint (Delta §4.1): bounds every reader's
+    // delta-chain fold to the checkpoint interval. Best-effort and NOT
+    // the commit point — a lost or torn checkpoint only lengthens the
+    // fold, never loses data. FLAT hubs checkpoint too (round 16): a
+    // long-lived flat table (a streaming MV, a DV'd flat hub) otherwise
+    // folds an unbounded manifest chain on every read until a vacuum
+    // happens to anchor it — writer-side Versions carry full stats
+    // thunks on every commit path, so the snapshot map is exact here.
+    if (won && v.version % CheckpointInterval == 0) {
       try writeCheckpoint(fs, path, v)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] WARNING: checkpoint at $path " +

@@ -501,6 +501,21 @@ class VersionedHubSpec extends SparkTestBase {
       "re-writing a checkpoint over a torn one must replace it cleanly")
   }
 
+  test("FLAT hubs land interval checkpoints; the anchored fold reconstructs full stats") {
+    val path = tmpDir("vhub_flat_ck")
+    for (i <- 1 to (VersionedHub.CheckpointInterval + 2))
+      VersionedHub.write(spark,
+        (1 to 50).map(k => (k, s"v$k-$i")).toDF("k", "v"), path, Seq("k"))
+    assert(new java.io.File(s"$path/_log/" +
+      f"${VersionedHub.CheckpointInterval}%08d.checkpoint.json").isFile,
+      "a flat hub must checkpoint at the interval")
+    val tip = VersionedHub.history(spark, path).last
+    assert(tip.fileStats.nonEmpty &&
+      tip.fileStats.values.map(_.rows).sum == tip.rows,
+      "the checkpointed fold must cover the tip snapshot exactly")
+    assert(VersionedHub.read(spark, path).count() == 50)
+  }
+
   test("commitBytes bills statsNew deltas, never a legacy full-snapshot manifest") {
     import org.apache.hadoop.fs.{Path => HPath}
     val path = tmpDir("vhub_legacy_bytes")
