@@ -50,6 +50,18 @@ object QualityModel {
   def scoreOfTokens(toks: Column): (Column, Column) =
     scoreOfTokensWith(toks, Weights)
 
+  /** The word-bigram array of a token array — SHARED by the scorer and
+    * the trainer (train/score feature extraction must stay bit-identical
+    * for a learned model to be valid). Slice lengths clamp at 0 so an
+    * EMPTY token array (a whitespace-only doc after caller-side
+    * filtering) yields an empty bigram array instead of a runtime error.
+    */
+  private def bigramsOf(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+
   /** [[scoreOfTokens]] against an arbitrary (e.g. [[train]]ed) integer
     * weight vector of length [[HashBuckets]].
     */
@@ -59,23 +71,21 @@ object QualityModel {
       s"weight vector must have $HashBuckets entries, got ${weights.length}")
     def wOf(term: Column): Column =
       element_at(typedLit(weights), (bucket(term) + 1L).cast("int"))
-    val bigrams = zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
-      (a, b) => concat(a, lit(" "), b))
     val sumW = (terms: Column) => aggregate(
       terms, lit(0L), (acc, t) => acc + wOf(t))
     val n = size(toks).cast("long") +
       greatest(size(toks) - 1, lit(0)).cast("long")
-    (n, sumW(toks) + sumW(bigrams))
+    (n, sumW(toks) + sumW(bigramsOf(toks)))
   }
 
-  /** A trained model: bucket weights + the decision bias —
-    * classify +1 iff `2 · (Σ_b x[b]·w[b]) · nPos · nNeg ≥ bias`.
-    * Kept with the class sizes so the (overflow-prone at extreme
-    * corpus sizes) comparison can run in exact decimal arithmetic.
+  /** A trained model: bucket weights + the integer decision THRESHOLD —
+    * classify +1 iff `score ≥ threshold`, where
+    * `threshold = ⌈bias / (2·N⁺·N⁻)⌉` (exact rational ceiling, driver
+    * BigInt arithmetic) is equivalent to the cleared-denominator
+    * inequality `2·score·N⁺·N⁻ ≥ bias` for integer scores — and keeps
+    * the per-row comparison a plain Long `>=` with nothing to overflow.
     */
-  final case class Trained(weights: IndexedSeq[Long], bias: BigInt,
+  final case class Trained(weights: IndexedSeq[Long], threshold: Long,
       nPos: Long, nNeg: Long)
 
   /** Distributed NEAREST-CENTROID training of the hashed linear
@@ -103,12 +113,9 @@ object QualityModel {
   def train(df: org.apache.spark.sql.DataFrame, toksCol: Column,
       labelCol: Column): Trained = {
     val base = df.select(labelCol.cast("long").as("_y"), toksCol.as("_t"))
-    val bigrams = zip_with(
-      slice(col("_t"), lit(1), size(col("_t")) - 1),
-      slice(col("_t"), lit(2), size(col("_t")) - 1),
-      (a, b) => concat(a, lit(" "), b))
     val counts = base
-      .select(col("_y"), explode(concat(col("_t"), bigrams)).as("_term"))
+      .select(col("_y"),
+        explode(concat(col("_t"), bigramsOf(col("_t")))).as("_term"))
       .select(col("_y"), bucket(col("_term")).as("_b"))
       .groupBy(col("_y"), col("_b")).agg(count(lit(1)).as("_c"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
@@ -121,27 +128,45 @@ object QualityModel {
     require(docs.keySet.subsetOf(Set(1L, -1L)),
       s"labels must be ±1, got ${docs.keySet}")
     def c(y: Long, b: Int): Long = counts.getOrElse((y, b.toLong), 0L)
-    val w = (0 until HashBuckets).map(b =>
-      c(1L, b) * nNeg - c(-1L, b) * nPos)
-    // driver-side exact arithmetic: ‖c‖²·N² exceeds Long at extreme
-    // corpus sizes, so the bias accumulates in BigInt
+    // weights in exact BigInt, then a LOUD fit check: the per-row scorer
+    // sums Longs, so a model whose worst-case document score could wrap
+    // must be refused at training time, never mispredict silently.
+    // Bound: |score_d| ≤ (corpus total term count) · max|w|.
+    val wBig = (0 until HashBuckets).map(b =>
+      BigInt(c(1L, b)) * nNeg - BigInt(c(-1L, b)) * nPos)
+    val totalTerms = counts.valuesIterator.map(BigInt(_)).sum
+    val worstScore = wBig.map(_.abs).maxOption.getOrElse(BigInt(0)) * totalTerms
+    require(worstScore < BigInt(Long.MaxValue) / 2,
+      s"corpus too large for Long scoring: worst-case |score| $worstScore " +
+        "would wrap — shrink the corpus or widen the scorer")
+    val w = wBig.map(_.bigInteger.longValueExact())
+    // bias in BigInt (‖c‖²·N² exceeds Long at extreme corpus sizes),
+    // collapsed to the integer threshold ⌈bias / (2·N⁺·N⁻)⌉: for integer
+    // scores, score ≥ ⌈bias/(2N⁺N⁻)⌉ ⟺ 2·score·N⁺·N⁻ ≥ bias. The
+    // threshold is bounded by the (just-checked) score range whenever the
+    // model can decide at all; an out-of-range threshold means one class
+    // is unreachable — clamp, which encodes exactly that constant vote.
     val bias = (0 until HashBuckets).map { b =>
       val (p, n) = (BigInt(c(1L, b)), BigInt(c(-1L, b)))
       p * p * nNeg * nNeg - n * n * nPos * nPos
     }.sum
-    Trained(w, bias, nPos, nNeg)
+    val twoN = BigInt(2L) * nPos * nNeg
+    val (q, r) = bias /% twoN
+    val thr = if (r.signum > 0) q + 1 else q
+    val thrClamped =
+      if (thr > BigInt(Long.MaxValue)) Long.MaxValue
+      else if (thr < BigInt(Long.MinValue)) Long.MinValue
+      else thr.bigInteger.longValueExact()
+    Trained(w, thrClamped, nPos, nNeg)
   }
 
   /** Per-row +1/−1 prediction of a [[Trained]] model over an aliased
-    * token-array column — the bias comparison runs in DecimalType so the
-    * `2·score·N⁺·N⁻` product cannot overflow at any corpus size.
+    * token-array column — one Long comparison against the precomputed
+    * integer threshold (nothing multiplies, nothing can overflow; the
+    * score's own range is guaranteed by [[train]]'s fit check).
     */
   def predictWith(toks: Column, m: Trained): Column = {
     val (_, score) = scoreOfTokensWith(toks, m.weights)
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val twoN = new java.math.BigDecimal((BigInt(2L) * m.nPos * m.nNeg).bigInteger)
-    when(score.cast(dec) * lit(twoN).cast(dec) >=
-      lit(new java.math.BigDecimal(m.bias.bigInteger)).cast(dec),
-      lit(1L)).otherwise(lit(-1L))
+    when(score >= m.threshold, lit(1L)).otherwise(lit(-1L))
   }
 }

@@ -237,11 +237,8 @@ object Similarity {
     (1 to iters).foreach { _ =>
       // same map-side-combining argmin shape as [[assignToCentroids]]
       val centDf = spark.createDataFrame(cents).toDF("cell", "cvec")
-      val dist = (VectorFunctions.dot(col("vec"), col("vec")) +
-        VectorFunctions.dot(col("cvec"), col("cvec"))) -
-        lit(2.0) * VectorFunctions.dot(col("vec"), col("cvec"))
       val assigned = base.crossJoin(broadcast(centDf))
-        .withColumn("dist", dist)
+        .withColumn("dist", sqDist(col("vec"), col("cvec")))
         .groupBy(col("id"))
         .agg(min(struct(col("dist"), col("cell"), col("vec"))).as("_m"))
         .select(col("id"), col("_m.vec").as("vec"), col("_m.cell").as("cell"))
@@ -291,12 +288,9 @@ object Similarity {
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val base = corpus.select(col("id"),
       col("vec").cast("array<double>").as("vec"))
-    val dist = (VectorFunctions.dot(col("vec"), col("vec")) +
-      VectorFunctions.dot(col("cvec"), col("cvec"))) -
-      lit(2.0) * VectorFunctions.dot(col("vec"), col("cvec"))
     base.crossJoin(broadcast(
         centroids.select(col("cell"), col("centroid").as("cvec"))))
-      .withColumn("dist", dist)
+      .withColumn("dist", sqDist(col("vec"), col("cvec")))
       .groupBy(col("id"))
       .agg(min(struct(col("dist"), col("cell"), col("vec"))).as("_m"))
       .select(col("id"), col("_m.vec").as("vec"),
@@ -331,9 +325,7 @@ object Similarity {
   def ivfProbe(queries: DataFrame, assigned: DataFrame,
       centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val qdist = (VectorFunctions.dot(col("qvec"), col("qvec")) +
-      VectorFunctions.dot(col("centroid"), col("centroid"))) -
-      lit(2.0) * VectorFunctions.dot(col("qvec"), col("centroid"))
+    val qdist = sqDist(col("qvec"), col("centroid"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist"), col("cell"))
     val probed = q.join(broadcast(centroids), lit(true))
@@ -567,9 +559,7 @@ object Similarity {
     val assigned = assignToCentroids(corpus, cents)
       .select(col("id"), col("cell"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val qdist = (VectorFunctions.dot(col("qvec"), col("qvec")) +
-      VectorFunctions.dot(col("centroid"), col("centroid"))) -
-      lit(2.0) * VectorFunctions.dot(col("qvec"), col("centroid"))
+    val qdist = sqDist(col("qvec"), col("centroid"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist"), col("cell"))
     val probed = q.join(broadcast(cents), lit(true))

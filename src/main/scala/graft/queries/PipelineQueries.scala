@@ -165,7 +165,7 @@ object PipelineQueries {
       s"trained model must reproduce the labeling rule: acc=$acc")
     import spark.implicits._
     (m.weights.zipWithIndex.map { case (wt, b) => (b.toLong, wt) } :+
-      ((-1L, m.bias.bigInteger.longValueExact())))
+      ((-1L, m.threshold)))
       .toDF("bucket", "weight").orderBy(col("bucket"))
   }
 
@@ -192,8 +192,15 @@ object PipelineQueries {
        |SELECT CAST(b AS BIGINT) AS bucket,
        |  CAST(cp * nn - cn * np AS BIGINT) AS weight FROM cb
        |UNION ALL
-       |SELECT CAST(-1 AS BIGINT),
-       |  CAST(sum(cp * cp * nn * nn - cn * cn * np * np) AS BIGINT) FROM cb
+       |-- the decision threshold ⌈bias / (2·N⁺·N⁻)⌉ — exact integer
+       |-- ceiling under DuckDB's TRUNCATING // (remainder sign follows
+       |-- the dividend, so a positive remainder means round up)
+       |SELECT CAST(-1 AS BIGINT), CAST(
+       |  (SELECT CASE WHEN bias % d > 0 THEN bias // d + 1
+       |          ELSE bias // d END FROM (
+       |     SELECT sum(cp * cp * nn * nn - cn * cn * np * np) AS bias,
+       |            2 * any_value(np) * any_value(nn) AS d FROM cb))
+       |  AS BIGINT)
        |ORDER BY bucket""".stripMargin
   }
 

@@ -124,7 +124,9 @@ class TextAnalysisSpec extends SparkTestBase {
       BigInt(cPos(i)) * cPos(i) * nNeg * nNeg -
         BigInt(cNeg(i)) * cNeg(i) * nPos * nPos
     }.sum
-    assert(m.weights == wRef && m.bias == biasRef &&
+    val (q, r) = biasRef /% (BigInt(2L) * nPos * nNeg)
+    val thrRef = (if (r.signum > 0) q + 1 else q).toLong
+    assert(m.weights == wRef && m.threshold == thrRef &&
       m.nPos == nPos && m.nNeg == nNeg)
     // predictions reproduce the rule well above chance on the train set
     val acc = docs.select(label.as("_y"),
