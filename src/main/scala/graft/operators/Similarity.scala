@@ -184,12 +184,16 @@ object Similarity {
       val dist = (VectorFunctions.dot(col("vec"), col("vec")) +
         VectorFunctions.dot(col("cvec"), col("cvec"))) -
         lit(2.0) * VectorFunctions.dot(col("vec"), col("cvec"))
-      val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
+      // map-side-combining argmin (the assignToCentroids shape): struct
+      // ordering is (dist ASC, cid ASC) — the same tie-break the former
+      // per-id window used — and the partial aggregate ships one candidate
+      // per id per partition instead of all k, with no per-id sort
       assigned = base.crossJoin(broadcast(centDf))
         .withColumn("dist", dist)
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("id"), col("vec"), col("cid").as("cluster"), col("dist"))
+        .groupBy(col("id"))
+        .agg(min(struct(col("dist"), col("cid"), col("vec"))).as("_m"))
+        .select(col("id"), col("_m.vec").as("vec"),
+          col("_m.cid").as("cluster"), col("_m.dist").as("dist"))
       // distributed centroid recompute: mean per (cluster, dimension)
       val dims = assigned
         .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
@@ -523,20 +527,32 @@ object Similarity {
       .select(col("id").as("cid"), posexplode(pqBlocks(dim, m, k)(col("vec"))))
       .select(col("pos").as("block"), col("cid"), col("col").as("csub"))
 
-  /** Long-form PQ assignment: (id, block, cid) — one row per sub-block. */
+  /** Long-form PQ assignment: (id, block, cid) — one row per sub-block.
+    *
+    * The per-(id, block) argmin is a map-side-combining
+    * `min(struct(dist, cid))` aggregate, not a window: struct ordering
+    * compares (dist ASC, cid ASC) — the exact tie-break — and the partial
+    * aggregate collapses the k candidates per sub-block before the
+    * shuffle, so one candidate per (id, block) per partition crosses the
+    * wire and nothing is sorted (the [[assignToCentroids]] shape).
+    */
   private def pqAssign(corpus: DataFrame, dim: Int, m: Int,
-      k: Int): DataFrame = {
-    val cents = pqCodebook(corpus, dim, m, k)
-    val w = Window.partitionBy(col("id"), col("block"))
-      .orderBy(col("dist"), col("cid"))
+      k: Int): DataFrame =
+    pqAssignWith(corpus, dim, m, pqCodebook(corpus, dim, m, k))
+
+  /** [[pqAssign]] against an externally-supplied codebook
+    * (block, cid, csub) — the seam the trained-residual encoder shares.
+    */
+  private def pqAssignWith(corpus: DataFrame, dim: Int, m: Int,
+      cents: DataFrame): DataFrame = {
     corpus
-      .select(col("id"), posexplode(pqBlocks(dim, m, k)(col("vec"))))
+      .select(col("id"), posexplode(pqBlocks(dim, m, 1)(col("vec"))))
       .select(col("id"), col("pos").as("block"), col("col").as("sub"))
       .join(broadcast(cents), Seq("block"))
       .withColumn("dist", sqDist(col("sub"), col("csub")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("id"), col("block"), col("cid"))
+      .groupBy(col("id"), col("block"))
+      .agg(min(struct(col("dist"), col("cid"))).as("_m"))
+      .select(col("id"), col("block"), col("_m.cid").as("cid"))
   }
 
   /** IVF-ADC top-k (Jégou et al., TPAMI 2011 §III — the billion-scale

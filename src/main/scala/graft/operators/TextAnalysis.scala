@@ -276,8 +276,13 @@ object TextAnalysis {
     // query plans no job (an eager df.count() here made plan dumps run the
     // whole corpus scan) and the helper stays usable on streaming inputs
     val corpusN = df.agg(count(lit(1)).as("_corpus_n"))
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the score branch and dfreq below — persist it so the
+    // corpus is scanned and exploded once, not once per consumer (without
+    // this the final plan carries two FileScan + Generate branches and a
+    // 100× corpus pays the tokenize+hash pass twice)
+    val tf = graft.operators.Dedup.persistForReuse(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     // tf rows are already unique per (doc, term) — a plain count IS the
     // document frequency; countDistinct would add a dedup pass for nothing
     val dfreq = tf.groupBy(col("term"))

@@ -415,6 +415,25 @@ class PlanSpec extends SparkTestBase {
     assert(read.count() == 50)
   }
 
+  test("PQ encode partial-aggregates the per-block argmin — no per-(id,block) window") {
+    val p = plan("q_pq_encode")
+    assert(!p.contains("Window"),
+      s"PQ assignment must not window over (id, block):\n$p")
+    assert(p.contains("partial_min"),
+      s"sub-centroid argmin must show map-side partial min:\n$p")
+  }
+
+  test("tf-idf scans the corpus once — tf is reused, not recomputed, for document frequencies") {
+    val p = plan("q_tfidf_top_terms")
+    // The tf aggregate is persisted, so the plan string can't be gated by
+    // counting FileScan lines — every InMemoryTableScan echoes the cache's
+    // BUILD plan (with its one FileScan) into toString. The property that
+    // matters executes once: BOTH consumers (score branch and document
+    // frequencies) must read the cache, never the file directly.
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"tf must feed both branches through one persisted aggregate:\n$p")
+  }
+
   test("deletion vectors apply as a broadcast anti-join — never a shuffled join of the table") {
     val ss = spark
     import ss.implicits._
