@@ -162,11 +162,25 @@ object QualityModel {
 
   /** Per-row +1/−1 prediction of a [[Trained]] model over an aliased
     * token-array column — one Long comparison against the precomputed
-    * integer threshold (nothing multiplies, nothing can overflow; the
-    * score's own range is guaranteed by [[train]]'s fit check).
+    * integer threshold (nothing multiplies in the comparison itself).
+    *
+    * [[train]]'s fit check bounds the worst-case score by the TRAINING
+    * corpus's total term count, so it says nothing about a scored corpus
+    * the model never saw: a single document with more terms than the
+    * entire training corpus could wrap the Long feature sum and
+    * mispredict silently. The guard below refuses LOUDLY instead — any
+    * document whose unigram+bigram count exceeds the per-document safe
+    * bound `(Long.MaxValue/2) / max|w|` raises at scan time. Documents
+    * inside the bound score bit-identically to the unguarded expression.
     */
   def predictWith(toks: Column, m: Trained): Column = {
-    val (_, score) = scoreOfTokensWith(toks, m.weights)
-    when(score >= m.threshold, lit(1L)).otherwise(lit(-1L))
+    val (n, score) = scoreOfTokensWith(toks, m.weights)
+    val maxW = math.max(m.weights.map(math.abs).max, 1L)
+    val safeTerms = (Long.MaxValue / 2) / maxW
+    when(n > safeTerms,
+      raise_error(concat(
+        lit("document too large for Long scoring: "), n.cast("string"),
+        lit(s" terms exceeds the safe bound $safeTerms for this model"))))
+      .when(score >= m.threshold, lit(1L)).otherwise(lit(-1L))
   }
 }

@@ -88,10 +88,20 @@ object Readers {
     // and an exact-case filter would let "User" -> "" bypass the truthy
     // guard or "Url" override the required url
     def lc(k: String): String = k.toLowerCase(java.util.Locale.ROOT)
-    for (k <- Seq("driver", "user", "password");
-         v <- opts.collectFirst { case (ok, ov) if lc(ok) == k => ov }
-         if v.nonEmpty)
-      r = r.option(k, v)
+    for (k <- Seq("driver", "user", "password")) {
+      // deterministic under case-variant duplicates: the exact-lowercase
+      // key wins when present; otherwise differing variant VALUES are
+      // refused loudly (a collectFirst here would forward whichever value
+      // map iteration order happened to surface)
+      val variants = opts.collect { case (ok, ov) if lc(ok) == k => ov }.toSeq
+      val picked = opts.get(k).orElse {
+        require(variants.distinct.size <= 1,
+          s"conflicting case-variant '$k' options with different values " +
+            "— spell the credential once")
+        variants.headOption
+      }
+      for (v <- picked if v.nonEmpty) r = r.option(k, v)
+    }
     val consumed = Set("url", "dbtable", "driver", "user", "password")
     r = r.options(opts.view.filterKeys(k => !consumed.contains(lc(k))).toMap)
     r.load()

@@ -75,10 +75,10 @@ class HubStreamSource(sqlContext: SQLContext, path: String,
       * oversized commit (a compaction can be 100× a normal one) throttles
       * the stream without wedging it — Delta's soft-cap contract. Like
       * the version cap, it does not split the initial-snapshot catch-up
-      * batch (one version's content, not a backlog). Mutually exclusive
-      * with `maxVersionsPerTrigger` (refused at construction): versions
-      * are uneven, so a caller who bounds both is asking for two
-      * different clocks on one stream.
+      * batch (one version's content, not a backlog). COMPOSES with
+      * `maxVersionsPerTrigger` exactly like Delta's source: when both are
+      * set, a trigger stops at whichever limit is reached first, so
+      * drop-in configs that bound both clocks work unchanged.
       */
     maxBytesPerTrigger: Option[Long] = None,
     /** Delta's streaming `startingVersion`/`startingTimestamp` (the latter
@@ -117,27 +117,27 @@ class HubStreamSource(sqlContext: SQLContext, path: String,
     * delivers the whole catch-up snapshot: the snapshot is one version's
     * content, not a backlog.
     */
-  require(maxVersionsPerTrigger.isEmpty || maxBytesPerTrigger.isEmpty,
-    "maxVersionsPerTrigger and maxBytesPerTrigger are mutually exclusive " +
-      "— versions are uneven, pick ONE admission clock")
-
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val latest = VersionedHub.latest(spark, path).map(_.version).getOrElse(0)
     val bounded = availableNowTarget.fold(latest)(math.min(latest, _))
     val start = Option(startOffset).map(HubSourceOffset.versionOf)
       .getOrElse(seedStart)
-    val end = (maxVersionsPerTrigger, maxBytesPerTrigger) match {
-      case (Some(m), _) if start > 0 => math.min(bounded, start + m)
-      case (_, Some(cap)) if start > 0 =>
+    // both caps compose (Delta parity): the version cap bounds the walk,
+    // the byte budget stops it early — whichever limit is reached first
+    val vCapped = maxVersionsPerTrigger
+      .fold(bounded)(m => math.min(bounded, start + m))
+    val end = maxBytesPerTrigger match {
+      case Some(cap) if start > 0 =>
         // admit versions while their summed commit bytes fit the cap;
         // the first one is unconditional (soft cap — progress guarantee)
         var v = start + 1
         var budget = cap - VersionedHub.commitBytes(spark, path, v)
-        while (v < bounded && {
+        while (v < vCapped && {
           val next = VersionedHub.commitBytes(spark, path, v + 1)
           if (next <= budget) { budget -= next; true } else false
         }) v += 1
-        math.min(bounded, v)
+        math.min(vCapped, v)
+      case _ if start > 0 => vCapped
       case _ => bounded
     }
     if (end <= start) startOffset else HubSourceOffset(end)

@@ -1519,6 +1519,14 @@ object VersionedHub {
         require(!c.contains(bad) && !v.contains(bad),
           s"partition segment $name contains '$bad' — unsupported by the " +
             "file-name encoding (hive-escaped values need a re-land)")
+      // the column NAME feeds col()/withColumn downstream: '.' or '`'
+      // would parse as a nested-field path / quoting and whitespace
+      // breaks the reader's regexp — refuse BEFORE any file moves, not
+      // at first read of an already-adopted hub
+      for (bad <- Seq('.', '`', ' ', '\t'))
+        require(!c.contains(bad),
+          s"partition column name '$c' contains '$bad' — not addressable " +
+            "as a plain column reference; rename the directory key")
       (c, v)
     }
     // walk to the leaves: every level all-dirs with ONE consistent key,

@@ -2043,6 +2043,16 @@ class HubCatalogSpec extends SparkTestBase {
         "CONVERT TO HUB hubcp.default.ep PARTITIONED BY (p)"))
       assert(e5.getMessage.contains("empty partition value") ||
         e5.getMessage.contains("null partition value"), e5.getMessage)
+      // a '.'-bearing column name would adopt fine (files moved) and only
+      // mis-resolve as a nested-field path at first read — refused BEFORE
+      // any file moves instead
+      (1L to 2L).map(k => (k, s"v$k")).toDF("k", "v")
+        .write.parquet(s"$base/dot/a.b=1")
+      val e6 = intercept[Exception](
+        graft.writers.VersionedHub.convertPartitioned(spark, s"$base/dot"))
+      assert(e6.getMessage.contains("not addressable"), e6.getMessage)
+      assert(!new java.io.File(s"$base/dot/data").exists(),
+        "a refused convert must not touch the source")
       // non-padded date values (external writers): Spark's inference
       // accepts them, so adoption must too — the strict-ISO stat parser
       // degrades to no-stat, the read-side cast still materializes values

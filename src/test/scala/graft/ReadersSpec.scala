@@ -100,6 +100,28 @@ class ReadersSpec extends SparkTestBase {
       s"mixed-case credentials must be forwarded, got $p")
   }
 
+  test("jdbc reader resolves case-variant credential duplicates deterministically") {
+    // exact-lowercase wins over a case-variant duplicate — never map
+    // iteration order
+    FakeJdbc.lastConnectProps = new java.util.Properties()
+    val df = Readers.jdbc(spark, Map(
+      "url" -> FakeJdbc.Url,
+      "dbtable" -> "products",
+      "driver" -> FakeJdbc.DriverClass,
+      "user" -> "alice", "User" -> "alice",
+      "password" -> "right", "Password" -> "wrong"))
+    assert(df.count() == 3)
+    assert(FakeJdbc.lastConnectProps.getProperty("password") == "right",
+      s"exact-lowercase key must win: ${FakeJdbc.lastConnectProps}")
+    // no lowercase spelling + DIFFERENT variant values: refused loudly
+    val e = intercept[IllegalArgumentException](Readers.jdbc(spark, Map(
+      "url" -> FakeJdbc.Url,
+      "dbtable" -> "products",
+      "driver" -> FakeJdbc.DriverClass,
+      "User" -> "alice", "USER" -> "bob")))
+    assert(e.getMessage.contains("conflicting case-variant"), e.getMessage)
+  }
+
   test("jdbc reader against embedded Derby: creds guard + parallel slices") {
     // A REAL JDBC engine (Derby ships in /opt/spark/jars), exercising what
     // FakeJdbc cannot: genuine SQL parsing of the schema probe and the

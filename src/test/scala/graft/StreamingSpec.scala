@@ -294,7 +294,7 @@ class StreamingSpec extends SparkTestBase {
     assert(seen.forall(_._2 != "null"), s"path column lost in stream: $seen")
   }
 
-  test("maxBytesPerTrigger bounds admitted versions by manifest bytes; caps are mutually exclusive") {
+  test("maxBytesPerTrigger bounds admitted versions by manifest bytes; caps compose") {
     import graft.writers.VersionedHub
     import org.apache.spark.sql.DataFrame
     val lake = tmpDir("hub_byterate")
@@ -331,20 +331,33 @@ class StreamingSpec extends SparkTestBase {
     run(1L << 40)
     assert(steps.length == 1,
       s"a generous byte cap must drain the backlog in one step: $steps")
-    // both admission clocks at once are refused loudly
-    val e = intercept[Exception] {
-      spark.readStream.format("graft-hub").option("path", hub)
-        .option("maxBytesPerTrigger", "1000")
-        .option("maxVersionsPerTrigger", "1").load()
+    // both admission clocks at once compose (Delta parity): the trigger
+    // stops at whichever limit binds first
+    def runBoth(bytes: Long, versions: Int): Unit = {
+      val q = spark.readStream.format("graft-hub").option("path", hub)
+        .option("maxBytesPerTrigger", bytes.toString)
+        .option("maxVersionsPerTrigger", versions.toString).load()
         .writeStream
-        .foreachBatch { (_: DataFrame, _: Long) => () }
-        .option("checkpointLocation", s"$lake/cp2")
+        .foreachBatch { (b: DataFrame, _: Long) => steps += b.count(); () }
+        .option("checkpointLocation", s"$lake/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+        .start()
+      q.awaitTermination()
     }
-    assert(e.getMessage.contains("mutually exclusive") ||
-      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")),
-      s"got: ${e.getMessage}")
+    for (k <- Seq(6L, 7L))
+      VersionedHub.writeBucketed(spark, Seq((k, s"D$k")).toDF("k", "v"),
+        hub, Seq("k"), 4)
+    steps.clear()
+    runBoth(1L << 40, 1) // huge byte budget: the VERSION cap binds
+    assert(steps.length == 2,
+      s"version cap must bind under a huge byte budget: $steps")
+    for (k <- Seq(8L, 9L))
+      VersionedHub.writeBucketed(spark, Seq((k, s"E$k")).toDF("k", "v"),
+        hub, Seq("k"), 4)
+    steps.clear()
+    runBoth(1L, 10) // generous version cap: the BYTE budget binds
+    assert(steps.length == 2,
+      s"byte cap must bind under a generous version cap: $steps")
   }
 
   test("graft-hub streaming source tails commits incrementally, exactly-once across restarts and replays") {

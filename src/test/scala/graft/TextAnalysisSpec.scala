@@ -141,6 +141,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(oneClass.getMessage.contains("both classes"))
   }
 
+  test("predictWith refuses documents that could wrap the Long score") {
+    import graft.operators.QualityModel
+    // a model with near-limit weights makes the per-document safe bound
+    // tiny: (Long.MaxValue/2) / (Long.MaxValue/20) = 10 terms
+    val big = Long.MaxValue / 20
+    val m = QualityModel.Trained(
+      IndexedSeq.fill(QualityModel.HashBuckets)(big), 0L, 1L, 1L)
+    // 6 tokens → 6 unigrams + 5 bigrams = 11 terms > bound of 10
+    val over = Seq((1L, (1 to 6).map(i => s"t$i"))).toDF("id", "toks")
+    val e = intercept[Throwable](
+      over.select(QualityModel.predictWith(col("toks"), m)).collect())
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(msg =>
+      msg != null && msg.contains("too large for Long scoring")),
+      s"expected a loud scan-time refusal, got: ${chain(e)}")
+    // a document inside the bound still scores: 2 tokens → 3 terms
+    val ok = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
+    assert(ok.select(QualityModel.predictWith(col("toks"), m))
+      .head().getLong(0) == 1L)
+  }
+
   test("compression stats: deflate round-trips and repetition compresses harder") {
     import spark.implicits._
     val prose = "the quick brown fox jumps over the lazy dog and keeps " +
