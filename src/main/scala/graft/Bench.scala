@@ -91,17 +91,18 @@ object Bench {
     calibrate() // warm the calibration plan itself
     val calibFirst = calibrate()
     val loadFirst = loadAvg()
-    val best = scala.collection.mutable.Map.empty[String, Double]
-    // normalized best: each rep's timings scaled by THAT REP's calibration
-    // drift (calibRep / calibMedian), so a rep run during a co-tenant load
-    // spike is corrected toward what it would have cost on the quiet box —
-    // `value_norm` is the figure to compare round-over-round when the
-    // raw calib_first/last disagree (the r13 verdict's 1.93× problem).
-    val bestNorm = scala.collection.mutable.Map.empty[String, Double]
+    // per query: every (sec, rep-probe) measurement — the raw min, the
+    // normalized min, the rep count, and the probe AT the min all derive
+    // from this one record (round-16 verdict task 5 / advice 5: regression
+    // tooling needs to see which rows are single-rep and whether a row's
+    // best measurement ran on a throttled host)
+    val meas = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[(Double, Double)]]
     val calibReps = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (r <- 1 to reps) {
+    def measurePass(qnames: Seq[String]): Unit = {
       calibReps += calibrate()
-      for (name <- names if r == 1 || !singleRep.contains(name)) {
+      val probe = calibReps.last
+      for (name <- qnames) {
         System.gc()
         Thread.sleep(50)
         val t0 = System.nanoTime()
@@ -110,22 +111,36 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
-        bestNorm.updateWith(name)(prev =>
-          Some(prev.fold(sec / calibReps(r - 1))(
-            math.min(_, sec / calibReps(r - 1)))))
+        meas.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer.empty) += ((sec, probe))
       }
     }
+    for (r <- 1 to reps)
+      measurePass(names.filter(n => r == 1 || !singleRep.contains(n)))
     val calibLast = calibrate()
     val loadLast = loadAvg()
     // MEDIAN, not min: a single anomalously-fast calibration probe (warm
     // JIT + idle instant) would make every normalized figure jumpy
-    val calibMedian = {
-      val all = (calibReps :+ calibFirst :+ calibLast).sorted
-      all(all.size / 2)
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    var calibMedian = median(calibReps.toSeq :+ calibFirst :+ calibLast)
+    // Throttle repair (round-16 verdict task 5): a query whose BEST rep ran
+    // under a > 2× throttled probe has no clean measurement at all — the
+    // r16 driver run published 22.6 s for a 7.6 s query that way. One extra
+    // pass over exactly those queries; the min then absorbs it.
+    val suspect = names.filter { n =>
+      meas(n).minBy(_._1)._2 > 2.0 * calibMedian
     }
-    val results = names.map(n => n -> best(n))
-    val resultsNorm = names.map(n => n -> bestNorm(n) * calibMedian)
+    if (suspect.nonEmpty) {
+      System.err.println(
+        s"[bench] throttle-suspect extra rep: ${suspect.mkString(", ")}")
+      measurePass(suspect)
+      calibMedian = median(calibReps.toSeq :+ calibFirst :+ calibLast)
+    }
+    val results = names.map(n => n -> meas(n).map(_._1).min)
+    val resultsNorm = names.map(n =>
+      n -> meas(n).map { case (s, c) => s / c }.min * calibMedian)
+    val repCount = names.map(n => n -> meas(n).size).toMap
+    val calibAtMin = names.map(n => n -> meas(n).minBy(_._1)._2).toMap
     def fmt(v: Double): String = "%.4f".format(v)
     val total = results.map(_._2).sum
     val totalNorm = resultsNorm.map(_._2).sum
@@ -146,7 +161,8 @@ object Bench {
     val normByName = resultsNorm.toMap
     val fileJson = byCost.reverse
       .map { case (k, v) =>
-        s"""  "$k": {"sec": ${fmt(v)}, "norm": ${fmt(normByName(k))}}""" }
+        s"""  "$k": {"sec": ${fmt(v)}, "norm": ${fmt(normByName(k))}, """ +
+          s""""reps": ${repCount(k)}, "calib_at_min": ${fmt(calibAtMin(k))}}""" }
       .mkString(
         s"""{\n  "_total_sec": ${fmt(total)}, "_reps": $reps, "_nqueries": ${results.size}, "_sf": "$sfDir",\n""" +
           s"""  $calibJson,\n""",
