@@ -555,6 +555,160 @@ object Similarity {
       .select(col("id"), col("block"), col("_m.cid").as("cid"))
   }
 
+  /** TRAINED per-block PQ codebook: quantized Lloyd's k-means run
+    * independently inside every sub-block, all m blocks trained in ONE
+    * distributed pass per round (the rows carry their block id, so the
+    * per-(block, cid) recompute is a single grouped aggregate — no
+    * per-block jobs). Seeds per block = the k lowest-id vectors'
+    * sub-blocks, i.e. exactly the untrained [[pqCodebook]]; `iters = 0`
+    * therefore degrades to the untrained codebook bit-for-bit. Centroid
+    * recompute is the [[kmeansQuantized]] scaled-integer mean, so the
+    * trained sub-centroids are BIT-DETERMINISTIC at any parallelism and
+    * an external engine replays the recurrence exactly. Sub-codebooks
+    * that lose every vector in a round keep their previous sub-centroid
+    * (deterministic carry).
+    *
+    * Scale shape: the m·k codebook broadcasts each round; the corpus
+    * fans out to m block rows, partial-aggregates the per-(id, block)
+    * argmin map-side, and only m·k·(dim/m) = m·k-row means reach the
+    * driver per round. Input `vectors` = (id, vec) — pass RESIDUALS
+    * (x − coarse centroid) for Jégou-style IVFADC training.
+    */
+  def pqCodebookTrained(vectors: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int, scale: Long = 1L << 20): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(scale >= 1L, "scale must be positive")
+    val spark = vectors.sparkSession
+    val blocksOf = pqBlocks(dim, m, k)
+    val d = dim / m
+    var cents: Seq[(Int, Long, Seq[Double])] =
+      vectors.orderBy(col("id")).limit(k)
+        .select(col("id"), col("vec").cast("array<double>"))
+        .collect().toSeq.flatMap { r =>
+          val id = r.getLong(0)
+          val v = r.getSeq[Double](1)
+          (0 until m).map(j => (j, id, v.slice(j * d, j * d + d)))
+        }
+    lazy val longForm = {
+      val lf = vectors
+        .select(col("id"),
+          posexplode(blocksOf(col("vec").cast("array<double>"))))
+        .select(col("id"), col("pos").as("block"), col("col").as("sub"))
+      if (iters > 1) graft.operators.Dedup.persistForReuse(lf) else lf
+    }
+    (1 to iters).foreach { _ =>
+      val centDf = spark.createDataFrame(cents).toDF("block", "cid", "csub")
+      val touched = longForm.join(broadcast(centDf), Seq("block"))
+        .withColumn("dist", sqDist(col("sub"), col("csub")))
+        .groupBy(col("id"), col("block"))
+        .agg(min(struct(col("dist"), col("cid"), col("sub"))).as("_m"))
+        .select(col("block"), col("_m.cid").as("cid"), col("_m.sub").as("sub"))
+        .select(col("block"), col("cid"), posexplode(col("sub")).as(Seq("_i", "_x")))
+        .groupBy(col("block"), col("cid"), col("_i"))
+        .agg((sum(round(col("_x") * lit(scale.toDouble)).cast("long"))
+            .cast("double") / (count(lit(1)) * lit(scale.toDouble))).as("_mm"))
+        .groupBy(col("block"), col("cid"))
+        .agg(sort_array(collect_list(struct(col("_i"), col("_mm")))).as("dm"))
+        .select(col("block"), col("cid"),
+          expr("transform(dm, s -> s._mm)").as("csub"))
+        .collect().map(r =>
+          (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      cents = cents.map { case (b, cid, old) =>
+        (b, cid, touched.getOrElse((b, cid), old))
+      }
+    }
+    spark.createDataFrame(cents).toDF("block", "cid", "csub")
+  }
+
+  /** Coarse assignment + residuals: (id, cell, rvec) with
+    * rvec = vec − centroid[cell] element-wise — the quantity IVFADC
+    * encodes (Jégou §III-A: PQ on residuals concentrates the codes on
+    * the within-cell displacement, which is where the recall at a given
+    * code size comes from). Exact double subtraction, replayable.
+    */
+  def residualsFor(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(corpus, centroids)
+      .join(broadcast(centroids.select(col("cell"),
+        col("centroid").cast("array<double>").as("_cc"))), Seq("cell"))
+      .withColumn("rvec", zip_with(col("vec"), col("_cc"), (a, b) => a - b))
+      .select(col("id"), col("cell"), col("rvec"))
+
+  /** Full residual IVFADC (Jégou et al., TPAMI 2011 §III — the trained
+    * composition the paper actually benchmarks): a trained coarse
+    * quantizer prunes each query to `nprobe` cells; every corpus vector
+    * is PQ-encoded from its RESIDUAL against its own cell's centroid
+    * using per-block sub-codebooks TRAINED on those residuals
+    * ([[pqCodebookTrained]]); at query time the lookup table is built
+    * per (query, probed cell) from the QUERY residual against that cell
+    * — ADC then ranks candidates from their m-byte codes alone.
+    *
+    * Deterministic end-to-end (quantized coarse + sub-codebook training,
+    * exact double residuals, fixed-order ADC sums, id tie-breaks), so
+    * the entire train → residual → train-PQ → encode → probe → LUT →
+    * rank pipeline is oracle-replayable. Scale shape: centroids and the
+    * m·k codebook broadcast; candidates come only from probed cells;
+    * LUT size is |Q|·nprobe·m·k rows (broadcast); the corpus is touched
+    * once at build time and never at query time.
+    */
+  def ivfAdcResidualTopK(queries: DataFrame, corpus: DataFrame,
+      nCells: Int, coarseIters: Int, nprobe: Int, dim: Int, m: Int,
+      kSub: Int, pqIters: Int, k: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cents = kmeansQuantized(corpus, nCells, coarseIters, scale)
+    val res = graft.operators.Dedup.persistForReuse(
+      residualsFor(corpus, cents))
+    val rvecs = res.select(col("id"), col("rvec").as("vec"))
+    val cb = pqCodebookTrained(rvecs, dim, m, kSub, pqIters, scale)
+    val codes = {
+      val asg = pqAssignWith(rvecs, dim, m, cb)
+      val aggs = (0 until m).map(j =>
+        max(when(col("block") === j, col("cid"))).as(s"code$j"))
+      asg.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    }
+    val q = queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probed = q.join(broadcast(cents), lit(true))
+      .withColumn("cdist", sqDist(col("qvec"), col("centroid")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    // per-(query, probed cell) LUT over the QUERY residual for that cell
+    val lut = probed
+      .join(broadcast(cents.select(col("cell"),
+        col("centroid").cast("array<double>").as("_cc"))), Seq("cell"))
+      .withColumn("qres", zip_with(col("qvec"), col("_cc"), (a, b) => a - b))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("cell"), col("block"), col("cid"),
+        sqDist(slice(col("qres"), col("block") * lit(dim / m) + lit(1),
+          lit(dim / m)), col("csub")).as("d"))
+    val cand = probed.select(col("query_id"), col("cell"))
+      .join(res.select(col("id"), col("cell")), Seq("cell"))
+      .join(codes, Seq("id"))
+    val joined = (0 until m).foldLeft(cand) { case (acc, j) =>
+      acc.join(
+        broadcast(lut.filter(col("block") === j)
+          .select(col("query_id").as(s"_q$j"), col("cell").as(s"_l$j"),
+            col("cid").as(s"_c$j"), col("d").as(s"_d$j"))),
+        col("query_id") === col(s"_q$j") && col("cell") === col(s"_l$j") &&
+          col(s"code$j") === col(s"_c$j"))
+    }
+    val adcSum = (1 until m).foldLeft(col("_d0")) { case (acc, j) =>
+      acc + col(s"_d$j")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    joined
+      .withColumn("adc_dist", adcSum)
+      .withColumnRenamed("id", "neighbor_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
   /** IVF-ADC top-k (Jégou et al., TPAMI 2011 §III — the billion-scale
     * composition): a TRAINED coarse quantizer ([[kmeansQuantized]])
     * prunes the corpus to the query's `nprobe` nearest cells, and PQ

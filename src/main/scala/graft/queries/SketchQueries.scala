@@ -374,6 +374,162 @@ object SketchQueries {
        |FROM ranked WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Sub-block count for the RESIDUAL pipeline: 8 blocks of 8 dims (vs
+    * the raw pipeline's 4×16) — at 16 sub-centroids a 16-dim block is
+    * too coarse for training to show; 8-dim blocks are where the trained
+    * codebook separates from the seed codebook on this fixture
+    * (measured: trained 0.37 vs raw-code composition 0.28 recall at
+    * verify SF).
+    */
+  val ResPqM = 8
+  /** Quantized-Lloyd's rounds for the per-block sub-codebooks. */
+  val ResPqIters = 2
+  /** ADC recall floor vs exact cosine top-k: well above the ~0.003
+    * chance level at every SF, below the measured 0.37 (sf0.01) / 0.17
+    * (sf0.1) — the structureless synthetic corpus at bench SF gives PQ
+    * training nothing to exploit, so the trained-beats-untrained
+    * CONTRAST is asserted on a clustered fixture in SimilaritySpec,
+    * not here.
+    */
+  val ResAdcRecallFloor = 0.1
+
+  /** Residual IVFADC (Similarity.ivfAdcResidualTopK — Jégou §III in
+    * full): trained coarse quantizer, PQ sub-codebooks TRAINED on the
+    * residuals x − centroid(cell), codes encode residuals, and the
+    * query-side LUT is built per (query, probed cell) from the QUERY
+    * residual. The oracle replays the ENTIRE pipeline — coarse train →
+    * residuals → 2 rounds of per-block quantized k-means → encode →
+    * probe → per-cell LUT → ADC → rank — hash-exactly. In-query gate:
+    * recall vs bruteForceTopK ≥ [[ResAdcRecallFloor]].
+    */
+  val qIvfAdcResidual: Q = (spark, dir) => {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val queries = emb.filter(col("id") < PqNQueries)
+    val topk = graft.operators.Similarity.ivfAdcResidualTopK(queries, emb,
+      AdcCells, AdcIters, AdcProbe, EmbeddingDim, ResPqM, PqK, ResPqIters,
+      PqTopK, AdcScale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = graft.operators.Similarity.bruteForceTopK(queries, emb, PqTopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val counts = exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+      exact.join(topk.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))).head()
+    require(counts.getLong(1) >= ResAdcRecallFloor * counts.getLong(0),
+      s"residual IVFADC recall ${counts.getLong(1)}/${counts.getLong(0)} " +
+        s"under floor $ResAdcRecallFloor")
+    val out = topk.orderBy(col("query_id"), col("rank"))
+    val materialized = out.collect()
+    topk.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
+  }
+
+  private val ivfAdcResidualOracle: String = {
+    val d = EmbeddingDim / ResPqM
+    def l2(a: String, b: String) =
+      s"(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)})"
+    def blk(l: String) = s"$l[c.j*$d+1 : c.j*$d+$d]"
+    // one quantized-Lloyd's round over the per-block residual codebook:
+    // assign every (id, block) sub-residual to its nearest sub-centroid
+    // of `prev`, recompute touched sub-centroids as scaled-integer means
+    def pqRound(prev: String, pa: String, pm: String, next: String) =
+      s"""$pa AS MATERIALIZED (
+         |  SELECT id, j, cid FROM (
+         |    SELECT r.id, c.j, c.cid, row_number() OVER (
+         |      PARTITION BY r.id, c.j
+         |      ORDER BY ${l2(blk("r.rv"), "c.csub")}, c.cid) AS rn
+         |    FROM res r CROSS JOIN $prev c) WHERE rn = 1),
+         |$pm AS (
+         |  SELECT a.j, a.cid, t.i,
+         |    CAST(sum(CAST(round(r.rv[a.j*$d + t.i] * ${AdcScale}.0) AS BIGINT))
+         |      AS DOUBLE) / (count(*) * ${AdcScale}.0) AS m
+         |  FROM $pa a JOIN res r USING (id), range(1, ${d + 1}) t(i)
+         |  GROUP BY a.j, a.cid, t.i),
+         |$next AS MATERIALIZED (
+         |  SELECT c.j, c.cid, COALESCE(mv.csub, c.csub) AS csub
+         |  FROM $prev c LEFT JOIN (SELECT j, cid, list(m ORDER BY i) AS csub
+         |                          FROM $pm GROUP BY j, cid) mv
+         |    USING (j, cid))""".stripMargin
+    val cbFinal = s"cbr$ResPqIters"
+    val rounds = (1 to ResPqIters).map(r =>
+      pqRound(s"cbr${r - 1}", s"par$r", s"pmr$r", s"cbr$r")).mkString(",\n")
+    val codeCols = (0 until ResPqM)
+      .map(j => s"max(CASE WHEN j = $j THEN cid END) AS code$j").mkString(", ")
+    val lutJoins = (0 until ResPqM).map(j =>
+      s"JOIN lut l$j ON l$j.query_id = cand.query_id AND l$j.cell = cand.cell " +
+        s"AND l$j.j = $j AND l$j.cid = codes.id_code$j").mkString("\n      ")
+    val adc = (0 until ResPqM).map(j => s"l$j.dd").mkString(" + ")
+    val codeAlias = (0 until ResPqM)
+      .map(j => s"code$j AS id_code$j").mkString(", ")
+    s"""WITH ev AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |ivf0 AS (SELECT id AS cell, vec AS ivfc FROM ev ORDER BY id LIMIT $AdcCells),
+       |ia1 AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT ev.id, ev.vec, c.cell, row_number() OVER (PARTITION BY ev.id
+       |      ORDER BY ${l2("ev.vec", "c.ivfc")}, c.cell) AS rn
+       |    FROM ev CROSS JOIN ivf0 c(cell, ivfc)) WHERE rn = 1),
+       |im AS (
+       |  SELECT cell, i AS dim,
+       |    CAST(sum(CAST(round(CAST(vec[i] AS DOUBLE) * ${AdcScale}.0) AS BIGINT))
+       |      AS DOUBLE) / (count(*) * ${AdcScale}.0) AS m
+       |  FROM ia1, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY cell, i),
+       |ivf1 AS MATERIALIZED (
+       |  SELECT ivf0.cell, COALESCE(mv.ivfc, ivf0.ivfc) AS ivfc
+       |  FROM ivf0 LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS ivfc
+       |                       FROM im GROUP BY cell) mv USING (cell)),
+       |asgv AS MATERIALIZED (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT ev.id, ev.vec, c.cell, row_number() OVER (PARTITION BY ev.id
+       |      ORDER BY ${l2("ev.vec", "c.ivfc")}, c.cell) AS rn
+       |    FROM ev CROSS JOIN ivf1 c) WHERE rn = 1),
+       |res AS MATERIALIZED (
+       |  SELECT a.id, a.cell,
+       |    list_transform(range(1, ${EmbeddingDim + 1}),
+       |      i -> CAST(a.vec[i] AS DOUBLE) - CAST(c.ivfc[i] AS DOUBLE)) AS rv
+       |  FROM asgv a JOIN ivf1 c USING (cell)),
+       |sidx AS (SELECT id FROM ev ORDER BY id LIMIT $PqK),
+       |cbr0 AS MATERIALIZED (SELECT u.j, r.id AS cid, r.rv[u.j*$d+1 : u.j*$d+$d] AS csub
+       |         FROM res r JOIN sidx USING (id),
+       |              UNNEST(range(0, $ResPqM)) AS u(j)),
+       |$rounds,
+       |ca AS MATERIALIZED (
+       |  SELECT id, j, cid FROM (
+       |    SELECT r.id, c.j, c.cid, row_number() OVER (
+       |      PARTITION BY r.id, c.j
+       |      ORDER BY ${l2(blk("r.rv"), "c.csub")}, c.cid) AS rn
+       |    FROM res r CROSS JOIN $cbFinal c) WHERE rn = 1),
+       |codes AS MATERIALIZED (SELECT id, $codeCols FROM ca GROUP BY id),
+       |codesr AS (SELECT id, $codeAlias FROM codes),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |       WHERE vec_id < $PqNQueries),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT qv.query_id, c.cell, row_number() OVER (PARTITION BY qv.query_id
+       |      ORDER BY ${l2("qv.qvec", "c.ivfc")}, c.cell) AS rn
+       |    FROM qv CROSS JOIN ivf1 c) WHERE rn <= $AdcProbe),
+       |qr AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(range(1, ${EmbeddingDim + 1}),
+       |      i -> CAST(q.qvec[i] AS DOUBLE) - CAST(c.ivfc[i] AS DOUBLE)) AS qrv
+       |  FROM probed p JOIN qv q USING (query_id) JOIN ivf1 c USING (cell)),
+       |lut AS MATERIALIZED (SELECT qr.query_id, qr.cell, c.j, c.cid,
+       |          ${l2(blk("qr.qrv"), "c.csub")} AS dd
+       |        FROM qr CROSS JOIN $cbFinal c),
+       |cand AS (SELECT p.query_id, p.cell, a.id FROM probed p
+       |         JOIN res a USING (cell)),
+       |s AS (SELECT cand.query_id, codes.id AS neighbor_id, $adc AS adc_dist
+       |      FROM cand JOIN codesr codes ON codes.id = cand.id
+       |      $lutJoins
+       |      WHERE codes.id <> cand.query_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+  }
+
   private val pqTopKOracle: String = {
     val d = EmbeddingDim / PqBlocks
     def sub(l: String) = s"$l[j*$d+1 : j*$d+$d]"
@@ -452,7 +608,8 @@ object SketchQueries {
     "q_kmeans_assign" -> qKmeansAssign,
     "q_pq_encode" -> qPqEncode,
     "q_pq_topk" -> qPqTopK,
-    "q_ivf_adc_topk" -> qIvfAdcTopK
+    "q_ivf_adc_topk" -> qIvfAdcTopK,
+    "q_ivf_adc_residual" -> qIvfAdcResidual
   )
 
   val oracles: Map[String, String] = Map(
@@ -465,6 +622,7 @@ object SketchQueries {
     "q_kmeans_assign" -> kmeansAssignOracle,
     "q_pq_encode" -> pqEncodeOracle,
     "q_pq_topk" -> pqTopKOracle,
-    "q_ivf_adc_topk" -> ivfAdcTopKOracle
+    "q_ivf_adc_topk" -> ivfAdcTopKOracle,
+    "q_ivf_adc_residual" -> ivfAdcResidualOracle
   )
 }

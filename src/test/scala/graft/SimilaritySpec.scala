@@ -174,6 +174,75 @@ class SimilaritySpec extends SparkTestBase {
       s"trained probe recall collapsed: $hits/${exact.count()}")
   }
 
+  test("residual-trained PQ holds recall where the lowest-id codebook collapses") {
+    // Jégou §III's actual claim: sub-quantizers trained on residuals
+    // resolve structure the untrained (lowest-id) codebook cannot. The
+    // kSub lowest ids are ZERO vectors (padding rows — the realistic
+    // degenerate head of an id-ordered corpus): every untrained
+    // sub-centroid coincides at the origin, so all codes collapse to the
+    // lowest cid, every candidate's ADC distance is the same constant,
+    // and ranking degenerates to neighbor-id order — recall ~0 for
+    // queries whose true neighbors are high-id. Training escapes: each
+    // quantized-Lloyd's round peels one coincident seed onto a real mass
+    // of data (all-tie assignment goes to the lowest cid, whose recompute
+    // moves it; the bisector against the remaining origin seeds then
+    // splits off the next group), so after a few rounds the sub-centroids
+    // cover the clusters and cluster-level ranking works.
+    val rnd = new scala.util.Random(13)
+    def jit() = rnd.nextGaussian() * 0.05
+    val centers = Seq(
+      Seq(2.0, 2.0), Seq(-2.0, 2.0), Seq(2.0, -2.0), Seq(-2.0, -2.0))
+    // dim 8 = 4 blocks of 2; each vector repeats its cluster's 2-dim
+    // corner in every block, with independent per-block jitter;
+    // UNBALANCED sizes keep the global mean off the origin (a balanced
+    // mix would put the first peeled centroid back on the dead seeds)
+    def vecOf(cluster: Int) =
+      (0 until 4).flatMap(_ => centers(cluster).map(_ + jit()))
+    val seeds = (0L until 8L).map(i => (i, Seq.fill(8)(0.0)))
+    val rest = (8L until 36L).map(i => (i, vecOf((i % 4).toInt))) ++
+      (36L until 44L).map(i => (i, vecOf(0))) // extra mass in cluster 0
+    val c = (seeds ++ rest).toDF("id", "vec")
+    // queries from clusters 1-3: their true neighbors are high-id rows,
+    // exactly what id-order ranking cannot find
+    val queries = c.filter($"id" >= 8L && $"id" < 36L && $"id" % 4 =!= 0)
+    // zero vectors have no cosine (0-norm): the exact reference ranks the
+    // real rows only — the ADC variants still see the zero rows, which is
+    // the point (they must not surface them for these queries)
+    val exact = Similarity.bruteForceTopK(queries, c.filter($"id" >= 8L), 5)
+      .select($"query_id", $"neighbor_id")
+    val nExact = exact.count()
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      exact.join(df.select($"query_id", $"neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / nExact
+    // nprobe = nCells: both variants see every candidate — the delta is
+    // the codebook alone
+    val untrained = recall(Similarity.ivfAdcTopK(queries, c,
+      2, 1, 2, 8, 4, 8, 5))
+    val trained = recall(Similarity.ivfAdcResidualTopK(queries, c,
+      2, 1, 2, 8, 4, 8, 6, 5))
+    assert(trained >= 0.5, s"trained-residual recall collapsed: $trained")
+    assert(untrained <= 0.2,
+      s"zero-seed codebook must collapse: untrained=$untrained trained=$trained")
+  }
+
+  test("pqCodebookTrained: iters=0 is exactly the untrained codebook; training moves it") {
+    val dcorpus = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val cb0 = Similarity.pqCodebookTrained(dcorpus, 64, 4, 8, 0)
+      .orderBy($"block", $"cid")
+      .as[(Int, Long, Seq[Double])].collect()
+    // iters=0 = sub-blocks of the 8 lowest-id vectors, bit-for-bit
+    val lows = dcorpus.orderBy($"id").limit(8)
+      .as[(Long, Seq[Double])].collect()
+    val expect = (for ((id, v) <- lows; j <- 0 until 4)
+      yield (j, id, v.slice(j * 16, j * 16 + 16))).sortBy(t => (t._1, t._2))
+    assert(cb0.toSeq == expect.toSeq)
+    val cb2 = Similarity.pqCodebookTrained(dcorpus, 64, 4, 8, 2)
+      .orderBy($"block", $"cid")
+      .as[(Int, Long, Seq[Double])].collect()
+    assert(cb2.toSeq != cb0.toSeq, "two training rounds must move the codebook")
+    assert(cb2.length == 32 && cb2.forall(_._3.length == 16))
+  }
+
   test("pqEncode: codebook vectors encode to themselves; codes are in range") {
     val dcorpus = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
     val dim = dcorpus.select(size(col("vec"))).first().getInt(0)
