@@ -160,6 +160,112 @@ object QualityModel {
     Trained(w, thrClamped, nPos, nNeg)
   }
 
+  /** A trained MULTICLASS nearest-centroid model: per-class bucket-count
+    * vectors and doc counts, classes ascending. Classification is
+    * argmin_c ‖x − μ_c‖² with μ_c = counts_c / nDocs_c; the
+    * class-independent ‖x‖² cancels, so the per-class quantity is
+    * `B_c = ‖counts_c‖² − 2·nDocs_c·(x·counts_c)` and classes compare by
+    * the CROSS-MULTIPLIED exact integers `B_c·nDocs_c'² ⋛ B_c'·nDocs_c²`
+    * — no rationals, no floats, bit-identical at any parallelism and
+    * replayable by an external engine (int128 products there; the
+    * train-time fit check keeps every product inside Long here). Ties
+    * break to the LOWER class id.
+    *
+    * `safeTerms` is the per-document unigram+bigram bound under which
+    * every product provably fits a Long — [[predictMultiWith]] refuses
+    * larger documents loudly (same contract as the binary guard).
+    */
+  final case class TrainedMulti(classes: IndexedSeq[Long],
+      counts: IndexedSeq[IndexedSeq[Long]], nDocs: IndexedSeq[Long],
+      safeTerms: Long)
+
+  /** Distributed multiclass training — the same ONE narrow
+    * explode + partial-agg pass as the binary [[train]], grouped by the
+    * arbitrary Long class label instead of ±1; only
+    * |classes|×[[HashBuckets]] longs reach the driver. Refusals: fewer
+    * than 2 classes; more than 64 classes (the per-row argmin fold is a
+    * when-chain — a cardinality that size means the label is not a
+    * class); any cross-multiplied product that could leave Long for a
+    * document within `safeTerms` (checked exactly in BigInt).
+    */
+  def trainMulticlass(df: org.apache.spark.sql.DataFrame, toksCol: Column,
+      labelCol: Column): TrainedMulti = {
+    val base = df.select(labelCol.cast("long").as("_y"), toksCol.as("_t"))
+    val counts = base
+      .select(col("_y"),
+        explode(concat(col("_t"), bigramsOf(col("_t")))).as("_term"))
+      .select(col("_y"), bucket(col("_term")).as("_b"))
+      .groupBy(col("_y"), col("_b")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val docs = base.groupBy(col("_y")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val classes = docs.keys.toIndexedSeq.sorted
+    require(classes.size >= 2,
+      s"need at least 2 classes to train, got ${classes.size}")
+    require(classes.size <= 64,
+      s"${classes.size} distinct labels — that is not a class column")
+    val cnt = classes.map(y => (0 until HashBuckets)
+      .map(b => counts.getOrElse((y, b.toLong), 0L)))
+    val n = classes.map(docs)
+    // exact fit check: for every class pair the comparison multiplies
+    // B_c (bounded by ‖cnt_c‖² + 2·N_c·terms·max_b cnt_c[b]) by N_c'².
+    // Solve for the largest per-document term count that keeps every
+    // product under Long.MaxValue/2; refuse models that cannot even
+    // score a 1-term document.
+    val maxN2 = n.map(x => BigInt(x) * x).max
+    val half = BigInt(Long.MaxValue) / 2
+    val safe = classes.indices.map { i =>
+      val norm2 = cnt(i).map(c => BigInt(c) * c).sum
+      val maxC = cnt(i).max
+      val headroom = half / maxN2 - norm2
+      if (headroom <= 0) BigInt(0)
+      else if (maxC == 0L) BigInt(Long.MaxValue)
+      else headroom / (BigInt(2) * n(i) * maxC)
+    }.min
+    require(safe >= 1,
+      "corpus too large for Long multiclass scoring: cross-multiplied " +
+        "products would wrap — shrink the corpus or widen the scorer")
+    val safeTerms =
+      if (safe > BigInt(Long.MaxValue)) Long.MaxValue
+      else safe.bigInteger.longValueExact()
+    TrainedMulti(classes, cnt, n, safeTerms)
+  }
+
+  /** Per-row class prediction of a [[TrainedMulti]] model over an
+    * aliased token-array column: |classes| integer feature dot products
+    * (one scorer pass per class), then a linear fold keeping the
+    * arg-min-distance class under the cross-multiplied comparison.
+    * Documents past `safeTerms` raise at scan time rather than wrap.
+    */
+  def predictMultiWith(toks: Column, m: TrainedMulti): Column = {
+    val k = m.classes.size
+    val bs = m.classes.indices.map { i =>
+      val (_, s) = scoreOfTokensWith(toks, m.counts(i))
+      val norm2 = m.counts(i).map(c => BigInt(c) * c).sum
+      lit(norm2.bigInteger.longValueExact()) - lit(2L * m.nDocs(i)) * s
+    }
+    val n2 = m.nDocs.map(x => x * x)
+    var bestB = bs(0)
+    var bestN2: Column = lit(n2(0))
+    var bestC: Column = lit(m.classes(0))
+    for (i <- 1 until k) {
+      val better = bs(i) * bestN2 < bestB * lit(n2(i))
+      val (pb, pn, pc) = (bestB, bestN2, bestC)
+      bestB = when(better, bs(i)).otherwise(pb)
+      bestN2 = when(better, lit(n2(i))).otherwise(pn)
+      bestC = when(better, lit(m.classes(i))).otherwise(pc)
+    }
+    val nTerms = size(toks).cast("long") +
+      greatest(size(toks) - 1, lit(0)).cast("long")
+    when(nTerms > m.safeTerms,
+      raise_error(concat(
+        lit("document too large for Long multiclass scoring: "),
+        nTerms.cast("string"),
+        lit(s" terms exceeds the safe bound ${m.safeTerms} for this model"))))
+      .otherwise(bestC)
+  }
+
   /** Per-row +1/−1 prediction of a [[Trained]] model over an aliased
     * token-array column — one Long comparison against the precomputed
     * integer threshold (nothing multiplies in the comparison itself).

@@ -204,6 +204,102 @@ object PipelineQueries {
        |ORDER BY bucket""".stripMargin
   }
 
+  /** Training accuracy floor for the 3-class length rule (measured at
+    * sf0.01 before gating; the multiclass centroids see the same
+    * 64-bucket collisions as the binary model).
+    */
+  val QmMultiAccFloor = 0.8
+
+  /** MULTICLASS quality-model training
+    * ([[graft.operators.QualityModel.trainMulticlass]], r16 verdict
+    * task 6): nearest-centroid over hashed unigram+bigram counts for N
+    * classes — the trainable lang-id/domain-classifier gate shape.
+    * Label fixture: a 3-class LENGTH rule (n_chars < 200 / < 400 /
+    * rest — the metadata fields are text-independent by construction,
+    * see q_quality_learn). Everything is exact integers: per-class
+    * bucket counts, and classification by the cross-multiplied
+    * comparison `B_c·N_c'² < B_c'·N_c²` (ties to the lower class), so
+    * the oracle replays training AND the decision algebra — the output
+    * carries the per-class count vectors, doc counts (bucket −1), and
+    * the predicted-class census (bucket −2) computed through the same
+    * argmin in int128 SQL.
+    */
+  val qQualityLearnMulti: Q = (spark, dir) => {
+    import graft.operators.QualityModel
+    val docs = Tables(spark, dir, "documents")
+    val label = when(col("n_chars") < 200, 0L)
+      .when(col("n_chars") < 400, 1L).otherwise(2L)
+    val m = QualityModel.trainMulticlass(docs,
+      TextAnalysis.tokens(col("text")), label)
+    val toks = TextAnalysis.tokens(col("text")).as("_t")
+    val acc = docs.select(label.as("_y"), toks)
+      .select((col("_y") === QualityModel.predictMultiWith(col("_t"), m))
+        .cast("long").as("_ok"))
+      .agg(avg(col("_ok"))).head().getDouble(0)
+    require(acc >= QmMultiAccFloor,
+      s"multiclass model must reproduce the length rule: acc=$acc")
+    val census = docs.select(toks)
+      .select(QualityModel.predictMultiWith(col("_t"), m).as("clazz"))
+      .groupBy(col("clazz")).agg(count(lit(1)).as("val"))
+      .select(col("clazz"), lit(-2L).as("bucket"), col("val"))
+    import spark.implicits._
+    val learned =
+      (for ((y, i) <- m.classes.zipWithIndex;
+            b <- 0 until QualityModel.HashBuckets)
+        yield (y, b.toLong, m.counts(i)(b))) ++
+        m.classes.zipWithIndex.map { case (y, i) => (y, -1L, m.nDocs(i)) }
+    learned.toDF("clazz", "bucket", "val")
+      .unionByName(census)
+      .orderBy(col("clazz"), col("bucket"))
+  }
+
+  private val qualityLearnMultiOracle: String = {
+    val d = graft.operators.QualityModel.HashBuckets
+    s"""WITH t AS (SELECT doc_id,
+       |  CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+       |       ELSE 2 END AS y,
+       |  $WS ws FROM documents),
+       |n AS (SELECT y, count(*) AS nd FROM t GROUP BY y),
+       |f0 AS MATERIALIZED (
+       |  SELECT doc_id, y, ${h60("tok")} % $d AS b
+       |  FROM (SELECT doc_id, y, unnest(ws) AS tok FROM t)
+       |  UNION ALL
+       |  SELECT doc_id, y, ${h60("ws[i] || ' ' || ws[i+1]")} % $d AS b
+       |  FROM t, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS u(i)),
+       |cb AS MATERIALIZED (
+       |  SELECT cls.y, r.range AS b, coalesce(c0.c, 0) AS c
+       |  FROM range(0, $d) r CROSS JOIN (SELECT DISTINCT y FROM n) cls
+       |  LEFT JOIN (SELECT y, b, count(*) AS c FROM f0 GROUP BY y, b) c0
+       |    ON c0.y = cls.y AND c0.b = r.range),
+       |nrm AS (SELECT y, sum(CAST(c AS HUGEINT) * c) AS nrm FROM cb GROUP BY y),
+       |n2 AS (SELECT y, CAST(nd AS HUGEINT) * nd AS nd2 FROM n),
+       |xs0 AS (SELECT f.doc_id, cb.y, sum(cb.c) AS s
+       |        FROM f0 f JOIN cb ON cb.b = f.b GROUP BY f.doc_id, cb.y),
+       |xs AS (SELECT dd.doc_id, cls.y, coalesce(x.s, 0) AS s
+       |       FROM (SELECT DISTINCT doc_id FROM t) dd
+       |       CROSS JOIN (SELECT DISTINCT y FROM n) cls
+       |       LEFT JOIN xs0 x ON x.doc_id = dd.doc_id AND x.y = cls.y),
+       |bsc AS MATERIALIZED (
+       |  SELECT xs.doc_id, xs.y,
+       |    nrm.nrm - 2 * CAST(n.nd AS HUGEINT) * xs.s AS bq
+       |  FROM xs JOIN nrm USING (y) JOIN n USING (y)),
+       |pred AS (
+       |  SELECT b1.doc_id, b1.y FROM bsc b1 JOIN n2 m1 USING (y)
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bsc b2 JOIN n2 m2 ON b2.y = m2.y
+       |    WHERE b2.doc_id = b1.doc_id AND (
+       |      b2.bq * m1.nd2 < b1.bq * m2.nd2 OR
+       |      (b2.bq * m1.nd2 = b1.bq * m2.nd2 AND b2.y < b1.y))))
+       |SELECT CAST(y AS BIGINT) AS clazz, CAST(b AS BIGINT) AS bucket,
+       |  CAST(c AS BIGINT) AS val FROM cb
+       |UNION ALL
+       |SELECT CAST(y AS BIGINT), -1, CAST(nd AS BIGINT) FROM n
+       |UNION ALL
+       |SELECT CAST(y AS BIGINT), -2, CAST(count(*) AS BIGINT)
+       |FROM pred GROUP BY y
+       |ORDER BY clazz, bucket""".stripMargin
+  }
+
   /** Distributed BPE tokenizer apply ([[graft.operators.Bpe]]): per-doc
     * word count, BPE token count, and the exact integer sum of token ids.
     * The oracle re-runs the SAME merges table as a DuckDB replace chain —
@@ -2079,6 +2175,7 @@ object PipelineQueries {
     "q_bpe_learn_tokens" -> qBpeLearnTokens,
     "q_quality_model" -> qQualityModel,
     "q_quality_learn" -> qQualityLearn,
+    "q_quality_learn_multi" -> qQualityLearnMulti,
     "q_curation_model" -> qCurationModel,
     "q_train_val_test" -> qTrainValTest,
     "q_text_stats" -> qTextStats,
@@ -2137,6 +2234,7 @@ object PipelineQueries {
     "q_bpe_learn_tokens" -> bpeLearnTokensOracle,
     "q_quality_model" -> qualityModelOracle,
     "q_quality_learn" -> qualityLearnOracle,
+    "q_quality_learn_multi" -> qualityLearnMultiOracle,
     "q_curation_model" -> curationModelOracle,
     "q_train_val_test" -> trainValTestOracle,
     "q_text_stats" -> textStatsOracle,

@@ -141,6 +141,81 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(oneClass.getMessage.contains("both classes"))
   }
 
+  test("multiclass quality model: binary labels reproduce the binary model; refusal matrix") {
+    import graft.operators.QualityModel
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val label = when(col("n_chars") >= 300, 1L).otherwise(-1L)
+    val toks = TextAnalysis.tokens(col("text"))
+    val bin = QualityModel.train(docs, toks, label)
+    val multi = QualityModel.trainMulticlass(docs, toks, label)
+    assert(multi.classes == IndexedSeq(-1L, 1L))
+    // same centroids: the multiclass count vectors ARE the binary model's
+    // ingredients (w[b] = c⁺[b]·N⁻ − c⁻[b]·N⁺)
+    assert((0 until QualityModel.HashBuckets).forall(b =>
+      multi.counts(1)(b) * multi.nDocs(0) -
+        multi.counts(0)(b) * multi.nDocs(1) == bin.weights(b)))
+    // same decisions doc-by-doc (both are the argmin-distance rule; they
+    // can only diverge on an exact distance tie, which would fail here
+    // loudly — none exists on this corpus)
+    val disagree = docs.select(toks.as("_t"))
+      .select(QualityModel.predictWith(col("_t"), bin).as("b"),
+        QualityModel.predictMultiWith(col("_t"), multi).as("m"))
+      .filter(col("b") =!= col("m")).count()
+    assert(disagree == 0L, s"binary and 2-class multiclass diverged on $disagree docs")
+    // refusals: a single class cannot train; 65 labels are not a class
+    val one = intercept[IllegalArgumentException](
+      QualityModel.trainMulticlass(docs, toks, lit(7L)))
+    assert(one.getMessage.contains("at least 2 classes"))
+    val many = intercept[IllegalArgumentException](
+      QualityModel.trainMulticlass(docs, toks, col("doc_id") % 65))
+    assert(many.getMessage.contains("not a class column"))
+  }
+
+  test("multiclass prediction is the exact nearest centroid on a hand corpus") {
+    import graft.operators.QualityModel
+    import spark.implicits._
+    // three classes with disjoint vocabulary mass; a test doc mixing
+    // vocabularies lands on the class whose centroid is closest under
+    // the exact integer algebra — verified against a local computation
+    val train = Seq(
+      (0L, "aa aa aa aa"), (0L, "aa aa ab"),
+      (1L, "bb bb bb"), (1L, "bb bc bc bb"), (1L, "bb bb"),
+      (2L, "cc cd ce cc cc")).toDF("y", "text")
+    val m = QualityModel.trainMulticlass(train,
+      TextAnalysis.tokens(col("text")), col("y"))
+    assert(m.classes == IndexedSeq(0L, 1L, 2L) &&
+      m.nDocs == IndexedSeq(2L, 3L, 1L))
+    val probe = Seq("bb bb cc", "aa aa", "cc cd").toDF("text")
+    val got = probe.select(col("text"),
+        QualityModel.predictMultiWith(
+          TextAnalysis.tokens(col("text")), m).as("p"))
+      .as[(String, Long)].collect().toMap
+    // local argmin over B_c/N_c² with exact BigInt cross-multiplication
+    def bucketsOf(text: String): Seq[Long] = {
+      val t = text.trim.split("\\s+").toSeq
+      val terms = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val df = terms.toDF("t")
+      df.select(pmod(graft.operators.Shingles.hash60(col("t")),
+        lit(QualityModel.HashBuckets.toLong))).as[Long].collect().toSeq
+    }
+    def localPred(text: String): Long = {
+      val hist = bucketsOf(text).groupBy(identity).view.mapValues(_.size.toLong)
+      val bs = m.classes.indices.map { i =>
+        val s = hist.map { case (b, x) => m.counts(i)(b.toInt) * x }.sum
+        val norm2 = m.counts(i).map(c => BigInt(c) * c).sum
+        norm2 - BigInt(2) * m.nDocs(i) * s
+      }
+      // exact pairwise argmin with BigInt cross-multiplication
+      var best = 0
+      for (i <- 1 until m.classes.size)
+        if (bs(i) * m.nDocs(best) * m.nDocs(best) <
+            bs(best) * m.nDocs(i) * m.nDocs(i)) best = i
+      m.classes(best)
+    }
+    for ((text, p) <- got)
+      assert(p == localPred(text), s"'$text': got $p, local ${localPred(text)}")
+  }
+
   test("predictWith refuses documents that could wrap the Long score") {
     import graft.operators.QualityModel
     // a model with near-limit weights makes the per-document safe bound
