@@ -1063,6 +1063,67 @@ class VersionedHubSpec extends SparkTestBase {
       VersionedHub.checkAtomicCommitScheme("s3a://bucket/hub"))
   }
 
+  test("REAL claim-log coordinator: 4-writer race on an object-store-like scheme + crash recovery") {
+    import graft.writers.CommitStore
+    import org.apache.hadoop.fs.Path
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftos.impl", classOf[ObjectStorePutFs].getName)
+    val claimRoot = java.nio.file.Files
+      .createTempDirectory("graft_claims").toFile
+    val store = new CommitStore.ClaimLogCommitStore(claimRoot)
+    assert(CommitStore.register("graftos", store).isEmpty)
+    try {
+      val path = s"graftos://${tmpDir("vhub_claimlog")}"
+      // the guard stands down: the coordinator owns mutual exclusion on a
+      // scheme whose create is a plain last-writer-wins PUT
+      VersionedHub.checkAtomicCommitScheme(path)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writers = (1 to 4).map(i => Future {
+        VersionedHub.write(spark,
+          Seq((i.toLong, s"v$i")).toDF("k", "v"), path, Seq("k"))
+      })
+      writers.foreach(Await.result(_, Duration.Inf))
+      assert(VersionedHub.read(spark, path).as[(Long, String)]
+        .collect().toMap == (1 to 4).map(i => i.toLong -> s"v$i").toMap)
+      assert(VersionedHub.history(spark, path).map(_.version) == Seq(1, 2, 3, 4))
+      // crash recovery: a winner that claimed but died before the
+      // destination write is finished by the NEXT writer on that path
+      val fs = new Path(path).getFileSystem(hc)
+      val dead = new ObjectStorePutFs {
+        override def create(f: Path,
+            permission: org.apache.hadoop.fs.permission.FsPermission,
+            overwrite: Boolean, bufferSize: Int, replication: Short,
+            blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+            : org.apache.hadoop.fs.FSDataOutputStream =
+          throw new java.io.IOException("died before destination write")
+        override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+            replication: Short, blockSize: Long,
+            progress: org.apache.hadoop.util.Progressable)
+            : org.apache.hadoop.fs.FSDataOutputStream =
+          throw new java.io.IOException("died before destination write")
+      }
+      dead.initialize(new java.net.URI("graftos:///"), hc)
+      val probe = new Path(s"$path/_probe_manifest")
+      intercept[java.io.IOException](
+        store.putIfAbsent(dead, probe, "WINNER".getBytes("UTF-8")))
+      assert(!fs.exists(probe), "precondition: destination write never ran")
+      // the conflicting writer completes the dead winner's write with the
+      // WINNER's durable claim content, then reports the conflict
+      assert(!store.putIfAbsent(fs, probe, "LOSER".getBytes("UTF-8")))
+      val in = fs.open(probe)
+      val got = try {
+        val buf = new Array[Byte](16)
+        val n = in.read(buf)
+        new String(buf, 0, n, "UTF-8")
+      } finally in.close()
+      assert(got == "WINNER", s"recovery must land the claimant's bytes: $got")
+    } finally {
+      CommitStore.unregister("graftos")
+    }
+  }
+
   test("manifests record per-file min/max stats; untouched buckets carry them across versions") {
     import graft.writers.FileStats
     val path = tmpDir("vh_filestats")
