@@ -230,14 +230,75 @@ object Similarity {
     */
   def kmeansQuantized(corpus: DataFrame, k: Int, iters: Int,
       scale: Long = 1L << 20): DataFrame = {
-    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    require(k >= 1, "k must be positive")
+    val base = corpus.select(col("id"),
+      col("vec").cast("array<double>").as("vec"))
+    val seeds: Seq[(Long, Seq[Double])] = base.orderBy(col("id")).limit(k)
+      .select(col("id"), col("vec"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    kmeansQuantizedFrom(corpus, seeds, iters, scale)
+  }
+
+  /** Deterministic k-means++-STYLE seeding: farthest-point (k-center
+    * greedy — the deterministic member of the D² family; Arthur &
+    * Vassilvitskii's sampled pick is replaced by the argmax so an
+    * external engine replays it bit-for-bit). Seeds are chosen on the
+    * [[Sampling.hashSample]] of the corpus (stable across retries,
+    * partitionings, and engines; permille 1000 = no sampling): anchor =
+    * the sample's lowest id, then k−1 rounds of "the sample point whose
+    * squared L2 distance to its NEAREST chosen seed is largest, ties to
+    * the lower id". Spread seeds escape the adversarial id orders that
+    * strand lowest-id seeding — coincident or single-cluster heads —
+    * and cut iterations-to-balance (SimilaritySpec measures it).
+    *
+    * Each round is one aggregate over the SAMPLE (argmax carried by a
+    * map-side-combining max(struct)); exactly one (id, vec) row reaches
+    * the driver per round.
+    */
+  def kmeansSeedsFarthest(corpus: DataFrame, k: Int,
+      samplePermille: Int = 1000): Seq[(Long, Seq[Double])] = {
+    require(k >= 1, "k must be positive")
+    require(samplePermille >= 1 && samplePermille <= 1000,
+      s"samplePermille must be in [1, 1000], got $samplePermille")
+    val base = corpus.select(col("id"),
+      col("vec").cast("array<double>").as("vec"))
+    val smp = graft.operators.Dedup.persistForReuse(
+      if (samplePermille >= 1000) base
+      else Sampling.hashSample(base, col("id"), lit(samplePermille)))
+    val first = smp.orderBy(col("id")).limit(1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(first.nonEmpty, "seed sample is empty — raise samplePermille")
+    var seeds: Seq[(Long, Seq[Double])] = first.toSeq
+    while (seeds.size < k) {
+      val minD = seeds.map { case (_, v) =>
+        sqDist(col("vec"), typedLit(v)) }.reduce(least(_, _))
+      val next = smp
+        .select(col("id"), col("vec"), minD.as("_md"))
+        .agg(max(struct(col("_md"), (-col("id")).as("_nid"),
+          col("id"), col("vec"))).as("_m"))
+        .select(col("_m.id").as("id"), col("_m.vec").as("vec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      seeds = seeds :+ next.head
+    }
+    smp.unpersist()
+    seeds
+  }
+
+  /** [[kmeansQuantized]] from EXPLICIT seeds — the seam that lets the
+    * seeding policy (lowest-id, [[kmeansSeedsFarthest]], or externally
+    * supplied centroids) compose with the bit-deterministic quantized
+    * training loop.
+    */
+  def kmeansQuantizedFrom(corpus: DataFrame,
+      seeds: Seq[(Long, Seq[Double])], iters: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    require(iters >= 1, "iters must be positive")
     require(scale >= 1L, "scale must be positive")
     val spark = corpus.sparkSession
     val base = corpus.select(col("id"),
       col("vec").cast("array<double>").as("vec"))
-    var cents: Seq[(Long, Seq[Double])] = base.orderBy(col("id")).limit(k)
-      .select(col("id"), col("vec"))
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var cents: Seq[(Long, Seq[Double])] = seeds
     (1 to iters).foreach { _ =>
       // same map-side-combining argmin shape as [[assignToCentroids]]
       val centDf = spark.createDataFrame(cents).toDF("cell", "cvec")

@@ -1159,6 +1159,120 @@ object PipelineQueries {
       spark.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
   }
 
+  /** Sample permille for the farthest-point seeding query (exercises the
+    * hashSample discipline; the oracle replays the same filter).
+    */
+  val IvfSeedPermille = 500
+  /** Farthest-point-seeded cells are BALANCED — that is what the seeding
+    * buys (measured 1.13–1.28 max/mean at both SFs; bound 2.0, vs the
+    * lowest-id query's loose 6.0).
+    */
+  val IvfSeededBalanceBound = 2.0
+  /** Probe-recall floor for the seeded index: balanced cells spread the
+    * true neighbors over more cells, so at fixed nprobe=4/16 recall on
+    * this near-uniform corpus sits at ~0.5 (measured 0.50–0.52) — the
+    * textbook balance↔recall trade. 0.4 gates "still finds most of what
+    * a 4-cell probe can"; the UNBALANCED query keeps its 0.6 floor
+    * because its giant always-probed cell subsidizes recall.
+    */
+  val IvfSeededRecallFloor = 0.4
+
+  /** k-means++-STYLE seeding (r16 verdict task 8): deterministic
+    * farthest-point picks on the hash-sample
+    * ([[graft.operators.Similarity.kmeansSeedsFarthest]]), then the same
+    * quantized training round and census as `q_ann_ivf_trained`. The
+    * oracle replays the ENTIRE seeding chain — sample filter, lowest-id
+    * anchor, 15 argmax-of-min-distance steps with (dist DESC, id) ties —
+    * then training and assignment, hash-exact. In-query gates encode
+    * what the seeding buys and costs: cell balance ≤
+    * [[IvfSeededBalanceBound]] (vs 6.0 for lowest-id) and probe recall ≥
+    * [[IvfSeededRecallFloor]] (vs 0.6 — balanced cells spread neighbors;
+    * SimilaritySpec measures the iterations-to-balance win directly).
+    */
+  val qAnnIvfSeeded: Q = (spark, dir) => {
+    val c = corpus(spark, dir)
+    val seeds = Similarity.kmeansSeedsFarthest(c, IvfCells, IvfSeedPermille)
+    val cents = Similarity.kmeansQuantizedFrom(c, seeds, IvfTrainIters,
+      IvfScale)
+    val assigned = Similarity.assignToCentroids(c, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bal = assigned.groupBy(col("cell")).count()
+      .agg(max(col("count")).as("mx"), avg(col("count")).as("mean")).head()
+    require(bal.getLong(0) <= IvfSeededBalanceBound * bal.getDouble(1),
+      s"farthest-point cells must balance: max=${bal.getLong(0)} " +
+        s"mean=${bal.getDouble(1)}")
+    val queries = c.filter(col("id") < NQueryVectors)
+    val exact = Similarity.bruteForceTopK(queries, c, TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val probed = Similarity.ivfProbe(queries, assigned, cents, IvfProbe, TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val counts = exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+      exact.join(probed, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))).head()
+    require(counts.getLong(1) >= IvfSeededRecallFloor * counts.getLong(0),
+      s"seeded-IVF recall ${counts.getLong(1)}/${counts.getLong(0)} " +
+        s"under floor $IvfSeededRecallFloor")
+    val out = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("dist")).as("min_dist"), max(col("dist")).as("max_dist"))
+      .orderBy(col("cell"))
+    val materialized = out.collect()
+    assigned.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
+  }
+
+  private val annIvfSeededOracle: String = {
+    def l2(a: String, b: String) =
+      s"(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)})"
+    // farthest-point chain: s1 = lowest sample id; each step joins the
+    // 1-row previous seed, folds the running min distance, and takes the
+    // (md DESC, id) argmax. MATERIALIZED: every dK feeds dK+1 and DuckDB
+    // would otherwise re-inline the whole chain per step.
+    val steps = (2 to IvfCells).map { i =>
+      s"""s$i AS (SELECT id, vec FROM d${i - 1} ORDER BY md DESC, id LIMIT 1),
+         |d$i AS MATERIALIZED (
+         |  SELECT d.id, d.vec, least(d.md, ${l2("d.vec", "s.vec")}) AS md
+         |  FROM d${i - 1} d CROSS JOIN s$i s)""".stripMargin
+    }.mkString(",\n")
+    val seedUnion = (1 to IvfCells).map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |smp AS MATERIALIZED (
+       |  SELECT id, vec FROM e
+       |  WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 < $IvfSeedPermille),
+       |s1 AS (SELECT id, vec FROM smp ORDER BY id LIMIT 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT smp.id, smp.vec, ${l2("smp.vec", "s.vec")} AS md
+       |  FROM smp CROSS JOIN s1 s),
+       |$steps,
+       |c0 AS (SELECT id AS cell, vec AS cvec FROM ($seedUnion)),
+       |a1 AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT e.id, e.vec, c.cell, row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${l2("e.vec", "c.cvec")}, c.cell) AS rn
+       |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+       |m AS (
+       |  SELECT cell, i AS dim,
+       |    CAST(sum(CAST(round(CAST(vec[i] AS DOUBLE) * ${IvfScale}.0) AS BIGINT))
+       |      AS DOUBLE) / (count(*) * ${IvfScale}.0) AS m
+       |  FROM a1, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY cell, i),
+       |c1 AS (
+       |  SELECT c0.cell, COALESCE(mv.cvec, c0.cvec) AS cvec
+       |  FROM c0 LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cvec
+       |                     FROM m GROUP BY cell) mv USING (cell)),
+       |a2 AS (
+       |  SELECT id, cell, dist FROM (
+       |    SELECT e.id, c.cell,
+       |      ${l2("e.vec", "c.cvec")} AS dist,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${l2("e.vec", "c.cvec")}, c.cell) AS rn
+       |    FROM e CROSS JOIN c1 c) WHERE rn = 1)
+       |SELECT cell, count(*) AS n_vectors,
+       |  min(dist) AS min_dist, max(dist) AS max_dist
+       |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** Trained-IVF index AS a versioned hub — the steady-state ANN
     * lifecycle at 100 TB: train centroids ONCE on the standing corpus,
     * persist the (tiny) centroid table and the (id → cell) assignment as
@@ -2201,6 +2315,7 @@ object PipelineQueries {
     "q_hard_negatives" -> qHardNegatives,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
+    "q_ann_ivf_seeded" -> qAnnIvfSeeded,
     "q_ivf_index_hub" -> qIvfIndexHub,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -2260,6 +2375,7 @@ object PipelineQueries {
     "q_hard_negatives" -> hardNegativesOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_trained" -> annIvfTrainedOracle,
+    "q_ann_ivf_seeded" -> annIvfSeededOracle,
     "q_ivf_index_hub" -> ivfIndexHubOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_multimodal_features" -> multimodalOracle,

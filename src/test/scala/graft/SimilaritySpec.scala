@@ -174,6 +174,48 @@ class SimilaritySpec extends SparkTestBase {
       s"trained probe recall collapsed: $hits/${exact.count()}")
   }
 
+  test("farthest-point seeding reaches the balance gate in less than half the iterations of lowest-id") {
+    // adversarial id order, worst case: the lowest 8 ids are EXACTLY
+    // coincident (a duplicated header row) — all-tie assignment funnels
+    // everything to the lowest cid each round, so lowest-id k-means
+    // peels ONE centroid per round while the twins sit dead;
+    // farthest-point seeding places one seed per mass immediately
+    val rnd = new scala.util.Random(7)
+    def jitter(c: Seq[Double]) = c.map(_ + rnd.nextGaussian() * 0.01)
+    val blobA = (0L until 8L).map(i => (i, Seq(1.0, 0.0, 0.0, 0.0)))
+    val centers = Seq(
+      Seq(0.0, 4.0, 0.0, 0.0), Seq(0.0, 0.0, 4.0, 0.0),
+      Seq(0.0, 0.0, 0.0, 4.0), Seq(0.0, -4.0, 0.0, 0.0),
+      Seq(0.0, 0.0, -4.0, 0.0), Seq(0.0, 0.0, 0.0, -4.0),
+      Seq(4.0, 4.0, 0.0, 0.0))
+    val blobB = (8L until 92L).map(i =>
+      (i, jitter(centers((i % 7).toInt))))
+    val skewed = (blobA ++ blobB).toDF("id", "vec")
+    // NOTE: raw cell-count balance is fooled here — four coincident
+    // centroids split the corpus evenly by jitter while pruning nothing.
+    // The quantization quality metric that cannot be gamed is the WSS
+    // (sum of squared distances to the assigned centroid): coincident
+    // centroids sit near the global mean with WSS ~ the data's total
+    // variance, separated ones drop it to the jitter scale.
+    def wssAt(seeds: Seq[(Long, Seq[Double])], iters: Int): Double =
+      Similarity.assignToCentroids(skewed,
+          Similarity.kmeansQuantizedFrom(skewed, seeds, iters))
+        .agg(sum($"dist")).head().getDouble(0)
+    val lowSeeds = skewed.orderBy($"id").limit(8)
+      .select($"id", $"vec").as[(Long, Seq[Double])].collect().toSeq
+    val farSeeds = Similarity.kmeansSeedsFarthest(skewed, 8)
+    // the farthest chain must have escaped blob A: at most one seed there
+    assert(farSeeds.count(_._1 < 8L) <= 1,
+      s"farthest seeds failed to spread: ${farSeeds.map(_._1)}")
+    // one round from farthest seeds is already a good quantizer; count
+    // the rounds lowest-id needs to match it (cap 8)
+    val target = wssAt(farSeeds, 1) * 1.05
+    val lowIters = (1 to 8).find(wssAt(lowSeeds, _) <= target).getOrElse(9)
+    assert(lowIters > 2,
+      s"lowest-id must need > 2x the iterations to match the 1-round " +
+        s"farthest-point WSS, took $lowIters")
+  }
+
   test("residual-trained PQ holds recall where the lowest-id codebook collapses") {
     // Jégou §III's actual claim: sub-quantizers trained on residuals
     // resolve structure the untrained (lowest-id) codebook cannot. The
