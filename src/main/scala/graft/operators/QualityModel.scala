@@ -245,17 +245,33 @@ object QualityModel {
       val norm2 = m.counts(i).map(c => BigInt(c) * c).sum
       lit(norm2.bigInteger.longValueExact()) - lit(2L * m.nDocs(i)) * s
     }
-    val n2 = m.nDocs.map(x => x * x)
-    var bestB = bs(0)
-    var bestN2: Column = lit(n2(0))
-    var bestC: Column = lit(m.classes(0))
-    for (i <- 1 until k) {
-      val better = bs(i) * bestN2 < bestB * lit(n2(i))
-      val (pb, pn, pc) = (bestB, bestN2, bestC)
-      bestB = when(better, bs(i)).otherwise(pb)
-      bestN2 = when(better, lit(n2(i))).otherwise(pn)
-      bestC = when(better, lit(m.classes(i))).otherwise(pc)
-    }
+    // evaluate every per-class score exactly ONCE: the scores ride in a
+    // single zipped array and the argmin folds over its ELEMENTS (lambda
+    // variables — free to re-reference). A when-chain over the raw score
+    // expressions would re-embed (and re-evaluate) each interpreted
+    // scorer O(k²) times per row.
+    val n2Arr = typedLit(m.nDocs.map(x => x * x))
+    val clsArr = typedLit(m.classes)
+    val zipped = zip_with(array(bs: _*), n2Arr,
+      (b, n) => struct(b.as("b"), n.as("n")))
+    // accumulator: current best (b, n), its index i, and the running
+    // element counter c; i = -1 seeds "first element wins"
+    val folded = aggregate(zipped,
+      struct(lit(0L).as("b"), lit(0L).as("n"), lit(-1).as("i"),
+        lit(0).as("c")),
+      (acc, e) => {
+        val better = acc.getField("i") === -1 ||
+          e.getField("b") * acc.getField("n") <
+            acc.getField("b") * e.getField("n")
+        when(better, struct(e.getField("b").as("b"),
+            e.getField("n").as("n"), acc.getField("c").as("i"),
+            (acc.getField("c") + 1).as("c")))
+          .otherwise(struct(acc.getField("b").as("b"),
+            acc.getField("n").as("n"), acc.getField("i").as("i"),
+            (acc.getField("c") + 1).as("c")))
+      })
+    val bestIdx = folded.getField("i")
+    require(k >= 1, s"model has no classes") // k bound by train's checks
     val nTerms = size(toks).cast("long") +
       greatest(size(toks) - 1, lit(0)).cast("long")
     when(nTerms > m.safeTerms,
@@ -263,7 +279,7 @@ object QualityModel {
         lit("document too large for Long multiclass scoring: "),
         nTerms.cast("string"),
         lit(s" terms exceeds the safe bound ${m.safeTerms} for this model"))))
-      .otherwise(bestC)
+      .otherwise(element_at(clsArr, bestIdx + 1))
   }
 
   /** Per-row +1/−1 prediction of a [[Trained]] model over an aliased
