@@ -601,6 +601,21 @@ object Similarity {
       k: Int): DataFrame =
     pqAssignWith(corpus, dim, m, pqCodebook(corpus, dim, m, k))
 
+  /** PQ-encode against an EXTERNALLY-SUPPLIED codebook (block, cid,
+    * csub) — the steady-state seam: a persisted codebook hub encodes
+    * new batches at O(batch) cost with no retraining, exactly like
+    * [[assignToCentroids]] against a persisted centroid hub. Returns
+    * (id, code0..code{m-1}).
+    */
+  def pqEncodeWith(vectors: DataFrame, dim: Int, m: Int,
+      codebook: DataFrame): DataFrame = {
+    val asg = pqAssignWith(vectors, dim, m,
+      codebook.select(col("block"), col("cid"), col("csub")))
+    val aggs = (0 until m).map(j =>
+      max(when(col("block") === j, col("cid"))).as(s"code$j"))
+    asg.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** [[pqAssign]] against an externally-supplied codebook
     * (block, cid, csub) — the seam the trained-residual encoder shares.
     */
@@ -721,12 +736,7 @@ object Similarity {
       residualsFor(corpus, cents))
     val rvecs = res.select(col("id"), col("rvec").as("vec"))
     val cb = pqCodebookTrained(rvecs, dim, m, kSub, pqIters, scale)
-    val codes = {
-      val asg = pqAssignWith(rvecs, dim, m, cb)
-      val aggs = (0 until m).map(j =>
-        max(when(col("block") === j, col("cid"))).as(s"code$j"))
-      asg.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    }
+    val codes = pqEncodeWith(rvecs, dim, m, cb)
     val q = queries.select(col("id").as("query_id"),
       col("vec").cast("array<double>").as("qvec"))
     val wProbe = Window.partitionBy(col("query_id"))

@@ -530,6 +530,147 @@ object SketchQueries {
        |FROM ranked WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Residual-PQ codes AS versioned hubs — the steady-state ADC
+    * maintenance lifecycle (the codes sibling of `q_ivf_index_hub`):
+    * train the coarse quantizer AND the per-block residual sub-codebooks
+    * ONCE on the standing corpus, persist centroids / codebook / codes
+    * as ACID hub tables, then encode each NEW batch at O(batch) — the
+    * (tiny) centroid and codebook hubs are read back, the batch assigns
+    * its OWN vectors, encodes their residuals against the PERSISTED
+    * codebook (no retraining, standing corpus never re-read), and lands
+    * one keyed upsert; a replayed batch is absorbed (idempotence gate).
+    * Because the codebook is fixed at training time, the incremental
+    * result equals the one-shot encode — which is exactly what the
+    * DuckDB oracle computes, making the whole lifecycle hash-exact.
+    */
+  val qAdcIndexHub: Q = (spark, dir) => {
+    import graft.writers.VersionedHub
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_adc_hub")
+      .toFile.getAbsolutePath
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val standing = emb.filter(col("id") % 4 =!= 0)
+    val batch = emb.filter(col("id") % 4 === 0)
+    val cents = Similarity.kmeansQuantized(standing, AdcCells, AdcIters,
+      AdcScale)
+    // standing residuals feed codebook TRAINING, the standing encode, and
+    // the cell join — one assignment+subtraction pass, not three
+    val res = Similarity.residualsFor(standing, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rvecs = res.select(col("id"), col("rvec").as("vec"))
+    val cb = Similarity.pqCodebookTrained(rvecs, EmbeddingDim, ResPqM, PqK,
+      ResPqIters, AdcScale)
+    VersionedHub.write(spark, cents, s"$tmp/centroids", Seq("cell"))
+    VersionedHub.write(spark, cb, s"$tmp/codebook", Seq("block", "cid"))
+    VersionedHub.writeBucketed(spark,
+      Similarity.pqEncodeWith(rvecs, EmbeddingDim, ResPqM, cb)
+        .join(res.select(col("id"), col("cell")), Seq("id")),
+      s"$tmp/codes", Seq("id"), 4)
+    // incremental: EVERYTHING the batch needs comes back from the hubs
+    val hubCents = VersionedHub.read(spark, s"$tmp/centroids")
+      .select(col("cell"), col("centroid"))
+    val hubCb = VersionedHub.read(spark, s"$tmp/codebook")
+      .select(col("block"), col("cid"), col("csub"))
+    val bres = Similarity.residualsFor(batch, hubCents)
+    val batchCodes = Similarity.pqEncodeWith(
+      bres.select(col("id"), col("rvec").as("vec")), EmbeddingDim, ResPqM,
+      hubCb).join(bres.select(col("id"), col("cell")), Seq("id"))
+    VersionedHub.writeBucketed(spark, batchCodes, s"$tmp/codes", Seq("id"), 4)
+    // a replayed batch must be absorbed, not duplicated
+    VersionedHub.writeBucketed(spark, batchCodes, s"$tmp/codes", Seq("id"), 4)
+    val hist = VersionedHub.history(spark, s"$tmp/codes").sortBy(_.version)
+    val total = emb.count()
+    require(hist.size == 3 && hist(0).rows == standing.count() &&
+      hist(1).rows == total && hist(2).rows == total,
+      s"codes hub lifecycle drifted: ${hist.map(h => (h.version, h.rows))}")
+    res.unpersist()
+    val sumCodes = (0 until ResPqM).map(j => col(s"code$j"))
+      .reduce(_ + _)
+    VersionedHub.read(spark, s"$tmp/codes")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(sumCodes).cast("long").as("sum_codes"))
+      .orderBy(col("cell"))
+  }
+
+  private val adcIndexHubOracle: String = {
+    val d = EmbeddingDim / ResPqM
+    def l2(a: String, b: String) =
+      s"(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)})"
+    def blk(l: String) = s"$l[c.j*$d+1 : c.j*$d+$d]"
+    // per-block quantized-Lloyd's round over the STANDING residuals
+    def pqRound(prev: String, pa: String, pm: String, next: String) =
+      s"""$pa AS MATERIALIZED (
+         |  SELECT id, j, cid FROM (
+         |    SELECT r.id, c.j, c.cid, row_number() OVER (
+         |      PARTITION BY r.id, c.j
+         |      ORDER BY ${l2(blk("r.rv"), "c.csub")}, c.cid) AS rn
+         |    FROM resst r CROSS JOIN $prev c) WHERE rn = 1),
+         |$pm AS (
+         |  SELECT a.j, a.cid, t.i,
+         |    CAST(sum(CAST(round(r.rv[a.j*$d + t.i] * ${AdcScale}.0) AS BIGINT))
+         |      AS DOUBLE) / (count(*) * ${AdcScale}.0) AS m
+         |  FROM $pa a JOIN resst r USING (id), range(1, ${d + 1}) t(i)
+         |  GROUP BY a.j, a.cid, t.i),
+         |$next AS MATERIALIZED (
+         |  SELECT c.j, c.cid, COALESCE(mv.csub, c.csub) AS csub
+         |  FROM $prev c LEFT JOIN (SELECT j, cid, list(m ORDER BY i) AS csub
+         |                          FROM $pm GROUP BY j, cid) mv
+         |    USING (j, cid))""".stripMargin
+    val cbFinal = s"cbr$ResPqIters"
+    val rounds = (1 to ResPqIters).map(r =>
+      pqRound(s"cbr${r - 1}", s"par$r", s"pmr$r", s"cbr$r")).mkString(",\n")
+    val codeSum = (0 until ResPqM)
+      .map(j => s"max(CASE WHEN j = $j THEN cid END)").mkString(" + ")
+    s"""WITH ev AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |st AS (SELECT * FROM ev WHERE id % 4 <> 0),
+       |ivf0 AS (SELECT id AS cell, vec AS ivfc FROM st ORDER BY id LIMIT $AdcCells),
+       |ia1 AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT st.id, st.vec, c.cell, row_number() OVER (PARTITION BY st.id
+       |      ORDER BY ${l2("st.vec", "c.ivfc")}, c.cell) AS rn
+       |    FROM st CROSS JOIN ivf0 c(cell, ivfc)) WHERE rn = 1),
+       |im AS (
+       |  SELECT cell, i AS dim,
+       |    CAST(sum(CAST(round(CAST(vec[i] AS DOUBLE) * ${AdcScale}.0) AS BIGINT))
+       |      AS DOUBLE) / (count(*) * ${AdcScale}.0) AS m
+       |  FROM ia1, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY cell, i),
+       |ivf1 AS (
+       |  SELECT ivf0.cell, COALESCE(mv.ivfc, ivf0.ivfc) AS ivfc
+       |  FROM ivf0 LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS ivfc
+       |                       FROM im GROUP BY cell) mv USING (cell)),
+       |asgv AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT ev.id, ev.vec, c.cell, row_number() OVER (PARTITION BY ev.id
+       |      ORDER BY ${l2("ev.vec", "c.ivfc")}, c.cell) AS rn
+       |    FROM ev CROSS JOIN ivf1 c) WHERE rn = 1),
+       |res AS MATERIALIZED (
+       |  SELECT a.id, a.cell,
+       |    list_transform(range(1, ${EmbeddingDim + 1}),
+       |      i -> CAST(a.vec[i] AS DOUBLE) - CAST(c.ivfc[i] AS DOUBLE)) AS rv
+       |  FROM asgv a JOIN ivf1 c USING (cell)),
+       |resst AS MATERIALIZED (SELECT * FROM res WHERE id % 4 <> 0),
+       |sidx AS (SELECT id FROM st ORDER BY id LIMIT $PqK),
+       |cbr0 AS MATERIALIZED (
+       |  SELECT u.j, r.id AS cid, r.rv[u.j*$d+1 : u.j*$d+$d] AS csub
+       |  FROM resst r JOIN sidx USING (id),
+       |       UNNEST(range(0, $ResPqM)) AS u(j)),
+       |$rounds,
+       |ca AS MATERIALIZED (
+       |  SELECT id, j, cid FROM (
+       |    SELECT r.id, c.j, c.cid, row_number() OVER (
+       |      PARTITION BY r.id, c.j
+       |      ORDER BY ${l2(blk("r.rv"), "c.csub")}, c.cid) AS rn
+       |    FROM res r CROSS JOIN $cbFinal c) WHERE rn = 1),
+       |codes AS (SELECT id, $codeSum AS code_sum FROM ca GROUP BY id)
+       |SELECT r.cell, count(*) AS n_vectors,
+       |  CAST(sum(codes.code_sum) AS BIGINT) AS sum_codes
+       |FROM codes JOIN res r USING (id)
+       |GROUP BY r.cell ORDER BY r.cell""".stripMargin
+  }
+
   private val pqTopKOracle: String = {
     val d = EmbeddingDim / PqBlocks
     def sub(l: String) = s"$l[j*$d+1 : j*$d+$d]"
@@ -609,7 +750,8 @@ object SketchQueries {
     "q_pq_encode" -> qPqEncode,
     "q_pq_topk" -> qPqTopK,
     "q_ivf_adc_topk" -> qIvfAdcTopK,
-    "q_ivf_adc_residual" -> qIvfAdcResidual
+    "q_ivf_adc_residual" -> qIvfAdcResidual,
+    "q_adc_index_hub" -> qAdcIndexHub
   )
 
   val oracles: Map[String, String] = Map(
@@ -623,6 +765,7 @@ object SketchQueries {
     "q_pq_encode" -> pqEncodeOracle,
     "q_pq_topk" -> pqTopKOracle,
     "q_ivf_adc_topk" -> ivfAdcTopKOracle,
-    "q_ivf_adc_residual" -> ivfAdcResidualOracle
+    "q_ivf_adc_residual" -> ivfAdcResidualOracle,
+    "q_adc_index_hub" -> adcIndexHubOracle
   )
 }
