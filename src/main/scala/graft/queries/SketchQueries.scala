@@ -543,6 +543,13 @@ object SketchQueries {
     * result equals the one-shot encode — which is exactly what the
     * DuckDB oracle computes, making the whole lifecycle hash-exact.
     */
+  /** One sub-codebook training round for the HUB lifecycle — the
+    * 2-round trained-ness proof lives in `q_ivf_adc_residual`; this
+    * query proves the PERSIST/incremental-encode lifecycle, so it takes
+    * the cheaper single round.
+    */
+  val AdcHubPqIters = 1
+
   val qAdcIndexHub: Q = (spark, dir) => {
     import graft.writers.VersionedHub
     import graft.operators.Similarity
@@ -561,7 +568,7 @@ object SketchQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rvecs = res.select(col("id"), col("rvec").as("vec"))
     val cb = Similarity.pqCodebookTrained(rvecs, EmbeddingDim, ResPqM, PqK,
-      ResPqIters, AdcScale)
+      AdcHubPqIters, AdcScale)
     VersionedHub.write(spark, cents, s"$tmp/centroids", Seq("cell"))
     VersionedHub.write(spark, cb, s"$tmp/codebook", Seq("block", "cid"))
     VersionedHub.writeBucketed(spark,
@@ -619,8 +626,8 @@ object SketchQueries {
          |  FROM $prev c LEFT JOIN (SELECT j, cid, list(m ORDER BY i) AS csub
          |                          FROM $pm GROUP BY j, cid) mv
          |    USING (j, cid))""".stripMargin
-    val cbFinal = s"cbr$ResPqIters"
-    val rounds = (1 to ResPqIters).map(r =>
+    val cbFinal = s"cbr$AdcHubPqIters"
+    val rounds = (1 to AdcHubPqIters).map(r =>
       pqRound(s"cbr${r - 1}", s"par$r", s"pmr$r", s"cbr$r")).mkString(",\n")
     val codeSum = (0 until ResPqM)
       .map(j => s"max(CASE WHEN j = $j THEN cid END)").mkString(" + ")
