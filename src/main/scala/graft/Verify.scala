@@ -36,6 +36,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // each query runs exactly once here — its reuse caches have no
+      // future consumer, so sweep them instead of accumulating 200+
+      // queries' worth of MEMORY_AND_DISK blocks across the dump
+      graft.operators.Dedup.releaseReuseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

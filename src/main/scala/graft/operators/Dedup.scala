@@ -76,8 +76,35 @@ object Dedup {
     df.sparkSession.conf.get("spark.graft.materialize", "") match {
       case "none" => df
       case _ =>
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        reuseCaches.add(p)
+        p
     }
+
+  /** Every live [[persistForReuse]] cache, so a session that runs many
+    * queries has an owner that can release them: most reuse caches are
+    * consumed entirely inside one query's execution but can only be
+    * unpersisted by whoever knows the query finished (the returned
+    * DataFrame is lazy — the operator that persisted cannot). Harnesses
+    * (Bench/Verify, long-lived services) call [[releaseReuseCaches]]
+    * between queries; leaving it uncalled merely restores the old
+    * grow-until-session-end behavior.
+    */
+  private val reuseCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist (non-blocking) every cache [[persistForReuse]] has created
+    * since the last sweep. Safe while queries run — unpersist on a cache
+    * mid-consumption recomputes, never corrupts — but intended between
+    * queries.
+    */
+  def releaseReuseCaches(): Unit = {
+    var df = reuseCaches.poll()
+    while (df != null) {
+      scala.util.Try(df.unpersist(blocking = false))
+      df = reuseCaches.poll()
+    }
+  }
 
   /** Fan a NARROW input out to the cluster parallelism before a CPU-heavy
     * per-row stage (shingle+md5 explode, codec decode). Parquet splits are

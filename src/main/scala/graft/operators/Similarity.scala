@@ -106,13 +106,17 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, nCells: Int): DataFrame = {
     val centroids = corpus.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cell"), col("vec").as("centroid"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("sim").desc, col("cell"))
+    // Argmax-cosine as a map-side `min(struct(-sim, cell, vec))` aggregate
+    // (NOT a per-id window): negating the cosine turns max-sim into
+    // min-struct, the trailing `cell` keeps the lowest-cell tie-break, and
+    // the aggregate combines map-side so one candidate per id per partition
+    // crosses the shuffle instead of all nCells — same bit-exact winner as
+    // the old row_number() ranking, minus the per-id sort.
     corpus.join(broadcast(centroids), lit(true))
       .withColumn("sim", VectorFunctions.cosine(col("vec"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("vec"), col("cell"))
+      .groupBy(col("id"))
+      .agg(min(struct(negate(col("sim")), col("cell"), col("vec"))).as("_m"))
+      .select(col("id"), col("_m.vec").as("vec"), col("_m.cell").as("cell"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
@@ -276,9 +280,17 @@ object Similarity {
         .select(col("id"), col("vec"), minD.as("_md"))
         .agg(max(struct(col("_md"), (-col("id")).as("_nid"),
           col("id"), col("vec"))).as("_m"))
-        .select(col("_m.id").as("id"), col("_m.vec").as("vec"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      seeds = seeds :+ next.head
+        .select(col("_m.id").as("id"), col("_m.vec").as("vec"),
+          col("_m._md").as("_md"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      // farthest remaining distance 0 ⇒ every sample point coincides with a
+      // chosen seed: the argmax would re-pick the lowest id and silently pad
+      // the result with duplicate seeds (fewer effective clusters). Refuse
+      // loudly, mirroring the empty-sample refusal above.
+      require(next.head._3 > 0.0,
+        s"seed sample has fewer than k=$k distinct vectors " +
+          s"(${seeds.size} found) — lower k or raise samplePermille")
+      seeds = seeds :+ ((next.head._1, next.head._2))
     }
     smp.unpersist()
     seeds
@@ -693,6 +705,9 @@ object Similarity {
         (b, cid, touched.getOrElse((b, cid), old))
       }
     }
+    // the last training round was the cache's final consumer — release it
+    // (callers encode against the RETURNED codebook, not longForm)
+    if (iters > 1) longForm.unpersist()
     spark.createDataFrame(cents).toDF("block", "cid", "csub")
   }
 
@@ -736,7 +751,15 @@ object Similarity {
       residualsFor(corpus, cents))
     val rvecs = res.select(col("id"), col("rvec").as("vec"))
     val cb = pqCodebookTrained(rvecs, dim, m, kSub, pqIters, scale)
-    val codes = pqEncodeWith(rvecs, dim, m, cb)
+    // Materialize the SMALL artifact (id, cell, m codes — the ~m bytes/row
+    // the ADC story keeps resident) and release the big residual cache
+    // before the query phase: res (dim doubles/row) served training and
+    // this one encode pass, and nothing downstream touches raw residuals.
+    val codes = graft.operators.Dedup.persistForReuse(
+      res.select(col("id"), col("cell"))
+        .join(pqEncodeWith(rvecs, dim, m, cb), Seq("id")))
+    codes.count()
+    res.unpersist()
     val q = queries.select(col("id").as("query_id"),
       col("vec").cast("array<double>").as("qvec"))
     val wProbe = Window.partitionBy(col("query_id"))
@@ -756,28 +779,8 @@ object Similarity {
         sqDist(slice(col("qres"), col("block") * lit(dim / m) + lit(1),
           lit(dim / m)), col("csub")).as("d"))
     val cand = probed.select(col("query_id"), col("cell"))
-      .join(res.select(col("id"), col("cell")), Seq("cell"))
-      .join(codes, Seq("id"))
-    val joined = (0 until m).foldLeft(cand) { case (acc, j) =>
-      acc.join(
-        broadcast(lut.filter(col("block") === j)
-          .select(col("query_id").as(s"_q$j"), col("cell").as(s"_l$j"),
-            col("cid").as(s"_c$j"), col("d").as(s"_d$j"))),
-        col("query_id") === col(s"_q$j") && col("cell") === col(s"_l$j") &&
-          col(s"code$j") === col(s"_c$j"))
-    }
-    val adcSum = (1 until m).foldLeft(col("_d0")) { case (acc, j) =>
-      acc + col(s"_d$j")
-    }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("neighbor_id"))
-    joined
-      .withColumn("adc_dist", adcSum)
-      .withColumnRenamed("id", "neighbor_id")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+      .join(codes, Seq("cell"))
+    adcRankTopK(cand, lut, Seq("query_id", "cell"), m, k)
   }
 
   /** IVF-ADC top-k (Jégou et al., TPAMI 2011 §III — the billion-scale
@@ -816,25 +819,7 @@ object Similarity {
       .select(col("query_id"), col("block"), col("cid"),
         sqDist(slice(col("qvec"), col("block") * lit(dim / m) + lit(1),
           lit(dim / m)), col("csub")).as("d"))
-    val joined = (0 until m).foldLeft(cand) { case (acc, j) =>
-      acc.join(
-        broadcast(lut.filter(col("block") === j)
-          .select(col("query_id").as(s"_q$j"), col("cid").as(s"_c$j"),
-            col("d").as(s"_d$j"))),
-        col("query_id") === col(s"_q$j") && col(s"code$j") === col(s"_c$j"))
-    }
-    val adcSum = (1 until m).foldLeft(col("_d0")) { case (acc, j) =>
-      acc + col(s"_d$j")
-    }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("neighbor_id"))
-    joined
-      .withColumn("adc_dist", adcSum)
-      .withColumnRenamed("id", "neighbor_id")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+    adcRankTopK(cand, lut, Seq("query_id"), m, k)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes — the query side of the
@@ -844,10 +829,8 @@ object Similarity {
     * touched beyond its m-byte codes (this is what makes a 100 TB embedding
     * store scannable from memory).
     *
-    * Determinism: the m lookups are summed in fixed block order
-    * (((d₀+d₁)+d₂)+…) via m broadcast joins — never an aggregate over
-    * unordered rows, whose accumulation order could flip ties. Ties break
-    * on neighbor id. Exact given the codes, so fully oracle-checkable.
+    * Ranking via [[adcRankTopK]]: one broadcast join, fixed-order sums,
+    * id tie-breaks — fully oracle-checkable.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, dim: Int, m: Int,
       kCentroids: Int, k: Int): DataFrame = {
@@ -860,27 +843,55 @@ object Similarity {
       .select(col("query_id"), col("block"), col("cid"),
         sqDist(slice(col("qvec"), col("block") * lit(dim / m) + lit(1),
           lit(dim / m)), col("csub")).as("d"))
-    // one broadcast join per block keeps the sum order fixed
-    val joined = (0 until m).foldLeft(
-      codes.crossJoin(broadcast(q.select(col("query_id"))))) {
-      case (acc, j) =>
-        acc.join(
-          broadcast(lut.filter(col("block") === j)
-            .select(col("query_id").as(s"_q$j"), col("cid").as(s"_c$j"),
-              col("d").as(s"_d$j"))),
-          col("query_id") === col(s"_q$j") && col(s"code$j") === col(s"_c$j"))
-    }
-    val adc = (1 until m).foldLeft(col("_d0")) { case (acc, j) =>
-      acc + col(s"_d$j")
-    }
+    adcRankTopK(codes.crossJoin(broadcast(q.select(col("query_id")))), lut,
+      Seq("query_id"), m, k)
+  }
+
+  /** One-join ADC ranking, shared by [[pqTopK]] / [[ivfAdcTopK]] /
+    * [[ivfAdcResidualTopK]]: pivot the long-form LUT (keys…, block, cid, d)
+    * into ONE row per key group — an m-slot array (dense in block) of
+    * cid→distance maps — broadcast THAT, and rank the candidates
+    * (keys…, id, code0..code{m-1}) with a single hash join plus m
+    * codegen'd lookups.
+    *
+    * Determinism: each lookup returns the exact double the old per-block
+    * join chain delivered, and the m lookups are summed in fixed block
+    * order (((d₀+d₁)+d₂)+…) — never an aggregate over unordered rows,
+    * whose accumulation order could flip ties — so results are
+    * bit-identical to the m-chained-joins formulation. The pivot itself is
+    * deterministic: sort_array orders the collected entries by their
+    * (block, cid) struct prefix, unique per group. Ties break on neighbor
+    * id.
+    *
+    * Scale shape: the candidate stream (the big side — nprobe/nCells ×
+    * corpus) crosses ONE broadcast hash join instead of m, and the m
+    * per-row lookups are array/map probes inside one codegen'd projection
+    * (the HOFs below run only on the broadcast-sized LUT rows, never per
+    * candidate). Plan depth is constant in m.
+    */
+  private def adcRankTopK(cand: DataFrame, lut: DataFrame,
+      keys: Seq[String], m: Int, k: Int): DataFrame = {
+    val lutRows = lut
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col("block"), col("cid"), col("d")))).as("_e"))
+      .withColumn("_lut", expr(
+        s"transform(sequence(0, ${m - 1}), b -> map_from_entries(" +
+          "transform(filter(_e, s -> s.block = b), s -> struct(s.cid, s.d))))"))
+      .drop("_e")
+    val adc = (0 until m)
+      .map(j => element_at(element_at(col("_lut"), lit(j + 1)),
+        col(s"code$j")))
+      .reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
-    joined
+    cand.join(broadcast(lutRows), keys)
       .withColumn("adc_dist", adc)
       .withColumnRenamed("id", "neighbor_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank"))
   }
 }

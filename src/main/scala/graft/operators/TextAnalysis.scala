@@ -22,6 +22,73 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Quoted-attribute-aware tag interior: consumes attribute text where a
+    * literal '>' may hide inside quotes (`<div data-note="a>b">`), so the
+    * tag ends at the REAL closing bracket. Kept to the regex subset Java
+    * and RE2 share — the DuckDB oracle replays the identical pattern.
+    */
+  private[graft] val TagAttrs = """(?:[^>"']|"[^"]*"|'[^']*')*"""
+
+  /** The extraction chain's regexes, shared verbatim with the DuckDB
+    * oracle (Java/RE2 common subset: no backreferences, no lookaround,
+    * explicit whitespace classes).
+    */
+  private[graft] val CommentRe = "(?s)<!--.*?-->"
+  private[graft] val ScriptRe =
+    s"(?is)<script\\b$TagAttrs>.*?</script[ \\t\\n\\r\\f]*>"
+  private[graft] val StyleRe =
+    s"(?is)<style\\b$TagAttrs>.*?</style[ \\t\\n\\r\\f]*>"
+  private[graft] val TagRe =
+    s"(?s)</?[a-zA-Z]$TagAttrs>|<![a-zA-Z]$TagAttrs>|<\\?$TagAttrs\\?>"
+  private[graft] val WsRunRe = "[ \\t\\n\\r\\f]+"
+
+  /** Entity decode shared by operator and oracle: the common named set,
+    * decoded AFTER tag-stripping (so `&lt;script&gt;` in text can never
+    * become live markup) with `&amp;` LAST — `&amp;lt;` therefore decodes
+    * to the literal text `&lt;`, exactly the single-decode the HTML spec
+    * prescribes. Pairs of (entity, replacement), in application order.
+    */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Markup/HTML → clean text — the pipeline front door: crawled pages
+    * enter as markup, and every downstream text operator (dedup, quality,
+    * BM25, chunking) assumes this ran first. A chain of codegen'd
+    * regexp/string expressions, NOT a per-row UDF — at 100 TB it runs at
+    * scan speed fused into the scan's WholeStageCodegen, and the whole
+    * chain is replayable in any RE2/PCRE engine (the DuckDB oracle runs
+    * the same patterns):
+    *
+    *   1. drop `<!-- … -->` comments (non-greedy, across newlines);
+    *   2. drop `<script>`/`<style>` ELEMENTS with their content (their
+    *      text is code, not prose; quoted attributes may contain '>');
+    *   3. strip remaining tags — open/close tags, `<!DOCTYPE …>`,
+    *      `<? … ?>` — each replaced by a space so `a<br>b` never fuses
+    *      into one word. A tag must start `<letter` or `</letter`: a
+    *      bare "i < 5" in prose is NOT markup and survives;
+    *   4. decode [[htmlEntities]];
+    *   5. collapse runs of whitespace to one space and trim.
+    *
+    * Malformed-input contract (deterministic, spec-pinned): an unclosed
+    * tag at end-of-input or an unterminated quoted attribute never finds
+    * a closing '>', so its literal text survives into the output rather
+    * than swallowing the rest of the document; an unmatched `</script>`
+    * with no opener is stripped as a plain tag. Whitespace classes are
+    * spelled `[ \t\n\r\f]` explicitly — Java's `\s` includes \x0B,
+    * RE2's does not.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noComments = regexp_replace(html, CommentRe, " ")
+    val noScript = regexp_replace(noComments, ScriptRe, " ")
+    val noStyle = regexp_replace(noScript, StyleRe, " ")
+    val noTags = regexp_replace(noStyle, TagRe, " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (k, v)) =>
+      replace(c, lit(k), lit(v))
+    }
+    trim(regexp_replace(decoded, WsRunRe, " "))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword-boundary count: runs of letters, runs of digits, or a

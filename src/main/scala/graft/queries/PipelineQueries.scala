@@ -96,6 +96,66 @@ object PipelineQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- markup extraction (r17 verdict task 1) ----------
+
+  /** Deterministic markup wrapper for the documents table — the extraction
+    * matrix in one template: a DOCTYPE, a style block whose css contains
+    * '>', a script whose code contains '>' inside a string AND a bare '<',
+    * a comment hiding tags, a quoted attribute containing '>', nested
+    * tags, the common entities including double-encoded &amp;lt;, a bare
+    * "<" in prose that is NOT markup, and (every third doc) a malformed
+    * unclosed trailing tag whose literal text must survive. One literal,
+    * shared verbatim by the Spark query and the DuckDB oracle.
+    */
+  private val HtmlPre1 = "<!DOCTYPE html><html lang=\"en\"><head><title>Doc "
+  private val HtmlPre2 =
+    "</title><style type=\"text/css\">p > em { color: #aaa; }</style>" +
+      "<script type=\"text/javascript\">var t = \"a>b\"; if (2 < 3) { f(); }</script>" +
+      "<!-- note <b>hidden</b> --></head><body data-note=\"x>y\">" +
+      "<h1>Doc &amp; &amp;lt; friends</h1><p class=\"lead\">"
+  private val HtmlSuf =
+    " &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>" +
+      "<div><span>if 1 < 2 keep</span> <b>bold</b></div></body></html>"
+  private val HtmlTrail = "<p class=\"trailing"
+
+  /** Markup/HTML text extraction — the pipeline front door
+    * ([[TextAnalysis.extractHtmlText]]): documents wrapped in the
+    * deterministic markup template above, stripped back to clean text by
+    * the codegen'd regexp chain. Narrow projection, zero shuffles, no
+    * UDF/mapPartitions (PlanSpec gates it); the oracle replays the
+    * identical Java∩RE2 regexes in DuckDB, so the output strings are
+    * hash-exact.
+    */
+  val qHtmlExtract: Q = (spark, dir) => {
+    val html = concat(
+      lit(HtmlPre1), col("doc_id").cast("string"), lit(HtmlPre2),
+      substring(col("text"), 1, 120), lit(HtmlSuf),
+      when(col("doc_id") % 3 === 0, lit(HtmlTrail)).otherwise(lit("")))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.extractHtmlText(html).as("clean"))
+      .withColumn("n_clean_chars", length(col("clean")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val htmlExtractOracle: String = {
+    def sq(s: String): String = s.replace("'", "''")
+    val html = s"'${sq(HtmlPre1)}' || CAST(doc_id AS VARCHAR) || " +
+      s"'${sq(HtmlPre2)}' || substr(text, 1, 120) || '${sq(HtmlSuf)}' || " +
+      s"CASE WHEN doc_id % 3 = 0 THEN '${sq(HtmlTrail)}' ELSE '' END"
+    val stripped = Seq(TextAnalysis.CommentRe, TextAnalysis.ScriptRe,
+      TextAnalysis.StyleRe, TextAnalysis.TagRe)
+      .foldLeft(s"($html)") { case (acc, re) =>
+        s"regexp_replace($acc, '${sq(re)}', ' ', 'g')" }
+    val decoded = TextAnalysis.htmlEntities
+      .foldLeft(stripped) { case (acc, (k, v)) =>
+        s"replace($acc, '${sq(k)}', '${sq(v)}')" }
+    s"""SELECT doc_id,
+       |  trim(regexp_replace($decoded, '${sq(TextAnalysis.WsRunRe)}', ' ', 'g')) AS clean,
+       |  CAST(length(trim(regexp_replace($decoded, '${sq(TextAnalysis.WsRunRe)}', ' ', 'g'))) AS BIGINT) AS n_clean_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Hashed-n-gram linear quality model apply
     * ([[graft.operators.QualityModel]], fastText-style): per-doc feature
     * count, exact integer score, and the keep/drop label. One narrow pass;
@@ -2293,6 +2353,7 @@ object PipelineQueries {
     "q_curation_model" -> qCurationModel,
     "q_train_val_test" -> qTrainValTest,
     "q_text_stats" -> qTextStats,
+    "q_html_extract" -> qHtmlExtract,
     "q_lang_id" -> qLangId,
     "q_fingerprints" -> qFingerprints,
     "q_exact_dedup" -> qExactDedup,
@@ -2353,6 +2414,7 @@ object PipelineQueries {
     "q_curation_model" -> curationModelOracle,
     "q_train_val_test" -> trainValTestOracle,
     "q_text_stats" -> textStatsOracle,
+    "q_html_extract" -> htmlExtractOracle,
     "q_lang_id" -> langIdOracle,
     "q_fingerprints" -> fingerprintsOracle,
     "q_exact_dedup" -> exactDedupOracle,

@@ -89,17 +89,17 @@ object Readers {
     // guard or "Url" override the required url
     def lc(k: String): String = k.toLowerCase(java.util.Locale.ROOT)
     for (k <- Seq("driver", "user", "password")) {
-      // deterministic under case-variant duplicates: the exact-lowercase
-      // key wins when present; otherwise differing variant VALUES are
-      // refused loudly (a collectFirst here would forward whichever value
-      // map iteration order happened to surface)
+      // deterministic under case-variant duplicates: differing variant
+      // VALUES are refused loudly whether or not an exact-lowercase
+      // spelling is among them — "password" + "Password" with different
+      // values is the same ambiguity either way (a collectFirst, or
+      // letting the lowercase key silently win, would forward one of two
+      // contradictory credentials)
       val variants = opts.collect { case (ok, ov) if lc(ok) == k => ov }.toSeq
-      val picked = opts.get(k).orElse {
-        require(variants.distinct.size <= 1,
-          s"conflicting case-variant '$k' options with different values " +
-            "— spell the credential once")
-        variants.headOption
-      }
+      require(variants.distinct.size <= 1,
+        s"conflicting case-variant '$k' options with different values " +
+          "— spell the credential once")
+      val picked = opts.get(k).orElse(variants.headOption)
       for (v <- picked if v.nonEmpty) r = r.option(k, v)
     }
     val consumed = Set("url", "dbtable", "driver", "user", "password")

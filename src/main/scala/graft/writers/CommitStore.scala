@@ -24,6 +24,16 @@ trait CommitStore {
     * must be durably visible to any subsequent reader of `path`.
     */
   def putIfAbsent(fs: FileSystem, path: Path, content: Array[Byte]): Boolean
+
+  /** Release any coordination state held for `path` — called by the hub's
+    * vacuum for every manifest version it drops, so the coordinator's log
+    * retains exactly the manifest retention (Delta's DynamoDB-entry-TTL ≥
+    * deleted-file-retention discipline). Sweeping only vacuum-dropped
+    * versions keeps crash recovery intact for every live version; a
+    * zombie writer older than the vacuum horizon is out of contract
+    * either way. Default: nothing held.
+    */
+  def releaseClaim(fs: FileSystem, path: Path): Unit = { val _ = (fs, path) }
 }
 
 object CommitStore {
@@ -101,9 +111,22 @@ object CommitStore {
     require(claimDir.isDirectory || claimDir.mkdirs(),
       s"cannot create claim log at $claimDir")
 
-    private def recordFor(path: Path): java.io.File = {
+    /** Claim keys hash the CANONICAL destination URI — `fs.makeQualified`
+      * (absolute path, default scheme/authority filled in) + URI dot-segment
+      * normalization + lowercased scheme and host — so two writers
+      * addressing one destination through differently-spelled but
+      * equivalent Paths ("file:/x", "file:///x", "FILE://host/a/../a/x")
+      * take the SAME claim instead of both "winning".
+      */
+    private def recordFor(fs: FileSystem, path: Path): java.io.File = {
+      val u = fs.makeQualified(path).toUri.normalize()
+      def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+      val canonical = new java.net.URI(
+        Option(u.getScheme).map(lc).orNull,
+        Option(u.getAuthority).map(lc).orNull,
+        u.getPath, null, null).toString
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(path.toString.getBytes("UTF-8"))
+        .digest(canonical.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       new java.io.File(claimDir, s"claim-$key")
     }
@@ -126,9 +149,19 @@ object CommitStore {
       }
     }
 
+    /** Retention: drop the claim record for a vacuumed manifest. The
+      * record exists to (a) exclude racers on a LIVE version and (b) let
+      * recovery finish a dead winner's write; a version the vacuum dropped
+      * needs neither, and keeping its record would grow the claim log by
+      * one full manifest copy per commit forever.
+      */
+    override def releaseClaim(fs: FileSystem, path: Path): Unit = {
+      val _ = recordFor(fs, path).delete()
+    }
+
     override def putIfAbsent(fs: FileSystem, path: Path,
         content: Array[Byte]): Boolean = {
-      val rec = recordFor(path)
+      val rec = recordFor(fs, path)
       val tmp = new java.io.File(claimDir,
         s".${rec.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val claimed =

@@ -1078,10 +1078,15 @@ object VersionedHub {
       if (readCheckpoint(spark, fs, path, oldest.version).isEmpty)
         writeCheckpoint(fs, path, oldest)
       for (v <- dropped) {
-        fs.delete(new Path(new Path(path, LogDir), f"${v.version}%08d.json"),
-          false)
+        val manifest = new Path(new Path(path, LogDir), f"${v.version}%08d.json")
+        fs.delete(manifest, false)
         fs.delete(checkpointPath(path, v.version), false)
         fs.delete(checkpointParquetPath(path, v.version), true)
+        // the commit coordinator's claim log retains exactly the manifest
+        // retention: a dropped version's claim record (which duplicates the
+        // full manifest content) has no racer to exclude and no recovery to
+        // serve — sweep it with the manifest it claimed
+        CommitStore.forScheme(schemeOf(path)).releaseClaim(fs, manifest)
       }
     }
     // roots still referenced: a plain version references its dataDir; a

@@ -434,6 +434,51 @@ class PlanSpec extends SparkTestBase {
       s"tf must feed both branches through one persisted aggregate:\n$p")
   }
 
+  test("IVF assignment partial-aggregates the per-id argmax — no per-id window") {
+    // the corpus × centroids candidate set must collapse to one winner per
+    // id via a map-side min(struct(-sim, cell, vec)) aggregate: a window
+    // partitioned by id ships all nCells candidates of every id through
+    // the shuffle and sorts them per id — the r17-verdict anti-pattern
+    val c = Tables(spark, dir, "embeddings").select(
+      org.apache.spark.sql.functions.col("vec_id").as("id"),
+      org.apache.spark.sql.functions.col("embedding").as("vec"))
+    val asg = graft.operators.Similarity.ivfAssign(c, 4)
+    asg.collect()
+    val p = asg.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"ivfAssign must not window over the id:\n$p")
+    assert(p.contains("partial_min"),
+      s"the per-id argmax must show map-side partial min:\n$p")
+  }
+
+  test("ADC ranks candidates through ONE LUT join — plan depth constant in m") {
+    // the per-query lookup table pivots to ONE broadcast row (an m-slot
+    // array of cid→distance maps), so the candidate stream crosses a
+    // single hash join plus m codegen'd lookups; the old shape chained
+    // one broadcast join PER code block — at m=8, q_pq_topk planned 10+
+    // joins, and plan depth grew with the code size
+    val p = plan("q_pq_topk")
+    // AQE's toString prints the Initial Plan after the Final one — census
+    // only the final (every join would otherwise count twice)
+    val fin = p.split("== Initial Plan ==").head
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"
+      .r.findAllIn(fin).size
+    assert(joins <= 4,
+      s"q_pq_topk must plan at most 4 joins (encode + LUT pivot + query fan-out + ONE LUT join), found $joins:\n$fin")
+  }
+
+  test("markup extraction is a codegen'd narrow projection — no UDF, no mapPartitions, no shuffle") {
+    val p = plan("q_html_extract")
+    assert(!p.contains("MapPartitions") && !p.contains("BatchEvalPython") &&
+      !p.contains("ScalaUDF") && !p.contains("SerializeFromObject"),
+      s"extraction must stay a Catalyst expression chain:\n$p")
+    val fin = p.split("== Initial Plan ==").head
+    assert(!fin.contains("Exchange hashpartitioning"),
+      s"extraction is per-row — only the presentation sort may exchange:\n$fin")
+    assert(fin.contains("*("),
+      s"the regexp chain must run inside WholeStageCodegen:\n$fin")
+  }
+
   test("deletion vectors apply as a broadcast anti-join — never a shuffled join of the table") {
     val ss = spark
     import ss.implicits._

@@ -101,18 +101,26 @@ class ReadersSpec extends SparkTestBase {
   }
 
   test("jdbc reader resolves case-variant credential duplicates deterministically") {
-    // exact-lowercase wins over a case-variant duplicate — never map
-    // iteration order
+    // AGREEING case-variant duplicates are harmless — one value, forwarded
     FakeJdbc.lastConnectProps = new java.util.Properties()
     val df = Readers.jdbc(spark, Map(
       "url" -> FakeJdbc.Url,
       "dbtable" -> "products",
       "driver" -> FakeJdbc.DriverClass,
       "user" -> "alice", "User" -> "alice",
-      "password" -> "right", "Password" -> "wrong"))
+      "password" -> "s3cret", "Password" -> "s3cret"))
     assert(df.count() == 3)
-    assert(FakeJdbc.lastConnectProps.getProperty("password") == "right",
-      s"exact-lowercase key must win: ${FakeJdbc.lastConnectProps}")
+    assert(FakeJdbc.lastConnectProps.getProperty("password") == "s3cret",
+      s"agreeing variants must forward their one value: ${FakeJdbc.lastConnectProps}")
+    // DIFFERING values are the same ambiguity whether or not a lowercase
+    // spelling is among them — both shapes refuse (letting the lowercase
+    // key silently win would forward one of two contradictory credentials)
+    val e0 = intercept[IllegalArgumentException](Readers.jdbc(spark, Map(
+      "url" -> FakeJdbc.Url,
+      "dbtable" -> "products",
+      "driver" -> FakeJdbc.DriverClass,
+      "password" -> "right", "Password" -> "wrong")))
+    assert(e0.getMessage.contains("conflicting case-variant"), e0.getMessage)
     // no lowercase spelling + DIFFERENT variant values: refused loudly
     val e = intercept[IllegalArgumentException](Readers.jdbc(spark, Map(
       "url" -> FakeJdbc.Url,

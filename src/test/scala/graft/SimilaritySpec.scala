@@ -216,6 +216,20 @@ class SimilaritySpec extends SparkTestBase {
         s"farthest-point WSS, took $lowIters")
   }
 
+  test("farthest-point seeding refuses when the sample has fewer distinct vectors than k") {
+    // 2 distinct vectors, k=4: from round 3 every remaining min-distance
+    // is 0 and the argmax would silently re-pick an already-chosen seed —
+    // padding the result with duplicates (fewer effective clusters). The
+    // loop must refuse loudly instead, like the empty-sample case.
+    val df = ((0L until 10L).map(i => (i, Seq(1.0, 2.0))) :+
+      ((10L, Seq(3.0, 4.0)))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException](
+      Similarity.kmeansSeedsFarthest(df, 4))
+    assert(e.getMessage.contains("distinct"), e.getMessage)
+    // at k = the distinct count the greedy chain still completes
+    assert(Similarity.kmeansSeedsFarthest(df, 2).map(_._1) == Seq(0L, 10L))
+  }
+
   test("residual-trained PQ holds recall where the lowest-id codebook collapses") {
     // Jégou §III's actual claim: sub-quantizers trained on residuals
     // resolve structure the untrained (lowest-id) codebook cannot. The

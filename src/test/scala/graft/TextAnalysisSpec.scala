@@ -29,6 +29,39 @@ class TextAnalysisSpec extends SparkTestBase {
       s"the bucket-ratio table must broadcast:\n$plan")
   }
 
+  test("HTML extraction matrix: nested tags, '>' in attributes, entities, malformed fragments") {
+    def x(html: String): String =
+      one(html, TextAnalysis.extractHtmlText).asInstanceOf[String]
+    // nested + uppercase tags become word-separating spaces
+    assert(x("<div><SPAN>nested <b>bold</b> text</SPAN></div>") ==
+      "nested bold text")
+    assert(x("a<br>b") == "a b")
+    // a quoted attribute may hide the '>' — double- and single-quoted
+    assert(x("""<div data-x="a>b">keep</div>""") == "keep")
+    assert(x("<div data-x='a>b'>keep</div>") == "keep")
+    // script/style ELEMENTS drop with their content ('>' and '<' inside)
+    assert(x("""a<script>var x = "</div>"; if (1<2) y();</script>b""") == "a b")
+    assert(x("a<style>p > em { color: red; }</style>b") == "a b")
+    // comments drop even when they hide tags
+    assert(x("a<!-- <b>secret</b> \n more -->b") == "a b")
+    // entity decode AFTER tag strip; &amp; last so &amp;lt; single-decodes
+    assert(x("&amp;lt; &lt;b&gt; &quot;q&quot; &apos;a&apos; &#39;b&#39; x&nbsp;y") ==
+      """&lt; <b> "q" 'a' 'b' x y""")
+    // bare '<' in prose is not markup
+    assert(x("if 1 < 2 then x") == "if 1 < 2 then x")
+    // doctype and processing instructions strip
+    assert(x("""<!DOCTYPE html><?xml version="1.0"?>x""") == "x")
+    // an unmatched closer is a plain tag
+    assert(x("a</script>b") == "a b")
+    // malformed: an unclosed trailing tag / unterminated quote never finds
+    // '>' — its literal text survives instead of swallowing the document
+    assert(x("""done<p class="x""") == """done<p class="x""")
+    assert(x("""<div class="unclosed rest of doc""") ==
+      """<div class="unclosed rest of doc""")
+    // whitespace runs collapse; ends trim
+    assert(x("  a\n\t b\r\nc  ") == "a b c")
+  }
+
   test("token counts") {
     assert(one("a b  c", TextAnalysis.tokenCount) == 3)
     assert(one("hello, world42!", TextAnalysis.bpeishTokenCount) == 5)

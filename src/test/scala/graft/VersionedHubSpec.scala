@@ -1124,6 +1124,60 @@ class VersionedHubSpec extends SparkTestBase {
     }
   }
 
+  test("claim-log coordinator: canonical claim keys + vacuum sweeps dropped versions' records") {
+    import graft.writers.CommitStore
+    import org.apache.hadoop.fs.Path
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftos.impl", classOf[ObjectStorePutFs].getName)
+    val claimRoot = java.nio.file.Files
+      .createTempDirectory("graft_claims_vac").toFile
+    val store = new CommitStore.ClaimLogCommitStore(claimRoot)
+    def records(): Set[String] =
+      claimRoot.listFiles.map(_.getName).filter(_.startsWith("claim-")).toSet
+
+    // (1) canonical keys: differently-spelled but equivalent destinations
+    // take the SAME claim — an uppercase scheme, a dot-segment detour, and
+    // an unqualified spelling must all lose to the first claimant instead
+    // of each "winning" its own record
+    val base = tmpDir("claim_canon")
+    val localFs = new Path(s"file://$base").getFileSystem(hc)
+    assert(store.putIfAbsent(localFs,
+      new Path(s"file://$base/m.json"), "A".getBytes("UTF-8")))
+    assert(!store.putIfAbsent(localFs,
+      new Path(s"FILE://$base/sub/../m.json"), "B".getBytes("UTF-8")),
+      "equivalent spelling (case + dot segments) must hit the same claim")
+    assert(!store.putIfAbsent(localFs,
+      new Path(s"$base/m.json"), "C".getBytes("UTF-8")),
+      "unqualified spelling must qualify to the same claim")
+    assert(records().size == 1, s"one destination, one record: ${records()}")
+
+    // (2) retention: the claim log keeps exactly the manifest retention —
+    // vacuum sweeps the records of the versions it drops and nothing else
+    assert(CommitStore.register("graftos", store).isEmpty)
+    try {
+      val path = s"graftos://${tmpDir("vhub_claim_vac")}"
+      for (i <- 1 to 4)
+        VersionedHub.write(spark,
+          Seq((i.toLong, s"v$i")).toDF("k", "v"), path, Seq("k"))
+      val before = records().size
+      assert(before >= 5, s"4 manifests + the canon record: $before")
+      val (droppedVs, _) = VersionedHub.vacuum(spark, path, Some(2), 0L)
+      assert(droppedVs == Seq(1, 2))
+      assert(records().size == before - 2,
+        s"exactly the dropped versions' claim records must be swept " +
+          s"(${records().size} left of $before)")
+      // mutual exclusion AND crash recovery stay intact for live versions:
+      // a zombie re-claim of a KEPT manifest still loses
+      val fs = new Path(path).getFileSystem(hc)
+      val m4 = new Path(new Path(path, "_log"), "00000004.json")
+      assert(!store.putIfAbsent(fs, m4, "ZOMBIE".getBytes("UTF-8")),
+        "live versions must keep their claims after the sweep")
+      assert(VersionedHub.read(spark, path).count() == 4)
+    } finally {
+      CommitStore.unregister("graftos")
+    }
+  }
+
   test("manifests record per-file min/max stats; untouched buckets carry them across versions") {
     import graft.writers.FileStats
     val path = tmpDir("vh_filestats")
