@@ -296,6 +296,87 @@ object Similarity {
     seeds
   }
 
+  /** Driver-side twin of the md5-prefix 60-bit hash (Shingles.hash60 /
+    * DuckDB `CAST(('0x' || substring(md5(s),1,15)) AS BIGINT)`) — the
+    * deterministic "PRNG" the k-means++ race draws its per-round
+    * thresholds from.
+    */
+  private def hash60Local(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16)
+
+  /** Deterministic k-means++ PROPER (Arthur & Vassilvitskii 2007):
+    * D²-WEIGHTED seeding — each round samples the next seed with
+    * probability ∝ its squared distance to the nearest chosen seed,
+    * which preserves density where [[kmeansSeedsFarthest]]'s argmax
+    * over-weights outliers. The random draw is replaced by exact
+    * integer inverse-CDF sampling so an external engine replays it
+    * bit-for-bit:
+    *
+    *   - weights w = round(D²·scale) as LONG — the scaled-integer trick;
+    *     integer prefix sums over id order are exact and
+    *     order-independent;
+    *   - the round's threshold T = hash60("kpp:&lt;round&gt;") mod Σw — a
+    *     fixed md5 draw both engines compute identically;
+    *   - the pick is the first id (ascending) whose cumulative weight
+    *     exceeds T: literal inverse-CDF sampling of the D²
+    *     distribution (at 2^-20 quantization).
+    *
+    * A point coinciding with a chosen seed has w = 0 and can never be
+    * picked (its cumulative sum never strictly crosses T), so duplicate
+    * seeds are impossible by construction; an all-zero round means the
+    * sample has fewer distinct vectors than k — refused loudly. Anchor =
+    * the sample's lowest id (the uniform first draw, made deterministic
+    * the same way [[kmeansSeedsFarthest]] does).
+    *
+    * Scale shape: seeding runs on the [[Sampling.hashSample]] of the
+    * corpus; each round is one aggregate + one prefix-sum pass over the
+    * SAMPLE with exactly one (id, vec) row reaching the driver. The
+    * prefix sum is an unpartitioned window — bounded by the sample
+    * contract, never corpus-sized.
+    */
+  def kmeansSeedsKpp(corpus: DataFrame, k: Int,
+      samplePermille: Int = 1000,
+      scale: Long = 1L << 20): Seq[(Long, Seq[Double])] = {
+    require(k >= 1, "k must be positive")
+    require(samplePermille >= 1 && samplePermille <= 1000,
+      s"samplePermille must be in [1, 1000], got $samplePermille")
+    require(scale >= 1L, "scale must be positive")
+    val base = corpus.select(col("id"),
+      col("vec").cast("array<double>").as("vec"))
+    val smp = graft.operators.Dedup.persistForReuse(
+      if (samplePermille >= 1000) base
+      else Sampling.hashSample(base, col("id"), lit(samplePermille)))
+    val first = smp.orderBy(col("id")).limit(1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(first.nonEmpty, "seed sample is empty — raise samplePermille")
+    var seeds: Seq[(Long, Seq[Double])] = first.toSeq
+    while (seeds.size < k) {
+      val minD = seeds.map { case (_, v) =>
+        sqDist(col("vec"), typedLit(v)) }.reduce(least(_, _))
+      val weighted = smp.select(col("id"), col("vec"),
+        round(minD * lit(scale.toDouble)).cast("long").as("_w"))
+      val total = weighted.agg(sum(col("_w"))).head().getLong(0)
+      require(total > 0L,
+        s"seed sample has fewer than k=$k distinct vectors " +
+          s"(${seeds.size} found) — lower k or raise samplePermille")
+      val t = hash60Local(s"kpp:${seeds.size}") % total
+      val win = Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val next = weighted
+        .withColumn("_cum", sum(col("_w")).over(win))
+        .filter(col("_cum") > t)
+        .orderBy(col("id")).limit(1)
+        .select(col("id"), col("vec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      seeds = seeds :+ next.head
+    }
+    smp.unpersist()
+    seeds
+  }
+
   /** [[kmeansQuantized]] from EXPLICIT seeds — the seam that lets the
     * seeding policy (lowest-id, [[kmeansSeedsFarthest]], or externally
     * supplied centroids) compose with the bit-deterministic quantized

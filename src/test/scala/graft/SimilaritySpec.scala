@@ -230,6 +230,77 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.kmeansSeedsFarthest(df, 2).map(_._1) == Seq(0L, 10L))
   }
 
+  test("clustered fixture: k-means++ preserves density where farthest-point chases outliers") {
+    // The synthetic embeddings tables are structureless (NOTES r17: trained
+    // vs raw recall 0.17 = 0.17 at sf0.1 — nothing to learn), so the ANN
+    // quality gates there mostly prove determinism. This fixture has real
+    // structure — 8 well-separated Gaussian blobs (seeded, deterministic),
+    // an adversarial id head (the 16 lowest ids all in blob 0, so lowest-id
+    // seeding starts coincident) and 4 extreme outlier points — and carries
+    // the retrieval-quality contrasts:
+    //   1. farthest-point (k-center argmax) burns seeds on ALL 4 outliers;
+    //      D²-weighted k-means++ picks none (outliers hold ~9% of the D²
+    //      mass but 100% of the argmax);
+    //   2. ONE k-means++-seeded training round out-quantizes farthest by
+    //      >2x WSS and even EIGHT lowest-id rounds (measured 10094 vs
+    //      23377 vs 12639; untrained 68631);
+    //   3. probe recall: kpp-seeded = 1.0 on this fixture, >= farthest's.
+    // Recall at fixed nprobe is deliberately NOT the untrained-vs-trained
+    // gate: merged cells hurt probe COST, not recall (a giant cell
+    // subsidizes recall — candidate counts measured within 20% across
+    // seedings here), so WSS carries that contrast.
+    val rnd = new scala.util.Random(42)
+    def jit() = rnd.nextGaussian() * 0.5
+    val anchors = (0 until 8).map(b =>
+      Seq.tabulate(8)(d => if (d == b) 10.0 else 0.0))
+    val pts =
+      (0L until 16L).map(i => (i, anchors(0).map(_ + jit()))) ++
+        (16L until 400L).map(i => (i, anchors((i % 8).toInt).map(_ + jit()))) ++
+        (400L until 404L).map(i =>
+          (i, Seq.tabulate(8)(d => if (d == (i % 8).toInt) 40.0 else 0.0)))
+    val df = spark.createDataFrame(pts).toDF("id", "vec")
+      .repartition(4).persist()
+    try {
+      val far = Similarity.kmeansSeedsFarthest(df, 8)
+      val kpp = Similarity.kmeansSeedsKpp(df, 8)
+      val outliers = (400L until 404L).toSet
+      assert(far.count(s => outliers(s._1)) == 4,
+        s"k-center greedy must chase all 4 outliers: ${far.map(_._1)}")
+      assert(kpp.count(s => outliers(s._1)) == 0,
+        s"D²-weighted sampling must not burn seeds on outliers: ${kpp.map(_._1)}")
+      def wss(cents: org.apache.spark.sql.DataFrame): Double =
+        Similarity.assignToCentroids(df, cents)
+          .agg(sum($"dist")).head().getDouble(0)
+      val wssKpp = wss(Similarity.kmeansQuantizedFrom(df, kpp, 1))
+      val wssFar = wss(Similarity.kmeansQuantizedFrom(df, far, 1))
+      val wssLow8 = wss(Similarity.kmeansQuantized(df, 8, 8))
+      val wssUntrained = wss(df.orderBy($"id").limit(8)
+        .select($"id".as("cell"), $"vec".as("centroid")))
+      assert(wssKpp < 0.5 * wssFar,
+        s"one kpp round must halve farthest's WSS: $wssKpp vs $wssFar")
+      assert(wssKpp < wssLow8,
+        s"one kpp round must beat 8 lowest-id rounds: $wssKpp vs $wssLow8")
+      assert(wssLow8 < 0.33 * wssUntrained,
+        s"training must beat untrained by 3x WSS: $wssLow8 vs $wssUntrained")
+      val queries = df.filter($"id" >= 16 && $"id" < 36)
+      val exact = Similarity.bruteForceTopK(queries, df, 5)
+        .select($"query_id", $"neighbor_id").persist()
+      val nEx = exact.count()
+      def recall(seeds: Seq[(Long, Seq[Double])]): Double = {
+        val cents = Similarity.kmeansQuantizedFrom(df, seeds, 1)
+        val probed = Similarity.ivfProbe(queries,
+          Similarity.assignToCentroids(df, cents), cents, 2, 5)
+          .select($"query_id", $"neighbor_id")
+        exact.join(probed, Seq("query_id", "neighbor_id"), "left_semi")
+          .count().toDouble / nEx
+      }
+      val (rKpp, rFar) = (recall(kpp), recall(far))
+      assert(rKpp >= 0.98 && rKpp >= rFar,
+        s"kpp-seeded probe recall must lead on clustered data: $rKpp vs $rFar")
+      exact.unpersist()
+    } finally df.unpersist()
+  }
+
   test("residual-trained PQ holds recall where the lowest-id codebook collapses") {
     // Jégou §III's actual claim: sub-quantizers trained on residuals
     // resolve structure the untrained (lowest-id) codebook cannot. The
