@@ -820,6 +820,97 @@ object PipelineQueries {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  /** Curation composite v4 — the MULTICLASS-routed variant (r17 verdict
+    * task 9): the same corpus-wide span cut, but documents are first
+    * ROUTED by the trained multiclass model
+    * ([[graft.operators.QualityModel.trainMulticlass]] on the 3-class
+    * length rule — the lang/domain-gate shape) and each class applies
+    * its OWN retention gate: class 0 (short) keeps on the husk floor
+    * alone, class 1 requires ≥ half the tokens retained, class 2 (long)
+    * requires ≥ 70% — integer-rational thresholds, so both engines'
+    * comparisons are exact. Output = per-(source, class) survivor
+    * census. The oracle replays EVERYTHING: the span cut, the
+    * multiclass training, the int128 cross-multiplied argmin route, and
+    * the per-class gates — nothing Spark computed is embedded.
+    */
+  val qCurationMulticlass: Q = (spark, dir) => {
+    import graft.operators.QualityModel
+    val docs = Tables(spark, dir, "documents")
+    val label = when(col("n_chars") < 200, 0L)
+      .when(col("n_chars") < 400, 1L).otherwise(2L)
+    val m = QualityModel.trainMulticlass(docs,
+      TextAnalysis.tokens(col("text")), label)
+    val routed = docs.withColumn("_t", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        QualityModel.predictMultiWith(col("_t"), m).as("clazz"))
+    Dedup.trimDuplicatedSpans(docs, "text", "doc_id", DupSpanK)
+      .join(routed, Seq("doc_id"))
+      .filter(
+        when(col("clazz") === 0L,
+          col("n_tokens_kept") >= CurationMinKeptTokens)
+          .when(col("clazz") === 1L,
+            col("n_tokens_kept") * 10 >= col("n_tokens") * 5)
+          .otherwise(col("n_tokens_kept") * 10 >= col("n_tokens") * 7) &&
+          col("n_tokens_kept") >= CurationMinKeptTokens)
+      .groupBy(col("source"), col("clazz"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_kept")).as("sum_tokens_kept"),
+        sum(col("n_tokens") - col("n_tokens_kept")).as("sum_tokens_cut"))
+      .orderBy(col("source"), col("clazz"))
+  }
+
+  private val curationMulticlassOracle: String = {
+    val d = graft.operators.QualityModel.HashBuckets
+    s"""WITH $spanTrimBodyCtes,
+       |mt AS (SELECT t.doc_id,
+       |  CASE WHEN dd.n_chars < 200 THEN 0 WHEN dd.n_chars < 400 THEN 1
+       |       ELSE 2 END AS y, t.ws
+       |  FROM t JOIN documents dd USING (doc_id)),
+       |mn AS (SELECT y, count(*) AS nd FROM mt GROUP BY y),
+       |mf0 AS MATERIALIZED (
+       |  SELECT doc_id, y, ${h60("tok")} % $d AS b
+       |  FROM (SELECT doc_id, y, unnest(ws) AS tok FROM mt)
+       |  UNION ALL
+       |  SELECT doc_id, y, ${h60("ws[i] || ' ' || ws[i+1]")} % $d AS b
+       |  FROM mt, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS u(i)),
+       |mcb AS MATERIALIZED (
+       |  SELECT cls.y, r.range AS b, coalesce(c0.c, 0) AS c
+       |  FROM range(0, $d) r CROSS JOIN (SELECT DISTINCT y FROM mn) cls
+       |  LEFT JOIN (SELECT y, b, count(*) AS c FROM mf0 GROUP BY y, b) c0
+       |    ON c0.y = cls.y AND c0.b = r.range),
+       |mnrm AS (SELECT y, sum(CAST(c AS HUGEINT) * c) AS nrm FROM mcb GROUP BY y),
+       |mn2 AS (SELECT y, CAST(nd AS HUGEINT) * nd AS nd2 FROM mn),
+       |mxs0 AS (SELECT f.doc_id, mcb.y, sum(mcb.c) AS s
+       |        FROM mf0 f JOIN mcb ON mcb.b = f.b GROUP BY f.doc_id, mcb.y),
+       |mxs AS (SELECT dd.doc_id, cls.y, coalesce(x.s, 0) AS s
+       |       FROM (SELECT DISTINCT doc_id FROM mt) dd
+       |       CROSS JOIN (SELECT DISTINCT y FROM mn) cls
+       |       LEFT JOIN mxs0 x ON x.doc_id = dd.doc_id AND x.y = cls.y),
+       |mbsc AS MATERIALIZED (
+       |  SELECT mxs.doc_id, mxs.y,
+       |    mnrm.nrm - 2 * CAST(mn.nd AS HUGEINT) * mxs.s AS bq
+       |  FROM mxs JOIN mnrm USING (y) JOIN mn USING (y)),
+       |mpred AS MATERIALIZED (
+       |  SELECT b1.doc_id, b1.y AS clazz FROM mbsc b1 JOIN mn2 m1 USING (y)
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM mbsc b2 JOIN mn2 m2 ON b2.y = m2.y
+       |    WHERE b2.doc_id = b1.doc_id AND (
+       |      b2.bq * m1.nd2 < b1.bq * m2.nd2 OR
+       |      (b2.bq * m1.nd2 = b1.bq * m2.nd2 AND b2.y < b1.y))))
+       |SELECT d.source, CAST(p.clazz AS BIGINT) AS clazz,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tr.n_tokens_kept) AS BIGINT) AS sum_tokens_kept,
+       |  CAST(sum(tr.n_tokens - tr.n_tokens_kept) AS BIGINT)
+       |    AS sum_tokens_cut
+       |FROM trimmed tr JOIN documents d USING (doc_id)
+       |  JOIN mpred p USING (doc_id)
+       |WHERE (CASE WHEN p.clazz = 0 THEN tr.n_tokens_kept >= $CurationMinKeptTokens
+       |            WHEN p.clazz = 1 THEN tr.n_tokens_kept * 10 >= tr.n_tokens * 5
+       |            ELSE tr.n_tokens_kept * 10 >= tr.n_tokens * 7 END)
+       |  AND tr.n_tokens_kept >= $CurationMinKeptTokens
+       |GROUP BY d.source, p.clazz ORDER BY d.source, clazz""".stripMargin
+  }
+
   /** Steady-state span dedup ([[graft.operators.Dedup.incrementalSpanTrim]]):
     * the batch quarter (doc_id %4 == 0) is trimmed against the persisted
     * window-hash index of the other three quarters — corpus content wins
@@ -2550,6 +2641,7 @@ object PipelineQueries {
     "q_quality_learn" -> qQualityLearn,
     "q_quality_learn_multi" -> qQualityLearnMulti,
     "q_curation_model" -> qCurationModel,
+    "q_curation_multiclass" -> qCurationMulticlass,
     "q_train_val_test" -> qTrainValTest,
     "q_text_stats" -> qTextStats,
     "q_html_extract" -> qHtmlExtract,
@@ -2613,6 +2705,7 @@ object PipelineQueries {
     "q_quality_learn" -> qualityLearnOracle,
     "q_quality_learn_multi" -> qualityLearnMultiOracle,
     "q_curation_model" -> curationModelOracle,
+    "q_curation_multiclass" -> curationMulticlassOracle,
     "q_train_val_test" -> trainValTestOracle,
     "q_text_stats" -> textStatsOracle,
     "q_html_extract" -> htmlExtractOracle,
