@@ -172,12 +172,20 @@ object QualityModel {
     * break to the LOWER class id.
     *
     * `safeTerms` is the per-document unigram+bigram bound under which
-    * every product provably fits a Long — [[predictMultiWith]] refuses
-    * larger documents loudly (same contract as the binary guard).
+    * every product provably fits the scoring regime — [[predictMultiWith]]
+    * refuses larger documents loudly (same contract as the binary guard).
+    *
+    * `wide = false`: every product fits a Long — comparisons run as
+    * codegen'd Long arithmetic. `wide = true` (the 100 TB regime): the
+    * corpus outgrew Long, so comparisons run in exact DECIMAL(38,0) —
+    * the engine-side twin of the oracle's int128 HUGEINT algebra, worth
+    * ~10^19 more headroom at the cost of decimal ops in the fold. The
+    * regime is chosen at TRAIN time from the exact BigInt bound, so the
+    * Long path never wraps and the wide path is taken only when needed.
     */
   final case class TrainedMulti(classes: IndexedSeq[Long],
       counts: IndexedSeq[IndexedSeq[Long]], nDocs: IndexedSeq[Long],
-      safeTerms: Long)
+      safeTerms: Long, wide: Boolean = false)
 
   /** Distributed multiclass training — the same ONE narrow
     * explode + partial-agg pass as the binary [[train]], grouped by the
@@ -211,11 +219,12 @@ object QualityModel {
     // exact fit check: for every class pair the comparison multiplies
     // B_c (bounded by ‖cnt_c‖² + 2·N_c·terms·max_b cnt_c[b]) by N_c'².
     // Solve for the largest per-document term count that keeps every
-    // product under Long.MaxValue/2; refuse models that cannot even
-    // score a 1-term document.
+    // product under the regime's half-range; refuse models that cannot
+    // even score a 1-term document. Two regimes: Long (codegen'd integer
+    // arithmetic) and, when the corpus outgrows it, exact DECIMAL(38,0)
+    // — the int128-class algebra the DuckDB oracle already runs.
     val maxN2 = n.map(x => BigInt(x) * x).max
-    val half = BigInt(Long.MaxValue) / 2
-    val safe = classes.indices.map { i =>
+    def safeUnder(half: BigInt): BigInt = classes.indices.map { i =>
       val norm2 = cnt(i).map(c => BigInt(c) * c).sum
       val maxC = cnt(i).max
       val headroom = half / maxN2 - norm2
@@ -223,13 +232,18 @@ object QualityModel {
       else if (maxC == 0L) BigInt(Long.MaxValue)
       else headroom / (BigInt(2) * n(i) * maxC)
     }.min
-    require(safe >= 1,
-      "corpus too large for Long multiclass scoring: cross-multiplied " +
-        "products would wrap — shrink the corpus or widen the scorer")
+    val safeLong = safeUnder(BigInt(Long.MaxValue) / 2)
+    val safeDec = safeUnder((BigInt(10).pow(38) - 1) / 2)
+    require(safeDec >= 1,
+      "corpus too large even for DECIMAL(38) multiclass scoring: " +
+        "cross-multiplied products would exceed 38 digits — shard the " +
+        "corpus or reduce classes")
+    val wide = safeLong < 1
+    val safe = if (wide) safeDec else safeLong
     val safeTerms =
       if (safe > BigInt(Long.MaxValue)) Long.MaxValue
       else safe.bigInteger.longValueExact()
-    TrainedMulti(classes, cnt, n, safeTerms)
+    TrainedMulti(classes, cnt, n, safeTerms, wide)
   }
 
   /** Per-row class prediction of a [[TrainedMulti]] model over an
@@ -240,24 +254,37 @@ object QualityModel {
     */
   def predictMultiWith(toks: Column, m: TrainedMulti): Column = {
     val k = m.classes.size
+    // regime cast: Long comparisons when the train-time bound proved they
+    // fit; exact DECIMAL(38,0) — the oracle's int128 algebra — when the
+    // corpus outgrew Long (m.wide). Decimal values here stay within 38
+    // digits by the same train-time bound, so every op is exact.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def rg(c: Column): Column = if (m.wide) c.cast(dec) else c
     val bs = m.classes.indices.map { i =>
       val (_, s) = scoreOfTokensWith(toks, m.counts(i))
       val norm2 = m.counts(i).map(c => BigInt(c) * c).sum
-      lit(norm2.bigInteger.longValueExact()) - lit(2L * m.nDocs(i)) * s
+      if (m.wide)
+        lit(norm2.toString).cast(dec) -
+          lit((BigInt(2) * m.nDocs(i)).toString).cast(dec) * rg(s)
+      else
+        lit(norm2.bigInteger.longValueExact()) - lit(2L * m.nDocs(i)) * s
     }
     // evaluate every per-class score exactly ONCE: the scores ride in a
     // single zipped array and the argmin folds over its ELEMENTS (lambda
     // variables — free to re-reference). A when-chain over the raw score
     // expressions would re-embed (and re-evaluate) each interpreted
     // scorer O(k²) times per row.
-    val n2Arr = typedLit(m.nDocs.map(x => x * x))
+    val n2Arr =
+      if (m.wide) array(m.nDocs.map(x =>
+        lit((BigInt(x) * x).toString).cast(dec)): _*)
+      else typedLit(m.nDocs.map(x => x * x))
     val clsArr = typedLit(m.classes)
     val zipped = zip_with(array(bs: _*), n2Arr,
       (b, n) => struct(b.as("b"), n.as("n")))
     // accumulator: current best (b, n), its index i, and the running
     // element counter c; i = -1 seeds "first element wins"
     val folded = aggregate(zipped,
-      struct(lit(0L).as("b"), lit(0L).as("n"), lit(-1).as("i"),
+      struct(rg(lit(0L)).as("b"), rg(lit(0L)).as("n"), lit(-1).as("i"),
         lit(0).as("c")),
       (acc, e) => {
         val better = acc.getField("i") === -1 ||

@@ -358,19 +358,28 @@ object Similarity {
         sqDist(col("vec"), typedLit(v)) }.reduce(least(_, _))
       val weighted = smp.select(col("id"), col("vec"),
         round(minD * lit(scale.toDouble)).cast("long").as("_w"))
-      val total = weighted.agg(sum(col("_w"))).head().getLong(0)
-      require(total > 0L,
-        s"seed sample has fewer than k=$k distinct vectors " +
-          s"(${seeds.size} found) — lower k or raise samplePermille")
-      val t = hash60Local(s"kpp:${seeds.size}") % total
+      // ONE pass per round: cumulative and total weights ride the same
+      // window ordering, and the threshold h mod total is an exact
+      // integer expression — no separate total-aggregate job. Bit-identical
+      // to computing the total first: same Σw, same mod, same first
+      // crossing.
+      val h = hash60Local(s"kpp:${seeds.size}")
       val win = Window.orderBy(col("id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val winAll = Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val next = weighted
         .withColumn("_cum", sum(col("_w")).over(win))
-        .filter(col("_cum") > t)
+        .withColumn("_tot", sum(col("_w")).over(winAll))
+        .filter(col("_tot") > 0L && col("_cum") > lit(h) % col("_tot"))
         .orderBy(col("id")).limit(1)
         .select(col("id"), col("vec"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      // an empty pick means every weight was 0: the sample coincides with
+      // the chosen seeds — fewer distinct vectors than k
+      require(next.nonEmpty,
+        s"seed sample has fewer than k=$k distinct vectors " +
+          s"(${seeds.size} found) — lower k or raise samplePermille")
       seeds = seeds :+ next.head
     }
     smp.unpersist()

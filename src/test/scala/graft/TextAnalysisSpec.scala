@@ -249,6 +249,65 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(p == localPred(text), s"'$text': got $p, local ${localPred(text)}")
   }
 
+  test("multiclass wide (DECIMAL) regime: same argmin as the Long path, exact past Long") {
+    import graft.operators.QualityModel
+    import spark.implicits._
+    // (1) regime equivalence: the SAME model evaluated in both regimes
+    // agrees on every document — the wide path is the identical algebra
+    // in a wider exact type
+    val train = Seq(
+      (0L, "aa aa aa aa"), (0L, "aa aa ab"),
+      (1L, "bb bb bb"), (1L, "bb bc bc bb"), (1L, "bb bb"),
+      (2L, "cc cd ce cc cc")).toDF("y", "text")
+    val m = QualityModel.trainMulticlass(train,
+      TextAnalysis.tokens(col("text")), col("y"))
+    assert(!m.wide, "a tiny corpus must train into the Long regime")
+    val probe = Seq("bb bb cc", "aa aa", "cc cd", "ce", "ab bc").toDF("text")
+    val disagree = probe.select(
+        QualityModel.predictMultiWith(
+          TextAnalysis.tokens(col("text")), m).as("l"),
+        QualityModel.predictMultiWith(
+          TextAnalysis.tokens(col("text")), m.copy(wide = true)).as("w"))
+      .filter(col("l") =!= col("w")).count()
+    assert(disagree == 0L, s"regimes diverged on $disagree docs")
+    // (2) a model whose products provably WRAP Long (norm2 ≈ 5.8e20, the
+    // cross products ≈ 2e33): the wide regime classifies and matches the
+    // exact BigInt argmin computed locally
+    val bigC = 3000000000L
+    val counts = IndexedSeq(
+      IndexedSeq.tabulate(QualityModel.HashBuckets)(b => bigC + b),
+      IndexedSeq.tabulate(QualityModel.HashBuckets)(b => 2 * bigC - b))
+    val nd = IndexedSeq(1000000L, 2000000L)
+    val mw = QualityModel.TrainedMulti(IndexedSeq(10L, 20L), counts, nd,
+      safeTerms = 1000L, wide = true)
+    val texts = Seq("aa bb cc", "zz", "aa aa aa bb")
+    val got = texts.toDF("text")
+      .select(col("text"), QualityModel.predictMultiWith(
+        TextAnalysis.tokens(col("text")), mw).as("p"))
+      .as[(String, Long)].collect().toMap
+    def bucketsOf(text: String): Seq[Long] = {
+      val t = text.trim.split("\\s+").toSeq
+      val terms = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      terms.toDF("t")
+        .select(pmod(graft.operators.Shingles.hash60(col("t")),
+          lit(QualityModel.HashBuckets.toLong))).as[Long].collect().toSeq
+    }
+    def localPred(text: String): Long = {
+      val hist = bucketsOf(text).groupBy(identity).view.mapValues(_.size.toLong)
+      val bs = mw.classes.indices.map { i =>
+        val s = hist.map { case (b, x) => BigInt(mw.counts(i)(b.toInt)) * x }.sum
+        mw.counts(i).map(c => BigInt(c) * c).sum - BigInt(2) * mw.nDocs(i) * s
+      }
+      var best = 0
+      for (i <- 1 until mw.classes.size)
+        if (bs(i) * mw.nDocs(best) * mw.nDocs(best) <
+            bs(best) * mw.nDocs(i) * mw.nDocs(i)) best = i
+      mw.classes(best)
+    }
+    for ((text, p) <- got)
+      assert(p == localPred(text), s"'$text': got $p, local ${localPred(text)}")
+  }
+
   test("predictWith refuses documents that could wrap the Long score") {
     import graft.operators.QualityModel
     // a model with near-limit weights makes the per-document safe bound
