@@ -142,6 +142,55 @@ object Dedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** LINE-level exact dedup across the corpus (the C4 §2.2 / Lee et al.
+    * boilerplate-removal step between doc-level [[exact]] and
+    * substring-level span trim): every newline-split line with at least
+    * `minTokens` whitespace tokens is a dedup candidate, and of all
+    * identical candidate lines CORPUS-WIDE only the first occurrence —
+    * lowest (doc id, line position) — survives; shorter lines (headers,
+    * braces, blanks) are never candidates and always kept. Returns
+    * (idCol, n_lines, n_lines_kept, text_deduped) with surviving lines
+    * rejoined by '\n' in original order.
+    *
+    * Scale shape — the [[exact]] discipline at line grain: the keeper is
+    * a map-side `min(struct(id, pos))` partial aggregate on the 60-bit
+    * line fingerprint, so a viral boilerplate line (one cookie banner
+    * duplicated 1e8×) combines inside each input partition instead of
+    * concentrating on a task; survivors select back with one equi-join
+    * on the fingerprint. No window touches the hot key. Reassembly
+    * groups by the (unique) doc id.
+    */
+  def lineDedupKeepFirst(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 3): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+    val cand = lines
+      .withColumn("_h", Shingles.hash60(col("_line")))
+      .withColumn("_cand",
+        size(TextAnalysis.tokens(col("_line"))) >= minTokens)
+    val keep = cand.filter(col("_cand"))
+      .groupBy(col("_h"))
+      .agg(min(struct(col(idCol).as("_kid"), col("_pos").as("_kpos")))
+        .as("_k"))
+      .select(col("_h"), col("_k._kid").as("_kid"),
+        col("_k._kpos").as("_kpos"))
+    // identical content ⇒ identical token count, so a non-candidate can
+    // never share a fingerprint with a candidate: the left join misses
+    // exactly on non-candidates (and no hash collisions by the 60-bit
+    // fingerprint contract)
+    val flagged = cand.join(keep, Seq("_h"), "left_outer")
+      .withColumn("_keep", !col("_cand") ||
+        (col(idCol) === col("_kid") && col("_pos") === col("_kpos")))
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("_keep").cast("long")).as("n_lines_kept"),
+        concat_ws("\n", expr(
+          "transform(sort_array(collect_list(CASE WHEN _keep THEN " +
+            "struct(_pos, _line) END)), s -> s._line)")).as("text_deduped"))
+      .withColumn("n_lines", col("n_lines").cast("long"))
+  }
+
   /** Decontamination: drop every `train` row whose normalized-content
     * fingerprint appears in `test` (benchmark/holdout leakage removal).
     * One left-anti join on the md5 key — the test side is typically tiny

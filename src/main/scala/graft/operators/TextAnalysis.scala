@@ -52,6 +52,28 @@ object TextAnalysis {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
+  /** URL host extraction, shared verbatim with the oracle (Java∩RE2):
+    * scheme, optional userinfo, then the host up to the first port/path/
+    * query/fragment delimiter. Lowercased — URI hosts are
+    * case-insensitive; paths are not touched.
+    */
+  private[graft] val UrlHostRe =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, UrlHostRe, 1))
+
+  /** Registrable domain as the host's last two labels — the C4-style
+    * domain-blocklist grain. DELIBERATELY a heuristic: the real public
+    * suffix list (co.uk, com.au, …) is a lookup table a deployment joins
+    * in; two labels are exact for generic TLDs and keep both engines'
+    * results identical without embedding the PSL.
+    */
+  private[graft] val RegDomainRe = "([^.]+\\.[^.]+)$"
+
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, RegDomainRe, 1)
+
   /** Markup/HTML → clean text — the pipeline front door: crawled pages
     * enter as markup, and every downstream text operator (dedup, quality,
     * BM25, chunking) assumes this ran first. A chain of codegen'd

@@ -1032,6 +1032,120 @@ object PipelineQueries {
        |  FROM documents) t
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** LINE-level exact dedup (r18 — [[graft.operators.Dedup
+    * .lineDedupKeepFirst]], the C4 boilerplate-removal grain): documents
+    * are reshaped into deterministic multi-line texts — a boilerplate
+    * header shared by EVERY doc, body lines of 8 tokens, a per-source
+    * footer — and the first corpus-wide occurrence of each ≥3-token line
+    * survives. The header survives in exactly one document, each source's
+    * footer in its first doc, and short trailing body lines are
+    * non-candidates (always kept) — the whole matrix in one query, with
+    * the oracle replaying the min-(doc, pos) keeper and reassembly.
+    */
+  val qLineDedup: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("_ws", TextAnalysis.tokens(col("text")))
+      .withColumn("_ml", concat_ws("\n",
+        lit("shared boilerplate header common to every document"),
+        expr("transform(sequence(0, CAST((size(_ws)-1)/8 AS INT)), " +
+          "i -> array_join(slice(_ws, i*8+1, 8), ' '))"),
+        concat(lit("footer line for source "), col("source"))))
+    Dedup.lineDedupKeepFirst(docs, "_ml", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val lineDedupOracle: String =
+    s"""WITH d AS (SELECT doc_id, $WS AS ws, source FROM documents),
+       |ml AS (SELECT doc_id,
+       |  'shared boilerplate header common to every document' || chr(10) ||
+       |  array_to_string(list_transform(range(0, (len(ws)+7)//8),
+       |    i -> array_to_string(ws[i*8+1 : i*8+8], ' ')), chr(10)) ||
+       |  chr(10) || 'footer line for source ' || source AS t
+       |  FROM d),
+       |ls AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM ml),
+       |l AS (SELECT doc_id, i, arr[i] AS line
+       |      FROM ls, UNNEST(range(1, len(arr)+1)) AS u(i)),
+       |c AS (SELECT doc_id, i, line,
+       |        len(string_split_regex(trim(line), '\\s+')) >= 3 AS cand,
+       |        ${h60("line")} AS h
+       |      FROM l),
+       |k AS (SELECT h, min(doc_id * 1000000 + i) AS keep
+       |      FROM c WHERE cand GROUP BY h),
+       |f AS (SELECT c.doc_id, c.i, c.line,
+       |        (NOT c.cand) OR (c.doc_id * 1000000 + c.i = k.keep) AS kp
+       |      FROM c LEFT JOIN k USING (h))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN kp THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       |  coalesce(string_agg(CASE WHEN kp THEN line END, chr(10) ORDER BY i),
+       |    '') AS text_deduped
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** C4-style domain blocklist filtering (r18): per-doc URLs (derived
+    * deterministically — scheme, optional userinfo, sub-domains, varied
+    * TLDs, ports, paths, query strings) reduce to host →
+    * registrable-domain via the shared Java∩RE2 regexes
+    * ([[TextAnalysis.urlHost]] / [[TextAnalysis.registrableDomain]]),
+    * blocked domains drop via a literal IN-list (at production scale: a
+    * broadcast anti-join against the blocklist table), and the survivor
+    * census aggregates per domain. Narrow scan-speed projection + one
+    * partial-agg shuffle.
+    */
+  /** Blocked domains that EXIST in the derived URL corpus: the fixture's
+    * source correlates with doc_id mod 20, so srcN always lands on TLD
+    * index N % 4 — these three hit real (source, tld) combinations and
+    * the filter provably removes rows (20 domains → 17 survive).
+    */
+  val BlockedDomains = Seq("src4.com", "src9.org", "src14.net")
+
+  val qDomainFilter: Q = (spark, dir) => {
+    val url = concat(
+      lit("https://"),
+      when(col("doc_id") % 11 === 0, lit("user:pw@")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("www."))
+        .when(col("doc_id") % 3 === 1, lit("cdn.static."))
+        .otherwise(lit("")),
+      col("source"), lit("."),
+      when(col("doc_id") % 4 === 0, lit("com"))
+        .when(col("doc_id") % 4 === 1, lit("org"))
+        .when(col("doc_id") % 4 === 2, lit("net"))
+        .otherwise(lit("io")),
+      when(col("doc_id") % 5 === 0, lit(":8443")).otherwise(lit("")),
+      lit("/p/"), col("doc_id").cast("string"), lit("?ref="), col("source"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.urlHost(url).as("host"))
+      .withColumn("domain", TextAnalysis.registrableDomain(col("host")))
+      .filter(!col("domain").isInCollection(BlockedDomains))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"))
+      .orderBy(col("domain"))
+  }
+
+  private val domainFilterOracle: String = {
+    val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
+    s"""WITH u AS (SELECT doc_id,
+       |  'https://' ||
+       |  CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
+       |  CASE WHEN doc_id % 3 = 0 THEN 'www.'
+       |       WHEN doc_id % 3 = 1 THEN 'cdn.static.' ELSE '' END ||
+       |  source || '.' ||
+       |  CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'org'
+       |       WHEN doc_id % 4 = 2 THEN 'net' ELSE 'io' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
+       |  '/p/' || doc_id || '?ref=' || source AS url
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |  lower(regexp_extract(url, '${TextAnalysis.UrlHostRe}', 1)) AS host
+       |  FROM u),
+       |d AS (SELECT doc_id, host,
+       |  regexp_extract(host, '${TextAnalysis.RegDomainRe}', 1) AS domain
+       |  FROM h)
+       |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+       |FROM d WHERE domain NOT IN ($blocked)
+       |GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
   val qNgramJaccardPairs: Q = (spark, dir) =>
     Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), "text", "doc_id",
       NgramJaccardThreshold)
@@ -2645,6 +2759,8 @@ object PipelineQueries {
     "q_train_val_test" -> qTrainValTest,
     "q_text_stats" -> qTextStats,
     "q_html_extract" -> qHtmlExtract,
+    "q_line_dedup" -> qLineDedup,
+    "q_domain_filter" -> qDomainFilter,
     "q_lang_id" -> qLangId,
     "q_fingerprints" -> qFingerprints,
     "q_exact_dedup" -> qExactDedup,
@@ -2709,6 +2825,8 @@ object PipelineQueries {
     "q_train_val_test" -> trainValTestOracle,
     "q_text_stats" -> textStatsOracle,
     "q_html_extract" -> htmlExtractOracle,
+    "q_line_dedup" -> lineDedupOracle,
+    "q_domain_filter" -> domainFilterOracle,
     "q_lang_id" -> langIdOracle,
     "q_fingerprints" -> fingerprintsOracle,
     "q_exact_dedup" -> exactDedupOracle,

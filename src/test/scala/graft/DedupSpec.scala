@@ -23,6 +23,25 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq(0L, 1L, 3L), "doc 2 is a whitespace-variant of 0")
   }
 
+  test("line dedup keeps the first corpus-wide occurrence; short lines always survive") {
+    val ml = Seq(
+      (1L, "the cat sat here\nshort one\nunique first line text"),
+      (2L, "the cat sat here\nanother unique line here\nshort one"),
+      // within-doc duplicates of a line already seen in doc 1
+      (3L, "the cat sat here\nthe cat sat here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedupKeepFirst(ml, "text", "doc_id")
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect()
+    // doc 1: all three lines are first occurrences
+    assert(out(0) == ((1L, 3L, 3L,
+      "the cat sat here\nshort one\nunique first line text")))
+    // doc 2: the 4-token boilerplate drops; "short one" (2 tokens < 3)
+    // is never a candidate and always survives
+    assert(out(1) == ((2L, 3L, 2L, "another unique line here\nshort one")))
+    // doc 3: both copies drop (keeper lives in doc 1) — empty result text
+    assert(out(2) == ((3L, 2L, 0L, "")))
+  }
+
   test("ngram jaccard finds the planted near-dup pair and only it") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

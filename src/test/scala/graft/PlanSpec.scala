@@ -467,6 +467,18 @@ class PlanSpec extends SparkTestBase {
       s"q_pq_topk must plan at most 4 joins (encode + LUT pivot + query fan-out + ONE LUT join), found $joins:\n$fin")
   }
 
+  test("line dedup partial-aggregates the line fingerprint — no per-line window") {
+    // a viral boilerplate line (one cookie banner duplicated 1e8x) must
+    // combine map-side; a window partitioned by the fingerprint would
+    // concentrate it on one task — the exact-dedup anti-pattern at line
+    // grain
+    val p = plan("q_line_dedup")
+    assert(!p.contains("Window"),
+      s"line dedup must not window over the fingerprint:\n$p")
+    assert(p.contains("partial_min"),
+      s"the keeper must show a map-side partial min:\n$p")
+  }
+
   test("markup extraction is a codegen'd narrow projection — no UDF, no mapPartitions, no shuffle") {
     val p = plan("q_html_extract")
     assert(!p.contains("MapPartitions") && !p.contains("BatchEvalPython") &&

@@ -62,6 +62,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(x("  a\n\t b\r\nc  ") == "a b c")
   }
 
+  test("URL host and registrable-domain extraction") {
+    def host(u: String) = one(u, TextAnalysis.urlHost)
+    assert(host("https://www.Example.COM/path?q=1") == "www.example.com")
+    assert(host("HTTP://user:pw@cdn.static.foo.org:8443/p/1") ==
+      "cdn.static.foo.org")
+    assert(host("ftp://bare.io") == "bare.io")
+    assert(host("https://h.io#frag") == "h.io")
+    assert(host("not a url") == "", "non-URLs extract to empty")
+    def dom(h: String) = one(h, TextAnalysis.registrableDomain)
+    assert(dom("www.example.com") == "example.com")
+    assert(dom("cdn.static.foo.org") == "foo.org")
+    assert(dom("bare.io") == "bare.io")
+    assert(dom("localhost") == "", "single-label hosts have no 2-label domain")
+  }
+
   test("token counts") {
     assert(one("a b  c", TextAnalysis.tokenCount) == 3)
     assert(one("hello, world42!", TextAnalysis.bpeishTokenCount) == 5)
