@@ -52,6 +52,53 @@ object TextAnalysis {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
+  /** The markdown-extraction regexes, shared verbatim with the oracle
+    * (Java∩RE2 subset — no backreferences, so emphasis markers are
+    * stripped as tokens rather than matched pairs). Order matters and is
+    * fixed by [[extractMarkdownText]].
+    */
+  private[graft] val MdCodeFenceRe = "(?s)```.*?```"
+  private[graft] val MdInlineCodeRe = "`[^`\\n]*`"
+  private[graft] val MdImageRe = "!\\[([^\\]]*)\\]\\([^)]*\\)"
+  private[graft] val MdLinkRe = "\\[([^\\]]*)\\]\\([^)]*\\)"
+  private[graft] val MdHeaderRe = "(?m)^[ \\t]{0,3}#{1,6}[ \\t]+"
+  private[graft] val MdQuoteListRe =
+    "(?m)^[ \\t]*(?:>|[-*+]|\\d{1,3}\\.)[ \\t]+"
+  private[graft] val MdHruleRe = "(?m)^[ \\t]{0,3}(?:-{3,}|\\*{3,}|_{3,})[ \\t]*$"
+  private[graft] val MdEmphasisRe = "(\\*{1,3}|_{1,3}|~~)"
+
+  /** Markdown → clean text — the second front door next to
+    * [[extractHtmlText]] (crawled corpora are markup or markdown):
+    *
+    *   1. drop fenced code blocks (``` … ```, non-greedy across lines)
+    *      and inline code spans — code is not prose;
+    *   2. images `![alt](url)` keep their alt text, links
+    *      `[text](url)` keep their link text (the url never survives);
+    *   3. strip header `#` prefixes, blockquote `>` markers, list
+    *      bullets / ordinal markers, and horizontal rules at line
+    *      starts (multiline anchors);
+    *   4. strip emphasis runs (`*`/`_`/`~~`) as tokens — RE2 has no
+    *      backreferences, so pairing is not enforced; an unmatched
+    *      `*foo` loses its marker too, which is what a text pipeline
+    *      wants anyway;
+    *   5. collapse whitespace runs (including the newlines the line
+    *      markers left behind) to single spaces and trim.
+    *
+    * Same contract as the HTML chain: codegen'd regexp expressions
+    * only, no UDF, replayable in any RE2/PCRE engine.
+    */
+  def extractMarkdownText(md: Column): Column = {
+    val noFence = regexp_replace(md, MdCodeFenceRe, " ")
+    val noCode = regexp_replace(noFence, MdInlineCodeRe, " ")
+    val noImg = regexp_replace(noCode, MdImageRe, "$1")
+    val noLink = regexp_replace(noImg, MdLinkRe, "$1")
+    val noHead = regexp_replace(noLink, MdHeaderRe, "")
+    val noMarks = regexp_replace(noHead, MdQuoteListRe, "")
+    val noRule = regexp_replace(noMarks, MdHruleRe, " ")
+    val noEmph = regexp_replace(noRule, MdEmphasisRe, "")
+    trim(regexp_replace(noEmph, WsRunRe, " "))
+  }
+
   /** URL host extraction, shared verbatim with the oracle (Java∩RE2):
     * scheme, optional userinfo, then the host up to the first port/path/
     * query/fragment delimiter. Lowercased — URI hosts are

@@ -156,6 +156,64 @@ object PipelineQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic markdown wrapper for the documents table — headers,
+    * blockquotes, a text fragment, unordered + ordered list items, a
+    * fenced code block hiding link/emphasis syntax, an image (alt text
+    * survives), a link (text survives, url dropped), emphasis/strike/
+    * inline-code, and a horizontal rule. One literal, shared by both
+    * engines.
+    */
+  private val MdP1 = "# Doc "
+  private val MdP2 = "\n\n> quoted intro line\n\n"
+  private val MdP3 = "\n\n- item one from doc\n2. ordered item\n\n```\n" +
+    "code block with [link](x) *stars*\n```\n\nSee ![logo](http://img/"
+  private val MdP4 = ") and [the docs](http://example.com/"
+  private val MdP5 = ") for *emphasis* and _under_ and ~~strike~~ and " +
+    "`inline(code)`\n\n---\nfinal tail text"
+
+  /** Markdown text extraction — the second front door
+    * ([[TextAnalysis.extractMarkdownText]]): fences/inline code dropped,
+    * image alts and link texts kept (urls never survive), line markers
+    * and emphasis stripped, whitespace collapsed. The regexes are shared
+    * verbatim with the oracle; only the capture-group replacement
+    * syntax differs per engine (Java `$1` vs RE2 `\1`).
+    */
+  val qMarkdownExtract: Q = (spark, dir) => {
+    val md = concat(lit(MdP1), col("doc_id").cast("string"), lit(MdP2),
+      substring(col("text"), 1, 80), lit(MdP3),
+      col("doc_id").cast("string"), lit(MdP4),
+      col("doc_id").cast("string"), lit(MdP5))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.extractMarkdownText(md).as("clean"))
+      .withColumn("n_clean_chars", length(col("clean")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val markdownExtractOracle: String = {
+    def sq(s: String): String =
+      "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+    val md = s"${sq(MdP1)} || doc_id || ${sq(MdP2)} || substr(text, 1, 80)" +
+      s" || ${sq(MdP3)} || doc_id || ${sq(MdP4)} || doc_id || ${sq(MdP5)}"
+    def re(s: String): String = s.replace("\\", "\\").replace("'", "''")
+    val chain = Seq(
+      (TextAnalysis.MdCodeFenceRe, "' '"),
+      (TextAnalysis.MdInlineCodeRe, "' '"),
+      (TextAnalysis.MdImageRe, "'\\1'"),
+      (TextAnalysis.MdLinkRe, "'\\1'"),
+      (TextAnalysis.MdHeaderRe, "''"),
+      (TextAnalysis.MdQuoteListRe, "''"),
+      (TextAnalysis.MdHruleRe, "' '"),
+      (TextAnalysis.MdEmphasisRe, "''"))
+      .foldLeft(s"($md)") { case (acc, (r, rep)) =>
+        s"regexp_replace($acc, '${re(r)}', $rep, 'g')" }
+    val clean =
+      s"trim(regexp_replace($chain, '${re(TextAnalysis.WsRunRe)}', ' ', 'g'))"
+    s"""SELECT doc_id, $clean AS clean,
+       |  CAST(length($clean) AS BIGINT) AS n_clean_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Hashed-n-gram linear quality model apply
     * ([[graft.operators.QualityModel]], fastText-style): per-doc feature
     * count, exact integer score, and the keep/drop label. One narrow pass;
@@ -2761,6 +2819,7 @@ object PipelineQueries {
     "q_html_extract" -> qHtmlExtract,
     "q_line_dedup" -> qLineDedup,
     "q_domain_filter" -> qDomainFilter,
+    "q_markdown_extract" -> qMarkdownExtract,
     "q_lang_id" -> qLangId,
     "q_fingerprints" -> qFingerprints,
     "q_exact_dedup" -> qExactDedup,
@@ -2827,6 +2886,7 @@ object PipelineQueries {
     "q_html_extract" -> htmlExtractOracle,
     "q_line_dedup" -> lineDedupOracle,
     "q_domain_filter" -> domainFilterOracle,
+    "q_markdown_extract" -> markdownExtractOracle,
     "q_lang_id" -> langIdOracle,
     "q_fingerprints" -> fingerprintsOracle,
     "q_exact_dedup" -> exactDedupOracle,

@@ -62,6 +62,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(x("  a\n\t b\r\nc  ") == "a b c")
   }
 
+  test("markdown extraction matrix: fences, links, markers, emphasis, malformed") {
+    def x(s: String): String =
+      one(s, TextAnalysis.extractMarkdownText).asInstanceOf[String]
+    assert(x("# Title\nbody text") == "Title body text")
+    assert(x("> quote line\nplain") == "quote line plain")
+    assert(x("- a\n* b\n+ c\n12. d") == "a b c d")
+    assert(x("keep ![alt words](http://x/y) and [link text](http://z)") ==
+      "keep alt words and link text")
+    // fenced code drops entirely — including markdown syntax hidden inside
+    assert(x("a ```\n[hidden](x) *stars*\n``` b") == "a b")
+    assert(x("before `code()` after") == "before after")
+    assert(x("*em* **strong** _u_ ~~strike~~") == "em strong u strike")
+    assert(x("---\ntext\n***") == "text")
+    // only 1-3 digit ordinals are list markers; mid-line dashes are prose
+    assert(x("1000. not a list marker") == "1000. not a list marker")
+    assert(x("mid-dash - stays") == "mid-dash - stays")
+    // malformed: with no closing fence the fence regex can't match, so
+    // nothing is swallowed to end-of-input — the inline-code rule strips
+    // the backtick PAIR from the orphan ``` and the odd backtick survives
+    // as literal text alongside the prose
+    assert(x("open ```\nno closer here") == "open ` no closer here")
+  }
+
   test("URL host and registrable-domain extraction") {
     def host(u: String) = one(u, TextAnalysis.urlHost)
     assert(host("https://www.Example.COM/path?q=1") == "www.example.com")
