@@ -52,6 +52,57 @@ object TextAnalysis {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
+  /** Gopher quality-rule word lists/bounds (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", Appendix A.1.1 — the published
+    * heuristic filter most open pipelines reuse). Doc-level rules only:
+    * the line-level ones (bullet starts, ellipsis ends) belong after a
+    * line split.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+
+  /** Gopher rules as per-document boolean columns over a token-array
+    * column — every comparison INTEGER-RATIONAL (cross-multiplied, never
+    * a float ratio) so both engines decide identically:
+    *
+    *   - `r_words`:   50 ≤ word count ≤ 100 000;
+    *   - `r_meanlen`: mean word length in [3, 10] chars ⟺
+    *                  3·n ≤ Σlen ≤ 10·n (exact integer sums);
+    *   - `r_symbols`: (# + …) symbol-to-word ratio ≤ 0.1 ⟺
+    *                  10·symbols ≤ n;
+    *   - `r_alpha`:   ≥ 80% of words contain an alphabetic char ⟺
+    *                  5·alphaWords ≥ 4·n;
+    *   - `r_stop`:    at least 2 DISTINCT of the 8 Gopher stopwords.
+    *
+    * `keep` = all five. One narrow codegen'd projection — at 100 TB the
+    * filter runs at scan speed like the rest of the text suite.
+    */
+  def gopherRules(toks: Column, text: Column): Column = {
+    val n = size(toks).cast("long")
+    // Σ word length as one codegen'd expression: concatenating with an
+    // empty separator makes the total length exactly the length sum
+    val sumLen = length(concat_ws("", toks)).cast("long")
+    val symbols = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\.")) +
+      regexp_count(text, lit("…"))).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    // distinct-stopword count as membership tests over the 8-word list —
+    // intersection builtins differ between engines on duplicate handling;
+    // this form is unambiguous in both
+    val stopHits = size(filter(typedLit(GopherStopwords),
+      s => array_contains(toks, s))).cast("long")
+    val rWords = n >= GopherMinWords && n <= GopherMaxWords
+    val rMeanLen = sumLen >= lit(3L) * n && sumLen <= lit(10L) * n
+    val rSymbols = lit(10L) * symbols <= n
+    val rAlpha = lit(5L) * alphaWords >= lit(4L) * n
+    val rStop = stopHits >= 2L
+    struct(rWords.as("r_words"), rMeanLen.as("r_meanlen"),
+      rSymbols.as("r_symbols"), rAlpha.as("r_alpha"), rStop.as("r_stop"),
+      (rWords && rMeanLen && rSymbols && rAlpha && rStop).as("keep"))
+  }
+
   /** The markdown-extraction regexes, shared verbatim with the oracle
     * (Java∩RE2 subset — no backreferences, so emphasis markers are
     * stripped as tokens rather than matched pairs). Order matters and is

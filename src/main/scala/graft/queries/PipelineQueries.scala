@@ -621,6 +621,69 @@ object PipelineQueries {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher quality rules (r18 — Rae et al. 2021 Appendix A.1.1, the
+    * published heuristic filter most open pipelines reuse): per-document
+    * boolean gates, all INTEGER-RATIONAL ([[TextAnalysis.gopherRules]]).
+    * The corpus text gets a deterministic tail so every rule genuinely
+    * discriminates on this fixture: word counts already straddle the
+    * 50-word floor; a rotating stopword tail flips `r_stop`
+    * (the base vocabulary carries only "the" — never 2 distinct); a
+    * `###`/ellipsis tail on every 7th doc flips `r_symbols`. One narrow
+    * codegen'd projection — scan speed at 100 TB.
+    */
+  val qGopherRules: Q = (spark, dir) => {
+    val t2 = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(" to of and"))
+        .when(col("doc_id") % 3 === 1, lit(" that have"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" ### ... ... ..."))
+        .otherwise(lit("")))
+    val r = TextAnalysis.gopherRules(TextAnalysis.tokens(t2), t2)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), r.as("_r"))
+      .select(col("doc_id"), col("_r.r_words").as("r_words"),
+        col("_r.r_meanlen").as("r_meanlen"),
+        col("_r.r_symbols").as("r_symbols"),
+        col("_r.r_alpha").as("r_alpha"), col("_r.r_stop").as("r_stop"),
+        col("_r.keep").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val gopherRulesOracle: String = {
+    val stopList = TextAnalysis.GopherStopwords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ' to of and'
+       |       WHEN doc_id % 3 = 1 THEN ' that have' ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 0 THEN ' ### ... ... ...' ELSE '' END AS t2
+       |  FROM documents),
+       |w AS (SELECT doc_id, t2,
+       |  string_split_regex(trim(t2), '\\s+') AS ws FROM b),
+       |m AS (SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n,
+       |  CAST(length(array_to_string(ws, '')) AS BIGINT) AS sumlen,
+       |  CAST(len(regexp_extract_all(t2, '#')) +
+       |       len(regexp_extract_all(t2, '\\.\\.\\.')) +
+       |       len(regexp_extract_all(t2, '…')) AS BIGINT) AS sym,
+       |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+       |    AS BIGINT) AS alpha,
+       |  CAST(len(list_filter($stopList, s -> list_contains(ws, s)))
+       |    AS BIGINT) AS stop
+       |  FROM w)
+       |SELECT doc_id,
+       |  n >= ${TextAnalysis.GopherMinWords} AND
+       |    n <= ${TextAnalysis.GopherMaxWords} AS r_words,
+       |  sumlen >= 3 * n AND sumlen <= 10 * n AS r_meanlen,
+       |  10 * sym <= n AS r_symbols,
+       |  5 * alpha >= 4 * n AS r_alpha,
+       |  stop >= 2 AS r_stop,
+       |  (n >= ${TextAnalysis.GopherMinWords} AND
+       |   n <= ${TextAnalysis.GopherMaxWords}) AND
+       |  (sumlen >= 3 * n AND sumlen <= 10 * n) AND
+       |  (10 * sym <= n) AND (5 * alpha >= 4 * n) AND (stop >= 2) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source quality-percentile curation — the "drop the bottom half of
     * every domain" filter: percent_rank of the composite quality score
     * inside each source, ordered by (score, doc_id) so ties have a total
@@ -2820,6 +2883,7 @@ object PipelineQueries {
     "q_line_dedup" -> qLineDedup,
     "q_domain_filter" -> qDomainFilter,
     "q_markdown_extract" -> qMarkdownExtract,
+    "q_gopher_rules" -> qGopherRules,
     "q_lang_id" -> qLangId,
     "q_fingerprints" -> qFingerprints,
     "q_exact_dedup" -> qExactDedup,
@@ -2887,6 +2951,7 @@ object PipelineQueries {
     "q_line_dedup" -> lineDedupOracle,
     "q_domain_filter" -> domainFilterOracle,
     "q_markdown_extract" -> markdownExtractOracle,
+    "q_gopher_rules" -> gopherRulesOracle,
     "q_lang_id" -> langIdOracle,
     "q_fingerprints" -> fingerprintsOracle,
     "q_exact_dedup" -> exactDedupOracle,

@@ -491,6 +491,16 @@ class PlanSpec extends SparkTestBase {
       s"the regexp chain must run inside WholeStageCodegen:\n$fin")
   }
 
+  test("Gopher rules run as a narrow projection — no UDF, no shuffle") {
+    val p = plan("q_gopher_rules")
+    assert(!p.contains("MapPartitions") && !p.contains("ScalaUDF") &&
+      !p.contains("BatchEvalPython"),
+      s"the rule set must stay a Catalyst expression chain:\n$p")
+    val fin = p.split("== Initial Plan ==").head
+    assert(!fin.contains("Exchange hashpartitioning"),
+      s"per-doc rules are scan-local — only the presentation sort may exchange:\n$fin")
+  }
+
   test("deletion vectors apply as a broadcast anti-join — never a shuffled join of the table") {
     val ss = spark
     import ss.implicits._

@@ -85,6 +85,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(x("open ```\nno closer here") == "open ` no closer here")
   }
 
+  test("Gopher rules: integer-rational boundaries decide exactly") {
+    import org.apache.spark.sql.Row
+    def rules(text: String): Row =
+      Seq(text).toDF("text")
+        .select(TextAnalysis.gopherRules(
+          TextAnalysis.tokens(col("text")), col("text")))
+        .collect().head.getStruct(0)
+    // 50 four-char words with two stopwords: every rule passes exactly
+    val base = (1 to 48).map(i => "word").mkString(" ") + " the with"
+    val ok = rules(base)
+    assert((0 until 6).forall(i => ok.getBoolean(i)), s"all-pass fixture: $ok")
+    // one word under the floor flips ONLY r_words (49 words)
+    val short = rules((1 to 47).map(_ => "word").mkString(" ") + " the with")
+    assert(!short.getBoolean(0) && short.getBoolean(4) && !short.getBoolean(5))
+    // mean length boundary: 50 two-char words → mean 2 < 3 fails r_meanlen
+    assert(!rules((1 to 48).map(_ => "ab").mkString(" ") + " to of")
+      .getBoolean(1))
+    // symbol ratio: 6 symbol tokens over 50 words → 60 > 50 fails r_symbols
+    val symText = base + " # # # ... ... ..."
+    assert(!rules(symText).getBoolean(2))
+    // one distinct stopword is not enough, even repeated
+    assert(!rules((1 to 46).map(_ => "word").mkString(" ") +
+      " the the the the").getBoolean(4))
+  }
+
   test("URL host and registrable-domain extraction") {
     def host(u: String) = one(u, TextAnalysis.urlHost)
     assert(host("https://www.Example.COM/path?q=1") == "www.example.com")
