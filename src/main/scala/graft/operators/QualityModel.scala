@@ -182,6 +182,9 @@ object QualityModel {
     * ~10^19 more headroom at the cost of decimal ops in the fold. The
     * regime is chosen at TRAIN time from the exact BigInt bound, so the
     * Long path never wraps and the wide path is taken only when needed.
+    * In the wide regime `safeTerms` is additionally capped so the raw
+    * Long score fold inside [[scoreOfTokensWith]] provably fits before
+    * its DECIMAL cast — see [[fitRegime]].
     */
   final case class TrainedMulti(classes: IndexedSeq[Long],
       counts: IndexedSeq[IndexedSeq[Long]], nDocs: IndexedSeq[Long],
@@ -216,15 +219,38 @@ object QualityModel {
     val cnt = classes.map(y => (0 until HashBuckets)
       .map(b => counts.getOrElse((y, b.toLong), 0L)))
     val n = classes.map(docs)
-    // exact fit check: for every class pair the comparison multiplies
-    // B_c (bounded by ‖cnt_c‖² + 2·N_c·terms·max_b cnt_c[b]) by N_c'².
-    // Solve for the largest per-document term count that keeps every
-    // product under the regime's half-range; refuse models that cannot
-    // even score a 1-term document. Two regimes: Long (codegen'd integer
-    // arithmetic) and, when the corpus outgrows it, exact DECIMAL(38,0)
-    // — the int128-class algebra the DuckDB oracle already runs.
+    val (safeTerms, wide) = fitRegime(cnt, n)
+    TrainedMulti(classes, cnt, n, safeTerms, wide)
+  }
+
+  /** The exact multiclass fit check, factored out of [[trainMulticlass]]
+    * so the wide-regime bounds are unit-testable on synthetic counts
+    * (genuinely wide corpora are too large to materialize in a spec).
+    *
+    * For every class pair the comparison multiplies
+    * B_c (bounded by ‖cnt_c‖² + 2·N_c·terms·max_b cnt_c[b]) by N_c'².
+    * Solve for the largest per-document term count that keeps every
+    * product under the regime's half-range; refuse models that cannot
+    * even score a 1-term document. Two regimes: Long (codegen'd integer
+    * arithmetic) and, when the corpus outgrows it, exact DECIMAL(38,0)
+    * — the int128-class algebra the DuckDB oracle already runs.
+    *
+    * WIDE-REGIME ACCUMULATOR CAP: [[predictMultiWith]] only casts the
+    * per-class score to DECIMAL AFTER [[scoreOfTokensWith]] has folded it
+    * as a plain Long (`acc + wOf(t)` seeded from 0L). The DECIMAL headroom
+    * bound above says nothing about that inner fold, so the wide regime
+    * ADDITIONALLY caps safeTerms at min_c ⌊Long.MaxValue / maxC_c⌋: the
+    * per-class weights are the non-negative bucket COUNTS, the partial
+    * sums are monotone, and terms·maxC_c then provably fits a Long — the
+    * accumulator can never wrap silently (a document past the cap hits
+    * the loud scan-time refusal instead). The Long regime needs no extra
+    * cap: its bound already keeps 2·N_c·terms·maxC_c under
+    * Long.MaxValue/2, which is strictly tighter.
+    */
+  private[graft] def fitRegime(cnt: IndexedSeq[IndexedSeq[Long]],
+      n: IndexedSeq[Long]): (Long, Boolean) = {
     val maxN2 = n.map(x => BigInt(x) * x).max
-    def safeUnder(half: BigInt): BigInt = classes.indices.map { i =>
+    def safeUnder(half: BigInt): BigInt = cnt.indices.map { i =>
       val norm2 = cnt(i).map(c => BigInt(c) * c).sum
       val maxC = cnt(i).max
       val headroom = half / maxN2 - norm2
@@ -239,11 +265,18 @@ object QualityModel {
         "cross-multiplied products would exceed 38 digits — shard the " +
         "corpus or reduce classes")
     val wide = safeLong < 1
-    val safe = if (wide) safeDec else safeLong
+    val accCap = cnt.indices.map { i =>
+      val maxC = cnt(i).max
+      if (maxC == 0L) BigInt(Long.MaxValue) else BigInt(Long.MaxValue) / maxC
+    }.min
+    val safe = if (wide) safeDec.min(accCap) else safeLong
+    require(safe >= 1,
+      "corpus too large for the Long score accumulator: a single term's " +
+        "bucket count alone approaches Long range — shard the corpus")
     val safeTerms =
       if (safe > BigInt(Long.MaxValue)) Long.MaxValue
       else safe.bigInteger.longValueExact()
-    TrainedMulti(classes, cnt, n, safeTerms, wide)
+    (safeTerms, wide)
   }
 
   /** Per-row class prediction of a [[TrainedMulti]] model over an

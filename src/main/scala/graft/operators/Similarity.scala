@@ -111,7 +111,12 @@ object Similarity {
     // min-struct, the trailing `cell` keeps the lowest-cell tie-break, and
     // the aggregate combines map-side so one candidate per id per partition
     // crosses the shuffle instead of all nCells — same bit-exact winner as
-    // the old row_number() ranking, minus the per-id sort.
+    // the old row_number() ranking FOR FINITE COSINES, minus the per-id
+    // sort. NaN caveat: a zero-norm vector or centroid yields sim = NaN,
+    // and the two formulations disagree there (desc ordering ranks NaN
+    // first; min(struct) ranks NaN last) — zero-norm vectors are OUT OF
+    // CONTRACT for ivfAssign (no direction → no meaningful cell), same as
+    // the cosine operators above; filter them upstream.
     corpus.join(broadcast(centroids), lit(true))
       .withColumn("sim", VectorFunctions.cosine(col("vec"), col("centroid")))
       .groupBy(col("id"))

@@ -71,7 +71,13 @@ object TextAnalysis {
     *   - `r_meanlen`: mean word length in [3, 10] chars ⟺
     *                  3·n ≤ Σlen ≤ 10·n (exact integer sums);
     *   - `r_symbols`: (# + …) symbol-to-word ratio ≤ 0.1 ⟺
-    *                  10·symbols ≤ n;
+    *                  10·symbols ≤ n. DELIBERATE DEVIATION from the
+    *                  paper: Rae et al. gate hash and ellipsis ratios
+    *                  SEPARATELY ("either … greater than 0.1"); this
+    *                  combined ratio is strictly tighter (a doc with
+    *                  0.06 hash + 0.06 ellipsis fails here, passes
+    *                  there). One regexp pass instead of three, and the
+    *                  oracle replays the same combined rule;
     *   - `r_alpha`:   ≥ 80% of words contain an alphabetic char ⟺
     *                  5·alphaWords ≥ 4·n;
     *   - `r_stop`:    at least 2 DISTINCT of the 8 Gopher stopwords.

@@ -1769,7 +1769,11 @@ object PipelineQueries {
     */
   val qAnnIvfKpp: Q = (spark, dir) => {
     val c = corpus(spark, dir)
-    val seeds = Similarity.kmeansSeedsKpp(c, IvfCells, IvfSeedPermille)
+    // IvfScale passed EXPLICITLY: the oracle hardcodes round(md·IvfScale),
+    // so relying on kmeansSeedsKpp's default would silently break the
+    // hash-exact replay if either constant ever moved independently
+    val seeds = Similarity.kmeansSeedsKpp(c, IvfCells, IvfSeedPermille,
+      IvfScale)
     val cents = Similarity.kmeansQuantizedFrom(c, seeds, IvfTrainIters,
       IvfScale)
     val assigned = Similarity.assignToCentroids(c, cents)

@@ -118,6 +118,11 @@ object CommitStore {
       * equivalent Paths ("file:/x", "file:///x", "FILE://host/a/../a/x")
       * take the SAME claim instead of both "winning".
       */
+    private def md5Key(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
     private def recordFor(fs: FileSystem, path: Path): java.io.File = {
       val u = fs.makeQualified(path).toUri.normalize()
       def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
@@ -125,11 +130,24 @@ object CommitStore {
         Option(u.getScheme).map(lc).orNull,
         Option(u.getAuthority).map(lc).orNull,
         u.getPath, null, null).toString
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(canonical.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      new java.io.File(claimDir, s"claim-$key")
+      new java.io.File(claimDir, s"claim-${md5Key(canonical)}")
     }
+
+    /** CLAIM-KEY FORMAT CHANGE (upgrade boundary): builds before the
+      * canonicalization keyed claims by the RAW `path.toString`. A claim
+      * log written by such a build must stay visible, or a dead winner's
+      * pre-upgrade claim is never recovered and a post-upgrade writer can
+      * re-claim (double-win) the same version. [[putIfAbsent]] therefore
+      * PROBES this legacy key whenever the canonical record is absent;
+      * new claims are only ever written under the canonical key, so the
+      * legacy path is read-mostly and dies out with vacuum
+      * ([[releaseClaim]] sweeps both keys). Out of contract: OLD-build
+      * writers still running concurrently with new ones (a rolling
+      * upgrade must drain old writers first) — the probe closes the
+      * visibility gap, not a live old-vs-new race.
+      */
+    private def legacyRecordFor(path: Path): java.io.File =
+      new java.io.File(claimDir, s"claim-${md5Key(path.toString)}")
 
     private def writeDestination(fs: FileSystem, path: Path,
         content: Array[Byte]): Unit = {
@@ -157,11 +175,22 @@ object CommitStore {
       */
     override def releaseClaim(fs: FileSystem, path: Path): Unit = {
       val _ = recordFor(fs, path).delete()
+      val _2 = legacyRecordFor(path).delete()
     }
 
     override def putIfAbsent(fs: FileSystem, path: Path,
         content: Array[Byte]): Boolean = {
       val rec = recordFor(fs, path)
+      // upgrade-boundary probe: a pre-canonicalization build's claim on
+      // this destination lives under the raw-path key — honor it (and
+      // finish its dead winner's write) instead of double-winning
+      val legacy = legacyRecordFor(path)
+      if (!rec.exists() && legacy.exists()) {
+        if (!fs.exists(path))
+          writeDestination(fs, path,
+            java.nio.file.Files.readAllBytes(legacy.toPath))
+        return false
+      }
       val tmp = new java.io.File(claimDir,
         s".${rec.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val claimed =

@@ -371,6 +371,33 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(p == localPred(text), s"'$text': got $p, local ${localPred(text)}")
   }
 
+  test("multiclass wide regime caps safeTerms so the Long score fold cannot wrap") {
+    import graft.operators.QualityModel
+    // two 1-doc classes with ~1e12 bucket counts: norm2 ≈ 6.4e25 blows the
+    // Long regime (→ wide), while the DECIMAL headroom alone would allow
+    // safeTerms ≈ 2.5e25 — far past where terms·maxC wraps the Long
+    // accumulator inside scoreOfTokensWith. The fix caps safeTerms at
+    // min_c ⌊Long.MaxValue / maxC⌋ in the wide regime.
+    val big = 1000000000000L // 1e12
+    val cnt = IndexedSeq(
+      IndexedSeq.tabulate(QualityModel.HashBuckets)(b => big - b),
+      IndexedSeq.tabulate(QualityModel.HashBuckets)(b => big + b))
+    val n = IndexedSeq(1L, 1L)
+    val (safeTerms, wide) = QualityModel.fitRegime(cnt, n)
+    assert(wide, "1e12-count corpus must train into the wide regime")
+    val maxC = cnt.map(_.max).max
+    assert(BigInt(safeTerms) * maxC <= BigInt(Long.MaxValue),
+      s"safeTerms $safeTerms × maxC $maxC can wrap the Long accumulator")
+    assert(safeTerms == Long.MaxValue / maxC,
+      s"cap should bind exactly at Long.MaxValue/maxC, got $safeTerms")
+    // the Long regime is unaffected: a small corpus keeps its tighter bound
+    val small = IndexedSeq(
+      IndexedSeq.tabulate(QualityModel.HashBuckets)(b => (b + 1).toLong),
+      IndexedSeq.tabulate(QualityModel.HashBuckets)(b => (2 * b + 1).toLong))
+    val (st2, w2) = QualityModel.fitRegime(small, IndexedSeq(3L, 4L))
+    assert(!w2 && st2 > 0L)
+  }
+
   test("predictWith refuses documents that could wrap the Long score") {
     import graft.operators.QualityModel
     // a model with near-limit weights makes the per-document safe bound

@@ -1178,6 +1178,45 @@ class VersionedHubSpec extends SparkTestBase {
     }
   }
 
+  test("claim-log coordinator: a pre-upgrade raw-path claim is honored, recovered, and swept") {
+    import graft.writers.CommitStore
+    import org.apache.hadoop.fs.Path
+    val hc = spark.sparkContext.hadoopConfiguration
+    val claimRoot = java.nio.file.Files
+      .createTempDirectory("graft_claims_legacy").toFile
+    val store = new CommitStore.ClaimLogCommitStore(claimRoot)
+    val base = tmpDir("claim_legacy")
+    val p = new Path(s"$base/m.json")
+    val fs = p.getFileSystem(hc)
+    // simulate a DEAD pre-upgrade winner: old builds keyed claims by
+    // md5(path.toString); the claim is durable, the destination write
+    // never happened
+    val legacyKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.nio.file.Files.write(
+      new java.io.File(claimRoot, s"claim-$legacyKey").toPath,
+      "OLDWINNER".getBytes("UTF-8"))
+    // a post-upgrade writer must LOSE to the legacy claim (no double-win
+    // across the upgrade boundary) and finish the dead winner's write
+    assert(!store.putIfAbsent(fs, p, "NEW".getBytes("UTF-8")),
+      "post-upgrade writer must not re-claim a legacy-claimed destination")
+    val in = fs.open(p)
+    val got = try {
+      val buf = new Array[Byte](16)
+      val n = in.read(buf)
+      new String(buf, 0, n, "UTF-8")
+    } finally in.close()
+    assert(got == "OLDWINNER",
+      s"recovery must land the legacy claimant's bytes: $got")
+    // vacuum/release sweeps the legacy record alongside the canonical key
+    store.releaseClaim(fs, p)
+    assert(!claimRoot.listFiles.exists(_.getName == s"claim-$legacyKey"),
+      "releaseClaim must sweep the legacy record too")
+    // with both records gone, the destination is claimable again
+    assert(store.putIfAbsent(fs, new Path(s"$base/m2.json"),
+      "FRESH".getBytes("UTF-8")))
+  }
+
   test("manifests record per-file min/max stats; untouched buckets carry them across versions") {
     import graft.writers.FileStats
     val path = tmpDir("vh_filestats")
