@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CmsEstimate, CmsSketch, DotProduct, KmvDistinct, Md5Hash60, MinHashSignature, RepetitionStats, SimHash, WordShingles}
+import graft.functions.{CmsEstimate, CmsSketch, DotProduct, GopherRepetition, KmvDistinct, Md5Hash60, MinHashSignature, RepetitionStats, SimHash, WordShingles}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -120,6 +120,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "repetition_stats(text)")
         RepetitionStats(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gopher_repetition"),
+      new ExpressionInfo(classOf[GopherRepetition].getName,
+        "gopher_repetition"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "gopher_repetition(text)")
+        GopherRepetition(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("kmv_distinct"),

@@ -109,6 +109,64 @@ object TextAnalysis {
       (rWords && rMeanLen && rSymbols && rAlpha && rStop).as("keep"))
   }
 
+  /** Gopher A.1.2 repetition thresholds (Rae et al. 2021, Table A1):
+    * `(signalName, numeratorFactor, denominatorFactor)` encoding
+    * "fraction ≤ den/num" as the integer-rational gate
+    * `num·signal ≤ den·denominatorColumn` — shared verbatim with the
+    * oracle generator so both engines compare the same integers.
+    * Fractions: dup lines/paras 0.30 of their count, 0.20 of their
+    * chars; top-{2,3,4}-gram char mass 0.20/0.18/0.16 of word chars;
+    * dup-{5..10}-gram covered chars 0.15/0.14/0.13/0.12/0.11/0.10.
+    */
+  val GopherRepThresholds: Seq[(String, Long, Long, String)] = Seq(
+    ("dup_lines", 10L, 3L, "n_lines"),
+    ("dup_paras", 10L, 3L, "n_paras"),
+    ("dup_line_chars", 5L, 1L, "line_chars"),
+    ("dup_para_chars", 5L, 1L, "para_chars"),
+    ("top2_chars", 5L, 1L, "word_chars"),
+    ("top3_chars", 50L, 9L, "word_chars"),
+    ("top4_chars", 25L, 4L, "word_chars"),
+    ("dup5_chars", 20L, 3L, "word_chars"),
+    ("dup6_chars", 50L, 7L, "word_chars"),
+    ("dup7_chars", 100L, 13L, "word_chars"),
+    ("dup8_chars", 25L, 3L, "word_chars"),
+    ("dup9_chars", 100L, 11L, "word_chars"),
+    ("dup10_chars", 10L, 1L, "word_chars"))
+
+  /** Gopher A.1.2 repetition gates over a MATERIALIZED
+    * [[graft.functions.GopherRepetition]] stats struct (materialize the
+    * struct in its own projection first — the stats pass should run once
+    * per document, not once per rule). Thirteen integer-rational
+    * comparisons ([[GopherRepThresholds]]) + `keep` = all thirteen; a
+    * document passes a rule iff its repetition fraction is ≤ the paper's
+    * threshold, with 0/0 (empty grain) vacuously kept — the A.1.1
+    * minimum-word gate owns degenerate documents. Composed with
+    * [[gopherRules]] this is the COMPLETE published Gopher filter:
+    * `keep = gopherRules(…).keep && gopherRepetitionRules(…).keep`
+    * (see [[gopherGate]]).
+    */
+  def gopherRepetitionRules(st: Column): Column = {
+    val rules = GopherRepThresholds.map { case (sig, num, den, denCol) =>
+      (s"r_$sig", lit(num) * st.getField(sig) <= lit(den) * st.getField(denCol))
+    }
+    val keep = rules.map(_._2).reduce(_ && _)
+    struct(rules.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+  }
+
+  /** The full Gopher gate (A.1.1 document rules ∧ A.1.2 repetition
+    * rules) appended as one boolean `gopher_keep` column — the composite
+    * a curation pipeline actually filters on. Three chained narrow
+    * projections (stats structs materialized once each), zero shuffles:
+    * scan-speed at 100 TB like every text gate in this file.
+    */
+  def gopherGate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_gq", gopherRules(tokens(col(textCol)), col(textCol)))
+      .withColumn("_gs",
+        graft.functions.GopherRepetition.gopherRepetition(col(textCol)))
+      .withColumn("_gr", gopherRepetitionRules(col("_gs")))
+      .withColumn("gopher_keep", col("_gq.keep") && col("_gr.keep"))
+      .drop("_gq", "_gs", "_gr")
+
   /** The markdown-extraction regexes, shared verbatim with the oracle
     * (Java∩RE2 subset — no backreferences, so emphasis markers are
     * stripped as tokens rather than matched pairs). Order matters and is

@@ -684,6 +684,219 @@ object PipelineQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Gopher A.1.2 repetition rules (r19) ----
+
+  /** Deterministic multi-line tails for the repetition fixtures: the
+    * corpus text is single-line by construction, so each tail flips one
+    * family of A.1.2 rules on a different doc_id stride — short duplicate
+    * lines (count rule without the char rule), whole-text duplicate lines
+    * (both), duplicate paragraphs, a hammered bigram (top-2-gram mass),
+    * and a twice-repeated 10-word phrase (duplicate 5..10-gram coverage).
+    * Both engines build the IDENTICAL string.
+    */
+  private val GRepLine = "buy now click here"
+  private val GRepPara = "subscribe to our newsletter today"
+  private val GRepPhrase =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+  private def gopherT2Col: org.apache.spark.sql.Column = concat(col("text"),
+    // stopword tails on the strides that do NOT get duplicate-line tails,
+    // so r_stop (A.1.1) and the A.1.2 rules decorrelate and the final
+    // conjunction is exercised in both directions
+    when(col("doc_id") % 3 === 1, lit(" to of and"))
+      .when(col("doc_id") % 3 === 2, lit(" that have"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      lit("\n" + GRepLine + "\n" + GRepLine + "\n" + GRepLine))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit("\n"), col("text"), lit("\n"), col("text")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 4 === 1,
+      lit("\n\n" + GRepPara + "\n\n" + GRepPara)).otherwise(lit("")),
+    when(col("doc_id") % 7 === 2, lit(" free offer" * 12)).otherwise(lit("")),
+    when(col("doc_id") % 6 === 3,
+      lit(" " + GRepPhrase + " " + GRepPhrase)).otherwise(lit("")))
+
+  private def gopherT2Sql: String = {
+    val nl = "chr(10)"
+    s"""text ||
+       |  CASE WHEN doc_id % 3 = 1 THEN ' to of and'
+       |       WHEN doc_id % 3 = 2 THEN ' that have' ELSE '' END ||
+       |  CASE WHEN doc_id % 3 = 0 THEN $nl || '$GRepLine' || $nl ||
+       |    '$GRepLine' || $nl || '$GRepLine' ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN $nl || text || $nl || text
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 4 = 1 THEN $nl || $nl || '$GRepPara' ||
+       |    $nl || $nl || '$GRepPara' ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 2 THEN repeat(' free offer', 12)
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 6 = 3 THEN ' $GRepPhrase $GRepPhrase'
+       |    ELSE '' END""".stripMargin
+  }
+
+  /** Gopher A.1.2 repetition STATS (r19 — Rae et al. 2021 Appendix A.1.2,
+    * the boilerplate-killing half of the published filter): the raw exact
+    * integers from [[graft.functions.GopherRepetition]] — one codegen'd
+    * pass per document, zero shuffles. Dumping the stats (not just the
+    * booleans) makes the oracle sensitive to every numerator, not only to
+    * threshold crossings.
+    */
+  val qGopherRepetition: Q = (spark, dir) => {
+    val fields = graft.functions.GopherRepetition.schema.fieldNames.toSeq
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), gopherT2Col.as("_t2"))
+      .select(col("doc_id"),
+        graft.functions.GopherRepetition.gopherRepetition(col("_t2")).as("_s"))
+      .select(col("doc_id") +: fields.map(f => col(s"_s.$f").as(f)): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The WITH-body computing the A.1.2 stats per document in DuckDB —
+    * shared by the stats and full-gate oracles. Set-based (equi-joins +
+    * group-bys over an exploded position table), NOT per-row quadratic
+    * lambdas: duplicate-n-gram coverage = distinct positions inside any
+    * duplicated n-gram occurrence, via a (doc, gram) count, a start join,
+    * and a start×offset expansion.
+    */
+  private def gopherRepStatsCtes: String = {
+    def dupAgg(c: String): String =
+      s"""CAST(len($c) AS BIGINT) AS n_$c,
+         |  CAST(len($c) - len(list_distinct($c)) AS BIGINT) AS dup_$c,
+         |  CAST(coalesce(list_sum(list_transform($c, x -> length(x))), 0)
+         |    AS BIGINT) AS ${c}_chars,
+         |  CAST(coalesce(list_sum(list_transform(list_distinct($c),
+         |    d -> (len(list_filter($c, x -> x = d)) - 1) * length(d))), 0)
+         |    AS BIGINT) AS dup_${c}_chars""".stripMargin
+    val gramCols = (graft.functions.GopherRepetition.TopNgramOrders ++
+      graft.functions.GopherRepetition.DupNgramOrders).map(n =>
+      s"""CASE WHEN p + ${n - 1} <= len(ws) THEN
+         |    array_to_string(list_slice(ws, p, p + ${n - 1}), ' ') END AS g$n"""
+        .stripMargin).mkString(",\n  ")
+    val topCtes = graft.functions.GopherRepetition.TopNgramOrders.map(n =>
+      s"""tg$n AS (SELECT doc_id, max([cnt, ch]) AS b FROM (
+         |  SELECT doc_id, g$n, count(*) AS cnt, length(g$n) - ${n - 1} AS ch
+         |  FROM g WHERE g$n IS NOT NULL GROUP BY doc_id, g$n) q
+         |  GROUP BY doc_id)""".stripMargin).mkString(",\n")
+    val dupCtes = graft.functions.GopherRepetition.DupNgramOrders.map(n =>
+      s"""d$n AS (SELECT doc_id, g$n FROM g WHERE g$n IS NOT NULL
+         |  GROUP BY doc_id, g$n HAVING count(*) >= 2),
+         |c$n AS (SELECT DISTINCT s.doc_id, s.p + k.k AS p
+         |  FROM g s JOIN d$n d ON s.doc_id = d.doc_id AND s.g$n = d.g$n,
+         |       (SELECT unnest(range(0, $n)) AS k) k),
+         |v$n AS (SELECT w.doc_id, CAST(sum(w.wlen) AS BIGINT) AS dup${n}_chars
+         |  FROM g w JOIN c$n c ON w.doc_id = c.doc_id AND w.p = c.p
+         |  GROUP BY w.doc_id)""".stripMargin).mkString(",\n")
+    val topSel = graft.functions.GopherRepetition.TopNgramOrders.map(n =>
+      s"CAST(coalesce(tg$n.b[1] * tg$n.b[2], 0) AS BIGINT) AS top${n}_chars")
+      .mkString(",\n  ")
+    val dupSel = graft.functions.GopherRepetition.DupNgramOrders.map(n =>
+      s"CAST(coalesce(v$n.dup${n}_chars, 0) AS BIGINT) AS dup${n}_chars")
+      .mkString(",\n  ")
+    val topJoins = graft.functions.GopherRepetition.TopNgramOrders.map(n =>
+      s"LEFT JOIN tg$n ON lp.doc_id = tg$n.doc_id").mkString("\n")
+    val dupJoins = graft.functions.GopherRepetition.DupNgramOrders.map(n =>
+      s"LEFT JOIN v$n ON lp.doc_id = v$n.doc_id").mkString("\n")
+    s"""b AS MATERIALIZED (SELECT doc_id, ($gopherT2Sql) AS t2 FROM documents),
+       |l AS MATERIALIZED (SELECT doc_id,
+       |  list_filter(string_split(t2, chr(10)), x -> x <> '') AS lines,
+       |  list_filter(string_split(t2, chr(10) || chr(10)), x -> x <> '')
+       |    AS paras,
+       |  list_filter(string_split_regex(t2, '[ \\t\\n\\r\\f]+'), x -> x <> '')
+       |    AS ws
+       |FROM b),
+       |lp AS MATERIALIZED (SELECT doc_id,
+       |  ${dupAgg("lines")},
+       |  ${dupAgg("paras")},
+       |  CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+       |    AS BIGINT) AS word_chars
+       |FROM l),
+       |g AS MATERIALIZED (SELECT doc_id, p, length(ws[p]) AS wlen,
+       |  $gramCols
+       |  FROM (SELECT doc_id, ws,
+       |    CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS p FROM l) t),
+       |$topCtes,
+       |$dupCtes,
+       |st AS MATERIALIZED (SELECT lp.doc_id,
+       |  lp.n_lines, lp.dup_lines, lp.lines_chars AS line_chars,
+       |  lp.dup_lines_chars AS dup_line_chars,
+       |  lp.n_paras, lp.dup_paras, lp.paras_chars AS para_chars,
+       |  lp.dup_paras_chars AS dup_para_chars,
+       |  lp.word_chars,
+       |  $topSel,
+       |  $dupSel
+       |FROM lp
+       |$topJoins
+       |$dupJoins)""".stripMargin
+  }
+
+  private val gopherRepetitionOracle: String =
+    s"""WITH ${gopherRepStatsCtes}
+       |SELECT * FROM st ORDER BY doc_id""".stripMargin
+
+  /** The COMPLETE Gopher gate (r19): A.1.1 document rules composed with
+    * the A.1.2 repetition rules over the same fixture text — the filter a
+    * curation pipeline runs. Outputs every A.1.2 rule boolean (from
+    * [[TextAnalysis.GopherRepThresholds]]) plus `keep_quality`,
+    * `keep_repetition`, and the final `keep` conjunction. Still two
+    * codegen'd narrow projections and a scan — zero shuffles.
+    */
+  val qGopherFull: Q = (spark, dir) => {
+    val ruleCols = TextAnalysis.GopherRepThresholds.map { case (sig, _, _, _) =>
+      col(s"_gr.r_$sig").as(s"r_$sig")
+    }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), gopherT2Col.as("_t2"))
+      .withColumn("_gq",
+        TextAnalysis.gopherRules(TextAnalysis.tokens(col("_t2")), col("_t2")))
+      .withColumn("_gs",
+        graft.functions.GopherRepetition.gopherRepetition(col("_t2")))
+      .withColumn("_gr", TextAnalysis.gopherRepetitionRules(col("_gs")))
+      .select(Seq(col("doc_id"), col("_gq.keep").as("keep_quality")) ++
+        ruleCols ++ Seq(col("_gr.keep").as("keep_repetition"),
+          (col("_gq.keep") && col("_gr.keep")).as("keep")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val gopherFullOracle: String = {
+    val stopList = TextAnalysis.GopherStopwords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    val ruleSql = TextAnalysis.GopherRepThresholds.map {
+      case (sig, num, den, denCol) =>
+        s"$num * st.$sig <= $den * st.$denCol AS r_$sig"
+    }.mkString(",\n  ")
+    val keepRep = TextAnalysis.GopherRepThresholds.map {
+      case (sig, num, den, denCol) =>
+        s"($num * st.$sig <= $den * st.$denCol)"
+    }.mkString(" AND ")
+    s"""WITH ${gopherRepStatsCtes},
+       |w1 AS (SELECT doc_id, t2,
+       |  string_split_regex(trim(t2), '\\s+') AS qws FROM b),
+       |m1 AS (SELECT doc_id,
+       |  CAST(len(qws) AS BIGINT) AS qn,
+       |  CAST(length(array_to_string(qws, '')) AS BIGINT) AS qsumlen,
+       |  CAST(len(regexp_extract_all(t2, '#')) +
+       |       len(regexp_extract_all(t2, '\\.\\.\\.')) +
+       |       len(regexp_extract_all(t2, '…')) AS BIGINT) AS qsym,
+       |  CAST(len(list_filter(qws, x -> regexp_matches(x, '[a-zA-Z]')))
+       |    AS BIGINT) AS qalpha,
+       |  CAST(len(list_filter($stopList, s -> list_contains(qws, s)))
+       |    AS BIGINT) AS qstop
+       |  FROM w1),
+       |q1 AS (SELECT doc_id,
+       |  (qn >= ${TextAnalysis.GopherMinWords} AND
+       |   qn <= ${TextAnalysis.GopherMaxWords} AND
+       |   qsumlen >= 3 * qn AND qsumlen <= 10 * qn AND
+       |   10 * qsym <= qn AND 5 * qalpha >= 4 * qn AND qstop >= 2)
+       |    AS keep_quality FROM m1)
+       |SELECT st.doc_id, q1.keep_quality,
+       |  $ruleSql,
+       |  ($keepRep) AS keep_repetition,
+       |  (q1.keep_quality AND $keepRep) AS keep
+       |FROM st JOIN q1 ON st.doc_id = q1.doc_id
+       |ORDER BY st.doc_id""".stripMargin
+  }
+
   /** Per-source quality-percentile curation — the "drop the bottom half of
     * every domain" filter: percent_rank of the composite quality score
     * inside each source, ordered by (score, doc_id) so ties have a total
@@ -2888,6 +3101,8 @@ object PipelineQueries {
     "q_domain_filter" -> qDomainFilter,
     "q_markdown_extract" -> qMarkdownExtract,
     "q_gopher_rules" -> qGopherRules,
+    "q_gopher_repetition" -> qGopherRepetition,
+    "q_gopher_full" -> qGopherFull,
     "q_lang_id" -> qLangId,
     "q_fingerprints" -> qFingerprints,
     "q_exact_dedup" -> qExactDedup,
@@ -2956,6 +3171,8 @@ object PipelineQueries {
     "q_domain_filter" -> domainFilterOracle,
     "q_markdown_extract" -> markdownExtractOracle,
     "q_gopher_rules" -> gopherRulesOracle,
+    "q_gopher_repetition" -> gopherRepetitionOracle,
+    "q_gopher_full" -> gopherFullOracle,
     "q_lang_id" -> langIdOracle,
     "q_fingerprints" -> fingerprintsOracle,
     "q_exact_dedup" -> exactDedupOracle,

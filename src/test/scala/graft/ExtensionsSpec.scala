@@ -83,6 +83,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("tb") == 2)
   }
 
+  test("gopher_repetition is callable from SQL") {
+    val row = spark.sql(
+      """SELECT s.n_lines, s.dup_lines, s.word_chars, s.top2_chars
+        |FROM (SELECT gopher_repetition('x\ny\nx\nab ab ab') AS s)"""
+        .stripMargin)
+      .collect().head
+    // lines: x, y, x, "ab ab ab" → 4 lines, one dup; words: x y x ab ab ab
+    assert(row.getLong(0) == 4L && row.getLong(1) == 1L)
+    assert(row.getLong(2) == 9L) // 3×1 + 3×2 word chars
+    assert(row.getLong(3) == 8L) // "ab ab" twice × 4 chars
+  }
+
   test("cms_sketch + cms_estimate compose in SQL") {
     val est = spark.sql(
       """SELECT cms_estimate(sk, CAST(5 AS BIGINT)) FROM (

@@ -501,6 +501,18 @@ class PlanSpec extends SparkTestBase {
       s"per-doc rules are scan-local — only the presentation sort may exchange:\n$fin")
   }
 
+  test("Gopher repetition stats + full gate are one scan pass — no UDF, no shuffle") {
+    for (q <- Seq("q_gopher_repetition", "q_gopher_full")) {
+      val p = plan(q)
+      assert(!p.contains("MapPartitions") && !p.contains("ScalaUDF") &&
+        !p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"),
+        s"$q must stay a Catalyst expression chain:\n$p")
+      val fin = p.split("== Initial Plan ==").head
+      assert(!fin.contains("Exchange hashpartitioning"),
+        s"$q is per-document — only the presentation sort may exchange:\n$fin")
+    }
+  }
+
   test("deletion vectors apply as a broadcast anti-join — never a shuffled join of the table") {
     val ss = spark
     import ss.implicits._

@@ -110,6 +110,88 @@ class TextAnalysisSpec extends SparkTestBase {
       " the the the the").getBoolean(4))
   }
 
+  test("Gopher repetition stats: grain boundaries, tie-breaks, overlap counted once") {
+    import org.apache.spark.sql.Row
+    import graft.functions.GopherRepetition
+    def st(text: String): Map[String, Long] = {
+      val row = Seq(text).toDF("text")
+        .select(GopherRepetition.gopherRepetition(col("text")))
+        .collect().head.getStruct(0)
+      GopherRepetition.schema.fieldNames.zipWithIndex
+        .map { case (f, i) => f -> row.getLong(i) }.toMap
+    }
+    // lines: dups count beyond-first; blank segments are not lines
+    val s1 = st("x\ny\nx\n\nx")
+    assert(s1("n_lines") == 4L && s1("dup_lines") == 2L &&
+      s1("line_chars") == 4L && s1("dup_line_chars") == 2L, s1.toString)
+    // paragraphs split on \n\n; "a\n\n\nb" has paragraphs ["a", "\nb"]
+    val s2 = st("aa\n\nbb\n\naa")
+    assert(s2("n_paras") == 3L && s2("dup_paras") == 1L &&
+      s2("para_chars") == 6L && s2("dup_para_chars") == 2L, s2.toString)
+    assert(st("a\n\n\nb")("n_paras") == 2L)
+    // top n-grams: count first, word-chars as the tie-break
+    val s3 = st("aaa b aaa b ccc dd ccc dd")
+    // "aaa b" and "ccc dd" both occur twice; "ccc dd" has 5 word chars
+    assert(s3("top2_chars") == 10L, s3.toString)
+    assert(s3("word_chars") == 18L)
+    // duplicate 5-gram coverage: both occurrences' positions covered
+    val s4 = st("a b c d e a b c d e x")
+    assert(s4("dup5_chars") == 10L && s4("word_chars") == 11L, s4.toString)
+    assert(s4("dup6_chars") == 0L, "no 6-gram repeats in the fixture")
+    // overlapping duplicate n-grams count each character ONCE
+    val s5 = st("a a a a a a")
+    assert(s5("dup5_chars") == 6L, s5.toString)
+    // degenerate: empty text is all zeros
+    val s6 = st("")
+    assert(GopherRepetition.schema.fieldNames.forall(f => s6(f) == 0L), s6.toString)
+    // whitespace class: tabs/newlines/CR/FF all separate words
+    assert(st("a\tb\rc\fd\ne")("word_chars") == 5L)
+  }
+
+  test("Gopher repetition rules: integer-rational thresholds decide exactly at the boundary") {
+    import graft.functions.GopherRepetition
+    def rules(text: String): Map[String, Boolean] = {
+      val names = TextAnalysis.GopherRepThresholds.map(t => s"r_${t._1}") :+ "keep"
+      val row = Seq(text).toDF("text")
+        .select(GopherRepetition.gopherRepetition(col("text")).as("_s"))
+        .select(TextAnalysis.gopherRepetitionRules(col("_s")))
+        .collect().head.getStruct(0)
+      names.zipWithIndex.map { case (f, i) => f -> row.getBoolean(i) }.toMap
+    }
+    // dup-line fraction boundary: 3 dups of 10 lines = EXACTLY 0.30 → keep;
+    // 4 of 11 (0.3636) → drop. Distinct lines are long so the char rule
+    // stays clear of its own threshold.
+    val distinct6 = (1 to 6).map(i => s"unique line number $i").mkString("\n")
+    val pass = rules(distinct6 + "\nx\nx\nx\nx") // 6 distinct + x×4: 10 lines, 3 dups
+    assert(pass("r_dup_lines"), pass.toString)
+    val fail = rules(distinct6 + "\nx\nx\nx\nx\nx") // 11 lines, 4 dups
+    assert(!fail("r_dup_lines") && fail("r_dup_paras"), fail.toString)
+    // top-2-gram boundary: 5·top2 ≤ word_chars. "ab ab ab" has the bigram
+    // "ab ab" twice → top2 = 2×4 = 8; with 34 one-char fillers word_chars
+    // is EXACTLY 40 → keep; one filler fewer (39) → drop.
+    val fills = (('c' to 'z') ++ ('A' to 'J')).map(_.toString) // 34 distinct
+    assert(rules("ab ab ab " + fills.mkString(" "))("r_top2_chars"))
+    assert(!rules("ab ab ab " + fills.tail.mkString(" "))("r_top2_chars"))
+    // a clean document (all-distinct words) keeps everything
+    val clean = (1 to 60).map(i => s"w$i").mkString(" ")
+    assert(rules(clean)("keep"), rules(clean).toString)
+  }
+
+  test("gopherGate composes A.1.1 and A.1.2 into one boolean") {
+    // passes quality (50+ DISTINCT words — a constant word would trip the
+    // top-2-gram rule — plus 2 stopwords) but repeating a 10-word phrase
+    // trips the duplicate-n-gram coverage → repetition drops it
+    val phrase = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val good = (1 to 50).map(i => s"word$i").mkString(" ") + " the with"
+    val repeaty = good + " " + phrase + " " + phrase + " " + phrase
+    val df = Seq((1L, good), (2L, repeaty), (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherGate(df, "text")
+      .select(col("doc_id"), col("gopher_keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false), got.toString)
+  }
+
   test("URL host and registrable-domain extraction") {
     def host(u: String) = one(u, TextAnalysis.urlHost)
     assert(host("https://www.Example.COM/path?q=1") == "www.example.com")
