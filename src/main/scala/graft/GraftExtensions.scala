@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CmsEstimate, CmsSketch, DotProduct, GopherRepetition, KmvDistinct, Md5Hash60, MinHashSignature, RepetitionStats, SimHash, WordShingles}
+import graft.functions.{CmsEstimate, CmsSketch, DotProduct, GopherRepetition, KmvDistinct, Md5Hash60, MinHashSignature, NfcNormalize, RepetitionStats, SimHash, WordShingles}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -120,6 +120,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "repetition_stats(text)")
         RepetitionStats(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(text)")
+        NfcNormalize(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("gopher_repetition"),

@@ -225,11 +225,11 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, UrlHostRe, 1))
 
-  /** Registrable domain as the host's last two labels — the C4-style
-    * domain-blocklist grain. DELIBERATELY a heuristic: the real public
-    * suffix list (co.uk, com.au, …) is a lookup table a deployment joins
-    * in; two labels are exact for generic TLDs and keep both engines'
-    * results identical without embedding the PSL.
+  /** Registrable domain as the host's last two labels — the LOOKUP-FREE
+    * fallback, exact for generic TLDs only (wrong for every ccSLD:
+    * "bbc.co.uk" → "co.uk"). The PSL-backed resolution is
+    * [[graft.operators.Psl.registrableDomain]] — use it wherever the
+    * blocklist grain must be correct.
     */
   private[graft] val RegDomainRe = "([^.]+\\.[^.]+)$"
 
@@ -352,6 +352,21 @@ object TextAnalysis {
 
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]]) — run it
+    * BEFORE fingerprinting so canonical-equivalent texts ("é" vs
+    * "e"+combining accent) dedup together. DuckDB's `nfc_normalize` is
+    * the oracle twin.
+    */
+  def normalizeNfc(text: Column): Column =
+    graft.functions.NfcNormalize.nfcNormalize(text)
+
+  /** The canonical dedup fingerprint: NFC first, then the whitespace/case
+    * normalization, then md5 — what [[fingerprint]] should have been for
+    * corpora that mix Unicode normal forms.
+    */
+  def fingerprintCanonical(text: Column): Column =
+    md5(normalize(normalizeNfc(text)))
 
   /** Rolling-shingle fingerprint: min 60-bit hash over word 3-shingles
     * (winnowing-style min-sampling; equals the first MinHash row with the

@@ -1366,6 +1366,51 @@ object PipelineQueries {
        |  FROM documents) t
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Unicode-normalization-aware dedup (r19): each doc_id pair (2k, 2k+1)
+    * carries the SAME text — one member in composed NFC ("café"), the
+    * other fully decomposed (e + U+0301) — so the byte-hashing
+    * [[TextAnalysis.fingerprint]] sees two distinct documents while
+    * [[TextAnalysis.fingerprintCanonical]] (NFC first —
+    * [[graft.functions.NfcNormalize]]) unifies them. Output per canonical
+    * group: the min-id keeper, the group size, and the number of DISTINCT
+    * raw fingerprints (2 everywhere = exactly the gap NFC closes). DuckDB
+    * `nfc_normalize` implements the same UAX #15 composition, so the md5s
+    * are hash-exact. Same scale shape as exact dedup: one partial-agg
+    * groupBy on the fingerprint, no window.
+    */
+  val qUnicodeDedup: Q = (spark, dir) => {
+    val gid = (col("doc_id") - col("doc_id") % 2).cast("string")
+    val t = concat(lit("unicode test "), gid,
+      when(col("doc_id") % 2 === 0, lit(" café résumé naïve"))
+        .otherwise(lit(" café résumé naïve")))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintCanonical(t).as("_fp"),
+        TextAnalysis.fingerprint(t).as("_raw"))
+      .groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_variants"),
+        countDistinct(col("_raw")).as("n_raw_forms"))
+      .select(col("keeper"), col("n_variants"), col("n_raw_forms"))
+      .orderBy(col("keeper"))
+  }
+
+  private val unicodeDedupOracle: String = {
+    // decomposed combining marks via chr(): U+0301 acute, U+0308 diaeresis
+    val t = "'unicode test ' || CAST(doc_id - doc_id % 2 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 2 = 0 THEN ' café résumé naïve' " +
+      "ELSE ' cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769) " +
+      "|| ' nai' || chr(776) || 've' END"
+    val norm = "lower(trim(regexp_replace(nfc_normalize(t), '\\s+', ' ', 'g')))"
+    val raw = "lower(trim(regexp_replace(t, '\\s+', ' ', 'g')))"
+    s"""WITH d AS (SELECT doc_id, $t AS t FROM documents),
+       |f AS (SELECT doc_id, md5($norm) AS fp, md5($raw) AS rawfp FROM d)
+       |SELECT min(doc_id) AS keeper,
+       |  CAST(count(*) AS BIGINT) AS n_variants,
+       |  CAST(count(DISTINCT rawfp) AS BIGINT) AS n_raw_forms
+       |FROM f GROUP BY fp ORDER BY keeper""".stripMargin
+  }
+
   /** LINE-level exact dedup (r18 — [[graft.operators.Dedup
     * .lineDedupKeepFirst]], the C4 boilerplate-removal grain): documents
     * are reshaped into deterministic multi-line texts — a boilerplate
@@ -1478,6 +1523,59 @@ object PipelineQueries {
        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
        |FROM d WHERE domain NOT IN ($blocked)
        |GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
+  /** PSL-backed registrable domains (r19): the host fixture walks every
+    * rule class — ccSLD ("co.uk", "gov.au"), private-section
+    * ("github.io", the 3-label "s3.amazonaws.com"), wildcard ("*.ck"),
+    * exception ("!www.ck"), unknown TLD (default rule), and a host that
+    * IS a public suffix (empty domain). The naive 2-label heuristic rides
+    * along so the fixture shows exactly where it is wrong. Both columns
+    * are pure codegen'd expressions — InSet probes in a when-chain, no
+    * join, no shuffle.
+    */
+  val qDomainPsl: Q = (spark, dir) => {
+    val host = when(col("doc_id") % 9 === 0,
+        concat(lit("www."), col("source"), lit(".co.uk")))
+      .when(col("doc_id") % 9 === 1, concat(col("source"), lit(".com")))
+      .when(col("doc_id") % 9 === 2,
+        concat(lit("cdn."), col("source"), lit(".gov.au")))
+      .when(col("doc_id") % 9 === 3, concat(col("source"), lit(".github.io")))
+      .when(col("doc_id") % 9 === 4,
+        concat(lit("a.b."), col("source"), lit(".ck")))
+      .when(col("doc_id") % 9 === 5, lit("www.ck"))
+      .when(col("doc_id") % 9 === 6, lit("b.s3.amazonaws.com"))
+      .when(col("doc_id") % 9 === 7, concat(col("source"), lit(".internal")))
+      .otherwise(lit("co.uk"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), host.as("host"))
+      .withColumn("psl_domain",
+        graft.operators.Psl.registrableDomain(col("host")))
+      .withColumn("naive_domain",
+        TextAnalysis.registrableDomain(col("host")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val domainPslOracle: String = {
+    import graft.operators.Psl
+    val host =
+      s"""CASE doc_id % 9
+         |  WHEN 0 THEN 'www.' || source || '.co.uk'
+         |  WHEN 1 THEN source || '.com'
+         |  WHEN 2 THEN 'cdn.' || source || '.gov.au'
+         |  WHEN 3 THEN source || '.github.io'
+         |  WHEN 4 THEN 'a.b.' || source || '.ck'
+         |  WHEN 5 THEN 'www.ck'
+         |  WHEN 6 THEN 'b.s3.amazonaws.com'
+         |  WHEN 7 THEN source || '.internal'
+         |  ELSE 'co.uk' END""".stripMargin
+    s"""WITH hh AS (SELECT doc_id, $host AS host FROM documents),
+       |p AS (SELECT doc_id, host, ${Psl.psLenSql("host")} AS pslen FROM hh)
+       |SELECT doc_id, host,
+       |  ${Psl.regDomainSql("host", "pslen")} AS psl_domain,
+       |  regexp_extract(host, '${TextAnalysis.RegDomainRe}', 1)
+       |    AS naive_domain
+       |FROM p ORDER BY doc_id""".stripMargin
   }
 
   val qNgramJaccardPairs: Q = (spark, dir) =>
@@ -2845,6 +2943,65 @@ object PipelineQueries {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** WARC record demux end-to-end (r19): deterministic per-document WARC
+    * containers (a `warcinfo` record + an HTTP `response` record wrapping
+    * the text in fixture markup), demuxed back by [[graft.operators.Warc]]
+    * and handed to the HTML front door — the real crawl on-ramp. One row
+    * per RECORD, so the oracle checks record ordering, every header field,
+    * the reconstructed Content-Length arithmetic, the HTTP envelope peel,
+    * and the extracted text. Narrow flatMap over the containers — no
+    * shuffle but the presentation sort.
+    */
+  val qWarcExtract: Q = (spark, dir) => {
+    val files = graft.operators.Warc.syntheticWarcs(
+      Tables(spark, dir, "documents"), "doc_id", "text")
+    graft.operators.Warc.warcRecords(files).toDF()
+      .withColumn("_b", decode(col("body"), "UTF-8"))
+      .select(col("doc_id"), col("record_idx"), col("warc_type"),
+        col("target_uri"), col("content_length"), col("http_status"),
+        TextAnalysis.extractHtmlText(col("_b")).as("text"))
+      .orderBy(col("doc_id"), col("record_idx"))
+  }
+
+  private val warcExtractOracle: String = {
+    import graft.operators.Warc
+    def sq(s: String): String = s.replace("'", "''")
+    val crlf = "chr(13) || chr(10)"
+    val html = s"'${sq(Warc.FixHtmlPre1)}' || CAST(doc_id AS VARCHAR) || " +
+      s"'${sq(Warc.FixHtmlPre2)}' || text || '${sq(Warc.FixHtmlSuf)}'"
+    // the HTTP response payload, rebuilt literal-for-literal from the
+    // builder's constants (ASCII fixture: length == bytes)
+    val respPayload = s"'${sq(Warc.HttpStatusLine)}' || $crlf || " +
+      s"'${sq(Warc.HttpCtHeader)}' || $crlf || 'Content-Length: ' || " +
+      s"CAST(length(html) AS VARCHAR) || $crlf || $crlf || html"
+    val stripped = Seq(TextAnalysis.CommentRe, TextAnalysis.ScriptRe,
+      TextAnalysis.StyleRe, TextAnalysis.TagRe)
+      .foldLeft("(html)") { case (acc, re) =>
+        s"regexp_replace($acc, '${sq(re)}', ' ', 'g')" }
+    val decoded = TextAnalysis.htmlEntities
+      .foldLeft(stripped) { case (acc, (k, v)) =>
+        s"replace($acc, '${sq(k)}', '${sq(v)}')" }
+    val clean =
+      s"trim(regexp_replace($decoded, '${sq(TextAnalysis.WsRunRe)}', ' ', 'g'))"
+    s"""WITH h AS (SELECT doc_id, $html AS html FROM documents)
+       |SELECT doc_id, CAST(0 AS INTEGER) AS record_idx,
+       |  'warcinfo' AS warc_type, '' AS target_uri,
+       |  CAST(${Warc.FixInfoPayload.length} AS BIGINT) AS content_length,
+       |  CAST(-1 AS INTEGER) AS http_status,
+       |  '${sq(Warc.FixInfoPayload.trim)}' AS text
+       |FROM documents
+       |UNION ALL
+       |SELECT doc_id, CAST(1 AS INTEGER),
+       |  'response',
+       |  'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' ||
+       |    CAST(doc_id AS VARCHAR),
+       |  CAST(length($respPayload) AS BIGINT),
+       |  CAST(200 AS INTEGER),
+       |  $clean
+       |FROM h
+       |ORDER BY doc_id, record_idx""".stripMargin
+  }
+
   /** The prefix-filter (AllPairs) Jaccard path end-to-end under the SAME
     * oracle as the inverted-index default — the two formulations are
     * lossless over the same postings, so the result sets are bit-identical
@@ -3099,6 +3256,7 @@ object PipelineQueries {
     "q_html_extract" -> qHtmlExtract,
     "q_line_dedup" -> qLineDedup,
     "q_domain_filter" -> qDomainFilter,
+    "q_domain_psl" -> qDomainPsl,
     "q_markdown_extract" -> qMarkdownExtract,
     "q_gopher_rules" -> qGopherRules,
     "q_gopher_repetition" -> qGopherRepetition,
@@ -3106,6 +3264,7 @@ object PipelineQueries {
     "q_lang_id" -> qLangId,
     "q_fingerprints" -> qFingerprints,
     "q_exact_dedup" -> qExactDedup,
+    "q_unicode_dedup" -> qUnicodeDedup,
     "q_dup_spans" -> qDupSpans,
     "q_dup_span_trim" -> qDupSpanTrim,
     "q_curation_v2" -> qCurationV2,
@@ -3135,6 +3294,7 @@ object PipelineQueries {
     "q_audio_decode" -> qAudioDecode,
     "q_video_frames" -> qVideoFrames,
     "q_mp4_metadata" -> qMp4Metadata,
+    "q_warc_extract" -> qWarcExtract,
     "q_ngram_jaccard_prefix" -> qNgramJaccardPrefix,
     "q_lsh_recall" -> qLshRecall,
     "q_sessionize" -> qSessionize,
@@ -3169,6 +3329,7 @@ object PipelineQueries {
     "q_html_extract" -> htmlExtractOracle,
     "q_line_dedup" -> lineDedupOracle,
     "q_domain_filter" -> domainFilterOracle,
+    "q_domain_psl" -> domainPslOracle,
     "q_markdown_extract" -> markdownExtractOracle,
     "q_gopher_rules" -> gopherRulesOracle,
     "q_gopher_repetition" -> gopherRepetitionOracle,
@@ -3176,6 +3337,7 @@ object PipelineQueries {
     "q_lang_id" -> langIdOracle,
     "q_fingerprints" -> fingerprintsOracle,
     "q_exact_dedup" -> exactDedupOracle,
+    "q_unicode_dedup" -> unicodeDedupOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_dup_span_trim" -> dupSpanTrimOracle,
     "q_curation_v2" -> curationV2Oracle,
@@ -3205,6 +3367,7 @@ object PipelineQueries {
     "q_audio_decode" -> audioDecodeOracle,
     "q_video_frames" -> videoFramesOracle,
     "q_mp4_metadata" -> mp4MetadataOracle,
+    "q_warc_extract" -> warcExtractOracle,
     "q_ngram_jaccard_prefix" -> ngramJaccardOracle,
     "q_lsh_recall" -> lshRecallOracle,
     "q_sessionize" -> sessionizeOracle,

@@ -192,6 +192,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false), got.toString)
   }
 
+  test("NFC normalization: canonical equivalence unifies fingerprints, ASCII is a no-op") {
+    val composed = "café résumé naïve"
+    val decomposed = "café résumé naïve"
+    assert(one(decomposed, TextAnalysis.normalizeNfc) == composed)
+    // idempotent / ASCII fast path
+    assert(one(composed, TextAnalysis.normalizeNfc) == composed)
+    assert(one("plain ascii", TextAnalysis.normalizeNfc) == "plain ascii")
+    // the canonical fingerprint unifies what the byte fingerprint splits
+    val df = Seq((1L, composed), (2L, decomposed)).toDF("id", "text")
+    val fps = df.select(
+        TextAnalysis.fingerprint(col("text")).as("raw"),
+        TextAnalysis.fingerprintCanonical(col("text")).as("canon"))
+      .collect()
+    assert(fps(0).getString(0) != fps(1).getString(0),
+      "byte fingerprints must differ across normal forms")
+    assert(fps(0).getString(1) == fps(1).getString(1),
+      "canonical fingerprints must agree across normal forms")
+    // registered SQL twin of DuckDB's nfc_normalize
+    assert(spark.sql("SELECT nfc_normalize('café')")
+      .collect().head.getString(0) == "café")
+    // expression, not UDF
+    val p = df.select(TextAnalysis.fingerprintCanonical(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"NFC must be a Catalyst expression:\n$p")
+  }
+
   test("URL host and registrable-domain extraction") {
     def host(u: String) = one(u, TextAnalysis.urlHost)
     assert(host("https://www.Example.COM/path?q=1") == "www.example.com")
