@@ -340,7 +340,11 @@ object Similarity {
     * corpus; each round is one aggregate + one prefix-sum pass over the
     * SAMPLE with exactly one (id, vec) row reaching the driver. The
     * prefix sum is an unpartitioned window — bounded by the sample
-    * contract, never corpus-sized.
+    * contract, never corpus-sized. The min-distance-to-chosen-seeds
+    * column is carried incrementally (one new sqDist + one least per
+    * round, persisted) — O(k) total distance work and constant-size
+    * codegen per round, bit-identical to the k-term least chain it
+    * replaces (same left-nested fold).
     */
   def kmeansSeedsKpp(corpus: DataFrame, k: Int,
       samplePermille: Int = 1000,
@@ -358,11 +362,21 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     require(first.nonEmpty, "seed sample is empty — raise samplePermille")
     var seeds: Seq[(Long, Seq[Double])] = first.toSeq
+    // Running min-distance carried INCREMENTALLY as a persisted column:
+    // each round adds ONE sqDist against the newest seed and one least()
+    // against the carried minimum — O(k) total distance work — instead of
+    // rebuilding the whole k-term least chain per round (O(k²) distance
+    // evaluations, and a codegen expression that grows every round). The
+    // chain was a left-nested least fold, and this IS that fold computed
+    // one layer at a time, so every weight — and therefore every pick —
+    // is bit-identical. Persisting each round's column keeps the executed
+    // lineage one layer deep (the materialize job is sample-bounded).
+    var cur = graft.operators.Dedup.persistForReuse(
+      smp.select(col("id"), col("vec"),
+        sqDist(col("vec"), typedLit(first.head._2)).as("_minD")))
     while (seeds.size < k) {
-      val minD = seeds.map { case (_, v) =>
-        sqDist(col("vec"), typedLit(v)) }.reduce(least(_, _))
-      val weighted = smp.select(col("id"), col("vec"),
-        round(minD * lit(scale.toDouble)).cast("long").as("_w"))
+      val weighted = cur.select(col("id"), col("vec"),
+        round(col("_minD") * lit(scale.toDouble)).cast("long").as("_w"))
       // ONE pass per round: cumulative and total weights ride the same
       // window ordering, and the threshold h mod total is an exact
       // integer expression — no separate total-aggregate job. Bit-identical
@@ -386,7 +400,17 @@ object Similarity {
         s"seed sample has fewer than k=$k distinct vectors " +
           s"(${seeds.size} found) — lower k or raise samplePermille")
       seeds = seeds :+ next.head
+      if (seeds.size < k) {
+        val upd = graft.operators.Dedup.persistForReuse(
+          cur.select(col("id"), col("vec"),
+            least(col("_minD"),
+              sqDist(col("vec"), typedLit(next.head._2))).as("_minD")))
+        upd.count() // materialize before releasing the parent cache
+        cur.unpersist()
+        cur = upd
+      }
     }
+    cur.unpersist()
     smp.unpersist()
     seeds
   }
