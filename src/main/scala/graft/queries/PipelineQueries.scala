@@ -929,6 +929,61 @@ object PipelineQueries {
        |SELECT doc_id, source FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin
   }
 
+  /** CCNet-style LM perplexity bucketing (r19 —
+    * [[graft.operators.NgramLm]]): a stupid-backoff bigram LM trained on
+    * the doc_id % 4 ≠ 0 slice (the BPE train/apply split), every
+    * document scored with exact integer bits-proxies, and each source
+    * split into head/middle/tail terciles by integer rank comparisons.
+    * The oracle re-trains the SAME count tables and replays scoring and
+    * bucketing — train-time AND apply-time reproduction in one hash.
+    */
+  val qLmPerplexityBuckets: Q = (spark, dir) =>
+    graft.operators.NgramLm.lmPerplexityBuckets(
+      Tables(spark, dir, "documents"), "text", "doc_id", "source",
+      col("doc_id") % 4 =!= 0)
+      .orderBy(col("doc_id"))
+
+  private val lmPerplexityOracle: String = {
+    import graft.operators.NgramLm
+    val bitsN = "(length(bin((SELECT n FROM nt))) - 1)"
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, source, $WS AS ws FROM documents),
+       |tt AS MATERIALIZED (SELECT doc_id, source,
+       |  CAST(u.p AS BIGINT) AS p, ws[u.p] AS w,
+       |  CASE WHEN u.p > 1 THEN ws[u.p - 1] END AS prev
+       |  FROM t, unnest(range(1, len(ws) + 1)) AS u(p)),
+       |ttr AS MATERIALIZED (SELECT * FROM tt WHERE doc_id % 4 <> 0),
+       |cu AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM ttr GROUP BY w),
+       |cb AS MATERIALIZED (SELECT prev, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM ttr WHERE prev IS NOT NULL GROUP BY prev, w),
+       |nt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM ttr),
+       |sc AS (SELECT tt.doc_id, tt.source,
+       |  CASE WHEN tt.prev IS NOT NULL AND cb.c IS NOT NULL
+       |    THEN (length(bin(cup.c)) - 1) - (length(bin(cb.c)) - 1)
+       |    ELSE (CASE WHEN cu.c IS NOT NULL
+       |           THEN $bitsN - (length(bin(cu.c)) - 1)
+       |           ELSE $bitsN + ${NgramLm.UnseenPenalty} END)
+       |         + (CASE WHEN tt.prev IS NOT NULL
+       |            THEN ${NgramLm.BackoffPenalty} ELSE 0 END)
+       |  END AS s
+       | FROM tt
+       | LEFT JOIN cu ON tt.w = cu.w
+       | LEFT JOIN cu cup ON tt.prev = cup.w
+       | LEFT JOIN cb ON tt.prev = cb.prev AND tt.w = cb.w),
+       |d AS (SELECT doc_id, source, CAST(sum(s) AS BIGINT) AS s_total,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM sc GROUP BY doc_id, source),
+       |r AS (SELECT d.*, row_number() OVER (PARTITION BY source
+       |    ORDER BY CAST(s_total AS DOUBLE) / n_terms, doc_id) AS rk,
+       |  count(*) OVER (PARTITION BY source) AS cnt FROM d)
+       |SELECT doc_id, source, s_total, n_terms,
+       |  CASE WHEN 3 * rk <= cnt THEN 'head'
+       |       WHEN 3 * rk <= 2 * cnt THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val qLangId: Q = (spark, dir) =>
     Tables(spark, dir, "documents")
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
@@ -3262,6 +3317,7 @@ object PipelineQueries {
     "q_gopher_repetition" -> qGopherRepetition,
     "q_gopher_full" -> qGopherFull,
     "q_lang_id" -> qLangId,
+    "q_lm_perplexity_buckets" -> qLmPerplexityBuckets,
     "q_fingerprints" -> qFingerprints,
     "q_exact_dedup" -> qExactDedup,
     "q_unicode_dedup" -> qUnicodeDedup,
@@ -3335,6 +3391,7 @@ object PipelineQueries {
     "q_gopher_repetition" -> gopherRepetitionOracle,
     "q_gopher_full" -> gopherFullOracle,
     "q_lang_id" -> langIdOracle,
+    "q_lm_perplexity_buckets" -> lmPerplexityOracle,
     "q_fingerprints" -> fingerprintsOracle,
     "q_exact_dedup" -> exactDedupOracle,
     "q_unicode_dedup" -> unicodeDedupOracle,
