@@ -621,6 +621,121 @@ object PipelineQueries {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  // ---- unigram-LM tokenizer (r19) ----
+
+  private val UniMaxWordLen = 8 // corpus bound (fixture max word = 8 chars)
+
+  /** The Viterbi DP of [[graft.operators.Unigram]] as a generated CTE
+    * chain: one CTE per position carrying the state strings
+    * `padded-cost ":" pieces`, one LEFT JOIN per (position, piece-length)
+    * against the round's vocabulary CTE, lexicographic `least` as the
+    * (cost, path) argmin — the exact SQL twin of the codegen'd column
+    * fold.
+    */
+  private def unigramDpCtes(tag: String, vocabCte: String): String = {
+    import graft.operators.Unigram.{MaxPieceLen, PadW}
+    val steps = (1 to UniMaxWordLen).map { i =>
+      val ls = (1 to math.min(MaxPieceLen, i))
+      val joins = ls.map { l =>
+        s"LEFT JOIN $vocabCte ${tag}p${i}_$l ON ${tag}p${i}_$l.piece = " +
+          s"substr(d.word, ${i - l + 1}, $l)"
+      }.mkString("\n  ")
+      val cands = ls.map { l =>
+        val a = s"${tag}p${i}_$l"
+        s"""CASE WHEN $a.piece IS NOT NULL THEN
+           |    lpad(CAST(CAST(substr(k${i - l}, 1, $PadW) AS BIGINT) + $a.s
+           |      AS VARCHAR), $PadW, '0') || ':' ||
+           |    substr(k${i - l}, ${PadW + 2}) ||
+           |    substr(d.word, ${i - l + 1}, $l) || ' ' END""".stripMargin
+      }
+      val pick = if (cands.size == 1) cands.head
+        else s"least(${cands.mkString(",\n")})"
+      s"""${tag}d$i AS (SELECT d.*, CASE WHEN d.len >= $i THEN $pick END AS k$i
+         |  FROM ${tag}d${i - 1} d
+         |  $joins)""".stripMargin
+    }
+    val finalK = (1 to UniMaxWordLen)
+      .map(i => s"WHEN $i THEN k$i").mkString(" ")
+    s"""${tag}d0 AS (SELECT word, cnt, len, lpad('0', $PadW, '0') || ':' AS k0
+       |  FROM uw),
+       |${steps.mkString(",\n")},
+       |${tag}seg AS MATERIALIZED (SELECT word, cnt,
+       |  list_filter(string_split(substr(
+       |    CASE len $finalK END, ${PadW + 2}), ' '), x -> x <> '') AS pieces
+       |  FROM ${tag}d$UniMaxWordLen)""".stripMargin
+  }
+
+  /** One re-estimation round: usage from the segmentation, prune
+    * multi-char pieces under PruneMin, add-one smoothing, bits re-score.
+    */
+  private def unigramRoundCtes(r: Int, prevVocab: String): String = {
+    import graft.operators.Unigram.PruneMin
+    s"""${unigramDpCtes(s"r$r", prevVocab)},
+       |r${r}u AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u
+       |  FROM (SELECT cnt, unnest(pieces) AS piece FROM r${r}seg)
+       |  GROUP BY piece),
+       |v${r}b AS MATERIALIZED (SELECT v.piece, coalesce(u.u, 0) + 1 AS u1
+       |  FROM $prevVocab v LEFT JOIN r${r}u u ON v.piece = u.piece
+       |  WHERE length(v.piece) = 1 OR coalesce(u.u, 0) >= $PruneMin),
+       |t$r AS (SELECT CAST(sum(u1) AS BIGINT) AS t FROM v${r}b),
+       |v$r AS MATERIALIZED (SELECT piece,
+       |  (length(bin((SELECT t FROM t$r))) - 1) -
+       |  (length(bin(u1)) - 1) AS s FROM v${r}b)""".stripMargin
+  }
+
+  /** SentencePiece-style unigram-LM tokenizer end-to-end
+    * ([[graft.operators.Unigram]]): candidate harvest → 2 hard-EM
+    * rounds (segment under current scores, usage re-estimate, prune) →
+    * final segmentation, reported per document as (n_words, n_pieces,
+    * Σ hash60(piece) mod 1000003). The oracle replays candidate
+    * extraction, every DP round, pruning, and the final document
+    * assembly — training AND inference in one hash.
+    */
+  val qUnigramTokens: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val m = graft.operators.Unigram.learn(docs, "text", UniMaxWordLen)
+    graft.operators.Unigram.tokenize(docs, "text", "doc_id", m)
+      .orderBy(col("doc_id"))
+  }
+
+  private val unigramTokensOracle: String = {
+    import graft.operators.Unigram.{MaxPieceLen, MinFreq, Rounds}
+    require(Rounds == 2, "oracle unrolls exactly 2 rounds")
+    s"""WITH uw AS MATERIALIZED (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt,
+       |    length(w) AS len
+       |  FROM (SELECT unnest($WS) AS w FROM documents) GROUP BY w),
+       |c0 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+       |    SELECT cnt, substr(word, CAST(ui.i AS INTEGER),
+       |      CAST(ul.l AS INTEGER)) AS piece
+       |    FROM uw,
+       |      unnest(range(1, len + 1)) AS ui(i),
+       |      unnest(range(1, least($MaxPieceLen, len - ui.i + 1) + 1))
+       |        AS ul(l))
+       |  GROUP BY piece),
+       |v0b AS MATERIALIZED (SELECT piece, freq FROM c0
+       |  WHERE length(piece) = 1 OR freq >= $MinFreq),
+       |t0c AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM v0b),
+       |v0 AS MATERIALIZED (SELECT piece,
+       |  (length(bin((SELECT t FROM t0c))) - 1) -
+       |  (length(bin(freq)) - 1) AS s FROM v0b),
+       |${unigramRoundCtes(1, "v0")},
+       |${unigramRoundCtes(2, "v1")},
+       |${unigramDpCtes("fin", "v2")},
+       |f AS MATERIALIZED (SELECT word,
+       |  CAST(len(pieces) AS BIGINT) AS np,
+       |  CAST(coalesce(list_sum(list_transform(pieces,
+       |    p -> ${h60("p")} % 1000003)), 0) AS BIGINT) AS hs
+       |  FROM finseg),
+       |dw AS (SELECT doc_id, unnest($WS) AS word FROM documents)
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(f.np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(f.hs) AS BIGINT) AS piece_hash_sum
+       |FROM dw JOIN f ON dw.word = f.word
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+  }
+
   /** Gopher quality rules (r18 — Rae et al. 2021 Appendix A.1.1, the
     * published heuristic filter most open pipelines reuse): per-document
     * boolean gates, all INTEGER-RATIONAL ([[TextAnalysis.gopherRules]]).
@@ -3314,6 +3429,7 @@ object PipelineQueries {
     "q_domain_psl" -> qDomainPsl,
     "q_markdown_extract" -> qMarkdownExtract,
     "q_gopher_rules" -> qGopherRules,
+    "q_unigram_tokens" -> qUnigramTokens,
     "q_gopher_repetition" -> qGopherRepetition,
     "q_gopher_full" -> qGopherFull,
     "q_lang_id" -> qLangId,
@@ -3388,6 +3504,7 @@ object PipelineQueries {
     "q_domain_psl" -> domainPslOracle,
     "q_markdown_extract" -> markdownExtractOracle,
     "q_gopher_rules" -> gopherRulesOracle,
+    "q_unigram_tokens" -> unigramTokensOracle,
     "q_gopher_repetition" -> gopherRepetitionOracle,
     "q_gopher_full" -> gopherFullOracle,
     "q_lang_id" -> langIdOracle,
