@@ -912,7 +912,8 @@ object PipelineQueries {
       s"LEFT JOIN tg$n ON lp.doc_id = tg$n.doc_id").mkString("\n")
     val dupJoins = graft.functions.GopherRepetition.DupNgramOrders.map(n =>
       s"LEFT JOIN v$n ON lp.doc_id = v$n.doc_id").mkString("\n")
-    s"""b AS MATERIALIZED (SELECT doc_id, ($gopherT2Sql) AS t2 FROM documents),
+    s"""b AS MATERIALIZED (SELECT doc_id, source, ($gopherT2Sql) AS t2
+       |  FROM documents),
        |l AS MATERIALIZED (SELECT doc_id,
        |  list_filter(string_split(t2, chr(10)), x -> x <> '') AS lines,
        |  list_filter(string_split(t2, chr(10) || chr(10)), x -> x <> '')
@@ -1010,6 +1011,56 @@ object PipelineQueries {
        |  (q1.keep_quality AND $keepRep) AS keep
        |FROM st JOIN q1 ON st.doc_id = q1.doc_id
        |ORDER BY st.doc_id""".stripMargin
+  }
+
+  /** The COMPLETE Gopher gate wired into the curation shape (r19): the
+    * per-source survivor census under `gopherGate` (A.1.1 ∧ A.1.2) —
+    * what a pipeline actually reports after filtering. One scan + one
+    * partial-agg groupBy; the gate itself adds zero shuffles.
+    */
+  val qCurationGopher: Q = (spark, dir) =>
+    TextAnalysis.gopherGate(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), gopherT2Col.as("t2")), "t2")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("gopher_keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+
+  private val curationGopherOracle: String = {
+    val stopList = TextAnalysis.GopherStopwords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    val keepRep = TextAnalysis.GopherRepThresholds.map {
+      case (sig, num, den, denCol) =>
+        s"($num * st.$sig <= $den * st.$denCol)"
+    }.mkString(" AND ")
+    s"""WITH ${gopherRepStatsCtes},
+       |w1 AS (SELECT doc_id, t2,
+       |  string_split_regex(trim(t2), '\\s+') AS qws FROM b),
+       |m1 AS (SELECT doc_id,
+       |  CAST(len(qws) AS BIGINT) AS qn,
+       |  CAST(length(array_to_string(qws, '')) AS BIGINT) AS qsumlen,
+       |  CAST(len(regexp_extract_all(t2, '#')) +
+       |       len(regexp_extract_all(t2, '\\.\\.\\.')) +
+       |       len(regexp_extract_all(t2, '…')) AS BIGINT) AS qsym,
+       |  CAST(len(list_filter(qws, x -> regexp_matches(x, '[a-zA-Z]')))
+       |    AS BIGINT) AS qalpha,
+       |  CAST(len(list_filter($stopList, s -> list_contains(qws, s)))
+       |    AS BIGINT) AS qstop
+       |  FROM w1),
+       |q1 AS (SELECT doc_id,
+       |  (qn >= ${TextAnalysis.GopherMinWords} AND
+       |   qn <= ${TextAnalysis.GopherMaxWords} AND
+       |   qsumlen >= 3 * qn AND qsumlen <= 10 * qn AND
+       |   10 * qsym <= qn AND 5 * qalpha >= 4 * qn AND qstop >= 2)
+       |    AS keep_quality FROM m1),
+       |k AS (SELECT b.source,
+       |  (q1.keep_quality AND $keepRep) AS keep
+       |  FROM st JOIN q1 ON st.doc_id = q1.doc_id
+       |       JOIN b ON st.doc_id = b.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Per-source quality-percentile curation — the "drop the bottom half of
@@ -3432,6 +3483,7 @@ object PipelineQueries {
     "q_unigram_tokens" -> qUnigramTokens,
     "q_gopher_repetition" -> qGopherRepetition,
     "q_gopher_full" -> qGopherFull,
+    "q_curation_gopher" -> qCurationGopher,
     "q_lang_id" -> qLangId,
     "q_lm_perplexity_buckets" -> qLmPerplexityBuckets,
     "q_fingerprints" -> qFingerprints,
@@ -3507,6 +3559,7 @@ object PipelineQueries {
     "q_unigram_tokens" -> unigramTokensOracle,
     "q_gopher_repetition" -> gopherRepetitionOracle,
     "q_gopher_full" -> gopherFullOracle,
+    "q_curation_gopher" -> curationGopherOracle,
     "q_lang_id" -> langIdOracle,
     "q_lm_perplexity_buckets" -> lmPerplexityOracle,
     "q_fingerprints" -> fingerprintsOracle,
