@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream/ImageOutputStream cache is a TEMP
+  // FILE per encode/decode (FileCacheImageInputStream): at one PNG round
+  // trip per row that is two file creations + deletions per document —
+  // pure I/O overhead, dominating the codec itself on small images.
+  // Memory-cached streams produce byte-identical codec results (the cache
+  // only buffers the stream for backwards seeks), so every oracle-checked
+  // feature is unchanged. JVM-global, set once when the operator loads on
+  // the executor (guide §1.2 step 2: per-task work).
+  ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRow(
       media_id: Long,

@@ -278,16 +278,30 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     require(first.nonEmpty, "seed sample is empty — raise samplePermille")
     var seeds: Seq[(Long, Seq[Double])] = first.toSeq
+    // Running min-distance-to-chosen-seeds carried INCREMENTALLY as a
+    // persisted column (the kmeansSeedsKpp discipline): each round adds ONE
+    // sqDist against the newest seed and one least() against the carried
+    // minimum — O(k) total distance work and constant-size codegen per
+    // round, instead of rebuilding the whole k-term least chain (O(k²)
+    // distance evaluations, linearly growing generated code). The chain was
+    // a left-nested least fold; this IS that fold computed one layer at a
+    // time, so every per-point min distance — and therefore every argmax
+    // pick — is bit-identical. The pick job doubles as the materialize job
+    // for the round's updated column; the previous round's frame is
+    // released only after that materialization (`prevF`).
+    var cur = graft.operators.Dedup.persistForReuse(
+      smp.select(col("id"), col("vec"),
+        sqDist(col("vec"), typedLit(first.head._2)).as("_md")))
+    var prevF: Option[DataFrame] = None
     while (seeds.size < k) {
-      val minD = seeds.map { case (_, v) =>
-        sqDist(col("vec"), typedLit(v)) }.reduce(least(_, _))
-      val next = smp
-        .select(col("id"), col("vec"), minD.as("_md"))
+      val next = cur
         .agg(max(struct(col("_md"), (-col("id")).as("_nid"),
           col("id"), col("vec"))).as("_m"))
         .select(col("_m.id").as("id"), col("_m.vec").as("vec"),
           col("_m._md").as("_md"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      prevF.foreach(_.unpersist())
+      prevF = None
       // farthest remaining distance 0 ⇒ every sample point coincides with a
       // chosen seed: the argmax would re-pick the lowest id and silently pad
       // the result with duplicate seeds (fewer effective clusters). Refuse
@@ -296,7 +310,17 @@ object Similarity {
         s"seed sample has fewer than k=$k distinct vectors " +
           s"(${seeds.size} found) — lower k or raise samplePermille")
       seeds = seeds :+ ((next.head._1, next.head._2))
+      if (seeds.size < k) {
+        val upd = graft.operators.Dedup.persistForReuse(
+          cur.select(col("id"), col("vec"),
+            least(col("_md"),
+              sqDist(col("vec"), typedLit(next.head._2))).as("_md")))
+        prevF = Some(cur)
+        cur = upd
+      }
     }
+    cur.unpersist()
+    prevF.foreach(_.unpersist())
     smp.unpersist()
     seeds
   }
@@ -374,6 +398,11 @@ object Similarity {
     var cur = graft.operators.Dedup.persistForReuse(
       smp.select(col("id"), col("vec"),
         sqDist(col("vec"), typedLit(first.head._2)).as("_minD")))
+    // the PREVIOUS round's frame: kept persisted until the pick job below
+    // has materialized `cur` (computing it reads one least() layer over
+    // `prev`), then released — so each round runs exactly ONE action (the
+    // pick), with no separate count()-materialize job per round
+    var prev: Option[DataFrame] = None
     while (seeds.size < k) {
       val weighted = cur.select(col("id"), col("vec"),
         round(col("_minD") * lit(scale.toDouble)).cast("long").as("_w"))
@@ -394,6 +423,10 @@ object Similarity {
         .orderBy(col("id")).limit(1)
         .select(col("id"), col("vec"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      // the pick job above materialized `cur`'s cache — its parent frame
+      // is no longer read by anything
+      prev.foreach(_.unpersist())
+      prev = None
       // an empty pick means every weight was 0: the sample coincides with
       // the chosen seeds — fewer distinct vectors than k
       require(next.nonEmpty,
@@ -405,12 +438,12 @@ object Similarity {
           cur.select(col("id"), col("vec"),
             least(col("_minD"),
               sqDist(col("vec"), typedLit(next.head._2))).as("_minD")))
-        upd.count() // materialize before releasing the parent cache
-        cur.unpersist()
+        prev = Some(cur) // released after the next pick materializes upd
         cur = upd
       }
     }
     cur.unpersist()
+    prev.foreach(_.unpersist())
     smp.unpersist()
     seeds
   }

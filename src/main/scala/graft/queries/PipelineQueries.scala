@@ -593,7 +593,10 @@ object PipelineQueries {
     VersionedHub.writeBucketed(spark, batchStats, s"$tmp/tokens",
       Seq("doc_id"), 4)
     val hist = VersionedHub.history(spark, s"$tmp/tokens").sortBy(_.version)
-    val (nSt, nTot) = (standing.count(), docs.count())
+    // both lifecycle row counts from ONE aggregate pass (was two scans)
+    val cnts = docs.agg(count(lit(1)).as("n"),
+      count(when(col("doc_id") % 4 =!= 0, 1)).as("n_st")).head()
+    val (nTot, nSt) = (cnts.getLong(0), cnts.getLong(1))
     require(hist.size == 3 && hist(0).rows == nSt &&
       hist(1).rows == nTot && hist(2).rows == nTot,
       s"tokens hub lifecycle drifted: ${hist.map(h => (h.version, h.rows))}")
@@ -2431,8 +2434,11 @@ object PipelineQueries {
     VersionedHub.writeBucketed(spark, batchAssigned, s"$tmp/index",
       Seq("id"), 4)
     val hist = VersionedHub.history(spark, s"$tmp/index").sortBy(_.version)
-    val total = c.count()
-    require(hist.size == 3 && hist(0).rows == standing.count() &&
+    // both lifecycle row counts from ONE aggregate pass (was two scans)
+    val cnts = c.agg(count(lit(1)).as("n"),
+      count(when(col("id") % 4 =!= 0, 1)).as("n_st")).head()
+    val (total, nStanding) = (cnts.getLong(0), cnts.getLong(1))
+    require(hist.size == 3 && hist(0).rows == nStanding &&
       hist(1).rows == total && hist(2).rows == total,
       s"index hub lifecycle drifted: ${hist.map(h => (h.version, h.rows))}")
     VersionedHub.read(spark, s"$tmp/index")

@@ -588,8 +588,12 @@ object SketchQueries {
     // a replayed batch must be absorbed, not duplicated
     VersionedHub.writeBucketed(spark, batchCodes, s"$tmp/codes", Seq("id"), 4)
     val hist = VersionedHub.history(spark, s"$tmp/codes").sortBy(_.version)
-    val total = emb.count()
-    require(hist.size == 3 && hist(0).rows == standing.count() &&
+    // both lifecycle row counts from ONE aggregate pass over the
+    // embeddings (was total.count() + standing.count() = two full scans)
+    val cnts = emb.agg(count(lit(1)).as("n"),
+      count(when(col("id") % 4 =!= 0, 1)).as("n_st")).head()
+    val (total, nStanding) = (cnts.getLong(0), cnts.getLong(1))
+    require(hist.size == 3 && hist(0).rows == nStanding &&
       hist(1).rows == total && hist(2).rows == total,
       s"codes hub lifecycle drifted: ${hist.map(h => (h.version, h.rows))}")
     res.unpersist()
