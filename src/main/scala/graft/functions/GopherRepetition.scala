@@ -110,6 +110,12 @@ object GopherRepetition {
   private def codePoints(s: String): Long =
     s.codePointCount(0, s.length).toLong
 
+  // String.split(regex) recompiles the Pattern on EVERY call for any
+  // multi-char pattern — a per-row constant that dominates short
+  // documents. Precompiled once; Pattern.split is semantically identical.
+  private val WsPat = java.util.regex.Pattern.compile("[ \t\n\r\f]+")
+  private val ParaPat = java.util.regex.Pattern.compile("\n\n")
+
   /** (n, dups-beyond-first, total chars, dup chars) over nonempty parts. */
   private def dupStats(parts: Array[String]): (Long, Long, Long, Long) = {
     val counts = new java.util.HashMap[String, Int]()
@@ -138,82 +144,123 @@ object GopherRepetition {
     (n, dups, chars, dupChars)
   }
 
-  /** Referenced from generated code — keep public + stable. */
+  /** Referenced from generated code — keep public + stable.
+    *
+    * N-gram counting runs over INTERNED word ids (each distinct word
+    * mapped to a small int once), so the 9 per-order passes compare and
+    * hash int windows instead of building a joined String per gram —
+    * words are whitespace-free, so two space-joined n-grams are equal
+    * exactly when their word (= id) sequences are equal, and the char
+    * mass of a gram is a prefix-sum difference over word code-point
+    * lengths (joined length minus the n−1 spaces). Bit-identical outputs
+    * to the string formulation, at a fraction of the allocation/hash
+    * cost — this expression is the whole cost of the Gopher gate, so its
+    * constant factor IS the operator's 100 TB scan speed.
+    */
   def computeUtf8(s: UTF8String): InternalRow = {
     val text = s.toString
     val (nLines, dupLines, lineChars, dupLineChars) =
       dupStats(text.split("\n", -1))
     val (nParas, dupParas, paraChars, dupParaChars) =
-      dupStats(text.split("\n\n", -1))
+      dupStats(ParaPat.split(text, -1))
 
-    val words = text.split("[ \t\n\r\f]+").filter(_.nonEmpty)
-    val wlen = words.map(codePoints)
-    val wordChars = wlen.sum
-
-    // top n-gram char mass: argmax by (count, word-chars) lexicographic
-    def topChars(n: Int): Long = {
-      if (words.length < n) return 0L
-      val counts = new java.util.HashMap[String, Int]()
-      var i = 0
-      while (i + n <= words.length) {
-        val sb = new java.lang.StringBuilder(words(i))
-        var j = 1
-        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-        counts.merge(sb.toString, 1, Integer.sum(_, _))
-        i += 1
+    val words0 = WsPat.split(text)
+    val idOf = new java.util.HashMap[String, Integer]()
+    val ids = new Array[Int](words0.length)
+    val wlen = new Array[Long](words0.length)
+    var nWords = 0
+    var i = 0
+    while (i < words0.length) {
+      val w = words0(i)
+      if (w.nonEmpty) {
+        var id = idOf.get(w)
+        if (id == null) { id = Integer.valueOf(idOf.size); idOf.put(w, id) }
+        ids(nWords) = id.intValue
+        wlen(nWords) = codePoints(w)
+        nWords += 1
       }
-      var bestCnt = 0L
-      var bestCh = 0L
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val cnt = e.getValue.toLong
-        val ch = codePoints(e.getKey) - (n - 1) // minus joining spaces
-        if (cnt > bestCnt || (cnt == bestCnt && ch > bestCh)) {
-          bestCnt = cnt; bestCh = ch
-        }
-      }
-      bestCnt * bestCh
+      i += 1
     }
+    // prefix char sums: wpre(i) = Σ wlen[0..i)
+    val wpre = new Array[Long](nWords + 1)
+    i = 0
+    while (i < nWords) { wpre(i + 1) = wpre(i) + wlen(i); i += 1 }
+    val wordChars = wpre(nWords)
 
-    // duplicate n-gram coverage: chars of word positions inside any
-    // n-gram occurring >= 2 times, each position counted once
-    def dupCoveredChars(n: Int): Long = {
-      if (words.length < n) return 0L
-      val counts = new java.util.HashMap[String, Int]()
-      val grams = new Array[String](words.length - n + 1)
-      var i = 0
-      while (i + n <= words.length) {
-        val sb = new java.lang.StringBuilder(words(i))
-        var j = 1
-        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-        grams(i) = sb.toString
-        counts.merge(grams(i), 1, Integer.sum(_, _))
-        i += 1
-      }
-      val covered = new Array[Boolean](words.length)
-      i = 0
-      while (i < grams.length) {
-        if (counts.get(grams(i)) >= 2) {
-          var j = i
-          while (j < i + n) { covered(j) = true; j += 1 }
+    /** One open-addressing pass over the order-`n` gram windows.
+      * wantTop: argmax (count, char mass) product — [[TopNgramOrders]];
+      * else: char mass of positions covered by any gram occurring ≥ 2
+      * times — [[DupNgramOrders]]. Exact: slot equality compares the id
+      * windows themselves, never just hashes.
+      */
+    def scan(n: Int, wantTop: Boolean): Long = {
+      if (nWords < n) return 0L
+      val mGrams = nWords - n + 1
+      var cap = 4
+      while (cap < mGrams * 2) cap <<= 1
+      val slotPos = new Array[Int](cap) // first occurrence position; -1 free
+      val slotCnt = new Array[Int](cap)
+      java.util.Arrays.fill(slotPos, -1)
+      val slotOf = new Array[Int](mGrams)
+      var p = 0
+      while (p < mGrams) {
+        var h = 1
+        var j = p
+        while (j < p + n) { h = h * 31 + ids(j); j += 1 }
+        var slot = h & (cap - 1)
+        var done = false
+        while (!done) {
+          val fp = slotPos(slot)
+          if (fp == -1) { slotPos(slot) = p; slotCnt(slot) = 1; done = true }
+          else {
+            var eq = true
+            var q = 0
+            while (eq && q < n) { eq = ids(fp + q) == ids(p + q); q += 1 }
+            if (eq) { slotCnt(slot) += 1; done = true }
+            else slot = (slot + 1) & (cap - 1)
+          }
         }
-        i += 1
+        slotOf(p) = slot
+        p += 1
       }
-      var sum = 0L
-      i = 0
-      while (i < covered.length) {
-        if (covered(i)) sum += wlen(i)
-        i += 1
+      if (wantTop) {
+        var bestCnt = 0L
+        var bestCh = 0L
+        var sIdx = 0
+        while (sIdx < cap) {
+          val fp = slotPos(sIdx)
+          if (fp != -1) {
+            val cnt = slotCnt(sIdx).toLong
+            val ch = wpre(fp + n) - wpre(fp)
+            if (cnt > bestCnt || (cnt == bestCnt && ch > bestCh)) {
+              bestCnt = cnt; bestCh = ch
+            }
+          }
+          sIdx += 1
+        }
+        bestCnt * bestCh
+      } else {
+        val covered = new Array[Boolean](nWords)
+        p = 0
+        while (p < mGrams) {
+          if (slotCnt(slotOf(p)) >= 2) {
+            var j = p
+            while (j < p + n) { covered(j) = true; j += 1 }
+          }
+          p += 1
+        }
+        var sum = 0L
+        var q = 0
+        while (q < nWords) { if (covered(q)) sum += wlen(q); q += 1 }
+        sum
       }
-      sum
     }
 
     new GenericInternalRow(
       Array[Any](nLines, dupLines, lineChars, dupLineChars,
         nParas, dupParas, paraChars, dupParaChars, wordChars) ++
-        TopNgramOrders.map(n => topChars(n): Any) ++
-        DupNgramOrders.map(n => dupCoveredChars(n): Any))
+        TopNgramOrders.map(n => scan(n, wantTop = true): Any) ++
+        DupNgramOrders.map(n => scan(n, wantTop = false): Any))
   }
 
   def gopherRepetition(c: Column): Column =

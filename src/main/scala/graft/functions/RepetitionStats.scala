@@ -65,8 +65,12 @@ object RepetitionStats {
   /** Single pass: token counts + bigram counts in two open-addressing-free
     * HashMaps. Referenced from generated code — keep public + stable.
     */
+  // precompiled whitespace splitter (String.split("\\s+") recompiles the
+  // Pattern on every call); Pattern.split is semantically identical
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+
   def computeUtf8(s: UTF8String): InternalRow = {
-    val toks = s.toString.trim.split("\\s+")
+    val toks = WsPat.split(s.toString.trim)
     val wordCounts = new java.util.HashMap[String, Int]()
     var i = 0
     while (i < toks.length) {

@@ -87,8 +87,12 @@ object WordShingles {
     * trimmed input (and DuckDB string_split_regex(trim(x), '\s+')).
     * Shared with [[TextHashing.simHash]]'s tokenization.
     */
+  // precompiled: String.split("\\s+") recompiles the Pattern per call —
+  // a per-row constant on the hottest shingling path. Identical splits.
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+
   private[functions] def tokenize(s: String): Array[String] =
-    s.trim.split("\\s+")
+    WsPat.split(s.trim)
 
   def wordShingles(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))

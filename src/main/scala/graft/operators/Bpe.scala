@@ -279,9 +279,13 @@ object Bpe {
     * split follows [[TextAnalysis.tokens]]: empty text yields one empty
     * token, which encodes to zero symbols.
     */
+  // precompiled whitespace splitter (String.split("\\s+") recompiles the
+  // Pattern on every call); Pattern.split is semantically identical
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+
   def statsOf(text: String,
       merges: IndexedSeq[(Int, Int, Int)]): (Long, Long, Long) = {
-    val words = Option(text).getOrElse("").trim.split("\\s+")
+    val words = WsPat.split(Option(text).getOrElse("").trim)
     var nTok = 0L
     var sumIds = 0L
     words.foreach { w =>

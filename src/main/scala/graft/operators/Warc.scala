@@ -42,6 +42,10 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
+  // precompiled: a 2-char separator takes String.split's regex path,
+  // recompiling the Pattern per header block
+  private val CrlfPat = java.util.regex.Pattern.compile("\r\n")
+
   /** One demuxed record. `body` is the HTTP message body for records
     * carrying an HTTP envelope, the raw WARC payload otherwise.
     */
@@ -114,7 +118,7 @@ object Warc {
       val hdrEnd = indexOfCrlfCrlf(off)
       if (hdrEnd < 0) return out.toSeq // torn header block: stop cleanly
       val block = new String(payload, off, hdrEnd - off, US_ASCII)
-      val lines = block.split("\r\n", -1)
+      val lines = CrlfPat.split(block, -1)
       if (lines.isEmpty || !lines(0).startsWith("WARC/")) return out.toSeq
       val hdrs = lines.drop(1).flatMap { l =>
         val i = l.indexOf(':')
