@@ -225,6 +225,52 @@ object HubWriter {
     }
   }
 
+  /** [[merge]] for BUCKETED commits, computed with ONE exchange instead of
+    * two (guide §2.4): both sides arrive already stamped with `bucketCol`
+    * (a deterministic hash of a key subset, so every row of one key shares
+    * a bucket), the window partitions by the BUCKET and totally orders each
+    * bucket by (keys…, `_is_new` DESC [, `_ingest_ts_utc` DESC]), and the
+    * per-key winner is "first row of its key run" — detected with one
+    * `lag` comparison instead of a per-key `row_number`. The classic
+    * formulation shuffles on the keys for the window and then AGAIN on the
+    * bucket for the optimized write; here the single bucket exchange
+    * serves both, and at 100 TB that is one full shuffle of the merged
+    * snapshot removed from every bucketed commit.
+    *
+    * Equivalence to [[merge]]: rows of one key are contiguous in the
+    * bucket sort, the within-key order is exactly [[merge]]'s window
+    * order, so the first-of-run row IS the `row_number() = 1` row; rows
+    * with any NULL key are all kept verbatim (same bypass), and NULL-keyed
+    * neighbors can never suppress each other because the bypass short-
+    * circuits before the lag comparison. Identity-column inheritance needs
+    * a per-key aggregate window, so callers with identity columns stay on
+    * [[merge]].
+    */
+  private[writers] def mergeBucketedByRun(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      bucketCol: String
+  ): DataFrame = {
+    val tagged = target
+      .withColumn("_is_new", lit(0))
+      .unionByName(source.withColumn("_is_new", lit(1)))
+    val anyNullKey = keys.map(k => col(k).isNull).reduce(_ || _)
+    val orderCols =
+      if (tagged.columns.contains("_ingest_ts_utc"))
+        Seq(desc("_is_new"), desc("_ingest_ts_utc"))
+      else Seq(desc("_is_new"))
+    val w = Window.partitionBy(col(bucketCol))
+      .orderBy(keys.map(col(_).asc) ++ orderCols: _*)
+    val keyT = struct(keys.map(col): _*)
+    tagged
+      .withColumn("_keep",
+        when(anyNullKey, lit(true))
+          .otherwise(!(keyT <=> lag(keyT, 1).over(w))))
+      .filter(col("_keep"))
+      .drop("_keep", "_is_new")
+  }
+
   /** Last-writer-wins merge of source into target on `keys`.
     *
     * Rows with any NULL key bypass the window dedup entirely (they can never

@@ -656,6 +656,11 @@ object VersionedHub {
             .unionByName(stamp(d).select(BucketCol))
         }).distinct()
           .collect().map(_.getInt(0)).sorted.toIndexedSeq // ≤ nBuckets values
+      // true when the merge below already clustered its output by
+      // [[BucketCol]] (the single-exchange run-merge): the optimized
+      // write's repartition would be a second, redundant shuffle of the
+      // same rows by the same expression — skip it
+      var mergeClustered = false
       val merged = base match {
         case None => stamped
         case Some(v) =>
@@ -669,8 +674,19 @@ object VersionedHub {
             }
             val (t, s) = HubWriter.reconcileSchemas(
               target, stamped.drop(BucketCol))
-            stamp(HubWriter.merge(t, s, keys,
-              identitySpecs(v.schema).map(_._1.name)))
+            val idCols = identitySpecs(v.schema).map(_._1.name)
+            if (idCols.isEmpty && optimizeWrite) {
+              // ONE exchange (guide §2.4): the per-key winner is computed
+              // inside a bucket-partitioned window, which is exactly the
+              // distribution the optimized write wants — the key-hash
+              // window shuffle AND the bucket repartition collapse into
+              // one. Identity inheritance needs the per-key aggregate
+              // window, so identity hubs keep the classic two-exchange
+              // merge.
+              mergeClustered = true
+              HubWriter.mergeBucketedByRun(stamp(t), stamp(s), keys,
+                BucketCol)
+            } else stamp(HubWriter.merge(t, s, keys, idCols))
           }
       }
       val root = s"data/$next-${UUID.randomUUID().toString.take(8)}"
@@ -693,7 +709,7 @@ object VersionedHub {
       val snapSchema = unionSchema(spark, path, base,
         merged.drop(BucketCol).schema)
       val toWrite = enforceChecks(
-        if (optimizeWrite)
+        if (optimizeWrite && !mergeClustered)
           merged.repartition(org.apache.spark.sql.functions.col(BucketCol))
         else merged,
         base, checks0)
