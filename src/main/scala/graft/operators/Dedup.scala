@@ -847,7 +847,14 @@ object Dedup {
         .select(col("id"), col("rootRoot").as("root"))
         .join(labels.select(col("id"), col("root").as("_old")), Seq("id"))
         .transform(materialize)
-      converged = next.filter(col("root") =!= col("_old")).isEmpty
+      // ONE full-scan aggregate instead of isEmpty: take(1) on the filtered
+      // frame needs a second, growing partition sweep exactly on the
+      // CONVERGED round (no changed row exists, so it scans everything
+      // anyway) — the count touches the same checkpointed rows once and
+      // always costs one job
+      converged = next
+        .agg(count(when(col("root") =!= col("_old"), 1)).as("_c"))
+        .head().getLong(0) == 0L
       labels = next.select(col("id"), col("root"))
       i += 1
     }
