@@ -86,19 +86,21 @@ object TextAnalysis {
     * filter runs at scan speed like the rest of the text suite.
     */
   def gopherRules(toks: Column, text: Column): Column = {
-    val n = size(toks).cast("long")
-    // Σ word length as one codegen'd expression: concatenating with an
-    // empty separator makes the total length exactly the length sum
-    val sumLen = length(concat_ws("", toks)).cast("long")
-    val symbols = (regexp_count(text, lit("#")) +
-      regexp_count(text, lit("\\.\\.\\.")) +
-      regexp_count(text, lit("…"))).cast("long")
-    val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
-    // distinct-stopword count as membership tests over the 8-word list —
-    // intersection builtins differ between engines on duplicate handling;
-    // this form is unambiguous in both
-    val stopHits = size(filter(typedLit(GopherStopwords),
-      s => array_contains(toks, s))).cast("long")
+    // The five integers come from ONE codegen'd pass over the text
+    // ([[graft.functions.GopherQuality]] — property-gated bit-identical to
+    // the builtin chain this replaced: split/size, concat_ws length sum,
+    // three regexp_counts, two array filters — each of which re-walked or
+    // re-allocated the document). `toks` MUST equal `tokens(text)`; every
+    // caller passes exactly that (the parameter stays for source
+    // compatibility and as documentation of the token contract). The five
+    // getFields share one evaluation via whole-stage codegen's
+    // subexpression elimination.
+    val st = graft.functions.GopherQuality.gopherQuality(text)
+    val n = st.getField("n_words")
+    val sumLen = st.getField("sum_len")
+    val symbols = st.getField("n_sym")
+    val alphaWords = st.getField("n_alpha")
+    val stopHits = st.getField("n_stop")
     val rWords = n >= GopherMinWords && n <= GopherMaxWords
     val rMeanLen = sumLen >= lit(3L) * n && sumLen <= lit(10L) * n
     val rSymbols = lit(10L) * symbols <= n

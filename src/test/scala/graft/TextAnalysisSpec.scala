@@ -558,4 +558,40 @@ class TextAnalysisSpec extends SparkTestBase {
     // empty and null text degrade to the defined row, not a crash
     assert(stats(3L) == ((0L, 0L, 1.0)) && stats(4L) == ((0L, 0L, 1.0)))
   }
+
+  test("GopherQuality one-pass integers == the builtin chain, bit-exact") {
+    // the EXACT formulation gopherRules used before the one-pass
+    // expression replaced it — the equivalence oracle for the rewrite
+    def builtin(text: org.apache.spark.sql.Column) = {
+      val toks = TextAnalysis.tokens(text)
+      struct(
+        size(toks).cast("long").as("n_words"),
+        length(concat_ws("", toks)).cast("long").as("sum_len"),
+        (regexp_count(text, lit("#")) +
+          regexp_count(text, lit("\\.\\.\\.")) +
+          regexp_count(text, lit("\u2026"))).cast("long").as("n_sym"),
+        size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+          .as("n_alpha"),
+        size(filter(typedLit(TextAnalysis.GopherStopwords),
+          s => array_contains(toks, s))).cast("long").as("n_stop"))
+    }
+    val edge = Seq("", " ", "\t", "\t\t", "\ta", "a\t", " a ", "a  b",
+      "the be to of and that have with", "# ... \u2026 .... ..... ......",
+      "caf\u00e9 \ud83d\ude00 na\u00efve", "a\nb\r\nc", "  \t  ",
+      ". .. ... .... #.# \u2026\u2026", "to to to", "the", "x " * 60)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab .\t\n#\u2026e\u00e9 the of "
+    val fuzz = (1 to 300).map(_ => (1 to rnd.nextInt(60))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (edge ++ fuzz).toDF("text")
+    val rows = df.select(
+      builtin(col("text")).as("b"),
+      graft.functions.GopherQuality.gopherQuality(col("text")).as("g"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getStruct(0) == r.getStruct(1),
+        s"diverged on ${r.getString(2).replace("\n", "\\n").replace("\t", "\\t")}: " +
+          s"builtin=${r.getStruct(0)} got=${r.getStruct(1)}")
+    }
+  }
 }
