@@ -292,10 +292,19 @@ object TextAnalysis {
       "is", "it", "of", "on", "or", "that", "the", "to", "with")
 
   def stopwordCount(text: Column, words: Seq[String] = stopwordsEn): Column =
-    size(filter(tokens(text), t => t.isInCollection(words)))
+    // the default list rides the one-pass TokenHits walk (the builtin
+    // filter(array) form re-evaluated the split per consumer — see
+    // [[graft.functions.TokenHits]]); a custom list keeps the builtin
+    if (words eq stopwordsEn)
+      graft.functions.TokenHits.tokenHits(text).getField("stop_hits")
+        .cast("int")
+    else size(filter(tokens(text), t => t.isInCollection(words)))
 
-  def stopwordRatio(text: Column): Column =
-    stopwordCount(text).cast("double") / tokenCount(text).cast("double")
+  def stopwordRatio(text: Column): Column = {
+    val th = graft.functions.TokenHits.tokenHits(text)
+    th.getField("stop_hits").cast("double") /
+      th.getField("n_tokens").cast("double")
+  }
 
   /** Ratio of punctuation/symbol chars to total length. */
   def punctRatio(text: Column): Column =
@@ -305,18 +314,23 @@ object TextAnalysis {
   /** Mean token length (exact for single-space text: chars minus separators
     * over token count; trimmed to match tokenization).
     */
-  def avgTokenLen(text: Column): Column =
-    (length(trim(text)) - tokenCount(text) + lit(1)).cast("double") /
-      tokenCount(text).cast("double")
+  def avgTokenLen(text: Column): Column = {
+    val n = graft.functions.TokenHits.tokenHits(text).getField("n_tokens")
+    (length(trim(text)) - n + lit(1)).cast("double") / n.cast("double")
+  }
 
   /** Composite quality score in [0,1]: length saturation + stopword mass +
     * word-shape. Fixed literal weights; evaluation order identical to the
     * oracle's expression.
     */
-  def qualityScore(text: Column): Column =
-    least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+  def qualityScore(text: Column): Column = {
+    // n_tokens via the shared TokenHits walk: the three terms' TokenHits
+    // trees are equal, so codegen evaluates the walk once per row
+    val n = graft.functions.TokenHits.tokenHits(text).getField("n_tokens")
+    least(n.cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
       stopwordRatio(text) * lit(0.3) +
       least(avgTokenLen(text) / lit(8.0), lit(1.0)) * lit(0.3)
+  }
 
   /** Per-language marker lists for the n-gram/stopword language heuristic
     * (shared with the oracle SQL).
@@ -331,12 +345,21 @@ object TextAnalysis {
   private def markerHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(words)))
 
+  /** [[langId]]'s four marker-hit counts from the ONE-pass
+    * [[graft.functions.TokenHits]] walk (the filter(array) form
+    * re-evaluated the split per language).
+    */
+  private def markerHitsShared(text: Column): Seq[(String, Column)] = {
+    val th = graft.functions.TokenHits.tokenHits(text)
+    langMarkers.map { case (l, _) => l -> th.getField(s"hits_$l") }
+  }
+
   /** Heuristic language-ID: CJK codepoints ⇒ zh; else argmax of marker-word
     * hits in fixed priority order (en, es, fr, de); no hits ⇒ "und".
     * Deterministic — ties resolve by list order.
     */
   def langId(text: Column): Column = {
-    val hits = langMarkers.map { case (l, ws) => l -> markerHits(text, ws) }
+    val hits = markerHitsShared(text)
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     val cjk = regexp_count(text, lit("[\\x{4E00}-\\x{9FFF}]")) > 0
     // first language (in list order) whose hit count equals the max wins

@@ -594,4 +594,50 @@ class TextAnalysisSpec extends SparkTestBase {
           s"builtin=${r.getStruct(0)} got=${r.getStruct(1)}")
     }
   }
+
+  test("TokenHits one-pass counts == the builtin chain, bit-exact") {
+    def toks(text: org.apache.spark.sql.Column) = TextAnalysis.tokens(text)
+    def builtin(text: org.apache.spark.sql.Column) = {
+      val markers = TextAnalysis.langMarkers.map { case (l, ws) =>
+        size(filter(toks(text), t => t.isInCollection(ws))).cast("long")
+          .as(s"hits_$l")
+      }
+      struct((size(toks(text)).cast("long").as("n_tokens") +:
+        size(filter(toks(text),
+          t => t.isInCollection(TextAnalysis.stopwordsEn))).cast("long")
+          .as("stop_hits") +: markers): _*)
+    }
+    // the double composites must stay IEEE-identical too
+    def builtinQuality(text: org.apache.spark.sql.Column) = {
+      val tc = size(toks(text))
+      val sw = size(filter(toks(text),
+        t => t.isInCollection(TextAnalysis.stopwordsEn)))
+      val ratio = sw.cast("double") / tc.cast("double")
+      val avg = (length(trim(text)) - tc + lit(1)).cast("double") /
+        tc.cast("double")
+      least(tc.cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+        ratio * lit(0.3) + least(avg / lit(8.0), lit(1.0)) * lit(0.3)
+    }
+    val edge = Seq("", " ", "\t", "\ta", "a\t", " a ", "the of to de que",
+      "el la de que y los por una", "le la de et un les des est",
+      "der die das und ist ein nicht mit", "the " * 30 + "word " * 30)
+    val rnd = new scala.util.Random(11)
+    val alphabet = "a de la et the of und \t\n "
+    val fuzz = (1 to 200).map(_ => (1 to rnd.nextInt(50))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = (edge ++ fuzz).toDF("text").select(
+      builtin(col("text")).as("b"),
+      graft.functions.TokenHits.tokenHits(col("text")).as("g"),
+      builtinQuality(col("text")).as("qb"),
+      TextAnalysis.qualityScore(col("text")).as("qg"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getStruct(0) == r.getStruct(1),
+        s"counts diverged on '${r.getString(4)}': ${r.getStruct(0)} vs ${r.getStruct(1)}")
+      val (qb, qg) = (r.get(2), r.get(3))
+      assert(qb == qg || (qb.asInstanceOf[Double].isNaN &&
+        qg.asInstanceOf[Double].isNaN),
+        s"quality diverged on '${r.getString(4)}': $qb vs $qg")
+    }
+  }
 }
